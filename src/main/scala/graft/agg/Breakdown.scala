@@ -1,0 +1,130 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.agg.BreakdownSpec.{Row => SpecRow, Spec}
+
+/** The breakdown aggregation engine: compiles a variable-spec into ONE
+  * `groupBy(keys).agg(exprs…)` — a single shuffle on low-cardinality
+  * categorical keys, with partial (map-side) aggregation, hash-agg and spill
+  * handled by Catalyst/Tungsten. This is the Spark-native re-expression of
+  * the reference's per-group Python loop (`pd_breakdown`,
+  * /root/reference/bm_breakdown.py:62-122 and `pd_breakdown_fn`,
+  * bm_breakdown.py:179-245).
+  *
+  * Op vocabulary (bm_breakdown.py:11): breakdown, count, sum, mean, min,
+  * max, var, std, sem, q1, q2, q3, pNN, major, list, text — with weighted
+  * variants of sum / mean / q1-q3 (weight = product of the weight columns).
+  *
+  * Documented semantic decisions for a distributed engine:
+  *   - null group keys are rendered as −99 / "-99" BEFORE grouping
+  *     (pandas drops NaN groups, so the reference fills them:
+  *     bm_breakdown.py:105-108); this also merges them with literal −99
+  *     values, exactly as the reference does;
+  *   - `list` returns distinct values in SORTED order (the reference's
+  *     first-appearance order is undefined under parallelism);
+  *   - `major` ties break toward the smallest value (see [[MajorAgg]]);
+  *   - `count` stays integral (the reference casts to float);
+  *   - `pNN` skips nulls (the reference's np.percentile lets NaN poison the
+  *     result — a bug we do not replicate);
+  *   - output rows are sorted by the group keys (pandas groupby sorts).
+  */
+object Breakdown {
+
+  def apply(df: DataFrame, spec: String): DataFrame =
+    run(df, BreakdownSpec.parse(spec))
+
+  def run(df: DataFrame, spec: Spec): DataFrame = {
+    val keys = spec.keys
+    val aggs0 = spec.aggs
+    if (keys.nonEmpty && aggs0.isEmpty) {
+      // keys-only degenerate: the distinct groups (bm_breakdown.py:102-104)
+      return df
+        .select(keys.map(r => keyCol(df, r).as(r.outName)): _*)
+        .distinct()
+        .orderBy(keys.map(r => col(r.outName)): _*)
+    }
+    val aggCols = aggs0.map(r => aggCol(df, r).as(r.outName))
+    val out =
+      if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+      else {
+        val keyCols = keys.map(r => keyCol(df, r).as(r.outName))
+        df.groupBy(keyCols: _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+          .orderBy(keys.map(r => col(r.outName)): _*)
+      }
+    out
+  }
+
+  /** Group key with nulls (and NaN) rendered as −99, merging with literal
+    * −99 values exactly like the reference's fillna(-99)
+    * (bm_breakdown.py:105-108). */
+  private def keyCol(df: DataFrame, r: SpecRow): Column = {
+    val c = col(r.variable)
+    df.schema(r.variable).dataType match {
+      case StringType => coalesce(c, lit("-99"))
+      case DoubleType | FloatType => coalesce(nanvl(c, lit(-99.0)), lit(-99.0))
+      case dt: NumericType => coalesce(c, lit(-99).cast(dt))
+      case _ => c
+    }
+  }
+
+  private val pandasOps =
+    Set("count", "sum", "mean", "min", "max", "var", "std", "sem")
+
+  private def aggCol(df: DataFrame, r: SpecRow): Column = {
+    val cols = df.columns.toSet
+    // weights are silently filtered to existing columns (bm_breakdown.py:199-203)
+    val wts = r.weights.filter(cols.contains)
+    val op = r.op
+    def x: Column = col(r.variable).cast(DoubleType)
+    // product of all weight columns, NaN→0 like np.nan_to_num where needed
+    def wprod: Column = wts.map(w => col(w).cast(DoubleType)).reduce(_ * _)
+
+    if (op == "text") {
+      // constant column from the raw 3rd cell, else the var name
+      // (bm_breakdown.py:206-211)
+      val v = if (r.cells.length > 2) r.cells(2) else r.variable
+      max(lit(v))
+    } else if (!cols.contains(r.variable)) {
+      max(lit(null).cast(DoubleType)) // unknown var → null (bm_breakdown.py:212-214)
+    } else op match {
+      case "list" =>
+        // sorted distinct, comma-joined (deviation: reference is
+        // first-appearance order, bm_breakdown.py:215-216)
+        concat_ws(",", sort_array(collect_set(col(r.variable).cast(StringType))))
+      case "sum" if wts.nonEmpty =>
+        // nansum(Π(x·w…)): null/NaN products contribute 0 (bm_breakdown.py:217-219)
+        coalesce(sum(nanvl(x * wprod, lit(null).cast(DoubleType))), lit(0.0))
+      case "mean" if wts.nonEmpty =>
+        // rows where x non-null; ws = Π(w), NaN→0; null iff Σws = 0
+        // (bm_breakdown.py:220-227)
+        val w0 = coalesce(nanvl(wprod, lit(0.0)), lit(0.0))
+        val den = sum(when(x.isNotNull, w0).otherwise(lit(0.0)))
+        val num = sum(when(x.isNotNull, x * w0).otherwise(lit(0.0)))
+        when(den =!= 0.0, num / den)
+      case "q1" | "q2" | "q3" if wts.nonEmpty =>
+        val q = ("q1q2q3".indexOf(op) / 2 + 1) * 0.25
+        WeightedQuantile(x, wprod, q)
+      case "count" => count(x)
+      case "sum" => coalesce(sum(x), lit(0.0)) // pandas all-NaN sum = 0.0
+      case "mean" => avg(x)
+      case "min" => min(x)
+      case "max" => max(x)
+      case "var" => var_samp(x) // pandas ddof=1
+      case "std" => stddev_samp(x)
+      case "sem" => stddev_samp(x) / sqrt(count(x)) // std/√n (ddof=1)
+      case "q1" | "q2" | "q3" =>
+        val q = ("q1q2q3".indexOf(op) / 2 + 1) * 0.25
+        percentile(x, lit(q)) // pandas linear interpolation ≡ Spark percentile
+      case "major" => MajorAgg(col(r.variable), df.schema(r.variable).dataType)
+      case p if p.startsWith("p") && p.drop(1).nonEmpty &&
+          p.drop(1).forall(_.isDigit) =>
+        percentile(x, lit(p.drop(1).toDouble / 100.0)) // bm_breakdown.py:241-242
+      case _ =>
+        max(lit(null).cast(DoubleType)) // unknown op → null (v stays NaN)
+    }
+  }
+}
