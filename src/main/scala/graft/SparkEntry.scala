@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.agg.Breakdown
-import graft.operators.Factorize
+import graft.model.{GridSchema, TriMesh}
+import graft.operators.{Elevation, Factorize, FlagRegions, GridOps, MineDepletion}
 import graft.sources.Ingest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,6 +19,36 @@ object SparkEntry {
 
   private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
   private def ord(s: SparkSession, dir: String) = Tables.load(s, dir, "orders")
+
+  // ---- fixed spatial fixtures (mirrored analytically in the oracles) -----
+  // 30×20×20 grid, 10 m cells, origin (1000, 2000, 100) — the reference
+  // sample grid's shape (FIXTURES.md §1) at a shifted origin.
+  private val G = GridSchema(1000, 2000, 100, 10, 10, 10, 30, 20, 20)
+  // region solids: axis-aligned boxes offset so no cell center lies on a face
+  private val Region2 = TriMesh.box("region2", 1097.3, 1203.7, 2051.3, 2148.8, 141.2, 198.9)
+  private val Region3 = TriMesh.box("region3", 1151.2, 1248.8, 2101.1, 2199.9, 151.3, 249.7)
+  // mine surfaces: topo plane (include) + pit plane over a sub-footprint
+  private val Topo = TriMesh.quad("topo", Array(
+    900, 1900, 152.3, 1350, 1900, 152.3, 1350, 2350, 152.3, 900, 2350, 152.3))
+  private val Pit = TriMesh.quad("pit", Array(
+    1100.3, 2050.1, 173.456, 1300.7, 2050.1, 173.456,
+    1300.7, 2250.9, 173.456, 1100.3, 2250.9, 173.456))
+  // sloped elevation surface z = 50 + 0.01x + 0.02y over x∈[1001,1289.5]
+  private val Slope = TriMesh.quad("slope", Array(
+    1001, 1900, 50 + 0.01 * 1001 + 0.02 * 1900,
+    1289.5, 1900, 50 + 0.01 * 1289.5 + 0.02 * 1900,
+    1289.5, 2350, 50 + 0.01 * 1289.5 + 0.02 * 2350,
+    1001, 2350, 50 + 0.01 * 1001 + 0.02 * 2350))
+  // shared oracle CTE: the generated grid in DuckDB arithmetic
+  private val GridSql =
+    """g AS (SELECT range AS id,
+         CAST(range % 30 AS INT) AS i,
+         CAST((range // 30) % 20 AS INT) AS j,
+         CAST(range // 600 AS INT) AS k,
+         1000 + ((range % 30) + 0.5) * 10 AS x,
+         2000 + (((range // 30) % 20) + 0.5) * 10 AS y,
+         100 + ((range // 600) + 0.5) * 10 AS z
+       FROM range(12000))"""
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -103,6 +134,51 @@ object SparkEntry {
         .groupBy(col("l_returnflag"), col("rf_idx"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))),
+
+    // §2.5 grid synthesis from schema + per-cell volume (pure arithmetic,
+    // shuffle-free)
+    "q11_grid_generate" -> ((s, _) =>
+      GridOps.cellsVolume(GridOps.generate(s, G), G)
+        .select("id", "i", "j", "k", "x", "y", "z", "volume")
+        .orderBy("id")),
+
+    // §2.5 point-in-solid region flagging (broadcast BVH ray-parity kernel,
+    // last mesh wins, '' default)
+    "q12_flag_regions" -> ((s, _) =>
+      FlagRegions(s, GridOps.generate(s, G), Seq(Region2, Region3))
+        .select("id", "region").orderBy("id")),
+
+    // §2.5 mine-up/mine-down depletion fractions (vertical-ray surface
+    // elevation vs analytic plane algebra)
+    "q13_mine_deplete" -> ((s, _) =>
+      MineDepletion(s, GridOps.generate(s, G), Seq(Topo), Seq(Pit), G.sz)
+        .select(col("id"), round(col("mine"), 6).as("mine"))
+        .orderBy("id")),
+
+    // §2.5 nearest-cell assignment: arbitrary points → ijk by floor
+    // arithmetic, −1 outside the grid
+    "q14_nearest_cell" -> ((s, _) => {
+      val pts = s.range(500)
+        .withColumn("x", lit(995.0) + (col("id") * 7.3) % 310.0)
+        .withColumn("y", lit(1995.0) + (col("id") * 11.7) % 210.0)
+        .withColumn("z", lit(95.0) + (col("id") * 3.9) % 210.0)
+      GridOps.nearestCell(pts, G).select("id", "i", "j", "k").orderBy("id")
+    }),
+
+    // §2.5 heatmap2d: reduce the grid along the z axis
+    "q15_heatmap2d" -> ((s, _) =>
+      GridOps.heatmap2d(
+        GridOps.generate(s, G)
+          .withColumn("v", (col("i") * 7 + col("j") * 13 + col("k") * 17) % 97),
+        "k", "v", "mean")
+        .withColumnRenamed("v mean", "v_mean")
+        .orderBy("i", "j")),
+
+    // §2.5 surface elevation (get_elevation): sloped plane, null off-footprint
+    "q16_elevation" -> ((s, _) =>
+      Elevation(s, GridOps.generate(s, G), Slope)
+        .select(col("id"), round(col("elevation"), 6).as("elev"))
+        .orderBy("id")),
   )
 
   /** DuckDB-equivalent SQL per query (same column names, same rounding). */
@@ -230,5 +306,59 @@ object SparkEntry {
                 CAST(dense_rank() OVER (ORDER BY l_returnflag) - 1 AS BIGINT) AS rf_idx,
                 cnt
          FROM g ORDER BY l_returnflag""",
+
+    "q11_grid_generate" ->
+      s"""WITH $GridSql
+         SELECT id, i, j, k, x, y, z, 1000.0 AS volume FROM g ORDER BY id""",
+
+    "q12_flag_regions" ->
+      s"""WITH $GridSql
+         SELECT id,
+           CASE WHEN x BETWEEN 1151.2 AND 1248.8 AND y BETWEEN 2101.1 AND 2199.9
+                     AND z BETWEEN 151.3 AND 249.7 THEN 'region3'
+                WHEN x BETWEEN 1097.3 AND 1203.7 AND y BETWEEN 2051.3 AND 2148.8
+                     AND z BETWEEN 141.2 AND 198.9 THEN 'region2'
+                ELSE '' END AS region
+         FROM g ORDER BY id""",
+
+    "q13_mine_deplete" ->
+      s"""WITH $GridSql
+         SELECT id,
+           round(least(1, greatest(0, (152.3 - (z - 5)) / 10)) *
+             (CASE WHEN x BETWEEN 1100.3 AND 1300.7 AND y BETWEEN 2050.1 AND 2250.9
+                   THEN 1 - least(1, greatest(0, (173.456 - (z - 5)) / 10))
+                   ELSE 1 END), 6) AS mine
+         FROM g ORDER BY id""",
+
+    "q14_nearest_cell" ->
+      """WITH p AS (
+           SELECT range AS id,
+             995.0 + (range * CAST(7.3 AS DOUBLE)) % 310.0 AS x,
+             1995.0 + (range * CAST(11.7 AS DOUBLE)) % 210.0 AS y,
+             95.0 + (range * CAST(3.9 AS DOUBLE)) % 210.0 AS z
+           FROM range(500)),
+         c AS (
+           SELECT id,
+             CAST(floor((x - 1000) / 10) AS BIGINT) AS ci,
+             CAST(floor((y - 2000) / 10) AS BIGINT) AS cj,
+             CAST(floor((z - 100) / 10) AS BIGINT) AS ck
+           FROM p)
+         SELECT id,
+           CAST(CASE WHEN ci BETWEEN 0 AND 29 AND cj BETWEEN 0 AND 19 AND ck BETWEEN 0 AND 19 THEN ci ELSE -1 END AS INT) AS i,
+           CAST(CASE WHEN ci BETWEEN 0 AND 29 AND cj BETWEEN 0 AND 19 AND ck BETWEEN 0 AND 19 THEN cj ELSE -1 END AS INT) AS j,
+           CAST(CASE WHEN ci BETWEEN 0 AND 29 AND cj BETWEEN 0 AND 19 AND ck BETWEEN 0 AND 19 THEN ck ELSE -1 END AS INT) AS k
+         FROM c ORDER BY id""",
+
+    "q15_heatmap2d" ->
+      s"""WITH $GridSql
+         SELECT i, j, avg((i * 7 + j * 13 + k * 17) % 97) AS v_mean
+         FROM g GROUP BY i, j ORDER BY i, j""",
+
+    "q16_elevation" ->
+      s"""WITH $GridSql
+         SELECT id,
+           CASE WHEN x BETWEEN 1001 AND 1289.5 AND y BETWEEN 1900 AND 2350
+                THEN round(50 + 0.01 * x + 0.02 * y, 6) END AS elev
+         FROM g ORDER BY id""",
   )
 }

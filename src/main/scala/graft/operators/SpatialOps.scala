@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{GridSchema, TriMesh}
+
+/** Grid generation + per-cell geometry columns.
+  *
+  * Everything here is shuffle-free: `spark.range` over the cell count plus
+  * pure ijk→xyz arithmetic, so a 100 TB block model materializes in
+  * parallel across executors with no data movement (the analog of the
+  * reference's grid synthesis, `vtk_Voxel.from_bb_schema` +
+  * `vtk_mine.py:111-117`).
+  */
+object GridOps {
+
+  /** Materialize a block-model DataFrame (id, i, j, k, x, y, z) from a
+    * [[GridSchema]]. Cell id is x-fastest (VTK ordering). */
+  def generate(spark: SparkSession, g: GridSchema, numPartitions: Int = 0): DataFrame = {
+    val base =
+      if (numPartitions > 0) spark.range(0, g.nCells, 1, numPartitions)
+      else spark.range(g.nCells)
+    val withIjk = base
+      .withColumn("i", (col("id") % g.nx).cast("int"))
+      .withColumn("j", ((col("id") / g.nx) % g.ny).cast("int"))
+      .withColumn("k", (col("id") / (g.nx.toLong * g.ny)).cast("int"))
+    if (!g.rotated) {
+      withIjk
+        .withColumn("x", lit(g.ox) + (col("i") + lit(0.5)) * g.sx)
+        .withColumn("y", lit(g.oy) + (col("j") + lit(0.5)) * g.sy)
+        .withColumn("z", lit(g.oz) + (col("k") + lit(0.5)) * g.sz)
+    } else {
+      val a = math.toRadians(-(g.bearing - 90.0))
+      val c = math.cos(a); val s = math.sin(a)
+      val lx = lit(g.ox) + (col("i") + lit(0.5)) * g.sx - lit(g.rotX)
+      val ly = lit(g.oy) + (col("j") + lit(0.5)) * g.sy - lit(g.rotY)
+      withIjk
+        .withColumn("x", lit(g.rotX) + lit(c) * lx - lit(s) * ly)
+        .withColumn("y", lit(g.rotY) + lit(s) * lx + lit(c) * ly)
+        .withColumn("z", lit(g.oz) + (col("k") + lit(0.5)) * g.sz)
+    }
+  }
+
+  /** Per-cell volume column (`cells_volume`,
+    * /root/reference/pd_vtk.py:798-809; auto-added by the reserves pipeline,
+    * vtk_reserves.py:49-50). Uniform grids get a constant; tables carrying
+    * per-row `xlength/ylength/zlength` get the product. */
+  def cellsVolume(df: DataFrame, g: GridSchema, out: String = "volume"): DataFrame =
+    df.withColumn(out, lit(g.cellVolume))
+
+  def cellsVolumeFromLengths(df: DataFrame, out: String = "volume"): DataFrame =
+    df.withColumn(out, abs(col("xlength") * col("ylength") * col("zlength")))
+
+  /** World → cell assignment by pure arithmetic — the scale-safe
+    * `find_closest_cell` replacement (/root/reference/pd_vtk.py:671-702).
+    * Adds i,j,k columns (−1 outside the grid, mirroring the reference's
+    * unmatched −1). */
+  def nearestCell(df: DataFrame, g: GridSchema,
+      xCol: String = "x", yCol: String = "y", zCol: String = "z"): DataFrame = {
+    require(!g.rotated, "nearestCell on rotated grids: unrotate first")
+    val ci = floor((col(xCol) - g.ox) / g.sx).cast("long")
+    val cj = floor((col(yCol) - g.oy) / g.sy).cast("long")
+    val ck = floor((col(zCol) - g.oz) / g.sz).cast("long")
+    val inside = ci >= 0 && ci < g.nx && cj >= 0 && cj < g.ny && ck >= 0 && ck < g.nz
+    df.withColumn("i", when(inside, ci).otherwise(lit(-1L)).cast("int"))
+      .withColumn("j", when(inside, cj).otherwise(lit(-1L)).cast("int"))
+      .withColumn("k", when(inside, ck).otherwise(lit(-1L)).cast("int"))
+  }
+
+  /** Reduce the grid along one axis — `heatmap2d`
+    * (/root/reference/pd_vtk.py:876-895): groupBy the two remaining axes +
+    * a whitelisted aggregation (the reference eval()s `np.<op>`; a
+    * distributed engine whitelists instead, SURVEY.md §2.6). */
+  def heatmap2d(df: DataFrame, axis: String, valueCol: String,
+      op: String = "mean"): DataFrame = {
+    val keep = Seq("i", "j", "k").filterNot(_ == axis)
+    val agg = op match {
+      case "mean" => avg(col(valueCol))
+      case "sum" => sum(col(valueCol))
+      case "min" => min(col(valueCol))
+      case "max" => max(col(valueCol))
+      case "major" => graft.agg.MajorAgg(col(valueCol),
+        df.schema(valueCol).dataType)
+      case other => throw new IllegalArgumentException(s"heatmap2d op: $other")
+    }
+    df.groupBy(keep.map(col): _*).agg(agg.as(s"$valueCol $op"))
+  }
+}
+
+/** Point-in-solid region flagging — the reference's only "join": every cell
+  * against a list of small closed meshes, last mesh wins on overlap,
+  * unflagged cells carry '' (`vtk_flag_region`,
+  * /root/reference/vtk_flag_regions.py:54-79). A broadcast containment
+  * predicate folded into a map — no shuffle on the block side.
+  */
+object FlagRegions {
+  def apply(spark: SparkSession, df: DataFrame, meshes: Seq[TriMesh],
+      flagVar: String = "region", xCol: String = "x", yCol: String = "y",
+      zCol: String = "z", footprint2d: Boolean = false): DataFrame = {
+    val bc = spark.sparkContext.broadcast(meshes.toArray)
+    val use2d = footprint2d
+    val flag = udf { (x: Double, y: Double, z: Double) =>
+      val ms = bc.value
+      var r = ""
+      var n = ms.length - 1
+      // reference iterates forward overwriting → equivalent to reverse
+      // first-match
+      while (n >= 0 && r.isEmpty) {
+        val hit =
+          if (use2d) ms(n).underFootprint(x, y)
+          else ms(n).containsPoint(x, y, z)
+        if (hit) r = ms(n).name
+        n -= 1
+      }
+      r
+    }
+    df.withColumn(flagVar, flag(col(xCol), col(yCol), col(zCol)))
+  }
+}
+
+/** Mine-up / mine-down depletion — GridMine
+  * (/root/reference/vtk_mine.py:41-94). Per cell:
+  *
+  *   fracBelow(surface) = clamp((z_surface − z_cellBottom) / Δz, 0, 1),
+  *   null where the vertical ray misses the surface
+  *
+  * (the kernel the reference imports but lost — `vtk_block_mine`,
+  * vtk_mine.py:39; reconstructed from `get_elevation` semantics per
+  * SURVEY.md §2.5 ⚠).
+  *
+  *   mine = includeFrac × Π over excludes of (1 − coalesce(fracᵢ, 0-keep))
+  *
+  * where includeFrac = max over include surfaces (1.0 when none —
+  * `gm.fill(1)`, vtk_reserves.py:59-60) and an exclude miss keeps the cell
+  * (`where(isnan(fe), 1, 1−fe)`, vtk_mine.py:87).
+  */
+object MineDepletion {
+  def apply(spark: SparkSession, df: DataFrame, includes: Seq[TriMesh],
+      excludes: Seq[TriMesh], dz: Double, out: String = "mine",
+      xCol: String = "x", yCol: String = "y", zCol: String = "z"): DataFrame = {
+    val bcInc = spark.sparkContext.broadcast(includes.toArray)
+    val bcExc = spark.sparkContext.broadcast(excludes.toArray)
+    val mine = udf { (x: Double, y: Double, z: Double) =>
+      def fracBelow(m: TriMesh): Double = {
+        val zs = m.surfaceZ(x, y)
+        if (zs.isNaN) Double.NaN
+        else math.min(1.0, math.max(0.0, (zs - (z - dz / 2)) / dz))
+      }
+      val inc = bcInc.value
+      var gz = if (inc.isEmpty) 1.0 else {
+        var best = Double.NaN
+        var i = 0
+        while (i < inc.length) {
+          val f = fracBelow(inc(i))
+          if (!f.isNaN && (best.isNaN || f > best)) best = f
+          i += 1
+        }
+        best
+      }
+      val exc = bcExc.value
+      var e = 0
+      while (e < exc.length) {
+        val f = fracBelow(exc(e))
+        if (!f.isNaN) gz *= (1.0 - f)
+        e += 1
+      }
+      if (gz.isNaN) None else Some(gz)
+    }
+    df.withColumn(out, mine(col(xCol), col(yCol), col(zCol)))
+  }
+}
+
+/** Surface elevation column — `get_elevation`
+  * (/root/reference/pd_vtk.py:771-796): mean z of the vertical-ray hits,
+  * null on miss. */
+object Elevation {
+  def apply(spark: SparkSession, df: DataFrame, mesh: TriMesh,
+      out: String = "elevation", xCol: String = "x", yCol: String = "y"): DataFrame = {
+    val bc = spark.sparkContext.broadcast(mesh)
+    val elev = udf { (x: Double, y: Double) =>
+      val z = bc.value.surfaceZ(x, y)
+      if (z.isNaN) None else Some(z)
+    }
+    df.withColumn(out, elev(col(xCol), col(yCol)))
+  }
+}
