@@ -136,37 +136,82 @@ object FlagRegions {
   * (`where(isnan(fe), 1, 1−fe)`, vtk_mine.py:87).
   */
 object MineDepletion {
+  /** Continuous center-ray kernel (default, `subBlocks = 0`): one vertical
+    * ray per cell, fraction interpolated from the surface elevation. Fast —
+    * the right default at 100 TB scale (one BVH query per cell per mesh).
+    *
+    * Sub-block kernel (`subBlocks = n`): n×n vertical sub-columns per cell,
+    * n sub-z samples each, keep a sub-block iff it is below some include
+    * surface AND not below every exclude surface that covers it; mine =
+    * kept/n³ (quantized to 1/n³). This mirrors the proportional-volume
+    * convention of mining packages (the reference's own per-cell kernel is
+    * a dangling import — vtk_mine.py:39 — and its golden table is
+    * 1/125-quantized, i.e. n = 5; see DEVIATIONS.md §golden for the full
+    * reconstruction analysis).
+    */
   def apply(spark: SparkSession, df: DataFrame, includes: Seq[TriMesh],
       excludes: Seq[TriMesh], dz: Double, out: String = "mine",
-      xCol: String = "x", yCol: String = "y", zCol: String = "z"): DataFrame = {
+      xCol: String = "x", yCol: String = "y", zCol: String = "z",
+      subBlocks: Int = 0, cellSizeXY: (Double, Double) = (0, 0)): DataFrame = {
     val bcInc = spark.sparkContext.broadcast(includes.toArray)
     val bcExc = spark.sparkContext.broadcast(excludes.toArray)
-    val mine = udf { (x: Double, y: Double, z: Double) =>
-      def fracBelow(m: TriMesh): Double = {
-        val zs = m.surfaceZ(x, y)
-        if (zs.isNaN) Double.NaN
-        else math.min(1.0, math.max(0.0, (zs - (z - dz / 2)) / dz))
-      }
-      val inc = bcInc.value
-      var gz = if (inc.isEmpty) 1.0 else {
-        var best = Double.NaN
-        var i = 0
-        while (i < inc.length) {
-          val f = fracBelow(inc(i))
-          if (!f.isNaN && (best.isNaN || f > best)) best = f
-          i += 1
+    val mine =
+      if (subBlocks <= 0) udf { (x: Double, y: Double, z: Double) =>
+        def fracBelow(m: TriMesh): Double = {
+          val zs = m.surfaceZ(x, y)
+          if (zs.isNaN) Double.NaN
+          else math.min(1.0, math.max(0.0, (zs - (z - dz / 2)) / dz))
         }
-        best
+        val inc = bcInc.value
+        var gz = if (inc.isEmpty) 1.0 else {
+          var best = Double.NaN
+          var i = 0
+          while (i < inc.length) {
+            val f = fracBelow(inc(i))
+            if (!f.isNaN && (best.isNaN || f > best)) best = f
+            i += 1
+          }
+          best
+        }
+        val exc = bcExc.value
+        var e = 0
+        while (e < exc.length) {
+          val f = fracBelow(exc(e))
+          if (!f.isNaN) gz *= (1.0 - f)
+          e += 1
+        }
+        if (gz.isNaN) None else Some(gz)
       }
-      val exc = bcExc.value
-      var e = 0
-      while (e < exc.length) {
-        val f = fracBelow(exc(e))
-        if (!f.isNaN) gz *= (1.0 - f)
-        e += 1
+      else {
+        val n = subBlocks
+        val (sx, sy) = cellSizeXY
+        require(sx > 0 && sy > 0, "subBlocks kernel needs cellSizeXY")
+        udf { (x: Double, y: Double, z: Double) =>
+          val inc = bcInc.value; val exc = bcExc.value
+          var kept = 0
+          var a = 0
+          while (a < n) {
+            var b = 0
+            while (b < n) {
+              val px = x - sx / 2 + (a + 0.5) * sx / n
+              val py = y - sy / 2 + (b + 0.5) * sy / n
+              val incZ = inc.map(_.surfaceZ(px, py))
+              val excZ = exc.map(_.surfaceZ(px, py))
+              var c = 0
+              while (c < n) {
+                val pz = z - dz / 2 + (c + 0.5) * dz / n
+                val below = inc.isEmpty || incZ.exists(s => !s.isNaN && pz < s)
+                val mined = excZ.exists(s => !s.isNaN && pz < s)
+                if (below && !mined) kept += 1
+                c += 1
+              }
+              b += 1
+            }
+            a += 1
+          }
+          kept.toDouble / (n.toLong * n * n)
+        }
       }
-      if (gz.isNaN) None else Some(gz)
-    }
     df.withColumn(out, mine(col(xCol), col(yCol), col(zCol)))
   }
 }
