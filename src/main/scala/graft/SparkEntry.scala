@@ -69,7 +69,7 @@ object SparkEntry {
         Breakdown(li(s, dir),
           "l_returnflag;l_quantity=wavg_qty,mean,l_discount;" +
           "l_extendedprice=wsum_rev,sum,l_discount"),
-        "wavg_qty" -> 6, "wsum_rev" -> 2)),
+        "wavg_qty" -> 6, "wsum_rev" -> 4)),
 
     // §2.4 var/std/sem (sample, ddof=1)
     "q03_breakdown_stats" -> ((s, dir) =>
@@ -126,7 +126,7 @@ object SparkEntry {
           Ingest.filterCondition(li(s, dir),
             "l_discount > 0.05 AND l_returnflag = 'R'"),
           "l_linestatus;l_extendedprice=sum_price,sum;l_orderkey=cnt,count"),
-        "sum_price" -> 2)),
+        "sum_price" -> 4)),
 
     // §2.3 string factorize (broadcast dim join, sorted code order)
     "q10_factorize" -> ((s, dir) =>
@@ -179,7 +179,213 @@ object SparkEntry {
       Elevation(s, GridOps.generate(s, G), Slope)
         .select(col("id"), round(col("elevation"), 6).as("elev"))
         .orderBy("id")),
+
+    // ext: token counting (whitespace tokenizer)
+    "q17_token_count" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          ext.TextAnalysis.tokenCount("text").cast("long").as("tok_cnt"))
+        .orderBy("doc_id")),
+
+    // ext: language-ID heuristic + quality scoring (pure expressions)
+    "q18_langid_quality" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          ext.TextAnalysis.langId("text").as("lang_id"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("quality"))
+        .orderBy("doc_id")),
+
+    // ext: rolling-hash document fingerprint (min md5 over char 8-grams)
+    "q19_fingerprint" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), ext.TextAnalysis.fingerprint("text").as("fp"))
+        .orderBy("doc_id")),
+
+    // ext: exact dedup by content digest (hash-groupBy); prefix-20 as the
+    // content key because the synthetic corpus has no full-text dups
+    "q20_dedup_exact" -> ((s, dir) =>
+      ext.Dedup.exact(
+        Tables.load(s, dir, "documents").withColumn("pfx", expr("substr(text, 1, 20)")),
+        "pfx", "doc_id")
+        .orderBy("content_hash")),
+
+    // ext: MinHash + LSH banding near-dup pairs, verified by shingle Jaccard
+    "q21_minhash_lsh" -> ((s, dir) =>
+      ext.Dedup.minhashLsh(Tables.load(s, dir, "documents"), "text", "doc_id",
+        numHashes = 16, bands = 4, minJaccard = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // ext: 60-bit SimHash sketch per document (expression-only bit fold)
+    "q22_simhash" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), ext.Dedup.simhash("text").as("sketch"))
+        .orderBy("doc_id")),
+
+    // ext: all-pairs n-gram Jaccard near-dups within a blocking key
+    "q23_ngram_jaccard" -> ((s, dir) =>
+      ext.Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+        "text", "doc_id", "lang", 0.3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // ext: embedding-cosine similar pairs within label buckets
+    "q24_embed_pairs" -> ((s, dir) =>
+      ext.Similarity.embeddingNearDups(
+        Tables.load(s, dir, "embeddings"), 0.3, "label")
+        .orderBy("id_a", "id_b")),
+
+    // ext: brute-force cosine top-k (ANN baseline) for 3 query vectors
+    "q25_ann_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      ext.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ext: multimodal binary-column plumbing — typed Dataset through the
+    // batched mapPartitions decode path (stub codec, real plumbing)
+    "q26_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val media = ext.Multimodal
+        .synthesizeFromText(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .as[ext.Multimodal.MediaRow]
+      ext.Multimodal.decodeFeatures(media).toDF()
+        .select(col("id"), col("nBytes"), col("digest"),
+          round(col("brightness"), 6).as("brightness"))
+        .orderBy("id")
+    }),
+
+    // streaming twin: tumbling-window aggregation (batch plan == stream plan)
+    "q27_event_windows" -> ((s, dir) =>
+      streaming.EventStream.windowedCounts(Tables.load(s, dir, "events"))
+        .select(col("ws"), col("event_type"), col("n"), round(col("v"), 4).as("v"))
+        .orderBy("ws", "event_type")),
+
+    // streaming twin: gap-based sessionization (window-function batch form)
+    "q28_sessionize" -> ((s, dir) =>
+      streaming.EventStream.sessionizeBatch(Tables.load(s, dir, "events"), 1800)
+        .orderBy("user_id", "session_idx")),
+
+    // relational: 3-table join with broadcast dim, revenue per segment
+    "q29_join_enrich" -> ((s, dir) => {
+      val o = ord(s, dir)
+      val c = Tables.load(s, dir, "customer")
+      li(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // relational: top-k with deterministic tiebreak
+    "q30_topk" -> ((s, dir) =>
+      ord(s, dir).select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)),
+
+    // relational: set operations (intersect / except / union-distinct)
+    "q31_setops" -> ((s, dir) => {
+      val o = ord(s, dir)
+      def ck(status: String) =
+        o.filter(col("o_orderstatus") === status).select("o_custkey").distinct()
+      val f = ck("F"); val p = ck("O")
+      f.intersect(p).agg(count(lit(1)).as("n")).withColumn("tag", lit("both"))
+        .union(f.except(p).agg(count(lit(1)).as("n")).withColumn("tag", lit("only_f")))
+        .union(f.union(p).distinct().agg(count(lit(1)).as("n")).withColumn("tag", lit("either")))
+        .select("tag", "n").orderBy("tag")
+    }),
+
+    // relational: window functions — running revenue + row numbers
+    "q32_window_running" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      li(s, dir).filter(col("l_suppkey") < 20)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running", round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)), 4))
+        .select("l_suppkey", "rn", "running")
+        .orderBy("l_suppkey", "rn")
+    }),
+
+    // relational: rollup with grouping indicators
+    "q33_rollup" -> ((s, dir) =>
+      li(s, dir).rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"),
+          count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .select(
+          when(col("g_rf") === 1, "ALL").otherwise(col("l_returnflag")).as("rf"),
+          when(col("g_ls") === 1, "ALL").otherwise(col("l_linestatus")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")),
+
+    // relational: JSON scalar extraction over the events props column
+    "q34_json_events" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), round(avg(col("k")), 6).as("avg_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
+    // relational: time bucketing (date_trunc) over event timestamps
+    "q35_time_buckets" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
+        .orderBy("day", "event_type")),
+
+    // §2.5 vertical-footprint (2D) region flagging
+    "q36_flag2d" -> ((s, _) =>
+      FlagRegions(s, GridOps.generate(s, G), Seq(Slope), flagVar = "flag2d",
+        footprint2d = true)
+        .select("id", "flag2d").orderBy("id")),
+
+    // §2.5 grade shells: threshold the grid into value bands
+    "q37_grade_shells" -> ((s, _) =>
+      GridOps.generate(s, G)
+        .withColumn("grade", (col("i") * 7 + col("j") * 13 + col("k") * 17) % 97)
+        .withColumn("band", floor(col("grade") / 20).cast("int"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), min("grade").as("lo"), max("grade").as("hi"))
+        .orderBy("band")),
+
+    // §2.5 flat ijk key encoding (vtk_grid_flag_ijk)
+    "q38_ijk_key" -> ((s, _) =>
+      GridOps.generate(s, G)
+        .select(col("id"),
+          (col("i").cast("long") * 1000000L + col("j").cast("long") * 1000L +
+            col("k").cast("long")).as("ijk"))
+        .orderBy("id")),
   )
+
+  // ---- DuckDB oracle fragments shared by the ext queries (single source
+  // of truth with the Scala implementations' constants) ------------------
+  private val ToksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private val ShinglesSql =
+    s"""list_distinct(CASE WHEN len($ToksSql) < 3
+       THEN [array_to_string($ToksSql, ' ')]
+       ELSE list_transform(generate_series(1, len($ToksSql) - 2),
+              g -> concat($ToksSql[g], ' ', $ToksSql[g+1], ' ', $ToksSql[g+2]))
+       END)"""
+  private def baseHashSql(s: String): String =
+    s"CAST(CAST(concat('0x', substr(md5($s), 1, 15)) AS UBIGINT) % ${ext.Dedup.Prime} AS BIGINT)"
+  private val LangScoreSql = ext.TextAnalysis.stopwords.map { case (lang, ws) =>
+    s"len(list_intersect(toks, [${ws.map(w => s"'$w'").mkString(",")}])) AS s_$lang"
+  }.mkString(", ")
+  private val LangCaseSql = {
+    val names = ext.TextAnalysis.stopwords.map(_._1)
+    val best = s"greatest(${names.map("s_" + _).mkString(",")})"
+    names.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+  }
+  private val SigSql = ext.Dedup.hashParams(16).map { case (a, b) =>
+    s"list_min(list_transform(hv, h -> ($a * h + $b) % ${ext.Dedup.Prime}))"
+  }.mkString("[", ", ", "]")
+  private val CosSql =
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
   /** DuckDB-equivalent SQL per query (same column names, same rounding). */
   def oracleSql: Map[String, String] = Map(
@@ -199,7 +405,7 @@ object SparkEntry {
            THEN sum(CASE WHEN l_quantity IS NOT NULL THEN l_quantity*coalesce(l_discount,0) ELSE 0 END)
               / sum(CASE WHEN l_quantity IS NOT NULL THEN coalesce(l_discount,0) ELSE 0 END)
            END, 6) AS wavg_qty,
-         round(coalesce(sum(l_extendedprice*l_discount),0),2) AS wsum_rev
+         round(coalesce(sum(l_extendedprice*l_discount),0),4) AS wsum_rev
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q03_breakdown_stats" ->
@@ -293,7 +499,7 @@ object SparkEntry {
 
     "q09_condition_filter" ->
       """SELECT l_linestatus,
-         round(coalesce(sum(l_extendedprice),0),2) AS sum_price,
+         round(coalesce(sum(l_extendedprice),0),4) AS sum_price,
          count(l_orderkey) AS cnt
          FROM lineitem
          WHERE l_discount > 0.05 AND l_returnflag = 'R'
@@ -359,6 +565,201 @@ object SparkEntry {
          SELECT id,
            CASE WHEN x BETWEEN 1001 AND 1289.5 AND y BETWEEN 1900 AND 2350
                 THEN round(50 + 0.01 * x + 0.02 * y, 6) END AS elev
+         FROM g ORDER BY id""",
+
+    "q17_token_count" ->
+      """SELECT doc_id,
+         CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tok_cnt
+         FROM documents ORDER BY doc_id""",
+
+    "q18_langid_quality" ->
+      s"""WITH t AS (
+           SELECT doc_id, text, $ToksSql AS toks,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok_cnt
+           FROM documents),
+         s AS (SELECT doc_id, text, tok_cnt, $LangScoreSql FROM t)
+         SELECT doc_id,
+           $LangCaseSql AS lang_id,
+           round(0.3 * least(tok_cnt / 100.0, 1.0)
+             + 0.4 * (1.0 - CASE WHEN len(text) > 0
+                 THEN (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)) / len(text)
+                 ELSE 0.0 END)
+             + 0.3 * least(CASE WHEN tok_cnt > 0
+                 THEN (CAST(s_en AS DOUBLE) / tok_cnt) ELSE 0.0 END * 5.0, 1.0), 6) AS quality
+         FROM s ORDER BY doc_id""",
+
+    "q19_fingerprint" ->
+      """SELECT doc_id,
+         list_min(list_transform(generate_series(1, greatest(len(text) - 7, 1)),
+           i -> md5(substr(text, i, 8)))) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "q20_dedup_exact" ->
+      """WITH m AS (SELECT md5(substr(text, 1, 20)) AS content_hash, doc_id FROM documents)
+         SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+         FROM m GROUP BY content_hash HAVING count(*) > 1
+         ORDER BY content_hash""",
+
+    "q21_minhash_lsh" ->
+      s"""WITH d AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
+         h AS (SELECT doc_id, sh, list_transform(sh, s -> ${baseHashSql("s")}) AS hv FROM d),
+         g AS (SELECT doc_id, $SigSql AS sig FROM h),
+         b AS (SELECT doc_id, t2.b AS band,
+                 array_to_string(sig[(t2.b * 4 + 1):(t2.b * 4 + 4)], ',') AS band_key
+               FROM g, generate_series(0, 3) AS t2(b)),
+         cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                  FROM b l JOIN b r ON l.band = r.band AND l.band_key = r.band_key
+                    AND l.doc_id < r.doc_id),
+         j AS (SELECT c.id_a, c.id_b,
+                 (CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE))
+                   / CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE) AS jaccard
+               FROM cand c JOIN d da ON da.doc_id = c.id_a JOIN d db ON db.doc_id = c.id_b)
+         SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+         FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
+
+    "q22_simhash" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($ToksSql) AS toks FROM documents)
+         SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(generate_series(0, 59), b ->
+             CASE WHEN 2 * len(list_filter(toks, tok ->
+                 ((CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) >> b) & 1) = 1))
+               - len(toks) > 0
+             THEN (CAST(1 AS BIGINT) << (59 - b)) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS sketch
+         FROM t ORDER BY doc_id""",
+
+    "q23_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, lang, $ShinglesSql AS sh FROM documents),
+         j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 (CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))
+                   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+               FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+         FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
+
+    "q24_embed_pairs" ->
+      s"""WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($CosSql, 6) AS cos
+               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3 ORDER BY id_a, id_b""",
+
+    "q25_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                      round($CosSql, 6) AS cos
+                    FROM e a, e b WHERE b.vec_id < 3 AND a.vec_id <> b.vec_id),
+         r AS (SELECT query_id, corpus_id, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, corpus_id) AS INT) AS rank
+               FROM scored)
+         SELECT query_id, rank, corpus_id, cos FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "q26_multimodal" ->
+      """SELECT doc_id AS id,
+         CAST(len(text) AS INT) AS nBytes,
+         md5(text) AS digest,
+         round(CAST(list_sum(list_transform(generate_series(1, len(text)),
+           i -> ascii(substr(text, i, 1)))) AS DOUBLE) / len(text), 6) AS brightness
+         FROM documents ORDER BY doc_id""",
+
+    "q27_event_windows" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+         count(*) AS n, round(sum(value), 4) AS v
+         FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
+
+    "q28_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           FROM o)
+         SELECT user_id, session_idx, count(*) AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
+         FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+
+    "q29_join_enrich" ->
+      """SELECT c_mktsegment,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+         count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q30_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q31_setops" ->
+      """SELECT 'both' AS tag, count(*) AS n FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           INTERSECT
+           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+         UNION ALL
+         SELECT 'either', count(*) FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           UNION
+           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+         UNION ALL
+         SELECT 'only_f', count(*) FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           EXCEPT
+           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+         ORDER BY tag""",
+
+    "q32_window_running" ->
+      """SELECT l_suppkey,
+         CAST(row_number() OVER w AS INT) AS rn,
+         round(sum(l_extendedprice * (1 - l_discount)) OVER (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING), 4) AS running
+         FROM lineitem WHERE l_suppkey < 20
+         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+         ORDER BY l_suppkey, rn""",
+
+    "q33_rollup" ->
+      """SELECT
+         CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+         CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
+         count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+
+    "q34_json_events" ->
+      """WITH t AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+         SELECT event_type, count(k) AS n, round(avg(k), 6) AS avg_k, max(k) AS max_k
+         FROM t GROUP BY event_type ORDER BY event_type""",
+
+    "q35_time_buckets" ->
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+         count(*) AS n, round(sum(value), 4) AS v
+         FROM events GROUP BY day, event_type ORDER BY day, event_type""",
+
+    "q36_flag2d" ->
+      s"""WITH $GridSql
+         SELECT id,
+           CASE WHEN x BETWEEN 1001 AND 1289.5 AND y BETWEEN 1900 AND 2350
+                THEN 'slope' ELSE '' END AS flag2d
+         FROM g ORDER BY id""",
+
+    "q37_grade_shells" ->
+      s"""WITH $GridSql
+         SELECT CAST(floor(((i * 7 + j * 13 + k * 17) % 97) / 20) AS INT) AS band,
+           count(*) AS n,
+           min((i * 7 + j * 13 + k * 17) % 97) AS lo,
+           max((i * 7 + j * 13 + k * 17) % 97) AS hi
+         FROM g GROUP BY band ORDER BY band""",
+
+    "q38_ijk_key" ->
+      s"""WITH $GridSql
+         SELECT id, CAST(i AS BIGINT) * 1000000 + CAST(j AS BIGINT) * 1000 + CAST(k AS BIGINT) AS ijk
          FROM g ORDER BY id""",
   )
 }

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (few) query
+  * vectors against a single scan of the corpus; one small top-k shuffle.
+  * Scale path: partition-pruned search (IVF-style coarse quantization): a
+  * cluster/bucket column prunes the scan to matching partitions before the
+  * exact re-rank, turning a full-corpus scan into a bucket scan. Random
+  * hyperplane (SimHash-style) bucketing for vectors is provided for when no
+  * natural bucket exists.
+  *
+  * The dot product is `aggregate(zip_with(...))` — sequential double
+  * accumulation in array order, deterministic and cross-engine exact.
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for every query row (small set, broadcast),
+    * the k nearest corpus rows. Deterministic: ties break on corpus id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 6).desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Bucket-pruned (IVF-style) top-k: only corpus rows whose bucket matches
+    * the query's bucket are scanned — on partitioned storage this is
+    * partition pruning, not a filter. */
+  def bucketTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bucketCol: String, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(bucketCol).as("bkt"), col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    val q = queries.select(col(bucketCol).as("bkt"), col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val scored = c.join(broadcast(q), "bkt")
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 6).desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Random-hyperplane LSH bucket for a vector: bit i = sign(v · h_i) with
+    * deterministic pseudo-random hyperplanes h_i[d] = ((1 + (i*31 + d*17)
+    * mod 61) - 30.5). Vectors in the same bucket are likely high-cosine. */
+  def hyperplaneBucket(vec: Column, bits: Int = 8): Column = {
+    val planes = (0 until bits).map { i =>
+      val proj = aggregate(
+        zip_with(vec.cast("array<double>"),
+          sequence(lit(0), size(vec) - 1).cast("array<double>"),
+          (x, d) => x * (((lit(1.0) + pmod(lit(i * 31).cast("double") + d * 17.0, lit(61.0)))) - 30.5)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L)).otherwise(lit(0L)) * (1L << i)
+    }
+    planes.reduce(_ + _)
+  }
+
+  /** Embedding-based near-duplicate pairs: all pairs above a cosine
+    * threshold inside each bucket (shuffle on bucket keys only). */
+  def embeddingNearDups(df: DataFrame, minCos: Double, bucketCol: String,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val t = df.select(col(bucketCol).as("bkt"), col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    t.as("l").join(t.as("r"),
+        col("l.bkt") === col("r.bkt") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(cosine(col("l.v"), col("r.v")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+}

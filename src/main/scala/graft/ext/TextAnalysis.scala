@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines — all
+  * pure Catalyst expressions (no UDFs): whole-stage-codegen'd, shuffle-free
+  * per-row maps that scale linearly over a 100 TB corpus. Beyond-reference
+  * surface (SURVEY.md §2.6 extensions).
+  *
+  * Functions take the text COLUMN NAME (they compose SQL lambda
+  * expressions, which need a stable reference).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (0 for blank text). */
+  def tokenCount(t: String): Column =
+    when(length(trim(col(t))) === 0, lit(0))
+      .otherwise(size(split(trim(col(t)), "\\s+")))
+
+  /** Lowercased word tokens (BPE-ish: alphanumeric runs). */
+  def wordTokens(t: String): Column =
+    expr(s"regexp_extract_all(lower($t), '[a-z0-9]+', 0)")
+
+  /** Word n-gram shingles (space-joined), distinct. Degenerate texts with
+    * fewer than n tokens yield one whole-text shingle. */
+  def shingles(t: String, n: Int = 3): Column =
+    expr(
+      s"""array_distinct(CASE WHEN size(regexp_extract_all(lower($t), '[a-z0-9]+', 0)) < $n
+         THEN array(concat_ws(' ', regexp_extract_all(lower($t), '[a-z0-9]+', 0)))
+         ELSE transform(
+           sequence(1, size(regexp_extract_all(lower($t), '[a-z0-9]+', 0)) - ${n - 1}),
+           g -> concat_ws(' ', slice(regexp_extract_all(lower($t), '[a-z0-9]+', 0), g, $n)))
+         END)""")
+
+  /** Winnowing-style document fingerprint: minimum md5 over all character
+    * 8-grams — a rolling-hash analog that is stable across engines. */
+  def fingerprint(t: String, n: Int = 8): Column =
+    expr(s"array_min(transform(sequence(1, greatest(length($t) - ${n - 1}, 1)), i -> md5(substr($t, i, $n))))")
+
+  /** Tiny per-language stopword lists for the language-ID heuristic.
+    * Deterministic and SQL-expressible; not a trained model. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ein", "ich"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "como"),
+    "fr" -> Seq("le", "les", "des", "est", "dans", "pour", "une", "sur"),
+    "pt" -> Seq("o", "os", "um", "uma", "para", "com", "nao", "mais"))
+
+  private def hitCount(tokens: Column, words: Seq[String]): Column =
+    size(array_intersect(tokens, array(words.map(lit): _*)))
+
+  /** Language-ID: distinct-stopword hit count per language, argmax with
+    * declaration-order preference on ties; 'und' when nothing matches. */
+  def langId(t: String): Column = {
+    val toks = wordTokens(t)
+    val scores = stopwords.map { case (lang, words) => lang -> hitCount(toks, words) }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality score ∈ [0,1]: rational-arithmetic blend of length, non-punct
+    * ratio, and stopword density (no transcendentals — cross-engine exact). */
+  def qualityScore(t: String): Column = {
+    val nChars = length(col(t)).cast("double")
+    val wc = tokenCount(t).cast("double")
+    val nonPunct = length(regexp_replace(col(t), "[^A-Za-z0-9\\s]", "")).cast("double")
+    val punctRatio = when(nChars > 0, (nChars - nonPunct) / nChars).otherwise(0.0)
+    val stopRatio = when(wc > 0,
+      hitCount(wordTokens(t), stopwords.head._2).cast("double") / wc).otherwise(0.0)
+    lit(0.3) * least(wc / 100.0, lit(1.0)) +
+      lit(0.4) * (lit(1.0) - punctRatio) +
+      lit(0.3) * least(stopRatio * 5.0, lit(1.0))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming extension (north-star surface, SURVEY.md §1.4): the same
+  * transforms run batch (for the DuckDB oracle) and streaming (Structured
+  * Streaming with watermarks / stateful sessionization). The reference has
+  * no streaming path (SURVEY.md §2.6) — this is beyond-reference surface
+  * built on the `events` table shape.
+  */
+object EventStream {
+
+  /** Tumbling-window counts per event type. Batch and streaming share this
+    * plan; the streaming caller adds `withWatermark("ts", …)` upstream. */
+  def windowedCounts(df: DataFrame, dur: String = "1 hour"): DataFrame =
+    df.groupBy(window(col("ts"), dur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("v"))
+
+  /** Batch sessionization by inactivity gap: a session starts when the gap
+    * from the previous event of the same user exceeds `gapSec`. Pure window
+    * functions — the oracle-checkable twin of the stateful streaming
+    * version below. */
+  def sessionizeBatch(df: DataFrame, gapSec: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // microsecond arithmetic: exact, no sub-second truncation ambiguity
+    val newSession = when(
+      unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) > gapSec * 1000000L ||
+        lag(col("ts"), 1).over(byUser).isNull, lit(1)).otherwise(lit(0))
+    df.withColumn("new_s", newSession)
+      .withColumn("session_idx",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1000000L))
+          .cast("long").as("duration_sec"))
+  }
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionOut(user_id: Long, n_events: Long, duration_sec: Long)
+  final case class SessionState(first: Long, last: Long, n: Long)
+
+  /** Streaming sessionization with explicit state: one [[SessionState]] per
+    * user, emitted when the inactivity gap passes (processing-time
+    * timeout). The stateful analog of [[sessionizeBatch]] — bounded state
+    * per key, the 100 TB-stream shape. */
+  def sessionizeStreaming(ds: Dataset[Event], gapSec: Long): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, events: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.n, s.last - s.first))
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if t - s.last > gapSec =>
+                  out ::= SessionOut(userId, s.n, s.last - s.first)
+                  cur = Some(SessionState(t, t, 1))
+                case Some(s) =>
+                  cur = Some(SessionState(s.first, t, s.n + 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(gapSec * 1000)
+            out.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,157 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.agg.SparkTest
+
+class TextAnalysisSuite extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("tokenCount handles blanks and runs of whitespace") {
+    val df = Seq("a b  c", "", "   ", "one").toDF("text")
+    val got = df.select(TextAnalysis.tokenCount("text")).as[Int].collect().toSeq
+    assert(got == Seq(3, 0, 0, 1))
+  }
+
+  test("langId picks the dominant stopword language, 'und' when none") {
+    val df = Seq(
+      "the cat and the dog of it",
+      "der hund und die katze ist",
+      "xyzzy qwerty").toDF("text")
+    val got = df.select(TextAnalysis.langId("text")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is stable and discriminates different texts") {
+    val df = Seq("the quick brown fox jumps", "the quick brown fox jumps",
+      "a completely different sentence").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint("text")).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("qualityScore rewards clean english text") {
+    val df = Seq(
+      "the cat and the dog walked to the park and it was sunny in the town",
+      "@@@@ #### !!!! %%%%").toDF("text")
+    val s = df.select(TextAnalysis.qualityScore("text")).as[Double].collect()
+    assert(s(0) > 0.7 && s(1) < 0.5)
+  }
+}
+
+class DedupSuite extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 5
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base + "with one small change"), // near-dup of 0
+    (2L, "an entirely different document about spark and data processing pipelines at scale"),
+    (3L, base), // exact dup of 0
+    (4L, "another unrelated text body mentioning neither foxes nor dogs at all today")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup finds the identical pair only") {
+    val d = Dedup.exact(docs, "text", "doc_id").collect()
+    assert(d.length == 1)
+    assert(d(0).getLong(1) == 0L && d(0).getLong(2) == 2L)
+  }
+
+  test("minhash LSH surfaces the near-duplicate pair") {
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // near-dup found
+    assert(pairs.contains((0L, 3L))) // exact dup found
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated not paired
+  }
+
+  test("simhash: near-dups at small hamming distance, unrelated far") {
+    val sk = docs.select(col("doc_id"), Dedup.simhash("text").as("s"))
+    val pairs = sk.as("l").crossJoin(sk.as("r"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id"), col("r.doc_id"),
+        Dedup.hamming(col("l.s"), col("r.s")).as("h"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number](2).longValue())).toMap
+    assert(pairs((0L, 3L)) == 0) // identical text, identical sketch
+    assert(pairs((0L, 1L)) < 15) // near-dup: small distance
+    assert(pairs((0L, 2L)) > 15) // unrelated: large distance
+  }
+
+  test("ngram jaccard pairs within a block") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "text", "doc_id", "blk", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+}
+
+class SimilaritySuite extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.95f, 0.05f), 1),
+    (4L, Array(0.0f, 0.0f, 1.0f), 2)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force top-k ranks by cosine") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 1L), (2, 2L)).take(2) ||
+      out.head == ((1, 1L))) // nearest is the almost-parallel vector
+  }
+
+  test("bucketed search only scans the matching bucket") {
+    val out = Similarity.bucketTopK(vecs, vecs.filter($"vec_id" === 2), 5, "label")
+      .collect().map(_.getLong(2)).toSet
+    assert(out == Set(3L)) // only label-1 partners
+  }
+
+  test("hyperplane bucket groups parallel vectors") {
+    val b = vecs.select($"vec_id", Similarity.hyperplaneBucket($"embedding").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(1L)) // nearly parallel → same bucket
+    assert(b(2L) == b(3L))
+  }
+}
+
+class MultimodalSuite extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private lazy val media = Multimodal.synthesizeFromText(
+    Seq((1L, "hello world"), (2L, "abc")).toDF("id", "text"), "text", "id")
+
+  test("schema: binary media + typed metadata struct") {
+    val f = media.schema("media")
+    assert(f.dataType.typeName == "binary")
+    assert(media.schema("meta").dataType.typeName == "struct")
+  }
+
+  test("batched decode path equals per-row stub features") {
+    val ds = media.as[Multimodal.MediaRow]
+    val batched = Multimodal.decodeFeatures(ds, batchSize = 1).collect().sortBy(_.id)
+    val direct = ds.collect().map(Multimodal.stubDecode).sortBy(_.id)
+    assert(batched.toSeq == direct.toSeq)
+    assert(batched(0).nBytes == "hello world".length)
+  }
+
+  test("frame sampling explodes every nth frame with index") {
+    val out = Multimodal.frameSample(media, 2).collect()
+    assert(out.forall(_.getInt(1) % 2 == 0))
+    assert(out.nonEmpty)
+  }
+
+  test("resize stub rewrites metadata only") {
+    val out = Multimodal.resizeStub(media, 64, 64)
+      .select("meta.width", "meta.height").distinct().collect()
+    assert(out.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((64, 64)))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.agg.SparkTest
+
+class EventStreamSuite extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  private lazy val events = Seq(
+    // user 1: two sessions separated by a 2h gap
+    EventStream.Event(1, ts(0), 1, "view", 1.0),
+    EventStream.Event(2, ts(10), 1, "click", 2.0),
+    EventStream.Event(3, ts(140), 1, "view", 3.0),
+    // user 2: one session
+    EventStream.Event(4, ts(5), 2, "view", 4.0),
+    EventStream.Event(5, ts(20), 2, "buy", 5.0))
+
+  test("batch sessionize: gap splits sessions, durations correct") {
+    val out = EventStream.sessionizeBatch(events.toDF(), gapSec = 1800)
+      .orderBy("user_id", "session_idx").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq == Seq(
+      (1L, 2L, 600L), // user 1 session 1: 2 events, 10 min
+      (1L, 1L, 0L),   // user 1 session 2: 1 event
+      (2L, 2L, 900L)))
+  }
+
+  test("streaming windowed counts over a file source match batch") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    events.toDF().write.mode("overwrite").parquet(dir)
+    val batch = EventStream.windowedCounts(spark.read.parquet(dir))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val stream = spark.readStream
+      .schema(events.toDF().schema)
+      .parquet(dir)
+      .withWatermark("ts", "10 minutes")
+    val q = EventStream.windowedCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("win_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("stateful streaming sessionizer emits closed sessions") {
+    val dir = Files.createTempDirectory("graft_stream2").toString
+    events.toDF().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(events.toDF().schema).parquet(dir).as[EventStream.Event]
+    val q = EventStream.sessionizeStreaming(stream, gapSec = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("sess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // within one micro-batch, the closed session of user 1 is emitted
+    // (the open tail sessions live in state until timeout)
+    assert(got.contains((1L, 2L, 600L)))
+  }
+}
