@@ -222,10 +222,11 @@ object SparkEntry {
         .select(col("doc_id"), ext.Dedup.simhash("text").as("sketch"))
         .orderBy("doc_id")),
 
-    // ext: all-pairs n-gram Jaccard near-dups within a blocking key
+    // ext: all-pairs n-gram Jaccard within tight (lang, source) blocks —
+    // exact-verify pattern; cross-block recall is q21's LSH job
     "q23_ngram_jaccard" -> ((s, dir) =>
       ext.Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
-        "text", "doc_id", "lang", 0.3)
+        "text", "doc_id", Seq("lang", "source"), 0.3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
@@ -630,11 +631,11 @@ object SparkEntry {
          FROM t ORDER BY doc_id""",
 
     "q23_ngram_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, lang, $ShinglesSql AS sh FROM documents),
+      s"""WITH d AS (SELECT doc_id, concat(lang, source) AS blk, $ShinglesSql AS sh FROM documents),
          j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  (CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))
                    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-               FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+               FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id)
          SELECT id_a, id_b, round(jaccard, 6) AS jaccard
          FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
 

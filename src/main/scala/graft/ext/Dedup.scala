@@ -51,14 +51,19 @@ object Dedup {
         posexplode(expr(
           s"transform(sequence(0, ${bands - 1}), b -> concat_ws(',', transform(slice(sig, b * $r + 1, $r), x -> CAST(x AS STRING))))"))
           .as(Seq("band", "band_key")))
-    val pairs = banded.as("l").join(banded.as("r"),
+    // distinct on the id pair FIRST (cheap long columns through the
+    // shuffle), then join the shingle arrays back for the verify pass
+    val cand = banded.select(col("doc_id"), col("band"), col("band_key")).as("l")
+      .join(banded.select(col("doc_id"), col("band"), col("band_key")).as("r"),
         col("l.band") === col("r.band") &&
         col("l.band_key") === col("r.band_key") &&
         col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
-        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .distinct()
-    pairs
+    val sh = withSig.select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccardArr(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
@@ -69,12 +74,14 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** All-pairs n-gram Jaccard within a blocking key (exact; for bounded
-    * blocks / oracle checks — production uses [[minhashLsh]] candidates). */
+  /** All-pairs n-gram Jaccard within a blocking key. The block bounds the
+    * quadratic cost (shuffle on the block key, pairs within a block only) —
+    * the 100 TB discipline is: tight blocks here, cross-block recall via
+    * [[minhashLsh]]. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      blockCol: String, minJaccard: Double): DataFrame = {
-    val t = df.select(col(blockCol).as("blk"), col(idCol).as("doc_id"),
-      TextAnalysis.shingles(textCol).as("sh"))
+      blockCols: Seq[String], minJaccard: Double): DataFrame = {
+    val t = df.select(concat_ws("", blockCols.map(col): _*).as("blk"),
+      col(idCol).as("doc_id"), TextAnalysis.shingles(textCol).as("sh"))
     t.as("l").join(t.as("r"),
         col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),

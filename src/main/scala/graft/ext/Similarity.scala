@@ -28,16 +28,20 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k: for every query row (small set, broadcast),
-    * the k nearest corpus rows. Deterministic: ties break on corpus id. */
+    * the k nearest corpus rows. Norms are computed ONCE per vector in the
+    * scan projection (not per pair); each pair costs a single dot product.
+    * Deterministic: ties break on corpus id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("cvec"), col("qvec")))
+      .withColumn("cos", dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cos"), 6).desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -54,11 +58,13 @@ object Similarity {
       idCol: String = "vec_id"): DataFrame = {
     val c = corpus.select(col(bucketCol).as("bkt"), col(idCol).as("corpus_id"),
       col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
     val q = queries.select(col(bucketCol).as("bkt"), col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
     val scored = c.join(broadcast(q), "bkt")
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("cvec"), col("qvec")))
+      .withColumn("cos", dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cos"), 6).desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -88,10 +94,11 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val t = df.select(col(bucketCol).as("bkt"), col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm(col("v")))
     t.as("l").join(t.as("r"),
         col("l.bkt") === col("r.bkt") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        round(cosine(col("l.v"), col("r.v")), 6).as("cos"))
+        round(dot(col("l.v"), col("r.v")) / (col("l.n") * col("r.n")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }

@@ -80,8 +80,8 @@ class DedupSuite extends AnyFunSuite {
   }
 
   test("ngram jaccard pairs within a block") {
-    val blocked = docs.withColumn("blk", lit(1))
-    val pairs = Dedup.ngramJaccardPairs(blocked, "text", "doc_id", "blk", 0.5)
+    val blocked = docs.withColumn("blk", lit("1"))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "text", "doc_id", Seq("blk"), 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 3L)))
     assert(pairs.contains((0L, 1L)))
