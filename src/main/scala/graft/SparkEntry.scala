@@ -360,6 +360,14 @@ object SparkEntry {
           (col("i").cast("long") * 1000000L + col("j").cast("long") * 1000L +
             col("k").cast("long")).as("ijk"))
         .orderBy("id")),
+
+    // §2.5 rotated grid (bearing ≠ 90): lattice stays integer, world xyz
+    // materialized through the z-rotation
+    "q39_rotated_grid" -> ((s, _) =>
+      GridOps.generate(s, G.copy(bearing = 45.0, rotX = 1000.0, rotY = 2000.0))
+        .select(col("id"), round(col("x"), 6).as("x"), round(col("y"), 6).as("y"),
+          col("z"))
+        .orderBy("id")),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -762,5 +770,17 @@ object SparkEntry {
       s"""WITH $GridSql
          SELECT id, CAST(i AS BIGINT) * 1000000 + CAST(j AS BIGINT) * 1000 + CAST(k AS BIGINT) AS ijk
          FROM g ORDER BY id""",
+
+    "q39_rotated_grid" -> {
+      // embed the exact rotation constants the Scala side uses
+      val a = math.toRadians(-(45.0 - 90.0))
+      val c = math.cos(a); val sn = math.sin(a)
+      s"""WITH $GridSql
+         SELECT id,
+           round(1000.0 + ($c) * (x - 1000.0) - ($sn) * (y - 2000.0), 6) AS x,
+           round(2000.0 + ($sn) * (x - 1000.0) + ($c) * (y - 2000.0), 6) AS y,
+           z
+         FROM g ORDER BY id"""
+    },
   )
 }
