@@ -50,9 +50,24 @@ object SparkEntry {
          100 + ((range // 600) + 0.5) * 10 AS z
        FROM range(12000))"""
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q01_breakdown_basic")(spark, "/root/testdata/sf0.001")
+  /** Flagship: the full reserves pipeline — grid synthesis → region flag
+    * (broadcast point-in-solid) → mine depletion (broadcast surface rays) →
+    * auto-weighted breakdown — in one lazy DataFrame plan with a single
+    * low-cardinality shuffle. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val grid = GridOps.generate(spark, G)
+      .withColumn("grade", ((col("i") * 7 + col("j") * 13 + col("k") * 17) % 97).cast("double"))
+      .withColumn("lito", element_at(
+        array(lit("high"), lit("medium"), lit("low")), (col("i") % 3 + 1).cast("int")))
+      .withColumn("density", lit(2.7) + col("k") * 0.01)
+    // pit BELOW the topo so the depletion band intersects the region solids
+    val pit = TriMesh.quad("pit", Array(
+      1100.3, 2050.1, 133.3, 1300.7, 2050.1, 133.3,
+      1300.7, 2250.9, 133.3, 1100.3, 2250.9, 133.3))
+    pipeline.Reserves.run(spark, grid, G,
+      "lito;grade,mean,density,volume;density,mean,volume;volume,sum;density=mass,sum,volume",
+      Seq(Region2, Region3), Seq(Topo), Seq(pit))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 breakdown engine: group keys + count/sum/mean/min/max

@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+import graft.model.TriMesh
+
+/** Sink dispatch by extension — the engine's `pd_save_dataframe`
+  * (/root/reference/_gui.py:335-395). Tabular sinks are Spark-native
+  * distributed writers (csv with header, json, parquet); mesh sinks
+  * (vtk/obj/msh) collect the row-encoded geometry driver-side (meshes are
+  * KB-scale) and emit through the codec writers. XLSX is replaced by CSV
+  * (DEVIATIONS.md). */
+object Egress {
+
+  def save(df: DataFrame, path: String): Unit = {
+    val lower = path.toLowerCase
+    val ext = lower.substring(lower.lastIndexOf('.') + 1)
+    ext match {
+      case "csv" | "txt" | "prn" | "asc" =>
+        df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      case "json" | "jsdb" =>
+        df.write.mode(SaveMode.Overwrite).json(path)
+      case "parquet" =>
+        df.write.mode(SaveMode.Overwrite).parquet(path)
+      case "vtk" =>
+        VtkWriter.writePolyData(meshOf(df, path), path)
+      case "obj" =>
+        ObjCodec.write(meshOf(df, path), path)
+      case "msh" =>
+        MshCodec.write(meshOf(df, path), path)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported sink extension: $other")
+    }
+  }
+
+  private def meshOf(df: DataFrame, path: String): TriMesh =
+    MeshRows.fromDf(df, VtkLegacy.meshName(path))
+}

@@ -54,6 +54,21 @@ class CodecSuite extends AnyFunSuite {
     assert(back.containsPoint(5, 5, 5) && !back.containsPoint(-1, 5, 5))
   }
 
+  test("Egress dispatch: tabular and mesh sinks by extension") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_egress").toString
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    Egress.save(df, s"$dir/out.csv")
+    assert(spark.read.option("header", "true").csv(s"$dir/out.csv").count() == 2)
+    Egress.save(df, s"$dir/out.json")
+    assert(spark.read.json(s"$dir/out.json").count() == 2)
+    Egress.save(MeshRows.toDf(spark, box), s"$dir/mesh.obj")
+    assert(ObjCodec.read(s"$dir/mesh.obj").nTris == 12)
+    Egress.save(MeshRows.toDf(spark, box), s"$dir/mesh.vtk")
+    assert(VtkLegacy.readMesh(s"$dir/mesh.vtk").containsPoint(5, 5, 5))
+    intercept[IllegalArgumentException](Egress.save(df, s"$dir/out.xlsx"))
+  }
+
   test("CSV block model: synonym detection + schema inference + cell assign") {
     import spark.implicits._
     // 3x2x2 grid of cell centers at size 5, with an extra variable
