@@ -97,26 +97,12 @@ object GridOps {
 object FlagRegions {
   def apply(spark: SparkSession, df: DataFrame, meshes: Seq[TriMesh],
       flagVar: String = "region", xCol: String = "x", yCol: String = "y",
-      zCol: String = "z", footprint2d: Boolean = false): DataFrame = {
-    val bc = spark.sparkContext.broadcast(meshes.toArray)
-    val use2d = footprint2d
-    val flag = udf { (x: Double, y: Double, z: Double) =>
-      val ms = bc.value
-      var r = ""
-      var n = ms.length - 1
-      // reference iterates forward overwriting → equivalent to reverse
-      // first-match
-      while (n >= 0 && r.isEmpty) {
-        val hit =
-          if (use2d) ms(n).underFootprint(x, y)
-          else ms(n).containsPoint(x, y, z)
-        if (hit) r = ms(n).name
-        n -= 1
-      }
-      r
-    }
-    df.withColumn(flagVar, flag(col(xCol), col(yCol), col(zCol)))
-  }
+      zCol: String = "z", footprint2d: Boolean = false): DataFrame =
+    // native codegen Expression — stays inside whole-stage codegen
+    // (operators.RegionFlagExpr); the mesh kernel rides the plan once
+    df.withColumn(flagVar, RegionFlagExpr.column(
+      col(xCol).cast("double"), col(yCol).cast("double"),
+      col(zCol).cast("double"), meshes, footprint2d))
 }
 
 /** Mine-up / mine-down depletion — GridMine
@@ -153,66 +139,14 @@ object MineDepletion {
       excludes: Seq[TriMesh], dz: Double, out: String = "mine",
       xCol: String = "x", yCol: String = "y", zCol: String = "z",
       subBlocks: Int = 0, cellSizeXY: (Double, Double) = (0, 0)): DataFrame = {
-    val bcInc = spark.sparkContext.broadcast(includes.toArray)
-    val bcExc = spark.sparkContext.broadcast(excludes.toArray)
-    val mine =
-      if (subBlocks <= 0) udf { (x: Double, y: Double, z: Double) =>
-        def fracBelow(m: TriMesh): Double = {
-          val zs = m.surfaceZ(x, y)
-          if (zs.isNaN) Double.NaN
-          else math.min(1.0, math.max(0.0, (zs - (z - dz / 2)) / dz))
-        }
-        val inc = bcInc.value
-        var gz = if (inc.isEmpty) 1.0 else {
-          var best = Double.NaN
-          var i = 0
-          while (i < inc.length) {
-            val f = fracBelow(inc(i))
-            if (!f.isNaN && (best.isNaN || f > best)) best = f
-            i += 1
-          }
-          best
-        }
-        val exc = bcExc.value
-        var e = 0
-        while (e < exc.length) {
-          val f = fracBelow(exc(e))
-          if (!f.isNaN) gz *= (1.0 - f)
-          e += 1
-        }
-        if (gz.isNaN) None else Some(gz)
-      }
-      else {
-        val n = subBlocks
-        val (sx, sy) = cellSizeXY
-        require(sx > 0 && sy > 0, "subBlocks kernel needs cellSizeXY")
-        udf { (x: Double, y: Double, z: Double) =>
-          val inc = bcInc.value; val exc = bcExc.value
-          var kept = 0
-          var a = 0
-          while (a < n) {
-            var b = 0
-            while (b < n) {
-              val px = x - sx / 2 + (a + 0.5) * sx / n
-              val py = y - sy / 2 + (b + 0.5) * sy / n
-              val incZ = inc.map(_.surfaceZ(px, py))
-              val excZ = exc.map(_.surfaceZ(px, py))
-              var c = 0
-              while (c < n) {
-                val pz = z - dz / 2 + (c + 0.5) * dz / n
-                val below = inc.isEmpty || incZ.exists(s => !s.isNaN && pz < s)
-                val mined = excZ.exists(s => !s.isNaN && pz < s)
-                if (below && !mined) kept += 1
-                c += 1
-              }
-              b += 1
-            }
-            a += 1
-          }
-          kept.toDouble / (n.toLong * n * n)
-        }
-      }
-    df.withColumn(out, mine(col(xCol), col(yCol), col(zCol)))
+    if (subBlocks > 0)
+      require(cellSizeXY._1 > 0 && cellSizeXY._2 > 0,
+        "subBlocks kernel needs cellSizeXY")
+    // native codegen Expression (operators.MineExpr)
+    df.withColumn(out, MineExpr.column(
+      col(xCol).cast("double"), col(yCol).cast("double"),
+      col(zCol).cast("double"), includes, excludes, dz, subBlocks,
+      cellSizeXY._1, cellSizeXY._2))
   }
 }
 
