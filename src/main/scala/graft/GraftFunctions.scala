@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.types.DoubleType
+
+import graft.agg.{MajorAgg, WeightedQuantile}
+
+/** SQL registration for the engine's custom aggregates, so `spark.sql`
+  * users get the same surface as the Column API:
+  *
+  *   SELECT lito, weighted_quantile(grade, mine * volume, 0.5), major(lito)
+  *   FROM blocks GROUP BY lito
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("weighted_quantile", exprs => {
+      require(exprs.length == 3, "weighted_quantile(value, weight, q)")
+      val q = exprs(2).eval() match {
+        case d: java.lang.Double => d.doubleValue()
+        case d: java.math.BigDecimal => d.doubleValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case i: java.lang.Integer => i.doubleValue()
+        case other => throw new IllegalArgumentException(s"q must be a literal, got $other")
+      }
+      WeightedQuantile(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType), q)
+    }, "built-in")
+    registry.createOrReplaceTempFunction("major", exprs => {
+      require(exprs.length == 1, "major(value)")
+      MajorAgg(exprs.head)
+    }, "built-in")
+  }
+}

@@ -383,6 +383,26 @@ object SparkEntry {
         .select(col("id"), round(col("x"), 6).as("x"), round(col("y"), 6).as("y"),
           col("z"))
         .orderBy("id")),
+
+    // ext: backward as-of join (events enriched with each user's latest
+    // order at event time) — union-tag-window formulation, one shuffle
+    "q40_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      // dedupe right to one row per (key, time) for deterministic ties
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val ord1 = ord(s, dir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      graft.operators.AsOfJoin
+        .backward(ev, ord1.withColumnRenamed("o_custkey", "user_id"),
+          "user_id", "ts", "o_orderdate", Seq("o_orderkey", "o_totalprice"))
+        .groupBy(col("event_type"))
+        .agg(count(col("o_orderkey")).as("n_matched"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_unmatched"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+        .orderBy("event_type")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -797,5 +817,21 @@ object SparkEntry {
            z
          FROM g ORDER BY id"""
     },
+
+    "q40_asof_join" ->
+      """WITH o1 AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey, o_orderdate
+               ORDER BY o_orderkey DESC) AS rn
+           FROM orders),
+         o2 AS (SELECT * FROM o1 WHERE rn = 1),
+         m AS (
+           SELECT e.event_type, o2.o_orderkey, o2.o_totalprice
+           FROM events e ASOF LEFT JOIN o2
+           ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate)
+         SELECT event_type, count(o_orderkey) AS n_matched,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+           round(sum(o_totalprice), 4) AS sum_price
+         FROM m GROUP BY event_type ORDER BY event_type""",
   )
 }

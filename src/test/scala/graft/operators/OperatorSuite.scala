@@ -1,0 +1,78 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.agg.SparkTest
+import graft.model.{GridSchema, TriMesh}
+import graft.sources.BlockModelStore
+
+class AsOfJoinSuite extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("backward as-of picks the latest right row at-or-before, per key") {
+    val trades = Seq((1L, ts(10), "t1"), (1L, ts(30), "t2"), (2L, ts(5), "t3"))
+      .toDF("acct", "t", "trade")
+    val quotes = Seq((1L, ts(8), 100.0), (1L, ts(10), 101.0), (1L, ts(25), 105.0),
+      (2L, ts(6), 50.0)).toDF("acct", "qt", "px")
+    val out = AsOfJoin.backward(trades, quotes, "acct", "t", "qt", Seq("px"))
+      .orderBy("t").collect()
+    val byTrade = out.map(r => r.getString(2) ->
+      (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(byTrade("t1").contains(101.0)) // equal timestamps included (<=)
+    assert(byTrade("t2").contains(105.0))
+    assert(byTrade("t3").isEmpty) // no quote at-or-before
+  }
+
+  test("values come from one right row (struct transport)") {
+    val l = Seq((1L, ts(10), "e")).toDF("k", "t", "tag")
+    val r = Seq((1L, ts(5), Some(7L), Option.empty[Double]),
+      (1L, ts(8), Option.empty[Long], Some(3.0))).toDF("k", "rt", "a", "b")
+    val out = AsOfJoin.backward(l, r, "k", "t", "rt", Seq("a", "b")).collect()(0)
+    // latest right row is (null, 3.0) — 'a' must NOT leak from the earlier row
+    assert(out.isNullAt(3) && out.getDouble(4) == 3.0)
+  }
+}
+
+class GraftFunctionsSuite extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("weighted_quantile and major usable from SQL") {
+    graft.GraftFunctions.register(spark)
+    Seq(("a", 10.0, 1.0), ("a", 20.0, 2.0), ("a", 30.0, 1.0),
+      ("b", 5.0, 1.0), ("b", 5.0, 1.0), ("b", 9.0, 1.0))
+      .toDF("k", "v", "w").createOrReplaceTempView("t_wq")
+    val out = spark.sql(
+      """SELECT k, weighted_quantile(v, w, 0.5) AS q, major(k) AS m
+         FROM t_wq GROUP BY k ORDER BY k""").collect()
+    assert(out(0).getDouble(1) == 20.0)
+    assert(out(0).getString(2) == "a")
+  }
+}
+
+class BlockModelStoreSuite extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  test("z-slab partitioning prunes scans for z-bounded geometry") {
+    val g = GridSchema(0, 0, 0, 10, 10, 10, 4, 4, 16)
+    val df = GridOps.generate(spark, g)
+    val path = Files.createTempDirectory("graft_store").toString + "/bm"
+    BlockModelStore.write(df, path, slabCells = 4)
+    // a solid spanning z 52..78 touches slabs 1 (k 5-7) only
+    val solid = TriMesh.box("s", 1, 39, 1, 39, 52.3, 77.7)
+    val pruned = BlockModelStore.readForSolid(spark, path, g, solid)
+    assert(pruned.count() == 4L * 4 * 4) // slab 1 = k 4..7 only
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("kslab"))
+    // every z present is within the pruned slabs, none outside
+    val zs = pruned.select(min("z"), max("z")).head()
+    assert(zs.getDouble(0) >= 40.0 && zs.getDouble(1) <= 80.0)
+  }
+}
