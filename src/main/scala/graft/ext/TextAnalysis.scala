@@ -23,15 +23,17 @@ object TextAnalysis {
     expr(s"regexp_extract_all(lower($t), '[a-z0-9]+', 0)")
 
   /** Word n-gram shingles (space-joined), distinct. Degenerate texts with
-    * fewer than n tokens yield one whole-text shingle. */
+    * fewer than n tokens yield one whole-text shingle. The tokenization is
+    * evaluated once and bound through a single-element transform (poor
+    * man's let-binding) instead of re-running the regex per branch. */
   def shingles(t: String, n: Int = 3): Column =
     expr(
-      s"""array_distinct(CASE WHEN size(regexp_extract_all(lower($t), '[a-z0-9]+', 0)) < $n
-         THEN array(concat_ws(' ', regexp_extract_all(lower($t), '[a-z0-9]+', 0)))
-         ELSE transform(
-           sequence(1, size(regexp_extract_all(lower($t), '[a-z0-9]+', 0)) - ${n - 1}),
-           g -> concat_ws(' ', slice(regexp_extract_all(lower($t), '[a-z0-9]+', 0), g, $n)))
-         END)""")
+      s"""transform(array(regexp_extract_all(lower($t), '[a-z0-9]+', 0)), toks ->
+           array_distinct(CASE WHEN size(toks) < $n
+           THEN array(concat_ws(' ', toks))
+           ELSE transform(sequence(1, size(toks) - ${n - 1}),
+                  g -> concat_ws(' ', slice(toks, g, $n)))
+           END))[0]""")
 
   /** Winnowing-style document fingerprint: minimum md5 over all character
     * 8-grams — a rolling-hash analog that is stable across engines. */

@@ -1,0 +1,87 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.agg.{SparkTest, WeightedQuantile}
+import graft.model.TriMesh
+import graft.operators.RotatedRectFit
+
+/** Property tests from the SURVEY §5 test plan: invariants over seeded
+  * random inputs (deterministic — no scalatest/scalacheck bridge in the
+  * offline cache, so sampling is a plain seeded loop). */
+class PropertySuite extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("weighted quantile with w≡1 equals the unweighted estimator") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 20) {
+      val vals = List.fill(1 + rnd.nextInt(50))(rnd.nextDouble() * 2000 - 1000)
+      val q = Seq(0.25, 0.5, 0.75)(rnd.nextInt(3))
+      val df = vals.map(v => (v, 1.0)).toDF("v", "w")
+      val weighted = df.agg(WeightedQuantile(
+        org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.col("w"), q)).head().getDouble(0)
+      // unit weights → p = q(n−1) over sorted values, linear interpolation
+      // == numpy/pandas percentile
+      val s = vals.sorted
+      val p = q * (s.length - 1)
+      val lo = p.toInt
+      val frac = p - math.floor(p)
+      val expected =
+        if (lo + 1 < s.length) s(lo) * (1 - frac) + s(lo + 1) * frac
+        else s(lo)
+      assert(math.abs(weighted - expected) < 1e-9 * math.max(1, math.abs(expected)),
+        s"q=$q n=${s.length}")
+    }
+  }
+
+  test("box containment is invariant under z-rotation of mesh and point") {
+    val rnd = new Random(7)
+    var checked = 0
+    for (_ <- 1 to 60) {
+      val x0 = -rnd.nextDouble() * 50; val dx = 1 + rnd.nextDouble() * 49
+      val y0 = -rnd.nextDouble() * 50; val dy = 1 + rnd.nextDouble() * 49
+      val z0 = -rnd.nextDouble() * 50; val dz = 1 + rnd.nextDouble() * 49
+      val box = TriMesh.box("b", x0, x0 + dx, y0, y0 + dy, z0, z0 + dz)
+      val px = rnd.nextDouble() * 120 - 60
+      val py = rnd.nextDouble() * 120 - 60
+      val pz = rnd.nextDouble() * 120 - 60
+      val bearing = rnd.nextDouble() * 360
+      val inside = box.containsPoint(px, py, pz)
+      val rot = RotatedRectFit.rotateMesh(box, bearing, 5.0, 5.0)
+      val a = math.toRadians(-(bearing - 90.0))
+      val c = math.cos(a); val s = math.sin(a)
+      val rx = 5.0 + c * (px - 5.0) - s * (py - 5.0)
+      val ry = 5.0 + s * (px - 5.0) + c * (py - 5.0)
+      val b = box.bounds
+      val nearFace = Seq(px - b(0), b(1) - px, py - b(2), b(3) - py,
+        pz - b(4), b(5) - pz).exists(d => math.abs(d) < 1e-6)
+      if (!nearFace) {
+        assert(rot.containsPoint(rx, ry, pz) == inside,
+          s"box=(${b.mkString(",")}) p=($px,$py,$pz) bearing=$bearing")
+        checked += 1
+      }
+    }
+    assert(checked > 40)
+  }
+
+  test("−99 sentinel masking round-trips through unmask") {
+    import graft.sources.Ingest
+    val rnd = new Random(11)
+    for (_ <- 1 to 10) {
+      // -99 itself cannot round-trip (it IS the sentinel) — excluded per
+      // the convention's own contract
+      val clean = List.fill(rnd.nextInt(40))(
+        if (rnd.nextBoolean()) Some(rnd.nextDouble() * 400 - 200) else None)
+        .map(_.filter(_ != -99.0))
+      val df = clean.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+      val masked = Ingest.maskSentinel(Ingest.unmaskSentinel(df))
+      val got = masked.orderBy("id").collect().map(r =>
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))).toList
+      assert(got == clean)
+    }
+  }
+}
