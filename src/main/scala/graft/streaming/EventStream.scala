@@ -42,6 +42,15 @@ object EventStream {
           .cast("long").as("duration_sec"))
   }
 
+  /** Streaming exact dedup: drop re-delivered events by id, with state
+    * bounded by the watermark window (the streaming twin of
+    * `ext.Dedup.exact` — at-least-once sources at 100 TB/day need the
+    * watermark bound or the state grows forever). */
+  def dedupStream(df: DataFrame, idCol: String = "event_id",
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionOut(user_id: Long, n_events: Long, duration_sec: Long)

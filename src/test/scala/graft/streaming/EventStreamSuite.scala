@@ -12,7 +12,7 @@ class EventStreamSuite extends AnyFunSuite {
   private lazy val spark = SparkTest.spark
   import spark.implicits._
 
-  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+  private def ts(min: Long): Timestamp = new Timestamp((min + 60) * 60000L)
 
   private lazy val events = Seq(
     // user 1: two sessions separated by a 2h gap
@@ -50,6 +50,21 @@ class EventStreamSuite extends AnyFunSuite {
     val streamed = spark.table("win_out")
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
+  }
+
+  test("streaming dedup drops re-delivered events within the watermark") {
+    val dir = Files.createTempDirectory("graft_dedup").toString
+    val dup = events ++ events.take(3) // re-delivery of the first three
+    dup.toDF().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.toDF().schema).parquet(dir)
+    val q = EventStream.dedupStream(stream, watermark = "10 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("dedup_out").collect()
+    assert(got.length == events.length)
+    assert(got.map(_.getLong(0)).toSet == events.map(_.event_id).toSet)
   }
 
   test("stateful streaming sessionizer emits closed sessions") {
