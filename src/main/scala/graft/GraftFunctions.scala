@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Cast
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, StringType}
 
 import graft.agg.{MajorAgg, WeightedQuantile}
 
@@ -28,7 +28,12 @@ object GraftFunctions {
     }, "built-in")
     registry.createOrReplaceTempFunction("major", exprs => {
       require(exprs.length == 1, "major(value)")
-      MajorAgg(exprs.head)
+      // Mirror the Column helper: MajorAgg's buffer codec only handles
+      // string and double keys, so cast everything else (INT, DECIMAL, …)
+      // to double. Builders run after children resolve, so dataType is safe.
+      val child = exprs.head
+      if (child.dataType == StringType) MajorAgg(child)
+      else MajorAgg(Cast(child, DoubleType))
     }, "built-in")
   }
 }

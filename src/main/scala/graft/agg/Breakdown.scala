@@ -79,7 +79,11 @@ object Breakdown {
     // weights are silently filtered to existing columns (bm_breakdown.py:199-203)
     val wts = r.weights.filter(cols.contains)
     val op = r.op
-    def x: Column = col(r.variable).cast(DoubleType)
+    // NaN inputs behave like pandas skipna everywhere: mask NaN → null so
+    // count() skips it, avg() ignores it, and max() doesn't rank it greatest
+    // (NaN sorts above all doubles in Spark). The weighted ops below mask
+    // NaN independently; this makes the unweighted ops agree.
+    def x: Column = nanvl(col(r.variable).cast(DoubleType), lit(null).cast(DoubleType))
     // product of all weight columns, NaN→0 like np.nan_to_num where needed
     def wprod: Column = wts.map(w => col(w).cast(DoubleType)).reduce(_ * _)
 

@@ -166,11 +166,12 @@ case class MineExpr(
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("mineKernel", kernel, classOf[MineKernel].getName)
+    val m = ctx.freshName("graftMine")
     nullSafeCodeGen(ctx, ev, (x, y, z) =>
       s"""
-         double graft_m = $ref.mine($x, $y, $z);
-         if (Double.isNaN(graft_m)) { ${ev.isNull} = true; }
-         else { ${ev.value} = graft_m; }
+         double $m = $ref.mine($x, $y, $z);
+         if (Double.isNaN($m)) { ${ev.isNull} = true; }
+         else { ${ev.value} = $m; }
        """)
   }
 

@@ -170,7 +170,6 @@ object VtkLegacy {
         }
       } else {
         // classic: `a` polygons, `b` total ints, each poly = count v0 v1 …
-        pos -= 0 // peek consumed the first data line in ASCII mode only
         val flat =
           if (binary) readNumericAt(peek, b, "int")
           else {
@@ -191,7 +190,11 @@ object VtkLegacy {
     }
 
     private def readNumericAt(firstLine: String, n: Int, typ: String): Array[Int] = {
-      // binary payload began right after the already-consumed header line
+      // Classic-BINARY POLYGONS is an unsupported layout boundary: `peek`
+      // (nextNonEmptyLine) has already consumed past the start of the binary
+      // payload, so parsing would need a rewind that is not implemented.
+      // ASCII classic works (peek's line is the first data line); the
+      // sample/fixture corpus only contains ASCII classic + XML-style binary.
       throw new UnsupportedOperationException(
         "classic binary POLYGONS not present in supported fixtures")
     }

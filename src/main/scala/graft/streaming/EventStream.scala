@@ -66,19 +66,25 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (userId: Long, events: Iterator[Event], state: GroupState[SessionState]) =>
+          // State holds epoch MILLISECONDS (not truncated seconds) so
+          // sub-second gaps straddling gapSec agree with the microsecond
+          // arithmetic of [[sessionizeBatch]]; duration converts to whole
+          // seconds only at emission (floor, matching the batch cast).
+          def emit(s: SessionState) =
+            SessionOut(userId, s.n, (s.last - s.first) / 1000L)
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionOut(userId, s.n, s.last - s.first))
+            Iterator(emit(s))
           } else {
             val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var out = List.empty[SessionOut]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime / 1000
+              val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last > gapSec =>
-                  out ::= SessionOut(userId, s.n, s.last - s.first)
+                case Some(s) if t - s.last > gapSec * 1000L =>
+                  out ::= emit(s)
                   cur = Some(SessionState(t, t, 1))
                 case Some(s) =>
                   cur = Some(SessionState(s.first, t, s.n + 1))

@@ -87,6 +87,17 @@ class BreakdownSuite extends AnyFunSuite {
     assert(out(0).isNullAt(3))
   }
 
+  test("unweighted ops skip NaN inputs like pandas skipna") {
+    val d = Seq(("a", 1.0), ("a", Double.NaN), ("a", 3.0)).toDF("k", "v")
+    val out = Breakdown(d,
+      "k;v=c,count;v=m,mean;v=mx,max;v=mn,min;v=s,sum").collect()
+    assert(out(0).getLong(1) == 2L)       // NaN not counted
+    assert(out(0).getDouble(2) == 2.0)    // mean of 1,3
+    assert(out(0).getDouble(3) == 3.0)    // NaN must not win max
+    assert(out(0).getDouble(4) == 1.0)
+    assert(out(0).getDouble(5) == 4.0)    // nansum
+  }
+
   test("null group keys render as -99 and merge with literal -99") {
     val d = Seq((Option.empty[Double], 1.0), (Some(-99.0), 2.0), (Some(1.0), 3.0))
       .toDF("k", "v")

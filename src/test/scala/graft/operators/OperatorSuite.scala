@@ -55,6 +55,19 @@ class GraftFunctionsSuite extends AnyFunSuite {
     assert(out(0).getDouble(1) == 20.0)
     assert(out(0).getString(2) == "a")
   }
+
+  test("SQL major() handles non-string, non-double columns (INT keys)") {
+    graft.GraftFunctions.register(spark)
+    Seq(("a", 3), ("a", 3), ("a", 7), ("b", 1), ("b", 2), ("b", 2))
+      .toDF("k", "i").createOrReplaceTempView("t_major_int")
+    // INT child used to ship Integer keys into MajorAgg.serialize and throw
+    // ClassCastException during partial-aggregate exchange; the builder now
+    // casts like the Column API does.
+    val out = spark.sql(
+      "SELECT k, major(i) AS m FROM t_major_int GROUP BY k ORDER BY k").collect()
+    assert(out(0).getDouble(1) == 3.0)
+    assert(out(1).getDouble(1) == 2.0)
+  }
 }
 
 class BlockModelStoreSuite extends AnyFunSuite {

@@ -83,4 +83,28 @@ class EventStreamSuite extends AnyFunSuite {
     // (the open tail sessions live in state until timeout)
     assert(got.contains((1L, 2L, 600L)))
   }
+
+  test("streaming sessionizer keeps millisecond precision for sub-second gaps") {
+    // real gap 1.7s > gapSec=1 must split; truncating to whole seconds
+    // (2 - 1 = 1, not > 1) would wrongly merge them — batch splits here too.
+    val evs = Seq(
+      EventStream.Event(1, new Timestamp(1200L), 9, "view", 1.0),
+      EventStream.Event(2, new Timestamp(2900L), 9, "view", 1.0),
+      EventStream.Event(3, new Timestamp(999999000L), 9, "view", 1.0))
+    val dir = Files.createTempDirectory("graft_stream3").toString
+    evs.toDF().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(evs.toDF().schema).parquet(dir).as[EventStream.Event]
+    val q = EventStream.sessionizeStreaming(stream, gapSec = 1)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_ms")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("sess_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // events 1 and 2 each close as their own single-event session (the
+    // third may also close if the 1s processing-time timeout fires during
+    // the run). Before the ms fix they merged into one (9,2,1) session.
+    assert(got.count(_ == ((9L, 1L, 0L))) >= 2)
+  }
 }
