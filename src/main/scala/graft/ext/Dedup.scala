@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.SetSimilarity
+
 /** Deduplication operators for training-data pipelines. Each is designed
   * around its 100 TB shape:
   *
@@ -29,42 +31,39 @@ object Dedup {
   def hashParams(numHashes: Int): Seq[(Long, Long)] =
     (0 until numHashes).map(i => (2L * i + 3L, 5L * i + 7L))
 
-  /** 64-bit-safe base hash of a shingle string: first 60 bits of md5 mod p.
-    * Identical in DuckDB: CAST(concat('0x', substr(md5(s),1,15)) AS UBIGINT) % p. */
-  private def baseHash(s: String): String =
-    s"CAST(conv(substr(md5($s), 1, 15), 16, 10) AS BIGINT) % ${Prime}L"
 
   /** MinHash + LSH banding: returns candidate duplicate pairs
     * (id_a < id_b) with their verified n-gram Jaccard similarity.
-    * bands × rowsPerBand = numHashes; candidate iff some band matches. */
+    * bands × rowsPerBand = numHashes; candidate iff some band matches.
+    *
+    * Per-document work (tokenize → shingle → hash → signature → band keys)
+    * is two native kernel calls ([[graft.functions.HashedShingles]],
+    * [[graft.functions.MinHashBandKeys]]) inside whole-stage codegen — the
+    * SQL-lambda equivalent pays interpreted eval per shingle per hash
+    * function, ~50× more per row. */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 4, minJaccard: Double = 0.0): DataFrame = {
     require(numHashes % bands == 0)
-    val r = numHashes / bands
-    val withSig = df.select(col(idCol).as("doc_id"),
-        TextAnalysis.shingles(textCol).as("sh"))
-      .withColumn("hv", expr(s"transform(sh, s -> ${baseHash("s")})"))
-      .withColumn("sig", array(hashParams(numHashes).map { case (a, b) =>
-        expr(s"array_min(transform(hv, h -> (${a}L * h + ${b}L) % ${Prime}L))")
-      }: _*))
-    val banded = withSig.select(col("doc_id"), col("sh"),
-        posexplode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> concat_ws(',', transform(slice(sig, b * $r + 1, $r), x -> CAST(x AS STRING))))"))
-          .as(Seq("band", "band_key")))
+    val bandKeys = graft.functions.MinHashBandKeys.column(
+      TextAnalysis.hashedShingles(textCol), hashParams(numHashes), bands)
+    val banded = df.select(col(idCol).as("doc_id"),
+      posexplode(bandKeys).as(Seq("band", "band_key")))
     // distinct on the id pair FIRST (cheap long columns through the
     // shuffle), then join the shingle arrays back for the verify pass
-    val cand = banded.select(col("doc_id"), col("band"), col("band_key")).as("l")
-      .join(banded.select(col("doc_id"), col("band"), col("band_key")).as("r"),
+    val cand = banded.as("l")
+      .join(banded.as("r"),
         col("l.band") === col("r.band") &&
         col("l.band_key") === col("r.band_key") &&
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .distinct()
-    val sh = withSig.select(col("doc_id"), col("sh"))
+    val sh = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.hashedShingles(textCol).as("sh"))
     cand
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccardArr(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
@@ -81,11 +80,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], minJaccard: Double): DataFrame = {
     val t = df.select(concat_ws("", blockCols.map(col): _*).as("blk"),
-      col(idCol).as("doc_id"), TextAnalysis.shingles(textCol).as("sh"))
+      col(idCol).as("doc_id"), TextAnalysis.hashedShingles(textCol).as("sh"))
+    // hashed+sorted shingles: the pair verify is a merge scan over long
+    // arrays instead of a per-pair hash set over strings (SetSimilarity)
     t.as("l").join(t.as("r"),
         col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
-        jaccardArr(col("l.sh"), col("r.sh")).as("jaccard"))
+        SetSimilarity.jaccardSorted(col("l.sh"), col("r.sh")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

@@ -35,6 +35,15 @@ object TextAnalysis {
                   g -> concat_ws(' ', slice(toks, g, $n)))
            END))[0]""")
 
+  /** [[shingles]] hashed to 60-bit longs (first 15 hex digits of md5) and
+    * sorted ascending — the compact transport/verify form used by the dedup
+    * pair-verify path ([[graft.functions.SetSimilarity.jaccardSorted]]).
+    * Injective w.h.p. on any real corpus (collision odds per document pair
+    * ≈ |shingles|²/2⁶¹), so Jaccard on these equals Jaccard on the strings;
+    * the arrays ship ~6× smaller through the candidate-join shuffle. */
+  def hashedShingles(t: String, n: Int = 3): Column =
+    graft.functions.HashedShingles.column(col(t), n)
+
   /** Winnowing-style document fingerprint: minimum md5 over all character
     * 8-grams — a rolling-hash analog that is stable across engines. */
   def fingerprint(t: String, n: Int = 8): Column =

@@ -1,0 +1,199 @@
+package graft.functions
+
+import java.security.MessageDigest
+import java.util.Locale
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass kernel for the dedup shingle pipeline.
+  *
+  * The SQL-composed equivalent — `regexp_extract_all` + nested
+  * `transform`/`concat_ws`/`md5`/`conv` lambdas — runs per ELEMENT through
+  * interpreted higher-order-function eval (Spark's lambda functions are not
+  * code-generated), costing ~10 µs per shingle. This kernel does tokenize →
+  * shingle → hash → distinct → sort in one scan per document and is invoked
+  * as a single static call from within whole-stage codegen.
+  *
+  * Semantics are bit-identical to the SQL chain (and to the DuckDB oracle):
+  *   - tokens: maximal `[a-z0-9]+` runs of `lower(text)`;
+  *   - shingles: space-joined word n-grams; texts with < n tokens yield one
+  *     whole-text shingle (all tokens space-joined — "" for empty text);
+  *   - hash: first 15 hex digits of md5(shingle) as a base-16 number —
+  *     computed here as the big-endian first 8 digest bytes >>> 4;
+  *   - distinct + ascending sort.
+  */
+object ShingleKernel {
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(s): == CAST(conv(substr(md5(s),1,15),16,10) AS BIGINT). */
+  def hash60(s: String): Long = {
+    val d = md.get()
+    d.reset()
+    val b = d.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def tokens(text: String): mutable.ArrayBuffer[String] = {
+    val s = text.toLowerCase(Locale.ROOT)
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val start = i
+        while (i < len && {
+          val d = s.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) i += 1
+        out += s.substring(start, i)
+      } else i += 1
+    }
+    out
+  }
+
+  def hashedShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokens(text.toString)
+    val hashes =
+      if (toks.length < n) Array(hash60(toks.mkString(" ")))
+      else {
+        val set = new java.util.HashSet[java.lang.Long](toks.length * 2)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        val m = toks.length - n + 1
+        val arr = mutable.ArrayBuffer.empty[Long]
+        while (i < m) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          val h = hash60(sb.toString)
+          if (set.add(h)) arr += h
+          i += 1
+        }
+        arr.toArray
+      }
+    java.util.Arrays.sort(hashes)
+    new GenericArrayData(hashes)
+  }
+}
+
+/** `hashed_shingles(text, n)`: sorted distinct 60-bit hashes of word
+  * n-gram shingles (see [[ShingleKernel]]). */
+case class HashedShingles(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  override def prettyName: String = "hashed_shingles"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleKernel.hashedShingles(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.ShingleKernel.hashedShingles($t, $n);")
+
+  override protected def withNewChildInternal(c: Expression): HashedShingles =
+    copy(child = c)
+}
+
+object HashedShingles {
+  def column(text: Column, n: Int): Column =
+    ExpressionUtils.column(HashedShingles(ExpressionUtils.expression(text), n))
+}
+
+/** MinHash band keys computed natively from a hashed-shingle array.
+  *
+  * For each hash function i: `sig_i = min over h of ((a_i·(h mod p) + b_i)
+  * mod p)`; band key b = comma-joined decimal `sig` values of its
+  * `numHashes/bands` rows. One static call per document replaces
+  * `numHashes` interpreted `array_min(transform(...))` lambda scans.
+  */
+object MinHashKernel {
+  val Prime = 1000000007L
+
+  def bandKeys(hv: ArrayData, a: Array[Long], b: Array[Long],
+      bands: Int): ArrayData = {
+    val k = a.length
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = hv.numElements()
+    var i = 0
+    while (i < n) {
+      val hm = hv.getLong(i) % Prime
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * hm + b(j)) % Prime
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val r = k / bands
+    val out = new Array[AnyRef](bands)
+    val sb = new java.lang.StringBuilder(r * 11)
+    var bi = 0
+    while (bi < bands) {
+      sb.setLength(0)
+      var j = 0
+      while (j < r) {
+        if (j > 0) sb.append(',')
+        sb.append(sig(bi * r + j))
+        j += 1
+      }
+      out(bi) = UTF8String.fromString(sb.toString)
+      bi += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `minhash_band_keys(hashedShingles)`: array of `bands` band-key strings. */
+case class MinHashBandKeys(child: Expression, a: Seq[Long], b: Seq[Long],
+    bands: Int)
+  extends UnaryExpression {
+
+  require(a.length == b.length && a.length % bands == 0)
+  @transient private lazy val aArr = a.toArray
+  @transient private lazy val bArr = b.toArray
+
+  override def prettyName: String = "minhash_band_keys"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(hv: Any): Any =
+    MinHashKernel.bandKeys(hv.asInstanceOf[ArrayData], aArr, bArr, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, hv =>
+      s"${ev.value} = graft.functions.MinHashKernel.bandKeys($hv, $aRef, $bRef, $bands);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashBandKeys =
+    copy(child = c)
+}
+
+object MinHashBandKeys {
+  def column(hashedShingles: Column, params: Seq[(Long, Long)],
+      bands: Int): Column =
+    ExpressionUtils.column(MinHashBandKeys(
+      ExpressionUtils.expression(hashedShingles),
+      params.map(_._1), params.map(_._2), bands))
+}

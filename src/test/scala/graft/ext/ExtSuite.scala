@@ -87,6 +87,42 @@ class DedupSuite extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.contains((0L, 2L)))
   }
+
+  test("shingle kernel is bit-identical to the SQL md5/conv chain") {
+    // the native kernel must reproduce the SQL-composed hashes exactly —
+    // the DuckDB oracle recomputes them with md5/conv on its side
+    val sqlHashed = sort_array(transform(
+      graft.ext.TextAnalysis.shingles("text"),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+    val rows = docs
+      .withColumn("t2", lit("")) // degenerate empty-text path
+      .select(
+        graft.ext.TextAnalysis.hashedShingles("text").as("k"),
+        sqlHashed.as("s"),
+        graft.ext.TextAnalysis.hashedShingles("t2").as("k0"),
+        sort_array(transform(graft.ext.TextAnalysis.shingles("t2"),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("s0"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+  }
+
+  test("hashed sorted-array jaccard equals string-array jaccard") {
+    // the verify path hashes shingles to sorted 60-bit longs; the merge-scan
+    // jaccard must equal array_intersect/union over the original strings
+    val t = docs.select(col("doc_id"),
+      graft.ext.TextAnalysis.shingles("text").as("sh"),
+      graft.ext.TextAnalysis.hashedShingles("text").as("hs"))
+    val both = t.as("l").crossJoin(t.as("r"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(
+        Dedup.jaccardArr(col("l.sh"), col("r.sh")).as("j_str"),
+        graft.functions.SetSimilarity.jaccardSorted(col("l.hs"), col("r.hs")).as("j_hash"))
+      .collect()
+    both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
 }
 
 class SimilaritySuite extends AnyFunSuite {
