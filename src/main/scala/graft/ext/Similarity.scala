@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order dot product of two double arrays. */
+  /** Sequential-order dot product of two double arrays (native kernel —
+    * see [[graft.functions.DotProduct]] for the exact lambda equivalence). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.column(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
