@@ -403,6 +403,16 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 4).as("sum_price"))
         .orderBy("event_type")
     }),
+
+    // ext: IVF ANN — k-means coarse quantizer, nprobe = k (all cells) so
+    // the result is exactly brute-force top-k and the oracle can check it;
+    // the IvfSuite covers the pruned nprobe < k path
+    "q41_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = ext.Ivf.train(emb, k = 8, iters = 3)
+      ext.Ivf.topK(emb, emb.filter(col("vec_id") < 3), 10, centroids, nprobe = 8)
+        .orderBy("query_id", "rank")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -833,5 +843,19 @@ object SparkEntry {
            CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
            round(sum(o_totalprice), 4) AS sum_price
          FROM m GROUP BY event_type ORDER BY event_type""",
+
+    // nprobe == k scans every IVF cell → exact brute-force top-k,
+    // independent of where k-means put the centroids
+    "q41_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                      round($CosSql, 6) AS cos
+                    FROM e a, e b WHERE b.vec_id < 3 AND a.vec_id <> b.vec_id),
+         r AS (SELECT query_id, corpus_id, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, corpus_id) AS INT) AS rank
+               FROM scored)
+         SELECT query_id, rank, corpus_id, cos FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
   )
 }

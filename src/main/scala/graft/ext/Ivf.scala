@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NearestCentroid, ProbeCentroids}
+
+/** IVF (inverted-file) approximate nearest-neighbor search: a k-means
+  * coarse quantizer assigns every vector to its nearest centroid; a query
+  * probes only the `nprobe` nearest cells and exact-reranks inside them.
+  *
+  * 100 TB shape: training aggregates the corpus (tree-aggregated partial
+  * sums per dim — two shuffles per iteration of k·dim doubles each);
+  * assignment is a shuffle-free broadcast map
+  * ([[graft.functions.NearestCentroid]]); search prunes the scan to
+  * `nprobe/k` of the corpus before the exact re-rank. With
+  * `nprobe == k` the result equals brute force exactly (every cell is
+  * scanned, re-rank is exact) — which is how the oracle checks it.
+  */
+object Ivf {
+
+  /** Deterministic Lloyd k-means. Init is hash-partition averaging
+    * (centroid j = mean of rows with `hash(id) ≡ j mod k`) — deterministic
+    * given ids, no driver-side data pass. Float summation order varies
+    * across partitions, so centroids are deterministic only up to fp
+    * rounding; callers needing exact cross-run parity should persist them.
+    */
+  def train(df: DataFrame, k: Int, iters: Int = 5,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Array[Array[Double]] = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dim = v.select(size(col("v"))).first().getInt(0)
+    val avgVec = array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as("c")
+    def recompute(assigned: DataFrame, prev: Array[Array[Double]]): Array[Array[Double]] = {
+      val m = assigned.groupBy(col("b")).agg(avgVec).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      Array.tabulate(k)(j => m.getOrElse(j, prev(j))) // empty cell keeps its centroid
+    }
+    val zero = Array.fill(k)(Array.fill(dim)(0.0))
+    var centroids = recompute(
+      v.withColumn("b", pmod(hash(col("id")), lit(k)).cast("int")), zero)
+    var it = 0
+    while (it < iters) {
+      centroids = recompute(
+        v.withColumn("b", NearestCentroid.column(col("v"), centroids)), centroids)
+      it += 1
+    }
+    centroids
+  }
+
+  /** Corpus with its IVF cell id attached (the list-assignment map). */
+  def assign(df: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String = "embedding", bucketCol: String = "ivf_bkt"): DataFrame =
+    df.withColumn(bucketCol,
+      NearestCentroid.column(col(vecCol).cast("array<double>"), centroids))
+
+  /** Top-k cosine search probing the `nprobe` nearest cells per query.
+    * `nprobe == centroids.length` scans everything → exact brute force. */
+  def topK(corpus: DataFrame, queries: DataFrame, kNN: Int,
+      centroids: Array[Array[Double]], nprobe: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = assign(corpus, centroids, vecCol)
+    val q = queries.withColumn("ivf_bkt",
+      explode(ProbeCentroids.column(
+        col(vecCol).cast("array<double>"), centroids, nprobe)))
+    Similarity.bucketTopK(c, q, kNN, "ivf_bkt", vecCol, idCol)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
@@ -62,4 +62,126 @@ object DotProduct {
   def column(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** Argmin-squared-L2 assignment of a vector to the nearest of k centroids
+  * (ties break toward the smaller index). The centroid matrix rides the
+  * serialized expression once per stage — KB-scale for any sane k·dim —
+  * and each row costs one static k·dim scan inside whole-stage codegen:
+  * the IVF coarse quantizer as a map, no shuffle, no UDF.
+  */
+object CentroidKernel {
+  def nearest(v: ArrayData, centroids: Array[Array[Double]]): Int = {
+    val dim = v.numElements()
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      if (ctr.length == dim) {
+        var d = 0.0
+        var i = 0
+        while (i < dim && d < bestD) {
+          val t = v.getDouble(i) - ctr(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+      }
+      c += 1
+    }
+    best
+  }
+
+  /** First `nprobe` centroid indices by ascending squared L2 (selection
+    * scan — k is small). Ties break toward the smaller index. */
+  def probes(v: ArrayData, centroids: Array[Array[Double]],
+      nprobe: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val k = centroids.length
+    val dim = v.numElements()
+    val d = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val ctr = centroids(c)
+      if (ctr.length == dim) {
+        var s = 0.0
+        var i = 0
+        while (i < dim) { val t = v.getDouble(i) - ctr(i); s += t * t; i += 1 }
+        d(c) = s
+      } else d(c) = Double.MaxValue
+      c += 1
+    }
+    val n = math.min(nprobe, k)
+    val taken = new Array[Boolean](k)
+    val out = new Array[Int](n)
+    var j = 0
+    while (j < n) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < k) {
+        if (!taken(i) && d(i) < bestD) { bestD = d(i); best = i }
+        i += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+  extends UnaryExpression {
+
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidKernel.nearest(v.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.CentroidKernel.nearest($v, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+}
+
+object NearestCentroid {
+  def column(vec: Column, centroids: Array[Array[Double]]): Column =
+    ExpressionUtils.column(NearestCentroid(
+      ExpressionUtils.expression(vec), centroids))
+}
+
+/** The `nprobe` nearest centroid indices for a query vector, ascending by
+  * squared L2 (ties toward the smaller index) — the IVF probe list. */
+case class ProbeCentroids(child: Expression, centroids: Array[Array[Double]],
+    nprobe: Int)
+  extends UnaryExpression {
+
+  override def prettyName: String = "probe_centroids"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidKernel.probes(v.asInstanceOf[ArrayData], centroids, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.CentroidKernel.probes($v, $ref, $nprobe);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ProbeCentroids =
+    copy(child = c)
+}
+
+object ProbeCentroids {
+  def column(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    ExpressionUtils.column(ProbeCentroids(
+      ExpressionUtils.expression(vec), centroids, nprobe))
 }

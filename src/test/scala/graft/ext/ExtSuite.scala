@@ -158,6 +158,49 @@ class SimilaritySuite extends AnyFunSuite {
   }
 }
 
+class IvfSuite extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  // two tight, well-separated clusters around (10,0,...) and (-10,0,...)
+  private lazy val vecs = {
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 10.0 else -10.0
+      (i.toLong, Array.tabulate(4)(d => (if (d == 0) base else 0.0) + (i % 5) * 0.1))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("k-means separates well-separated clusters") {
+    val c = Ivf.train(vecs, k = 2, iters = 4)
+    assert(c.length == 2)
+    // one centroid near +10, the other near -10 on dim 0
+    assert(c.map(_(0)).sorted.zip(Seq(-10.0, 10.0)).forall {
+      case (got, want) => math.abs(got - want) < 1.0 })
+    val buckets = Ivf.assign(vecs, c).select("vec_id", "ivf_bkt")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every even id shares one bucket, every odd id the other
+    assert(buckets.filterKeys(_ % 2 == 0).values.toSet.size == 1)
+    assert(buckets.filterKeys(_ % 2 == 1).values.toSet.size == 1)
+    assert(buckets(0L) != buckets(1L))
+  }
+
+  test("nprobe = k equals brute force; nprobe = 1 stays in-cluster") {
+    val c = Ivf.train(vecs, k = 2, iters = 4)
+    val queries = vecs.filter(col("vec_id") < 2)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val all = Ivf.topK(vecs, queries, 5, c, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(all == exact)
+    // nprobe=1: results only come from the query's own cluster (same parity)
+    val pruned = Ivf.topK(vecs, queries, 5, c, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (q, cid) => assert(q % 2 == cid % 2) }
+  }
+}
+
 class MultimodalSuite extends AnyFunSuite {
   private lazy val spark = SparkTest.spark
   import spark.implicits._
