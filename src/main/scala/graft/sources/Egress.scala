@@ -28,6 +28,10 @@ object Egress {
         ObjCodec.write(meshOf(df, path), path)
       case "msh" =>
         MshCodec.write(meshOf(df, path), path)
+      case "shp" =>
+        ShpCodec.write(df, path)
+      case "dxf" =>
+        DxfCodec.write(df, path)
       case other =>
         throw new IllegalArgumentException(s"unsupported sink extension: $other")
     }

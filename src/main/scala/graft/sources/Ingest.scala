@@ -11,6 +11,45 @@ import org.apache.spark.sql.types._
   * (SURVEY.md §1.4). */
 object Ingest {
 
+  /** Master extension-based load dispatch — the engine's
+    * `pd_load_dataframe` (/root/reference/_gui.py:203-276): route by file
+    * extension, apply the −99 sentinel mask (opt-out `keepNull`) and the
+    * condition filter uniformly. Separator for delimited text is sniffed
+    * from the header line like the reference's csv.Sniffer. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+      condition: String = "", keepNull: Boolean = false): DataFrame = {
+    val lower = path.toLowerCase
+    val ext = lower.substring(lower.lastIndexOf('.') + 1)
+    val raw = ext match {
+      case "csv" | "txt" | "prn" | "asc" =>
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .option("sep", sniffSep(path)).csv(path)
+      case "json" | "jsdb" => spark.read.json(path)
+      case "parquet" => spark.read.parquet(path)
+      case "shp" => ShpCodec.read(spark, path)
+      case "dxf" => DxfCodec.read(spark, path)
+      case "vtk" => // grid file → block-model table (cell data + centers)
+        VtkLegacy.readGrid(path).toDf(spark)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported source extension: $other")
+    }
+    val masked = if (keepNull) raw else maskSentinel(raw)
+    filterCondition(masked, condition)
+  }
+
+  /** Header-line separator sniff (comma/semicolon/tab/space — the
+    * reference uses csv.Sniffer, _gui.py:225-226). */
+  def sniffSep(path: String): String = {
+    val src = scala.io.Source.fromFile(
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path))) {
+        val d = new java.io.File(path)
+        d.listFiles().filter(_.getName.endsWith(".csv")).head.getPath
+      } else path)
+    val header = try src.getLines().take(1).toSeq.headOption.getOrElse("")
+    finally src.close()
+    Seq(",", ";", "\t", " ").maxBy(s => header.split(java.util.regex.Pattern.quote(s), -1).length)
+  }
+
   /** Replace the −99 null sentinel with SQL NULL in every numeric column —
     * `df.mask(df == -99)` applied on load unless `keep_null`
     * (/root/reference/_gui.py:269-270, Vulcan convention). */

@@ -84,4 +84,87 @@ class CodecSuite extends AnyFunSuite {
     assert(out.filter("i < 0").count() == 0)
     assert(out.select("i", "j", "k").distinct().count() == 12)
   }
+
+  test("Ingest.load master dispatch: sniffed sep, sentinel mask, condition") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_load").toString
+    val f = new java.io.PrintWriter(d + "/t.csv")
+    f.write("a;b;lito\n1;-99;ore\n2;5;waste\n3;7;ore\n"); f.close()
+    val out = Ingest.load(spark, d + "/t.csv", condition = "lito = 'ore'")
+    assert(out.count() == 2) // condition applied
+    assert(out.filter("b IS NULL").count() == 1) // -99 masked despite ; sep
+    val keep = Ingest.load(spark, d + "/t.csv", keepNull = true)
+    assert(keep.filter("b = -99").count() == 1)
+    // shp routes through the codec
+    val shp = Seq((0.0, 0.0, 1.0, 0, "POLYGONZ")).toDF("x", "y", "z", "n", "type")
+    ShpCodec.write(shp, d + "/s.shp")
+    assert(Ingest.load(spark, d + "/s.shp").count() == 1)
+  }
+
+  test("SHP round-trip: polygon geometry, vertex rows, dbf attributes") {
+    import spark.implicits._
+    // two polygons (n restarts at 0) with a string + numeric attribute
+    val rows = Seq(
+      (0.0, 0.0, 1.0, 0, "POLYGONZ", "ore", 1.5),
+      (10.0, 0.0, 1.0, 1, "POLYGONZ", "ore", 1.5),
+      (10.0, 10.0, 1.0, 2, "POLYGONZ", "ore", 1.5),
+      (5.0, 5.0, 2.0, 0, "POLYGONZ", "waste", -0.5),
+      (6.0, 5.0, 2.0, 1, "POLYGONZ", "waste", -0.5),
+      (6.0, 7.0, 2.0, 2, "POLYGONZ", "waste", -0.5))
+      .toDF("x", "y", "z", "n", "type", "lito", "grade")
+    val path = Files.createTempDirectory("graft_shp").toString + "/solids.shp"
+    ShpCodec.write(rows, path)
+    val back = ShpCodec.read(spark, path)
+    assert(back.count() == 6)
+    assert(back.select("oid").distinct().count() == 2)
+    // geometry: exact doubles through the binary format
+    val r0 = back.filter("oid = 0 AND n = 2").collect()(0)
+    assert(r0.getAs[Double]("x") == 10.0 && r0.getAs[Double]("y") == 10.0 &&
+      r0.getAs[Double]("z") == 1.0)
+    assert(r0.getAs[Boolean]("t")) // continuation vertex
+    assert(back.filter("n = 0 AND t").count() == 0) // part starts have t=false
+    // dbf attributes survive with types
+    val attrs = back.filter("n = 0").select("lito", "grade")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(attrs == Set(("ore", 1.5), ("waste", -0.5)))
+    assert(back.filter("type = 'POLYGONZ'").count() == 6)
+  }
+
+  test("SHP point and polyline shape classes") {
+    import spark.implicits._
+    val pts = Seq((1.0, 2.0, 3.0, 0, "POINTZ"))
+      .toDF("x", "y", "z", "n", "type")
+    val d = Files.createTempDirectory("graft_shp2").toString
+    ShpCodec.write(pts, d + "/p.shp")
+    val backP = ShpCodec.read(spark, d + "/p.shp").collect()
+    assert(backP.length == 1 && backP(0).getAs[String]("type") == "POINTZ")
+    assert(backP(0).getAs[Double]("z") == 3.0)
+    val line = Seq((0.0, 0.0, 0.0, 0, "POLYLINEZ"), (4.0, 4.0, 4.0, 1, "POLYLINEZ"))
+      .toDF("x", "y", "z", "n", "type")
+    ShpCodec.write(line, d + "/l.shp")
+    val backL = ShpCodec.read(spark, d + "/l.shp").collect()
+    assert(backL.length == 2 && backL.forall(_.getAs[String]("type") == "POLYLINEZ"))
+  }
+
+  test("DXF round-trip: polyline vertices, layers, closed flag") {
+    import spark.implicits._
+    val rows = Seq(
+      (0.0, 0.0, 5.0, 0, 1L, "pit"),
+      (10.0, 0.0, 5.0, 1, 1L, "pit"),
+      (10.0, 10.0, 5.0, 2, 1L, "pit"),
+      (50.0, 50.0, 9.0, 0, 0L, "topo"),
+      (60.0, 50.0, 9.5, 1, 0L, "topo"))
+      .toDF("x", "y", "z", "n", "closed", "layer")
+    val path = Files.createTempDirectory("graft_dxf").toString + "/cad.dxf"
+    DxfCodec.write(rows, path)
+    val back = DxfCodec.read(spark, path)
+    assert(back.count() == 5)
+    assert(back.select("entityhandle").distinct().count() == 2)
+    assert(back.filter("layer = 'pit'").count() == 3)
+    assert(back.filter("layer = 'pit' AND closed = 1").count() == 3)
+    assert(back.filter("layer = 'topo' AND closed = 0").count() == 2)
+    val v = back.filter("layer = 'topo' AND n = 1").collect()(0)
+    assert(v.getAs[Double]("x") == 60.0 && v.getAs[Double]("z") == 9.5)
+    assert(back.filter("type = 'POLYLINE' AND mode = 'AcDb3dPolyline'").count() == 5)
+  }
 }
