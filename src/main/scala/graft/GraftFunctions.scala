@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Cast
 import org.apache.spark.sql.types.{DoubleType, StringType}
 
-import graft.agg.{MajorAgg, WeightedQuantile}
+import graft.agg.{ApproxWeightedQuantile, MajorAgg, WeightedQuantile}
 
 /** SQL registration for the engine's custom aggregates, so `spark.sql`
   * users get the same surface as the Column API:
@@ -25,6 +25,22 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(s"q must be a literal, got $other")
       }
       WeightedQuantile(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType), q)
+    }, "built-in")
+    registry.createOrReplaceTempFunction("approx_weighted_quantile", exprs => {
+      require(exprs.length == 3 || exprs.length == 4,
+        "approx_weighted_quantile(value, weight, q[, maxBins])")
+      val q = exprs(2).eval() match {
+        case d: java.lang.Double => d.doubleValue()
+        case d: java.math.BigDecimal => d.doubleValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case i: java.lang.Integer => i.doubleValue()
+        case other => throw new IllegalArgumentException(s"q must be a literal, got $other")
+      }
+      val maxBins =
+        if (exprs.length == 4) exprs(3).eval().asInstanceOf[Number].intValue()
+        else 256
+      ApproxWeightedQuantile(Cast(exprs(0), DoubleType),
+        Cast(exprs(1), DoubleType), q, maxBins)
     }, "built-in")
     registry.createOrReplaceTempFunction("major", exprs => {
       require(exprs.length == 1, "major(value)")

@@ -187,3 +187,47 @@ class WeightedQuantileSuite extends AnyFunSuite {
     assert(a == b)
   }
 }
+
+class ApproxWeightedQuantileSuite extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("lossless when distinct values fit the bins: equals exact") {
+    // 10k rows but only 37 distinct values — no compression happens
+    val vals = (1 to 10000).map(i => (i.toDouble % 37, (i % 5).toDouble + 0.5))
+    val df = vals.toDF("v", "w").repartition(8)
+    for (q <- Seq(0.25, 0.5, 0.75, 0.9)) {
+      val exact = df.agg(WeightedQuantile(col("v"), col("w"), q))
+        .collect()(0).getDouble(0)
+      val approx = df.agg(ApproxWeightedQuantile(col("v"), col("w"), q, 64))
+        .collect()(0).getDouble(0)
+      assert(approx == exact, s"q=$q")
+    }
+  }
+
+  test("bounded bins approximate a wide distribution") {
+    // 20k distinct values, 128 bins: within a few percent of exact
+    val vals = (1 to 20000).map(i => (i.toDouble, 1.0))
+    val df = vals.toDF("v", "w").repartition(8)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val approx = df.agg(ApproxWeightedQuantile(col("v"), col("w"), q, 128))
+        .collect()(0).getDouble(0)
+      val truth = q * 20000
+      assert(math.abs(approx - truth) / 20000 < 0.05, s"q=$q got $approx")
+    }
+  }
+
+  test("null/NaN dropped; empty group yields null; SQL surface") {
+    graft.GraftFunctions.register(spark)
+    Seq((Double.NaN, 1.0), (1.0, Double.NaN))
+      .toDF("v", "w").createOrReplaceTempView("t_awq")
+    val r = spark.sql(
+      "SELECT approx_weighted_quantile(v, w, 0.5, 32) FROM t_awq").collect()(0)
+    assert(r.isNullAt(0))
+    Seq((10.0, 1.0), (20.0, 2.0), (30.0, 1.0))
+      .toDF("v", "w").createOrReplaceTempView("t_awq2")
+    val v = spark.sql(
+      "SELECT approx_weighted_quantile(v, w, 0.5) FROM t_awq2").collect()(0)
+    assert(v.getDouble(0) == 20.0) // lossless → reference estimator value
+  }
+}
