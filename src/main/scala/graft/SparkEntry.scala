@@ -413,6 +413,17 @@ object SparkEntry {
       ext.Ivf.topK(emb, emb.filter(col("vec_id") < 3), 10, centroids, nprobe = 8)
         .orderBy("query_id", "rank")
     }),
+
+    // streaming twin: view→purchase attribution (stream-stream interval
+    // join in attributionStreaming; identical plan here in batch form).
+    // Timestamps leave as epoch micros — both engines compare in µs.
+    "q42_attribution" -> ((s, dir) =>
+      streaming.EventStream.attribution(
+        Tables.load(s, dir, "events"), "view", "purchase", 86400L)
+        .select(col("user_id"), col("from_id"), col("to_id"),
+          unix_micros(col("from_ts")).as("from_us"),
+          unix_micros(col("to_ts")).as("to_us"))
+        .orderBy("user_id", "from_id", "to_id")),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -857,5 +868,14 @@ object SparkEntry {
                FROM scored)
          SELECT query_id, rank, corpus_id, cos FROM r
          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "q42_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+         SELECT a.user_id AS user_id, a.event_id AS from_id, b.event_id AS to_id,
+           a.us AS from_us, b.us AS to_us
+         FROM e a JOIN e b ON a.user_id = b.user_id
+           AND a.event_type = 'view' AND b.event_type = 'purchase'
+           AND b.us > a.us AND b.us <= a.us + CAST(86400 AS BIGINT) * 1000000
+         ORDER BY a.user_id, from_id, to_id""",
   )
 }

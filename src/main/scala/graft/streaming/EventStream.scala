@@ -51,6 +51,41 @@ object EventStream {
     df.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Attribution pairs: every `toType` event within `withinSec` seconds
+    * AFTER a `fromType` event of the same user (view→buy attribution).
+    * Batch form — the oracle-checkable twin of [[attributionStreaming]]. */
+  def attribution(df: DataFrame, fromType: String, toType: String,
+      withinSec: Long): DataFrame =
+    attributionPlan(
+      df.filter(col("event_type") === fromType),
+      df.filter(col("event_type") === toType), withinSec)
+
+  /** Stream-stream interval join with event-time bounds: watermarks on both
+    * sides let Spark expire join state once `withinSec` (+ watermark delay)
+    * has passed — bounded state on an unbounded stream, the shape a
+    * 100 TB/day attribution pipeline needs. Pass the SAME source stream
+    * twice (filtered per side) or two independent streams. */
+  def attributionStreaming(from: DataFrame, to: DataFrame, fromType: String,
+      toType: String, withinSec: Long, watermark: String = "10 minutes"): DataFrame =
+    attributionPlan(
+      from.filter(col("event_type") === fromType).withWatermark("ts", watermark),
+      to.filter(col("event_type") === toType).withWatermark("ts", watermark),
+      withinSec)
+
+  private def attributionPlan(a: DataFrame, b: DataFrame,
+      withinSec: Long): DataFrame = {
+    val from = a.select(col("user_id"), col("event_id").as("from_id"),
+      col("ts").as("from_ts"))
+    val to = b.select(col("user_id").as("user_b"),
+      col("event_id").as("to_id"), col("ts").as("to_ts"))
+    from.join(to,
+      col("user_id") === col("user_b") &&
+      col("to_ts") > col("from_ts") &&
+      col("to_ts") <= col("from_ts") + expr(s"INTERVAL $withinSec SECONDS"))
+      .select(col("user_id"), col("from_id"), col("to_id"),
+        col("from_ts"), col("to_ts"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionOut(user_id: Long, n_events: Long, duration_sec: Long)

@@ -84,6 +84,29 @@ class EventStreamSuite extends AnyFunSuite {
     assert(got.contains((1L, 2L, 600L)))
   }
 
+  test("stream-stream attribution join matches batch within the window") {
+    val evs = Seq(
+      EventStream.Event(1, ts(0), 1, "view", 1.0),
+      EventStream.Event(2, ts(5), 1, "purchase", 2.0),   // within 10 min
+      EventStream.Event(3, ts(30), 1, "purchase", 3.0),  // outside
+      EventStream.Event(4, ts(0), 2, "view", 4.0),
+      EventStream.Event(5, ts(5), 3, "purchase", 5.0))   // other user
+    val batch = EventStream.attribution(evs.toDF(), "view", "purchase", 600)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == Set((1L, 1L, 2L)))
+    val dir = Files.createTempDirectory("graft_attr").toString
+    evs.toDF().write.mode("overwrite").parquet(dir)
+    def stream = spark.readStream.schema(evs.toDF().schema).parquet(dir)
+    val q = EventStream.attributionStreaming(stream, stream, "view", "purchase", 600)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("attr_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch) // stream-stream join emits the same pairs
+  }
+
   test("streaming sessionizer keeps millisecond precision for sub-second gaps") {
     // real gap 1.7s > gapSec=1 must split; truncating to whole seconds
     // (2 - 1 = 1, not > 1) would wrongly merge them — batch splits here too.
