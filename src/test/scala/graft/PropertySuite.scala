@@ -68,6 +68,47 @@ class PropertySuite extends AnyFunSuite {
     assert(checked > 40)
   }
 
+  test("SortedIntersectSize equals set intersection on random sorted arrays") {
+    val rnd = new Random(13)
+    for (_ <- 1 to 30) {
+      val universe = (1 to 40).map(_ => rnd.nextLong() % 1000)
+      val a = universe.filter(_ => rnd.nextBoolean()).distinct.sorted
+      val b = universe.filter(_ => rnd.nextBoolean()).distinct.sorted
+      val df = Seq((a, b)).toDF("a", "b")
+      val got = df.select(graft.functions.SetSimilarity.sortedIntersectSize(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"))).head().getInt(0)
+      assert(got == a.toSet.intersect(b.toSet).size)
+    }
+  }
+
+  test("shingle kernel tokenization equals the regex on random text") {
+    val rnd = new Random(17)
+    val alphabet = "abcXYZ012 .,;!-_\t\n"
+    for (_ <- 1 to 50) {
+      val text = List.fill(rnd.nextInt(200))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val viaKernel = graft.functions.ShingleKernel.tokens(text).toList
+      val viaRegex = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toList
+      assert(viaKernel == viaRegex, s"text=${text.take(60)}")
+    }
+  }
+
+  test("approx weighted quantile degrades gracefully: monotone in q") {
+    import graft.agg.ApproxWeightedQuantile
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(19)
+    val vals = List.fill(5000)((rnd.nextGaussian() * 100, rnd.nextDouble() + 0.1))
+    val df = vals.toDF("v", "w")
+    val qs = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map { q =>
+      df.agg(ApproxWeightedQuantile(col("v"), col("w"), q, 128))
+        .head().getDouble(0)
+    }
+    assert(qs == qs.sorted) // quantile estimates must be non-decreasing
+    // and land within the data range
+    assert(qs.head >= vals.map(_._1).min && qs.last <= vals.map(_._1).max)
+  }
+
   test("−99 sentinel masking round-trips through unmask") {
     import graft.sources.Ingest
     val rnd = new Random(11)
