@@ -424,6 +424,14 @@ object SparkEntry {
           unix_micros(col("from_ts")).as("from_us"),
           unix_micros(col("to_ts")).as("to_us"))
         .orderBy("user_id", "from_id", "to_id")),
+
+    // ext: near-dup clusters → canonical id (min-label propagation over the
+    // verified LSH pairs; the checkable form of "keep one copy per cluster")
+    "q43_dup_components" -> ((s, dir) => {
+      val pairs = ext.Dedup.minhashLsh(Tables.load(s, dir, "documents"),
+        "text", "doc_id", numHashes = 16, bands = 4, minJaccard = 0.3)
+      ext.Dedup.connectedComponents(pairs).orderBy("doc_id")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -451,6 +459,23 @@ object SparkEntry {
   }.mkString("[", ", ", "]")
   private val CosSql =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  /** Shared minhash-LSH candidate/verify CTEs (q21, q43): WITH-prefix up to
+    * the verified-pairs relation `j`; the caller appends its SELECT. */
+  private lazy val MinhashPairsSql =
+    s"""WITH d AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
+       h AS (SELECT doc_id, sh, list_transform(sh, s -> ${baseHashSql("s")}) AS hv FROM d),
+       g AS (SELECT doc_id, $SigSql AS sig FROM h),
+       b AS (SELECT doc_id, t2.b AS band,
+               array_to_string(sig[(t2.b * 4 + 1):(t2.b * 4 + 4)], ',') AS band_key
+             FROM g, generate_series(0, 3) AS t2(b)),
+       cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM b l JOIN b r ON l.band = r.band AND l.band_key = r.band_key
+                  AND l.doc_id < r.doc_id),
+       j AS (SELECT c.id_a, c.id_b,
+               (CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE))
+                 / CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE) AS jaccard
+             FROM cand c JOIN d da ON da.doc_id = c.id_a JOIN d db ON db.doc_id = c.id_b)"""
 
   /** DuckDB-equivalent SQL per query (same column names, same rounding). */
   def oracleSql: Map[String, String] = Map(
@@ -668,19 +693,7 @@ object SparkEntry {
          ORDER BY content_hash""",
 
     "q21_minhash_lsh" ->
-      s"""WITH d AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
-         h AS (SELECT doc_id, sh, list_transform(sh, s -> ${baseHashSql("s")}) AS hv FROM d),
-         g AS (SELECT doc_id, $SigSql AS sig FROM h),
-         b AS (SELECT doc_id, t2.b AS band,
-                 array_to_string(sig[(t2.b * 4 + 1):(t2.b * 4 + 4)], ',') AS band_key
-               FROM g, generate_series(0, 3) AS t2(b)),
-         cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-                  FROM b l JOIN b r ON l.band = r.band AND l.band_key = r.band_key
-                    AND l.doc_id < r.doc_id),
-         j AS (SELECT c.id_a, c.id_b,
-                 (CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE))
-                   / CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE) AS jaccard
-               FROM cand c JOIN d da ON da.doc_id = c.id_a JOIN d db ON db.doc_id = c.id_b)
+      s"""$MinhashPairsSql
          SELECT id_a, id_b, round(jaccard, 6) AS jaccard
          FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
 
@@ -877,5 +890,19 @@ object SparkEntry {
            AND a.event_type = 'view' AND b.event_type = 'purchase'
            AND b.us > a.us AND b.us <= a.us + CAST(86400 AS BIGINT) * 1000000
          ORDER BY a.user_id, from_id, to_id""",
+
+    // transitive closure over the verified pair list (undirected), then
+    // min reachable id per member — DuckDB's recursive CTE as the oracle
+    // for the label-propagation connected components
+    "q43_dup_components" ->
+      s"""WITH RECURSIVE pairs AS (
+           $MinhashPairsSql
+           SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+         e AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         r(a, b) AS (SELECT a, b FROM e
+                     UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+         SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+         FROM r GROUP BY a ORDER BY doc_id""",
   )
 }

@@ -42,12 +42,27 @@ object Dedup {
     * SQL-lambda equivalent pays interpreted eval per shingle per hash
     * function, ~50× more per row. */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 16, bands: Int = 4, minJaccard: Double = 0.0): DataFrame = {
+      numHashes: Int = 16, bands: Int = 4, minJaccard: Double = 0.0,
+      maxBandBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0)
     val bandKeys = graft.functions.MinHashBandKeys.column(
       TextAnalysis.hashedShingles(textCol), hashParams(numHashes), bands)
-    val banded = df.select(col(idCol).as("doc_id"),
+    val banded0 = df.select(col(idCol).as("doc_id"),
       posexplode(bandKeys).as(Seq("band", "band_key")))
+    // Skew guard: a band bucket with m documents yields m² candidate pairs,
+    // and real corpora have boilerplate mega-buckets (empty pages, headers).
+    // Buckets above the cap are dropped wholesale — the standard LSH spam
+    // defense; their members still pair through their OTHER bands. The hot
+    // set is by definition tiny → broadcast anti-join, no extra shuffle of
+    // the banded table.
+    val banded =
+      if (maxBandBucket == Int.MaxValue) banded0
+      else {
+        val hot = banded0.groupBy(col("band"), col("band_key"))
+          .count().filter(col("count") > maxBandBucket)
+          .select("band", "band_key")
+        banded0.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+      }
     // distinct on the id pair FIRST (cheap long columns through the
     // shuffle), then join the shingle arrays back for the verify pass
     val cand = banded.as("l")
@@ -66,6 +81,39 @@ object Dedup {
         SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Connected components over a duplicate-pair list → canonical id per
+    * member (label propagation: every node takes the minimum id reachable
+    * from it). Converges in O(component diameter) rounds — near-dup
+    * clusters are shallow, so a handful of joins even at 100 TB;
+    * `localCheckpoint` truncates the growing lineage each round.
+    * Output: (doc_id, canonical_id) for every id appearing in a pair. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("canonical_id", col("doc_id"))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("canonical_id")).as("neighbor_min"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("canonical_id"),
+            coalesce(col("neighbor_min"), col("canonical_id"))).as("canonical_id"))
+        .localCheckpoint(true)
+      changed = next.join(
+          labels.withColumnRenamed("canonical_id", "old"), "doc_id")
+        .filter(col("canonical_id") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    labels
   }
 
   /** Exact Jaccard of two distinct-element arrays. */

@@ -88,6 +88,26 @@ class DedupSuite extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("connected components assign min id per dup cluster") {
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L), (3L, 9L), (9L, 4L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chains resolve transitively: {1,2,5}→1, {7,8}→7, {3,4,9}→3
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 7L,
+      3L -> 3L, 9L -> 3L, 4L -> 3L))
+  }
+
+  test("maxBandBucket drops hot LSH buckets (spam guard)") {
+    // 6 identical docs: every band bucket holds all 6 → capped at 3,
+    // all buckets drop, no candidate pairs survive
+    val spam = (0L until 6L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = Dedup.minhashLsh(spam, "text", "doc_id", maxBandBucket = 3)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.minhashLsh(spam, "text", "doc_id")
+    assert(uncapped.count() == 15) // all 6-choose-2 pairs
+  }
+
   test("shingle kernel is bit-identical to the SQL md5/conv chain") {
     // the native kernel must reproduce the SQL-composed hashes exactly —
     // the DuckDB oracle recomputes them with md5/conv on its side
