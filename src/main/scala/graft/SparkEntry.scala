@@ -432,6 +432,13 @@ object SparkEntry {
         "text", "doc_id", numHashes = 16, bands = 4, minJaccard = 0.3)
       ext.Dedup.connectedComponents(pairs).orderBy("doc_id")
     }),
+
+    // ext: hamming-space LSH — pigeonhole chunk banding over the 60-bit
+    // simhash, exact popcount verify
+    "q44_simhash_pairs" -> ((s, dir) =>
+      ext.Dedup.simhashNearDups(Tables.load(s, dir, "documents"),
+        "text", "doc_id", maxHamming = 2)
+        .orderBy("id_a", "id_b")),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -459,6 +466,14 @@ object SparkEntry {
   }.mkString("[", ", ", "]")
   private val CosSql =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  /** 60-bit SimHash sketch over a `toks` list column (q22, q44). */
+  private val SimhashSketchSql =
+    """CAST(coalesce(list_sum(list_transform(generate_series(0, 59), b ->
+       CASE WHEN 2 * len(list_filter(toks, tok ->
+           ((CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) >> b) & 1) = 1))
+         - len(toks) > 0
+       THEN (CAST(1 AS BIGINT) << (59 - b)) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)"""
 
   /** Shared minhash-LSH candidate/verify CTEs (q21, q43): WITH-prefix up to
     * the verified-pairs relation `j`; the caller appends its SELECT. */
@@ -699,12 +714,7 @@ object SparkEntry {
 
     "q22_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($ToksSql) AS toks FROM documents)
-         SELECT doc_id,
-           CAST(coalesce(list_sum(list_transform(generate_series(0, 59), b ->
-             CASE WHEN 2 * len(list_filter(toks, tok ->
-                 ((CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) >> b) & 1) = 1))
-               - len(toks) > 0
-             THEN (CAST(1 AS BIGINT) << (59 - b)) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS sketch
+         SELECT doc_id, $SimhashSketchSql AS sketch
          FROM t ORDER BY doc_id""",
 
     "q23_ngram_jaccard" ->
@@ -904,5 +914,18 @@ object SparkEntry {
                      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
          SELECT a AS doc_id, least(a, min(b)) AS canonical_id
          FROM r GROUP BY a ORDER BY doc_id""",
+
+    // pigeonhole banding: 3 chunks of 20 bits; hamming ≤ 2 ⇒ some chunk equal
+    "q44_simhash_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, list_distinct($ToksSql) AS toks FROM documents),
+         t AS (SELECT doc_id, $SimhashSketchSql AS sk FROM tk),
+         b AS (SELECT doc_id, g.c AS chunk, (sk >> (g.c * 20)) & 1048575 AS cv
+               FROM t, generate_series(0, 2) AS g(c)),
+         cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                  FROM b l JOIN b r ON l.chunk = r.chunk AND l.cv = r.cv
+                    AND l.doc_id < r.doc_id)
+         SELECT c.id_a, c.id_b, CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming
+         FROM cand c JOIN t a ON a.doc_id = c.id_a JOIN t b ON b.doc_id = c.id_b
+         WHERE bit_count(xor(a.sk, b.sk)) <= 2 ORDER BY id_a, id_b""",
   )
 }

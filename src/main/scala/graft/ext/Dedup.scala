@@ -161,4 +161,35 @@ object Dedup {
   /** Hamming distance between two simhash sketches. */
   def hamming(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs by pigeonhole banding: split the 60-bit
+    * sketch into `maxHamming + 1` equal chunks — any pair within
+    * `maxHamming` bit flips must agree on at least one whole chunk — then
+    * equality-join per chunk and verify exact Hamming distance. The
+    * shuffle carries only (chunk index, chunk value, id): candidate volume
+    * is governed by chunk width, the verify is one xor+popcount per pair.
+    * 60 must divide evenly; maxHamming = 2, 3, 4 → 20-, 15-, 12-bit chunks. */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    require(60 % chunks == 0, s"60 bits must split evenly into $chunks chunks")
+    val width = 60 / chunks
+    val mask = (1L << width) - 1L
+    val t = df.select(col(idCol).as("doc_id"), simhash(textCol).as("sk"))
+    val banded = t.select(col("doc_id"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftright(col("sk"), c * width).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("chunk", "cv")))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.cv") === col("r.cv") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(t.select(col("doc_id").as("id_a"), col("sk").as("sk_a")), "id_a")
+      .join(t.select(col("doc_id").as("id_b"), col("sk").as("sk_b")), "id_b")
+      .withColumn("hamming", hamming(col("sk_a"), col("sk_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
 }

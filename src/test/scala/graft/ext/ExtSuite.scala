@@ -88,6 +88,21 @@ class DedupSuite extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("simhash pigeonhole banding finds near-dups, skips unrelated") {
+    val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // identical text → hamming 0
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated
+    // recall guarantee: ANY pair with true hamming <= maxHamming is found
+    val sk = docs.select(col("doc_id"), Dedup.simhash("text").as("s"))
+    val truth = sk.as("l").crossJoin(sk.as("r"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .filter(Dedup.hamming(col("l.s"), col("r.s")) <= 2)
+      .select(col("l.doc_id"), col("r.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == truth) // pigeonhole banding is lossless at <= maxHamming
+  }
+
   test("connected components assign min id per dup cluster") {
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L), (3L, 9L), (9L, 4L))
       .toDF("id_a", "id_b")
