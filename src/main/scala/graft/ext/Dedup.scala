@@ -138,25 +138,14 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** 64-bit SimHash over word tokens: bit b of the sketch is the sign of
-    * Σ_tokens (±1 per token-hash bit b). Near-duplicates have small Hamming
-    * distance. Pure expression (no UDF): the token array is reduced with
-    * aggregate() over a 64-long bit-count state. */
-  def simhash(t: String): Column = {
-    val toks = s"array_distinct(regexp_extract_all(lower($t), '[a-z0-9]+', 0))"
-    val h = "CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"
-    // acc: array of 60 counts; each token adds ±1 per bit (bit 0 = MSB of
-    // the final sketch: the fold below is sig = sig*2 + sign(cnt_b))
-    expr(s"""
-      aggregate(
-        aggregate($toks,
-          array_repeat(0L, 60),
-          (acc, tok) -> zip_with(acc,
-            transform(sequence(0, 59), b -> (shiftright($h, b) % 2L) * 2L - 1L),
-            (a, v) -> a + v)),
-        0L,
-        (sig, cnt) -> sig * 2L + CASE WHEN cnt > 0 THEN 1L ELSE 0L END)""")
-  }
+  /** 60-bit SimHash over distinct word tokens: bit b of the sketch is the
+    * sign of Σ_tokens (±1 per token-hash bit b); hash bit b lands at
+    * sketch position 59−b. Near-duplicates have small Hamming distance.
+    * Native kernel ([[graft.functions.SimHashSketch]]) — the equivalent
+    * SQL `aggregate(zip_with(...))` chain re-evaluated the token md5 once
+    * per bit through interpreted lambda eval. */
+  def simhash(t: String): Column =
+    graft.functions.SimHashSketch.column(col(t))
 
   /** Hamming distance between two simhash sketches. */
   def hamming(a: Column, b: Column): Column =

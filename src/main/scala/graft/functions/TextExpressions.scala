@@ -117,6 +117,57 @@ object HashedShingles {
     ExpressionUtils.column(HashedShingles(ExpressionUtils.expression(text), n))
 }
 
+/** 60-bit SimHash sketch computed natively: tokenize (same scanner as
+  * [[ShingleKernel.tokens]]), distinct tokens, one md5-derived 60-bit hash
+  * per token, ±1 per-bit vote, sign fold. Bit-identical to the SQL
+  * `aggregate(zip_with(...))` chain in [[graft.ext.Dedup.simhash]]'s
+  * documentation (hash bit b lands at sketch position 59−b), which paid
+  * one interpreted md5 re-evaluation PER BIT per token. */
+object SimHashKernel {
+  def sketch(text: UTF8String): Long = {
+    val toks = ShingleKernel.tokens(text.toString)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        val h = ShingleKernel.hash60(t)
+        var b = 0
+        while (b < 60) {
+          counts(b) += (((h >>> b) & 1L) * 2 - 1).toInt
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { sig = sig * 2 + (if (counts(b) > 0) 1 else 0); b += 1 }
+    sig
+  }
+}
+
+case class SimHashSketch(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash_sketch"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(t: Any): Any =
+    SimHashKernel.sketch(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.SimHashKernel.sketch($t);")
+
+  override protected def withNewChildInternal(c: Expression): SimHashSketch =
+    copy(child = c)
+}
+
+object SimHashSketch {
+  def column(text: Column): Column =
+    ExpressionUtils.column(SimHashSketch(ExpressionUtils.expression(text)))
+}
+
 /** MinHash band keys computed natively from a hashed-shingle array.
   *
   * For each hash function i: `sig_i = min over h of ((a_i·(h mod p) + b_i)
