@@ -65,4 +65,27 @@ object Ivf {
         col(vecCol).cast("array<double>"), centroids, nprobe)))
     Similarity.bucketTopK(c, q, kNN, "ivf_bkt", vecCol, idCol)
   }
+
+  /** Persist the corpus partitioned by IVF cell: a probe becomes Parquet
+    * PARTITION PRUNING (`PartitionFilters` in the plan) — at 100 TB only
+    * `nprobe/k` of the files are even opened, the scan-level version of
+    * the inverted file. */
+  def writeStore(corpus: DataFrame, path: String,
+      centroids: Array[Array[Double]], vecCol: String = "embedding"): Unit =
+    assign(corpus, centroids, vecCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ivf_bkt").parquet(path)
+
+  /** Search a [[writeStore]] store: the probe filter prunes partitions at
+    * planning time, then the exact re-rank runs on the surviving cells. */
+  def topKFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, kNN: Int, centroids: Array[Array[Double]],
+      nprobe: Int, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val c = spark.read.parquet(path)
+    val q = queries.withColumn("ivf_bkt",
+      explode(ProbeCentroids.column(
+        col(vecCol).cast("array<double>"), centroids, nprobe)))
+    Similarity.bucketTopK(c, q, kNN, "ivf_bkt", vecCol, idCol)
+  }
 }

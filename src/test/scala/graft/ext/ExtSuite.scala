@@ -220,6 +220,22 @@ class IvfSuite extends AnyFunSuite {
     assert(buckets(0L) != buckets(1L))
   }
 
+  test("IVF store: probes prune partitions at planning time") {
+    val c = Ivf.train(vecs, k = 2, iters = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/store"
+    Ivf.writeStore(vecs, path, c)
+    val queries = vecs.filter(col("vec_id") === 0)
+    val out = Ivf.topKFromStore(spark, path, queries, 5, c, nprobe = 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_bkt"))
+    // pruned search equals the in-memory nprobe=1 path
+    val viaMem = Ivf.topK(vecs, queries, 5, c, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaStore = out
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaStore == viaMem && viaStore.nonEmpty)
+  }
+
   test("nprobe = k equals brute force; nprobe = 1 stays in-cluster") {
     val c = Ivf.train(vecs, k = 2, iters = 4)
     val queries = vecs.filter(col("vec_id") < 2)
