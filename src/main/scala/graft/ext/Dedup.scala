@@ -138,6 +138,36 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Prefix-filtered n-gram Jaccard pairs (AllPairs/SSJoin candidate
+    * generation): for `J(a,b) ≥ t`, `|a∩b| ≥ t·|a|`, so in ANY fixed
+    * global element order the first `|a| − ⌈t·|a|⌉ + 1` elements of `a`
+    * and of `b` must share a member. Exploding only those prefixes and
+    * equi-joining on the element replaces the block cross-product with a
+    * candidate join whose volume tracks actual overlap — the shape that
+    * survives blocks of millions of documents. Output is EXACTLY
+    * [[ngramJaccardPairs]] (the filter is lossless); the hash-sorted
+    * shingle arrays provide the global order for free. */
+  def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], minJaccard: Double): DataFrame = {
+    val t = df.select(concat_ws("", blockCols.map(col): _*).as("blk"),
+      col(idCol).as("doc_id"), TextAnalysis.hashedShingles(textCol).as("sh"))
+    val prefixLen = size(col("sh")) - ceil(lit(minJaccard) * size(col("sh"))).cast("int") + 1
+    val pref = t.select(col("blk"), col("doc_id"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("ph"))
+    val cand = pref.as("l").join(pref.as("r"),
+        col("l.blk") === col("r.blk") && col("l.ph") === col("r.ph") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+    val sh = t.select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** 60-bit SimHash over distinct word tokens: bit b of the sketch is the
     * sign of Σ_tokens (±1 per token-hash bit b); hash bit b lands at
     * sketch position 59−b. Near-duplicates have small Hamming distance.

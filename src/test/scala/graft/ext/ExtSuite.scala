@@ -88,6 +88,27 @@ class DedupSuite extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("prefix-filtered jaccard pairs equal the block cross-product exactly") {
+    // larger corpus: 40 docs, shared phrases → nontrivial pair structure
+    val rnd = new scala.util.Random(23)
+    val phrases = Vector("the quick brown fox", "jumps over the lazy dog",
+      "spark engines shuffle data", "parquet files store columns",
+      "weighted quantiles need sorting")
+    val corpus = (0L until 40L).map { i =>
+      val body = (0 until 3 + rnd.nextInt(3))
+        .map(_ => phrases(rnd.nextInt(phrases.length))).mkString(" ")
+      (i, body)
+    }.toDF("doc_id", "text").withColumn("blk", lit("b"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val crossProduct = norm(
+      Dedup.ngramJaccardPairs(corpus, "text", "doc_id", Seq("blk"), 0.3))
+    val prefixed = norm(
+      Dedup.ngramJaccardPairsPrefix(corpus, "text", "doc_id", Seq("blk"), 0.3))
+    assert(prefixed == crossProduct && crossProduct.nonEmpty)
+  }
+
   test("simhash pigeonhole banding finds near-dups, skips unrelated") {
     val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
