@@ -409,7 +409,7 @@ object SparkEntry {
     // the IvfSuite covers the pruned nprobe < k path
     "q41_ivf_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val centroids = ext.Ivf.train(emb, k = 8, iters = 3)
+      val centroids = ext.Ivf.train(emb, k = 8, iters = 2)
       ext.Ivf.topK(emb, emb.filter(col("vec_id") < 3), 10, centroids, nprobe = 8)
         .orderBy("query_id", "rank")
     }),
