@@ -439,6 +439,13 @@ object SparkEntry {
       ext.Dedup.simhashNearDups(Tables.load(s, dir, "documents"),
         "text", "doc_id", maxHamming = 2)
         .orderBy("id_a", "id_b")),
+
+    // ext: characteristic terms per document (rational idf — see
+    // TextAnalysis.tfidfTopTerms for the cross-engine rationale)
+    "q45_tfidf" -> ((s, dir) =>
+      ext.TextAnalysis.tfidfTopTerms(
+        Tables.load(s, dir, "documents"), "text", "doc_id", 3)
+        .orderBy("doc_id", "rank")),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -927,5 +934,23 @@ object SparkEntry {
          SELECT c.id_a, c.id_b, CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming
          FROM cand c JOIN t a ON a.doc_id = c.id_a JOIN t b ON b.doc_id = c.id_b
          WHERE bit_count(xor(a.sk, b.sk)) <= 2 ORDER BY id_a, id_b""",
+
+    // identical rational-idf arithmetic: tf * ((N+1)/(df+1)), both exact
+    // IEEE ops, rounded at 6dp on both sides
+    "q45_tfidf" ->
+      s"""WITH n AS (SELECT count(*) AS n FROM documents),
+         tt AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         sc AS (SELECT tf.doc_id, tf.term,
+                  round(CAST(tf.tf AS DOUBLE) *
+                    (CAST(n.n + 1 AS DOUBLE) / CAST(dfq.df + 1 AS DOUBLE)), 6) AS score
+                FROM tf JOIN dfq ON tf.term = dfq.term, n),
+         r AS (SELECT doc_id, term, score,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, term) AS INT) AS rank
+               FROM sc)
+         SELECT doc_id, rank, term, score FROM r
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
   )
 }

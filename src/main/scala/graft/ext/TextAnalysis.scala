@@ -49,6 +49,32 @@ object TextAnalysis {
   def fingerprint(t: String, n: Int = 8): Column =
     expr(s"array_min(transform(sequence(1, greatest(length($t) - ${n - 1}, 1)), i -> md5(substr($t, i, $n))))")
 
+  /** Top-`k` characteristic terms per document by TF-IDF.
+    *
+    * Shape at 100 TB: explode → (doc, term) count → term document-frequency
+    * aggregate (low-cardinality vocabulary, broadcast back) → per-doc
+    * window top-k. The idf is the RATIONAL (N+1)/(df+1) — not the textbook
+    * logarithm — because `ln` is not guaranteed correctly rounded across
+    * engines while +,/ are exact IEEE, keeping the oracle hash-stable; the
+    * ranking is identical (log is monotone). Ties break lexicographically.
+    */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val n = df.count()
+    val terms = df.select(col(idCol).as("doc_id"),
+      explode(wordTokens(textCol)).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("score", round(col("tf").cast("double") *
+        (lit((n + 1).toDouble) / (col("df") + 1).cast("double")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+  }
+
   /** Tiny per-language stopword lists for the language-ID heuristic.
     * Deterministic and SQL-expressible; not a trained model. */
   val stopwords: Seq[(String, Seq[String])] = Seq(

@@ -31,6 +31,20 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("tfidf ranks document-specific terms above corpus-wide ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common zebra zebra zebra"),
+      (2L, "common yak yak"),
+      (3L, "common xenon")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // 'common' appears in every doc → low idf; unique terms rank first
+    assert(out.contains((1L, 1, "zebra")))
+    assert(out.contains((2L, 1, "yak")))
+    assert(out.contains((3L, 1, "xenon")))
+  }
+
   test("qualityScore rewards clean english text") {
     val df = Seq(
       "the cat and the dog walked to the park and it was sunny in the town",
