@@ -39,4 +39,21 @@ object Egress {
 
   private def meshOf(df: DataFrame, path: String): TriMesh =
     MeshRows.fromDf(df, VtkLegacy.meshName(path))
+
+  /** One file per mesh, named `<dir>/<mesh name>.<ext>` — the reference's
+    * `pv_save_split` (/root/reference/pd_vtk.py:89-92; its MultiBlock
+    * container is viz-only, so many-mesh egress splits instead). */
+  def saveMeshesSplit(meshes: Seq[TriMesh], dir: String, ext: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    meshes.foreach { m =>
+      val path = s"$dir/${m.name}.$ext"
+      ext match {
+        case "vtk" => VtkWriter.writePolyData(m, path)
+        case "obj" => ObjCodec.write(m, path)
+        case "msh" => MshCodec.write(m, path)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported mesh extension: $other")
+      }
+    }
+  }
 }

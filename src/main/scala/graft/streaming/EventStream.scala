@@ -18,7 +18,13 @@ object EventStream {
   /** Tumbling-window counts per event type. Batch and streaming share this
     * plan; the streaming caller adds `withWatermark("ts", …)` upstream. */
   def windowedCounts(df: DataFrame, dur: String = "1 hour"): DataFrame =
-    df.groupBy(window(col("ts"), dur).as("w"), col("event_type"))
+    slidingCounts(df, dur, dur)
+
+  /** Sliding-window variant: each event lands in `dur / slide` overlapping
+    * windows (`slide == dur` degenerates to tumbling). Same batch/streaming
+    * duality; state per open window is bounded by the watermark. */
+  def slidingCounts(df: DataFrame, dur: String, slide: String): DataFrame =
+    df.groupBy(window(col("ts"), dur, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("v"))
 

@@ -85,6 +85,17 @@ class CodecSuite extends AnyFunSuite {
     assert(out.select("i", "j", "k").distinct().count() == 12)
   }
 
+  test("split mesh egress writes one readable file per mesh") {
+    val d = Files.createTempDirectory("graft_split").toString
+    val b2 = TriMesh.box("m2", 0, 5, 0, 5, 0, 5)
+    Egress.saveMeshesSplit(Seq(box, b2), d, "obj")
+    val back1 = ObjCodec.read(d + "/m.obj")
+    val back2 = ObjCodec.read(d + "/m2.obj")
+    assert(back1.verts.length == box.verts.length)
+    assert(back2.verts.length == b2.verts.length)
+    assert(back2.containsPoint(2.5, 2.5, 2.5) && !back2.containsPoint(6, 6, 6))
+  }
+
   test("Ingest.load master dispatch: sniffed sep, sentinel mask, condition") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_load").toString

@@ -32,6 +32,16 @@ class EventStreamSuite extends AnyFunSuite {
       (2L, 2L, 900L)))
   }
 
+  test("sliding windows overlap: each event counted dur/slide times") {
+    val out = EventStream.slidingCounts(events.toDF(), "1 hour", "30 minutes")
+    val total = out.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total == events.length * 2L) // 1h window, 30min slide → 2 windows each
+    // tumbling via default slide stays the old shape
+    val tumbling = EventStream.windowedCounts(events.toDF())
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(tumbling == events.length.toLong)
+  }
+
   test("streaming windowed counts over a file source match batch") {
     val dir = Files.createTempDirectory("graft_stream").toString
     events.toDF().write.mode("overwrite").parquet(dir)
