@@ -446,6 +446,12 @@ object SparkEntry {
       ext.TextAnalysis.tfidfTopTerms(
         Tables.load(s, dir, "documents"), "text", "doc_id", 3)
         .orderBy("doc_id", "rank")),
+
+    // pipeline: end-to-end corpus curation (near-dup canonical filter →
+    // langid/quality/token features → quality gate)
+    "q46_corpus_curate" -> ((s, dir) =>
+      pipeline.CorpusCuration.curate(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -952,5 +958,37 @@ object SparkEntry {
                FROM sc)
          SELECT doc_id, rank, term, score FROM r
          WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    // composed from the tested q21/q43/q17/q18 fragments: near-dup
+    // canonical filter (recursive closure), then features + quality gate
+    "q46_corpus_curate" ->
+      s"""WITH RECURSIVE pairs AS (
+           $MinhashPairsSql
+           SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+         e AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         rr(a, b) AS (SELECT a, b FROM e
+                      UNION SELECT rr.a, e.b FROM rr JOIN e ON rr.b = e.a),
+         dupes AS (SELECT a AS doc_id FROM rr GROUP BY a
+                   HAVING least(a, min(b)) <> a),
+         keep AS (SELECT * FROM documents
+                  WHERE doc_id NOT IN (SELECT doc_id FROM dupes)),
+         t AS (SELECT doc_id, text, $ToksSql AS toks,
+                 CASE WHEN len(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok_cnt
+               FROM keep),
+         s AS (SELECT doc_id, text, tok_cnt, $LangScoreSql FROM t),
+         f AS (SELECT doc_id,
+                 $LangCaseSql AS lang_id,
+                 round(0.3 * least(tok_cnt / 100.0, 1.0)
+                   + 0.4 * (1.0 - CASE WHEN len(text) > 0
+                       THEN (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)) / len(text)
+                       ELSE 0.0 END)
+                   + 0.3 * least(CASE WHEN tok_cnt > 0
+                       THEN (CAST(s_en AS DOUBLE) / tok_cnt) ELSE 0.0 END * 5.0, 1.0), 6) AS quality,
+                 CAST(tok_cnt AS BIGINT) AS tok_cnt
+               FROM s)
+         SELECT doc_id, lang_id, quality, tok_cnt FROM f
+         WHERE quality >= 0.55 ORDER BY doc_id""",
   )
 }

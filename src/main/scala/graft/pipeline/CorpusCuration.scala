@@ -1,0 +1,40 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, TextAnalysis}
+
+/** End-to-end corpus curation — the composed training-data pipeline the
+  * extension operators exist for:
+  *
+  *   1. near-duplicate removal: MinHash+LSH candidate pairs → verified
+  *      Jaccard → connected components → keep only cluster canonicals
+  *      (which subsumes exact duplicates: identical texts share every
+  *      band);
+  *   2. per-document features: language-ID, quality score, token count;
+  *   3. quality gate on the rounded score (both engines compare the same
+  *      6-dp value, so the threshold is hash-stable at the boundary).
+  *
+  * Every stage is a shuffle-bounded DataFrame op: the LSH band join and
+  * the label-propagation joins are the only shuffles that touch pair
+  * volume; features are per-row maps. Output: one row per surviving
+  * document with its features.
+  */
+object CorpusCuration {
+  def curate(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minJaccard: Double = 0.3,
+      minQuality: Double = 0.55): DataFrame = {
+    val pairs = Dedup.minhashLsh(df, textCol, idCol, numHashes = 16,
+      bands = 4, minJaccard = minJaccard)
+    val dropIds = Dedup.connectedComponents(pairs)
+      .filter(col("canonical_id") =!= col("doc_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(dropIds, Seq(idCol), "left_anti")
+      .select(col(idCol),
+        TextAnalysis.langId(textCol).as("lang_id"),
+        round(TextAnalysis.qualityScore(textCol), 6).as("quality"),
+        TextAnalysis.tokenCount(textCol).cast("long").as("tok_cnt"))
+      .filter(col("quality") >= minQuality)
+  }
+}

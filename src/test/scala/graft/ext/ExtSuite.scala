@@ -228,6 +228,25 @@ class SimilaritySuite extends AnyFunSuite {
   }
 }
 
+class CorpusCurationSuite extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("curation drops near-dup copies, keeps canonicals, gates quality") {
+    val good = "the quick brown fox jumps over the lazy dog and it is fine " * 3
+    val docs = Seq(
+      (10L, good),                       // canonical of the dup cluster
+      (11L, good),                       // exact copy → dropped
+      (12L, good + "tail"),              // near copy → dropped
+      (20L, "another clean english document that is long enough to pass the gate " * 3),
+      (30L, "!!!! ???? ///\\\\ ####"))   // junk → quality-gated
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.CorpusCuration.curate(docs, minJaccard = 0.5)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(out == Set(10L, 20L))
+  }
+}
+
 class IvfSuite extends AnyFunSuite {
   private lazy val spark = SparkTest.spark
   import spark.implicits._
