@@ -138,6 +138,26 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Full MinHash signature as one string column — all `numHashes` minima
+    * comma-joined (= every band key concatenated). Signature equality
+    * implies near-identical shingle sets (J ≈ 1 across all hash
+    * functions), so it is a high-precision near-dup key. */
+  def minhashSignature(textCol: String, numHashes: Int = 16): Column =
+    concat_ws("|", graft.functions.MinHashBandKeys.column(
+      TextAnalysis.hashedShingles(textCol), hashParams(numHashes), 1))
+
+  /** Streaming near-dup filter: drops documents whose full MinHash
+    * signature was already seen inside the watermark window — the
+    * streaming twin of [[minhashLsh]] at its high-precision point
+    * (signature equality, no pair verify needed). State is one signature
+    * per surviving document, expired by the watermark — the bounded-state
+    * shape an at-least-once 100 TB/day ingest needs. */
+  def nearDupFilterStream(df: DataFrame, textCol: String,
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    df.withColumn("minhash_sig", minhashSignature(textCol))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("minhash_sig")
+
   /** Prefix-filtered n-gram Jaccard pairs (AllPairs/SSJoin candidate
     * generation): for `J(a,b) ≥ t`, `|a∩b| ≥ t·|a|`, so in ANY fixed
     * global element order the first `|a| − ⌈t·|a|⌉ + 1` elements of `a`

@@ -94,6 +94,30 @@ class EventStreamSuite extends AnyFunSuite {
     assert(got.contains((1L, 2L, 600L)))
   }
 
+  test("streaming near-dup filter drops re-seen minhash signatures") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", TimestampType), StructField("text", StringType)))
+    val body = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, ts(0), body),
+      org.apache.spark.sql.Row(2L, ts(1), body),   // same signature → dropped
+      org.apache.spark.sql.Row(3L, ts(2), "a completely different document about spark shuffles"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val dir = Files.createTempDirectory("graft_ndf").toString
+    df.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = graft.ext.Dedup.nearDupFilterStream(stream, "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ndf_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("ndf_out").collect().map(_.getLong(0)).toSet
+    assert(got.size == 2 && got.contains(3L))
+    assert(got.intersect(Set(1L, 2L)).size == 1) // one of the twins survives
+  }
+
   test("stream-stream attribution join matches batch within the window") {
     val evs = Seq(
       EventStream.Event(1, ts(0), 1, "view", 1.0),
