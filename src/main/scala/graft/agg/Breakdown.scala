@@ -112,6 +112,11 @@ object Breakdown {
       case "q1" | "q2" | "q3" if wts.nonEmpty =>
         val q = ("q1q2q3".indexOf(op) / 2 + 1) * 0.25
         WeightedQuantile(x, wprod, q)
+      case "aq1" | "aq2" | "aq3" =>
+        // beyond-reference: bounded-state quantile sketch for unbounded
+        // groups (ApproxWeightedQuantile Scaladoc); weightless → w ≡ 1
+        val q = ("q1q2q3".indexOf(op.drop(1)) / 2 + 1) * 0.25
+        ApproxWeightedQuantile(x, if (wts.nonEmpty) wprod else lit(1.0), q, 256)
       case "count" => count(x)
       case "sum" => coalesce(sum(x), lit(0.0)) // pandas all-NaN sum = 0.0
       case "mean" => avg(x)

@@ -102,15 +102,15 @@ object Dedup {
       val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("canonical_id")).as("neighbor_min"))
+      // carry the previous label through the checkpoint so the convergence
+      // count reads materialized data instead of re-joining labels
       val next = labels.join(prop, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("canonical_id").as("old"),
           least(col("canonical_id"),
             coalesce(col("neighbor_min"), col("canonical_id"))).as("canonical_id"))
         .localCheckpoint(true)
-      changed = next.join(
-          labels.withColumnRenamed("canonical_id", "old"), "doc_id")
-        .filter(col("canonical_id") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("canonical_id") =!= col("old")).count()
+      labels = next.drop("old")
       it += 1
     }
     labels

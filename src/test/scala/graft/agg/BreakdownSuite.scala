@@ -135,6 +135,16 @@ class BreakdownSuite extends AnyFunSuite {
     assert(out(0).getDouble(3) == 4.0)
   }
 
+  test("aq ops: sketch quantiles through the spec grammar") {
+    val d = Seq(("a", 10.0, 1.0), ("a", 20.0, 2.0), ("a", 30.0, 1.0))
+      .toDF("k", "v", "w")
+    val out = Breakdown(d, "k;v=m,aq2,w;v=u,aq2").collect()
+    // lossless (3 distinct values): weighted == WeightedQuantile semantics,
+    // unweighted == w ≡ 1 (reference position convention)
+    assert(out(0).getDouble(1) == 20.0)
+    assert(out(0).getDouble(2) == 20.0)
+  }
+
   test("keys-only spec yields distinct groups") {
     val out = Breakdown(df, "lito").collect()
     assert(out.map(_.getString(0)).sorted.toSeq == Seq("high", "low"))
