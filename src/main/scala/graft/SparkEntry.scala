@@ -452,6 +452,19 @@ object SparkEntry {
     "q46_corpus_curate" -> ((s, dir) =>
       pipeline.CorpusCuration.curate(Tables.load(s, dir, "documents"))
         .orderBy("doc_id")),
+
+    // operators: range join as a broadcast band lookup — the join node
+    // disappears into one binary search per row (BandJoin.bandOf)
+    "q47_range_band" -> ((s, dir) =>
+      li(s, dir)
+        .withColumn("qty_band", coalesce(
+          operators.BandJoin.bandOf(col("l_quantity"),
+            Seq(("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 45.0))),
+          lit("other")))
+        .groupBy("qty_band")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"))
+        .orderBy("qty_band")),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -990,5 +1003,15 @@ object SparkEntry {
                FROM s)
          SELECT doc_id, lang_id, quality, tok_cnt FROM f
          WHERE quality >= 0.55 ORDER BY doc_id""",
+
+    // range join spelled relationally: LEFT JOIN on the interval condition
+    "q47_range_band" ->
+      """WITH bands(name, lo, hi) AS (VALUES
+           ('low', 0.0, 10.0), ('mid', 10.0, 25.0), ('high', 25.0, 45.0)),
+         j AS (SELECT coalesce(b.name, 'other') AS qty_band, l.l_extendedprice
+               FROM lineitem l LEFT JOIN bands b
+                 ON l.l_quantity >= b.lo AND l.l_quantity < b.hi)
+         SELECT qty_band, count(*) AS n, round(sum(l_extendedprice), 4) AS sum_price
+         FROM j GROUP BY qty_band ORDER BY qty_band""",
   )
 }

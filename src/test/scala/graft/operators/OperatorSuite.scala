@@ -40,6 +40,37 @@ class AsOfJoinSuite extends AnyFunSuite {
   }
 }
 
+class BandJoinSuite extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private val bands = Seq(("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 45.0))
+
+  test("bandOf equals the relational range join on every boundary") {
+    val vals = Seq(-1.0, 0.0, 9.999, 10.0, 24.999, 25.0, 44.999, 45.0, 100.0)
+      .toDF("v")
+    val viaExpr = vals.withColumn("b",
+      graft.operators.BandJoin.bandOf(col("v"), bands))
+      .collect().map(r => r.getDouble(0) -> Option(r.getString(1))).toMap
+    val bandsDf = bands.toDF("name", "lo", "hi")
+    val viaJoin = graft.operators.BandJoin
+      .joinByRange(vals, bandsDf, "v", "lo", "hi")
+      .collect().map(r => r.getDouble(0) -> Some(r.getString(1))).toMap
+    vals.collect().map(_.getDouble(0)).foreach { v =>
+      assert(viaExpr(v) == viaJoin.getOrElse(v, None), s"v=$v")
+    }
+    assert(viaExpr(0.0).contains("low") && viaExpr(10.0).contains("mid"))
+    assert(viaExpr(45.0).isEmpty && viaExpr(-1.0).isEmpty) // [lo, hi) edges
+  }
+
+  test("overlapping bands are rejected in the fast path") {
+    intercept[IllegalArgumentException] {
+      graft.operators.BandJoin.bandOf(lit(1.0),
+        Seq(("a", 0.0, 11.0), ("b", 10.0, 20.0)))
+    }
+  }
+}
+
 class GraftFunctionsSuite extends AnyFunSuite {
   private lazy val spark = SparkTest.spark
   import spark.implicits._
