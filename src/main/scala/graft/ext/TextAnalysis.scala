@@ -63,7 +63,10 @@ object TextAnalysis {
     val n = df.count()
     val terms = df.select(col(idCol).as("doc_id"),
       explode(wordTokens(textCol)).as("term"))
+    // materialize: tf feeds BOTH the document-frequency aggregate and the
+    // score join — without the checkpoint the explode+groupBy runs twice
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))

@@ -22,6 +22,8 @@ object Egress {
         df.write.mode(SaveMode.Overwrite).json(path)
       case "parquet" =>
         df.write.mode(SaveMode.Overwrite).parquet(path)
+      case "xlsx" =>
+        XlsxCodec.write(df, path)
       case "vtk" =>
         VtkWriter.writePolyData(meshOf(df, path), path)
       case "obj" =>

@@ -18,7 +18,9 @@ object Ingest {
     * from the header line like the reference's csv.Sniffer. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       condition: String = "", keepNull: Boolean = false): DataFrame = {
-    val lower = path.toLowerCase
+    // `path!sheet` selects an Excel sheet (reference table_name_selector,
+    // _gui.py:141-148) — strip for extension detection only
+    val lower = path.toLowerCase.split('!')(0)
     val ext = lower.substring(lower.lastIndexOf('.') + 1)
     val raw = ext match {
       case "csv" | "txt" | "prn" | "asc" =>
@@ -26,6 +28,7 @@ object Ingest {
           .option("sep", sniffSep(path)).csv(path)
       case "json" | "jsdb" => spark.read.json(path)
       case "parquet" => spark.read.parquet(path)
+      case "xlsx" => XlsxCodec.read(spark, path)
       case "shp" => ShpCodec.read(spark, path)
       case "dxf" => DxfCodec.read(spark, path)
       case "vtk" => // grid file → block-model table (cell data + centers)

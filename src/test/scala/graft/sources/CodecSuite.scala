@@ -66,7 +66,9 @@ class CodecSuite extends AnyFunSuite {
     assert(ObjCodec.read(s"$dir/mesh.obj").nTris == 12)
     Egress.save(MeshRows.toDf(spark, box), s"$dir/mesh.vtk")
     assert(VtkLegacy.readMesh(s"$dir/mesh.vtk").containsPoint(5, 5, 5))
-    intercept[IllegalArgumentException](Egress.save(df, s"$dir/out.xlsx"))
+    Egress.save(df, s"$dir/out.xlsx")
+    assert(XlsxCodec.read(spark, s"$dir/out.xlsx").count() == 2)
+    intercept[IllegalArgumentException](Egress.save(df, s"$dir/out.tif"))
   }
 
   test("CSV block model: synonym detection + schema inference + cell assign") {
@@ -83,6 +85,33 @@ class CodecSuite extends AnyFunSuite {
     assert((g.ox, g.oy, g.oz) == ((100.0, 200.0, 300.0)))
     assert(out.filter("i < 0").count() == 0)
     assert(out.select("i", "j", "k").distinct().count() == 12)
+  }
+
+  test("XLSX round-trip: header, numeric typing, strings, nulls, sheet select") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, "ore & <high>", Some(2.5)),
+      (2.0, "waste", None),
+      (3.0, "ore", Some(-0.5)))
+      .toDF("id", "lito", "grade")
+    val d = Files.createTempDirectory("graft_xlsx").toString
+    XlsxCodec.write(df, d + "/t.xlsx", sheet = "blocks")
+    val back = XlsxCodec.read(spark, d + "/t.xlsx")
+    assert(back.columns.toSeq == Seq("id", "lito", "grade"))
+    assert(back.schema("id").dataType.typeName == "double")
+    assert(back.schema("lito").dataType.typeName == "string")
+    val rows = back.orderBy("id").collect()
+    assert(rows(0).getString(1) == "ore & <high>") // xml escaping round-trips
+    assert(rows(1).isNullAt(2)) // missing cell → null
+    assert(rows(2).getDouble(2) == -0.5)
+    // sheet selection by name via path!sheet
+    val named = XlsxCodec.read(spark, d + "/t.xlsx!blocks")
+    assert(named.count() == 3)
+    intercept[IllegalArgumentException] {
+      XlsxCodec.read(spark, d + "/t.xlsx!nope")
+    }
+    // master dispatch routes .xlsx and applies the condition
+    assert(Ingest.load(spark, d + "/t.xlsx", condition = "lito LIKE 'ore%'").count() == 2)
   }
 
   test("split mesh egress writes one readable file per mesh") {
