@@ -29,6 +29,9 @@ object Ingest {
       case "json" | "jsdb" => spark.read.json(path)
       case "parquet" => spark.read.parquet(path)
       case "xlsx" => XlsxCodec.read(spark, path)
+      case "las" => LasCodec.read(spark, path)
+      case "png" | "bmp" | "gif" | "jpg" | "jpeg" =>
+        SpectralCodec.read(spark, path)
       case "shp" => ShpCodec.read(spark, path)
       case "dxf" => DxfCodec.read(spark, path)
       case "vtk" => // grid file → block-model table (cell data + centers)

@@ -114,6 +114,51 @@ class CodecSuite extends AnyFunSuite {
     assert(Ingest.load(spark, d + "/t.xlsx", condition = "lito LIKE 'ore%'").count() == 2)
   }
 
+  test("LAS well log: curves to columns, NULL sentinel masked, wrap mode") {
+    val las =
+      """~Version
+        | VERS.  2.0 : version
+        | WRAP.  YES : wrapped
+        |~Well
+        | NULL.  -999.25 : null value
+        |~Curve
+        | DEPT.M    : depth
+        | GR.API    : gamma ray
+        | RHOB.G/C3 : density
+        |~Params
+        |# comment line
+        |~ASCII
+        | 100.0 45.5
+        | 2.31
+        | 100.5 -999.25 2.35
+        |""".stripMargin
+    val d = Files.createTempDirectory("graft_las").toString
+    Files.write(java.nio.file.Paths.get(d + "/w.las"), las.getBytes)
+    val df = LasCodec.read(spark, d + "/w.las")
+    assert(df.columns.toSeq == Seq("DEPT", "GR", "RHOB"))
+    val rows = df.orderBy("DEPT").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(1) == 45.5 && rows(0).getDouble(2) == 2.31)
+    assert(rows(1).isNullAt(1)) // -999.25 masked
+    assert(Ingest.load(spark, d + "/w.las").count() == 2) // dispatch routes
+  }
+
+  test("PNG spectral: one row per pixel with channel columns") {
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val d = Files.createTempDirectory("graft_png").toString
+    javax.imageio.ImageIO.write(img, "png", new java.io.File(d + "/i.png"))
+    val df = SpectralCodec.read(spark, d + "/i.png")
+    assert(df.columns.toSeq == Seq("x", "y", "0", "1", "2"))
+    val m = df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m((0L, 0L)) == ((255L, 0L, 0L)))   // red pixel at row 0 col 0
+    assert(m((1L, 0L)) == ((0L, 0L, 255L)))   // blue at row 1 col 0
+    assert(m((1L, 1L)) == ((255L, 255L, 255L)))
+  }
+
   test("split mesh egress writes one readable file per mesh") {
     val d = Files.createTempDirectory("graft_split").toString
     val b2 = TriMesh.box("m2", 0, 5, 0, 5, 0, 5)
