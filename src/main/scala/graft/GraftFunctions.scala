@@ -42,6 +42,31 @@ object GraftFunctions {
       ApproxWeightedQuantile(Cast(exprs(0), DoubleType),
         Cast(exprs(1), DoubleType), q, maxBins)
     }, "built-in")
+    registry.createOrReplaceTempFunction("hashed_shingles", exprs => {
+      require(exprs.length == 1 || exprs.length == 2,
+        "hashed_shingles(text[, n])")
+      val n =
+        if (exprs.length == 2) exprs(1).eval().asInstanceOf[Number].intValue()
+        else 3
+      graft.functions.HashedShingles(exprs.head, n)
+    }, "built-in")
+    registry.createOrReplaceTempFunction("simhash", exprs => {
+      require(exprs.length == 1, "simhash(text)")
+      graft.functions.SimHashSketch(exprs.head)
+    }, "built-in")
+    registry.createOrReplaceTempFunction("sorted_intersect_size", exprs => {
+      require(exprs.length == 2, "sorted_intersect_size(a, b)")
+      graft.functions.SortedIntersectSize(exprs(0), exprs(1))
+    }, "built-in")
+    registry.createOrReplaceTempFunction("jaccard_sorted", exprs => {
+      require(exprs.length == 2, "jaccard_sorted(a, b)")
+      import org.apache.spark.sql.catalyst.expressions.{Add, Divide, Size, Subtract}
+      val inter = Cast(graft.functions.SortedIntersectSize(exprs(0), exprs(1)), DoubleType)
+      val union = Subtract(
+        Add(Cast(Size(exprs(0)), DoubleType), Cast(Size(exprs(1)), DoubleType)),
+        inter)
+      Divide(inter, union)
+    }, "built-in")
     registry.createOrReplaceTempFunction("major", exprs => {
       require(exprs.length == 1, "major(value)")
       // Mirror the Column helper: MajorAgg's buffer codec only handles

@@ -79,4 +79,30 @@ object SpectralCodec {
         (0 until bands).map(b => raster.getSample(c, r, b).toLong))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  /** Inverse of [[read]] (`pd_save_spectral`, /root/reference/_gui.py:
+    * 1266-1279): pixel rows back to an image. Channel count comes from the
+    * numeric columns besides x/y (1 → gray, 3 → RGB, 4 → ARGB). */
+  def write(df: DataFrame, path: String): Unit = {
+    val chans = df.columns.filterNot(c => c == "x" || c == "y")
+    val rows = df.collect()
+    val h = rows.map(_.getAs[Number]("x").intValue()).max + 1
+    val w = rows.map(_.getAs[Number]("y").intValue()).max + 1
+    val imgType = chans.length match {
+      case 1 => java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      case 4 => java.awt.image.BufferedImage.TYPE_INT_ARGB
+      case _ => java.awt.image.BufferedImage.TYPE_INT_RGB
+    }
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    val raster = img.getRaster
+    rows.foreach { r =>
+      val x = r.getAs[Number]("x").intValue()
+      val y = r.getAs[Number]("y").intValue()
+      chans.zipWithIndex.foreach { case (c, b) =>
+        raster.setSample(y, x, b, r.getAs[Number](c).intValue())
+      }
+    }
+    val fmt = path.toLowerCase.substring(path.lastIndexOf('.') + 1)
+    javax.imageio.ImageIO.write(img, fmt, new java.io.File(path))
+  }
 }

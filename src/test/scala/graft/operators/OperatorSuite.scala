@@ -87,6 +87,22 @@ class GraftFunctionsSuite extends AnyFunSuite {
     assert(out(0).getString(2) == "a")
   }
 
+  test("kernel functions usable from SQL: shingles, simhash, jaccard") {
+    graft.GraftFunctions.register(spark)
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"))
+      .toDF("id", "t").createOrReplaceTempView("t_kern")
+    val r = spark.sql(
+      """SELECT jaccard_sorted(a.sh, b.sh) AS j,
+           a.sk = b.sk AS same_sketch,
+           sorted_intersect_size(a.sh, b.sh) AS inter
+         FROM (SELECT hashed_shingles(t) AS sh, simhash(t) AS sk FROM t_kern WHERE id = 1) a,
+              (SELECT hashed_shingles(t) AS sh, simhash(t) AS sk FROM t_kern WHERE id = 2) b
+      """).collect()(0)
+    assert(r.getDouble(0) > 0.5 && r.getDouble(0) < 1.0) // near-dup jaccard
+    assert(r.getInt(2) > 0)
+  }
+
   test("SQL major() handles non-string, non-double columns (INT keys)") {
     graft.GraftFunctions.register(spark)
     Seq(("a", 3), ("a", 3), ("a", 7), ("b", 1), ("b", 2), ("b", 2))

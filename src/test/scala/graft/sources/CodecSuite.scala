@@ -157,6 +157,12 @@ class CodecSuite extends AnyFunSuite {
     assert(m((0L, 0L)) == ((255L, 0L, 0L)))   // red pixel at row 0 col 0
     assert(m((1L, 0L)) == ((0L, 0L, 255L)))   // blue at row 1 col 0
     assert(m((1L, 1L)) == ((255L, 255L, 255L)))
+    // writer round-trip: rows → png → rows
+    SpectralCodec.write(df, d + "/o.png")
+    val back = SpectralCodec.read(spark, d + "/o.png")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(back == m)
   }
 
   test("split mesh egress writes one readable file per mesh") {
