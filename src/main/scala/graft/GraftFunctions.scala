@@ -13,34 +13,32 @@ import graft.agg.{ApproxWeightedQuantile, MajorAgg, WeightedQuantile}
   *   FROM blocks GROUP BY lito
   */
 object GraftFunctions {
+  /** Literal numeric argument (the quantile q) → double. */
+  private def literalDouble(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Double =
+    e.eval() match {
+      case d: java.lang.Double => d.doubleValue()
+      case d: java.math.BigDecimal => d.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(s"q must be a literal, got $other")
+    }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("weighted_quantile", exprs => {
       require(exprs.length == 3, "weighted_quantile(value, weight, q)")
-      val q = exprs(2).eval() match {
-        case d: java.lang.Double => d.doubleValue()
-        case d: java.math.BigDecimal => d.doubleValue()
-        case d: org.apache.spark.sql.types.Decimal => d.toDouble
-        case i: java.lang.Integer => i.doubleValue()
-        case other => throw new IllegalArgumentException(s"q must be a literal, got $other")
-      }
-      WeightedQuantile(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType), q)
+      WeightedQuantile(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType),
+        literalDouble(exprs(2)))
     }, "built-in")
     registry.createOrReplaceTempFunction("approx_weighted_quantile", exprs => {
       require(exprs.length == 3 || exprs.length == 4,
         "approx_weighted_quantile(value, weight, q[, maxBins])")
-      val q = exprs(2).eval() match {
-        case d: java.lang.Double => d.doubleValue()
-        case d: java.math.BigDecimal => d.doubleValue()
-        case d: org.apache.spark.sql.types.Decimal => d.toDouble
-        case i: java.lang.Integer => i.doubleValue()
-        case other => throw new IllegalArgumentException(s"q must be a literal, got $other")
-      }
       val maxBins =
         if (exprs.length == 4) exprs(3).eval().asInstanceOf[Number].intValue()
         else 256
       ApproxWeightedQuantile(Cast(exprs(0), DoubleType),
-        Cast(exprs(1), DoubleType), q, maxBins)
+        Cast(exprs(1), DoubleType), literalDouble(exprs(2)), maxBins)
     }, "built-in")
     registry.createOrReplaceTempFunction("hashed_shingles", exprs => {
       require(exprs.length == 1 || exprs.length == 2,

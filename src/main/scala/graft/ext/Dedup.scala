@@ -26,8 +26,10 @@ object Dedup {
       .filter(col("n_copies") > 1)
 
   // deterministic affine hash family over a prime field (fits signed 64-bit:
-  // a,b < p = 1e9+7, h < p → a*h+b < ~1e18)
-  val Prime = 1000000007L
+  // a,b < p = 1e9+7, h < p → a*h+b < ~1e18). Single source of truth is the
+  // native kernel — the oracle SQL interpolates THIS value, so a divergent
+  // copy would silently break every minhash hash-compare.
+  val Prime: Long = graft.functions.MinHashKernel.Prime
   def hashParams(numHashes: Int): Seq[(Long, Long)] =
     (0 until numHashes).map(i => (2L * i + 3L, 5L * i + 7L))
 
@@ -90,7 +92,7 @@ object Dedup {
     * `localCheckpoint` truncates the growing lineage each round.
     * Output: (doc_id, canonical_id) for every id appearing in a pair. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIters: Int = 20): DataFrame = {
+      idB: String = "id_b", maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().localCheckpoint(true)
@@ -113,6 +115,12 @@ object Dedup {
       labels = next.drop("old")
       it += 1
     }
+    // non-convergence must fail loudly: intermediate labels look valid but
+    // split one dup cluster into several "canonicals"
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        s"($changed labels still changing) — raise maxIters (component " +
+        "diameter exceeds it)")
     labels
   }
 

@@ -115,7 +115,8 @@ object CentroidKernel {
     val taken = new Array[Boolean](k)
     val out = new Array[Int](n)
     var j = 0
-    while (j < n) {
+    var done = false
+    while (j < n && !done) {
       var best = -1
       var bestD = Double.MaxValue
       var i = 0
@@ -123,11 +124,13 @@ object CentroidKernel {
         if (!taken(i) && d(i) < bestD) { bestD = d(i); best = i }
         i += 1
       }
-      taken(best) = true
-      out(j) = best
-      j += 1
+      // no comparable centroid left (NaN vector / dim mismatch): stop with
+      // the probes found so far — consistent with nearest()'s silent −1
+      if (best < 0) done = true
+      else { taken(best) = true; out(j) = best; j += 1 }
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, j))
   }
 }
 

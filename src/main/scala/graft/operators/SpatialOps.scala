@@ -114,10 +114,13 @@ object FlagRegions {
     *
     * Output ≡ `apply` over the full store (same rows, same flags). */
   def fromStore(spark: SparkSession, path: String,
-      g: GridSchema, meshes: Seq[TriMesh], slabCells: Int = 4,
+      g: GridSchema, meshes: Seq[TriMesh],
       flagVar: String = "region"): DataFrame = {
     if (meshes.isEmpty)
       return spark.read.parquet(path).withColumn(flagVar, lit(""))
+    // slab size comes from the store's own metadata — a re-defaulted
+    // parameter would prune the wrong window and flag in-solid cells ''
+    val slabCells = graft.sources.BlockModelStore.slabCells(path)
     val zMin = meshes.map(_.bounds(4)).min
     val zMax = meshes.map(_.bounds(5)).max
     val kLo = math.floor((zMin - g.oz) / g.sz).toInt / slabCells

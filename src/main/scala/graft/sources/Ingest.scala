@@ -46,14 +46,23 @@ object Ingest {
   /** Header-line separator sniff (comma/semicolon/tab/space — the
     * reference uses csv.Sniffer, _gui.py:225-226). */
   def sniffSep(path: String): String = {
-    val src = scala.io.Source.fromFile(
+    val target: Option[String] =
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path))) {
-        val d = new java.io.File(path)
-        d.listFiles().filter(_.getName.endsWith(".csv")).head.getPath
-      } else path)
-    val header = try src.getLines().take(1).toSeq.headOption.getOrElse("")
-    finally src.close()
-    Seq(",", ";", "\t", " ").maxBy(s => header.split(java.util.regex.Pattern.quote(s), -1).length)
+        val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+          .sortBy(_.getName)
+        // prefer a .csv-named part, else sniff any data file; none → default
+        files.find(_.getName.endsWith(".csv")).orElse(files.headOption).map(_.getPath)
+      } else Some(path)
+    target match {
+      case None => ","
+      case Some(f) =>
+        val src = scala.io.Source.fromFile(f)
+        val header = try src.getLines().take(1).toSeq.headOption.getOrElse("")
+        finally src.close()
+        Seq(",", ";", "\t", " ").maxBy(s =>
+          header.split(java.util.regex.Pattern.quote(s), -1).length)
+    }
   }
 
   /** Replace the −99 null sentinel with SQL NULL in every numeric column —

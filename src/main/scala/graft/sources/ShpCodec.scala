@@ -107,12 +107,16 @@ object ShpCodec {
         bytes(fo + 11).toChar, bytes(fo + 16) & 0xff, bytes(fo + 17) & 0xff)
       fo += 32
     }
-    val recs = (0 until nRec).flatMap { r =>
+    val recs = (0 until nRec).map { r =>
       val base = headerSize + r * recSize
-      if (base + recSize > bytes.length || bytes(base) == '*') None
+      // deletion-flagged records keep their SLOT (all-null attrs): .shp and
+      // .dbf records align positionally, so dropping one would shift every
+      // later record onto its predecessor's attributes
+      if (base + recSize > bytes.length || bytes(base) == '*')
+        fields.toSeq.map(_ => null: Any)
       else {
         var off = base + 1
-        Some(fields.toSeq.map { f =>
+        fields.toSeq.map[Any] { f =>
           val raw = new String(bytes, off, f.len, "ASCII").trim
           off += f.len
           f.typ match {
@@ -122,7 +126,7 @@ object ShpCodec {
               else raw.toDouble
             case _ => raw
           }
-        })
+        }
       }
     }
     (fields.toSeq, recs)

@@ -85,6 +85,9 @@ object SpectralCodec {
     * numeric columns besides x/y (1 → gray, 3 → RGB, 4 → ARGB). */
   def write(df: DataFrame, path: String): Unit = {
     val chans = df.columns.filterNot(c => c == "x" || c == "y")
+    require(Set(1, 3, 4).contains(chans.length),
+      s"spectral write needs 1 (gray), 3 (RGB) or 4 (ARGB) channel " +
+        s"columns, got ${chans.length}: ${chans.mkString(",")}")
     val rows = df.collect()
     val h = rows.map(_.getAs[Number]("x").intValue()).max + 1
     val w = rows.map(_.getAs[Number]("y").intValue()).max + 1
@@ -103,6 +106,9 @@ object SpectralCodec {
       }
     }
     val fmt = path.toLowerCase.substring(path.lastIndexOf('.') + 1)
-    javax.imageio.ImageIO.write(img, fmt, new java.io.File(path))
+    // ImageIO signals "no writer for this format/image combination" by
+    // returning false, not by throwing — silent empty output otherwise
+    require(javax.imageio.ImageIO.write(img, fmt, new java.io.File(path)),
+      s"no ImageIO writer for format '$fmt' with ${chans.length} channels")
   }
 }

@@ -100,13 +100,16 @@ object XlsxCodec {
     }
   }
 
-  /** Raw cell grid of one sheet: rows of (colIndex → string value). */
+  /** Raw cell grid of one sheet: rows of (colIndex → (value, isNumericCell)).
+    * The cell's `t` attribute decides numeric-ness ("n"/absent = number;
+    * "s"/"inlineStr"/"str"/"b" = text) — string cells that LOOK numeric
+    * ("007") must stay strings. */
   private def parseSheet(zf: ZipFile, part: String,
-      shared: IndexedSeq[String]): Seq[Map[Int, String]] = {
+      shared: IndexedSeq[String]): Seq[Map[Int, (String, Boolean)]] = {
     val r = XMLInputFactory.newInstance().createXMLStreamReader(
       zf.getInputStream(zf.getEntry(part)), "UTF-8")
-    val rows = mutable.ArrayBuffer.empty[Map[Int, String]]
-    var cur: mutable.Map[Int, String] = null
+    val rows = mutable.ArrayBuffer.empty[Map[Int, (String, Boolean)]]
+    var cur: mutable.Map[Int, (String, Boolean)] = null
     var cellCol = -1
     var cellType = ""
     var value: String = null
@@ -134,7 +137,7 @@ object XlsxCodec {
               case "s" => shared(value.toInt)
               case _ => value
             }
-            cur(cellCol) = resolved
+            cur(cellCol) = (resolved, cellType == "n")
           case "is" => inIs = false
           case _ =>
         }
@@ -165,13 +168,13 @@ object XlsxCodec {
       require(grid.nonEmpty, s"empty sheet in $path")
       val nCols = grid.map(r => if (r.isEmpty) 0 else r.keys.max + 1).max
       val header = (0 until nCols).map(i =>
-        grid.head.getOrElse(i, s"_c$i"))
+        grid.head.get(i).map(_._1).getOrElse(s"_c$i"))
       val data = grid.tail
-      def numeric(s: String): Option[Double] =
-        try Some(s.toDouble) catch { case _: NumberFormatException => None }
+      // a column is double only when EVERY present cell is a numeric CELL
+      // (cell type, not string parseability — "007" stays "007")
       val isNum = (0 until nCols).map { c =>
         val vals = data.flatMap(_.get(c))
-        vals.nonEmpty && vals.forall(v => numeric(v).isDefined)
+        vals.nonEmpty && vals.forall(_._2)
       }
       val schema = StructType((0 until nCols).map(c =>
         StructField(header(c), if (isNum(c)) DoubleType else StringType)))
@@ -179,7 +182,7 @@ object XlsxCodec {
         Row.fromSeq((0 until nCols).map { c =>
           m.get(c) match {
             case None => null
-            case Some(v) => if (isNum(c)) v.toDouble else v
+            case Some((v, _)) => if (isNum(c)) v.toDouble else v
           }
         })
       }
