@@ -290,6 +290,14 @@ class IvfSuite extends AnyFunSuite {
     assert(viaStore == viaMem && viaStore.nonEmpty)
   }
 
+  test("NaN query vectors neither crash nor match (probe list empty)") {
+    val c = Ivf.train(vecs, k = 2, iters = 2)
+    val bad = Seq((99L, Array(Double.NaN, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    // used to AIOOBE inside ProbeCentroids; now the row just yields no probes
+    assert(Ivf.topK(vecs, bad, 5, c, nprobe = 2).count() == 0)
+  }
+
   test("nprobe = k equals brute force; nprobe = 1 stays in-cluster") {
     val c = Ivf.train(vecs, k = 2, iters = 4)
     val queries = vecs.filter(col("vec_id") < 2)

@@ -112,6 +112,13 @@ class CodecSuite extends AnyFunSuite {
     }
     // master dispatch routes .xlsx and applies the condition
     assert(Ingest.load(spark, d + "/t.xlsx", condition = "lito LIKE 'ore%'").count() == 2)
+    // numeric-LOOKING string cells keep their type (leading zeros survive)
+    val codes = Seq(("0012", 1.0), ("007", 2.0)).toDF("code", "v")
+    XlsxCodec.write(codes, d + "/codes.xlsx")
+    val codesBack = XlsxCodec.read(spark, d + "/codes.xlsx")
+    assert(codesBack.schema("code").dataType.typeName == "string")
+    assert(codesBack.orderBy("v").collect().map(_.getString(0)).toSeq ==
+      Seq("0012", "007"))
   }
 
   test("LAS well log: curves to columns, NULL sentinel masked, wrap mode") {
