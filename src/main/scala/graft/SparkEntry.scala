@@ -400,7 +400,7 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(col("o_orderkey")).as("n_matched"),
           sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_unmatched"),
-          round(sum(col("o_totalprice")), 4).as("sum_price"))
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy("event_type")
     }),
 
@@ -901,7 +901,7 @@ object SparkEntry {
            ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate)
          SELECT event_type, count(o_orderkey) AS n_matched,
            CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
-           round(sum(o_totalprice), 4) AS sum_price
+           round(sum(o_totalprice), 2) AS sum_price
          FROM m GROUP BY event_type ORDER BY event_type""",
 
     // nprobe == k scans every IVF cell → exact brute-force top-k,
