@@ -463,7 +463,7 @@ object SparkEntry {
           lit("other")))
         .groupBy("qty_band")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice")), 4).as("sum_price"))
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
         .orderBy("qty_band")),
   )
 
@@ -1011,7 +1011,7 @@ object SparkEntry {
          j AS (SELECT coalesce(b.name, 'other') AS qty_band, l.l_extendedprice
                FROM lineitem l LEFT JOIN bands b
                  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi)
-         SELECT qty_band, count(*) AS n, round(sum(l_extendedprice), 4) AS sum_price
+         SELECT qty_band, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
          FROM j GROUP BY qty_band ORDER BY qty_band""",
   )
 }
