@@ -237,10 +237,12 @@ object SparkEntry {
         .select(col("doc_id"), ext.Dedup.simhash("text").as("sketch"))
         .orderBy("doc_id")),
 
-    // ext: all-pairs n-gram Jaccard within tight (lang, source) blocks —
-    // exact-verify pattern; cross-block recall is q21's LSH job
+    // ext: n-gram Jaccard pairs within (lang, source) blocks via the
+    // prefix-filtered AllPairs join — lossless vs the block cross-product
+    // (ExtSuite proves output-identical) and the shape that survives
+    // blocks of millions of documents; cross-block recall is q21's LSH job
     "q23_ngram_jaccard" -> ((s, dir) =>
-      ext.Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+      ext.Dedup.ngramJaccardPairsPrefix(Tables.load(s, dir, "documents"),
         "text", "doc_id", Seq("lang", "source"), 0.3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
