@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** String → dense integer codes, the engine's analog of `pd.factorize`
   * (/root/reference/pd_vtk.py:474-498, vtk_flag_regions.py:21-26).
@@ -12,15 +12,24 @@ import org.apache.spark.sql.functions._
   * documented deviation — SURVEY.md §2.3). Nulls get no code (null index,
   * like pandas' −1 rendered as null).
   *
-  * Scale: the dimension side is `distinct` of one column — tiny for
-  * categorical variables — so the join back is a broadcast hash join, no
-  * shuffle of the fact table.
+  * Scale: the dimension side is `distinct` of one column, range-repartitioned
+  * and sorted within partitions, with codes assigned by `zipWithIndex` —
+  * globally sorted order with NO single-partition global window, so a
+  * high-cardinality column (doc ids, user ids) factorizes without collapsing
+  * to one task. The join back broadcasts only when the dimension is small;
+  * drop the explicit `broadcast` hint at the call site if it ever is not.
   */
 object Factorize {
   def apply(df: DataFrame, column: String, indexCol: String): DataFrame = {
-    val dim = df.select(col(column)).where(col(column).isNotNull).distinct()
-      .withColumn(indexCol,
-        (row_number().over(Window.orderBy(col(column))) - 1).cast("long"))
+    val spark = df.sparkSession
+    val sorted = df.select(col(column)).where(col(column).isNotNull).distinct()
+      .repartitionByRange(col(column)).sortWithinPartitions(col(column))
+    // range partitions are ordered by key range, so zipWithIndex (one count
+    // job + one map) hands out indices in global sorted order
+    val schema = sorted.schema.add(indexCol, LongType, nullable = false)
+    val dim = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
     df.join(broadcast(dim), Seq(column), "left")
   }
 }

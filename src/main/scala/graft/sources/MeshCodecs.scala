@@ -193,14 +193,32 @@ object CsvBlockModel {
       val r = df.select(min("xlength"), min("ylength"), min("zlength")).head()
       (r.getDouble(0), r.getDouble(1), r.getDouble(2))
     } else {
+      // min positive delta of the sorted distinct coordinates, computed
+      // partition-locally (range-repartition + local sort + per-partition
+      // scan, boundary deltas stitched on the driver) — no global
+      // single-partition window even if fed a non-grid table
       def axisSize(c: String): Double = {
-        val d = df.select(col(c).cast("double").as("v")).distinct()
-          .orderBy("v")
-          .withColumn("delta", col("v") - lag("v", 1).over(
-            org.apache.spark.sql.expressions.Window.orderBy("v")))
-          .filter(col("delta") > 1e-9)
-          .agg(min("delta")).head()
-        if (d.isNullAt(0)) 10.0 else d.getDouble(0) // reference default size
+        val parts = df.select(col(c).cast("double").as("v"))
+          .where(col("v").isNotNull).distinct()
+          .repartitionByRange(col("v")).sortWithinPartitions("v")
+          .rdd.mapPartitionsWithIndex { (pi, it) =>
+            var first = Double.NaN; var prev = Double.NaN
+            var minD = Double.PositiveInfinity
+            it.foreach { r =>
+              val v = r.getDouble(0)
+              if (first.isNaN) first = v
+              else { val d = v - prev; if (d > 1e-9 && d < minD) minD = d }
+              prev = v
+            }
+            if (first.isNaN) Iterator.empty
+            else Iterator((pi, first, prev, minD))
+          }.collect().sortBy(_._1)
+        var minD = parts.foldLeft(Double.PositiveInfinity)((m, p) => math.min(m, p._4))
+        for (i <- 1 until parts.length) {
+          val d = parts(i)._2 - parts(i - 1)._3
+          if (d > 1e-9 && d < minD) minD = d
+        }
+        if (minD.isInfinite) 10.0 else minD // reference default size
       }
       (axisSize(xyz(0)), axisSize(xyz(1)), axisSize(xyz(2)))
     }
