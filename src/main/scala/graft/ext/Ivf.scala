@@ -30,9 +30,12 @@ object Ivf {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val dim = v.select(size(col("v"))).first().getInt(0)
-    val avgVec = array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as("c")
+    // ONE array-buffer aggregate ([[graft.agg.VectorMeanAgg]]) — the
+    // dim × avg(v[i]) expansion walks the array per dimension and bloats
+    // the plan at realistic embedding dims (768–1536)
     def recompute(assigned: DataFrame, prev: Array[Array[Double]]): Array[Array[Double]] = {
-      val m = assigned.groupBy(col("b")).agg(avgVec).collect()
+      val m = assigned.groupBy(col("b"))
+        .agg(graft.agg.VectorMeanAgg.column(col("v")).as("c")).collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
       Array.tabulate(k)(j => m.getOrElse(j, prev(j))) // empty cell keeps its centroid
     }

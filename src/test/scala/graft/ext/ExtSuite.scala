@@ -298,6 +298,41 @@ class IvfSuite extends AnyFunSuite {
     assert(Ivf.topK(vecs, bad, 5, c, nprobe = 2).count() == 0)
   }
 
+  test("vector_mean: flat single-aggregate plan and exact means at dim 512") {
+    val dim = 512
+    val n = 50
+    val hi = (0 until n).map(i =>
+        (i.toLong, Array.tabulate(dim)(d => (i * dim + d) * 0.001)))
+      .toDF("vec_id", "embedding")
+    val agg = hi.groupBy(lit(0).as("b"))
+      .agg(graft.agg.VectorMeanAgg.column(
+        col("embedding").cast("array<double>")).as("c"))
+    // the plan carries ONE aggregate, not dim × avg(embedding[i])
+    val plan = agg.queryExecution.optimizedPlan.toString
+    assert(plan.contains("vector_mean"))
+    assert(!plan.contains("avg("))
+    val got = agg.collect()(0).getSeq[Double](1).toArray
+    val want = Array.tabulate(dim)(d =>
+      (0 until n).map(i => (i * dim + d) * 0.001).sum / n)
+    assert(got.length == dim)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+    // k = 1 training: every row lands in bucket 0, centroid = corpus mean
+    val c = Ivf.train(hi, k = 1, iters = 1)
+    assert(c.length == 1 && c(0).length == dim)
+    c(0).zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+  }
+
+  test("vector_mean: skips null vectors, empty group yields null") {
+    val df = Seq(
+      (0, Some(Array(1.0, 3.0))), (0, None), (0, Some(Array(3.0, 5.0))),
+      (1, None)).toDF("g", "v")
+    val out = df.groupBy("g")
+      .agg(graft.agg.VectorMeanAgg.column(col("v")).as("m"))
+      .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    assert(out(0).get.asInstanceOf[scala.collection.Seq[Double]].toSeq == Seq(2.0, 4.0))
+    assert(out(1).isEmpty)
+  }
+
   test("nprobe = k equals brute force; nprobe = 1 stays in-cluster") {
     val c = Ivf.train(vecs, k = 2, iters = 4)
     val queries = vecs.filter(col("vec_id") < 2)
