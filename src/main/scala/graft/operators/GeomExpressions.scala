@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
@@ -188,4 +188,41 @@ object MineExpr {
       ExpressionUtils.expression(x), ExpressionUtils.expression(y),
       ExpressionUtils.expression(z),
       new MineKernel(includes.toArray, excludes.toArray, dz, subBlocks, sx, sy)))
+}
+
+/** `elevation` column: mean z of the vertical-ray surface hits, null on
+  * miss (`get_elevation`, /root/reference/pd_vtk.py:771-796). The codegen
+  * sibling of [[MineExpr]] — the ScalaUDF version boxed an Option per row
+  * and broke the fused scan at an expression boundary. */
+case class ElevationExpr(left: Expression, right: Expression, mesh: TriMesh)
+  extends BinaryExpression {
+
+  override def prettyName: String = "surface_elevation"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(x: Any, y: Any): Any = {
+    val z = mesh.surfaceZ(x.asInstanceOf[Double], y.asInstanceOf[Double])
+    if (z.isNaN) null else java.lang.Double.valueOf(z)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("elevMesh", mesh, classOf[TriMesh].getName)
+    val z = ctx.freshName("graftElev")
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"""
+         double $z = $ref.surfaceZ($x, $y);
+         if (Double.isNaN($z)) { ${ev.isNull} = true; }
+         else { ${ev.value} = $z; }
+       """)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ElevationExpr = copy(left = l, right = r)
+}
+
+object ElevationExpr {
+  def column(x: Column, y: Column, mesh: TriMesh): Column =
+    ExpressionUtils.column(ElevationExpr(
+      ExpressionUtils.expression(x), ExpressionUtils.expression(y), mesh))
 }

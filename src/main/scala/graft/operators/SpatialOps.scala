@@ -185,12 +185,9 @@ object MineDepletion {
   * null on miss. */
 object Elevation {
   def apply(spark: SparkSession, df: DataFrame, mesh: TriMesh,
-      out: String = "elevation", xCol: String = "x", yCol: String = "y"): DataFrame = {
-    val bc = spark.sparkContext.broadcast(mesh)
-    val elev = udf { (x: Double, y: Double) =>
-      val z = bc.value.surfaceZ(x, y)
-      if (z.isNaN) None else Some(z)
-    }
-    df.withColumn(out, elev(col(xCol), col(yCol)))
-  }
+      out: String = "elevation", xCol: String = "x", yCol: String = "y"): DataFrame =
+    // native codegen Expression (operators.ElevationExpr) — same pattern as
+    // RegionFlagExpr/MineExpr, no ScalaUDF boundary in the fused scan
+    df.withColumn(out, ElevationExpr.column(
+      col(xCol).cast("double"), col(yCol).cast("double"), mesh))
 }

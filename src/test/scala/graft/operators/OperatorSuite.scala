@@ -117,6 +117,30 @@ class GraftFunctionsSuite extends AnyFunSuite {
   }
 }
 
+class ElevationSuite extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("codegen elevation: plane height inside footprint, null outside, no UDF") {
+    val quad = TriMesh.quad("q",
+      Array(0, 0, 5, 10, 0, 5, 10, 10, 5, 0, 10, 5))
+    // repartition keeps the optimizer from folding the expression into a
+    // LocalTableScan, so the assertion sees the real codegen plan
+    val pts = Seq((3.3, 4.4), (9.9, 0.1), (11.0, 4.4)).toDF("x", "y")
+      .repartition(2)
+    val out = Elevation(spark, pts, quad)
+    // the kernel is a native Expression — no ScalaUDF boundary in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+    assert(plan.contains("surface_elevation"))
+    val rows = out.orderBy("x").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    assert(rows(0).exists(z => math.abs(z - 5.0) < 1e-9))
+    assert(rows(1).exists(z => math.abs(z - 5.0) < 1e-9))
+    assert(rows(2).isEmpty) // off-footprint ray miss
+  }
+}
+
 class BlockModelStoreSuite extends AnyFunSuite {
   private lazy val spark = SparkTest.spark
 
