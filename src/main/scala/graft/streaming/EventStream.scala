@@ -98,14 +98,19 @@ object EventStream {
   final case class SessionState(first: Long, last: Long, n: Long)
 
   /** Streaming sessionization with explicit state: one [[SessionState]] per
-    * user, emitted when the inactivity gap passes (processing-time
-    * timeout). The stateful analog of [[sessionizeBatch]] — bounded state
-    * per key, the 100 TB-stream shape. */
-  def sessionizeStreaming(ds: Dataset[Event], gapSec: Long): Dataset[SessionOut] = {
+    * user, emitted when the WATERMARK passes `last event + gap` (event-time
+    * timeout) — session closure depends only on the data, so a replay of
+    * the same stream emits identical sessions (a processing-time timeout
+    * would close sessions on wall clock, nondeterministically). The
+    * stateful analog of [[sessionizeBatch]] — bounded state per key, the
+    * 100 TB-stream shape. */
+  def sessionizeStreaming(ds: Dataset[Event], gapSec: Long,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.user_id)
+    ds.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, events: Iterator[Event], state: GroupState[SessionState]) =>
           // State holds epoch MILLISECONDS (not truncated seconds) so
           // sub-second gaps straddling gapSec agree with the microsecond
@@ -133,8 +138,14 @@ object EventStream {
                   cur = Some(SessionState(t, t, 1))
               }
             }
-            cur.foreach(state.update)
-            state.setTimeoutDuration(gapSec * 1000)
+            cur.foreach { s =>
+              state.update(s)
+              // fire once the watermark passes the inactivity gap; clamp
+              // above the current watermark (Spark rejects a timeout at or
+              // behind it when every event in the batch arrived late)
+              state.setTimeoutTimestamp(math.max(
+                s.last + gapSec * 1000L, state.getCurrentWatermarkMs() + 1L))
+            }
             out.reverseIterator
           }
       }

@@ -160,8 +160,36 @@ class EventStreamSuite extends AnyFunSuite {
     val got = spark.table("sess_ms")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // events 1 and 2 each close as their own single-event session (the
-    // third may also close if the 1s processing-time timeout fires during
-    // the run). Before the ms fix they merged into one (9,2,1) session.
+    // third may also close once the watermark passes its gap). Before the
+    // ms fix the first two merged into one (9,2,1) session.
     assert(got.count(_ == ((9L, 1L, 0L))) >= 2)
+  }
+
+  test("event-time timeout: replaying the same data emits identical sessions") {
+    val evs = Seq(
+      EventStream.Event(1, ts(0), 7, "view", 1.0),
+      EventStream.Event(2, ts(10), 7, "click", 1.0),
+      EventStream.Event(3, ts(140), 7, "view", 1.0), // 2h gap closes session 1 in-batch
+      EventStream.Event(4, ts(500), 8, "view", 1.0)) // advances the watermark far past user 7
+    val dir = Files.createTempDirectory("graft_replay").toString
+    evs.toDF().write.mode("overwrite").parquet(dir)
+    def run(name: String): Seq[(Long, Long, Long)] = {
+      val stream = spark.readStream
+        .schema(evs.toDF().schema).parquet(dir).as[EventStream.Event]
+      val q = EventStream.sessionizeStreaming(stream, gapSec = 1800)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    }
+    val a = run("replay_a")
+    val b = run("replay_b")
+    assert(a == b) // closure depends on event time only — replays agree
+    assert(a.contains((7L, 2L, 600L))) // gap-split session closed in-batch
+    // the tail session closes when the WATERMARK (not wall clock) passes
+    // last + gap: ts(500) − 10 min ≫ ts(140) + 30 min
+    assert(a.contains((7L, 1L, 0L)))
   }
 }
