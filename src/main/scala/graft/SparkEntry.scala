@@ -69,6 +69,21 @@ object SparkEntry {
       Seq(Region2, Region3), Seq(Topo), Seq(pit))
   }
 
+  /** Bench-only geometry probe (no oracle): the region/mine/elevation
+    * kernels on the 12k-cell grid (`factor = 1`) or a 1.2M-cell grid
+    * (`factor = 100` — same spatial footprint at 10× x/y resolution, so
+    * the fixture meshes intersect identically). Certifies empirically that
+    * the BVH kernel cost stays ~linear per row and the fused scan plans
+    * stay shuffle-free at 100× the cell count. */
+  def geometryProbe(s: SparkSession, factor: Int): Map[String, DataFrame] = {
+    val g = if (factor <= 1) G
+      else GridSchema(1000, 2000, 100, 1, 1, 10, 300, 200, 20)
+    Map(
+      "flag_regions" -> FlagRegions(s, GridOps.generate(s, g), Seq(Region2, Region3)),
+      "mine_deplete" -> MineDepletion(s, GridOps.generate(s, g), Seq(Topo), Seq(Pit), g.sz),
+      "elevation" -> Elevation(GridOps.generate(s, g), Slope))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 breakdown engine: group keys + count/sum/mean/min/max
     "q01_breakdown_basic" -> ((s, dir) =>
@@ -191,7 +206,7 @@ object SparkEntry {
 
     // §2.5 surface elevation (get_elevation): sloped plane, null off-footprint
     "q16_elevation" -> ((s, _) =>
-      Elevation(s, GridOps.generate(s, G), Slope)
+      Elevation(GridOps.generate(s, G), Slope)
         .select(col("id"), round(col("elevation"), 6).as("elev"))
         .orderBy("id")),
 

@@ -99,6 +99,11 @@ object Breakdown {
         // sorted distinct, comma-joined (deviation: reference is
         // first-appearance order, bm_breakdown.py:215-216)
         concat_ws(",", sort_array(collect_set(col(r.variable).cast(StringType))))
+      case l if l.startsWith("list") && l.drop(4).nonEmpty &&
+          l.drop(4).forall(_.isDigit) =>
+        // `listN`: bounded-state variant for high-cardinality groups —
+        // smallest N distinct values + ",…" overflow marker
+        BoundedListAgg(col(r.variable), l.drop(4).toInt)
       case "sum" if wts.nonEmpty =>
         // nansum(Π(x·w…)): null/NaN products contribute 0 (bm_breakdown.py:217-219)
         coalesce(sum(nanvl(x * wprod, lit(null).cast(DoubleType))), lit(0.0))

@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.LongType
   * and sorted within partitions, with codes assigned by `zipWithIndex` —
   * globally sorted order with NO single-partition global window, so a
   * high-cardinality column (doc ids, user ids) factorizes without collapsing
-  * to one task. The join back broadcasts only when the dimension is small;
-  * drop the explicit `broadcast` hint at the call site if it ever is not.
+  * to one task. The join back carries no broadcast hint: AQE picks a
+  * broadcast join when the dimension's runtime size is under
+  * `spark.sql.autoBroadcastJoinThreshold` and a shuffled join when it is
+  * not, so a billion-key dimension cannot OOM the driver.
   */
 object Factorize {
   def apply(df: DataFrame, column: String, indexCol: String): DataFrame = {
@@ -30,6 +32,6 @@ object Factorize {
     val dim = spark.createDataFrame(
       sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
       schema)
-    df.join(broadcast(dim), Seq(column), "left")
+    df.join(dim, Seq(column), "left")
   }
 }

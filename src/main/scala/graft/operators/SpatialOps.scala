@@ -184,7 +184,9 @@ object MineDepletion {
   * (/root/reference/pd_vtk.py:771-796): mean z of the vertical-ray hits,
   * null on miss. */
 object Elevation {
-  def apply(spark: SparkSession, df: DataFrame, mesh: TriMesh,
+  // no SparkSession parameter: the mesh ships as a plan reference object
+  // inside ElevationExpr (same pattern as MineDepletion), not a broadcast
+  def apply(df: DataFrame, mesh: TriMesh,
       out: String = "elevation", xCol: String = "x", yCol: String = "y"): DataFrame =
     // native codegen Expression (operators.ElevationExpr) — same pattern as
     // RegionFlagExpr/MineExpr, no ScalaUDF boundary in the fused scan

@@ -26,12 +26,16 @@ object Egress {
         XlsxCodec.write(df, path)
       case "png" | "bmp" =>
         SpectralCodec.write(df, path)
+      case "tif" | "tiff" =>
+        GeoTiffCodec.write(df, path)
       case "vtk" =>
         VtkWriter.writePolyData(meshOf(df, path), path)
       case "obj" =>
         ObjCodec.write(meshOf(df, path), path)
       case "msh" =>
         MshCodec.write(meshOf(df, path), path)
+      case "glb" =>
+        GltfCodec.write(meshOf(df, path), path)
       case "shp" =>
         ShpCodec.write(df, path)
       case "dxf" =>

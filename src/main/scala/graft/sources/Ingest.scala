@@ -32,6 +32,7 @@ object Ingest {
       case "las" => LasCodec.read(spark, path)
       case "png" | "bmp" | "gif" | "jpg" | "jpeg" =>
         SpectralCodec.read(spark, path)
+      case "tif" | "tiff" => GeoTiffCodec.read(spark, path)
       case "shp" => ShpCodec.read(spark, path)
       case "dxf" => DxfCodec.read(spark, path)
       case "vtk" => // grid file → block-model table (cell data + centers)

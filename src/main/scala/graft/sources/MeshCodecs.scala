@@ -23,6 +23,7 @@ object MeshIO {
       case "vtk" => VtkLegacy.readMesh(path)
       case "obj" => ObjCodec.read(path)
       case "msh" => MshCodec.read(path)
+      case "glb" | "gltf" => GltfCodec.read(path)
       case other =>
         throw new IllegalArgumentException(s"unsupported mesh extension: $other")
     }

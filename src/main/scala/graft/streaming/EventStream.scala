@@ -103,7 +103,20 @@ object EventStream {
     * the same stream emits identical sessions (a processing-time timeout
     * would close sessions on wall clock, nondeterministically). The
     * stateful analog of [[sessionizeBatch]] — bounded state per key, the
-    * 100 TB-stream shape. */
+    * 100 TB-stream shape.
+    *
+    * Event-time tradeoffs callers must size `watermark` for:
+    *   - NO FLUSH ON IDLE: the watermark only advances when newer events
+    *     arrive, so on an idle or terminated stream the tail sessions stay
+    *     open in state and are never emitted (a processing-time timeout
+    *     would eventually flush them, at the cost of replay determinism).
+    *     For a drain-at-shutdown, feed a final high-timestamp sentinel
+    *     event per partition, or read the remaining open sessions out of
+    *     the state store.
+    *   - LATENESS BOUND: events later than `watermark` behind the stream
+    *     maximum are dropped by `withWatermark` before they reach state —
+    *     a larger watermark admits later data but delays session closure
+    *     and grows state residency by the same margin. */
   def sessionizeStreaming(ds: Dataset[Event], gapSec: Long,
       watermark: String = "10 minutes"): Dataset[SessionOut] = {
     import ds.sparkSession.implicits._

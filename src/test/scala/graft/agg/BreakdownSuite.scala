@@ -240,4 +240,24 @@ class ApproxWeightedQuantileSuite extends AnyFunSuite {
       "SELECT approx_weighted_quantile(v, w, 0.5) FROM t_awq2").collect()(0)
     assert(v.getDouble(0) == 20.0) // lossless → reference estimator value
   }
+
+  test("listN caps state and marks overflow; agrees with list when under cap") {
+    val df = (0 until 100).map(i => ("g", s"v${"%03d".format(i)}"))
+      .toDF("k", "s")
+    // under the cap: identical to the uncapped sorted-distinct list
+    val small = df.filter("s < 'v003'")
+    val full = Breakdown(small, "k;s=l,list").collect()(0).getAs[String]("l")
+    val capped = Breakdown(small, "k;s=l,list8").collect()(0).getAs[String]("l")
+    assert(full == capped && capped == "v000,v001,v002")
+    // over the cap: smallest 8 + overflow marker, deterministic under
+    // any partitioning (smallest-prefix of the global sorted order)
+    val over = Breakdown(df.repartition(8), "k;s=l,list8")
+      .collect()(0).getAs[String]("l")
+    assert(over == (0 until 8).map(i => s"v${"%03d".format(i)}")
+      .mkString(",") + ",…")
+    // duplicate values don't trip the overflow witness
+    val dup = (0 until 50).map(_ => ("g", "same")).toDF("k", "s")
+    assert(Breakdown(dup, "k;s=l,list4").collect()(0)
+      .getAs[String]("l") == "same")
+  }
 }

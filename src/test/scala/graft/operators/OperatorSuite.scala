@@ -128,7 +128,7 @@ class ElevationSuite extends AnyFunSuite {
     // LocalTableScan, so the assertion sees the real codegen plan
     val pts = Seq((3.3, 4.4), (9.9, 0.1), (11.0, 4.4)).toDF("x", "y")
       .repartition(2)
-    val out = Elevation(spark, pts, quad)
+    val out = Elevation(pts, quad)
     // the kernel is a native Expression — no ScalaUDF boundary in the plan
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"))

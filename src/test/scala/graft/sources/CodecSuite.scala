@@ -265,4 +265,46 @@ class CodecSuite extends AnyFunSuite {
     assert(v.getAs[Double]("x") == 60.0 && v.getAs[Double]("z") == 9.5)
     assert(back.filter("type = 'POLYLINE' AND mode = 'AcDb3dPolyline'").count() == 5)
   }
+
+  test("GLB round-trip matches ObjCodec on the same geometry") {
+    val d = Files.createTempDirectory("graft_glb").toString
+    GltfCodec.write(box, d + "/m.glb")
+    val glb = GltfCodec.read(d + "/m.glb", "m")
+    // same geometry through the OBJ codec as the independent reference
+    val op = d + "/m.obj"
+    ObjCodec.write(box, op)
+    val obj = ObjCodec.read(op, "m")
+    assert(glb.nVerts == obj.nVerts && glb.nTris == obj.nTris)
+    assert(glb.tris.sameElements(obj.tris))
+    // GLB stores float32 — compare at that grain
+    glb.verts.zip(obj.verts).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-5) }
+    assert(glb.containsPoint(5, 5, 5) && !glb.containsPoint(11, 5, 5))
+    // MeshIO dispatch routes .glb
+    assert(MeshIO.read(d + "/m.glb").nTris == box.nTris)
+  }
+
+  test("gltf JSON with base64 data-URI buffer decodes") {
+    val d = Files.createTempDirectory("graft_gltf").toString
+    GltfCodec.write(box, d + "/m.glb")
+    // re-wrap the GLB's BIN chunk as a .gltf with an embedded data URI
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(d + "/m.glb"))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.getInt; bb.getInt; bb.getInt
+    val jsonLen = bb.getInt; bb.getInt
+    val jsonChunk = new Array[Byte](jsonLen); bb.get(jsonChunk)
+    val binLen = bb.getInt; bb.getInt
+    val binChunk = new Array[Byte](binLen); bb.get(binChunk)
+    val uri = "data:application/octet-stream;base64," +
+      java.util.Base64.getEncoder.encodeToString(binChunk)
+    val json = new String(jsonChunk, "UTF-8").replaceAll(
+      "\\{\"byteLength\"", s"""{"uri":"$uri","byteLength"""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d + "/m.gltf"), json.getBytes("UTF-8"))
+    val m = GltfCodec.read(d + "/m.gltf", "m")
+    assert(m.nVerts == box.nVerts && m.nTris == box.nTris)
+    assert(m.containsPoint(5, 5, 5))
+  }
 }
