@@ -191,47 +191,69 @@ object XlsxCodec {
   }
 
   /** Write one sheet (inline strings, numbers as native cells). */
-  def write(df: DataFrame, path: String, sheet: String = "Sheet1"): Unit = {
-    val cols = df.schema.fields
-    val rows = df.collect()
-    val sb = new StringBuilder
-    sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-    sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+  def write(df: DataFrame, path: String, sheet: String = "Sheet1"): Unit =
+    writeSheets(Seq(sheet -> df), path)
+
+  /** Multi-sheet workbook — the engine's `pd_save_excel_tables`
+    * (/root/reference/_gui.py:954-988): each (name, table) pair becomes
+    * one worksheet, read back individually via `path!name`. */
+  def writeSheets(sheets: Seq[(String, DataFrame)], path: String): Unit = {
+    require(sheets.nonEmpty, "xlsx write needs at least one sheet")
+    require(sheets.map(_._1).distinct.length == sheets.length,
+      s"duplicate sheet names: ${sheets.map(_._1).mkString(",")}")
     def cellRef(r: Int, c: Int): String = {
       var n = c + 1
       val s = new StringBuilder
       while (n > 0) { s.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
       s.toString + (r + 1)
     }
-    sb.append("<row r=\"1\">")
-    cols.zipWithIndex.foreach { case (f, c) =>
-      sb.append(s"""<c r="${cellRef(0, c)}" t="inlineStr"><is><t>${esc(f.name)}</t></is></c>""")
-    }
-    sb.append("</row>")
-    rows.zipWithIndex.foreach { case (row, ri) =>
-      sb.append(s"""<row r="${ri + 2}">""")
+    def sheetXml(df: DataFrame): String = {
+      val cols = df.schema.fields
+      val rows = df.collect()
+      val sb = new StringBuilder
+      sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      sb.append("<row r=\"1\">")
       cols.zipWithIndex.foreach { case (f, c) =>
-        if (!row.isNullAt(c)) {
-          f.dataType match {
-            case _: NumericType =>
-              sb.append(s"""<c r="${cellRef(ri + 1, c)}"><v>${row.get(c)}</v></c>""")
-            case _ =>
-              sb.append(s"""<c r="${cellRef(ri + 1, c)}" t="inlineStr"><is><t>${esc(row.get(c).toString)}</t></is></c>""")
-          }
-        }
+        sb.append(s"""<c r="${cellRef(0, c)}" t="inlineStr"><is><t>${esc(f.name)}</t></is></c>""")
       }
       sb.append("</row>")
+      rows.zipWithIndex.foreach { case (row, ri) =>
+        sb.append(s"""<row r="${ri + 2}">""")
+        cols.zipWithIndex.foreach { case (f, c) =>
+          if (!row.isNullAt(c)) {
+            f.dataType match {
+              case _: NumericType =>
+                sb.append(s"""<c r="${cellRef(ri + 1, c)}"><v>${row.get(c)}</v></c>""")
+              case _ =>
+                sb.append(s"""<c r="${cellRef(ri + 1, c)}" t="inlineStr"><is><t>${esc(row.get(c).toString)}</t></is></c>""")
+            }
+          }
+        }
+        sb.append("</row>")
+      }
+      sb.append("</sheetData></worksheet>")
+      sb.toString
     }
-    sb.append("</sheetData></worksheet>")
 
+    val n = sheets.length
+    val overrides = (1 to n).map(i =>
+      s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+      .mkString("\n")
+    val sheetTags = sheets.zipWithIndex.map { case ((name, _), i) =>
+      s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString
+    val relTags = (1 to n).map(i =>
+      s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+      .mkString("\n")
     val parts = Seq(
       "[Content_Types].xml" ->
-        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
           |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
           |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
           |<Default Extension="xml" ContentType="application/xml"/>
           |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |$overrides
           |</Types>""".stripMargin,
       "_rels/.rels" ->
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
@@ -241,14 +263,16 @@ object XlsxCodec {
       "xl/workbook.xml" ->
         s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
           |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-          |<sheets><sheet name="${esc(sheet)}" sheetId="1" r:id="rId1"/></sheets>
+          |<sheets>$sheetTags</sheets>
           |</workbook>""".stripMargin,
       "xl/_rels/workbook.xml.rels" ->
-        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-          |</Relationships>""".stripMargin,
-      "xl/worksheets/sheet1.xml" -> sb.toString)
+          |$relTags
+          |</Relationships>""".stripMargin) ++
+      sheets.zipWithIndex.map { case ((_, df), i) =>
+        s"xl/worksheets/sheet${i + 1}.xml" -> sheetXml(df)
+      }
 
     val zos = new ZipOutputStream(
       new BufferedOutputStream(new FileOutputStream(path)))

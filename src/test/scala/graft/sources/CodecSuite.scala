@@ -266,6 +266,25 @@ class CodecSuite extends AnyFunSuite {
     assert(back.filter("type = 'POLYLINE' AND mode = 'AcDb3dPolyline'").count() == 5)
   }
 
+  test("multi-sheet XLSX: each sheet reads back via path!sheet") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_xlsx_multi").toString
+    val summary = Seq(("ore", 120.5), ("waste", 88.25)).toDF("lito", "mass")
+    val detail = Seq((1L, "a", 2.0), (2L, "b", 3.5)).toDF("id", "tag", "v")
+    val p = d + "/report.xlsx"
+    XlsxCodec.writeSheets(Seq("summary" -> summary, "detail" -> detail), p)
+    val s = XlsxCodec.read(spark, p + "!summary")
+    assert(s.columns.toSeq == Seq("lito", "mass") && s.count() == 2)
+    assert(s.filter("lito = 'ore'").collect()(0).getDouble(1) == 120.5)
+    val t = XlsxCodec.read(spark, p + "!detail")
+    assert(t.columns.toSeq == Seq("id", "tag", "v") && t.count() == 2)
+    assert(t.filter("tag = 'b'").collect()(0).getDouble(2) == 3.5)
+    // unqualified read → first sheet; unknown sheet → clear error
+    assert(XlsxCodec.read(spark, p).columns.toSeq == Seq("lito", "mass"))
+    val err = intercept[IllegalArgumentException](XlsxCodec.read(spark, p + "!nope"))
+    assert(err.getMessage.contains("summary,detail"))
+  }
+
   test("GLB round-trip matches ObjCodec on the same geometry") {
     val d = Files.createTempDirectory("graft_glb").toString
     GltfCodec.write(box, d + "/m.glb")
