@@ -3,6 +3,8 @@ package graft.operators
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -175,5 +177,50 @@ class BlockModelStoreSuite extends AnyFunSuite {
     assert(viaStore.values.count(_ == "s") > 0) // solid actually flags cells
     // cold branch really skipped the kernel: all flags outside the z-range are ''
     assert(viaStore.filter(_._2 == "s").nonEmpty)
+  }
+
+  test("Decimate: QEM collapse hits the face target and keeps the surface") {
+    // densely triangulated flat patch: 10×10 cells = 200 faces on
+    // z = 2 + 0.1x + 0.2y over [0,10]²
+    def zOf(x: Double, y: Double) = 2.0 + 0.1 * x + 0.2 * y
+    val verts = mutable.ArrayBuffer.empty[Double]
+    for (j <- 0 to 10; i <- 0 to 10)
+      verts ++= Seq(i.toDouble, j.toDouble, zOf(i, j))
+    val tris = mutable.ArrayBuffer.empty[Int]
+    for (j <- 0 until 10; i <- 0 until 10) {
+      val v0 = j * 11 + i
+      tris ++= Seq(v0, v0 + 1, v0 + 12, v0, v0 + 12, v0 + 11)
+    }
+    val dense = TriMesh("p", verts.toArray, tris.toArray)
+    assert(dense.nTris == 200)
+    val slim = graft.operators.Decimate(dense, 0.8)
+    assert(slim.nTris <= 40 && slim.nTris >= 2, s"got ${slim.nTris} faces")
+    // every surviving vertex still lies on the analytic plane (QEM error 0
+    // on-plane; boundary quadrics keep the rim from eroding)
+    (0 until slim.nVerts).foreach { v =>
+      val (x, y, z) = (slim.verts(3 * v), slim.verts(3 * v + 1), slim.verts(3 * v + 2))
+      assert(math.abs(z - zOf(x, y)) < 1e-6, s"vertex off plane: ($x,$y,$z)")
+    }
+    // footprint preserved: projected area of the patch stays 10×10
+    def area(m: TriMesh): Double = (0 until m.nTris).map { t =>
+      val (a, b, c) = (m.tris(3 * t), m.tris(3 * t + 1), m.tris(3 * t + 2))
+      val ux = m.verts(3 * b) - m.verts(3 * a)
+      val uy = m.verts(3 * b + 1) - m.verts(3 * a + 1)
+      val wx = m.verts(3 * c) - m.verts(3 * a)
+      val wy = m.verts(3 * c + 1) - m.verts(3 * a + 1)
+      math.abs(ux * wy - uy * wx) / 2
+    }.sum
+    assert(math.abs(area(slim) - 100.0) < 1.0, s"area ${area(slim)}")
+    // reduction 0 → identity; elevation through the decimated surface
+    // matches the dense one at interior probes
+    assert(graft.operators.Decimate(dense, 0.0) eq dense)
+    val pts = spark.range(25)
+      .withColumn("x", (col("id") % 5).cast("double") * 2.0 + 0.7)
+      .withColumn("y", floor(col("id") / 5).cast("double") * 2.0 + 0.6)
+    val dEl = Elevation(pts, dense).select("id", "elevation")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sEl = Elevation(pts, slim).select("id", "elevation")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    dEl.foreach { case (id, z) => assert(math.abs(z - sEl(id)) < 1e-6, s"pt $id") }
   }
 }
