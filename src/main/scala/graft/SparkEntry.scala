@@ -482,6 +482,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_extendedprice")), 2).as("sum_price"))
         .orderBy("qty_band")),
+
+    // §2.4 bounded-state list: smallest-N distinct + overflow marker —
+    // the 100 TB-safe variant of `list` (BoundedListAgg)
+    "q48_list_capped" -> ((s, dir) =>
+      Breakdown(ord(s, dir),
+        "o_orderstatus;o_orderpriority=prio_l,list3;o_custkey=cust_l,list2")),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -1030,5 +1036,19 @@ object SparkEntry {
                  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi)
          SELECT qty_band, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
          FROM j GROUP BY qty_band ORDER BY qty_band""",
+
+    "q48_list_capped" ->
+      """SELECT o_orderstatus,
+           array_to_string(list_slice(
+             list_sort(list(DISTINCT o_orderpriority)
+               FILTER (o_orderpriority IS NOT NULL)), 1, 3), ',')
+           || CASE WHEN count(DISTINCT o_orderpriority) > 3
+              THEN ',…' ELSE '' END AS prio_l,
+           array_to_string(list_slice(
+             list_sort(list(DISTINCT CAST(o_custkey AS VARCHAR))
+               FILTER (o_custkey IS NOT NULL)), 1, 2), ',')
+           || CASE WHEN count(DISTINCT o_custkey) > 2
+              THEN ',…' ELSE '' END AS cust_l
+         FROM orders GROUP BY o_orderstatus""",
   )
 }
