@@ -488,6 +488,29 @@ object SparkEntry {
     "q48_list_capped" -> ((s, dir) =>
       Breakdown(ord(s, dir),
         "o_orderstatus;o_orderpriority=prio_l,list3;o_custkey=cust_l,list2")),
+
+    // ext: sliding token-window chunking (training/RAG prep) — pure
+    // codegen narrow ops, no shuffle
+    "q49_chunk" -> ((s, dir) =>
+      ext.TextAnalysis.chunk(Tables.load(s, dir, "documents"),
+          "text", "doc_id", 32, 8)
+        .withColumn("chunk_id", col("chunk_id").cast("long"))
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // ext: PII redaction over deterministically-synthesized addresses
+    // (the corpus is PII-free, so both engines inject the same patterns)
+    "q50_redact" -> ((s, dir) => {
+      val doc = Tables.load(s, dir, "documents")
+        .withColumn("aug", concat(substring(col("text"), 1, 80),
+          lit(" mail user"), col("doc_id").cast("string"),
+          lit("@ex.org or 555-123-4567 bye")))
+      doc.select(col("doc_id"),
+          ext.TextAnalysis.redactPii("aug").as("red"),
+          ext.TextAnalysis.piiCounts("aug")._1.cast("long").as("n_email"),
+          ext.TextAnalysis.piiCounts("aug")._2.cast("long").as("n_phone"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -1050,5 +1073,39 @@ object SparkEntry {
            || CASE WHEN count(DISTINCT o_custkey) > 2
               THEN ',…' ELSE '' END AS cust_l
          FROM orders GROUP BY o_orderstatus""",
+
+    "q49_chunk" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents
+           WHERE length(array_to_string(
+             regexp_split_to_array(trim(text), '\s+'), '')) > 0),
+         u AS (
+           SELECT doc_id, unnest(list_transform(
+             generate_series(0, (greatest(len(toks) - 8, 1) - 1) // 24),
+             g -> struct_pack(chunk_id := g,
+               n_tokens := len(list_slice(toks, g*24 + 1, g*24 + 32)),
+               chunk := array_to_string(
+                 list_slice(toks, g*24 + 1, g*24 + 32), ' ')))) AS c
+           FROM t)
+         SELECT doc_id, c.chunk_id AS chunk_id, c.n_tokens AS n_tokens,
+                c.chunk AS chunk
+         FROM u ORDER BY doc_id, chunk_id""",
+
+    "q50_redact" ->
+      """WITH a AS (
+           SELECT doc_id, substr(text, 1, 80) || ' mail user' ||
+             CAST(doc_id AS VARCHAR) || '@ex.org or 555-123-4567 bye' AS aug
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+             '<EMAIL>', 'g'),
+             '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS red,
+           len(regexp_extract_all(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS n_email,
+           len(regexp_extract_all(aug,
+             '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS n_phone
+         FROM a ORDER BY doc_id""",
   )
 }

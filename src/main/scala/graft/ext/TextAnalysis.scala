@@ -101,6 +101,54 @@ object TextAnalysis {
     }
   }
 
+  /** Sliding token-window chunking — the prep step that turns documents
+    * into training/RAG windows. Whitespace tokens, windows of `size`
+    * tokens starting every `size − overlap` tokens; the last window may be
+    * short but never lies fully inside its predecessor. One output row per
+    * chunk: (id, chunk_id, n_tokens, chunk).
+    *
+    * Shape at 100 TB: pure narrow ops — split, sequence, posexplode,
+    * slice, concat_ws — all codegen'd, no shuffle, no UDF; output
+    * partitioning inherits the scan. */
+  def chunk(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, size: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    df.select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .filter(length(concat_ws("", col("toks"))) > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0),
+          // nChunks − 1 = floor((max(1, n − overlap) − 1) / stride)
+          floor((greatest(org.apache.spark.sql.functions.size(col("toks"))
+            - overlap, lit(1)) - 1) / stride).cast("int"))))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        org.apache.spark.sql.functions.size(
+          slice(col("toks"), col("pos") * stride + 1, lit(size))).as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("pos") * stride + 1, lit(size)))
+          .as("chunk"))
+  }
+
+  /** PII redaction for corpus curation: e-mail addresses and phone-shaped
+    * digit runs replaced with type tags, plus match counts for audit.
+    * Patterns are deliberately simple-dialect — character classes and
+    * bounded repeats only, NO backslash escapes (`[.]` instead of `\.`) —
+    * so the identical regex text means the same thing in Java regex and
+    * RE2, and survives Spark SQL string-literal escape processing when
+    * spliced into `expr(...)`. Cross-engine oracle-safe. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  val PhoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+  def redactPii(t: String): Column =
+    regexp_replace(
+      regexp_replace(col(t), EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  def piiCounts(t: String): (Column, Column) = (
+    size(expr(s"regexp_extract_all($t, '$EmailRe', 0)")),
+    size(expr(s"regexp_extract_all($t, '$PhoneRe', 0)")))
+
   /** Quality score ∈ [0,1]: rational-arithmetic blend of length, non-punct
     * ratio, and stopword density (no transcendentals — cross-engine exact). */
   def qualityScore(t: String): Column = {

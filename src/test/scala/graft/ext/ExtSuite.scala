@@ -52,6 +52,47 @@ class TextAnalysisSuite extends AnyFunSuite {
     val s = df.select(TextAnalysis.qualityScore("text")).as[Double].collect()
     assert(s(0) > 0.7 && s(1) < 0.5)
   }
+
+  test("chunk: window/overlap semantics and edge cases") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "only three words"),                        // n < size
+      (3L, "a b c d"),                                 // n == size
+      (4L, ""), (5L, "   ")                            // blank → no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, "text", "doc_id", 4, 1)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // stride 3: doc 1 → chunks at 0,3,6 (last takes tokens 7..10)
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, 4, "w1 w2 w3 w4"),
+      (1L, 1, 4, "w4 w5 w6 w7"),
+      (1L, 2, 4, "w7 w8 w9 w10")))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 3, "only three words")))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, 4, "a b c d")))
+    assert(!out.exists(r => r._1 == 4L || r._1 == 5L))
+    // adjacent chunks share exactly `overlap` tokens
+    assert(out.filter(_._1 == 1L).sliding(2).forall {
+      case Array(a, b) => a._4.split(" ").takeRight(1).sameElements(
+        b._4.split(" ").take(1))
+      case _ => true
+    })
+  }
+
+  test("redactPii replaces and counts emails/phones") {
+    val df = Seq(
+      "write a@b.org or b.c@d-e.io now",
+      "call 555-123-4567 or 555.987.6543",
+      "clean text").toDF("text")
+    val got = df.select(
+      TextAnalysis.redactPii("text").as("red"),
+      TextAnalysis.piiCounts("text")._1.as("ne"),
+      TextAnalysis.piiCounts("text")._2.as("np"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(got(0) == (("write <EMAIL> or <EMAIL> now", 2, 0)))
+    assert(got(1) == (("call <PHONE> or <PHONE>", 0, 2)))
+    assert(got(2) == (("clean text", 0, 0)))
+  }
 }
 
 class DedupSuite extends AnyFunSuite {
@@ -288,6 +329,29 @@ class IvfSuite extends AnyFunSuite {
     val viaStore = out
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(viaStore == viaMem && viaStore.nonEmpty)
+  }
+
+  test("PQ: codes reconstruct clusters; rerank >= corpus equals brute force") {
+    val cb = Pq.train(vecs, m = 2, ksub = 4, iters = 4)
+    assert(cb.m == 2 && cb.dsub == 2 && cb.centroids.forall(_.length == 4))
+    // ADC of a vector against its own code = squared reconstruction error;
+    // with 4 codewords per 2-dim subspace on 2 tight clusters it is small
+    val enc = Pq.encode(vecs, cb)
+    val adc = enc.select(graft.functions.PqAdc.column(
+        col("pq_code"), col("embedding").cast("array<double>"), cb.centroids))
+      .collect().map(_.getDouble(0))
+    assert(adc.forall(_ < 1.0), s"max recon err ${adc.max}")
+    // two-stage search with full rerank budget ≡ exact brute force
+    val queries = vecs.filter(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaPq = Pq.topK(vecs, queries, 5, cb, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaPq == exact)
+    // tight rerank budget still recalls the true top-5 on clustered data
+    val tight = Pq.topK(vecs, queries, 5, cb, rerank = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert((tight intersect exact).size >= 4, s"recall ${tight intersect exact}")
   }
 
   test("NaN query vectors neither crash nor match (probe list empty)") {
