@@ -498,6 +498,18 @@ object SparkEntry {
         .withColumn("n_tokens", col("n_tokens").cast("long"))
         .orderBy("doc_id", "chunk_id")),
 
+    // ext: product quantization with a full re-rank budget — the PQ
+    // analog of q41's nprobe=k trick: whatever the trained codebooks,
+    // rerank >= |corpus| makes the two-stage search provably exact, so
+    // the brute-force SQL oracle checks the whole PQ path
+    // (train → encode → ADC candidates → exact re-rank)
+    "q51_pq_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = ext.Pq.train(emb, m = 8, ksub = 16, iters = 2)
+      ext.Pq.topK(emb, emb.filter(col("vec_id") < 3), 10, cb, rerank = 10000)
+        .orderBy("query_id", "rank")
+    }),
+
     // ext: PII redaction over deterministically-synthesized addresses
     // (the corpus is PII-free, so both engines inject the same patterns)
     "q50_redact" -> ((s, dir) => {
@@ -805,6 +817,18 @@ object SparkEntry {
          SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3 ORDER BY id_a, id_b""",
 
     "q25_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                      round($CosSql, 6) AS cos
+                    FROM e a, e b WHERE b.vec_id < 3 AND a.vec_id <> b.vec_id),
+         r AS (SELECT query_id, corpus_id, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, corpus_id) AS INT) AS rank
+               FROM scored)
+         SELECT query_id, rank, corpus_id, cos FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "q51_pq_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          scored AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
                       round($CosSql, 6) AS cos
