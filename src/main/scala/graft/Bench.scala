@@ -52,13 +52,13 @@ object Bench {
     // 100×-scale geometry probe (full runs only): the same BVH kernels on a
     // 1.2M-cell grid vs the 12k oracle grid — per-row ns should be ~flat
     // (linear total cost, shuffle-free fused scans) if the design scales.
-    if (args.isEmpty) {
+    if (args.isEmpty) try {
       val probe = Seq(1, 100).map { factor =>
         factor -> SparkEntry.geometryProbe(spark, factor).toSeq.sortBy(_._1)
           .map { case (name, df) =>
             val t0 = System.nanoTime()
             val n = df.count()
-            (name, (System.nanoTime() - t0) / 1e9, n)
+            (name, (System.nanoTime() - t0) / 1e9, math.max(n, 1L))
           }
       }.toMap
       val perRow = probe(100).zip(probe(1)).map { case ((name, t100, n100), (_, t1, n1)) =>
@@ -66,6 +66,10 @@ object Bench {
           s"\"ns_per_row_12k\":${t1 * 1e9 / n1},\"ns_per_row_1200k\":${t100 * 1e9 / n100}}"
       }.mkString("{", ",", "}")
       println(s"""{"metric":"geometry_scale_probe","cells_small":12000,"cells_large":1200000,"kernels":$perRow}""")
+    } catch {
+      // the probe is diagnostics — never let it take down the bench line
+      case e: Throwable =>
+        System.err.println(s"geometry_scale_probe failed: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -35,7 +35,10 @@ case class BoundedListAgg(
   require(cap > 0, "list cap must be positive")
 
   override def prettyName: String = s"list$cap"
-  override def nullable: Boolean = false
+  // null (not "") for a group with no non-null values — matches the SQL
+  // convention (DuckDB list(...) FILTER over zero rows is NULL), so the
+  // oracle hash-compare stays engine-agnostic on nullable columns
+  override def nullable: Boolean = true
   override def dataType: DataType = StringType
 
   override def createAggregationBuffer(): java.util.TreeSet[UTF8String] =
@@ -60,6 +63,7 @@ case class BoundedListAgg(
   }
 
   override def eval(buf: java.util.TreeSet[UTF8String]): Any = {
+    if (buf.isEmpty) return null
     val it = buf.iterator()
     val sb = new StringBuilder
     var n = 0

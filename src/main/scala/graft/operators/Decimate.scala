@@ -110,8 +110,12 @@ object Decimate {
         m(4) * y * y + 2 * m(5) * y * z + 2 * m(6) * y +
         m(7) * z * z + 2 * m(8) * z + m(9)
 
-    // candidate edges from live faces; lazily re-validated on pop
-    case class Cand(err: Double, u: Int, v: Int, px: Double, py: Double, pz: Double)
+    // candidate edges from live faces; STALE entries (an endpoint moved or
+    // merged after push) are detected by version stamps on pop and
+    // re-enqueued with fresh error/placement instead of executing
+    val version = new Array[Int](nv)
+    case class Cand(err: Double, u: Int, v: Int, vu: Int, vv: Int,
+        px: Double, py: Double, pz: Double)
     implicit val ord: Ordering[Cand] = Ordering.by[Cand, Double](_.err).reverse
     val heap = mutable.PriorityQueue.empty[Cand]
     def pushEdge(u0: Int, v0: Int): Unit = {
@@ -128,7 +132,8 @@ object Decimate {
         (quadricError(m, vx(v), vy(v), vz(v)), vx(v), vy(v), vz(v)),
         (quadricError(m, mx, my, mz), mx, my, mz))
       val best = cands.minBy(_._1)
-      heap.enqueue(Cand(best._1, u, v, best._2, best._3, best._4))
+      heap.enqueue(Cand(best._1, u, v, version(u), version(v),
+        best._2, best._3, best._4))
     }
     faces.foreach { f =>
       pushEdge(f(0), f(1)); pushEdge(f(1), f(2)); pushEdge(f(2), f(0))
@@ -163,7 +168,11 @@ object Decimate {
     while (liveFaces > targetFaces && heap.nonEmpty) {
       val c = heap.dequeue()
       val u = find(c.u); val v = find(c.v)
-      if (u != v) {
+      if (u != v && (version(u) != c.vu || version(v) != c.vv)) {
+        // a neighboring collapse moved an endpoint since this candidate
+        // was scored — re-enqueue with current geometry, don't execute
+        pushEdge(u, v)
+      } else if (u != v) {
         // collapse v into u at the candidate position, unless a surviving
         // incident face would flip
         val affected = (vertFaces(u) ++ vertFaces(v)).filterNot(faceDead)
@@ -176,6 +185,7 @@ object Decimate {
         }
         if (!flips && liveFaces - dying.size >= targetFaces) {
           parent(v) = u
+          version(u) += 1 // invalidate every queued candidate touching u
           vx(u) = c.px; vy(u) = c.py; vz(u) = c.pz
           var i = 0
           while (i < 10) { q(u)(i) += q(v)(i); i += 1 }

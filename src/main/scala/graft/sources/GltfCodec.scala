@@ -28,23 +28,31 @@ object GltfCodec {
 
   def read(path: String, name: String): TriMesh = {
     val bytes = Files.readAllBytes(Paths.get(path))
-    val (json, bin) =
+    val (json, buffers) =
       if (bytes.length >= 12 &&
           ByteBuffer.wrap(bytes, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt == Magic)
         parseGlb(bytes)
       else {
         val root = new String(bytes, StandardCharsets.UTF_8)
-        (root, dataUriBuffer(new ObjectMapper().readTree(root)))
+        (root, dataUriBuffers(new ObjectMapper().readTree(root)))
       }
     val root = new ObjectMapper().readTree(json)
     val accessors = root.get("accessors")
     val views = root.get("bufferViews")
 
-    def slice(accessor: JsonNode): ByteBuffer = {
+    /** Accessor bytes; `elemSize` = the accessor's tight element width, so
+      * a byteStride equal to it (what exporters emit when two accessors
+      * share a view) is accepted — only true interleaving is rejected. */
+    def slice(accessor: JsonNode, elemSize: Int): ByteBuffer = {
       val bv = views.get(accessor.get("bufferView").asInt)
+      val stride = optInt(bv, "byteStride")
+      require(stride == 0 || stride == elemSize,
+        s"interleaved bufferView (byteStride $stride != element size $elemSize) unsupported")
+      val bufIdx = optInt(bv, "buffer")
+      require(bufIdx >= 0 && bufIdx < buffers.length,
+        s"bufferView references missing buffer $bufIdx")
+      val bin = buffers(bufIdx)
       val off = optInt(bv, "byteOffset") + optInt(accessor, "byteOffset")
-      require(optInt(bv, "byteStride") == 0,
-        "interleaved (byteStride) bufferViews unsupported")
       ByteBuffer.wrap(bin, off, bv.get("byteLength").asInt - optInt(accessor, "byteOffset"))
         .order(ByteOrder.LITTLE_ENDIAN)
     }
@@ -62,17 +70,18 @@ object GltfCodec {
         require(pos.get("type").asText == "VEC3" &&
           pos.get("componentType").asInt == 5126, // FLOAT
           "POSITION must be float32 VEC3")
-        val pb = slice(pos)
+        val pb = slice(pos, 12) // VEC3 float32
         (0 until pos.get("count").asInt * 3).foreach(_ => verts += pb.getFloat.toDouble)
         val idx = accessors.get(p.get("indices").asInt)
-        val ib = slice(idx)
-        val read: () => Int = idx.get("componentType").asInt match {
-          case 5121 => () => ib.get() & 0xff          // UNSIGNED_BYTE
-          case 5123 => () => ib.getShort() & 0xffff   // UNSIGNED_SHORT
-          case 5125 => () => ib.getInt()              // UNSIGNED_INT
-          case t => throw new IllegalArgumentException(s"index componentType $t")
-        }
-        (0 until idx.get("count").asInt).foreach(_ => tris += base + read())
+        val (idxSize, read): (Int, ByteBuffer => Int) =
+          idx.get("componentType").asInt match {
+            case 5121 => (1, b => b.get() & 0xff)        // UNSIGNED_BYTE
+            case 5123 => (2, b => b.getShort() & 0xffff) // UNSIGNED_SHORT
+            case 5125 => (4, b => b.getInt())            // UNSIGNED_INT
+            case t => throw new IllegalArgumentException(s"index componentType $t")
+          }
+        val ib = slice(idx, idxSize)
+        (0 until idx.get("count").asInt).foreach(_ => tris += base + read(ib))
       }
     }
     TriMesh(name, verts.toArray, tris.toArray)
@@ -81,7 +90,7 @@ object GltfCodec {
   private def optInt(n: JsonNode, field: String, dflt: Int = 0): Int =
     Option(n.get(field)).map(_.asInt).getOrElse(dflt)
 
-  private def parseGlb(bytes: Array[Byte]): (String, Array[Byte]) = {
+  private def parseGlb(bytes: Array[Byte]): (String, Array[Array[Byte]]) = {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     b.getInt // magic, checked by caller
     val version = b.getInt
@@ -98,14 +107,20 @@ object GltfCodec {
       else if (typ == 0x004e4942) bin = chunk
     }
     require(json != null, "GLB has no JSON chunk")
-    (json, bin)
+    (json, Array(bin)) // GLB carries exactly one BIN chunk = buffer 0
   }
 
-  private def dataUriBuffer(root: JsonNode): Array[Byte] = {
-    val uri = root.get("buffers").get(0).get("uri").asText
-    require(uri.startsWith("data:"),
-      "external .gltf buffer files unsupported (use GLB or a data: URI)")
-    java.util.Base64.getDecoder.decode(uri.substring(uri.indexOf(',') + 1))
+  /** Every buffer of a standalone .gltf, each decoded from its base64
+    * `data:` URI (external .bin files stay unsupported — loudly). */
+  private def dataUriBuffers(root: JsonNode): Array[Array[Byte]] = {
+    val bufs = root.get("buffers")
+    require(bufs != null && bufs.size > 0, "glTF has no buffers")
+    (0 until bufs.size).map { i =>
+      val uri = bufs.get(i).get("uri").asText
+      require(uri.startsWith("data:"),
+        s"external .gltf buffer file (buffer $i) unsupported (use GLB or a data: URI)")
+      java.util.Base64.getDecoder.decode(uri.substring(uri.indexOf(',') + 1))
+    }.toArray
   }
 
   def write(mesh: TriMesh, path: String): Unit = {

@@ -199,8 +199,17 @@ object XlsxCodec {
     * one worksheet, read back individually via `path!name`. */
   def writeSheets(sheets: Seq[(String, DataFrame)], path: String): Unit = {
     require(sheets.nonEmpty, "xlsx write needs at least one sheet")
-    require(sheets.map(_._1).distinct.length == sheets.length,
-      s"duplicate sheet names: ${sheets.map(_._1).mkString(",")}")
+    // Excel's workbook rules, enforced here so the output opens in Excel,
+    // not just in our own reader: names are case-insensitively unique,
+    // 1–31 chars, and free of []:*?/\
+    require(sheets.map(_._1.toLowerCase).distinct.length == sheets.length,
+      s"duplicate sheet names (case-insensitive): ${sheets.map(_._1).mkString(",")}")
+    sheets.foreach { case (name, _) =>
+      require(name.nonEmpty && name.length <= 31,
+        s"sheet name must be 1-31 chars: '$name'")
+      require(!name.exists("[]:*?/\\".contains(_)),
+        s"sheet name contains a character Excel forbids ([]:*?/\\): '$name'")
+    }
     def cellRef(r: Int, c: Int): String = {
       var n = c + 1
       val s = new StringBuilder

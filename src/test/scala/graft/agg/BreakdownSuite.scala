@@ -259,5 +259,10 @@ class ApproxWeightedQuantileSuite extends AnyFunSuite {
     val dup = (0 until 50).map(_ => ("g", "same")).toDF("k", "s")
     assert(Breakdown(dup, "k;s=l,list4").collect()(0)
       .getAs[String]("l") == "same")
+    // all-null group → SQL NULL (matches DuckDB list() FILTER semantics,
+    // not ""), so listN stays oracle-safe on nullable columns
+    val nulls = Seq(("g", Option.empty[String]), ("g", None))
+      .toDF("k", "s")
+    assert(Breakdown(nulls, "k;s=l,list4").collect()(0).isNullAt(1))
   }
 }

@@ -12,16 +12,18 @@ class GeoTiffSuite extends AnyFunSuite {
   private lazy val spark = SparkTest.spark
 
   /** Reference-shaped pixel frame: an analytic float band over a 4×3
-    * raster georeferenced at origin (500, 800), 2 m pixels (north-up). */
+    * raster georeferenced at origin (500, 800), 2 m pixels (north-up),
+    * CRS EPSG:32633 (UTM — a PROJECTED code, exercising geokey 3072). */
   private def pixelDf() = {
     import spark.implicits._
     val px = for (xc <- 0 until 4; yc <- 0 until 3) yield {
       val x = 500.0 + 2.0 * xc
       val y = 800.0 - 2.0 * yc
-      (xc.toDouble, yc.toDouble, 500.0, 2.0, 0.0, 800.0, 0.0, -2.0,
+      (32633.0, xc.toDouble, yc.toDouble, 500.0, 2.0, 0.0, 800.0, 0.0, -2.0,
         x, y, (0.5 * x + 0.25 * y).toFloat.toDouble)
     }
-    px.toDF("xc", "yc", "x0", "txx", "txy", "y0", "tyx", "tyy", "x", "y", "0")
+    px.toDF("EPSG", "xc", "yc", "x0", "txx", "txy", "y0", "tyx", "tyy",
+      "x", "y", "0")
   }
 
   test("GeoTIFF round-trip: float band, affine geotransform, EPSG") {
@@ -31,6 +33,9 @@ class GeoTiffSuite extends AnyFunSuite {
     assert(back.columns.toSeq == Seq("EPSG", "x0", "txx", "txy", "y0",
       "tyx", "tyy", "xc", "yc", "x", "y", "0"))
     assert(back.count() == 12)
+    // the CRS comes from the DATA, not a hardcoded constant
+    assert(back.select("EPSG").distinct().collect()
+      .map(_.getDouble(0)).toSeq == Seq(32633.0))
     val m = back.collect().map(r => (r.getDouble(7), r.getDouble(8)) ->
       (r.getDouble(9), r.getDouble(10), r.getDouble(11))).toMap
     for (xc <- 0 until 4; yc <- 0 until 3) {
@@ -55,6 +60,21 @@ class GeoTiffSuite extends AnyFunSuite {
       .map(r => (r.getDouble(7), r.getDouble(8)) -> r.getDouble(11)).toMap
     for (xc <- 0 until 3; yc <- 0 until 2)
       assert(back((xc.toDouble, yc.toDouble)) == xc * 10 + yc)
+  }
+
+  test("integer bands beyond byte range promote to float32, no wraparound") {
+    import spark.implicits._
+    val df = (for (xc <- 0 until 3; yc <- 0 until 2) yield
+      (xc.toDouble, yc.toDouble, 0.0, 1.0, 0.0, 0.0, 0.0, -1.0,
+        xc.toDouble, -yc.toDouble, (xc * 1000 + yc).toLong))
+      .toDF("xc", "yc", "x0", "txx", "txy", "y0", "tyx", "tyy", "x", "y", "0")
+    val d = Files.createTempDirectory("graft_tifw").toString
+    GeoTiffCodec.write(df, d + "/w.tif")
+    val back = GeoTiffCodec.read(spark, d + "/w.tif").collect()
+      .map(r => (r.getDouble(7), r.getDouble(8)) -> r.getDouble(11)).toMap
+    // 2000 must come back as 2000.0, not 2000 & 0xff = 208
+    for (xc <- 0 until 3; yc <- 0 until 2)
+      assert(back((xc.toDouble, yc.toDouble)) == xc * 1000 + yc)
   }
 
   /** Cross-decoder check: the JDK ImageIO TIFF writer (an independent
