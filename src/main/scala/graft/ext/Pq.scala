@@ -27,21 +27,51 @@ object Pq {
   final case class Codebooks(m: Int, dsub: Int,
       centroids: Array[Array[Array[Double]]])
 
-  /** Train per-subspace codebooks with the engine's deterministic Lloyd
-    * k-means ([[Ivf.train]]) on the sliced corpus — m small trainings of
-    * ksub centroids in dsub dims. Requires dim % m == 0. */
+  /** Train all m codebooks JOINTLY — one Lloyd iteration is ONE shuffle
+    * over (subspace, cell) keys, not m sequential k-means runs. The
+    * corpus explodes once into (s, id, subvector) rows; assignment picks
+    * the subspace's codebook by a when-chain of per-subspace
+    * [[NearestCentroid]] kernels (m static branches in one codegen stage);
+    * recompute is a single groupBy(s, b) [[graft.agg.VectorMeanAgg]].
+    * Same deterministic hash-init as [[Ivf.train]]. Requires dim % m == 0.
+    */
   def train(df: DataFrame, m: Int, ksub: Int, iters: Int = 5,
       vecCol: String = "embedding", idCol: String = "vec_id"): Codebooks = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    val cbs = (0 until m).map { s =>
-      Ivf.train(
-        df.select(col(idCol),
+    // (s, id, subvector) — one narrow explode, reused every iteration
+    val sub = df.select(col(idCol).as("id"),
+        posexplode(array((0 until m).map { s =>
           slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub)
-            .as(vecCol)),
-        ksub, iters, vecCol, idCol)
-    }.toArray
+        }: _*)))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "v")
+      .localCheckpoint(true) // explode once, not once per iteration
+    def recompute(assigned: DataFrame,
+        prev: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+      val got = assigned.groupBy(col("s"), col("b"))
+        .agg(graft.agg.VectorMeanAgg.column(col("v")).as("c")).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      Array.tabulate(m, ksub)((s, j) => got.getOrElse((s, j), prev(s)(j)))
+    }
+    def assign(cbs: Array[Array[Array[Double]]]): DataFrame = {
+      // subspace-dispatched nearest centroid: m codegen branches
+      val nearest = (0 until m).map { s =>
+        (s, NearestCentroid.column(col("v"), cbs(s)))
+      }.foldRight(lit(-1): org.apache.spark.sql.Column) {
+        case ((s, nc), acc) => when(col("s") === s, nc).otherwise(acc)
+      }
+      sub.withColumn("b", nearest)
+    }
+    val zero = Array.fill(m, ksub)(Array.fill(dsub)(0.0))
+    var cbs = recompute(
+      sub.withColumn("b", pmod(hash(col("id")), lit(ksub)).cast("int")), zero)
+    var it = 0
+    while (it < iters) {
+      cbs = recompute(assign(cbs), cbs)
+      it += 1
+    }
     Codebooks(m, dsub, cbs)
   }
 
