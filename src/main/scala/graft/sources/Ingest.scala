@@ -29,6 +29,7 @@ object Ingest {
       case "json" | "jsdb" => spark.read.json(path)
       case "parquet" => spark.read.parquet(path)
       case "xlsx" => XlsxCodec.read(spark, path)
+      case "xls" => XlsCodec.read(spark, path)
       case "las" => LasCodec.read(spark, path)
       case "png" | "bmp" | "gif" | "jpg" | "jpeg" =>
         SpectralCodec.read(spark, path)

@@ -1,0 +1,329 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Legacy binary Excel (.xls, BIFF8 inside an OLE2 compound file) reader —
+  * closes the reference's `pd.read_excel` pre-2007 branch
+  * (/root/reference/_gui.py:227-228, which delegates to xlrd). Read-only:
+  * the modern writer is [[XlsxCodec]].
+  *
+  * Container: OLE2/CFB — header DIFAT → FAT chains → directory; the
+  * `Workbook` (or `Book`) stream, from the mini-stream when it is under
+  * the 4096-byte cutoff. BIFF8 records decoded: BOUNDSHEET (sheet
+  * directory), SST + CONTINUE (shared strings, including the
+  * option-flag restart at continuation boundaries), LABELSST, LABEL,
+  * NUMBER, RK, MULRK, BOOLERR, BLANK/MULBLANK, FORMULA cached numeric
+  * results. Same DataFrame semantics as [[XlsxCodec.read]]: first row is
+  * the header, a column is double only when every present cell is
+  * numeric, `path!sheet` selects a sheet by name. */
+object XlsCodec {
+
+  private val EndOfChain = 0xFFFFFFFE
+  private val FreeSect = 0xFFFFFFFF
+
+  // ------------------------------------------------------------ OLE2 / CFB
+  private class Cfb(bytes: Array[Byte]) {
+    private def u16(off: Int) = ((bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8))
+    private def i32(off: Int) =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+
+    require(bytes.length >= 512 &&
+      (bytes(0) & 0xff) == 0xD0 && (bytes(1) & 0xff) == 0xCF &&
+      (bytes(2) & 0xff) == 0x11 && (bytes(3) & 0xff) == 0xE0,
+      "not an OLE2 compound file (bad magic)")
+    private val sectorSize = 1 << u16(30)
+    private val miniSize = 1 << u16(32)
+    private val nFat = i32(44)
+    private val firstDir = i32(48)
+    private val miniCutoff = i32(56)
+    private val firstMiniFat = i32(60)
+    private val nMiniFat = i32(64)
+    private val firstDifat = i32(68)
+    private val nDifat = i32(72)
+
+    private def sectorOff(s: Int) = 512 + s * sectorSize
+
+    // DIFAT: 109 header entries + chained DIFAT sectors
+    private val fatSectors: Seq[Int] = {
+      val out = mutable.ArrayBuffer.empty[Int]
+      (0 until 109).foreach { i =>
+        val v = i32(76 + 4 * i)
+        if (v != FreeSect && out.length < nFat) out += v
+      }
+      var difat = firstDifat
+      var n = 0
+      while (difat != EndOfChain && difat != FreeSect && n < nDifat) {
+        val off = sectorOff(difat)
+        val per = sectorSize / 4 - 1
+        (0 until per).foreach { i =>
+          val v = i32(off + 4 * i)
+          if (v != FreeSect && out.length < nFat) out += v
+        }
+        difat = i32(off + 4 * per)
+        n += 1
+      }
+      out.toSeq
+    }
+
+    private def fatEntry(sector: Int): Int = {
+      val per = sectorSize / 4
+      i32(sectorOff(fatSectors(sector / per)) + 4 * (sector % per))
+    }
+
+    /** Full byte chain of a regular stream starting at `start`. */
+    def chain(start: Int, size: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var s = start
+      while (s >= 0 && s != EndOfChain && out.size < size) {
+        val off = sectorOff(s)
+        out.write(bytes, off, math.min(sectorSize, bytes.length - off))
+        s = fatEntry(s)
+      }
+      java.util.Arrays.copyOf(out.toByteArray, size.toInt)
+    }
+
+    // directory entries: (name, type, startSector, size)
+    case class DirEntry(name: String, typ: Int, start: Int, size: Long)
+    val dir: Seq[DirEntry] = {
+      val raw = chain(firstDir, Long.MaxValue min (bytes.length.toLong))
+      (0 until raw.length / 128).flatMap { i =>
+        val off = i * 128
+        val nameLen = (raw(off + 64) & 0xff) | ((raw(off + 65) & 0xff) << 8)
+        if (nameLen < 2 || nameLen > 64) None
+        else {
+          val name = new String(raw, off, nameLen - 2, "UTF-16LE")
+          val typ = raw(off + 66) & 0xff
+          val b = ByteBuffer.wrap(raw, off + 116, 8).order(ByteOrder.LITTLE_ENDIAN)
+          Some(DirEntry(name, typ, b.getInt, b.getInt & 0xffffffffL))
+        }
+      }
+    }
+
+    private lazy val miniFat: Array[Int] = {
+      val out = mutable.ArrayBuffer.empty[Int]
+      var s = firstMiniFat
+      var n = 0
+      while (s != EndOfChain && s != FreeSect && n < nMiniFat) {
+        val off = sectorOff(s)
+        (0 until sectorSize / 4).foreach(i => out += i32(off + 4 * i))
+        s = fatEntry(s)
+        n += 1
+      }
+      out.toArray
+    }
+    private lazy val miniStream: Array[Byte] = {
+      val root = dir.find(_.typ == 5).getOrElse(
+        throw new IllegalArgumentException("CFB has no root entry"))
+      chain(root.start, root.size)
+    }
+
+    /** Stream payload by name, from the regular or mini stream. */
+    def stream(name: String): Option[Array[Byte]] =
+      dir.find(e => e.typ == 2 && e.name == name).map { e =>
+        if (e.size >= miniCutoff) chain(e.start, e.size)
+        else {
+          val out = new java.io.ByteArrayOutputStream()
+          var s = e.start
+          while (s >= 0 && s != EndOfChain && out.size < e.size) {
+            out.write(miniStream, s * miniSize,
+              math.min(miniSize, miniStream.length - s * miniSize))
+            s = miniFat(s)
+          }
+          java.util.Arrays.copyOf(out.toByteArray, e.size.toInt)
+        }
+      }
+  }
+
+  // ------------------------------------------------------------------ BIFF
+  private def rkValue(rk: Int): Double = {
+    val div100 = (rk & 1) != 0
+    val isInt = (rk & 2) != 0
+    val v =
+      if (isInt) (rk >> 2).toDouble
+      else java.lang.Double.longBitsToDouble((rk.toLong & 0xFFFFFFFCL) << 32)
+    if (div100) v / 100.0 else v
+  }
+
+  /** XLUnicodeRichExtendedString at `pos` inside the SST record stream,
+    * honoring CONTINUE boundaries (where fHighByte restates). `recs` is
+    * the concatenated SST+CONTINUE payload; `bounds` are the payload
+    * offsets where CONTINUE records begin. Returns (string, next pos). */
+  private def readSstString(recs: Array[Byte], bounds: Seq[Int], pos0: Int): (String, Int) = {
+    var pos = pos0
+    def u8() = { val v = recs(pos) & 0xff; pos += 1; v }
+    def u16() = { val v = (recs(pos) & 0xff) | ((recs(pos + 1) & 0xff) << 8); pos += 2; v }
+    val cch = u16()
+    var grbit = u8()
+    val rich = (grbit & 8) != 0
+    val ext = (grbit & 4) != 0
+    val cRun = if (rich) u16() else 0
+    val cbExt = if (ext) { val b = ByteBuffer.wrap(recs, pos, 4)
+      .order(ByteOrder.LITTLE_ENDIAN); pos += 4; b.getInt } else 0
+    val sb = new StringBuilder
+    var remaining = cch
+    while (remaining > 0) {
+      // at a CONTINUE boundary the option byte restates
+      if (bounds.contains(pos)) grbit = u8()
+      val high = (grbit & 1) != 0
+      val boundary = bounds.find(_ > pos).getOrElse(recs.length)
+      val avail = if (high) (boundary - pos) / 2 else boundary - pos
+      val take = math.min(remaining, avail)
+      if (high) {
+        (0 until take).foreach { _ =>
+          sb.append((((recs(pos) & 0xff) | ((recs(pos + 1) & 0xff) << 8))).toChar)
+          pos += 2
+        }
+      } else {
+        (0 until take).foreach { _ => sb.append((recs(pos) & 0xff).toChar); pos += 1 }
+      }
+      remaining -= take
+    }
+    pos += cRun * 4 + cbExt // skip formatting runs / ext data
+    (sb.toString, pos)
+  }
+
+  // ------------------------------------------------------------------ read
+  def read(spark: SparkSession, pathAndSheet: String): DataFrame = {
+    val (path, sheetName) = pathAndSheet.split('!') match {
+      case Array(p, s) => (p, Some(s))
+      case _ => (pathAndSheet, None)
+    }
+    val cfb = new Cfb(Files.readAllBytes(Paths.get(path)))
+    val wb = cfb.stream("Workbook").orElse(cfb.stream("Book")).getOrElse(
+      throw new IllegalArgumentException(s"no Workbook stream in $path"))
+
+    // pass 1 over the globals substream: BOUNDSHEET + SST
+    val sheets = mutable.ArrayBuffer.empty[(String, Int)] // (name, BOF offset)
+    val sst = mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    def u16at(p: Int) = (wb(p) & 0xff) | ((wb(p + 1) & 0xff) << 8)
+    var depth = 0
+    var done = false
+    while (!done && pos + 4 <= wb.length) {
+      val op = u16at(pos)
+      val len = u16at(pos + 2)
+      val body = pos + 4
+      op match {
+        case 0x0809 => depth += 1 // BOF
+        case 0x000A => depth -= 1; if (depth <= 0) done = true // EOF
+        case 0x0085 => // BOUNDSHEET: lbPlyPos(4) grbit(2) cch(1) grbitChr(1) name
+          val bof = ByteBuffer.wrap(wb, body, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+          val cch = wb(body + 6) & 0xff
+          val high = (wb(body + 7) & 1) != 0
+          val name =
+            if (high) new String(wb, body + 8, cch * 2, "UTF-16LE")
+            else new String(wb, body + 8, cch, "ISO-8859-1")
+          sheets += ((name, bof))
+        case 0x00FC => // SST (+ CONTINUE records)
+          var recEnd = body + len
+          val payload = new java.io.ByteArrayOutputStream()
+          val bounds = mutable.ArrayBuffer.empty[Int]
+          payload.write(wb, body, len)
+          var p2 = recEnd
+          while (p2 + 4 <= wb.length && u16at(p2) == 0x003C) { // CONTINUE
+            val clen = u16at(p2 + 2)
+            bounds += payload.size
+            payload.write(wb, p2 + 4, clen)
+            p2 = p2 + 4 + clen
+          }
+          val recs = payload.toByteArray
+          val unique = ByteBuffer.wrap(recs, 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+          var sp = 8
+          (0 until unique).foreach { _ =>
+            val (s2, np) = readSstString(recs, bounds.toSeq, sp)
+            sst += s2
+            sp = np
+          }
+        case _ =>
+      }
+      pos = body + len
+    }
+    require(sheets.nonEmpty, s"no BOUNDSHEET records in $path")
+    val (_, sheetBof) = sheetName match {
+      case Some(n) => sheets.find(_._1 == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"sheet '$n' not in ${sheets.map(_._1).mkString(",")}"))
+      case None => sheets.head
+    }
+
+    // pass 2: the chosen sheet's cell records
+    val cells = mutable.Map.empty[(Int, Int), (Any, Boolean)] // (row,col) → (value, isNum)
+    pos = sheetBof
+    depth = 0
+    done = false
+    while (!done && pos + 4 <= wb.length) {
+      val op = u16at(pos)
+      val len = u16at(pos + 2)
+      val b = ByteBuffer.wrap(wb, pos + 4, len).order(ByteOrder.LITTLE_ENDIAN)
+      op match {
+        case 0x0809 => depth += 1
+        case 0x000A => depth -= 1; if (depth <= 0) done = true
+        case 0x0203 => // NUMBER
+          val rw = b.getShort & 0xffff; val c = b.getShort & 0xffff; b.getShort
+          cells((rw, c)) = (b.getDouble, true)
+        case 0x027E => // RK
+          val rw = b.getShort & 0xffff; val c = b.getShort & 0xffff; b.getShort
+          cells((rw, c)) = (rkValue(b.getInt), true)
+        case 0x00BD => // MULRK: rw, colFirst, (ixfe+rk)*, colLast
+          val rw = b.getShort & 0xffff; val c0 = b.getShort & 0xffff
+          val n = (len - 6) / 6
+          (0 until n).foreach { i =>
+            b.getShort; cells((rw, c0 + i)) = (rkValue(b.getInt), true)
+          }
+        case 0x00FD => // LABELSST
+          val rw = b.getShort & 0xffff; val c = b.getShort & 0xffff; b.getShort
+          cells((rw, c)) = (sst(b.getInt), false)
+        case 0x0204 => // LABEL (inline, BIFF8 unicode)
+          val rw = b.getShort & 0xffff; val c = b.getShort & 0xffff; b.getShort
+          val cch = b.getShort & 0xffff
+          val high = (b.get() & 1) != 0
+          val s2 =
+            if (high) { val a = new Array[Byte](cch * 2); b.get(a); new String(a, "UTF-16LE") }
+            else { val a = new Array[Byte](cch); b.get(a); new String(a, "ISO-8859-1") }
+          cells((rw, c)) = (s2, false)
+        case 0x0205 => // BOOLERR: value as TRUE/FALSE text (xlrd-like)
+          val rw = b.getShort & 0xffff; val c = b.getShort & 0xffff; b.getShort
+          val v = b.get(); val isErr = b.get()
+          if (isErr == 0) cells((rw, c)) = (if (v != 0) "TRUE" else "FALSE", false)
+        case 0x0006 => // FORMULA: cached result when numeric
+          val rw = b.getShort & 0xffff; val c = b.getShort & 0xffff; b.getShort
+          val raw = new Array[Byte](8); b.get(raw)
+          val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+          // non-numeric cached results flag 0xFFFF in the top two bytes
+          if (((raw(6) & 0xff) | ((raw(7) & 0xff) << 8)) != 0xFFFF)
+            cells((rw, c)) = (bb.getDouble, true)
+        case _ =>
+      }
+      pos = pos + 4 + len
+    }
+    require(cells.nonEmpty, s"empty sheet in $path")
+
+    val nCols = cells.keys.map(_._2).max + 1
+    val nRows = cells.keys.map(_._1).max + 1
+    val header = (0 until nCols).map(c =>
+      cells.get((0, c)).map(_._1.toString).getOrElse(s"_c$c"))
+    val isNum = (0 until nCols).map { c =>
+      val vals = (1 until nRows).flatMap(r => cells.get((r, c)))
+      vals.nonEmpty && vals.forall(_._2)
+    }
+    val schema = StructType((0 until nCols).map(c =>
+      StructField(header(c), if (isNum(c)) DoubleType else StringType)))
+    val rows = (1 until nRows).map { r =>
+      Row.fromSeq((0 until nCols).map { c =>
+        cells.get((r, c)) match {
+          case None => null
+          case Some((v, _)) =>
+            if (isNum(c)) v.asInstanceOf[Double] else v.toString
+        }
+      })
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}
