@@ -65,6 +65,23 @@ object GraftFunctions {
         inter)
       Divide(inter, union)
     }, "built-in")
+    registry.createOrReplaceTempFunction("redact_pii", exprs => {
+      require(exprs.length == 1, "redact_pii(text)")
+      import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+      RegExpReplace(
+        RegExpReplace(exprs.head,
+          Literal(graft.ext.TextAnalysis.EmailRe), Literal("<EMAIL>")),
+        Literal(graft.ext.TextAnalysis.PhoneRe), Literal("<PHONE>"))
+    }, "built-in")
+    registry.createOrReplaceTempFunction("vec_dot", exprs => {
+      require(exprs.length == 2, "vec_dot(a, b)")
+      graft.functions.DotProduct(exprs(0), exprs(1))
+    }, "built-in")
+    registry.createOrReplaceTempFunction("bounded_list", exprs => {
+      require(exprs.length == 2, "bounded_list(value, cap)")
+      val cap = exprs(1).eval().asInstanceOf[Number].intValue()
+      graft.agg.BoundedListAgg(Cast(exprs(0), StringType), cap)
+    }, "built-in")
     registry.createOrReplaceTempFunction("major", exprs => {
       require(exprs.length == 1, "major(value)")
       // Mirror the Column helper: MajorAgg's buffer codec only handles

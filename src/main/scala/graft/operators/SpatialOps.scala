@@ -86,6 +86,64 @@ object GridOps {
     }
     df.groupBy(keep.map(col): _*).agg(agg.as(s"$valueCol $op"))
   }
+
+  /** Grade-shell mesh: the blocky iso-surface of the cells whose value
+    * falls in `[lo, hi)` — the engine's `vtk_grid_to_mesh`
+    * (/root/reference/pd_vtk.py:1093-1111, which thresholds + extracts the
+    * surface in VTK). A face is emitted wherever an in-band cell touches
+    * an out-of-band (or out-of-grid) neighbor, so the result is the
+    * closed boundary surface of the banded volume at cell resolution.
+    *
+    * Scale shape: the in-band set stays distributed; each of the six
+    * directions is a broadcast-sized ANTI-join of the in-band keys
+    * against their shifted selves (shuffle on cell keys only), and only
+    * the boundary FACES — O(surface), not O(volume) — are collected to
+    * build the driver-side [[TriMesh]] (meshes are KB-scale viz objects,
+    * like every codec in `sources`). */
+  def gradeShellMesh(df: DataFrame, g: GridSchema, valueCol: String,
+      lo: Double, hi: Double, name: String = "shell"): TriMesh = {
+    require(!g.rotated, "gradeShellMesh on rotated grids: unrotate first")
+    val in = df.filter(col(valueCol) >= lo && col(valueCol) < hi)
+      .select(col("i").cast("int"), col("j").cast("int"), col("k").cast("int"))
+      .distinct()
+      .localCheckpoint(true) // six anti-joins reuse it; don't re-derive
+    // (di, dj, dk) → the face of the cell toward that neighbor
+    val dirs = Seq((-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
+      (0, 0, -1), (0, 0, 1))
+    val faces: Seq[(Int, Int, Int, Int)] = dirs.zipWithIndex.flatMap {
+      case ((di, dj, dk), d) =>
+        val nb = in.select((col("i") + di).as("i"), (col("j") + dj).as("j"),
+          (col("k") + dk).as("k"))
+        in.join(nb, Seq("i", "j", "k"), "left_anti")
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), d))
+    }
+    // quads at cell boundaries, both triangles wound outward
+    val verts = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val tris = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val seen = scala.collection.mutable.Map.empty[(Double, Double, Double), Int]
+    def vtx(x: Double, y: Double, z: Double): Int =
+      seen.getOrElseUpdate((x, y, z), {
+        verts += x += y += z; verts.length / 3 - 1
+      })
+    faces.foreach { case (i, j, k, d) =>
+      val x0 = g.ox + i * g.sx; val x1 = x0 + g.sx
+      val y0 = g.oy + j * g.sy; val y1 = y0 + g.sy
+      val z0 = g.oz + k * g.sz; val z1 = z0 + g.sz
+      // corner quad per direction, counter-clockwise seen from OUTSIDE
+      val quad: Array[(Double, Double, Double)] = d match {
+        case 0 => Array((x0, y0, z0), (x0, y0, z1), (x0, y1, z1), (x0, y1, z0)) // -x
+        case 1 => Array((x1, y0, z0), (x1, y1, z0), (x1, y1, z1), (x1, y0, z1)) // +x
+        case 2 => Array((x0, y0, z0), (x1, y0, z0), (x1, y0, z1), (x0, y0, z1)) // -y
+        case 3 => Array((x0, y1, z0), (x0, y1, z1), (x1, y1, z1), (x1, y1, z0)) // +y
+        case 4 => Array((x0, y0, z0), (x0, y1, z0), (x1, y1, z0), (x1, y0, z0)) // -z
+        case _ => Array((x0, y0, z1), (x1, y0, z1), (x1, y1, z1), (x0, y1, z1)) // +z
+      }
+      val q = quad.map { case (x, y, z) => vtx(x, y, z) }
+      tris += q(0) += q(1) += q(2)
+      tris += q(0) += q(2) += q(3)
+    }
+    TriMesh(name, verts.toArray, tris.toArray)
+  }
 }
 
 /** Point-in-solid region flagging — the reference's only "join": every cell

@@ -117,6 +117,21 @@ class GraftFunctionsSuite extends AnyFunSuite {
     assert(out(0).getDouble(1) == 3.0)
     assert(out(1).getDouble(1) == 2.0)
   }
+
+  test("round-4 SQL surface: redact_pii, vec_dot, bounded_list") {
+    graft.GraftFunctions.register(spark)
+    Seq(("g", "mail a@b.org now", Array(1.0, 2.0), Array(3.0, 4.0)),
+      ("g", "call 555-123-4567", Array(0.0, 1.0), Array(1.0, 0.0)))
+      .toDF("k", "t", "va", "vb").createOrReplaceTempView("t_r4")
+    val r = spark.sql(
+      """SELECT redact_pii(t) AS red, vec_dot(va, vb) AS d FROM t_r4
+         ORDER BY t""").collect()
+    assert(r(0).getString(0) == "call <PHONE>" && r(0).getDouble(1) == 0.0)
+    assert(r(1).getString(0) == "mail <EMAIL> now" && r(1).getDouble(1) == 11.0)
+    val l = spark.sql(
+      "SELECT bounded_list(t, 1) AS l FROM t_r4 GROUP BY k").collect()(0)
+    assert(l.getString(0) == "call 555-123-4567,…")
+  }
 }
 
 class ElevationSuite extends AnyFunSuite {
@@ -177,6 +192,27 @@ class BlockModelStoreSuite extends AnyFunSuite {
     assert(viaStore.values.count(_ == "s") > 0) // solid actually flags cells
     // cold branch really skipped the kernel: all flags outside the z-range are ''
     assert(viaStore.filter(_._2 == "s").nonEmpty)
+  }
+
+  test("gradeShellMesh: closed boundary surface of a value band") {
+    val g = GridSchema(0, 0, 0, 1, 1, 1, 6, 5, 4)
+    val grid = GridOps.generate(spark, g)
+      .withColumn("v", col("k").cast("double"))
+    // band = everything → shell is the grid's bounding box
+    val all = GridOps.gradeShellMesh(grid, g, "v", 0.0, 100.0)
+    val expectFaces = 2 * (6 * 5 + 5 * 4 + 4 * 6) // 2 tris per boundary quad
+    assert(all.nTris == 2 * expectFaces)
+    assert(all.containsPoint(3.0, 2.5, 2.0))      // interior
+    assert(!all.containsPoint(6.5, 2.5, 2.0))     // outside
+    // band = one z-slab (k == 1) → a 6×5×1 closed box
+    val slab = GridOps.gradeShellMesh(grid, g, "v", 1.0, 2.0)
+    assert(slab.nTris == 2 * (2 * (6 * 5) + 2 * (5 * 1) + 2 * (1 * 6)))
+    assert(slab.containsPoint(3.0, 2.5, 1.5))
+    assert(!slab.containsPoint(3.0, 2.5, 2.5))    // above the slab
+    // the shell round-trips through mesh egress (viz handoff)
+    val d = Files.createTempDirectory("graft_shell").toString
+    graft.sources.ObjCodec.write(slab, d + "/s.obj")
+    assert(graft.sources.ObjCodec.read(d + "/s.obj").nTris == slab.nTris)
   }
 
   test("Decimate: QEM collapse hits the face target and keeps the surface") {
