@@ -67,11 +67,11 @@ object GraftFunctions {
     }, "built-in")
     registry.createOrReplaceTempFunction("redact_pii", exprs => {
       require(exprs.length == 1, "redact_pii(text)")
-      import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
-      RegExpReplace(
-        RegExpReplace(exprs.head,
-          Literal(graft.ext.TextAnalysis.EmailRe), Literal("<EMAIL>")),
-        Literal(graft.ext.TextAnalysis.PhoneRe), Literal("<PHONE>"))
+      import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, RegExpReplace}
+      // same pattern list as TextAnalysis.redactPii — one source of truth
+      graft.ext.TextAnalysis.PiiPatterns.foldLeft(exprs.head: Expression) {
+        case (e, (re, tag)) => RegExpReplace(e, Literal(re), Literal(tag))
+      }
     }, "built-in")
     registry.createOrReplaceTempFunction("vec_dot", exprs => {
       require(exprs.length == 2, "vec_dot(a, b)")

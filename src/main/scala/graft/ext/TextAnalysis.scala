@@ -140,10 +140,15 @@ object TextAnalysis {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
   val PhoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
 
+  /** (pattern, tag) pairs applied in order — the single source for both
+    * the Column API and the `redact_pii` SQL registration. */
+  val PiiPatterns: Seq[(String, String)] =
+    Seq(EmailRe -> "<EMAIL>", PhoneRe -> "<PHONE>")
+
   def redactPii(t: String): Column =
-    regexp_replace(
-      regexp_replace(col(t), EmailRe, "<EMAIL>"),
-      PhoneRe, "<PHONE>")
+    PiiPatterns.foldLeft(col(t)) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
 
   def piiCounts(t: String): (Column, Column) = (
     size(expr(s"regexp_extract_all($t, '$EmailRe', 0)")),

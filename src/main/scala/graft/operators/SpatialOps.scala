@@ -106,17 +106,26 @@ object GridOps {
     val in = df.filter(col(valueCol) >= lo && col(valueCol) < hi)
       .select(col("i").cast("int"), col("j").cast("int"), col("k").cast("int"))
       .distinct()
-      .localCheckpoint(true) // six anti-joins reuse it; don't re-derive
+      .localCheckpoint(true) // candidate explode + anti-join reuse it
     // (di, dj, dk) → the face of the cell toward that neighbor
     val dirs = Seq((-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
       (0, 0, -1), (0, 0, 1))
-    val faces: Seq[(Int, Int, Int, Int)] = dirs.zipWithIndex.flatMap {
-      case ((di, dj, dk), d) =>
-        val nb = in.select((col("i") + di).as("i"), (col("j") + dj).as("j"),
-          (col("k") + dk).as("k"))
-        in.join(nb, Seq("i", "j", "k"), "left_anti")
-          .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), d))
-    }
+    // ONE job: explode every in-band cell into its six (neighbor, dir)
+    // candidates, anti-join the neighbor keys against the in-band set —
+    // survivors are exactly the faces whose neighbor is out of band
+    val cand = in.select(col("i").as("ci"), col("j").as("cj"),
+        col("k").as("ck"),
+        explode(array(dirs.zipWithIndex.map { case ((di, dj, dk), d) =>
+          struct((col("i") + di).as("i"), (col("j") + dj).as("j"),
+            (col("k") + dk).as("k"), lit(d).as("d"))
+        }: _*)).as("n"))
+      .select(col("ci"), col("cj"), col("ck"),
+        col("n.i"), col("n.j"), col("n.k"), col("n.d"))
+    val faces: Seq[(Int, Int, Int, Int)] =
+      cand.join(in, Seq("i", "j", "k"), "left_anti")
+        .select("ci", "cj", "ck", "d")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .toSeq
     // quads at cell boundaries, both triangles wound outward
     val verts = scala.collection.mutable.ArrayBuffer.empty[Double]
     val tris = scala.collection.mutable.ArrayBuffer.empty[Int]

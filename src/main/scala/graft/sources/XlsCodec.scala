@@ -175,6 +175,9 @@ object XlsCodec {
       val boundary = bounds.find(_ > pos).getOrElse(recs.length)
       val avail = if (high) (boundary - pos) / 2 else boundary - pos
       val take = math.min(remaining, avail)
+      // a truncated/corrupt SST would otherwise loop forever on take == 0
+      require(take > 0,
+        s"corrupt SST: $remaining chars claimed but none available at offset $pos")
       if (high) {
         (0 until take).foreach { _ =>
           sb.append((((recs(pos) & 0xff) | ((recs(pos + 1) & 0xff) << 8))).toChar)
@@ -211,7 +214,13 @@ object XlsCodec {
       val len = u16at(pos + 2)
       val body = pos + 4
       op match {
-        case 0x0809 => depth += 1 // BOF
+        case 0x0809 => // BOF: only BIFF8 (0x0600) uses these record layouts
+          if (depth == 0) {
+            val vers = u16at(body)
+            require(vers == 0x0600,
+              f"BIFF version 0x$vers%04X unsupported (BIFF8/Excel 97+ only): $path")
+          }
+          depth += 1
         case 0x000A => depth -= 1; if (depth <= 0) done = true // EOF
         case 0x0085 => // BOUNDSHEET: lbPlyPos(4) grbit(2) cch(1) grbitChr(1) name
           val bof = ByteBuffer.wrap(wb, body, 4).order(ByteOrder.LITTLE_ENDIAN).getInt

@@ -209,6 +209,17 @@ class BlockModelStoreSuite extends AnyFunSuite {
     assert(slab.nTris == 2 * (2 * (6 * 5) + 2 * (5 * 1) + 2 * (1 * 6)))
     assert(slab.containsPoint(3.0, 2.5, 1.5))
     assert(!slab.containsPoint(3.0, 2.5, 2.5))    // above the slab
+    // ASYMMETRIC band (regression: the face/neighbor shift was once
+    // inverted, which symmetric bands cannot detect): cells (0,0,0) and
+    // (1,0,0) → a closed 2×1×1 box with proper end caps
+    val two = GridOps.gradeShellMesh(
+      grid.withColumn("v2", col("id").cast("double")), g, "v2", 0.0, 2.0)
+    assert(two.nTris == 2 * (2 * 2 + 2 * 1 + 2 * 2), s"got ${two.nTris}")
+    assert(two.containsPoint(1.0, 0.5, 0.5))   // interior spans both cells
+    assert(two.containsPoint(0.1, 0.5, 0.5))   // -x end cap present
+    assert(two.containsPoint(1.9, 0.5, 0.5))   // +x end cap present
+    assert(!two.containsPoint(2.5, 0.5, 0.5))  // past the +x cap
+    assert(!two.containsPoint(-0.5, 0.5, 0.5))
     // the shell round-trips through mesh egress (viz handoff)
     val d = Files.createTempDirectory("graft_shell").toString
     graft.sources.ObjCodec.write(slab, d + "/s.obj")
