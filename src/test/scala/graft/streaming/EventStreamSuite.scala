@@ -62,6 +62,32 @@ class EventStreamSuite extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("chunk + redact run unchanged under Structured Streaming") {
+    // both are stateless narrow ops, so the same code drives a stream —
+    // the property a 100 TB ingest pipeline needs (no batch/stream fork)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_chunk_stream").toString
+    val docs = Seq(
+      (1L, ("alpha beta gamma delta epsilon zeta " * 4) + "mail a@b.org"),
+      (2L, "short doc only")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.TextAnalysis.chunk(
+        df.withColumn("text", graft.ext.TextAnalysis.redactPii("text")),
+        "text", "doc_id", 8, 2)
+    val batch = transform(spark.read.parquet(dir))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3))).toSet
+    val q = transform(spark.readStream.schema(docs.schema).parquet(dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunk_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("chunk_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    assert(batch.exists(_._3.contains("<EMAIL>"))) // redaction ran in-stream
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     val dir = Files.createTempDirectory("graft_dedup").toString
     val dup = events ++ events.take(3) // re-delivery of the first three
