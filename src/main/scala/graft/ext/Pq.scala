@@ -93,15 +93,35 @@ object Pq {
   def topK(corpus: DataFrame, queries: DataFrame, k: Int, cb: Codebooks,
       rerank: Int, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    require(rerank >= k, s"rerank $rerank < k $k")
-    // candidate stage reads (id, code) only — the compressed representation
     val c = encode(corpus, cb, vecCol)
       .select(col(idCol).as("corpus_id"), col("pq_code"))
+    searchCodes(c, corpus, queries, k, cb, rerank, vecCol, idCol)
+  }
+
+  /** The shared second half of every PQ search: ADC-rank the candidate
+    * (corpus_id, pq_code[, ivf_bkt]) rows against each query, cut to the
+    * top `rerank`, then exact-cosine re-rank only those rows' full
+    * vectors. The candidate side never carries vectors — at 100 TB the
+    * scan and its shuffle move m small ints per row. */
+  private[ext] def searchCodes(codes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, cb: Codebooks, rerank: Int,
+      vecCol: String, idCol: String): DataFrame = {
+    require(rerank >= k, s"rerank $rerank < k $k")
+    val probed = codes.columns.contains("ivf_bkt") &&
+      queries.columns.contains("ivf_bkt")
+    // one row per query for ADC broadcast and re-rank; the probe list
+    // (query exploded per cell) only drives the candidate join
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qvec"))
+      col(vecCol).cast("array<double>").as("qvec")).dropDuplicates("query_id")
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("corpus_id"))
-    val cand = c.crossJoin(broadcast(q))
+    val joined =
+      if (probed) // IVFPQ: cell-pruned code scan
+        codes.join(broadcast(queries.select(col(idCol).as("query_id"),
+            col(vecCol).cast("array<double>").as("qvec"), col("ivf_bkt"))),
+          "ivf_bkt")
+      else codes.crossJoin(broadcast(q))
+    val cand = joined
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("adc", PqAdc.column(col("pq_code"), col("qvec"), cb.centroids))
       .withColumn("crank", row_number().over(wAdc))
@@ -121,5 +141,40 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  /** Persist the corpus as (id, pq_code) — plus the IVF cell as a Parquet
+    * PARTITION column when a coarse quantizer is given. The serving shape:
+    * the candidate scan reads ~m ints per vector from disk (50–100× less
+    * IO than the embeddings), probes prune partitions at planning time,
+    * and full vectors are joined only for the re-rank survivors. */
+  def writeStore(corpus: DataFrame, path: String, cb: Codebooks,
+      coarse: Option[Array[Array[Double]]] = None,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val enc = encode(corpus, cb, vecCol)
+      .select(Seq(col(idCol).as("corpus_id"), col("pq_code")) ++
+        coarse.map(c => NearestCentroid.column(
+          col(vecCol).cast("array<double>"), c).as("ivf_bkt")).toSeq: _*)
+    val w = enc.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    coarse.fold(w)(_ => w.partitionBy("ivf_bkt")).parquet(path)
+  }
+
+  /** Search a [[writeStore]] store. With a coarse quantizer the query's
+    * `nprobe` nearest cells become a partition-pruning filter (IVFPQ);
+    * without one it is a flat PQ scan of the codes. */
+  def topKFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, queries: DataFrame, k: Int, cb: Codebooks,
+      rerank: Int, coarse: Option[Array[Array[Double]]] = None,
+      nprobe: Int = 1, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val codes = spark.read.parquet(path)
+    coarse match {
+      case None => searchCodes(codes, corpus, queries, k, cb, rerank, vecCol, idCol)
+      case Some(cc) =>
+        val q = queries.withColumn("ivf_bkt",
+          explode(graft.functions.ProbeCentroids.column(
+            col(vecCol).cast("array<double>"), cc, nprobe)))
+        searchCodes(codes, corpus, q, k, cb, rerank, vecCol, idCol)
+    }
   }
 }

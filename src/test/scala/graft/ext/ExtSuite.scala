@@ -354,6 +354,35 @@ class IvfSuite extends AnyFunSuite {
     assert((tight intersect exact).size >= 4, s"recall ${tight intersect exact}")
   }
 
+  test("IVFPQ store: partition-pruned code scan, exact at full budgets") {
+    val cb = Pq.train(vecs, m = 2, ksub = 4, iters = 4)
+    val coarse = Ivf.train(vecs, k = 2, iters = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/store"
+    Pq.writeStore(vecs, path, cb, Some(coarse))
+    val queries = vecs.filter(col("vec_id") === 0)
+    val out = Pq.topKFromStore(spark, path, vecs, queries, 5, cb,
+      rerank = 40, coarse = Some(coarse), nprobe = 2)
+    // nprobe = k and rerank >= corpus → exact brute force, through a store
+    // whose candidate scan reads only (id, code) columns
+    val exact = Similarity.bruteForceTopK(vecs, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet == exact)
+    // the probe is partition pruning, not a filter
+    val pruned = Pq.topKFromStore(spark, path, vecs, queries, 5, cb,
+      rerank = 40, coarse = Some(coarse), nprobe = 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_bkt"))
+    // nprobe = 1 stays inside the query's own (even-id) cluster
+    val ids = pruned.collect().map(_.getLong(2)).toSet
+    assert(ids.nonEmpty && ids.forall(_ % 2 == 0))
+    // flat code store (no coarse quantizer) also round-trips
+    val flat = java.nio.file.Files.createTempDirectory("graft_pqf").toString + "/s"
+    Pq.writeStore(vecs, flat, cb)
+    assert(Pq.topKFromStore(spark, flat, vecs, queries, 5, cb, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet == exact)
+  }
+
   test("NaN query vectors neither crash nor match (probe list empty)") {
     val c = Ivf.train(vecs, k = 2, iters = 2)
     val bad = Seq((99L, Array(Double.NaN, 0.0, 0.0, 0.0)))
