@@ -102,7 +102,12 @@ object GridOps {
     * like every codec in `sources`). */
   def gradeShellMesh(df: DataFrame, g: GridSchema, valueCol: String,
       lo: Double, hi: Double, name: String = "shell"): TriMesh = {
-    require(!g.rotated, "gradeShellMesh on rotated grids: unrotate first")
+    if (g.rotated) {
+      // build in the unrotated lattice, then rotate the (small) mesh —
+      // same convention as GridSchema.center / mesh_rotate_0261
+      val flat = gradeShellMesh(df, g.copy(bearing = 90.0), valueCol, lo, hi, name)
+      return RotatedRectFit.rotateMesh(flat, g.bearing, g.rotX, g.rotY)
+    }
     val in = df.filter(col(valueCol) >= lo && col(valueCol) < hi)
       .select(col("i").cast("int"), col("j").cast("int"), col("k").cast("int"))
       .distinct()

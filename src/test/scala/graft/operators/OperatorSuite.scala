@@ -224,6 +224,18 @@ class BlockModelStoreSuite extends AnyFunSuite {
     val d = Files.createTempDirectory("graft_shell").toString
     graft.sources.ObjCodec.write(slab, d + "/s.obj")
     assert(graft.sources.ObjCodec.read(d + "/s.obj").nTris == slab.nTris)
+    // rotated grid: shell = unrotated shell rotated about rotPoint
+    val gr = g.copy(bearing = 135.0, rotX = 1.0, rotY = 2.0)
+    val rot = GridOps.gradeShellMesh(
+      GridOps.generate(spark, gr).withColumn("v", col("k").cast("double")),
+      gr, "v", 1.0, 2.0)
+    assert(rot.nTris == slab.nTris)
+    // a rotated interior probe: rotate the unrotated probe point the same way
+    val a = math.toRadians(-(135.0 - 90.0))
+    val (px, py) = (1.0 + math.cos(a) * (3.0 - 1.0) - math.sin(a) * (2.5 - 2.0),
+      2.0 + math.sin(a) * (3.0 - 1.0) + math.cos(a) * (2.5 - 2.0))
+    assert(rot.containsPoint(px, py, 1.5))
+    assert(!rot.containsPoint(px, py, 2.5))
   }
 
   test("Decimate: QEM collapse hits the face target and keeps the surface") {
