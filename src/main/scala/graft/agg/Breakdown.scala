@@ -122,6 +122,13 @@ object Breakdown {
         // groups (ApproxWeightedQuantile Scaladoc); weightless → w ≡ 1
         val q = ("q1q2q3".indexOf(op.drop(1)) / 2 + 1) * 0.25
         ApproxWeightedQuantile(x, if (wts.nonEmpty) wprod else lit(1.0), q, 256)
+      case p if p.startsWith("ap") && p.drop(2).nonEmpty &&
+          p.drop(2).forall(_.isDigit) =>
+        // `apNN`: bounded-state percentile — Spark's exact `percentile`
+        // buffers every group value, which is unbounded state at 100 TB;
+        // the sketch caps it at maxBins (lossless below that cardinality)
+        ApproxWeightedQuantile(x, if (wts.nonEmpty) wprod else lit(1.0),
+          p.drop(2).toDouble / 100.0, 256)
       case "count" => count(x)
       case "sum" => coalesce(sum(x), lit(0.0)) // pandas all-NaN sum = 0.0
       case "mean" => avg(x)

@@ -265,4 +265,13 @@ class ApproxWeightedQuantileSuite extends AnyFunSuite {
       .toDF("k", "s")
     assert(Breakdown(nulls, "k;s=l,list4").collect()(0).isNullAt(1))
   }
+
+  test("apNN: bounded-state percentile, lossless under the bin cap") {
+    // < 256 distinct values → sketch is lossless, equals the exact pNN
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val out = Breakdown(df, "k;v=p50,p50;v=ap50,ap50;v=p90,p90;v=ap90,ap90")
+      .collect()(0)
+    assert(out.getAs[Double]("ap50") == out.getAs[Double]("p50"))
+    assert(out.getAs[Double]("ap90") == out.getAs[Double]("p90"))
+  }
 }
