@@ -510,6 +510,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ext: residual IVFPQ (IVFADC) — codes quantize v − coarse_centroid.
+    // Same exactness trick at full budgets: nprobe = k_coarse probes every
+    // cell and rerank >= |corpus| keeps all ADC candidates, so the oracle
+    // checks the whole residual path (coarse train → residual train →
+    // residual encode → per-cell query residual ADC → exact re-rank)
+    "q52_ivfpq_residual" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val coarse = ext.Ivf.train(emb, k = 4, iters = 2)
+      val cb = ext.Pq.trainResidual(emb, coarse, m = 8, ksub = 16, iters = 2)
+      ext.Pq.topKResidual(emb, emb.filter(col("vec_id") < 3), 10,
+          coarse, cb, rerank = 1000000, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ext: PII redaction over deterministically-synthesized addresses
     // (the corpus is PII-free, so both engines inject the same patterns)
     "q50_redact" -> ((s, dir) => {
@@ -829,6 +843,20 @@ object SparkEntry {
          WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "q51_pq_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                      round($CosSql, 6) AS cos
+                    FROM e a, e b WHERE b.vec_id < 3 AND a.vec_id <> b.vec_id),
+         r AS (SELECT query_id, corpus_id, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, corpus_id) AS INT) AS rank
+               FROM scored)
+         SELECT query_id, rank, corpus_id, cos FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // residual IVFPQ at nprobe = k_coarse and rerank >= |corpus| is exact,
+    // so the oracle is the same brute-force top-k as q25/q51
+    "q52_ivfpq_residual" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          scored AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
                       round($CosSql, 6) AS cos

@@ -107,12 +107,17 @@ object Pq {
       queries: DataFrame, k: Int, cb: Codebooks, rerank: Int,
       vecCol: String, idCol: String): DataFrame = {
     require(rerank >= k, s"rerank $rerank < k $k")
+    rerankExact(
+      searchCodesCandidates(codes, queries, cb, rerank, vecCol, idCol),
+      corpus, queries, k, vecCol, idCol)
+  }
+
+  /** ADC candidate stage → (query_id, corpus_id) of the top `rerank` per
+    * query. When both sides carry `ivf_bkt` the join is cell-pruned. */
+  private[ext] def searchCodesCandidates(codes: DataFrame, queries: DataFrame,
+      cb: Codebooks, rerank: Int, vecCol: String, idCol: String): DataFrame = {
     val probed = codes.columns.contains("ivf_bkt") &&
       queries.columns.contains("ivf_bkt")
-    // one row per query for ADC broadcast and re-rank; the probe list
-    // (query exploded per cell) only drives the candidate join
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qvec")).dropDuplicates("query_id")
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("corpus_id"))
     val joined =
@@ -120,18 +125,30 @@ object Pq {
         codes.join(broadcast(queries.select(col(idCol).as("query_id"),
             col(vecCol).cast("array<double>").as("qvec"), col("ivf_bkt"))),
           "ivf_bkt")
-      else codes.crossJoin(broadcast(q))
-    val cand = joined
+      else codes.crossJoin(broadcast(
+        queries.select(col(idCol).as("query_id"),
+          col(vecCol).cast("array<double>").as("qvec"))
+          .dropDuplicates("query_id")))
+    joined
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("adc", PqAdc.column(col("pq_code"), col("qvec"), cb.centroids))
       .withColumn("crank", row_number().over(wAdc))
       .filter(col("crank") <= rerank)
       .select("query_id", "corpus_id")
-    // re-rank stage joins full vectors for the R surviving rows only
+  }
+
+  /** Exact-cosine re-rank of the candidate pairs: full vectors join only
+    * for the surviving rows; `queries` must carry ORIGINAL vectors (the
+    * residual path hands candidates found via residual ADC here). */
+  private[ext] def rerankExact(cand: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, vecCol: String, idCol: String): DataFrame = {
     val cv = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).cast("array<double>").as("cvec"))
       .withColumn("cnorm", Similarity.norm(col("cvec")))
-    val qv = q.withColumn("qnorm", Similarity.norm(col("qvec")))
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+      .dropDuplicates("query_id")
+      .withColumn("qnorm", Similarity.norm(col("qvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cos"), 6).desc, col("corpus_id"))
     cand.join(cv, "corpus_id").join(broadcast(qv), "query_id")
@@ -141,6 +158,64 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  // ---- residual encoding (the full FAISS IVFPQ construction) ----------
+  // Quantize v − coarse_centroid[cell] instead of v: residuals are small
+  // and centered regardless of where a cluster sits in space, so the same
+  // m/ksub budget spends its precision on local structure — the published
+  // IVFADC variant (Jégou et al. 2011, §IV).
+
+  private def coarseLit(coarse: Array[Array[Double]]) =
+    typedLit(coarse.map(_.toSeq).toSeq)
+
+  /** v − coarse[bkt], with `bkt` from a column. */
+  private[ext] def residualFor(vec: org.apache.spark.sql.Column,
+      bkt: org.apache.spark.sql.Column,
+      coarse: Array[Array[Double]]): org.apache.spark.sql.Column =
+    zip_with(vec, element_at(coarseLit(coarse), bkt + 1), (a, b) => a - b)
+
+  /** Train codebooks on the coarse-assignment residuals. */
+  def trainResidual(df: DataFrame, coarse: Array[Array[Double]],
+      m: Int, ksub: Int, iters: Int = 5, vecCol: String = "embedding",
+      idCol: String = "vec_id"): Codebooks = {
+    val withResid = Ivf.assign(df, coarse, vecCol)
+      .withColumn("_resid",
+        residualFor(col(vecCol).cast("array<double>"), col("ivf_bkt"), coarse))
+    train(withResid, m, ksub, iters, "_resid", idCol)
+  }
+
+  /** Corpus → (id, ivf_bkt, pq_code-of-residual). */
+  def encodeResidual(df: DataFrame, coarse: Array[Array[Double]],
+      cb: Codebooks, vecCol: String = "embedding",
+      codeCol: String = "pq_code"): DataFrame = {
+    val assigned = Ivf.assign(df, coarse, vecCol)
+      .withColumn("_resid",
+        residualFor(col(vecCol).cast("array<double>"), col("ivf_bkt"), coarse))
+    encode(assigned, cb, "_resid", codeCol).drop("_resid")
+  }
+
+  /** IVFPQ search with residual codes: the query probes its `nprobe`
+    * nearest cells, its residual AGAINST EACH PROBED CELL is computed once
+    * per (query, cell) on the tiny broadcast side, and ADC runs between
+    * that residual and the cell's residual codes. Exact re-rank as
+    * always. `nprobe == k` with `rerank >= |corpus|` is exact. */
+  def topKResidual(corpus: DataFrame, queries: DataFrame, k: Int,
+      coarse: Array[Array[Double]], cb: Codebooks, rerank: Int,
+      nprobe: Int, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(rerank >= k, s"rerank $rerank < k $k")
+    val codes = encodeResidual(corpus, coarse, cb, vecCol)
+      .select(col(idCol).as("corpus_id"), col("ivf_bkt"), col("pq_code"))
+    val q = queries
+      .withColumn("ivf_bkt", explode(graft.functions.ProbeCentroids.column(
+        col(vecCol).cast("array<double>"), coarse, nprobe)))
+      // overwrite the query vector with its per-cell residual: searchCodes
+      // then ADC-ranks residual-vs-residual with no further changes
+      .withColumn(vecCol,
+        residualFor(col(vecCol).cast("array<double>"), col("ivf_bkt"), coarse))
+    val cand = searchCodesCandidates(codes, q, cb, rerank, vecCol, idCol)
+    rerankExact(cand, corpus, queries, k, vecCol, idCol)
   }
 
   /** Persist the corpus as (id, pq_code) — plus the IVF cell as a Parquet

@@ -383,6 +383,38 @@ class IvfSuite extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet == exact)
   }
 
+  test("residual IVFPQ: smaller reconstruction error, exact at full budgets") {
+    // shift both clusters far from the origin: plain PQ must spend its
+    // codewords on absolute position, residual PQ only on local structure
+    val shifted = vecs.withColumn("embedding",
+      expr("transform(embedding, x -> x + 1000.0)"))
+    val coarse = Ivf.train(shifted, k = 2, iters = 4)
+    val plain = Pq.train(shifted, m = 2, ksub = 2, iters = 4)
+    val resid = Pq.trainResidual(shifted, coarse, m = 2, ksub = 2, iters = 4)
+    def reconErr(codes: org.apache.spark.sql.DataFrame, cb: Pq.Codebooks,
+        vec: org.apache.spark.sql.Column): Double =
+      codes.select(graft.functions.PqAdc.column(col("pq_code"), vec,
+          cb.centroids).as("e"))
+        .agg(org.apache.spark.sql.functions.avg("e")).collect()(0).getDouble(0)
+    val plainErr = reconErr(Pq.encode(shifted, plain),
+      plain, col("embedding").cast("array<double>"))
+    val residErr = reconErr(
+      Pq.encodeResidual(shifted, coarse, resid)
+        .withColumn("_r", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("_r", graft.ext.Pq.residualFor(col("_r"), col("ivf_bkt"), coarse)),
+      resid, col("_r"))
+    assert(residErr < plainErr,
+      s"residual $residErr should beat plain $plainErr on shifted clusters")
+    // exactness: nprobe = k, rerank >= corpus → identical to brute force
+    val queries = shifted.filter(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(shifted, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaResid = Pq.topKResidual(shifted, queries, 5, coarse, resid,
+      rerank = 40, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaResid == exact)
+  }
+
   test("NaN query vectors neither crash nor match (probe list empty)") {
     val c = Ivf.train(vecs, k = 2, iters = 2)
     val bad = Seq((99L, Array(Double.NaN, 0.0, 0.0, 0.0)))
