@@ -246,6 +246,17 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // ext: windowed LSH dedup survivors (the streaming filter's batch twin;
+    // EventStreamSuite proves the same plan emits identically under a
+    // watermark). ts is synthesized from doc_id identically in both engines.
+    "q53_lsh_dedup_win" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("ts", col("doc_id").cast("timestamp"))
+      ext.Dedup.lshDedupSurvivors(docs, "text", "doc_id", "ts", "100 seconds")
+        .select(col("ws").cast("long").as("ws"), col("doc_id"))
+        .orderBy("ws", "doc_id")
+    }),
+
     // ext: 60-bit SimHash sketch per document (expression-only bit fold)
     "q22_simhash" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
@@ -809,6 +820,21 @@ object SparkEntry {
       s"""$MinhashPairsSql
          SELECT id_a, id_b, round(jaccard, 6) AS jaccard
          FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
+
+    // windowed LSH dedup survivors: min-id wins each (window, band, bucket);
+    // a doc survives iff it wins all `bands` of its buckets
+    "q53_lsh_dedup_win" ->
+      s"""WITH d AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
+         h AS (SELECT doc_id, list_transform(sh, s -> ${baseHashSql("s")}) AS hv FROM d),
+         g AS (SELECT doc_id, $SigSql AS sig FROM h),
+         b AS (SELECT doc_id, (doc_id // 100) * 100 AS ws, t2.b AS band,
+                 array_to_string(sig[(t2.b * 4 + 1):(t2.b * 4 + 4)], ',') AS band_key
+               FROM g, generate_series(0, 3) AS t2(b)),
+         w AS (SELECT ws, band, band_key, min(doc_id) AS doc_id
+               FROM b GROUP BY ws, band, band_key),
+         s AS (SELECT ws, doc_id, count(*) AS n FROM w GROUP BY ws, doc_id)
+         SELECT CAST(ws AS BIGINT) AS ws, doc_id FROM s WHERE n = 4
+         ORDER BY ws, doc_id""",
 
     "q22_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($ToksSql) AS toks FROM documents)

@@ -166,6 +166,60 @@ object Dedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("minhash_sig")
 
+  /** Windowed LSH near-dup dedup — SURVIVORS of each tumbling window: a
+    * document survives iff it is the min-id member of EVERY band bucket it
+    * lands in (two chained aggregations; no self-join). Losing any bucket
+    * means an earlier in-window document shares that band — an LSH
+    * candidate dup — so the doc is dropped. Greedy bucket-local canonical
+    * selection: within a window it keeps exactly the docs no bucket pairs
+    * with a smaller id, a streaming-friendly approximation of
+    * [[connectedComponents]] canonicals (a chain A–B, B–C may keep both A
+    * and C; never two docs sharing a bucket). Precision is governed by the
+    * band width `numHashes / bands` exactly as in [[minhashLsh]].
+    *
+    * The 100 TB shape: both aggregations shuffle (window, band, band_key)
+    * / (window, doc_id) — small fixed-width keys, `bands` rows per doc, no
+    * candidate pair materialization at all. Output: (ws, doc_id).
+    *
+    * Batch and streaming share this exact plan ([[nearDupFilterStreamLsh]]
+    * adds the watermark): chained tumbling-window aggregations are one of
+    * the stateful-operator compositions Structured Streaming supports in
+    * append mode — unlike anything downstream of flatMapGroupsWithState —
+    * which is why the per-doc "won all buckets" vote replaces explicit
+    * per-bucket state. */
+  def lshDedupSurvivors(df: DataFrame, textCol: String, idCol: String,
+      tsCol: String = "ts", windowDur: String = "10 minutes",
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0)
+    val bandKeys = graft.functions.MinHashBandKeys.column(
+      TextAnalysis.hashedShingles(textCol), hashParams(numHashes), bands)
+    val banded = df.select(col(tsCol).as("_ts"), col(idCol).as("doc_id"),
+      posexplode(bandKeys).as(Seq("band", "band_key")))
+    val winners = banded
+      .groupBy(window(col("_ts"), windowDur).as("w"),
+        col("band"), col("band_key"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    winners
+      .groupBy(col("w"), col("doc_id"))
+      .agg(count(lit(1)).as("_n_won"))
+      .filter(col("_n_won") === lit(bands))
+      .select(col("w").getField("start").as("ws"), col("doc_id"))
+  }
+
+  /** Streaming twin of [[lshDedupSurvivors]]: the same chained-aggregation
+    * plan under a watermark. Append mode emits a window's survivors once
+    * the watermark passes its end; state per open window is bounded (one
+    * row per live bucket + one per candidate survivor). Near-dups farther
+    * apart than `windowDur` both survive — cross-window recall is the
+    * batch pass's job ([[minhashLsh]] + [[connectedComponents]]); this is
+    * the ingest-time first line of defense. */
+  def nearDupFilterStreamLsh(df: DataFrame, textCol: String,
+      idCol: String = "doc_id", tsCol: String = "ts",
+      windowDur: String = "10 minutes", watermark: String = "1 hour",
+      numHashes: Int = 16, bands: Int = 4): DataFrame =
+    lshDedupSurvivors(df.withWatermark(tsCol, watermark), textCol, idCol,
+      tsCol, windowDur, numHashes, bands)
+
   /** Prefix-filtered n-gram Jaccard pairs (AllPairs/SSJoin candidate
     * generation): for `J(a,b) ≥ t`, `|a∩b| ≥ t·|a|`, so in ANY fixed
     * global element order the first `|a| − ⌈t·|a|⌉ + 1` elements of `a`

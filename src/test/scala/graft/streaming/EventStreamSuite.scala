@@ -144,6 +144,43 @@ class EventStreamSuite extends AnyFunSuite {
     assert(got.intersect(Set(1L, 2L)).size == 1) // one of the twins survives
   }
 
+  test("streaming LSH near-dup filter: window survivors match batch") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", TimestampType), StructField("text", StringType)))
+    val body = "the quick brown fox jumps over the lazy dog again and again"
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, t(10), body),
+      org.apache.spark.sql.Row(2L, t(20), body),  // twin of 1, same window → dropped
+      org.apache.spark.sql.Row(3L, t(30), "a completely different document about spark shuffles"),
+      org.apache.spark.sql.Row(4L, t(150), body), // twin of 1, NEXT window → survives
+      // flush doc: advances the watermark far past every window above
+      org.apache.spark.sql.Row(99L, t(100000), "late flush sentinel closing all windows"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val dir = Files.createTempDirectory("graft_lsh_stream").toString
+    df.write.mode("overwrite").parquet(dir)
+
+    val batch = graft.ext.Dedup.lshDedupSurvivors(
+      spark.read.parquet(dir), "text", "doc_id", windowDur = "100 seconds")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(batch.map(_._2) == Set(1L, 3L, 4L, 99L)) // 2 lost its buckets to 1
+
+    val q = graft.ext.Dedup.nearDupFilterStreamLsh(
+      spark.readStream.schema(schema).parquet(dir), "text",
+      windowDur = "100 seconds", watermark = "10 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lsh_ndf_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("lsh_ndf_out")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    // every window the watermark closed must agree exactly with batch; the
+    // flush doc's own window stays open (nothing newer), so allow its absence
+    assert(streamed == batch || streamed == batch.filterNot(_._2 == 99L))
+    assert(streamed.map(_._2).intersect(Set(1L, 2L, 3L, 4L)) == Set(1L, 3L, 4L))
+  }
+
   test("stream-stream attribution join matches batch within the window") {
     val evs = Seq(
       EventStream.Event(1, ts(0), 1, "view", 1.0),
