@@ -207,16 +207,22 @@ object Pq {
     require(rerank >= k, s"rerank $rerank < k $k")
     val codes = encodeResidual(corpus, coarse, cb, vecCol)
       .select(col(idCol).as("corpus_id"), col("ivf_bkt"), col("pq_code"))
-    val q = queries
-      .withColumn("ivf_bkt", explode(graft.functions.ProbeCentroids.column(
-        col(vecCol).cast("array<double>"), coarse, nprobe)))
-      // overwrite the query vector with its per-cell residual: searchCodes
-      // then ADC-ranks residual-vs-residual with no further changes
-      .withColumn(vecCol,
-        residualFor(col(vecCol).cast("array<double>"), col("ivf_bkt"), coarse))
-    val cand = searchCodesCandidates(codes, q, cb, rerank, vecCol, idCol)
+    val cand = searchCodesCandidates(codes,
+      probeResidualQueries(queries, coarse, nprobe, vecCol), cb, rerank,
+      vecCol, idCol)
     rerankExact(cand, corpus, queries, k, vecCol, idCol)
   }
+
+  /** Queries exploded to their `nprobe` nearest cells, the query vector
+    * replaced by its per-cell residual — searchCodes then ADC-ranks
+    * residual-vs-residual with no further changes. */
+  private def probeResidualQueries(queries: DataFrame,
+      coarse: Array[Array[Double]], nprobe: Int, vecCol: String): DataFrame =
+    queries
+      .withColumn("ivf_bkt", explode(graft.functions.ProbeCentroids.column(
+        col(vecCol).cast("array<double>"), coarse, nprobe)))
+      .withColumn(vecCol,
+        residualFor(col(vecCol).cast("array<double>"), col("ivf_bkt"), coarse))
 
   /** Persist the corpus as (id, pq_code) — plus the IVF cell as a Parquet
     * PARTITION column when a coarse quantizer is given. The serving shape:
@@ -225,26 +231,41 @@ object Pq {
     * and full vectors are joined only for the re-rank survivors. */
   def writeStore(corpus: DataFrame, path: String, cb: Codebooks,
       coarse: Option[Array[Array[Double]]] = None,
-      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
-    val enc = encode(corpus, cb, vecCol)
-      .select(Seq(col(idCol).as("corpus_id"), col("pq_code")) ++
-        coarse.map(c => NearestCentroid.column(
-          col(vecCol).cast("array<double>"), c).as("ivf_bkt")).toSeq: _*)
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      residual: Boolean = false): Unit = {
+    require(!residual || coarse.isDefined,
+      "residual codes need a coarse quantizer")
+    val enc =
+      if (residual) encodeResidual(corpus, coarse.get, cb, vecCol)
+        .select(col(idCol).as("corpus_id"), col("ivf_bkt"), col("pq_code"))
+      else encode(corpus, cb, vecCol)
+        .select(Seq(col(idCol).as("corpus_id"), col("pq_code")) ++
+          coarse.map(c => NearestCentroid.column(
+            col(vecCol).cast("array<double>"), c).as("ivf_bkt")).toSeq: _*)
     val w = enc.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
     coarse.fold(w)(_ => w.partitionBy("ivf_bkt")).parquet(path)
   }
 
   /** Search a [[writeStore]] store. With a coarse quantizer the query's
     * `nprobe` nearest cells become a partition-pruning filter (IVFPQ);
-    * without one it is a flat PQ scan of the codes. */
+    * without one it is a flat PQ scan of the codes. `residual` must match
+    * how the store was written — the codes' geometry (absolute vs
+    * per-cell residual) decides which vector the ADC compares against. */
   def topKFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
       corpus: DataFrame, queries: DataFrame, k: Int, cb: Codebooks,
       rerank: Int, coarse: Option[Array[Array[Double]]] = None,
       nprobe: Int = 1, vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id", residual: Boolean = false): DataFrame = {
+    require(!residual || coarse.isDefined,
+      "residual search needs a coarse quantizer")
     val codes = spark.read.parquet(path)
     coarse match {
       case None => searchCodes(codes, corpus, queries, k, cb, rerank, vecCol, idCol)
+      case Some(cc) if residual =>
+        val cand = searchCodesCandidates(codes,
+          probeResidualQueries(queries, cc, nprobe, vecCol), cb, rerank,
+          vecCol, idCol)
+        rerankExact(cand, corpus, queries, k, vecCol, idCol)
       case Some(cc) =>
         val q = queries.withColumn("ivf_bkt",
           explode(graft.functions.ProbeCentroids.column(

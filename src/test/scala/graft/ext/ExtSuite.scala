@@ -383,6 +383,29 @@ class IvfSuite extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet == exact)
   }
 
+  test("residual IVFPQ store: pruned residual-code scan, exact at full budgets") {
+    val shifted = vecs.withColumn("embedding",
+      expr("transform(embedding, x -> x + 1000.0)"))
+    val coarse = Ivf.train(shifted, k = 2, iters = 4)
+    val cb = Pq.trainResidual(shifted, coarse, m = 2, ksub = 4, iters = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft_pqr").toString + "/store"
+    Pq.writeStore(shifted, path, cb, Some(coarse), residual = true)
+    val queries = shifted.filter(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(shifted, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val out = Pq.topKFromStore(spark, path, shifted, queries, 5, cb,
+      rerank = 40, coarse = Some(coarse), nprobe = 2, residual = true)
+    assert(out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet == exact)
+    // the probe still prunes partitions; nprobe = 1 stays in-cluster
+    val pruned = Pq.topKFromStore(spark, path, shifted, queries, 5, cb,
+      rerank = 40, coarse = Some(coarse), nprobe = 1, residual = true)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_bkt"))
+    val ids = pruned.collect().map(_.getLong(2)).toSet
+    assert(ids.nonEmpty && ids.forall(_ % 2 == 0))
+  }
+
   test("residual IVFPQ: smaller reconstruction error, exact at full budgets") {
     // shift both clusters far from the origin: plain PQ must spend its
     // codewords on absolute position, residual PQ only on local structure
