@@ -500,6 +500,14 @@ object SparkEntry {
       Breakdown(ord(s, dir),
         "o_orderstatus;o_orderpriority=prio_l,list3;o_custkey=cust_l,list2")),
 
+    // §2.4 beyond-reference: exact distinct count per group (the HLL
+    // `anunique` twin is suite-checked — sketch estimates aren't
+    // oracle-comparable across engines)
+    "q54_nunique" -> ((s, dir) =>
+      Breakdown(ord(s, dir),
+        "o_orderstatus;o_custkey=nuniq_cust,nunique;" +
+        "o_orderpriority=nuniq_prio,nunique")),
+
     // ext: sliding token-window chunking (training/RAG prep) — pure
     // codegen narrow ops, no shuffle
     "q49_chunk" -> ((s, dir) =>
@@ -1151,6 +1159,12 @@ object SparkEntry {
            || CASE WHEN count(DISTINCT o_custkey) > 2
               THEN ',…' ELSE '' END AS cust_l
          FROM orders GROUP BY o_orderstatus""",
+
+    "q54_nunique" ->
+      """SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS nuniq_cust,
+           count(DISTINCT o_orderpriority) AS nuniq_prio
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q49_chunk" ->
       """WITH t AS (

@@ -17,6 +17,9 @@ import graft.agg.BreakdownSpec.{Row => SpecRow, Spec}
   * Op vocabulary (bm_breakdown.py:11): breakdown, count, sum, mean, min,
   * max, var, std, sem, q1, q2, q3, pNN, major, list, text — with weighted
   * variants of sum / mean / q1-q3 (weight = product of the weight columns).
+  * Beyond-reference scale ops: listN (bounded list), aq1/aq2/aq3 + apNN
+  * (bounded-state quantile sketch), nunique / anunique (exact / HLL++
+  * distinct count).
   *
   * Documented semantic decisions for a distributed engine:
   *   - null group keys are rendered as −99 / "-99" BEFORE grouping
@@ -129,6 +132,18 @@ object Breakdown {
         // the sketch caps it at maxBins (lossless below that cardinality)
         ApproxWeightedQuantile(x, if (wts.nonEmpty) wprod else lit(1.0),
           p.drop(2).toDouble / 100.0, 256)
+      case "nunique" | "anunique" =>
+        // beyond-reference: distinct count (pandas nunique drops NaN).
+        // `nunique` is exact — count_distinct shuffles every distinct value,
+        // fine for categorical columns; `anunique` is the 100 TB path: an
+        // HLL++ sketch (~KB bounded state per group, partial-aggregatable)
+        // for high-cardinality columns (doc/user ids) where exactness would
+        // move the column itself through the shuffle
+        val v = df.schema(r.variable).dataType match {
+          case DoubleType | FloatType => x
+          case _ => col(r.variable)
+        }
+        if (op == "nunique") count_distinct(v) else approx_count_distinct(v)
       case "count" => count(x)
       case "sum" => coalesce(sum(x), lit(0.0)) // pandas all-NaN sum = 0.0
       case "mean" => avg(x)

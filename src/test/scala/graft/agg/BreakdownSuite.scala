@@ -274,4 +274,23 @@ class ApproxWeightedQuantileSuite extends AnyFunSuite {
     assert(out.getAs[Double]("ap50") == out.getAs[Double]("p50"))
     assert(out.getAs[Double]("ap90") == out.getAs[Double]("p90"))
   }
+
+  test("nunique drops null/NaN; anunique estimates within HLL tolerance") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(1.0)), ("a", Some(2.0)),
+      ("a", Some(Double.NaN)), ("a", None),
+      ("b", None), ("b", Some(Double.NaN))).toDF("k", "v")
+    val out = Breakdown(df, "k;v=nu,nunique").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // pandas nunique semantics: NaN and null both dropped
+    assert(out == Map("a" -> 2L, "b" -> 0L))
+    // strings count distinct raw values
+    val s = Seq(("g", "x"), ("g", "x"), ("g", "y"), ("g", null))
+      .toDF("k", "s")
+    assert(Breakdown(s, "k;s=nu,nunique").collect()(0).getLong(1) == 2L)
+    // anunique: HLL++ estimate within its default 5% rsd on 1000 distincts
+    val wide = (1 to 5000).map(i => ("g", (i % 1000).toDouble)).toDF("k", "v")
+    val est = Breakdown(wide, "k;v=anu,anunique").collect()(0).getLong(1)
+    assert(math.abs(est - 1000L) <= 150L, s"estimate $est too far from 1000")
+  }
 }
