@@ -71,6 +71,30 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"geometry_scale_probe failed: ${e.getMessage}")
     }
+
+    // 16×-scale dedup probe (full runs only): the corpus replicated with
+    // per-copy token suffixes (textually disjoint copies — same near-dup
+    // structure, no cross-copy collisions). ratio_16x ≈ 16 certifies the
+    // LSH / prefix-filter paths stay linear in corpus size; a quadratic
+    // candidate join would show ≫16.
+    if (args.isEmpty) try {
+      val probe = Seq(1, 16).map { f =>
+        f -> SparkEntry.dedupProbe(spark, sfDir, f).toSeq.sortBy(_._1)
+          .map { case (name, df) =>
+            val t0 = System.nanoTime()
+            df.count()
+            (name, (System.nanoTime() - t0) / 1e9)
+          }
+      }.toMap
+      val lines = probe(16).zip(probe(1)).map { case ((name, t16), (_, t1)) =>
+        s"\"$name\":{\"sec_1x\":$t1,\"sec_16x\":$t16," +
+          s"\"ratio_16x\":${t16 / math.max(t1, 1e-9)}}"
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"dedup_scale_probe","factor":16,"ops":$lines}""")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"dedup_scale_probe failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

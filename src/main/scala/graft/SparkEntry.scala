@@ -84,6 +84,32 @@ object SparkEntry {
       "elevation" -> Elevation(GridOps.generate(s, g), Slope))
   }
 
+  /** Bench-only dedup scale probe: the corpus replicated `factor`× with
+    * per-copy token suffixes, so copies are textually DISJOINT — each copy
+    * reproduces the base corpus's near-dup structure without cross-copy
+    * collisions. A scale-safe dedup path should cost ~factor× the base
+    * (flat per-doc cost); a quadratic one (bucket blowup, unpruned pair
+    * join) shows super-linear growth. */
+  def dedupProbe(s: SparkSession, dir: String, factor: Int): Map[String, DataFrame] = {
+    val base = Tables.load(s, dir, "documents")
+    val docs = if (factor <= 1) base else
+      (0 until factor).map { i =>
+        base.select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            x => concat(x, lit("_" + i))), " ").as("text"),
+          col("lang"), col("source"))
+      }.reduce(_ union _)
+    Map(
+      "minhash_lsh" -> ext.Dedup.minhashLsh(docs, "text", "doc_id",
+        numHashes = 16, bands = 4, minJaccard = 0.3),
+      "lsh_dedup_win" -> ext.Dedup.lshDedupSurvivors(
+        docs.withColumn("ts", col("doc_id").cast("timestamp")),
+        "text", "doc_id", "ts", "100 seconds"),
+      "ngram_prefix" -> ext.Dedup.ngramJaccardPairsPrefix(docs, "text",
+        "doc_id", Seq("lang", "source"), 0.3))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 breakdown engine: group keys + count/sum/mean/min/max
     "q01_breakdown_basic" -> ((s, dir) =>
