@@ -526,6 +526,22 @@ object SparkEntry {
       Breakdown(ord(s, dir),
         "o_orderstatus;o_orderpriority=prio_l,list3;o_custkey=cust_l,list2")),
 
+    // ext: deterministic train/val/test split — pure hash of (salt, id),
+    // so the oracle reproduces the exact assignment from the same md5
+    "q55_hash_split" -> ((s, dir) =>
+      ext.Sampling.hashSplit(Tables.load(s, dir, "documents"),
+          "doc_id", Seq(0.8, 0.1, 0.1), "v0")
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
+    // ext: stratified deterministic sample — smallest (bucket, id) per
+    // stratum; WindowGroupLimit makes the cut a partial top-n
+    "q56_stratified_sample" -> ((s, dir) =>
+      ext.Sampling.stratifiedSampleN(Tables.load(s, dir, "documents"),
+          Seq("lang"), 5, "doc_id", "s")
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")),
+
     // §2.4 beyond-reference: exact distinct count per group (the HLL
     // `anunique` twin is suite-checked — sketch estimates aren't
     // oracle-comparable across engines)
@@ -595,6 +611,9 @@ object SparkEntry {
        END)"""
   private def baseHashSql(s: String): String =
     s"CAST(CAST(concat('0x', substr(md5($s), 1, 15)) AS UBIGINT) % ${ext.Dedup.Prime} AS BIGINT)"
+  /** DuckDB replica of [[ext.Sampling.hashBucket]] (q55/q56). */
+  private def BucketSql(salt: String, idCol: String): String =
+    s"CAST(CAST(concat('0x', substr(md5(concat('$salt', CAST($idCol AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT)"
   private val LangScoreSql = ext.TextAnalysis.stopwords.map { case (lang, ws) =>
     s"len(list_intersect(toks, [${ws.map(w => s"'$w'").mkString(",")}])) AS s_$lang"
   }.mkString(", ")
@@ -1191,6 +1210,21 @@ object SparkEntry {
            count(DISTINCT o_custkey) AS nuniq_cust,
            count(DISTINCT o_orderpriority) AS nuniq_prio
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q55_hash_split" -> {
+      val th = ext.Sampling.thresholds(Seq(0.8, 0.1, 0.1))
+      s"""SELECT doc_id,
+           CASE WHEN ${BucketSql("v0", "doc_id")} < ${th(0)} THEN 0
+                WHEN ${BucketSql("v0", "doc_id")} < ${th(1)} THEN 1
+                ELSE 2 END AS split
+         FROM documents ORDER BY doc_id"""
+    },
+
+    "q56_stratified_sample" ->
+      s"""SELECT lang, doc_id FROM documents
+         QUALIFY row_number() OVER (PARTITION BY lang
+           ORDER BY ${BucketSql("s", "doc_id")}, doc_id) <= 5
+         ORDER BY lang, doc_id""",
 
     "q49_chunk" ->
       """WITH t AS (

@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling for training-data pipelines.
+  *
+  * Everything here derives from a content hash, not an RNG: the same
+  * (id, salt) always lands in the same sample/split, on any cluster, at
+  * any parallelism, on any engine that can compute md5 — the property a
+  * training pipeline needs for reproducible corpus builds, leak-free
+  * train/val/test separation, and incremental re-runs (new rows join the
+  * right split without reshuffling old ones). `rand()`-based sampling
+  * guarantees none of that.
+  *
+  * Scale shapes: [[hashFraction]] and [[hashSplit]] are narrow codegen
+  * filters/projections — no shuffle, no state, 100 TB-indifferent.
+  * [[stratifiedSampleN]] shuffles on the strata key; Spark's
+  * WindowGroupLimit pushes the `rank <= n` cut into each partition before
+  * the final merge, so per-stratum cost is a partial top-n, not a full
+  * sort.
+  */
+object Sampling {
+
+  /** Sample space: 16^15 = 2^60 (15 md5 hex chars — exact in a signed
+    * long, and the same parse both Spark's `conv` and DuckDB's UBIGINT
+    * cast produce). */
+  val Space: Long = 1L << 60
+
+  /** Uniform bucket in [0, 2^60) from (salt, id) — the single source of
+    * determinism for every op here. */
+  def hashBucket(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), c.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Keep each row iff its bucket falls below `fraction` of the space.
+    * Deterministic in (idCol, salt): re-runs and late-arriving data agree. */
+  def hashFraction(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    df.filter(hashBucket(col(idCol), salt) < (fraction * Space).toLong)
+  }
+
+  /** Assign a split index 0..weights.size-1 (train/val/test …) by bucket
+    * thresholds at the cumulative weight boundaries. Weights are
+    * normalized; determinism as above — a document NEVER migrates between
+    * splits across runs, the leak-safety property. */
+  /** Cumulative bucket thresholds for `weights` — public so an external
+    * checker (e.g. a SQL oracle) can reproduce the exact split boundaries
+    * from one source of truth. */
+  def thresholds(weights: Seq[Double]): Seq[Long] = {
+    require(weights.nonEmpty && weights.forall(_ >= 0) && weights.sum > 0,
+      s"bad weights $weights")
+    val total = weights.sum
+    weights.scanLeft(0.0)(_ + _).tail.map(c => (c / total * Space).toLong)
+  }
+
+  def hashSplit(df: DataFrame, idCol: String, weights: Seq[Double],
+      salt: String = "", splitCol: String = "split"): DataFrame = {
+    val th = thresholds(weights)
+    val b = hashBucket(col(idCol), salt)
+    val assign = th.init.zipWithIndex.foldRight(
+        lit(th.size - 1): Column) { case ((t, i), acc) =>
+      when(b < t, lit(i)).otherwise(acc)
+    }
+    df.withColumn(splitCol, assign)
+  }
+
+  /** The `n` rows of each stratum with the smallest (bucket, id) — a
+    * deterministic uniform sample of exactly min(n, |stratum|) rows per
+    * stratum (hash order is uniform; the id tiebreak makes the cut total).
+    * One shuffle on the strata columns; the window's `rank <= n` compiles
+    * to a WindowGroupLimit partial top-n. */
+  def stratifiedSampleN(df: DataFrame, strata: Seq[String], n: Int,
+      idCol: String, salt: String = ""): DataFrame = {
+    require(n > 0 && strata.nonEmpty)
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(hashBucket(col(idCol), salt), col(idCol))
+    df.withColumn("_samp_rnk", row_number().over(w))
+      .filter(col("_samp_rnk") <= n)
+      .drop("_samp_rnk")
+  }
+}

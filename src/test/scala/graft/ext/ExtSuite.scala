@@ -288,6 +288,69 @@ class CorpusCurationSuite extends AnyFunSuite {
   }
 }
 
+class SamplingSuite extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private lazy val docs = (0L until 2000L).map(i => (i, s"doc$i",
+    if (i % 3 == 0) "en" else if (i % 3 == 1) "pt" else "es"))
+    .toDF("doc_id", "text", "lang")
+
+  test("hashFraction: deterministic, partitioning-invariant, ~uniform") {
+    val a = Sampling.hashFraction(docs, "doc_id", 0.25, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashFraction(docs.repartition(16), "doc_id", 0.25, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)                              // same rows on any layout
+    assert(math.abs(a.size - 500) < 100)        // ~25% of 2000
+    // monotone: a smaller fraction is a subset of a larger one (the
+    // property that makes corpus down-scaling reproducible)
+    val smaller = Sampling.hashFraction(docs, "doc_id", 0.1, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(smaller.subsetOf(a))
+    // a different salt draws a different sample
+    val other = Sampling.hashFraction(docs, "doc_id", 0.25, "s2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(other != a)
+  }
+
+  test("hashSplit: total partition, stable, ~weight proportions") {
+    val out = Sampling.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1), "v0")
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0, 1, 2))
+    assert(counts.values.sum == 2000L)          // total: every row in one split
+    assert(math.abs(counts(0) - 1600L) < 150)
+    assert(math.abs(counts(1) - 200L) < 80 && math.abs(counts(2) - 200L) < 80)
+    // leak-safety: the assignment of old rows is unchanged when new rows
+    // arrive (pure function of id+salt)
+    val half = Sampling.hashSplit(docs.filter(col("doc_id") < 1000),
+      "doc_id", Seq(0.8, 0.1, 0.1), "v0")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val full = out.select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(half.forall { case (id, s) => full(id) == s })
+  }
+
+  test("stratifiedSampleN: exactly n per stratum, deterministic, group-limited") {
+    val out = Sampling.stratifiedSampleN(docs, Seq("lang"), 10, "doc_id", "s")
+    val perLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang == Map("en" -> 10L, "pt" -> 10L, "es" -> 10L))
+    // deterministic across layouts
+    val again = Sampling.stratifiedSampleN(docs.repartition(16), Seq("lang"),
+      10, "doc_id", "s").select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    // small strata are taken whole
+    val tiny = Sampling.stratifiedSampleN(docs.filter(col("doc_id") < 5),
+      Seq("lang"), 10, "doc_id", "s")
+    assert(tiny.count() == 5)
+    // the rank <= n cut runs as a partial top-n, not a full per-group sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+}
+
 class IvfSuite extends AnyFunSuite {
   private lazy val spark = SparkTest.spark
   import spark.implicits._
