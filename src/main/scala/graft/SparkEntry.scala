@@ -92,10 +92,14 @@ object SparkEntry {
     * join) shows super-linear growth. */
   def dedupProbe(s: SparkSession, dir: String, factor: Int): Map[String, DataFrame] = {
     val base = Tables.load(s, dir, "documents")
+    // id stride above the corpus maximum so replica id ranges are disjoint
+    // at any corpus scale (a fixed stride would collide past it)
+    lazy val stride =
+      base.agg(max(col("doc_id"))).first().getLong(0) + 1L
     val docs = if (factor <= 1) base else
       (0 until factor).map { i =>
         base.select(
-          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          (col("doc_id") + lit(i * stride)).as("doc_id"),
           array_join(transform(split(col("text"), " "),
             x => concat(x, lit("_" + i))), " ").as("text"),
           col("lang"), col("source"))

@@ -121,9 +121,10 @@ object Pq {
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("corpus_id"))
     val joined =
-      if (probed) // IVFPQ: cell-pruned code scan
+      if (probed) // IVFPQ: cell-pruned code scan; one row per (query, cell)
         codes.join(broadcast(queries.select(col(idCol).as("query_id"),
-            col(vecCol).cast("array<double>").as("qvec"), col("ivf_bkt"))),
+            col(vecCol).cast("array<double>").as("qvec"), col("ivf_bkt"))
+            .dropDuplicates("query_id", "ivf_bkt")),
           "ivf_bkt")
       else codes.crossJoin(broadcast(
         queries.select(col(idCol).as("query_id"),
@@ -256,6 +257,7 @@ object Pq {
       rerank: Int, coarse: Option[Array[Array[Double]]] = None,
       nprobe: Int = 1, vecCol: String = "embedding",
       idCol: String = "vec_id", residual: Boolean = false): DataFrame = {
+    require(rerank >= k, s"rerank $rerank < k $k")
     require(!residual || coarse.isDefined,
       "residual search needs a coarse quantizer")
     val codes = spark.read.parquet(path)

@@ -42,10 +42,6 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt) < (fraction * Space).toLong)
   }
 
-  /** Assign a split index 0..weights.size-1 (train/val/test …) by bucket
-    * thresholds at the cumulative weight boundaries. Weights are
-    * normalized; determinism as above — a document NEVER migrates between
-    * splits across runs, the leak-safety property. */
   /** Cumulative bucket thresholds for `weights` — public so an external
     * checker (e.g. a SQL oracle) can reproduce the exact split boundaries
     * from one source of truth. */
@@ -56,6 +52,10 @@ object Sampling {
     weights.scanLeft(0.0)(_ + _).tail.map(c => (c / total * Space).toLong)
   }
 
+  /** Assign a split index 0..weights.size-1 (train/val/test …) by bucket
+    * thresholds at the cumulative weight boundaries. Weights are
+    * normalized; determinism as above — a document NEVER migrates between
+    * splits across runs, the leak-safety property. */
   def hashSplit(df: DataFrame, idCol: String, weights: Seq[Double],
       salt: String = "", splitCol: String = "split"): DataFrame = {
     val th = thresholds(weights)

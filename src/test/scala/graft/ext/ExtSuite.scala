@@ -501,6 +501,20 @@ class IvfSuite extends AnyFunSuite {
     assert(viaResid == exact)
   }
 
+  test("duplicate query rows don't corrupt the probed top-k") {
+    // a queries DF carrying the same vec_id twice (e.g. from a join) must
+    // behave as if it appeared once — the probed candidate branch dedups
+    // (query_id, ivf_bkt) like the flat branch dedups query_id
+    val coarse = Ivf.train(vecs, k = 2, iters = 4)
+    val cb = Pq.trainResidual(vecs, coarse, m = 2, ksub = 4, iters = 4)
+    val q1 = vecs.filter(col("vec_id") === 0)
+    val q2 = q1.union(q1) // duplicated query row
+    def run(q: org.apache.spark.sql.DataFrame) =
+      Pq.topKResidual(vecs, q, 5, coarse, cb, rerank = 40, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(run(q2) == run(q1))
+  }
+
   test("NaN query vectors neither crash nor match (probe list empty)") {
     val c = Ivf.train(vecs, k = 2, iters = 2)
     val bad = Seq((99L, Array(Double.NaN, 0.0, 0.0, 0.0)))
