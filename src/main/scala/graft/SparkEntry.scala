@@ -546,6 +546,14 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")),
 
+    // ext: deterministic weighted corpus mixture — rates sized from the
+    // per-source counts, cut by the same md5 bucket as q55/q56
+    "q57_mixture" -> ((s, dir) =>
+      ext.Sampling.mixture(Tables.load(s, dir, "documents"), "source",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 60L, "doc_id", "m1")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     // §2.4 beyond-reference: exact distinct count per group (the HLL
     // `anunique` twin is suite-checked — sketch estimates aren't
     // oracle-comparable across engines)
@@ -1229,6 +1237,27 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY lang
            ORDER BY ${BucketSql("s", "doc_id")}, doc_id) <= 5
          ORDER BY lang, doc_id""",
+
+    // mixture: the rate formula replays Sampling.mixture's IEEE-double
+    // steps exactly — (w/Σw interpolated) * totalRows / count, floor into
+    // the bucket space
+    "q57_mixture" -> {
+      val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+      val wtot = weights.values.sum
+      val caseF = weights.toSeq.sortBy(_._1).map { case (src, w) =>
+        s"WHEN '$src' THEN CAST(${w / wtot} AS DOUBLE)"
+      }.mkString("CASE source ", " ", " END")
+      s"""WITH c AS (SELECT source, count(*) AS cnt FROM documents
+             WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
+         r AS (SELECT source,
+                 CAST(floor(least($caseF * 60 / cnt, CAST(1.0 AS DOUBLE))
+                   * CAST(${ext.Sampling.Space} AS DOUBLE)) AS BIGINT) AS cut
+               FROM c)
+         SELECT d.doc_id, d.source FROM documents d
+         JOIN r ON d.source = r.source
+         WHERE ${BucketSql("m1", "d.doc_id")} < r.cut
+         ORDER BY d.doc_id"""
+    },
 
     "q49_chunk" ->
       """WITH t AS (

@@ -67,6 +67,37 @@ object Sampling {
     df.withColumn(splitCol, assign)
   }
 
+  /** Deterministic weighted corpus mixture: sample each source at the
+    * rate that makes the output approximate `totalRows` rows in the
+    * proportions of `weights` ("60% web, 30% wiki, 10% books"). Sources
+    * absent from `weights` are dropped; a source too small for its target
+    * share contributes everything it has (rate caps at 1 — the output is
+    * then short, never reweighted silently). One count aggregation to
+    * size the rates, then a shuffle-free [[hashBucket]] filter —
+    * deterministic in (idCol, salt) like every op here, so a mixture is
+    * exactly reproducible given the same corpus.
+    *
+    * Rate arithmetic is plain IEEE doubles in a fixed evaluation order
+    * (weight/Σweights*totalRows/count, floor to the bucket space) so an
+    * external SQL checker reproduces the exact cut. */
+  def mixture(df: DataFrame, sourceCol: String, weights: Map[String, Double],
+      totalRows: Long, idCol: String, salt: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.sum > 0, s"bad weights $weights")
+    require(totalRows > 0, s"totalRows $totalRows")
+    val wtot = weights.values.sum
+    val counts = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(sourceCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = hashBucket(col(idCol), salt)
+    weights.toSeq.sortBy(_._1).map { case (src, w) =>
+      val cnt = counts.getOrElse(src, 0L)
+      val rate =
+        if (cnt == 0L) 0.0 else math.min(w / wtot * totalRows / cnt, 1.0)
+      col(sourceCol) === src && b < (rate * Space).toLong
+    }.reduce(_ || _) match { case keep => df.filter(keep) }
+  }
+
   /** The `n` rows of each stratum with the smallest (bucket, id) — a
     * deterministic uniform sample of exactly min(n, |stratum|) rows per
     * stratum (hash order is uniform; the id tiebreak makes the cut total).

@@ -332,6 +332,28 @@ class SamplingSuite extends AnyFunSuite {
     assert(half.forall { case (id, s) => full(id) == s })
   }
 
+  test("mixture: ~target proportions, caps at source size, deterministic") {
+    // srcA 1000 rows, srcB 1000 rows, srcC only 20 rows
+    val mixed = ((0L until 1000L).map(i => (i, "srcA")) ++
+      (1000L until 2000L).map(i => (i, "srcB")) ++
+      (2000L until 2020L).map(i => (i, "srcC")) ++
+      (3000L until 3100L).map(i => (i, "ignored")))
+      .toDF("doc_id", "source")
+    val out = Sampling.mixture(mixed, "source",
+      Map("srcA" -> 0.5, "srcB" -> 0.3, "srcC" -> 0.2), 200L, "doc_id", "t")
+    val counts = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("ignored"))          // unweighted sources dropped
+    assert(math.abs(counts("srcA") - 100L) < 40) // 50% of 200
+    assert(math.abs(counts("srcB") - 60L) < 35)  // 30% of 200
+    assert(counts("srcC") == 20L)                // target 40 > |srcC| → all of it
+    // deterministic across layouts
+    val again = Sampling.mixture(mixed.repartition(16), "source",
+      Map("srcA" -> 0.5, "srcB" -> 0.3, "srcC" -> 0.2), 200L, "doc_id", "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("stratifiedSampleN: exactly n per stratum, deterministic, group-limited") {
     val out = Sampling.stratifiedSampleN(docs, Seq("lang"), 10, "doc_id", "s")
     val perLang = out.groupBy("lang").count()
