@@ -82,6 +82,20 @@ object GraftFunctions {
       val cap = exprs(1).eval().asInstanceOf[Number].intValue()
       graft.agg.BoundedListAgg(Cast(exprs(0), StringType), cap)
     }, "built-in")
+    registry.createOrReplaceTempFunction("hyperplane_bucket", exprs => {
+      require(exprs.length == 1 || exprs.length == 2,
+        "hyperplane_bucket(vec[, bits])")
+      val bits =
+        if (exprs.length == 2) exprs(1).eval().asInstanceOf[Number].intValue()
+        else 8
+      graft.functions.HyperplaneBucket(
+        Cast(exprs.head, org.apache.spark.sql.types.ArrayType(DoubleType)), bits)
+    }, "built-in")
+    registry.createOrReplaceTempFunction("vector_mean", exprs => {
+      require(exprs.length == 1, "vector_mean(vec)")
+      graft.agg.VectorMeanAgg(
+        Cast(exprs.head, org.apache.spark.sql.types.ArrayType(DoubleType)))
+    }, "built-in")
     registry.createOrReplaceTempFunction("major", exprs => {
       require(exprs.length == 1, "major(value)")
       // Mirror the Column helper: MajorAgg's buffer codec only handles

@@ -114,6 +114,41 @@ object SparkEntry {
         "doc_id", Seq("lang", "source"), 0.3))
   }
 
+  /** Bench-only window/join scale probe: the per-key window (q32 shape) and
+    * the interval-join attribution (q42 shape) at `factor`× the rows. Keys
+    * are replicated DISJOINTLY (id offsets) — the 100 TB growth model is
+    * more suppliers/users, not 100× history per key — so output volume and
+    * per-key state stay constant per key and total cost should scale
+    * ~linearly. A super-linear ratio would mean hidden per-key or
+    * cross-replica state. */
+  def windowProbe(s: SparkSession, dir: String, factor: Int): Map[String, DataFrame] = {
+    val li0 = Tables.load(s, dir, "lineitem").filter(col("l_suppkey") < 20)
+    val li = if (factor <= 1) li0 else
+      (0 until factor).map(i =>
+        li0.withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000L)))
+        .reduce(_ union _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val running = li
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running", round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)), 4))
+      .select("l_suppkey", "rn", "running")
+    val ev0 = Tables.load(s, dir, "events")
+    lazy val strides = ev0.agg(max(col("user_id")), max(col("event_id"))).first()
+    val ev = if (factor <= 1) ev0 else {
+      val (us, es) = (strides.getLong(0) + 1L, strides.getLong(1) + 1L)
+      (0 until factor).map(i =>
+        ev0.withColumn("user_id", col("user_id") + lit(i * us))
+          .withColumn("event_id", col("event_id") + lit(i * es)))
+        .reduce(_ union _)
+    }
+    Map(
+      "window_running" -> running,
+      "attribution" -> streaming.EventStream.attribution(ev, "view", "purchase", 86400L))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 breakdown engine: group keys + count/sum/mean/min/max
     "q01_breakdown_basic" -> ((s, dir) =>

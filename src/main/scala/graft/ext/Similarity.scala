@@ -76,18 +76,12 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket for a vector: bit i = sign(v · h_i) with
     * deterministic pseudo-random hyperplanes h_i[d] = ((1 + (i*31 + d*17)
-    * mod 61) - 30.5). Vectors in the same bucket are likely high-cosine. */
-  def hyperplaneBucket(vec: Column, bits: Int = 8): Column = {
-    val planes = (0 until bits).map { i =>
-      val proj = aggregate(
-        zip_with(vec.cast("array<double>"),
-          sequence(lit(0), size(vec) - 1).cast("array<double>"),
-          (x, d) => x * (((lit(1.0) + pmod(lit(i * 31).cast("double") + d * 17.0, lit(61.0)))) - 30.5)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L)).otherwise(lit(0L)) * (1L << i)
-    }
-    planes.reduce(_ + _)
-  }
+    * mod 61) - 30.5). Vectors in the same bucket are likely high-cosine.
+    * Native codegen kernel ([[graft.functions.HyperplaneBucket]]) — one
+    * static dim×bits scan per row instead of an interpreted
+    * `aggregate(zip_with(...))` per bit. */
+  def hyperplaneBucket(vec: Column, bits: Int = 8): Column =
+    graft.functions.HyperplaneBucket.column(vec.cast("array<double>"), bits)
 
   /** Embedding-based near-duplicate pairs: all pairs above a cosine
     * threshold inside each bucket (shuffle on bucket keys only). */

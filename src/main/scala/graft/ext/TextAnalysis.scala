@@ -52,14 +52,21 @@ object TextAnalysis {
   /** Top-`k` characteristic terms per document by TF-IDF.
     *
     * Shape at 100 TB: explode → (doc, term) count → term document-frequency
-    * aggregate (low-cardinality vocabulary, broadcast back) → per-doc
-    * window top-k. The idf is the RATIONAL (N+1)/(df+1) — not the textbook
-    * logarithm — because `ln` is not guaranteed correctly rounded across
-    * engines while +,/ are exact IEEE, keeping the oracle hash-stable; the
-    * ranking is identical (log is monotone). Ties break lexicographically.
+    * aggregate → join back on `term` → per-doc window top-k. The
+    * df-side of the join is VOCABULARY-sized — hundreds of millions of
+    * distinct terms on a web-scale corpus — so there is deliberately NO
+    * broadcast hint: AQE picks broadcast when the (possibly `minDf`-pruned)
+    * vocabulary is small and a sort-merge join on `term` when it is not.
+    * `minDf` drops terms appearing in fewer than that many documents —
+    * standard TF-IDF vocabulary pruning that both denoises the output and
+    * legitimately shrinks the join's build side. The idf is the RATIONAL
+    * (N+1)/(df+1) — not the textbook logarithm — because `ln` is not
+    * guaranteed correctly rounded across engines while +,/ are exact IEEE,
+    * keeping the oracle hash-stable; the ranking is identical (log is
+    * monotone). Ties break lexicographically.
     */
   def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
-      idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+      idCol: String, k: Int, minDf: Long = 1L): org.apache.spark.sql.DataFrame = {
     val n = df.count()
     val terms = df.select(col(idCol).as("doc_id"),
       explode(wordTokens(textCol)).as("term"))
@@ -67,10 +74,11 @@ object TextAnalysis {
     // score join — without the checkpoint the explode+groupBy runs twice
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq0 = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq = if (minDf > 1L) dfreq0.filter(col("df") >= minDf) else dfreq0
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfreq, "term")
       .withColumn("score", round(col("tf").cast("double") *
         (lit((n + 1).toDouble) / (col("df") + 1).cast("double")), 6))
       .withColumn("rank", row_number().over(w))

@@ -188,3 +188,59 @@ object ProbeCentroids {
     ExpressionUtils.column(ProbeCentroids(
       ExpressionUtils.expression(vec), centroids, nprobe))
 }
+
+/** Random-hyperplane LSH bucket: bit i = sign(v · h_i) with the
+  * deterministic pseudo-random hyperplanes
+  * h_i[d] = (1 + ((i·31 + d·17) mod 61)) − 30.5.
+  *
+  * Bit-identical to the SQL-lambda composition it replaces (one
+  * `aggregate(zip_with(...))` PER BIT — ~2·dim·bits interpreted lambda
+  * evals per row): the weights are exact small-half-integer doubles and the
+  * accumulation runs in the same array order, so sign decisions match
+  * exactly. A row with any null element yields bucket 0 — mirroring the
+  * lambda chain, where the poisoned (null) projection fails `proj > 0` and
+  * every bit falls to its `otherwise(0)` branch.
+  */
+object HyperplaneKernel {
+  def bucket(v: ArrayData, bits: Int): Long = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) { if (v.isNullAt(i)) return 0L; i += 1 }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        acc += v.getDouble(d) * ((1.0 + ((b * 31 + d * 17) % 61)) - 30.5)
+        d += 1
+      }
+      if (acc > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+case class HyperplaneBucket(child: Expression, bits: Int)
+  extends UnaryExpression {
+
+  override def prettyName: String = "hyperplane_bucket"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneKernel.bucket(v.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.HyperplaneKernel.bucket($v, $bits);")
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
+    copy(child = c)
+}
+
+object HyperplaneBucket {
+  def column(vec: Column, bits: Int): Column =
+    ExpressionUtils.column(HyperplaneBucket(
+      ExpressionUtils.expression(vec), bits))
+}

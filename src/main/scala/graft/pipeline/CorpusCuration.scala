@@ -20,13 +20,24 @@ import graft.ext.{Dedup, TextAnalysis}
   * the label-propagation joins are the only shuffles that touch pair
   * volume; features are per-row maps. Output: one row per surviving
   * document with its features.
+  *
+  * `maxBandBucket` (default 10 000) engages [[Dedup.minhashLsh]]'s skew
+  * guard: any LSH band bucket holding more documents is dropped wholesale
+  * before the self-join. Real corpora have boilerplate mega-buckets (empty
+  * pages, shared headers) and one bucket of m documents yields m² candidate
+  * pairs — at 100 TB a single hot bucket stalls the stage. Recall tradeoff:
+  * a pair whose ONLY matching band is dropped is missed, but (a) members of
+  * a hot bucket still pair through their other 3 bands, and (b) a bucket
+  * with >10 000 members is boilerplate, not content worth deduplicating
+  * pair-by-pair — exact dedup already collapses identical texts. Pass
+  * `Int.MaxValue` to disable.
   */
 object CorpusCuration {
   def curate(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", minJaccard: Double = 0.3,
-      minQuality: Double = 0.55): DataFrame = {
+      minQuality: Double = 0.55, maxBandBucket: Int = 10000): DataFrame = {
     val pairs = Dedup.minhashLsh(df, textCol, idCol, numHashes = 16,
-      bands = 4, minJaccard = minJaccard)
+      bands = 4, minJaccard = minJaccard, maxBandBucket = maxBandBucket)
     val dropIds = Dedup.connectedComponents(pairs)
       .filter(col("canonical_id") =!= col("doc_id"))
       .select(col("doc_id").as(idCol))

@@ -24,6 +24,8 @@ object Egress {
         df.write.mode(SaveMode.Overwrite).parquet(path)
       case "xlsx" =>
         XlsxCodec.write(df, path)
+      case "xls" =>
+        XlsCodec.write(df, path)
       case "png" | "bmp" =>
         SpectralCodec.write(df, path)
       case "tif" | "tiff" =>

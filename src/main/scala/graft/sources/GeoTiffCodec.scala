@@ -336,14 +336,16 @@ object GeoTiffCodec {
   }
 
   // ----------------------------------------------------------------- write
-  /** Uncompressed chunky GeoTIFF from pixel rows (`pd_save_geotiff`,
+  /** Chunky GeoTIFF from pixel rows (`pd_save_geotiff`,
     * vulcan_save_tri.py:251-260): band columns are the numeric-named ones;
     * integer-typed bands write as bytes, anything else as float32 (the
     * reference's GDT_Byte / GDT_Float32 choice). Geotransform from the
     * first row's x0..tyy; rotation terms emit a ModelTransformation.
-    * Driver-side assembly like the reference (rasters at egress are
-    * report-scale). */
-  def write(df: DataFrame, path: String): Unit = {
+    * `deflate = true` compresses the pixel strip with zlib (TIFF
+    * compression 8 — the reference's GDAL COMPRESS=DEFLATE); the reader
+    * side already handles LZW/Deflate/PackBits. Driver-side assembly like
+    * the reference (rasters at egress are report-scale). */
+  def write(df: DataFrame, path: String, deflate: Boolean = false): Unit = {
     val bandCols = df.columns.filter(_.forall(_.isDigit)).sortBy(_.toInt)
     require(bandCols.nonEmpty, "GeoTIFF write needs numeric-named band columns")
     // CRS column from the reader's shape ("EPSG"/"Authority"), if present
@@ -390,6 +392,7 @@ object GeoTiffCodec {
     flat.foreach { v =>
       if (asByte) pixels.put(v.toInt.toByte) else pixels.putFloat(v.toFloat)
     }
+    val strip = if (deflate) deflateBytes(pixels.array()) else pixels.array()
 
     val rotated = gt(2) != 0.0 || gt(4) != 0.0
     // IFD: tag, type, count, inline value or offset into the data area
@@ -416,12 +419,12 @@ object GeoTiffCodec {
       Entry(258, 3, nb,
         if (nb <= 2) Some(inlineShorts(Seq.fill(nb)(bytesPer * 8))) else None,
         if (nb <= 2) None else Some(shorts(Seq.fill(nb)(bytesPer * 8)))),
-      Entry(259, 3, 1, Some(1L), None),
+      Entry(259, 3, 1, Some(if (deflate) 8L else 1L), None),
       Entry(262, 3, 1, Some(1L), None),
       Entry(273, 4, 1, None, None), // strip offset patched below
       Entry(277, 3, 1, Some(nb.toLong), None),
       Entry(278, 4, 1, Some(ny.toLong), None),
-      Entry(279, 4, 1, Some(pixels.capacity().toLong), None),
+      Entry(279, 4, 1, Some(strip.length.toLong), None),
       Entry(284, 3, 1, Some(1L), None),
       Entry(339, 3, 1, Some(if (asByte) 1L else 3L), None))
     if (rotated)
@@ -448,7 +451,7 @@ object GeoTiffCodec {
     }
     val stripOff = dataOff
 
-    val out = ByteBuffer.allocate((stripOff + pixels.capacity()).toInt)
+    val out = ByteBuffer.allocate((stripOff + strip.length).toInt)
       .order(ByteOrder.LITTLE_ENDIAN)
     out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdStart.toInt)
     out.putShort(withOffsets.length.toShort)
@@ -463,8 +466,17 @@ object GeoTiffCodec {
     }
     out.putInt(0) // next-IFD terminator
     withOffsets.foreach { case (e, _) => e.data.foreach(out.put) }
-    out.put(pixels.array())
+    out.put(strip)
     java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
+  }
+
+  private def deflateBytes(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val chunk = new Array[Byte](8192)
+    while (!d.finished()) { val n = d.deflate(chunk); out.write(chunk, 0, n) }
+    d.end(); out.toByteArray
   }
 
   /** Pack ≤2 shorts into the 4-byte inline slot (little-endian order). */

@@ -8,10 +8,11 @@ import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-/** Legacy binary Excel (.xls, BIFF8 inside an OLE2 compound file) reader —
+/** Legacy binary Excel (.xls, BIFF8 inside an OLE2 compound file) codec —
   * closes the reference's `pd.read_excel` pre-2007 branch
-  * (/root/reference/_gui.py:227-228, which delegates to xlrd). Read-only:
-  * the modern writer is [[XlsxCodec]].
+  * (/root/reference/_gui.py:227-228, which delegates to xlrd) and the
+  * matching ExcelWriter save-back (_gui.py:350-352). The modern format's
+  * codec is [[XlsxCodec]].
   *
   * Container: OLE2/CFB — header DIFAT → FAT chains → directory; the
   * `Workbook` (or `Book`) stream, from the mini-stream when it is under
@@ -334,5 +335,198 @@ object XlsCodec {
       })
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  // ----------------------------------------------------------------- write
+  /** Single-sheet BIFF8 .xls writer — the save-back half of the reference's
+    * ExcelWriter path (_gui.py:350-352, pandas+xlwt). `path!sheet` names
+    * the sheet (default "Sheet1"). Header row from column names; numeric
+    * columns emit NUMBER records, everything else inline-unicode LABEL
+    * records (self-contained — no SST/CONTINUE machinery needed); nulls
+    * stay blank. Driver-side assembly like [[XlsxCodec.write]] — XLS
+    * egress is report-scale by format limit (65 536 rows × 256 columns,
+    * enforced loudly). */
+  def write(df: DataFrame, pathAndSheet: String): Unit = {
+    val (path, sheetName) = pathAndSheet.split('!') match {
+      case Array(p, s) => (p, s)
+      case _ => (pathAndSheet, "Sheet1")
+    }
+    val header = df.columns
+    val data = df.collect()
+    require(header.length <= 256, s"XLS holds at most 256 columns, got ${header.length}")
+    require(data.length + 1 <= 65536, s"XLS holds at most 65536 rows, got ${data.length + 1}")
+    val numeric = df.schema.fields.map(_.dataType match {
+      case _: NumericType => true
+      case _ => false
+    })
+
+    val out = new java.io.ByteArrayOutputStream()
+    def rec(op: Int, body: Array[Byte]): Unit = {
+      require(body.length <= 8224, s"BIFF record 0x${op.toHexString} overflows")
+      val b = ByteBuffer.allocate(4 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(op.toShort).putShort(body.length.toShort).put(body)
+      out.write(b.array())
+    }
+    def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+
+    // BIFF8 unicode string body for LABEL/BOUNDSHEET: cch, grbit, chars
+    // (compressed when every char fits a byte, else UTF-16LE)
+    def uniStr(s0: String, cch16: Boolean): Array[Byte] = {
+      // cell text limit is 32767 chars in the format; records cap at 8224
+      // bytes, so long report cells are truncated loudly rather than
+      // corrupting the stream
+      val max = 4000
+      val s = if (s0.length <= max) s0 else s0.take(max)
+      val high = s.exists(_ >= 0x100)
+      val b = le((if (cch16) 2 else 1) + 1 + s.length * (if (high) 2 else 1))
+      if (cch16) b.putShort(s.length.toShort) else b.put(s.length.toByte)
+      b.put((if (high) 1 else 0).toByte)
+      if (high) s.foreach(c => b.putShort(c.toShort))
+      else s.foreach(c => b.put(c.toByte))
+      b.array()
+    }
+
+    def bof(dt: Int): Array[Byte] =
+      le(16).putShort(0x0600.toShort).putShort(dt.toShort)
+        .putShort(0x0DBB.toShort).putShort(0x07CC.toShort)
+        .putInt(0x000000C1).putInt(0x00000006).array()
+
+    // ---- workbook globals substream
+    rec(0x0809, bof(0x0005))
+    rec(0x0042, le(2).putShort(1200.toShort).array()) // CODEPAGE: UTF-16
+    rec(0x003D, le(18).putShort(0x0168.toShort).putShort(0x0078.toShort)
+      .putShort(0x3A5C.toShort).putShort(0x23F0.toShort)
+      .putShort(0x0038.toShort).putShort(0.toShort).putShort(0.toShort)
+      .putShort(1.toShort).putShort(0x0258.toShort).array()) // WINDOW1
+    // FONT ×5: Excel skips font index 4, so five records cover ixfnt 0–5
+    val fontBody = {
+      val name = "Arial"
+      val b = le(14 + 2 + name.length * 2)
+      b.putShort(200.toShort).putShort(0.toShort).putShort(0x7FFF.toShort)
+        .putShort(400.toShort).putShort(0.toShort)
+        .put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .put(name.length.toByte).put(1.toByte)
+      name.foreach(c => b.putShort(c.toShort))
+      b.array()
+    }
+    (0 until 5).foreach(_ => rec(0x0031, fontBody))
+    // XF ×16: 15 style XFs + the cell XF every cell record points at (15)
+    def xf(style: Boolean): Array[Byte] = {
+      val b = le(20)
+      b.putShort(0.toShort).putShort(0.toShort)
+        .putShort((if (style) 0xFFF5 else 0x0001).toShort)
+        .put(0x20.toByte).put(0.toByte)
+      b.put(new Array[Byte](12))
+      b.array()
+    }
+    (0 until 15).foreach(_ => rec(0x00E0, xf(style = true)))
+    rec(0x00E0, xf(style = false))
+    // BOUNDSHEET: sheet-BOF offset patched after the globals EOF lands
+    val boundsheetAt = out.size()
+    rec(0x0085, {
+      val n = uniStr(sheetName, cch16 = false)
+      le(6 + n.length).putInt(0).putShort(0.toShort).put(n).array()
+    })
+    rec(0x000A, Array.emptyByteArray) // EOF (globals)
+
+    // ---- worksheet substream
+    val sheetBof = out.size()
+    rec(0x0809, bof(0x0010))
+    rec(0x0200, le(14).putInt(0).putInt(data.length + 1)
+      .putShort(0.toShort).putShort(header.length.toShort)
+      .putShort(0.toShort).array()) // DIMENSIONS
+    def label(rw: Int, c: Int, s: String): Unit = {
+      val u = uniStr(s, cch16 = true)
+      rec(0x0204, le(6 + u.length).putShort(rw.toShort).putShort(c.toShort)
+        .putShort(15.toShort).put(u).array())
+    }
+    def number(rw: Int, c: Int, v: Double): Unit =
+      rec(0x0203, le(14).putShort(rw.toShort).putShort(c.toShort)
+        .putShort(15.toShort).putDouble(v).array())
+    header.zipWithIndex.foreach { case (h, c) => label(0, c, h) }
+    data.zipWithIndex.foreach { case (row, i) =>
+      var c = 0
+      while (c < header.length) {
+        row.get(c) match {
+          case null => // blank
+          case n: Number if numeric(c) => number(i + 1, c, n.doubleValue())
+          case v => label(i + 1, c, v.toString)
+        }
+        c += 1
+      }
+    }
+    rec(0x000A, Array.emptyByteArray) // EOF (sheet)
+
+    val wb = out.toByteArray
+    // patch the BOUNDSHEET stream position (record header is 4 bytes)
+    val patched = ByteBuffer.wrap(wb).order(ByteOrder.LITTLE_ENDIAN)
+    patched.putInt(boundsheetAt + 4, sheetBof)
+    writeCfb(path, wb)
+  }
+
+  /** Minimal OLE2/CFB container: header-inline DIFAT, FAT chain, one
+    * directory sector (Root + Workbook), workbook as a REGULAR stream —
+    * padded to the 4096-byte mini cutoff so no mini-FAT machinery is
+    * needed (trailing zeros after the BIFF EOF are inert to readers,
+    * which stop at the EOF record). */
+  private def writeCfb(path: String, workbook: Array[Byte]): Unit = {
+    val FatSect = 0xFFFFFFFD
+    val wb = if (workbook.length >= 4096) workbook
+      else java.util.Arrays.copyOf(workbook, 4096)
+    val wbSectors = (wb.length + 511) / 512
+    // fixed point: nFat FAT sectors must index themselves + dir + workbook
+    var nFat = 1
+    var settled = false
+    while (!settled) {
+      val need = ((nFat + 1 + wbSectors) * 4 + 511) / 512
+      if (need == nFat) settled = true else nFat = need
+    }
+    require(nFat <= 109, s"XLS too large for header-inline DIFAT (${wb.length} bytes)")
+    val totalSectors = nFat + 1 + wbSectors
+    val fat = Array.fill(nFat * 128)(FreeSect)
+    (0 until nFat).foreach(i => fat(i) = FatSect)
+    fat(nFat) = EndOfChain // directory: single sector
+    (0 until wbSectors).foreach { i =>
+      fat(nFat + 1 + i) = if (i == wbSectors - 1) EndOfChain else nFat + 2 + i
+    }
+
+    val buf = ByteBuffer.allocate(512 + totalSectors * 512)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    // header
+    buf.put(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
+    buf.put(new Array[Byte](16)) // CLSID
+    buf.putShort(0x003E.toShort).putShort(0x0003.toShort) // minor/major
+    buf.putShort(0xFFFE.toShort) // little-endian mark
+    buf.putShort(9.toShort).putShort(6.toShort) // sector/mini shifts
+    buf.put(new Array[Byte](6))
+    buf.putInt(0) // v3: no directory-sector count
+    buf.putInt(nFat)
+    buf.putInt(nFat) // first directory sector
+    buf.putInt(0) // transaction
+    buf.putInt(4096) // mini cutoff
+    buf.putInt(EndOfChain).putInt(0) // no mini FAT
+    buf.putInt(EndOfChain).putInt(0) // no DIFAT sectors
+    (0 until 109).foreach(i => buf.putInt(if (i < nFat) i else FreeSect))
+    // FAT sectors
+    fat.foreach(buf.putInt)
+    // directory sector: Root Entry + Workbook + two unused
+    def dirEntry(name: String, typ: Int, child: Int, start: Int, size: Int): Unit = {
+      val begin = buf.position()
+      name.foreach(c => buf.putShort(c.toShort))
+      buf.putShort(0.toShort)
+      buf.position(begin + 64)
+      buf.putShort(((name.length + 1) * 2).toShort)
+      buf.put(typ.toByte).put(1.toByte) // black
+      buf.putInt(-1).putInt(-1).putInt(child)
+      buf.put(new Array[Byte](36)) // CLSID + state + times
+      buf.putInt(start).putInt(size).putInt(0)
+    }
+    dirEntry("Root Entry", 5, 1, EndOfChain, 0)
+    dirEntry("Workbook", 2, -1, nFat + 1, wb.length)
+    buf.put(new Array[Byte](256)) // two unused entries
+    // workbook stream sectors
+    buf.put(wb)
+    buf.put(new Array[Byte](wbSectors * 512 - wb.length))
+    Files.write(Paths.get(path), buf.array())
   }
 }

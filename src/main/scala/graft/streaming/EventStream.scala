@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -110,9 +110,8 @@ object EventStream {
     *     arrive, so on an idle or terminated stream the tail sessions stay
     *     open in state and are never emitted (a processing-time timeout
     *     would eventually flush them, at the cost of replay determinism).
-    *     For a drain-at-shutdown, feed a final high-timestamp sentinel
-    *     event per partition, or read the remaining open sessions out of
-    *     the state store.
+    *     For a drain-at-shutdown use [[drainSessions]] (file sources) or
+    *     inject [[drainSentinel]] into the source yourself.
     *   - LATENESS BOUND: events later than `watermark` behind the stream
     *     maximum are dropped by `withWatermark` before they reach state —
     *     a larger watermark admits later data but delays session closure
@@ -162,5 +161,37 @@ object EventStream {
             out.reverseIterator
           }
       }
+  }
+
+  /** Drain sentinel for [[sessionizeStreaming]]: a single synthetic event
+    * whose timestamp sits past `maxEventTs + gapSec + watermarkSec`, so once
+    * it flows through the stream the watermark passes `last + gap` for
+    * EVERY session open at `maxEventTs` and one more micro-batch emits them
+    * all. The sentinel's own single-event session stays behind in state —
+    * the watermark never passes it — so the drained output needs no
+    * filtering; its ids are `Long.MinValue` should a caller want to guard
+    * anyway. Watermark is taken in seconds (the string form
+    * sessionizeStreaming accepts is sugar for exactly this number). */
+  def drainSentinel(maxEventTs: Timestamp, gapSec: Long,
+      watermarkSec: Long): Event =
+    Event(Long.MinValue,
+      new Timestamp(maxEventTs.getTime + (gapSec + watermarkSec + 2L) * 1000L),
+      Long.MinValue, "__drain__", 0.0)
+
+  /** Drain a FILE-SOURCE sessionization stream at shutdown: appends one
+    * [[drainSentinel]] parquet row to `sourceDir`, so restarting the query
+    * on its existing checkpoint (state intact) closes and emits every open
+    * tail session in the next micro-batch. Returns the sentinel written.
+    * Idempotence: a second drain appends a later sentinel, which flushes
+    * nothing new except the previous sentinel's own session. */
+  def drainSessions(spark: SparkSession, sourceDir: String, gapSec: Long,
+      watermarkSec: Long): Event = {
+    import spark.implicits._
+    val maxTs = spark.read.parquet(sourceDir)
+      .agg(max(col("ts"))).first().getTimestamp(0)
+    require(maxTs != null, s"no events with a timestamp under $sourceDir")
+    val s = drainSentinel(maxTs, gapSec, watermarkSec)
+    Seq(s).toDF().write.mode("append").parquet(sourceDir)
+    s
   }
 }

@@ -45,6 +45,24 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(out.contains((3L, 1, "xenon")))
   }
 
+  test("tfidf: no mandatory broadcast of the vocabulary side; minDf prunes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common zebra zebra zebra"),
+      (2L, "common yak yak"),
+      (3L, "common xenon")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", 2)
+    // the document-frequency aggregate is vocabulary-sized at corpus scale:
+    // the join must carry NO broadcast hint (AQE decides at runtime)
+    val logical = out.queryExecution.optimizedPlan.toString
+    assert(!logical.toLowerCase.contains("broadcast"), logical.take(800))
+    // minDf = 2 drops every term that appears in a single document; only
+    // the corpus-wide 'common' survives the vocabulary prune
+    val pruned = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", 2, minDf = 2L)
+      .select("term").distinct().as[String].collect().toSet
+    assert(pruned == Set("common"))
+  }
+
   test("qualityScore rewards clean english text") {
     val df = Seq(
       "the cat and the dog walked to the park and it was sunny in the town",
@@ -267,6 +285,40 @@ class SimilaritySuite extends AnyFunSuite {
     assert(b(0L) == b(1L)) // nearly parallel → same bucket
     assert(b(2L) == b(3L))
   }
+
+  test("hyperplane kernel: bit-identical to the SQL lambda chain, no lambdas in plan") {
+    // the native kernel must reproduce the interpreted aggregate(zip_with)
+    // composition exactly — same weights, same accumulation order
+    def sqlBucket(vec: org.apache.spark.sql.Column, bits: Int) = {
+      val planes = (0 until bits).map { i =>
+        val proj = aggregate(
+          zip_with(vec.cast("array<double>"),
+            sequence(lit(0), size(vec) - 1).cast("array<double>"),
+            (x, d) => x * (((lit(1.0) + pmod(lit(i * 31).cast("double") + d * 17.0, lit(61.0)))) - 30.5)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, lit(1L)).otherwise(lit(0L)) * (1L << i)
+      }
+      planes.reduce(_ + _)
+    }
+    val rnd = new scala.util.Random(7)
+    val wide = (0L until 50L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val rows = wide.select(
+      Similarity.hyperplaneBucket($"embedding", 12).as("k"),
+      sqlBucket($"embedding", 12).as("s")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // the bucket column compiles to the static kernel — no interpreted
+    // higher-order functions left in the plan
+    val plan = wide.select(Similarity.hyperplaneBucket($"embedding").as("b"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction") && !plan.contains("aggregate("),
+      plan.take(600))
+    // null element mirrors the lambda chain: poisoned projection → bucket 0
+    val withNull = Seq((1L, Array[java.lang.Double](1.0, null, 2.0)))
+      .toDF("vec_id", "embedding")
+    assert(withNull.select(Similarity.hyperplaneBucket($"embedding"))
+      .collect()(0).getLong(0) == 0L)
+  }
 }
 
 class CorpusCurationSuite extends AnyFunSuite {
@@ -285,6 +337,28 @@ class CorpusCurationSuite extends AnyFunSuite {
     val out = graft.pipeline.CorpusCuration.curate(docs, minJaccard = 0.5)
       .collect().map(r => r.getLong(0)).toSet
     assert(out == Set(10L, 20L))
+  }
+
+  test("injected mega-bucket: skew guard bounds candidate volume") {
+    // 40 identical boilerplate docs share EVERY band → one bucket of 40
+    // in each of the 4 bands → 4 × 40² candidate shape without the guard.
+    // With maxBandBucket = 10 every boilerplate bucket is dropped wholesale
+    // (zero pairs from the mega-bucket, not 780), while a genuine small
+    // dup cluster elsewhere still collapses through its sub-cap buckets.
+    val good = "the quick brown fox jumps over the lazy dog and it is fine " * 3
+    val boiler = "this page is intentionally left blank and the content is gone " * 3
+    val docs = (Seq((10L, good), (11L, good)) ++
+      (100L until 140L).map(i => (i, boiler))).toDF("doc_id", "text")
+    val pairs = graft.ext.Dedup.minhashLsh(docs, "text", "doc_id",
+      numHashes = 16, bands = 4, minJaccard = 0.5, maxBandBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 11L))) // mega-bucket contributed ZERO pairs
+    // end-to-end: curate with the guard keeps all boilerplate copies (the
+    // documented recall tradeoff) but still dedups the genuine cluster
+    val out = graft.pipeline.CorpusCuration.curate(docs, minJaccard = 0.5,
+      maxBandBucket = 10).collect().map(_.getLong(0)).toSet
+    assert(!out.contains(11L) && out.contains(10L))
+    assert((100L until 140L).forall(out.contains))
   }
 }
 

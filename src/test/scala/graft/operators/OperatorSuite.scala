@@ -132,6 +132,20 @@ class GraftFunctionsSuite extends AnyFunSuite {
       "SELECT bounded_list(t, 1) AS l FROM t_r4 GROUP BY k").collect()(0)
     assert(l.getString(0) == "call 555-123-4567,…")
   }
+
+  test("round-5 SQL surface: hyperplane_bucket, vector_mean") {
+    graft.GraftFunctions.register(spark)
+    Seq(("g", Array(1.0f, 0.0f)), ("g", Array(0.9f, 0.1f)), ("g", Array(-1.0f, 0.0f)))
+      .toDF("k", "v").createOrReplaceTempView("t_r5")
+    val b = spark.sql(
+      "SELECT hyperplane_bucket(v) AS b FROM t_r5 ORDER BY v[0] DESC").collect()
+    assert(b(0).getLong(0) == b(1).getLong(0)) // near-parallel share a bucket
+    assert(b(0).getLong(0) != b(2).getLong(0)) // antipodal differ
+    val m = spark.sql(
+      "SELECT vector_mean(v) AS m FROM t_r5 GROUP BY k").collect()(0)
+        .getSeq[Double](0)
+    assert(math.abs(m(0) - (1.0f + 0.9f + -1.0f) / 3.0) < 1e-7)
+  }
 }
 
 class ElevationSuite extends AnyFunSuite {

@@ -48,6 +48,21 @@ class GeoTiffSuite extends AnyFunSuite {
     assert((1 to 6).map(r0.getDouble) == Seq(500.0, 2.0, 0.0, 800.0, 0.0, -2.0))
   }
 
+  test("Deflate-compressed write round-trips through the reader") {
+    val d = Files.createTempDirectory("graft_tifz").toString
+    GeoTiffCodec.write(pixelDf(), d + "/z.tif", deflate = true)
+    GeoTiffCodec.write(pixelDf(), d + "/u.tif")
+    // the compressed file is genuinely smaller on this compressible ramp
+    val (zLen, uLen) = (new java.io.File(d + "/z.tif").length,
+      new java.io.File(d + "/u.tif").length)
+    assert(zLen < uLen, s"deflate $zLen !< uncompressed $uLen")
+    // identical pixels, geotransform, and CRS through the existing reader
+    def norm(p: String) = GeoTiffCodec.read(spark, p).collect()
+      .map(r => (r.getDouble(7), r.getDouble(8)) ->
+        (r.getDouble(0), r.getDouble(1), r.getDouble(11))).toMap
+    assert(norm(d + "/z.tif") == norm(d + "/u.tif"))
+  }
+
   test("integer bands write as bytes and read back") {
     import spark.implicits._
     val df = (for (xc <- 0 until 3; yc <- 0 until 2) yield

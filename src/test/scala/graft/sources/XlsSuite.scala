@@ -202,4 +202,40 @@ class XlsSuite extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](XlsCodec.read(spark, p + "!nope"))
     assert(err.getMessage.contains("Data"))
   }
+
+  test("XLS write-back: write → read round-trip, named sheet, Egress dispatch") {
+    import spark.implicits._
+    val df = Seq(
+      ("ore", 2.75, "first", Some(7L)),
+      ("waste", 12.0, "x07 ünïcödé", None),
+      ("ore", 4.25, null, Some(-3L)))
+      .toDF("lito", "grade", "note", "cnt")
+    val d = Files.createTempDirectory("graft_xlsw").toString
+    XlsCodec.write(df, d + "/report.xls!Results")
+    val back = XlsCodec.read(spark, d + "/report.xls!Results")
+    assert(back.columns.toSeq == Seq("lito", "grade", "note", "cnt"))
+    // numeric columns come back double; strings (incl. non-latin) intact
+    assert(back.schema("grade").dataType.typeName == "double")
+    assert(back.schema("cnt").dataType.typeName == "double")
+    val rows = back.orderBy("grade").collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))))
+    assert(rows.toSeq == Seq(
+      ("ore", 2.75, "first", 7.0),
+      ("ore", 4.25, null, -3.0),
+      ("waste", 12.0, "x07 ünïcödé", null)))
+    // default sheet name + extension dispatch both ways
+    Egress.save(df, d + "/plain.xls")
+    assert(XlsCodec.read(spark, d + "/plain.xls!Sheet1").count() == 3)
+    assert(Ingest.load(spark, d + "/plain.xls", keepNull = true).count() == 3)
+    // a wide-ish frame crosses the one-sector boundary in the CFB writer
+    val wide = (0L until 400L).map(i => (i, s"row$i", i * 0.5))
+      .toDF("id", "name", "v")
+    XlsCodec.write(wide, d + "/wide.xls")
+    val wb = XlsCodec.read(spark, d + "/wide.xls")
+    assert(wb.count() == 400)
+    assert(wb.agg(org.apache.spark.sql.functions.sum("v")).first().getDouble(0)
+      == (0L until 400L).map(_ * 0.5).sum)
+  }
 }

@@ -255,4 +255,40 @@ class EventStreamSuite extends AnyFunSuite {
     // last + gap: ts(500) − 10 min ≫ ts(140) + 30 min
     assert(a.contains((7L, 1L, 0L)))
   }
+
+  test("drainSessions: terminated stream emits every tail session") {
+    // every session still open when the stream terminates: without a drain
+    // the watermark parks behind last+gap and nothing is ever emitted
+    val evs = Seq(
+      EventStream.Event(1, ts(0), 21, "view", 1.0),
+      EventStream.Event(2, ts(10), 21, "click", 1.0),
+      EventStream.Event(3, ts(5), 22, "view", 1.0))
+    val src = Files.createTempDirectory("graft_drain_src").toString
+    val outDir = Files.createTempDirectory("graft_drain_out").toString
+    val ckpt = Files.createTempDirectory("graft_drain_ck").toString
+    evs.toDF().write.mode("overwrite").parquet(src)
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(evs.toDF().schema).parquet(src).as[EventStream.Event]
+      val q = EventStream.sessionizeStreaming(stream, gapSec = 1800)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt) // state survives restarts
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("duration_sec", org.apache.spark.sql.types.LongType)))
+    def emitted(): Set[(Long, Long, Long)] =
+      spark.read.schema(outSchema).parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    run()
+    assert(emitted().isEmpty) // tail sessions stuck in state, as documented
+    EventStream.drainSessions(spark, src, gapSec = 1800, watermarkSec = 600)
+    run() // same checkpoint: restored state + sentinel-advanced watermark
+    // ALL tail sessions flush; the sentinel's own session is not emitted
+    assert(emitted() == Set((21L, 2L, 600L), (22L, 1L, 0L)))
+  }
 }
