@@ -28,9 +28,16 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "lineitem").limit(1).collect()
 
-    // optional args: substrings selecting a query subset (local iteration)
-    val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => args.isEmpty || args.exists(n.contains) }
+    // optional args: substrings selecting a query subset (local iteration),
+    // or `__probe_<name>` / `__probes` to run scale probes in isolation
+    val probeArgs = args.filter(_.startsWith("__probe"))
+    def probeOn(name: String): Boolean =
+      (args.isEmpty && probeArgs.isEmpty) ||
+        probeArgs.exists(a => a == "__probes" || a.stripPrefix("__probe_") == name)
+    val wanted =
+      if (probeArgs.nonEmpty) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => args.isEmpty || args.exists(n.contains) }
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -55,7 +62,7 @@ object Bench {
     // 100×-scale geometry probe (full runs only): the same BVH kernels on a
     // 1.2M-cell grid vs the 12k oracle grid — per-row ns should be ~flat
     // (linear total cost, shuffle-free fused scans) if the design scales.
-    if (args.isEmpty) try {
+    if (probeOn("geometry")) try {
       val probe = Seq(1, 100).map { factor =>
         factor -> SparkEntry.geometryProbe(spark, factor).toSeq.sortBy(_._1)
           .map { case (name, df) =>
@@ -81,7 +88,7 @@ object Bench {
     // structure, no cross-copy collisions). ratio_16x ≈ 16 certifies the
     // LSH / prefix-filter paths stay linear in corpus size; a quadratic
     // candidate join would show ≫16.
-    if (args.isEmpty) try {
+    if (probeOn("dedup")) try {
       val probe = Seq(1, 16).map { f =>
         f -> SparkEntry.dedupProbe(spark, sfDir, f).toSeq.sortBy(_._1)
           .map { case (name, df) =>
@@ -105,7 +112,7 @@ object Bench {
     // window and q42's interval-join attribution with keys replicated
     // disjointly — ratio_100x ≈ 100 certifies no per-key state surprise
     // (sort-based window, bounded join state), no super-linear blowup.
-    if (args.isEmpty) try {
+    if (probeOn("window")) try {
       val probe = Seq(1, 100).map { f =>
         f -> SparkEntry.windowProbe(spark, sfDir, f).toSeq.sortBy(_._1)
           .map { case (name, df) =>
@@ -131,7 +138,7 @@ object Bench {
     // force at realistic budgets: nprobe = k/4 and rerank = 100. The
     // residual (IVFADC) codebooks quantize v − centroid, so at equal
     // budgets their recall should be >= plain PQ on clustered data.
-    if (args.isEmpty) try {
+    if (probeOn("ann")) try {
       import org.apache.spark.sql.functions.col
       val emb = Tables.load(spark, sfDir, "embeddings").cache()
       val queries = emb.filter(col("vec_id") < 20)

@@ -85,11 +85,20 @@ object SparkEntry {
   }
 
   /** Bench-only dedup scale probe: the corpus replicated `factor`× with
-    * per-copy token suffixes, so copies are textually DISJOINT — each copy
+    * per-copy token tags, so copies are textually DISJOINT — each copy
     * reproduces the base corpus's near-dup structure without cross-copy
     * collisions. A scale-safe dedup path should cost ~factor× the base
     * (flat per-doc cost); a quadratic one (bucket blowup, unpruned pair
-    * join) shows super-linear growth. */
+    * join) shows super-linear growth.
+    *
+    * The tag is FUSED into each alphanumeric run (`word` → `wordx3`) via
+    * regex so the shingle tokenizer (`[a-z0-9]+`) still sees one token per
+    * original token and per-copy shingle specificity equals the base
+    * corpus. (A separator-attached tag like `word_3` splits into `word` +
+    * `3` under that tokenizer: every 3-gram shingle collapses to ~1-word
+    * document frequency, and the measured "scale ratio" explodes ~100×
+    * from candidate volume the real corpus doesn't have — a probe
+    * artifact, verified empirically at sf0.1.) */
   def dedupProbe(s: SparkSession, dir: String, factor: Int): Map[String, DataFrame] = {
     val base = Tables.load(s, dir, "documents")
     // id stride above the corpus maximum so replica id ranges are disjoint
@@ -100,8 +109,11 @@ object SparkEntry {
       (0 until factor).map { i =>
         base.select(
           (col("doc_id") + lit(i * stride)).as("doc_id"),
-          array_join(transform(split(col("text"), " "),
-            x => concat(x, lit("_" + i))), " ").as("text"),
+          // "$1x<i>": tag can't collide across copies (it is the only
+          // x+digits run at the end of a token, so equal tagged tokens
+          // imply equal copy index)
+          regexp_replace(lower(col("text")), "([a-z0-9]+)", "$1x" + i)
+            .as("text"),
           col("lang"), col("source"))
       }.reduce(_ union _)
     Map(

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * hyperplane (SimHash-style) bucketing for vectors is provided for when no
   * natural bucket exists.
   *
-  * The dot product is `aggregate(zip_with(...))` — sequential double
-  * accumulation in array order, deterministic and cross-engine exact.
+  * The per-pair hot paths (dot product, hyperplane bucketing) are native
+  * codegen kernels ([[graft.functions.DotProduct]],
+  * [[graft.functions.HyperplaneBucket]]) bit-identical to the sequential
+  * SQL-lambda chains they replace — deterministic and cross-engine exact.
   */
 object Similarity {
 

@@ -338,12 +338,13 @@ object XlsCodec {
   }
 
   // ----------------------------------------------------------------- write
-  /** Single-sheet BIFF8 .xls writer — the save-back half of the reference's
-    * ExcelWriter path (_gui.py:350-352, pandas+xlwt). `path!sheet` names
-    * the sheet (default "Sheet1"). Header row from column names; numeric
-    * columns emit NUMBER records, everything else inline-unicode LABEL
-    * records (self-contained — no SST/CONTINUE machinery needed); nulls
-    * stay blank. Driver-side assembly like [[XlsxCodec.write]] — XLS
+  /** BIFF8 .xls writer — the save-back half of the reference's ExcelWriter
+    * path (_gui.py:350-352, pandas+xlwt). `path!sheet` names the sheet
+    * (default "Sheet1"); [[writeSheets]] writes a multi-sheet workbook
+    * ([[XlsxCodec.writeSheets]] parity). Header row from column names;
+    * numeric columns emit NUMBER records, everything else inline-unicode
+    * LABEL records (self-contained — no SST/CONTINUE machinery needed);
+    * nulls stay blank. Driver-side assembly like [[XlsxCodec.write]] — XLS
     * egress is report-scale by format limit (65 536 rows × 256 columns,
     * enforced loudly). */
   def write(df: DataFrame, pathAndSheet: String): Unit = {
@@ -351,14 +352,28 @@ object XlsCodec {
       case Array(p, s) => (p, s)
       case _ => (pathAndSheet, "Sheet1")
     }
-    val header = df.columns
-    val data = df.collect()
-    require(header.length <= 256, s"XLS holds at most 256 columns, got ${header.length}")
-    require(data.length + 1 <= 65536, s"XLS holds at most 65536 rows, got ${data.length + 1}")
-    val numeric = df.schema.fields.map(_.dataType match {
-      case _: NumericType => true
-      case _ => false
-    })
+    writeSheets(Seq(sheetName -> df), path)
+  }
+
+  /** Multi-sheet BIFF8 workbook: one BOUNDSHEET per entry in the globals
+    * substream, then the worksheet substreams in order. */
+  def writeSheets(sheets: Seq[(String, DataFrame)], path: String): Unit = {
+    require(sheets.nonEmpty, "writeSheets needs at least one sheet")
+    require(sheets.map(_._1).distinct.length == sheets.length,
+      s"duplicate sheet names: ${sheets.map(_._1).mkString(",")}")
+    val collected = sheets.map { case (name, df) =>
+      val header = df.columns
+      val data = df.collect()
+      require(header.length <= 256,
+        s"XLS holds at most 256 columns, got ${header.length} in '$name'")
+      require(data.length + 1 <= 65536,
+        s"XLS holds at most 65536 rows, got ${data.length + 1} in '$name'")
+      val numeric = df.schema.fields.map(_.dataType match {
+        case _: NumericType => true
+        case _ => false
+      })
+      (name, header, data, numeric)
+    }
 
     val out = new java.io.ByteArrayOutputStream()
     def rec(op: Int, body: Array[Byte]): Unit = {
@@ -372,9 +387,9 @@ object XlsCodec {
     // BIFF8 unicode string body for LABEL/BOUNDSHEET: cch, grbit, chars
     // (compressed when every char fits a byte, else UTF-16LE)
     def uniStr(s0: String, cch16: Boolean): Array[Byte] = {
-      // cell text limit is 32767 chars in the format; records cap at 8224
-      // bytes, so long report cells are truncated loudly rather than
-      // corrupting the stream
+      // a single BIFF record caps at 8224 bytes; cells longer than 4000
+      // chars (UTF-16 worst case) are truncated rather than corrupting the
+      // stream — document egress belongs in parquet/csv, XLS is for reports
       val max = 4000
       val s = if (s0.length <= max) s0 else s0.take(max)
       val high = s.exists(_ >= 0x100)
@@ -421,46 +436,54 @@ object XlsCodec {
     }
     (0 until 15).foreach(_ => rec(0x00E0, xf(style = true)))
     rec(0x00E0, xf(style = false))
-    // BOUNDSHEET: sheet-BOF offset patched after the globals EOF lands
-    val boundsheetAt = out.size()
-    rec(0x0085, {
-      val n = uniStr(sheetName, cch16 = false)
-      le(6 + n.length).putInt(0).putShort(0.toShort).put(n).array()
-    })
+    // BOUNDSHEETs: sheet-BOF offsets patched after the substreams land
+    val boundsheetAts = collected.map { case (name, _, _, _) =>
+      val at = out.size()
+      rec(0x0085, {
+        val n = uniStr(name, cch16 = false)
+        le(6 + n.length).putInt(0).putShort(0.toShort).put(n).array()
+      })
+      at
+    }
     rec(0x000A, Array.emptyByteArray) // EOF (globals)
 
-    // ---- worksheet substream
-    val sheetBof = out.size()
-    rec(0x0809, bof(0x0010))
-    rec(0x0200, le(14).putInt(0).putInt(data.length + 1)
-      .putShort(0.toShort).putShort(header.length.toShort)
-      .putShort(0.toShort).array()) // DIMENSIONS
-    def label(rw: Int, c: Int, s: String): Unit = {
-      val u = uniStr(s, cch16 = true)
-      rec(0x0204, le(6 + u.length).putShort(rw.toShort).putShort(c.toShort)
-        .putShort(15.toShort).put(u).array())
-    }
-    def number(rw: Int, c: Int, v: Double): Unit =
-      rec(0x0203, le(14).putShort(rw.toShort).putShort(c.toShort)
-        .putShort(15.toShort).putDouble(v).array())
-    header.zipWithIndex.foreach { case (h, c) => label(0, c, h) }
-    data.zipWithIndex.foreach { case (row, i) =>
-      var c = 0
-      while (c < header.length) {
-        row.get(c) match {
-          case null => // blank
-          case n: Number if numeric(c) => number(i + 1, c, n.doubleValue())
-          case v => label(i + 1, c, v.toString)
-        }
-        c += 1
+    // ---- worksheet substreams
+    val sheetBofs = collected.map { case (_, header, data, numeric) =>
+      val sheetBof = out.size()
+      rec(0x0809, bof(0x0010))
+      rec(0x0200, le(14).putInt(0).putInt(data.length + 1)
+        .putShort(0.toShort).putShort(header.length.toShort)
+        .putShort(0.toShort).array()) // DIMENSIONS
+      def label(rw: Int, c: Int, s: String): Unit = {
+        val u = uniStr(s, cch16 = true)
+        rec(0x0204, le(6 + u.length).putShort(rw.toShort).putShort(c.toShort)
+          .putShort(15.toShort).put(u).array())
       }
+      def number(rw: Int, c: Int, v: Double): Unit =
+        rec(0x0203, le(14).putShort(rw.toShort).putShort(c.toShort)
+          .putShort(15.toShort).putDouble(v).array())
+      header.zipWithIndex.foreach { case (h, c) => label(0, c, h) }
+      data.zipWithIndex.foreach { case (row, i) =>
+        var c = 0
+        while (c < header.length) {
+          row.get(c) match {
+            case null => // blank
+            case n: Number if numeric(c) => number(i + 1, c, n.doubleValue())
+            case v => label(i + 1, c, v.toString)
+          }
+          c += 1
+        }
+      }
+      rec(0x000A, Array.emptyByteArray) // EOF (sheet)
+      sheetBof
     }
-    rec(0x000A, Array.emptyByteArray) // EOF (sheet)
 
     val wb = out.toByteArray
-    // patch the BOUNDSHEET stream position (record header is 4 bytes)
+    // patch each BOUNDSHEET's stream position (record header is 4 bytes)
     val patched = ByteBuffer.wrap(wb).order(ByteOrder.LITTLE_ENDIAN)
-    patched.putInt(boundsheetAt + 4, sheetBof)
+    boundsheetAts.zip(sheetBofs).foreach { case (at, bofOff) =>
+      patched.putInt(at + 4, bofOff)
+    }
     writeCfb(path, wb)
   }
 

@@ -238,4 +238,22 @@ class XlsSuite extends AnyFunSuite {
     assert(wb.agg(org.apache.spark.sql.functions.sum("v")).first().getDouble(0)
       == (0L until 400L).map(_ * 0.5).sum)
   }
+
+  test("XLS multi-sheet write: each sheet reads back by name") {
+    import spark.implicits._
+    val a = Seq(("x", 1.0), ("y", 2.0)).toDF("k", "v")
+    val b = Seq((10L, "p"), (20L, "q"), (30L, "r")).toDF("id", "tag")
+    val d = Files.createTempDirectory("graft_xlsm").toString
+    XlsCodec.writeSheets(Seq("alpha" -> a, "beta" -> b), d + "/multi.xls")
+    val backA = XlsCodec.read(spark, d + "/multi.xls!alpha")
+    val backB = XlsCodec.read(spark, d + "/multi.xls!beta")
+    assert(backA.columns.toSeq == Seq("k", "v") && backA.count() == 2)
+    assert(backB.columns.toSeq == Seq("id", "tag") && backB.count() == 3)
+    assert(backB.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("p", "q", "r"))
+    // default read (no !sheet) takes the first sheet
+    assert(XlsCodec.read(spark, d + "/multi.xls").columns.toSeq == Seq("k", "v"))
+    intercept[IllegalArgumentException](
+      XlsCodec.writeSheets(Seq("s" -> a, "s" -> b), d + "/dup.xls"))
+  }
 }
