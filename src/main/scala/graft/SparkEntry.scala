@@ -147,7 +147,10 @@ object SparkEntry {
       .withColumn("running", round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)), 4))
       .select("l_suppkey", "rn", "running")
-    val ev0 = Tables.load(s, dir, "events")
+    // subset of users (like the l_suppkey < 20 cut above): per-key event
+    // density is what the probe certifies, and 100× the subset already
+    // yields millions of rows — the full table would only add wall time
+    val ev0 = Tables.load(s, dir, "events").filter(col("user_id") < 400)
     lazy val strides = ev0.agg(max(col("user_id")), max(col("event_id"))).first()
     val ev = if (factor <= 1) ev0 else {
       val (us, es) = (strides.getLong(0) + 1L, strides.getLong(1) + 1L)
