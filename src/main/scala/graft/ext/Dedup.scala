@@ -56,14 +56,19 @@ object Dedup {
     // Buckets above the cap are dropped wholesale — the standard LSH spam
     // defense; their members still pair through their OTHER bands. The hot
     // set is by definition tiny → broadcast anti-join, no extra shuffle of
-    // the banded table.
+    // the banded table. The guard adds a counting pass, so the banded table
+    // is materialized once (localCheckpoint) instead of re-running the
+    // shingle+minhash kernels for the count AND each self-join side — the
+    // table is (docs × bands) fixed-width rows, far smaller than the text
+    // it came from, and spills to disk if memory is tight.
     val banded =
       if (maxBandBucket == Int.MaxValue) banded0
       else {
-        val hot = banded0.groupBy(col("band"), col("band_key"))
+        val b = banded0.localCheckpoint(true)
+        val hot = b.groupBy(col("band"), col("band_key"))
           .count().filter(col("count") > maxBandBucket)
           .select("band", "band_key")
-        banded0.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+        b.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
       }
     // distinct on the id pair FIRST (cheap long columns through the
     // shuffle), then join the shingle arrays back for the verify pass
