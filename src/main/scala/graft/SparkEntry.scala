@@ -660,6 +660,28 @@ object SparkEntry {
           ext.TextAnalysis.piiCounts("aug")._2.cast("long").as("n_phone"))
         .orderBy("doc_id")
     }),
+
+    // ext: vocabulary building — per-token corpus frequency and document
+    // frequency, top 50 by tf. The tokenizer-training / stopword-mining
+    // prep step: explode → one groupBy on the token (the vocabulary
+    // shuffle AQE also drives in q45), deterministic (tf desc, term) cut
+    "q58_vocab" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(ext.TextAnalysis.wordTokens("text")).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("term"))
+        .limit(50)),
+
+    // ext: text normalization — the canonical lowercase/alnum form fed to
+    // tokenizers and hashers; escape-free regex, pure narrow op
+    "q59_normalize" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          ext.TextAnalysis.normalize("text").as("norm"),
+          length(ext.TextAnalysis.normalize("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -1342,5 +1364,17 @@ object SparkEntry {
            len(regexp_extract_all(aug,
              '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS n_phone
          FROM a ORDER BY doc_id""",
+
+    "q58_vocab" ->
+      s"""WITH tt AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents)
+         SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+         FROM tt GROUP BY term
+         ORDER BY tf DESC, term LIMIT 50""",
+
+    "q59_normalize" ->
+      """SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm,
+           CAST(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS BIGINT) AS n_chars
+         FROM documents ORDER BY doc_id""",
   )
 }

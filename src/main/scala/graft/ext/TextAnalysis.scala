@@ -162,6 +162,14 @@ object TextAnalysis {
     size(expr(s"regexp_extract_all($t, '$EmailRe', 0)")),
     size(expr(s"regexp_extract_all($t, '$PhoneRe', 0)")))
 
+  /** Corpus text normalization: lowercase, every non-alphanumeric run →
+    * one space, trim — the canonical form fed to tokenizers/hashers so
+    * "Hello,  World!" and "hello world" dedup together. Escape-free regex
+    * (same cross-engine dialect discipline as [[PiiPatterns]]); pure
+    * codegen narrow op, zero shuffle. */
+  def normalize(t: String): Column =
+    trim(regexp_replace(lower(col(t)), "[^a-z0-9]+", " "))
+
   /** Quality score ∈ [0,1]: rational-arithmetic blend of length, non-punct
     * ratio, and stopword density (no transcendentals — cross-engine exact). */
   def qualityScore(t: String): Column = {

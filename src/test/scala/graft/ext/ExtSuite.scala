@@ -24,6 +24,13 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(got == Seq("en", "de", "und"))
   }
 
+  test("normalize: lowercase, punct runs to one space, trimmed") {
+    val df = Seq("  Hello,\tWorld!!  ", "already clean", "", "a--b__c")
+      .toDF("text")
+    val got = df.select(TextAnalysis.normalize("text")).as[String].collect().toSeq
+    assert(got == Seq("hello world", "already clean", "", "a b c"))
+  }
+
   test("fingerprint is stable and discriminates different texts") {
     val df = Seq("the quick brown fox jumps", "the quick brown fox jumps",
       "a completely different sentence").toDF("text")
