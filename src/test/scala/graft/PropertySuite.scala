@@ -109,6 +109,29 @@ class PropertySuite extends AnyFunSuite {
     assert(qs.head >= vals.map(_._1).min && qs.last <= vals.map(_._1).max)
   }
 
+  test("normalize is idempotent and tokenization-preserving on random text") {
+    import graft.ext.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(23)
+    val alphabet = "abcXYZ012 .,;!-_\t\nÄé"
+    val texts = List.fill(40)(List.fill(rnd.nextInt(120))(
+      alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val rows = texts.toDF("text")
+      .select(col("text"), TextAnalysis.normalize("text").as("n1"))
+      .select(col("text"), col("n1"), {
+        val df2 = TextAnalysis.normalize("n1"); df2
+      }.as("n2"),
+        TextAnalysis.wordTokens("text").as("t_raw"),
+        TextAnalysis.wordTokens("n1").as("t_norm"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2), "normalize must be idempotent")
+      // the canonical form keeps the exact token stream the hashers see
+      assert(r.getSeq[String](3) == r.getSeq[String](4),
+        s"tokens changed for ${r.getString(0).take(40)}")
+    }
+  }
+
   test("−99 sentinel masking round-trips through unmask") {
     import graft.sources.Ingest
     val rnd = new Random(11)
