@@ -13,6 +13,18 @@ import graft.agg.{ApproxWeightedQuantile, MajorAgg, WeightedQuantile}
   *   FROM blocks GROUP BY lito
   */
 object GraftFunctions {
+  /** Lift a Column→Column composition into a SQL function builder: the
+    * child expression round-trips through the Column API, so every
+    * Column-form operator in [[graft.ext.TextAnalysis]] registers without
+    * a parallel catalyst-node implementation. */
+  private def columnFn(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)(
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val b = org.apache.spark.sql.graftbridge.Bridge
+    b.expressionEager(f(b.column(e)))
+  }
+
   /** Literal numeric argument (the quantile q) → double. */
   private def literalDouble(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Double =
@@ -81,6 +93,30 @@ object GraftFunctions {
       require(exprs.length == 2, "bounded_list(value, cap)")
       val cap = exprs(1).eval().asInstanceOf[Number].intValue()
       graft.agg.BoundedListAgg(Cast(exprs(0), StringType), cap)
+    }, "built-in")
+    // text-analysis surface: the Column-form operators lifted to SQL
+    registry.createOrReplaceTempFunction("token_count", exprs => {
+      require(exprs.length == 1, "token_count(t)")
+      columnFn(exprs.head)(graft.ext.TextAnalysis.tokenCount)
+    }, "built-in")
+    registry.createOrReplaceTempFunction("lang_id", exprs => {
+      require(exprs.length == 1, "lang_id(t)")
+      columnFn(exprs.head)(graft.ext.TextAnalysis.langId)
+    }, "built-in")
+    registry.createOrReplaceTempFunction("quality_score", exprs => {
+      require(exprs.length == 1, "quality_score(t)")
+      columnFn(exprs.head)(graft.ext.TextAnalysis.qualityScore)
+    }, "built-in")
+    registry.createOrReplaceTempFunction("normalize_text", exprs => {
+      require(exprs.length == 1, "normalize_text(t)")
+      columnFn(exprs.head)(graft.ext.TextAnalysis.normalize)
+    }, "built-in")
+    registry.createOrReplaceTempFunction("fingerprint", exprs => {
+      require(exprs.length == 1 || exprs.length == 2, "fingerprint(t[, n])")
+      val n =
+        if (exprs.length == 2) exprs(1).eval().asInstanceOf[Number].intValue()
+        else 8
+      columnFn(exprs.head)(graft.ext.TextAnalysis.fingerprint(_, n))
     }, "built-in")
     registry.createOrReplaceTempFunction("hyperplane_bucket", exprs => {
       require(exprs.length == 1 || exprs.length == 2,

@@ -8,19 +8,24 @@ import org.apache.spark.sql.functions._
   * per-row maps that scale linearly over a 100 TB corpus. Beyond-reference
   * surface (SURVEY.md §2.6 extensions).
   *
-  * Functions take the text COLUMN NAME (they compose SQL lambda
-  * expressions, which need a stable reference).
+  * Most operators carry BOTH a column-name form (the historical surface;
+  * some compose SQL lambda strings that need a stable reference) and a
+  * `Column` form — the latter is what the SQL registration
+  * ([[graft.GraftFunctions]]) builds on, since a SQL function receives
+  * child expressions, not names.
   */
 object TextAnalysis {
 
   /** Whitespace token count (0 for blank text). */
-  def tokenCount(t: String): Column =
-    when(length(trim(col(t))) === 0, lit(0))
-      .otherwise(size(split(trim(col(t)), "\\s+")))
+  def tokenCount(t: String): Column = tokenCount(col(t))
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
 
   /** Lowercased word tokens (BPE-ish: alphanumeric runs). */
-  def wordTokens(t: String): Column =
-    expr(s"regexp_extract_all(lower($t), '[a-z0-9]+', 0)")
+  def wordTokens(t: String): Column = wordTokens(col(t))
+  def wordTokens(c: Column): Column =
+    call_function("regexp_extract_all", lower(c), lit("[a-z0-9]+"), lit(0))
 
   /** Word n-gram shingles (space-joined), distinct. Degenerate texts with
     * fewer than n tokens yield one whole-text shingle. The tokenization is
@@ -46,8 +51,11 @@ object TextAnalysis {
 
   /** Winnowing-style document fingerprint: minimum md5 over all character
     * 8-grams — a rolling-hash analog that is stable across engines. */
-  def fingerprint(t: String, n: Int = 8): Column =
-    expr(s"array_min(transform(sequence(1, greatest(length($t) - ${n - 1}, 1)), i -> md5(substr($t, i, $n))))")
+  def fingerprint(t: String, n: Int = 8): Column = fingerprint(col(t), n)
+  def fingerprint(c: Column, n: Int): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
+      i => md5(c.substr(i, lit(n)))))
 
   /** Top-`k` characteristic terms per document by TF-IDF.
     *
@@ -100,8 +108,9 @@ object TextAnalysis {
 
   /** Language-ID: distinct-stopword hit count per language, argmax with
     * declaration-order preference on ties; 'und' when nothing matches. */
-  def langId(t: String): Column = {
-    val toks = wordTokens(t)
+  def langId(t: String): Column = langId(col(t))
+  def langId(c: Column): Column = {
+    val toks = wordTokens(c)
     val scores = stopwords.map { case (lang, words) => lang -> hitCount(toks, words) }
     val best = scores.map(_._2).reduce(greatest(_, _))
     scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
@@ -167,18 +176,20 @@ object TextAnalysis {
     * "Hello,  World!" and "hello world" dedup together. Escape-free regex
     * (same cross-engine dialect discipline as [[PiiPatterns]]); pure
     * codegen narrow op, zero shuffle. */
-  def normalize(t: String): Column =
-    trim(regexp_replace(lower(col(t)), "[^a-z0-9]+", " "))
+  def normalize(t: String): Column = normalize(col(t))
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
 
   /** Quality score ∈ [0,1]: rational-arithmetic blend of length, non-punct
     * ratio, and stopword density (no transcendentals — cross-engine exact). */
-  def qualityScore(t: String): Column = {
-    val nChars = length(col(t)).cast("double")
-    val wc = tokenCount(t).cast("double")
-    val nonPunct = length(regexp_replace(col(t), "[^A-Za-z0-9\\s]", "")).cast("double")
+  def qualityScore(t: String): Column = qualityScore(col(t))
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast("double")
+    val wc = tokenCount(c).cast("double")
+    val nonPunct = length(regexp_replace(c, "[^A-Za-z0-9\\s]", "")).cast("double")
     val punctRatio = when(nChars > 0, (nChars - nonPunct) / nChars).otherwise(0.0)
     val stopRatio = when(wc > 0,
-      hitCount(wordTokens(t), stopwords.head._2).cast("double") / wc).otherwise(0.0)
+      hitCount(wordTokens(c), stopwords.head._2).cast("double") / wc).otherwise(0.0)
     lit(0.3) * least(wc / 100.0, lit(1.0)) +
       lit(0.4) * (lit(1.0) - punctRatio) +
       lit(0.3) * least(stopRatio * 5.0, lit(1.0))

@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER conversion to a real catalyst tree. [[expression]] returns a
+    * lazy `ColumnNodeExpression` wrapper that only Dataset boundaries
+    * unwrap — inside a function-registry builder it survives to execution
+    * and dies unevaluable. This converts the column tree immediately
+    * (unresolved functions become `UnresolvedFunction` nodes the analyzer
+    * then resolves like any SQL-parsed call). */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

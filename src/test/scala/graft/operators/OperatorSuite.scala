@@ -133,6 +133,33 @@ class GraftFunctionsSuite extends AnyFunSuite {
     assert(l.getString(0) == "call 555-123-4567,…")
   }
 
+  test("round-5 SQL text surface: token_count, lang_id, quality_score, normalize_text, fingerprint") {
+    graft.GraftFunctions.register(spark)
+    Seq((1L, "the cat and the dog walked to the park"),
+      (2L, "  Hello,\tWorld!!  "))
+      .toDF("id", "t").createOrReplaceTempView("t_r5t")
+    val r = spark.sql(
+      """SELECT token_count(t) AS tc, lang_id(t) AS lang,
+           quality_score(t) AS q, normalize_text(t) AS n, fingerprint(t) AS fp
+         FROM t_r5t ORDER BY id""").collect()
+    assert(r(0).getInt(0) == 9 && r(0).getString(1) == "en")
+    assert(r(0).getDouble(2) > 0.5)
+    assert(r(1).getString(3) == "hello world")
+    assert(r(1).getString(4).length == 32) // md5 hex
+    // SQL ≡ Column API (same composition, same results)
+    val viaCol = spark.table("t_r5t").select(
+      org.apache.spark.sql.functions.col("id"),
+      graft.ext.TextAnalysis.tokenCount("t"),
+      graft.ext.TextAnalysis.langId("t"),
+      graft.ext.TextAnalysis.normalize("t"),
+      graft.ext.TextAnalysis.fingerprint("t"))
+      .orderBy("id").collect()
+    assert(viaCol(0).getInt(1) == r(0).getInt(0))
+    assert(viaCol(0).getString(2) == r(0).getString(1))
+    assert(viaCol(1).getString(3) == r(1).getString(3))
+    assert(viaCol(1).getString(4) == r(1).getString(4))
+  }
+
   test("round-5 SQL surface: hyperplane_bucket, vector_mean") {
     graft.GraftFunctions.register(spark)
     Seq(("g", Array(1.0f, 0.0f)), ("g", Array(0.9f, 0.1f)), ("g", Array(-1.0f, 0.0f)))
