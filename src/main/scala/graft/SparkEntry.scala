@@ -682,6 +682,17 @@ object SparkEntry {
           ext.TextAnalysis.normalize("text").as("norm"),
           length(ext.TextAnalysis.normalize("text")).cast("long").as("n_chars"))
         .orderBy("doc_id")),
+
+    // ext: benchmark decontamination — every 97th document plays the eval
+    // set; survivors share no word 3-gram with it (test-set leakage guard)
+    "q60_decontam" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      ext.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -1376,5 +1387,15 @@ object SparkEntry {
            trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm,
            CAST(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS BIGINT) AS n_chars
          FROM documents ORDER BY doc_id""",
+
+    "q60_decontam" ->
+      s"""WITH b AS (SELECT DISTINCT unnest($ShinglesSql) AS sh
+             FROM documents WHERE doc_id % 97 = 0),
+         ce AS (SELECT doc_id, unnest($ShinglesSql) AS sh
+             FROM documents WHERE doc_id % 97 <> 0),
+         bad AS (SELECT DISTINCT doc_id FROM ce WHERE sh IN (SELECT sh FROM b))
+         SELECT doc_id FROM documents
+         WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
   )
 }

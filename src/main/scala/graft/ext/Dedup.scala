@@ -255,6 +255,31 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Benchmark decontamination: drop corpus documents sharing ANY word
+    * n-gram with a benchmark/eval set — the standard guard against test-set
+    * leakage into training data. Both sides shingle through the same
+    * 60-bit hash kernel; a corpus document is contaminated iff one of its
+    * shingles appears in the benchmark's shingle set.
+    *
+    * Shape at 100 TB: the corpus side is one explode + one equi-join on the
+    * shingle hash + one distinct on contaminated ids + an anti-join. The
+    * benchmark side is aggregated to DISTINCT shingles first; no broadcast
+    * hint — eval suites are usually MBs (AQE broadcasts them) but a "held
+    * out split" can be corpus-scale (AQE sort-merge joins it). Returns the
+    * surviving corpus rows unchanged. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): DataFrame = {
+    val bsh = bench
+      .select(explode(TextAnalysis.hashedShingles(textCol, n)).as("sh"))
+      .distinct()
+    val contaminated = corpus
+      .select(col(idCol), explode(TextAnalysis.hashedShingles(textCol, n)).as("sh"))
+      .join(bsh, "sh")
+      .select(col(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** 60-bit SimHash over distinct word tokens: bit b of the sketch is the
     * sign of Σ_tokens (±1 per token-hash bit b); hash bit b lands at
     * sketch position 59−b. Near-duplicates have small Hamming distance.

@@ -204,6 +204,23 @@ class DedupSuite extends AnyFunSuite {
     assert(pairs == truth) // pigeonhole banding is lossless at <= maxHamming
   }
 
+  test("decontaminate drops corpus docs overlapping the benchmark set") {
+    val bench = Seq((100L, "what is the capital of france paris obviously"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a clean training document about spark shuffles and partitions"),
+      // contains the benchmark 3-gram "capital of france" → contaminated
+      (2L, "quiz answers the capital of france is paris of course it is"),
+      (3L, "another unrelated document mentioning nothing sensitive at all"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, bench, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    // corpus rows pass through unchanged (schema + values)
+    val full = Dedup.decontaminate(corpus, bench, "text", "doc_id").collect()
+    assert(full.forall(_.length == 2))
+  }
+
   test("connected components assign min id per dup cluster") {
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L), (3L, 9L), (9L, 4L))
       .toDF("id_a", "id_b")
