@@ -38,10 +38,16 @@ object Bench {
       if (probeArgs.nonEmpty) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => args.isEmpty || args.exists(n.contains) }
+    // failures surface as a -1.0 "timing" in the artifact (a crashed query
+    // must not masquerade as a fast one) plus a stderr line
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query failed: ${e.getMessage}")
+          -1.0
+      }
     }
     val firstPass = wanted.map { case (name, fn) => name -> time(fn) }
     // this sandbox shares CPUs with other jobs: a contended run can inflate
@@ -67,9 +73,13 @@ object Bench {
       val probe = Seq(1, 100).map { factor =>
         factor -> SparkEntry.geometryProbe(spark, factor).toSeq.sortBy(_._1)
           .map { case (name, df) =>
-            val t0 = System.nanoTime()
-            val n = df.count()
-            (name, (System.nanoTime() - t0) / 1e9, math.max(n, 1L))
+            var rows = 1L
+            def once(): Double = {
+              val t0 = System.nanoTime()
+              rows = math.max(df.count(), 1L)
+              (System.nanoTime() - t0) / 1e9
+            }
+            (name, math.min(once(), once()), rows)
           }
       }.toMap
       val perRow = probe(100).zip(probe(1)).map { case ((name, t100, n100), (_, t1, n1)) =>
@@ -206,9 +216,10 @@ object Bench {
     // round 4 lost the leading query line mid-record. Re-print the main
     // line LAST so any tail window contains it whole, and write the full
     // artifact to bench_out.json so a file pickup never depends on the
-    // capture window at all.
+    // capture window at all. FULL runs only — a query-subset or isolated
+    // probe iteration must not clobber the complete artifact.
     println(mainLine)
-    try {
+    if (args.isEmpty) try {
       val out = java.nio.file.Paths.get("bench_out.json")
       java.nio.file.Files.write(out,
         (mainLine +: extraLines.toSeq).mkString("", "\n", "\n")

@@ -61,10 +61,14 @@ object Dedup {
     // shingle+minhash kernels for the count AND each self-join side — the
     // table is (docs × bands) fixed-width rows, far smaller than the text
     // it came from, and spills to disk if memory is tight.
+    // LAZY checkpoint: materializes on the first action over the result,
+    // not at plan-construction time — an eager one would run the heaviest
+    // job of the pipeline synchronously for callers that only .explain()
+    // or inspect the schema.
     val banded =
       if (maxBandBucket == Int.MaxValue) banded0
       else {
-        val b = banded0.localCheckpoint(true)
+        val b = banded0.localCheckpoint(false)
         val hot = b.groupBy(col("band"), col("band_key"))
           .count().filter(col("count") > maxBandBucket)
           .select("band", "band_key")

@@ -197,9 +197,13 @@ object ProbeCentroids {
   * `aggregate(zip_with(...))` PER BIT — ~2·dim·bits interpreted lambda
   * evals per row): the weights are exact small-half-integer doubles and the
   * accumulation runs in the same array order, so sign decisions match
-  * exactly. A row with any null element yields bucket 0 — mirroring the
+  * exactly — including NaN projections, where Spark's comparison order
+  * treats NaN as greater than every number (`NaN > 0` is TRUE), so the bit
+  * is SET. A row with any null element yields bucket 0 — mirroring the
   * lambda chain, where the poisoned (null) projection fails `proj > 0` and
-  * every bit falls to its `otherwise(0)` branch.
+  * every bit falls to its `otherwise(0)` branch. Documented divergence: a
+  * wholly-NULL input vector returns NULL (the standard null-propagating
+  * Expression contract) where the lambda chain returned bucket 0.
   */
 object HyperplaneKernel {
   def bucket(v: ArrayData, bits: Int): Long = {
@@ -215,7 +219,9 @@ object HyperplaneKernel {
         acc += v.getDouble(d) * ((1.0 + ((b * 31 + d * 17) % 61)) - 30.5)
         d += 1
       }
-      if (acc > 0) out |= (1L << b)
+      // Spark comparison semantics: NaN sorts above every number, so the
+      // lambda chain's `proj > 0` is true for a NaN projection
+      if (acc > 0 || java.lang.Double.isNaN(acc)) out |= (1L << b)
       b += 1
     }
     out

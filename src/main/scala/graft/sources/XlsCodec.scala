@@ -345,8 +345,10 @@ object XlsCodec {
     * numeric columns emit NUMBER records, everything else inline-unicode
     * LABEL records (self-contained — no SST/CONTINUE machinery needed);
     * nulls stay blank. Driver-side assembly like [[XlsxCodec.write]] — XLS
-    * egress is report-scale by format limit (65 536 rows × 256 columns,
-    * enforced loudly). */
+    * egress is report-scale: the format caps sheets at 65 536 rows × 256
+    * columns, and this writer's header-inline DIFAT caps the workbook
+    * stream at ~7 MB (≈ 400k numeric cells); both bounds fail loudly.
+    * Bigger frames belong in parquet/csv/xlsx. */
   def write(df: DataFrame, pathAndSheet: String): Unit = {
     val (path, sheetName) = pathAndSheet.split('!') match {
       case Array(p, s) => (p, s)
@@ -361,6 +363,12 @@ object XlsCodec {
     require(sheets.nonEmpty, "writeSheets needs at least one sheet")
     require(sheets.map(_._1).distinct.length == sheets.length,
       s"duplicate sheet names: ${sheets.map(_._1).mkString(",")}")
+    sheets.foreach { case (name, _) =>
+      // Excel's hard cap — and the BOUNDSHEET cch is a single byte, so an
+      // unchecked long name would silently corrupt the record
+      require(name.nonEmpty && name.length <= 31,
+        s"XLS sheet names hold 1..31 chars, got ${name.length}: '$name'")
+    }
     val collected = sheets.map { case (name, df) =>
       val header = df.columns
       val data = df.collect()

@@ -182,16 +182,29 @@ object EventStream {
     * [[drainSentinel]] parquet row to `sourceDir`, so restarting the query
     * on its existing checkpoint (state intact) closes and emits every open
     * tail session in the next micro-batch. Returns the sentinel written.
-    * Idempotence: a second drain appends a later sentinel, which flushes
-    * nothing new except the previous sentinel's own session. */
+    * Idempotence: the sentinel timestamp derives from the REAL events only
+    * (prior sentinels are excluded from the max), so a repeat drain
+    * appends an identical row and flushes nothing further.
+    *
+    * THE SENTINEL STAYS IN THE DATA: batch consumers of `sourceDir` (and
+    * the initial watermark of any NEW stream started over it) see the
+    * synthetic row unless they strip it — pass the DataFrame through
+    * [[withoutDrainSentinels]] first. */
   def drainSessions(spark: SparkSession, sourceDir: String, gapSec: Long,
       watermarkSec: Long): Event = {
     import spark.implicits._
-    val maxTs = spark.read.parquet(sourceDir)
+    val maxTs = withoutDrainSentinels(spark.read.parquet(sourceDir))
       .agg(max(col("ts"))).first().getTimestamp(0)
     require(maxTs != null, s"no events with a timestamp under $sourceDir")
     val s = drainSentinel(maxTs, gapSec, watermarkSec)
     Seq(s).toDF().write.mode("append").parquet(sourceDir)
     s
   }
+
+  /** Strip [[drainSessions]] sentinels from an event frame — for batch
+    * reads of a drained source directory, or before re-streaming it. The
+    * sentinel key is `event_id = Long.MinValue`, unreachable for real
+    * events (ids are non-negative in every source this engine writes). */
+  def withoutDrainSentinels(df: DataFrame): DataFrame =
+    df.filter(col("event_id") =!= lit(Long.MinValue))
 }

@@ -325,8 +325,11 @@ class SimilaritySuite extends AnyFunSuite {
       planes.reduce(_ + _)
     }
     val rnd = new scala.util.Random(7)
-    val wide = (0L until 50L).map(i =>
-      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val wide = ((0L until 50L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))) :+
+      // NaN projection: Spark's comparison order sets the bit (NaN > 0)
+      (50L, Array.tabulate(16)(d => if (d == 0) Float.NaN else 0.5f)))
+      .toDF("vec_id", "embedding")
     val rows = wide.select(
       Similarity.hyperplaneBucket($"embedding", 12).as("k"),
       sqlBucket($"embedding", 12).as("s")).collect()

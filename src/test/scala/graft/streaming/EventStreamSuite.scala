@@ -290,5 +290,14 @@ class EventStreamSuite extends AnyFunSuite {
     run() // same checkpoint: restored state + sentinel-advanced watermark
     // ALL tail sessions flush; the sentinel's own session is not emitted
     assert(emitted() == Set((21L, 2L, 600L), (22L, 1L, 0L)))
+    // batch consumers strip the synthetic row; a repeat drain is a no-op
+    // timestamp-wise (sentinel ts derives from the real events only)
+    val s1 = spark.read.parquet(src)
+    assert(s1.count() == 4)
+    assert(EventStream.withoutDrainSentinels(s1).count() == 3)
+    val again = EventStream.drainSessions(spark, src, gapSec = 1800, watermarkSec = 600)
+    val first = s1.filter(org.apache.spark.sql.functions.col("event_id") ===
+      Long.MinValue).select("ts").first().getTimestamp(0)
+    assert(again.ts == first)
   }
 }
