@@ -49,19 +49,41 @@ object Bench {
           -1.0
       }
     }
-    val firstPass = wanted.map { case (name, fn) => name -> time(fn) }
-    // this sandbox shares CPUs with other jobs: a contended run can inflate
-    // a query 10× (observed 2.7s → 37.6s). Re-time anything slow and keep
-    // the min — steady-state plan cost, not scheduler luck.
-    val results = firstPass.map { case (name, t) =>
-      if (t <= 2.0) name -> t
-      else name -> math.min(t, time(SparkEntry.queries(name)))
+    // Fixed-work calibration: ~1G rows of hash+sum, pure CPU, no IO — its
+    // cost on a given machine is a constant, so an inflated calibration
+    // flags a contention-polluted window post-hoc (r5's recorded numbers
+    // were 10-30× inflated by a neighbor and undetectable from the
+    // artifact alone). Timed before/between/after the query passes.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      // % bounds the addend so the ANSI sum cannot overflow long
+      spark.range(1L << 30).selectExpr("sum(xxhash64(id) % 100000)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // This sandbox shares CPUs with other jobs: a contended run can inflate
+    // a query 10× (observed 2.7s → 37.6s). Run the WHOLE suite twice,
+    // INTERLEAVED (pass 1 complete, then pass 2), and keep the per-query
+    // min across passes — back-to-back min-of-2 of the same query shares
+    // one contention window; passes minutes apart rarely do.
+    val calibrations = scala.collection.mutable.ArrayBuffer.empty[Double]
+    calibrations += calibrate()
+    val pass1 = wanted.map { case (name, fn) => name -> time(fn) }
+    calibrations += calibrate()
+    val pass2 = if (wanted.isEmpty) pass1
+      else wanted.map { case (name, fn) => name -> time(fn) }
+    calibrations += calibrate()
+    // min across passes; a -1 (failure) only wins if both passes failed
+    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
+      name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def calJson = calibrations.map(c => math.round(c * 1000) / 1000.0)
+      .mkString("[", ",", "]")
     val mainLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""calibration_sec":$calJson,"sf":"$sfDir"}"""
     println(mainLine)
     val extraLines = scala.collection.mutable.ArrayBuffer.empty[String]
 
@@ -122,14 +144,25 @@ object Bench {
     // LSH / prefix-filter paths stay linear in corpus size; a quadratic
     // candidate join would show ≫16.
     if (probeOn("dedup")) try {
-      dropCaches()
+      // per-factor: dropCaches first (releases the PREVIOUS factor's
+      // checkpointed corpus — its DataFrames are already timed), then
+      // dedupProbe materializes the replicated corpus eagerly OUTSIDE the
+      // timed region, then ops are timed and candidate volumes counted
       val probe = Seq(1, 16).map { f =>
-        f -> SparkEntry.dedupProbe(spark, sfDir, f).toSeq.sortBy(_._1)
+        dropCaches()
+        val (ops, diag) = SparkEntry.dedupProbe(spark, sfDir, f)
+        val timed = ops.toSeq.sortBy(_._1)
           .map { case (name, df) => (name, timeMin2(df)) }
+        val counts = diag.toSeq.sortBy(_._1)
+          .map { case (name, df) => (name, df.count()) }.toMap
+        f -> (timed, counts)
       }.toMap
-      val lines = probe(16).zip(probe(1)).map { case ((name, t16), (_, t1)) =>
+      val lines = probe(16)._1.zip(probe(1)._1).map { case ((name, t16), (_, t1)) =>
+        val cand = probe(1)._2.get(name).map { c1 =>
+          s",\"cand_pairs_1x\":$c1,\"cand_pairs_16x\":${probe(16)._2(name)}"
+        }.getOrElse("")
         s"\"$name\":{\"sec_1x\":$t1,\"sec_16x\":$t16," +
-          s"\"ratio_16x\":${t16 / math.max(t1, 1e-9)}}"
+          s"\"ratio_16x\":${t16 / math.max(t1, 1e-9)}$cand}"
       }.mkString("{", ",", "}")
       val l = s"""{"metric":"dedup_scale_probe","factor":16,"ops":$lines}"""
       println(l); extraLines += l
@@ -214,11 +247,15 @@ object Bench {
 
     // Truncation defense: the driver captures a bounded TAIL of stdout and
     // round 4 lost the leading query line mid-record. Re-print the main
-    // line LAST so any tail window contains it whole, and write the full
-    // artifact to bench_out.json so a file pickup never depends on the
-    // capture window at all. FULL runs only — a query-subset or isolated
-    // probe iteration must not clobber the complete artifact.
-    println(mainLine)
+    // line LAST so any tail window contains it whole — tagged "total_tail"
+    // so a consumer scanning ALL lines for "total" cannot double-count
+    // (ADVICE r5); bench_out.json remains the canonical artifact and a
+    // file pickup never depends on the capture window at all. FULL runs
+    // only — a query-subset or isolated probe iteration must not clobber
+    // the complete artifact.
+    calibrations += calibrate()
+    println(mainLine.replaceFirst("\"metric\":\"total\"", "\"metric\":\"total_tail\"")
+      .replaceFirst("\"calibration_sec\":\\[[^\\]]*\\]", "\"calibration_sec\":" + calJson))
     if (args.isEmpty) try {
       val out = java.nio.file.Paths.get("bench_out.json")
       java.nio.file.Files.write(out,

@@ -99,31 +99,54 @@ object SparkEntry {
     * document frequency, and the measured "scale ratio" explodes ~100×
     * from candidate volume the real corpus doesn't have — a probe
     * artifact, verified empirically at sf0.1.) */
-  def dedupProbe(s: SparkSession, dir: String, factor: Int): Map[String, DataFrame] = {
+  def dedupProbe(s: SparkSession, dir: String, factor: Int)
+      : (Map[String, DataFrame], Map[String, DataFrame]) = {
     val base = Tables.load(s, dir, "documents")
     // id stride above the corpus maximum so replica id ranges are disjoint
     // at any corpus scale (a fixed stride would collide past it)
-    lazy val stride =
+    val stride =
       base.agg(max(col("doc_id"))).first().getLong(0) + 1L
-    val docs = if (factor <= 1) base else
-      (0 until factor).map { i =>
-        base.select(
-          (col("doc_id") + lit(i * stride)).as("doc_id"),
-          // "$1x<i>": tag can't collide across copies (it is the only
-          // x+digits run at the end of a token, so equal tagged tokens
-          // imply equal copy index)
-          regexp_replace(lower(col("text")), "([a-z0-9]+)", "$1x" + i)
-            .as("text"),
-          col("lang"), col("source"))
-      }.reduce(_ union _)
-    Map(
+    // "$1x<i>": tag can't collide across copies (it is the only x+digits
+    // run at the end of a token, so equal tagged tokens imply equal copy
+    // index). The 1× side gets the SAME tagging (copy 0) so both probe
+    // sides run structurally identical text — and identical to the fixed
+    // decontamination benchmark slice below.
+    def copy(i: Int): DataFrame = base.select(
+      (col("doc_id") + lit(i * stride)).as("doc_id"),
+      regexp_replace(lower(col("text")), "([a-z0-9]+)", "$1x" + i)
+        .as("text"),
+      col("lang"), col("source"))
+    // EAGER checkpoint: the replicated corpus is a factor-wide union of
+    // per-branch regexp+kernel trees; un-materialized it would be
+    // re-planned AND re-executed on every side of every self-join and
+    // verify join (~4× work and super-linear Catalyst/codegen cost over
+    // 16×4 heavy scan branches — the r5 probe measured 45×/59× wall growth
+    // at 16× from exactly this). Materializing it once, OUTSIDE the timed
+    // region, makes the probe time the operator, not the corpus build.
+    val docs = (if (factor <= 1) copy(0)
+      else (0 until factor).map(copy).reduce(_ union _))
+      .localCheckpoint(true)
+    // fixed benchmark slice for decontamination: copy-0 text, so its
+    // contamination hits are constant while the corpus grows factor×
+    val bench = copy(0).filter(col("doc_id") % 100 === 0)
+      .localCheckpoint(true)
+    val ops = Map(
       "minhash_lsh" -> ext.Dedup.minhashLsh(docs, "text", "doc_id",
         numHashes = 16, bands = 4, minJaccard = 0.3),
       "lsh_dedup_win" -> ext.Dedup.lshDedupSurvivors(
         docs.withColumn("ts", col("doc_id").cast("timestamp")),
         "text", "doc_id", "ts", "100 seconds"),
       "ngram_prefix" -> ext.Dedup.ngramJaccardPairsPrefix(docs, "text",
+        "doc_id", Seq("lang", "source"), 0.3),
+      "decontam" -> ext.Dedup.decontaminate(docs, bench, "text", "doc_id"))
+    // untimed diagnostics: candidate-pair volume per op, so a bad ratio is
+    // attributable (candidate blowup vs fixed-cost overhead)
+    val diag = Map(
+      "minhash_lsh" -> ext.Dedup.minhashCandidates(docs, "text", "doc_id",
+        numHashes = 16, bands = 4),
+      "ngram_prefix" -> ext.Dedup.ngramPrefixCandidates(docs, "text",
         "doc_id", Seq("lang", "source"), 0.3))
+    (ops, diag)
   }
 
   /** Bench-only window/join scale probe: the per-key window (q32 shape) and
@@ -151,9 +174,12 @@ object SparkEntry {
     // density is what the probe certifies, and 100× the subset already
     // yields millions of rows — the full table would only add wall time
     val ev0 = Tables.load(s, dir, "events").filter(col("user_id") < 400)
+    // getAs[Number]: schema width is only enforced by convention (Event
+    // writes long, but an int-written table must not kill the probe)
     lazy val strides = ev0.agg(max(col("user_id")), max(col("event_id"))).first()
     val ev = if (factor <= 1) ev0 else {
-      val (us, es) = (strides.getLong(0) + 1L, strides.getLong(1) + 1L)
+      val (us, es) = (strides.getAs[Number](0).longValue() + 1L,
+        strides.getAs[Number](1).longValue() + 1L)
       (0 until factor).map(i =>
         ev0.withColumn("user_id", col("user_id") + lit(i * us))
           .withColumn("event_id", col("event_id") + lit(i * es)))

@@ -46,45 +46,15 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 4, minJaccard: Double = 0.0,
       maxBandBucket: Int = Int.MaxValue): DataFrame = {
-    require(numHashes % bands == 0)
-    val bandKeys = graft.functions.MinHashBandKeys.column(
-      TextAnalysis.hashedShingles(textCol), hashParams(numHashes), bands)
-    val banded0 = df.select(col(idCol).as("doc_id"),
-      posexplode(bandKeys).as(Seq("band", "band_key")))
-    // Skew guard: a band bucket with m documents yields m² candidate pairs,
-    // and real corpora have boilerplate mega-buckets (empty pages, headers).
-    // Buckets above the cap are dropped wholesale — the standard LSH spam
-    // defense; their members still pair through their OTHER bands. The hot
-    // set is by definition tiny → broadcast anti-join, no extra shuffle of
-    // the banded table. The guard adds a counting pass, so the banded table
-    // is materialized once (localCheckpoint) instead of re-running the
-    // shingle+minhash kernels for the count AND each self-join side — the
-    // table is (docs × bands) fixed-width rows, far smaller than the text
-    // it came from, and spills to disk if memory is tight.
-    // LAZY checkpoint: materializes on the first action over the result,
-    // not at plan-construction time — an eager one would run the heaviest
-    // job of the pipeline synchronously for callers that only .explain()
-    // or inspect the schema.
-    val banded =
-      if (maxBandBucket == Int.MaxValue) banded0
-      else {
-        val b = banded0.localCheckpoint(false)
-        val hot = b.groupBy(col("band"), col("band_key"))
-          .count().filter(col("count") > maxBandBucket)
-          .select("band", "band_key")
-        b.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
-      }
-    // distinct on the id pair FIRST (cheap long columns through the
-    // shuffle), then join the shingle arrays back for the verify pass
-    val cand = banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") &&
-        col("l.band_key") === col("r.band_key") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
-      .distinct()
+    val cand = minhashCandidates(df, textCol, idCol, numHashes, bands,
+      maxBandBucket)
+    // the shingle table feeds BOTH verify joins (id_a and id_b sides, no
+    // exchange reuse across different join keys) — materialize it once
+    // (lazy: see the banded-table note in minhashCandidates) instead of
+    // re-running the shingle kernel over the full corpus per side
     val sh = df.select(col(idCol).as("doc_id"),
       TextAnalysis.hashedShingles(textCol).as("sh"))
+      .localCheckpoint(false)
     cand
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -92,6 +62,54 @@ object Dedup {
         SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** LSH candidate pairs (some band-bucket shared, id_a < id_b, distinct) —
+    * [[minhashLsh]]'s pre-verify stage, public so scale probes can measure
+    * candidate VOLUME separately from wall time (a super-linear probe ratio
+    * is only attributable once pair counts are known).
+    *
+    * The banded table is ALWAYS materialized once (localCheckpoint): it
+    * feeds both sides of the self-join — and the skew-guard counting pass
+    * when enabled — and re-deriving it would re-run the shingle+minhash
+    * kernels over the full corpus per use. It is (docs × bands) fixed-width
+    * rows, far smaller than the text it came from, and spills to disk if
+    * memory is tight. LAZY checkpoint: materializes on the first action
+    * over the result, not at plan-construction time — an eager one would
+    * run the heaviest job of the pipeline synchronously for callers that
+    * only .explain() or inspect the schema. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 16, bands: Int = 4,
+      maxBandBucket: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % bands == 0)
+    val bandKeys = graft.functions.MinHashBandKeys.column(
+      TextAnalysis.hashedShingles(textCol), hashParams(numHashes), bands)
+    val banded0 = df.select(col(idCol).as("doc_id"),
+      posexplode(bandKeys).as(Seq("band", "band_key")))
+      .localCheckpoint(false)
+    // Skew guard: a band bucket with m documents yields m² candidate pairs,
+    // and real corpora have boilerplate mega-buckets (empty pages, headers).
+    // Buckets above the cap are dropped wholesale — the standard LSH spam
+    // defense; their members still pair through their OTHER bands. The hot
+    // set is by definition tiny → broadcast anti-join, no extra shuffle of
+    // the banded table.
+    val banded =
+      if (maxBandBucket == Int.MaxValue) banded0
+      else {
+        val hot = banded0.groupBy(col("band"), col("band_key"))
+          .count().filter(col("count") > maxBandBucket)
+          .select("band", "band_key")
+        banded0.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+      }
+    // distinct on the id pair FIRST (cheap long columns through the
+    // shuffle), then the caller joins the shingle arrays back to verify
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_key") === col("r.band_key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
   }
 
   /** Connected components over a duplicate-pair list → canonical id per
@@ -113,13 +131,15 @@ object Dedup {
       val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("canonical_id")).as("neighbor_min"))
-      // carry the previous label through the checkpoint so the convergence
-      // count reads materialized data instead of re-joining labels
+      // carry the previous label through the checkpoint; the checkpoint is
+      // LAZY so the convergence count below is the action that materializes
+      // it — one job barrier per round, and next round's join reads the
+      // stored blocks instead of recomputing the lineage
       val next = labels.join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"), col("canonical_id").as("old"),
           least(col("canonical_id"),
             coalesce(col("neighbor_min"), col("canonical_id"))).as("canonical_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("canonical_id") =!= col("old")).count()
       labels = next.drop("old")
       it += 1
@@ -240,8 +260,32 @@ object Dedup {
     * shingle arrays provide the global order for free. */
   def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], minJaccard: Double): DataFrame = {
+    val (t, cand) = prefixStage(df, textCol, idCol, blockCols, minJaccard)
+    val sh = t.select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Prefix-filter candidate pairs only — [[ngramJaccardPairsPrefix]]'s
+    * pre-verify stage, public so scale probes can attribute wall-time
+    * growth to candidate volume vs overhead. */
+  def ngramPrefixCandidates(df: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], minJaccard: Double): DataFrame =
+    prefixStage(df, textCol, idCol, blockCols, minJaccard)._2
+
+  /** Shared stage of the prefix-filter join: the shingle table `t` —
+    * materialized ONCE (lazy localCheckpoint, same rationale as
+    * [[minhashCandidates]]): it feeds the prefix explode AND both verify
+    * joins — and the distinct candidate id pairs derived from it. */
+  private def prefixStage(df: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], minJaccard: Double): (DataFrame, DataFrame) = {
     val t = df.select(concat_ws("", blockCols.map(col): _*).as("blk"),
       col(idCol).as("doc_id"), TextAnalysis.hashedShingles(textCol).as("sh"))
+      .localCheckpoint(false)
     val prefixLen = size(col("sh")) - ceil(lit(minJaccard) * size(col("sh"))).cast("int") + 1
     val pref = t.select(col("blk"), col("doc_id"),
       explode(slice(col("sh"), lit(1), prefixLen)).as("ph"))
@@ -250,13 +294,7 @@ object Dedup {
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .distinct()
-    val sh = t.select(col("doc_id"), col("sh"))
-    cand
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+    (t, cand)
   }
 
   /** Benchmark decontamination: drop corpus documents sharing ANY word
