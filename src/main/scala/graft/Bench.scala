@@ -210,35 +210,75 @@ object Bench {
     // force at realistic budgets: nprobe = k/4 and rerank = 100. The
     // residual (IVFADC) codebooks quantize v − centroid, so at equal
     // budgets their recall should be >= plain PQ on clustered data.
+    // Two corpora: the bench embeddings (measured isotropic — random unit
+    // vectors, per-label centroid norm ≈ 1/√n, mean pairwise cosine ≈ 0)
+    // and a synthetic clustered one. Residual (IVFADC) codebooks quantize
+    // v − centroid, spending their budget on LOCAL structure — an
+    // advantage that EXISTS only when coarse cells explain variance.
+    // `unexplained_var` = Σ‖v−c(v)‖² / Σ‖v‖² makes that legible per
+    // corpus: ≈1 ⇒ isotropic ⇒ residual ≈ plain PQ is the EXPECTED
+    // outcome (r5 finding); ≪1 ⇒ clustered ⇒ residual should win.
     if (probeOn("ann")) try {
       dropCaches()
-      import org.apache.spark.sql.functions.col
-      val emb = Tables.load(spark, sfDir, "embeddings").cache()
-      val queries = emb.filter(col("vec_id") < 20)
-      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-        df.select("query_id", "corpus_id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val exact = pairs(ext.Similarity.bruteForceTopK(emb, queries, 10))
-      def recall(got: Set[(Long, Long)]): Double =
-        if (exact.isEmpty) 1.0
-        else math.round(1e4 * (got intersect exact).size / exact.size) / 1e4
-      val coarse = ext.Ivf.train(emb, k = 8, iters = 2)
-      val rIvf = recall(pairs(ext.Ivf.topK(emb, queries, 10, coarse, nprobe = 2)))
-      val cb = ext.Pq.train(emb, m = 8, ksub = 16, iters = 2)
-      val rPq = recall(pairs(ext.Pq.topK(emb, queries, 10, cb, rerank = 100)))
-      val cbr = ext.Pq.trainResidual(emb, coarse, m = 8, ksub = 16, iters = 2)
-      val rRes = recall(pairs(ext.Pq.topKResidual(emb, queries, 10, coarse,
-        cbr, rerank = 100, nprobe = 2)))
-      // nprobe = k isolates the residual codebooks from IVF pruning loss:
-      // at the same rerank budget this should be >= plain PQ (residual
-      // codewords spend no capacity on absolute cell position)
-      val rResFull = recall(pairs(ext.Pq.topKResidual(emb, queries, 10,
-        coarse, cbr, rerank = 100, nprobe = 8)))
-      emb.unpersist()
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.DataFrame
+      def recallLine(emb0: DataFrame): String = {
+        val emb = emb0.cache()
+        val queries = emb.filter(col("vec_id") < 20)
+        def pairs(df: DataFrame): Set[(Long, Long)] =
+          df.select("query_id", "corpus_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = pairs(ext.Similarity.bruteForceTopK(emb, queries, 10))
+        def recall(got: Set[(Long, Long)]): Double =
+          if (exact.isEmpty) 1.0
+          else math.round(1e4 * (got intersect exact).size / exact.size) / 1e4
+        val coarse = ext.Ivf.train(emb, k = 8, iters = 2)
+        // fraction of squared norm the coarse quantizer does NOT explain
+        val unexplained = {
+          val cl = typedLit(coarse.map(_.toSeq).toSeq)
+          val v = col("embedding").cast("array<double>")
+          val sq = (x: org.apache.spark.sql.Column, acc: org.apache.spark.sql.Column) => acc + x * x
+          math.round(1e4 * ext.Ivf.assign(emb, coarse)
+            .select(
+              aggregate(zip_with(v, element_at(cl, col("ivf_bkt") + 1),
+                (a, b) => a - b), lit(0.0), sq).as("r2"),
+              aggregate(v, lit(0.0), sq).as("n2"))
+            .agg(sum(col("r2")) / sum(col("n2"))).first().getDouble(0)) / 1e4
+        }
+        val rIvf = recall(pairs(ext.Ivf.topK(emb, queries, 10, coarse, nprobe = 2)))
+        val cb = ext.Pq.train(emb, m = 8, ksub = 16, iters = 2)
+        val rPq = recall(pairs(ext.Pq.topK(emb, queries, 10, cb, rerank = 100)))
+        val cbr = ext.Pq.trainResidual(emb, coarse, m = 8, ksub = 16, iters = 2)
+        val rRes = recall(pairs(ext.Pq.topKResidual(emb, queries, 10, coarse,
+          cbr, rerank = 100, nprobe = 2)))
+        // nprobe = k isolates the residual codebooks from IVF pruning loss
+        val rResFull = recall(pairs(ext.Pq.topKResidual(emb, queries, 10,
+          coarse, cbr, rerank = 100, nprobe = 8)))
+        emb.unpersist()
+        s"""{"unexplained_var":$unexplained,"recall_at_10":""" +
+          s"""{"ivf":$rIvf,"pq":$rPq,"ivfpq_residual":$rRes,""" +
+          s""""ivfpq_residual_fullprobe":$rResFull}}"""
+      }
+      val bench = recallLine(Tables.load(spark, sfDir, "embeddings"))
+      // 10 Gaussian clusters, centers ‖·‖≈8, within-cluster σ=0.5: plain
+      // PQ must spend code budget on absolute position, residual PQ only
+      // on the ±0.5 local spread — the published IVFADC win condition
+      val synthClustered = {
+        val rnd = new java.util.Random(42)
+        val centers = Array.fill(10, 64)(rnd.nextGaussian())
+        val rows = (0 until 2000).map { i =>
+          (i.toLong,
+            centers(i % 10).map(x => (x + 0.5 * rnd.nextGaussian()).toFloat),
+            i % 10)
+        }
+        import spark.implicits._
+        recallLine(rows.toDF("vec_id", "embedding", "label"))
+      }
       val l = s"""{"metric":"ann_recall_probe","k":10,"n_queries":20,""" +
         s""""budgets":{"nprobe":2,"of_k":8,"rerank":100},""" +
-        s""""recall_at_10":{"ivf":$rIvf,"pq":$rPq,"ivfpq_residual":$rRes,""" +
-        s""""ivfpq_residual_fullprobe":$rResFull}}"""
+        s""""corpora":{"bench":$bench,"clustered_synthetic":$synthClustered},""" +
+        s""""note":"residual>=plain expected only when unexplained_var<<1; """ +
+        s"""bench embeddings are isotropic (unexplained_var~1) so residual~plain there"}"""
       println(l); extraLines += l
     } catch {
       case e: Throwable =>
