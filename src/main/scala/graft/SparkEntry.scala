@@ -719,6 +719,38 @@ object SparkEntry {
         "text", "doc_id")
         .select("doc_id").orderBy("doc_id")
     }),
+
+    // ext: REAL image decode (JDK ImageIO) — id-derived grayscale PNGs with
+    // analytic pixel content, so the oracle verifies the DECODED width /
+    // height / mean luminance in plain SQL (the stub path covers only
+    // audio/video, q26)
+    "q61_image_decode" -> ((s, dir) => {
+      val media = ext.Multimodal.synthesizeImages(
+        Tables.load(s, dir, "documents"), "doc_id")
+      ext.Multimodal.decodeFeatures(media).toDF()
+        .select(col("id"), col("width"), col("height"),
+          round(col("brightness"), 6).as("brightness"))
+        .orderBy("id")
+    }),
+
+    // ext: the ANN SERVING path — write the partitioned residual-PQ store
+    // to disk, then answer queries FROM the store (probe = Parquet
+    // partition pruning, ADC over m ints/vector, exact re-rank). At
+    // exactness budgets (nprobe = k cells, rerank >= corpus) the result is
+    // exactly brute-force top-k, so the oracle can hash-check it; IvfSuite
+    // covers the pruned nprobe < k path and asserts PartitionFilters.
+    "q62_ann_store" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val n = emb.count().toInt
+      val coarse = ext.Ivf.train(emb, k = 8, iters = 2)
+      val cb = ext.Pq.trainResidual(emb, coarse, m = 8, ksub = 16, iters = 2)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q62_store").toString
+      ext.Pq.writeStore(emb, path, cb, Some(coarse), residual = true)
+      ext.Pq.topKFromStore(s, path, emb, emb.filter(col("vec_id") < 3), 10,
+        cb, rerank = n, coarse = Some(coarse), nprobe = 8, residual = true)
+        .orderBy("query_id", "rank")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -1423,5 +1455,33 @@ object SparkEntry {
          SELECT doc_id FROM documents
          WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
          ORDER BY doc_id""",
+
+    // decoded-image features: the synthesized PNG's pixel (x, y) is
+    // (id*31 + x*7 + y*13) mod 256 over a (id%13+3) x (id%7+2) raster, so
+    // the decoded mean luminance is this exact double-precision average
+    "q61_image_decode" ->
+      """SELECT doc_id AS id,
+           CAST(doc_id % 13 + 3 AS INT) AS width,
+           CAST(doc_id % 7 + 2 AS INT) AS height,
+           round(list_avg(flatten(list_transform(
+             generate_series(0, CAST(doc_id % 7 + 2 AS INT) - 1),
+             y -> list_transform(generate_series(0, CAST(doc_id % 13 + 3 AS INT) - 1),
+               x -> CAST((doc_id * 31 + x * 7 + y * 13) % 256 AS DOUBLE))))), 6) AS brightness
+         FROM documents ORDER BY doc_id""",
+
+    // store-served ANN at exactness budgets (nprobe = every cell, rerank =
+    // whole corpus) == exact brute-force top-k, independent of k-means —
+    // same oracle as q41
+    "q62_ann_store" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         scored AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                      round($CosSql, 6) AS cos
+                    FROM e a, e b WHERE b.vec_id < 3 AND a.vec_id <> b.vec_id),
+         r AS (SELECT query_id, corpus_id, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, corpus_id) AS INT) AS rank
+               FROM scored)
+         SELECT query_id, rank, corpus_id, cos FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
   )
 }

@@ -6,45 +6,110 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-wise per partition.
   *
-  * The DECODE step is a clearly-marked deterministic STUB (this container
-  * has no image/audio codecs); everything Spark-side — the schema, the
-  * typed Dataset, the partition-batched iteration shape (mirroring an
-  * Arrow-batch UDF), frame sampling, metadata rewrite — is real and tested.
-  * A production deployment swaps [[stubDecode]] for a codec call with the
-  * same signature.
+  * IMAGE rows decode FOR REAL (JDK ImageIO — PNG bytes → true dimensions +
+  * mean luminance); audio/video decode remains a clearly-marked
+  * deterministic STUB (this container has no audio/video codecs).
+  * Everything Spark-side — the schema, the typed Dataset, the
+  * partition-batched iteration shape (mirroring an Arrow-batch UDF), frame
+  * sampling, metadata rewrite — is real and tested. A production
+  * deployment swaps [[stubDecode]] for codec calls with the same
+  * signature, exactly as [[decodeImage]] already does for PNG.
   */
 object Multimodal {
 
   final case class MediaMeta(format: String, width: Int, height: Int, nFrames: Int)
   final case class MediaRow(id: Long, media: Array[Byte], meta: MediaMeta)
-  final case class MediaFeatures(id: Long, nBytes: Int, digest: String, brightness: Double)
+  final case class MediaFeatures(id: Long, nBytes: Int, digest: String,
+      width: Int, height: Int, brightness: Double)
 
   /** Deterministic synthetic media corpus from a text table: bytes = UTF-8
     * text, metadata derived from the id/length. Stands in for real decoded
-    * uploads in tests and queries. */
+    * uploads in tests and queries. Formats are non-image on purpose — the
+    * bytes are not a valid image codec stream, so they route to the stub
+    * branch of [[decode]]; [[synthesizeImages]] makes real PNG rows. */
   def synthesizeFromText(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(
       col(idCol).cast("long").as("id"),
       encode(col(textCol), "UTF-8").as("media"),
       struct(
-        element_at(array(lit("png"), lit("jpeg"), lit("wav")), (col(idCol) % 3 + 1).cast("int")).as("format"),
+        element_at(array(lit("bin"), lit("mp4"), lit("wav")), (col(idCol) % 3 + 1).cast("int")).as("format"),
         (length(col(textCol)) % 640).cast("int").as("width"),
         (length(col(textCol)) % 480).cast("int").as("height"),
         (col(idCol) % 7 + 1).cast("int").as("nFrames")).as("meta"))
 
-  /** ==== STUB ==== "decode" one media blob: a real implementation calls an
-    * image/audio codec here; the stub derives deterministic features
-    * (brightness := mean byte value). Signature and batch shape are the
-    * production ones. */
+  /** Deterministic REAL image corpus: per row an id-derived W×H grayscale
+    * PNG whose pixel (x, y) = (id·31 + x·7 + y·13) mod 256 — analytic
+    * content, so an oracle can verify the DECODED features (dimensions,
+    * mean luminance) in plain SQL. Encoding runs per partition on the
+    * executors (ImageIO, no driver collect). */
+  def synthesizeImages(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val w = (id % 13 + 3).toInt
+      val h = (id % 7 + 2).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(id, bos.toByteArray, MediaMeta("png", w, h, 1))
+    })
+  }
+
+  /** REAL image decode (JDK ImageIO): PNG/BMP/GIF bytes → true decoded
+    * dimensions and mean luminance across all bands — independent of the
+    * metadata, which real pipelines must treat as advisory. */
+  def decodeImage(m: MediaRow): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media))
+    require(img != null, s"row ${m.id}: media bytes are not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    var s = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    MediaFeatures(m.id, m.media.length, md5hex(m.media), w, h,
+      s.toDouble / (w.toLong * h * bands))
+  }
+
+  /** ==== STUB ==== "decode" one audio/video blob: a real implementation
+    * calls a codec here (not present in this container); the stub derives
+    * deterministic features (brightness := mean byte value, dimensions
+    * from metadata). Signature and batch shape are the production ones. */
   def stubDecode(m: MediaRow): MediaFeatures = {
     var s = 0L
     var i = 0
     while (i < m.media.length) { s += (m.media(i) & 0xFF); i += 1 }
     val brightness = if (m.media.length == 0) 0.0 else s.toDouble / m.media.length
-    MediaFeatures(m.id, m.media.length,
-      java.security.MessageDigest.getInstance("MD5").digest(m.media)
-        .map("%02x".format(_)).mkString,
-      brightness)
+    MediaFeatures(m.id, m.media.length, md5hex(m.media),
+      m.meta.width, m.meta.height, brightness)
+  }
+
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** Per-row dispatch: image formats decode for real, the rest stub. */
+  def decode(m: MediaRow): MediaFeatures = m.meta.format match {
+    case "png" | "bmp" | "gif" => decodeImage(m)
+    case _ => stubDecode(m)
   }
 
   /** Batched per-partition decode — the mapInPandas/Arrow-batch shape: the
@@ -52,7 +117,7 @@ object Multimodal {
     * setup per batch, without materializing a partition in memory. */
   def decodeFeatures(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map(stubDecode)))
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map(decode)))
   }
 
   /** Sample every nth frame of a video-like row (frames as binary chunks of
