@@ -81,7 +81,12 @@ object Similarity {
     * mod 61) - 30.5). Vectors in the same bucket are likely high-cosine.
     * Native codegen kernel ([[graft.functions.HyperplaneBucket]]) — one
     * static dim×bits scan per row instead of an interpreted
-    * `aggregate(zip_with(...))` per bit. */
+    * `aggregate(zip_with(...))` per bit.
+    *
+    * NULL semantics: a NULL input vector yields a NULL bucket (standard
+    * null-propagating expression), so null vectors land in the null-key
+    * group under a groupBy — the pre-r5 lambda chain returned bucket 0 for
+    * them; wrap with `coalesce(…, lit(0L))` if that behavior is wanted. */
   def hyperplaneBucket(vec: Column, bits: Int = 8): Column =
     graft.functions.HyperplaneBucket.column(vec.cast("array<double>"), bits)
 

@@ -341,11 +341,17 @@ object GeoTiffCodec {
     * integer-typed bands write as bytes, anything else as float32 (the
     * reference's GDT_Byte / GDT_Float32 choice). Geotransform from the
     * first row's x0..tyy; rotation terms emit a ModelTransformation.
-    * `deflate = true` compresses the pixel strip with zlib (TIFF
-    * compression 8 — the reference's GDAL COMPRESS=DEFLATE); the reader
-    * side already handles LZW/Deflate/PackBits. Driver-side assembly like
-    * the reference (rasters at egress are report-scale). */
-  def write(df: DataFrame, path: String, deflate: Boolean = false): Unit = {
+    * `compression`: "none", "deflate" (TIFF 8, zlib — the reference's
+    * GDAL COMPRESS=DEFLATE) or "lzw" (TIFF 5 — GDAL's default LZW
+    * interchange); the reader handles all of those plus PackBits.
+    * Driver-side assembly like the reference (rasters at egress are
+    * report-scale). */
+  def write(df: DataFrame, path: String, compression: String = "none"): Unit = {
+    val compCode = compression.toLowerCase match {
+      case "none" => 1; case "lzw" => 5; case "deflate" => 8
+      case c => throw new IllegalArgumentException(
+        s"GeoTIFF write compression '$c' (none/lzw/deflate)")
+    }
     val bandCols = df.columns.filter(_.forall(_.isDigit)).sortBy(_.toInt)
     require(bandCols.nonEmpty, "GeoTIFF write needs numeric-named band columns")
     // CRS column from the reader's shape ("EPSG"/"Authority"), if present
@@ -392,7 +398,11 @@ object GeoTiffCodec {
     flat.foreach { v =>
       if (asByte) pixels.put(v.toInt.toByte) else pixels.putFloat(v.toFloat)
     }
-    val strip = if (deflate) deflateBytes(pixels.array()) else pixels.array()
+    val strip = compCode match {
+      case 1 => pixels.array()
+      case 5 => lzwEncode(pixels.array())
+      case 8 => deflateBytes(pixels.array())
+    }
 
     val rotated = gt(2) != 0.0 || gt(4) != 0.0
     // IFD: tag, type, count, inline value or offset into the data area
@@ -419,7 +429,7 @@ object GeoTiffCodec {
       Entry(258, 3, nb,
         if (nb <= 2) Some(inlineShorts(Seq.fill(nb)(bytesPer * 8))) else None,
         if (nb <= 2) None else Some(shorts(Seq.fill(nb)(bytesPer * 8)))),
-      Entry(259, 3, 1, Some(if (deflate) 8L else 1L), None),
+      Entry(259, 3, 1, Some(compCode.toLong), None),
       Entry(262, 3, 1, Some(1L), None),
       Entry(273, 4, 1, None, None), // strip offset patched below
       Entry(277, 3, 1, Some(nb.toLong), None),
@@ -468,6 +478,56 @@ object GeoTiffCodec {
     withOffsets.foreach { case (e, _) => e.data.foreach(out.put) }
     out.put(strip)
     java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
+  }
+
+  /** TIFF-variant LZW ENCODER — the exact mirror of [[lzwDecode]]:
+    * MSB-first variable-width codes (9→12 bits), Clear 256 / EOI 257,
+    * "early change" (width bumps one code before the naive table-full
+    * point, matching the decoder's `tableSize >= 2^w − 1` check one step
+    * behind the encoder's adds), table reset at code 4094 like libtiff. */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    var cur = 0L
+    var nbits = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      cur = (cur << width) | code
+      nbits += width
+      while (nbits >= 8) {
+        out.write(((cur >> (nbits - 8)) & 0xff).toInt); nbits -= 8
+      }
+    }
+    // dict key = prefix code (≤ 4095) << 8 | next byte; values 258..4093
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var nextCode = 258
+    put(256) // clear
+    if (data.nonEmpty) {
+      var prev = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val c = data(i) & 0xff
+        val key = (prev << 8) | c
+        val hit = dict.get(key)
+        if (hit != null) prev = hit
+        else {
+          put(prev)
+          if (nextCode >= 4094) { // mirror libtiff: reset before 12 bits fill
+            put(256)
+            dict.clear(); nextCode = 258; width = 9
+          } else {
+            dict.put(key, nextCode); nextCode += 1
+            // early change: the NEXT emission needs the wider code
+            if (nextCode >= (1 << width) && width < 12) width += 1
+          }
+          prev = c
+        }
+        i += 1
+      }
+      put(prev)
+    }
+    put(257) // EOI
+    if (nbits > 0) out.write(((cur << (8 - nbits)) & 0xff).toInt)
+    out.toByteArray
   }
 
   private def deflateBytes(data: Array[Byte]): Array[Byte] = {

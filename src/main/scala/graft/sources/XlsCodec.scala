@@ -395,10 +395,12 @@ object XlsCodec {
     // BIFF8 unicode string body for LABEL/BOUNDSHEET: cch, grbit, chars
     // (compressed when every char fits a byte, else UTF-16LE)
     def uniStr(s0: String, cch16: Boolean): Array[Byte] = {
-      // a single BIFF record caps at 8224 bytes; cells longer than 4000
-      // chars (UTF-16 worst case) are truncated rather than corrupting the
-      // stream — document egress belongs in parquet/csv, XLS is for reports
-      val max = 4000
+      // Inline LABEL (0x0204) caps cch at 255 (MS-XLS 2.4.148) — longer
+      // strings would need an SST + LABELSST pair, and real Excel flags
+      // over-long inline records as corruption. Cells are truncated at 255
+      // chars rather than emitting an out-of-spec record — document egress
+      // belongs in parquet/csv, XLS is for reports.
+      val max = 255
       val s = if (s0.length <= max) s0 else s0.take(max)
       val high = s.exists(_ >= 0x100)
       val b = le((if (cch16) 2 else 1) + 1 + s.length * (if (high) 2 else 1))

@@ -48,19 +48,51 @@ class GeoTiffSuite extends AnyFunSuite {
     assert((1 to 6).map(r0.getDouble) == Seq(500.0, 2.0, 0.0, 800.0, 0.0, -2.0))
   }
 
-  test("Deflate-compressed write round-trips through the reader") {
-    val d = Files.createTempDirectory("graft_tifz").toString
-    GeoTiffCodec.write(pixelDf(), d + "/z.tif", deflate = true)
-    GeoTiffCodec.write(pixelDf(), d + "/u.tif")
-    // the compressed file is genuinely smaller on this compressible ramp
-    val (zLen, uLen) = (new java.io.File(d + "/z.tif").length,
-      new java.io.File(d + "/u.tif").length)
-    assert(zLen < uLen, s"deflate $zLen !< uncompressed $uLen")
-    // identical pixels, geotransform, and CRS through the existing reader
-    def norm(p: String) = GeoTiffCodec.read(spark, p).collect()
-      .map(r => (r.getDouble(7), r.getDouble(8)) ->
-        (r.getDouble(0), r.getDouble(1), r.getDouble(11))).toMap
-    assert(norm(d + "/z.tif") == norm(d + "/u.tif"))
+  for (codec <- Seq("deflate", "lzw"))
+    test(s"$codec-compressed write round-trips through the reader") {
+      val d = Files.createTempDirectory("graft_tifz").toString
+      GeoTiffCodec.write(pixelDf(), d + "/z.tif", compression = codec)
+      GeoTiffCodec.write(pixelDf(), d + "/u.tif")
+      // the compressed file is genuinely smaller on this compressible ramp
+      val (zLen, uLen) = (new java.io.File(d + "/z.tif").length,
+        new java.io.File(d + "/u.tif").length)
+      assert(zLen < uLen, s"$codec $zLen !< uncompressed $uLen")
+      // identical pixels, geotransform, and CRS through the existing reader
+      def norm(p: String) = GeoTiffCodec.read(spark, p).collect()
+        .map(r => (r.getDouble(7), r.getDouble(8)) ->
+          (r.getDouble(0), r.getDouble(1), r.getDouble(11))).toMap
+      assert(norm(d + "/z.tif") == norm(d + "/u.tif"))
+    }
+
+  test("LZW write survives dictionary resets and cross-decodes via ImageIO") {
+    // ~29k float32 pixels of a low-repetition analytic pattern: > 4094
+    // dictionary entries, forcing the encoder's mid-stream Clear + reset
+    import spark.implicits._
+    val n = 120
+    val px = for (xc <- 0 until n; yc <- 0 until n) yield
+      (xc.toDouble, yc.toDouble, 0.0, 1.0, 0.0, 0.0, 0.0, -1.0,
+        xc.toDouble, -yc.toDouble,
+        math.sin(xc * 12.9898 + yc * 78.233) * 43758.5453 % 1.0)
+    val df = px.toDF("xc", "yc", "x0", "txx", "txy", "y0", "tyx", "tyy",
+      "x", "y", "0")
+    val d = Files.createTempDirectory("graft_tifl").toString
+    GeoTiffCodec.write(df, d + "/big.tif", compression = "lzw")
+    // our own reader round-trips every pixel exactly (float32 grain)
+    val back = GeoTiffCodec.read(spark, d + "/big.tif").collect()
+      .map(r => (r.getDouble(7), r.getDouble(8)) -> r.getDouble(11)).toMap
+    assert(back.size == n * n)
+    px.foreach { case t =>
+      assert(math.abs(back((t._1, t._2)) - t._11.toFloat) < 1e-12,
+        s"pixel (${t._1},${t._2})")
+    }
+    // an INDEPENDENT decoder (JDK ImageIO TIFF plugin) accepts the stream
+    val img = javax.imageio.ImageIO.read(new java.io.File(d + "/big.tif"))
+    assert(img != null && img.getWidth == n && img.getHeight == n)
+    val r = img.getRaster
+    px.take(500).foreach { t =>
+      assert(math.abs(r.getSampleFloat(t._1.toInt, t._2.toInt, 0) -
+        t._11.toFloat) < 1e-12)
+    }
   }
 
   test("integer bands write as bytes and read back") {
