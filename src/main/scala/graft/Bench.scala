@@ -136,6 +136,12 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       System.gc()
+      // the GC hands thousands of dead shuffle/broadcast ids from the
+      // query passes to the ASYNC ContextCleaner; its file-deletion storm
+      // otherwise lands mid-probe and inflates the big side several-fold
+      // (r6 measured minhash 16x at 11.1s in-bench vs 1.3s probes-only).
+      // Let it drain before timing.
+      Thread.sleep(5000)
     } catch { case _: Throwable => }
 
     // 16×-scale dedup probe (full runs only): the corpus replicated with

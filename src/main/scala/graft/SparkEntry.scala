@@ -751,6 +751,29 @@ object SparkEntry {
         cb, rerank = n, coarse = Some(coarse), nprobe = 8, residual = true)
         .orderBy("query_id", "rank")
     }),
+
+    // ext: corpus-level line dedup (RefinedWeb recipe) — multi-line docs
+    // synthesized deterministically (own text + the 5-group leader's
+    // text), so leader lines occur 6× and are dropped everywhere while
+    // singleton lines survive; leaders reassemble to ''
+    "q63_line_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val multi = docs
+        .withColumn("lid", col("doc_id") - col("doc_id") % 5)
+        .join(docs.select(col("doc_id").as("lid"), col("text").as("ltext")),
+          "lid")
+        .select(col("doc_id"),
+          concat_ws("\n", col("text"), col("ltext")).as("text"))
+      ext.Dedup.dedupLines(multi, "text", "doc_id", maxOccurrences = 2)
+        .orderBy("doc_id")
+    }),
+
+    // ext: GPT-style sequence packing — concatenate per source shard, cut
+    // every 512 tokens, one row per (doc, overlapped training sequence)
+    "q64_seq_pack" -> ((s, dir) =>
+      ext.TextAnalysis.packSequences(
+        Tables.load(s, dir, "documents"), "text", "doc_id", 512)
+        .orderBy("source", "seq_id", "doc_id")),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -1483,5 +1506,43 @@ object SparkEntry {
                FROM scored)
          SELECT query_id, rank, corpus_id, cos FROM r
          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // corpus-level line dedup on the synthesized 2-line docs: lines
+    // occurring more than twice across the corpus are dropped everywhere,
+    // remaining lines reassemble in order (docs may empty to '')
+    "q63_line_dedup" ->
+      """WITH multi AS (
+           SELECT a.doc_id AS doc_id,
+                  concat(a.text, chr(10), b.text) AS text
+           FROM documents a
+           JOIN documents b ON b.doc_id = a.doc_id - a.doc_id % 5),
+         lines AS (
+           SELECT doc_id,
+                  unnest(string_split(text, chr(10))) AS line,
+                  unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+           FROM multi),
+         hot AS (SELECT line FROM lines GROUP BY line HAVING count(*) > 2),
+         kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot))
+         SELECT m.doc_id,
+                coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+         FROM multi m LEFT JOIN kept k ON k.doc_id = m.doc_id
+         GROUP BY m.doc_id ORDER BY m.doc_id""",
+
+    // packing replay: whitespace token counts (q17 semantics), per-source
+    // running offset, one row per ctx=512 sequence a doc overlaps
+    "q64_seq_pack" ->
+      """WITH t AS (SELECT source, doc_id,
+             CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ntok
+           FROM documents),
+         w AS (SELECT source, doc_id, ntok,
+             coalesce(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+           FROM t WHERE ntok > 0)
+         SELECT source,
+                unnest(generate_series(CAST(start_tok // 512 AS BIGINT),
+                                       CAST((start_tok + ntok - 1) // 512 AS BIGINT))) AS seq_id,
+                doc_id, start_tok, ntok
+         FROM w ORDER BY source, seq_id, doc_id""",
   )
 }

@@ -322,6 +322,34 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Corpus-level LINE deduplication (the RefinedWeb/CCNet recipe): a line
+    * whose exact text occurs more than `maxOccurrences` times ACROSS the
+    * corpus (boilerplate: headers, nav bars, license blurbs) is dropped
+    * from every document; documents reassemble in original line order
+    * (empty string when nothing survives, so row count is preserved).
+    *
+    * Shape at 100 TB: lines explode narrowly; the occurrence count and
+    * the drop anti-join shuffle a 128-bit line digest, never the line
+    * text; reassembly groups by doc id with state bounded by document
+    * size. No broadcast assumption on the hot set — boilerplate can be
+    * corpus-scale, AQE picks the join strategy. */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+      maxOccurrences: Int = 1): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    val hot = lines.groupBy(col("lh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxOccurrences).select("lh")
+    val rebuilt = lines.join(hot, Seq("lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), "\n").as("_rebuilt"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_rebuilt"), lit("")).as(textCol))
+  }
+
   /** 60-bit SimHash over distinct word tokens: bit b of the sketch is the
     * sign of Σ_tokens (±1 per token-hash bit b); hash bit b lands at
     * sketch position 59−b. Near-duplicates have small Hamming distance.

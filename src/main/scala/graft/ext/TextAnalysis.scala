@@ -147,6 +147,36 @@ object TextAnalysis {
           .as("chunk"))
   }
 
+  /** GPT-style sequence packing (concatenate-and-chunk): per `srcCol`
+    * shard, documents concatenate in ascending `idCol` order and the token
+    * stream is cut every `ctxLen` tokens; each document emits one row per
+    * training sequence it overlaps, with its offset in the shard's stream.
+    * Zero-token documents occupy no sequence and are dropped.
+    *
+    * Shape at 100 TB: the running offset is a PER-SHARD sort-based window
+    * over (ntok) longs — packing is embarrassingly parallel across shards,
+    * exactly how production packers run; a single global order would
+    * funnel one task, so there deliberately isn't one. The explode emits
+    * ⌈ntok/ctxLen⌉ + 1 rows per doc at most. Output:
+    * (source, seq_id, doc_id, start_tok, ntok). */
+  def packSequences(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, ctxLen: Int,
+      srcCol: String = "source"): org.apache.spark.sql.DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(srcCol).as("source"), col(idCol).as("doc_id"),
+        tokenCount(textCol).cast("long").as("ntok"))
+      .filter(col("ntok") > 0)
+      .withColumn("start_tok", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      // integral DIV (not fp /): exact past 2^53 tokens per shard
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start_tok div $ctxLen"),
+        expr(s"(start_tok + ntok - 1) div $ctxLen"))))
+      .select("source", "seq_id", "doc_id", "start_tok", "ntok")
+  }
+
   /** PII redaction for corpus curation: e-mail addresses and phone-shaped
     * digit runs replaced with type tags, plus match counts for audit.
     * Patterns are deliberately simple-dialect — character classes and

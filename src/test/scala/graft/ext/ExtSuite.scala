@@ -78,6 +78,25 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(s(0) > 0.7 && s(1) < 0.5)
   }
 
+  test("packSequences: per-shard offsets, boundary-spanning docs, zero-token drop") {
+    val docs = Seq(
+      (0L, "a", (1 to 6).map(_ => "w").mkString(" ")),  // 6 toks: seqs 0
+      (1L, "a", (1 to 3).map(_ => "w").mkString(" ")),  // start 6, spans 0..1 (ctx 8)
+      (2L, "a", "  "),                                  // zero tokens: dropped
+      (3L, "a", (1 to 8).map(_ => "w").mkString(" ")),  // start 9, spans 1..2
+      (4L, "b", (1 to 2).map(_ => "w").mkString(" "))   // fresh shard: seq 0
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.packSequences(docs, "text", "doc_id", 8)
+      .orderBy("source", "seq_id", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("a", 0L, 0L, 0L, 6L), ("a", 0L, 1L, 6L, 3L),
+      ("a", 1L, 1L, 6L, 3L), ("a", 1L, 3L, 9L, 8L),
+      ("a", 2L, 3L, 9L, 8L),
+      ("b", 0L, 4L, 0L, 2L)))
+  }
+
   test("chunk: window/overlap semantics and edge cases") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
@@ -145,6 +164,23 @@ class DedupSuite extends AnyFunSuite {
     assert(pairs.contains((0L, 1L))) // near-dup found
     assert(pairs.contains((0L, 3L))) // exact dup found
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated not paired
+  }
+
+  test("dedupLines drops corpus-frequent lines, keeps order, preserves rows") {
+    val docs = Seq(
+      (1L, "unique one\nBOILER\nunique two"),
+      (2L, "BOILER\nother text"),
+      (3L, "BOILER"),          // empties entirely
+      (4L, "solo\nBOILER\nsolo") // in-doc repeats count toward the corpus tally
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "text", "doc_id", maxOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // BOILER occurs 4x > 2 -> dropped everywhere; "solo" occurs 2x <= 2 -> kept
+    assert(got == Map(
+      1L -> "unique one\nunique two",
+      2L -> "other text",
+      3L -> "",
+      4L -> "solo\nsolo"))
   }
 
   test("simhash: near-dups at small hamming distance, unrelated far") {
