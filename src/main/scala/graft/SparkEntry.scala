@@ -774,6 +774,30 @@ object SparkEntry {
       ext.TextAnalysis.packSequences(
         Tables.load(s, dir, "documents"), "text", "doc_id", 512)
         .orderBy("source", "seq_id", "doc_id")),
+
+    // ext: Gopher-style quality signals (mean word length, symbol/word,
+    // alpha-word fraction, duplicate-3-gram repetition) — the mechanical
+    // per-document filters production pipelines threshold on
+    "q65_quality_signals" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          round(ext.TextAnalysis.meanWordLength(col("text")), 6).as("mean_wlen"),
+          round(ext.TextAnalysis.symbolWordRatio(col("text")), 6).as("sym_ratio"),
+          round(ext.TextAnalysis.alphaWordFraction(col("text")), 6).as("alpha_frac"),
+          round(ext.TextAnalysis.dupShingleFraction(col("text")), 6).as("dup3_frac"))
+        .orderBy("doc_id")),
+
+    // ext: broadcast decontamination — same semantics as q60 through the
+    // driver-collected sorted-set kernel (shuffle-free narrow filter,
+    // streaming-safe); oracle is q60's verbatim
+    "q66_decontam_bcast" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      ext.Dedup.decontaminateBroadcast(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -1544,5 +1568,42 @@ object SparkEntry {
                                        CAST((start_tok + ntok - 1) // 512 AS BIGINT))) AS seq_id,
                 doc_id, start_tok, ntok
          FROM w ORDER BY source, seq_id, doc_id""",
+
+    // Gopher signals replayed in rational arithmetic: alnum-char totals /
+    // token counts, symbol counts per whitespace word, letter-bearing word
+    // fraction, 1 - distinct/total word 3-grams
+    "q65_quality_signals" ->
+      s"""WITH t AS (SELECT doc_id, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS words
+           FROM documents)
+         SELECT doc_id,
+           round(CASE WHEN len(toks) > 0 THEN
+             CAST(len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS DOUBLE)
+               / len(toks) ELSE 0 END, 6) AS mean_wlen,
+           round(CASE WHEN words > 0 THEN
+             CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / words ELSE 0 END, 6) AS sym_ratio,
+           round(CASE WHEN words > 0 THEN
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+               x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / words
+             ELSE 0 END, 6) AS alpha_frac,
+           round(CASE WHEN len(toks) >= 3 THEN
+             1 - CAST(len($ShinglesSql) AS DOUBLE) / (len(toks) - 2)
+             ELSE 0 END, 6) AS dup3_frac
+         FROM t ORDER BY doc_id""",
+
+    // identical semantics to q60 — the broadcast kernel must agree with
+    // the join shape exactly
+    "q66_decontam_bcast" ->
+      s"""WITH b AS (SELECT DISTINCT unnest($ShinglesSql) AS sh
+             FROM documents WHERE doc_id % 97 = 0),
+         ce AS (SELECT doc_id, unnest($ShinglesSql) AS sh
+             FROM documents WHERE doc_id % 97 <> 0),
+         bad AS (SELECT DISTINCT doc_id FROM ce WHERE sh IN (SELECT sh FROM b))
+         SELECT doc_id FROM documents
+         WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
   )
 }

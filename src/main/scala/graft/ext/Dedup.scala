@@ -322,6 +322,30 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Decontamination fast path for benchmark sets that fit on the driver
+    * (the common case — eval suites are MBs): the bench's distinct shingle
+    * hashes are collected once, sorted, and shipped to executors as a
+    * codegen reference set ([[graft.functions.ArrayOverlapsSet]]); the
+    * corpus side is then ONE shuffle-free narrow filter (binary search per
+    * shingle) — no explode, no join, no distinct aggregation. Stateless
+    * per-row predicate, so it applies to a `readStream` corpus unchanged —
+    * the streaming twin [[decontaminate]] cannot be (its contaminated-id
+    * distinct is a stateful aggregation). Falls back to the join shape
+    * when the bench side exceeds `maxBenchShingles` (a corpus-scale
+    * "held-out split" needs the shuffle). */
+  def decontaminateBroadcast(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      maxBenchShingles: Int = 5000000): DataFrame = {
+    val sh = bench
+      .select(explode(TextAnalysis.hashedShingles(textCol, n)).as("sh"))
+      .distinct().limit(maxBenchShingles + 1)
+      .collect().map(_.getLong(0))
+    if (sh.length > maxBenchShingles)
+      decontaminate(corpus, bench, textCol, idCol, n)
+    else corpus.filter(!graft.functions.ArrayOverlapsSet.column(
+      TextAnalysis.hashedShingles(textCol, n), sh))
+  }
+
   /** Corpus-level LINE deduplication (the RefinedWeb/CCNet recipe): a line
     * whose exact text occurs more than `maxOccurrences` times ACROSS the
     * corpus (boilerplate: headers, nav bars, license blurbs) is dropped

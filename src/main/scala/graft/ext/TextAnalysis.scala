@@ -210,6 +210,47 @@ object TextAnalysis {
   def normalize(c: Column): Column =
     trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
 
+  // ---- Gopher-style quality signals (Rae et al. 2021, arXiv:2112.11446
+  // §A1.1): the mechanical per-document filters production pipelines
+  // threshold on. All rational arithmetic over codegen'd regex/array ops
+  // (one HOF filter in alphaWordFraction) — cross-engine exact.
+
+  /** Mean alphanumeric word length: total alnum chars / word-token count
+    * (0 for token-free text). */
+  def meanWordLength(c: Column): Column = {
+    val n = size(wordTokens(c)).cast("double")
+    val chars = length(regexp_replace(lower(c), "[^a-z0-9]+", "")).cast("double")
+    when(n > 0, chars / n).otherwise(0.0)
+  }
+
+  /** Symbol characters per whitespace word (Gopher's symbol-to-word
+    * ratio generalized to all non-alnum-non-space chars). */
+  def symbolWordRatio(c: Column): Column = {
+    val words = tokenCount(c).cast("double")
+    val symbols = (length(c) -
+      length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))).cast("double")
+    when(words > 0, symbols / words).otherwise(0.0)
+  }
+
+  /** Fraction of whitespace words containing at least one letter. */
+  def alphaWordFraction(c: Column): Column = {
+    val words = tokenCount(c).cast("double")
+    val alpha = size(filter(split(trim(c), "\\s+"),
+      t => t.rlike("[A-Za-z]"))).cast("double")
+    when(words > 0, alpha / words).otherwise(0.0)
+  }
+
+  /** Duplicate word-n-gram fraction: 1 − distinct/total n-grams — the
+    * Gopher repetition signal (high ⇒ boilerplate/looping text). Uses the
+    * [[graft.functions.HashedShingles]] kernel's distinct count (60-bit
+    * hashes: collision odds are negligible against the exact oracle). */
+  def dupShingleFraction(c: Column, n: Int = 3): Column = {
+    val toks = size(wordTokens(c))
+    val total = (toks - (n - 1)).cast("double")
+    val distinctN = size(graft.functions.HashedShingles.column(c, n)).cast("double")
+    when(toks >= n, lit(1.0) - distinctN / total).otherwise(0.0)
+  }
+
   /** Quality score ∈ [0,1]: rational-arithmetic blend of length, non-punct
     * ratio, and stopword density (no transcendentals — cross-engine exact). */
   def qualityScore(t: String): Column = qualityScore(col(t))

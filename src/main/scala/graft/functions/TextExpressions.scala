@@ -248,3 +248,53 @@ object MinHashBandKeys {
       ExpressionUtils.expression(hashedShingles),
       params.map(_._1), params.map(_._2), bands))
 }
+
+/** Membership scan for a driver-built sorted long set: does any element of
+  * the child array appear in it? One binary search per element, the set
+  * shipped once per executor as a codegen reference object — the kernel
+  * behind [[graft.ext.Dedup.decontaminateBroadcast]]'s per-row filter
+  * (no join, no shuffle, streaming-safe). */
+object LongSetKernel {
+  def overlaps(arr: ArrayData, sorted: Array[Long]): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(sorted, arr.getLong(i)) >= 0)
+        return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** `array_overlaps_set(array<long>)`: true iff any element is in the
+  * fixed sorted set. The set rides the expression as a Seq (value
+  * equality for Catalyst transforms) with a lazy primitive mirror. */
+case class ArrayOverlapsSet(child: Expression, set: Seq[Long])
+  extends UnaryExpression {
+
+  @transient private lazy val sorted: Array[Long] = {
+    val a = set.toArray; java.util.Arrays.sort(a); a
+  }
+
+  override def prettyName: String = "array_overlaps_set"
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullSafeEval(arr: Any): Any =
+    LongSetKernel.overlaps(arr.asInstanceOf[ArrayData], sorted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("overlapSet", sorted, "long[]")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.LongSetKernel.overlaps($arr, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ArrayOverlapsSet =
+    copy(child = c)
+}
+
+object ArrayOverlapsSet {
+  def column(arr: Column, set: Array[Long]): Column =
+    ExpressionUtils.column(ArrayOverlapsSet(
+      ExpressionUtils.expression(arr), set.toSeq))
+}

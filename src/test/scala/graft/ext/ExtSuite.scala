@@ -78,6 +78,28 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(s(0) > 0.7 && s(1) < 0.5)
   }
 
+  test("gopher signals: analytic values on handcrafted docs") {
+    val df = Seq(
+      (1L, "aa bbb cccc"),          // 9 alnum chars / 3 toks = 3.0
+      (2L, "x! y? z."),             // 3 symbols / 3 words = 1.0
+      (3L, "a b 1 2"),              // 2 letter-words / 4 = 0.5
+      (4L, "w w w w w"),            // 3-grams: 3 total, 1 distinct -> 2/3
+      (5L, "")                      // all signals 0 on empty
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.meanWordLength(col("text")).as("mw"),
+        TextAnalysis.symbolWordRatio(col("text")).as("sr"),
+        TextAnalysis.alphaWordFraction(col("text")).as("af"),
+        TextAnalysis.dupShingleFraction(col("text")).as("df"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L)._1 == 3.0)
+    assert(got(2L)._2 == 1.0)
+    assert(got(3L)._3 == 0.5)
+    assert(math.abs(got(4L)._4 - 2.0 / 3.0) < 1e-12)
+    assert(got(5L) == ((0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("packSequences: per-shard offsets, boundary-spanning docs, zero-token drop") {
     val docs = Seq(
       (0L, "a", (1 to 6).map(_ => "w").mkString(" ")),  // 6 toks: seqs 0
@@ -164,6 +186,24 @@ class DedupSuite extends AnyFunSuite {
     assert(pairs.contains((0L, 1L))) // near-dup found
     assert(pairs.contains((0L, 3L))) // exact dup found
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated not paired
+  }
+
+  test("decontaminateBroadcast equals the join-shaped decontaminate") {
+    val corpus = Seq(
+      (10L, "totally clean document body here"),
+      (11L, base),                       // shares shingles with the bench
+      (12L, "another clean and unrelated one")).toDF("doc_id", "text")
+    val bench = Seq((0L, base)).toDF("doc_id", "text")
+    val viaJoin = Dedup.decontaminate(corpus, bench, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaSet = Dedup.decontaminateBroadcast(corpus, bench, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaJoin == Set(10L, 12L) && viaSet == viaJoin)
+    // over-cap bench side falls back to the join shape, same answer
+    val fallback = Dedup.decontaminateBroadcast(corpus, bench, "text",
+      "doc_id", maxBenchShingles = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fallback == viaJoin)
   }
 
   test("dedupLines drops corpus-frequent lines, keeps order, preserves rows") {

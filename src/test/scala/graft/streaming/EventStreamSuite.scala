@@ -88,6 +88,30 @@ class EventStreamSuite extends AnyFunSuite {
     assert(batch.exists(_._3.contains("<EMAIL>"))) // redaction ran in-stream
   }
 
+  test("broadcast decontamination runs unchanged under Structured Streaming") {
+    // the sorted-set kernel is a stateless per-row predicate — the stream
+    // twin the join-shaped decontaminate (stateful distinct) cannot be
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_decon_stream").toString
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "completely unrelated corpus text body"),
+      (3L, "quick brown fox phrases appear here too")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val bench = Seq((100L, "a quick brown fox benchmark")).toDF("doc_id", "text")
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Dedup.decontaminateBroadcast(df, bench, "text", "doc_id")
+    val batch = transform(spark.read.parquet(dir))
+      .collect().map(_.getLong(0)).toSet
+    assert(batch == Set(2L)) // docs 1 and 3 share the "quick brown fox" 3-gram
+    val q = transform(spark.readStream.schema(docs.schema).parquet(dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("decon_out").collect().map(_.getLong(0)).toSet == batch)
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     val dir = Files.createTempDirectory("graft_dedup").toString
     val dup = events ++ events.take(3) // re-delivery of the first three
