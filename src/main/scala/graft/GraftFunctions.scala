@@ -132,6 +132,27 @@ object GraftFunctions {
       graft.agg.VectorMeanAgg(
         Cast(exprs.head, org.apache.spark.sql.types.ArrayType(DoubleType)))
     }, "built-in")
+    // Gopher-style quality signals (r6)
+    registry.createOrReplaceTempFunction("mean_word_length", exprs => {
+      require(exprs.length == 1, "mean_word_length(t)")
+      columnFn(exprs.head)(graft.ext.TextAnalysis.meanWordLength)
+    }, "built-in")
+    registry.createOrReplaceTempFunction("symbol_word_ratio", exprs => {
+      require(exprs.length == 1, "symbol_word_ratio(t)")
+      columnFn(exprs.head)(graft.ext.TextAnalysis.symbolWordRatio)
+    }, "built-in")
+    registry.createOrReplaceTempFunction("alpha_word_fraction", exprs => {
+      require(exprs.length == 1, "alpha_word_fraction(t)")
+      columnFn(exprs.head)(graft.ext.TextAnalysis.alphaWordFraction)
+    }, "built-in")
+    registry.createOrReplaceTempFunction("dup_shingle_fraction", exprs => {
+      require(exprs.length == 1 || exprs.length == 2,
+        "dup_shingle_fraction(t[, n])")
+      val n =
+        if (exprs.length == 2) exprs(1).eval().asInstanceOf[Number].intValue()
+        else 3
+      columnFn(exprs.head)(graft.ext.TextAnalysis.dupShingleFraction(_, n))
+    }, "built-in")
     registry.createOrReplaceTempFunction("major", exprs => {
       require(exprs.length == 1, "major(value)")
       // Mirror the Column helper: MajorAgg's buffer codec only handles

@@ -138,7 +138,13 @@ object SparkEntry {
         "text", "doc_id", "ts", "100 seconds"),
       "ngram_prefix" -> ext.Dedup.ngramJaccardPairsPrefix(docs, "text",
         "doc_id", Seq("lang", "source"), 0.3),
-      "decontam" -> ext.Dedup.decontaminate(docs, bench, "text", "doc_id"))
+      "decontam" -> ext.Dedup.decontaminate(docs, bench, "text", "doc_id"),
+      // single-line docs still drive the full line-dedup plan (explode →
+      // digest count → anti-join → ordered reassembly) at corpus volume
+      "line_dedup" -> ext.Dedup.dedupLines(docs, "text", "doc_id"),
+      // sources repeat across copies, so per-shard window rows grow
+      // factor× — certifies the sort-based window's n·log n per shard
+      "seq_pack" -> ext.TextAnalysis.packSequences(docs, "text", "doc_id", 512))
     // untimed diagnostics: candidate-pair volume per op, so a bad ratio is
     // attributable (candidate blowup vs fixed-cost overhead)
     val diag = Map(

@@ -133,6 +133,19 @@ class GraftFunctionsSuite extends AnyFunSuite {
     assert(l.getString(0) == "call 555-123-4567,…")
   }
 
+  test("round-6 SQL surface: gopher quality signals") {
+    graft.GraftFunctions.register(spark)
+    Seq((1L, "aa bbb cccc"), (2L, "x! y? z."), (3L, "w w w w w"))
+      .toDF("id", "t").createOrReplaceTempView("t_r6q")
+    val r = spark.sql(
+      """SELECT mean_word_length(t) AS mw, symbol_word_ratio(t) AS sr,
+           alpha_word_fraction(t) AS af, dup_shingle_fraction(t) AS df
+         FROM t_r6q ORDER BY id""").collect()
+    assert(r(0).getDouble(0) == 3.0)
+    assert(r(1).getDouble(1) == 1.0)
+    assert(math.abs(r(2).getDouble(3) - 2.0 / 3.0) < 1e-12)
+  }
+
   test("round-5 SQL text surface: token_count, lang_id, quality_score, normalize_text, fingerprint") {
     graft.GraftFunctions.register(spark)
     Seq((1L, "the cat and the dog walked to the park"),
