@@ -793,6 +793,13 @@ object SparkEntry {
           round(ext.TextAnalysis.dupShingleFraction(col("text")), 6).as("dup3_frac"))
         .orderBy("doc_id")),
 
+    // ext: SemDeDup — within-bucket cosine pairs → duplicate groups →
+    // min-id canonical survives; singletons untouched
+    "q67_semantic_dedup" -> ((s, dir) =>
+      ext.Similarity.semanticDedup(
+        Tables.load(s, dir, "embeddings"), 0.3, "label")
+        .select("vec_id").orderBy("vec_id")),
+
     // ext: broadcast decontamination — same semantics as q60 through the
     // driver-collected sorted-set kernel (shuffle-free narrow filter,
     // streaming-safe); oracle is q60's verbatim
@@ -1611,5 +1618,22 @@ object SparkEntry {
          SELECT doc_id FROM documents
          WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
          ORDER BY doc_id""",
+
+    // SemDeDup replay: label-bucket cosine pairs (q24 shape) → recursive
+    // closure (q43 shape) → drop non-canonical members
+    "q67_semantic_dedup" ->
+      s"""WITH RECURSIVE
+         e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($CosSql, 6) AS cos
+               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+         pairs AS (SELECT id_a, id_b FROM p WHERE cos >= 0.3),
+         ed AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+         r(a, b) AS (SELECT a, b FROM ed
+                     UNION SELECT r.a, ed.b FROM r JOIN ed ON r.b = ed.a),
+         drops AS (SELECT a AS vec_id FROM r GROUP BY a
+                   HAVING a <> least(a, min(b)))
+         SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (SELECT vec_id FROM drops) ORDER BY vec_id""",
   )
 }

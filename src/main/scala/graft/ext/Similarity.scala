@@ -103,4 +103,24 @@ object Similarity {
         round(dot(col("l.v"), col("r.v")) / (col("l.n") * col("r.n")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): bucket the embeddings (a cluster id, a label, or
+    * [[hyperplaneBucket]] — any deterministic partition), pair up
+    * within-bucket rows with cosine ≥ `minCos`, connect the pairs into
+    * duplicate groups, and keep only each group's min-id canonical; rows
+    * in no pair survive untouched.
+    *
+    * Shape at 100 TB: the quadratic pair join is bucket-bounded
+    * ([[embeddingNearDups]]), group closure is O(component-diameter)
+    * label propagation ([[Dedup.connectedComponents]]), and the final cut
+    * is one anti-join on ids. */
+  def semanticDedup(df: DataFrame, minCos: Double, bucketCol: String,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val pairs = embeddingNearDups(df, minCos, bucketCol, vecCol, idCol)
+    val dropIds = Dedup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
 }

@@ -366,6 +366,14 @@ class SimilaritySuite extends AnyFunSuite {
     (4L, Array(0.0f, 0.0f, 1.0f), 2)
   ).toDF("vec_id", "embedding", "label")
 
+  test("semanticDedup keeps min-id canonicals and all singletons") {
+    // label buckets: {0,1} near-parallel (dup pair), {2,3} near-parallel,
+    // {4} singleton — survivors are the min ids 0 and 2 plus the singleton
+    val out = Similarity.semanticDedup(vecs, 0.9, "label")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(0L, 2L, 4L))
+  }
+
   test("brute-force top-k ranks by cosine") {
     val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), 2)
       .collect().map(r => (r.getInt(1), r.getLong(2)))
