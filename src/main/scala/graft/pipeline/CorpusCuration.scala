@@ -48,4 +48,33 @@ object CorpusCuration {
         TextAnalysis.tokenCount(textCol).cast("long").as("tok_cnt"))
       .filter(col("quality") >= minQuality)
   }
+
+  /** Ingest-time streaming curation — the first line of defense a
+    * 100 TB/day pipeline runs BEFORE the batch [[curate]] pass:
+    *
+    *   1. optional benchmark decontamination via the broadcast-set kernel
+    *      (stateless narrow filter — [[Dedup.decontaminateBroadcast]]'s
+    *      predicate is the only decontamination shape a stream supports);
+    *   2. quality gate (stateless per-row features, same threshold
+    *      semantics as [[curate]]);
+    *   3. windowed LSH near-dup dedup ([[Dedup.nearDupFilterStreamLsh]]):
+    *      within each tumbling window only bucket-winning documents
+    *      survive — watermark-bounded state, append-mode emission.
+    *
+    * Cross-window near-dups intentionally survive; the batch pass owns
+    * global recall. Output: (ws, doc_id) of surviving documents per
+    * window — join back to the payload store downstream. */
+  def curateStream(df: DataFrame, bench: Option[DataFrame] = None,
+      textCol: String = "text", idCol: String = "doc_id",
+      tsCol: String = "ts", minQuality: Double = 0.55,
+      windowDur: String = "10 minutes", watermark: String = "1 hour"): DataFrame = {
+    val decontaminated = bench match {
+      case Some(b) => Dedup.decontaminateBroadcast(df, b, textCol, idCol)
+      case None => df
+    }
+    val gated = decontaminated
+      .filter(round(TextAnalysis.qualityScore(textCol), 6) >= minQuality)
+    Dedup.nearDupFilterStreamLsh(gated, textCol, idCol, tsCol,
+      windowDur, watermark)
+  }
 }

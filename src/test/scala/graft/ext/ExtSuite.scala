@@ -450,6 +450,39 @@ class CorpusCurationSuite extends AnyFunSuite {
     assert(out == Set(10L, 20L))
   }
 
+  test("curateStream: decontaminate + gate + windowed dedup, batch == stream") {
+    val good = "the quick brown fox jumps over the lazy dog and it is fine " * 3
+    val leaky = "a quick brown fox benchmark question appears here today " * 3
+    val docs = Seq(
+      (10L, good),              // survives
+      (11L, good),              // in-window exact dup of 10 → dropped
+      (20L, leaky),             // shares a bench 3-gram → decontaminated
+      (30L, "!!!! ????"),       // junk → quality-gated
+      (40L, "another clean english document that is long enough to pass the gate " * 3),
+      // flush sentinel: far-future event advances the watermark past the
+      // first window so append mode emits it; its OWN window stays open
+      (100000L, "distinct flush sentinel body that is long and clean enough to pass " * 3))
+      .toDF("doc_id", "text")
+      .withColumn("ts", org.apache.spark.sql.functions.col("doc_id").cast("timestamp"))
+    // trigrams hit only `leaky` ("… fox benchmark question …"), not `good`
+    val bench = Seq((0L, "fox benchmark question time")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.CorpusCuration.curateStream(df, Some(bench),
+        windowDur = "100 seconds", watermark = "10 seconds")
+    val batch = run(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch == Set(10L, 40L, 100000L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate_stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val q = run(spark.readStream.schema(docs.schema).parquet(dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("curate_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch - 100000L) // sentinel's window never closes
+  }
+
   test("injected mega-bucket: skew guard bounds candidate volume") {
     // 40 identical boilerplate docs share EVERY band → one bucket of 40
     // in each of the 4 bands → 4 × 40² candidate shape without the guard.
