@@ -392,14 +392,42 @@ object XlsCodec {
     }
     def le(n: Int): ByteBuffer = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
 
+    // ---- shared-string table (r6): cells past the 255-char inline-Label
+    // cap (MS-XLS 2.4.148) round-trip through SST + LABELSST instead of
+    // truncating; only >4000 chars still truncates (a string must fit one
+    // record — XLS stays the report-scale sink). Strings dedupe: cstTotal
+    // counts references, cstUnique the table entries.
+    val SstMax = 4000
+    def sstKey(s: String): String = if (s.length <= SstMax) s else s.take(SstMax)
+    val sstIndex = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    var sstRefs = 0
+    collected.foreach { case (_, header, data, numeric) =>
+      def visit(s: String): Unit = if (s.length > 255) {
+        sstRefs += 1
+        val k = sstKey(s)
+        if (!sstIndex.contains(k)) sstIndex(k) = sstIndex.size
+      }
+      header.foreach(visit)
+      data.foreach { row =>
+        var c = 0
+        while (c < header.length) {
+          row.get(c) match {
+            case null =>
+            case n: Number if numeric(c) =>
+            case v => visit(v.toString)
+          }
+          c += 1
+        }
+      }
+    }
+
     // BIFF8 unicode string body for LABEL/BOUNDSHEET: cch, grbit, chars
     // (compressed when every char fits a byte, else UTF-16LE)
     def uniStr(s0: String, cch16: Boolean): Array[Byte] = {
-      // Inline LABEL (0x0204) caps cch at 255 (MS-XLS 2.4.148) — longer
-      // strings would need an SST + LABELSST pair, and real Excel flags
-      // over-long inline records as corruption. Cells are truncated at 255
-      // chars rather than emitting an out-of-spec record — document egress
-      // belongs in parquet/csv, XLS is for reports.
+      // Inline LABEL (0x0204) caps cch at 255 (MS-XLS 2.4.148); longer
+      // cell strings never reach here — label() routes them through
+      // SST + LABELSST. The cap is defensive for other callers
+      // (BOUNDSHEET names are ≤31 by the require above).
       val max = 255
       val s = if (s0.length <= max) s0 else s0.take(max)
       val high = s.exists(_ >= 0x100)
@@ -455,6 +483,46 @@ object XlsCodec {
       })
       at
     }
+    if (sstIndex.nonEmpty) {
+      // serialize the table into SST + CONTINUE chunks, splitting at
+      // STRING boundaries only (each string caps at SstMax, so one always
+      // fits a record — no mid-string option-flag restarts to emit)
+      val chunkCap = 8220
+      val chunks = scala.collection.mutable.ArrayBuffer(
+        new java.io.ByteArrayOutputStream())
+      chunks.last.write(le(8).putInt(sstRefs).putInt(sstIndex.size).array())
+      val strPos = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      sstIndex.keysIterator.foreach { s =>
+        val high = s.exists(_ >= 0x100)
+        val b = le(3 + s.length * (if (high) 2 else 1))
+        b.putShort(s.length.toShort).put((if (high) 1 else 0).toByte)
+        if (high) s.foreach(c => b.putShort(c.toShort))
+        else s.foreach(c => b.put(c.toByte))
+        val bytes = b.array()
+        if (chunks.last.size() + bytes.length > chunkCap)
+          chunks += new java.io.ByteArrayOutputStream()
+        strPos += ((chunks.length - 1, chunks.last.size()))
+        chunks.last.write(bytes)
+      }
+      val recStarts = chunks.zipWithIndex.map { case (c, i) =>
+        val at = out.size()
+        rec(if (i == 0) 0x00FC else 0x003C, c.toByteArray) // SST, CONTINUE…
+        at
+      }
+      // EXTSST (0x00FF): the string-position index Excel expects — one
+      // ISSTINF per Dsst-th string: absolute stream position + offset
+      // within its carrying record (4-byte header included)
+      val dsst = math.max(8, (sstIndex.size + 127) / 128)
+      val infos = strPos.zipWithIndex.collect {
+        case ((ci, off), i) if i % dsst == 0 =>
+          (recStarts(ci) + 4 + off, off + 4)
+      }
+      val eb = le(2 + infos.length * 8).putShort(dsst.toShort)
+      infos.foreach { case (ib, cb) =>
+        eb.putInt(ib).putShort(cb.toShort).putShort(0.toShort)
+      }
+      rec(0x00FF, eb.array())
+    }
     rec(0x000A, Array.emptyByteArray) // EOF (globals)
 
     // ---- worksheet substreams
@@ -464,11 +532,15 @@ object XlsCodec {
       rec(0x0200, le(14).putInt(0).putInt(data.length + 1)
         .putShort(0.toShort).putShort(header.length.toShort)
         .putShort(0.toShort).array()) // DIMENSIONS
-      def label(rw: Int, c: Int, s: String): Unit = {
-        val u = uniStr(s, cch16 = true)
-        rec(0x0204, le(6 + u.length).putShort(rw.toShort).putShort(c.toShort)
-          .putShort(15.toShort).put(u).array())
-      }
+      def label(rw: Int, c: Int, s: String): Unit =
+        if (s.length > 255) // SST-backed cell (see the table build above)
+          rec(0x00FD, le(10).putShort(rw.toShort).putShort(c.toShort)
+            .putShort(15.toShort).putInt(sstIndex(sstKey(s))).array())
+        else {
+          val u = uniStr(s, cch16 = true)
+          rec(0x0204, le(6 + u.length).putShort(rw.toShort).putShort(c.toShort)
+            .putShort(15.toShort).put(u).array())
+        }
       def number(rw: Int, c: Int, v: Double): Unit =
         rec(0x0203, le(14).putShort(rw.toShort).putShort(c.toShort)
           .putShort(15.toShort).putDouble(v).array())

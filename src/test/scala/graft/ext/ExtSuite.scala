@@ -300,11 +300,24 @@ class DedupSuite extends AnyFunSuite {
   test("connected components assign min id per dup cluster") {
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L), (3L, 9L), (9L, 4L))
       .toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs)
+    val expect = Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 7L,
+      3L -> 3L, 9L -> 3L, 4L -> 3L)
+    // chains resolve transitively: {1,2,5}→1, {7,8}→7, {3,4,9}→3 — on
+    // BOTH dispatch paths (driver union-find and distributed propagation)
+    val local = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // chains resolve transitively: {1,2,5}→1, {7,8}→7, {3,4,9}→3
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 7L,
-      3L -> 3L, 9L -> 3L, 4L -> 3L))
+    assert(local == expect)
+    val distributed = Dedup.connectedComponents(pairs, localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == expect)
+  }
+
+  test("connected components: long chain (distributed path halving)") {
+    // a 40-node path graph — diameter 39 exercises the O(log d) halving
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 40 && cc.values.forall(_ == 0L))
   }
 
   test("maxBandBucket drops hot LSH buckets (spam guard)") {

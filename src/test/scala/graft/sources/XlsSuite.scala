@@ -239,6 +239,31 @@ class XlsSuite extends AnyFunSuite {
       == (0L until 400L).map(_ * 0.5).sum)
   }
 
+  test("XLS write: >255-char cells round-trip via SST + LABELSST (with CONTINUE)") {
+    import spark.implicits._
+    // distinct 4000-char bodies force the SST across a CONTINUE boundary;
+    // the duplicate exercises dedup (cstTotal > cstUnique); ünïcödé takes
+    // the UTF-16 branch; 5000 chars truncates at the 4000 record bound
+    def body(seed: Char) = seed.toString * 4000
+    val dup = "shared long string ü " * 20 // 420 chars, used twice
+    val df = Seq(
+      (1L, "short inline"),
+      (2L, "x" * 300),
+      (3L, body('a')), (4L, body('b')), (5L, body('c')),
+      (6L, dup), (7L, dup),
+      (8L, "y" * 5000))
+      .toDF("id", "note")
+    val d = Files.createTempDirectory("graft_xlsl").toString
+    XlsCodec.write(df, d + "/long.xls!L")
+    val back = XlsCodec.read(spark, d + "/long.xls!L").orderBy("id")
+      .collect().map(r => r.getDouble(0).toLong -> r.getString(1)).toMap
+    assert(back(1L) == "short inline")
+    assert(back(2L) == "x" * 300)
+    assert(back(3L) == body('a') && back(4L) == body('b') && back(5L) == body('c'))
+    assert(back(6L) == dup && back(7L) == dup)
+    assert(back(8L) == "y" * 4000) // documented one-record bound
+  }
+
   test("XLS multi-sheet write: each sheet reads back by name") {
     import spark.implicits._
     val a = Seq(("x", 1.0), ("y", 2.0)).toDF("k", "v")
