@@ -750,8 +750,10 @@ object SparkEntry {
       val n = emb.count().toInt
       val coarse = ext.Ivf.train(emb, k = 8, iters = 2)
       val cb = ext.Pq.trainResidual(emb, coarse, m = 8, ksub = 16, iters = 2)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q62_store").toString
+      // fixed path + SaveMode.Overwrite: repeated runs (two bench passes
+      // per invocation) reuse one directory instead of accreting temp dirs
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q62_store").toString
       ext.Pq.writeStore(emb, path, cb, Some(coarse), residual = true)
       ext.Pq.topKFromStore(s, path, emb, emb.filter(col("vec_id") < 3), 10,
         cb, rerank = n, coarse = Some(coarse), nprobe = 8, residual = true)

@@ -49,12 +49,15 @@ object Dedup {
     val cand = minhashCandidates(df, textCol, idCol, numHashes, bands,
       maxBandBucket)
     // the shingle table feeds BOTH verify joins (id_a and id_b sides, no
-    // exchange reuse across different join keys) — materialize it once
-    // (lazy: see the banded-table note in minhashCandidates) instead of
-    // re-running the shingle kernel over the full corpus per side
+    // exchange reuse across different join keys) — persist it once
+    // instead of re-running the shingle kernel over the full corpus per
+    // side. persist, NOT localCheckpoint: the table is corpus-scale
+    // (≈8 B/token), so it must stay recomputable on executor loss and
+    // evictable under memory pressure — MEMORY_AND_DISK keeps lineage
+    // and spills, where a checkpoint would pin it unrecoverably
     val sh = df.select(col(idCol).as("doc_id"),
       TextAnalysis.hashedShingles(textCol).as("sh"))
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -121,8 +124,12 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIters: Int = 50,
       localThreshold: Long = 1L << 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // ids normalize to long up front: the driver fast path reads Long and
+    // both paths must emit one schema regardless of the input's int/long
+    val edges = pairs
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .union(pairs
+        .select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
       .distinct().localCheckpoint(true)
     // Small graphs (≤ localThreshold directed edges ≈ 16 MB of id pairs)
     // solve on the driver: union-find with path compression is
@@ -324,14 +331,15 @@ object Dedup {
     prefixStage(df, textCol, idCol, blockCols, minJaccard)._2
 
   /** Shared stage of the prefix-filter join: the shingle table `t` —
-    * materialized ONCE (lazy localCheckpoint, same rationale as
-    * [[minhashCandidates]]): it feeds the prefix explode AND both verify
-    * joins — and the distinct candidate id pairs derived from it. */
+    * persisted ONCE (MEMORY_AND_DISK — corpus-scale, so lineage is kept
+    * for fault recovery; see the minhashLsh note): it feeds the prefix
+    * explode AND both verify joins — and the distinct candidate id pairs
+    * derived from it. */
   private def prefixStage(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], minJaccard: Double): (DataFrame, DataFrame) = {
     val t = df.select(concat_ws("", blockCols.map(col): _*).as("blk"),
       col(idCol).as("doc_id"), TextAnalysis.hashedShingles(textCol).as("sh"))
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixLen = size(col("sh")) - ceil(lit(minJaccard) * size(col("sh"))).cast("int") + 1
     val pref = t.select(col("blk"), col("doc_id"),
       explode(slice(col("sh"), lit(1), prefixLen)).as("ph"))
@@ -386,10 +394,21 @@ object Dedup {
       .select(explode(TextAnalysis.hashedShingles(textCol, n)).as("sh"))
       .distinct().limit(maxBenchShingles + 1)
       .collect().map(_.getLong(0))
-    if (sh.length > maxBenchShingles)
+    if (sh.length > maxBenchShingles) {
+      // the join shape is a stateful aggregation + anti-join — it cannot
+      // run on a stream, so an over-cap bench must fail LOUDLY there
+      // rather than silently handing back an unrunnable plan
+      require(!corpus.isStreaming,
+        s"benchmark shingle set exceeds maxBenchShingles=$maxBenchShingles; " +
+          "the join-shaped fallback cannot run on a streaming corpus — " +
+          "raise the cap or decontaminate in batch")
       decontaminate(corpus, bench, textCol, idCol, n)
-    else corpus.filter(!graft.functions.ArrayOverlapsSet.column(
-      TextAnalysis.hashedShingles(textCol, n), sh))
+    } else
+      // coalesce: NULL text must SURVIVE (null-propagating kernel would
+      // drop it) — the join shape keeps null-text rows, and both paths
+      // must agree exactly
+      corpus.filter(!coalesce(graft.functions.ArrayOverlapsSet.column(
+        TextAnalysis.hashedShingles(textCol, n), sh), lit(false)))
   }
 
   /** Corpus-level LINE deduplication (the RefinedWeb/CCNet recipe): a line

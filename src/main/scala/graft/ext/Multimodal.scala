@@ -73,20 +73,42 @@ object Multimodal {
     require(img != null, s"row ${m.id}: media bytes are not a decodable image")
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
-    val bands = raster.getNumBands
     var s = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        var b = 0
-        while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
-        x += 1
-      }
-      y += 1
+    var nSamples = 0L
+    img.getColorModel match {
+      case icm: java.awt.image.IndexColorModel =>
+        // palette-indexed (GIF, palette PNG): raster samples are palette
+        // INDICES, not intensities — decode through the palette to RGB
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = raster.getSample(x, y, 0)
+            s += icm.getRed(i) + icm.getGreen(i) + icm.getBlue(i)
+            x += 1
+          }
+          y += 1
+        }
+        nSamples = 3L * w * h
+      case _ =>
+        // component rasters (gray, RGB): samples ARE intensities; no
+        // getRGB round-trip, which would color-convert gray and break
+        // the analytic oracle
+        val bands = raster.getNumBands
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        nSamples = w.toLong * h * bands
     }
     MediaFeatures(m.id, m.media.length, md5hex(m.media), w, h,
-      s.toDouble / (w.toLong * h * bands))
+      s.toDouble / nSamples)
   }
 
   /** ==== STUB ==== "decode" one audio/video blob: a real implementation

@@ -269,7 +269,10 @@ object LongSetKernel {
 
 /** `array_overlaps_set(array<long>)`: true iff any element is in the
   * fixed sorted set. The set rides the expression as a Seq (value
-  * equality for Catalyst transforms) with a lazy primitive mirror. */
+  * equality for Catalyst transforms) with a lazy primitive mirror —
+  * `Array[Long].toSeq` yields `ArraySeq.ofLong`, primitive-backed, so no
+  * boxing; equality walks the elements, which bounds how large a set
+  * should ride a plan (the decontamination cap defaults to 5M). */
 case class ArrayOverlapsSet(child: Expression, set: Seq[Long])
   extends UnaryExpression {
 

@@ -192,13 +192,15 @@ class DedupSuite extends AnyFunSuite {
     val corpus = Seq(
       (10L, "totally clean document body here"),
       (11L, base),                       // shares shingles with the bench
-      (12L, "another clean and unrelated one")).toDF("doc_id", "text")
+      (12L, "another clean and unrelated one"),
+      (13L, null.asInstanceOf[String])   // NULL text survives on BOTH paths
+    ).toDF("doc_id", "text")
     val bench = Seq((0L, base)).toDF("doc_id", "text")
     val viaJoin = Dedup.decontaminate(corpus, bench, "text", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val viaSet = Dedup.decontaminateBroadcast(corpus, bench, "text", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(viaJoin == Set(10L, 12L) && viaSet == viaJoin)
+    assert(viaJoin == Set(10L, 12L, 13L) && viaSet == viaJoin)
     // over-cap bench side falls back to the join shape, same answer
     val fallback = Dedup.decontaminateBroadcast(corpus, bench, "text",
       "doc_id", maxBenchShingles = 1)
@@ -858,6 +860,23 @@ class MultimodalSuite extends AnyFunSuite {
     val out = Multimodal.resizeStub(media, 64, 64)
       .select("meta.width", "meta.height").distinct().collect()
     assert(out.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((64, 64)))
+  }
+
+  test("palette-indexed images decode through the palette, not raw indices") {
+    // 2-entry palette: index 0 → black, 1 → white, half-half image — the
+    // mean of raw indices would be 0.5; true luminance is 127.5
+    val icm = new java.awt.image.IndexColorModel(1, 2,
+      Array[Byte](0, -1), Array[Byte](0, -1), Array[Byte](0, -1))
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+    img.getRaster.setSample(0, 0, 0, 0)
+    img.getRaster.setSample(1, 0, 0, 1)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val f = Multimodal.decodeImage(Multimodal.MediaRow(1L, bos.toByteArray,
+      Multimodal.MediaMeta("gif", 2, 1, 1)))
+    assert((f.width, f.height) == (2, 1))
+    assert(f.brightness == 127.5)
   }
 
   test("image rows decode for REAL through ImageIO: dims + mean luminance") {
