@@ -750,10 +750,12 @@ object SparkEntry {
       val n = emb.count().toInt
       val coarse = ext.Ivf.train(emb, k = 8, iters = 2)
       val cb = ext.Pq.trainResidual(emb, coarse, m = 8, ksub = 16, iters = 2)
-      // fixed path + SaveMode.Overwrite: repeated runs (two bench passes
-      // per invocation) reuse one directory instead of accreting temp dirs
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_q62_store").toString
+      // per-application path + SaveMode.Overwrite: repeated runs inside
+      // one session (two bench passes per invocation) reuse one directory,
+      // while concurrent harness processes (bench + verify on the same
+      // machine) get distinct directories instead of racing on Overwrite
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q62_store_${s.sparkContext.applicationId}").toString
       ext.Pq.writeStore(emb, path, cb, Some(coarse), residual = true)
       ext.Pq.topKFromStore(s, path, emb, emb.filter(col("vec_id") < 3), 10,
         cb, rerank = n, coarse = Some(coarse), nprobe = 8, residual = true)
@@ -1575,8 +1577,8 @@ object SparkEntry {
                   ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ntok
            FROM documents),
          w AS (SELECT source, doc_id, ntok,
-             coalesce(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+             CAST(coalesce(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
            FROM t WHERE ntok > 0)
          SELECT source,
                 unnest(generate_series(CAST(start_tok // 512 AS BIGINT),

@@ -48,19 +48,31 @@ object Dedup {
       maxBandBucket: Int = Int.MaxValue): DataFrame = {
     val cand = minhashCandidates(df, textCol, idCol, numHashes, bands,
       maxBandBucket)
-    // the shingle table feeds BOTH verify joins (id_a and id_b sides, no
-    // exchange reuse across different join keys) — persist it once
-    // instead of re-running the shingle kernel over the full corpus per
-    // side. persist, NOT localCheckpoint: the table is corpus-scale
-    // (≈8 B/token), so it must stay recomputable on executor loss and
-    // evictable under memory pressure — MEMORY_AND_DISK keeps lineage
-    // and spills, where a checkpoint would pin it unrecoverably
     val sh = df.select(col(idCol).as("doc_id"),
       TextAnalysis.hashedShingles(textCol).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cand
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    verifyPairs(cand, sh, minJaccard)
+  }
+
+  /** One-pass candidate verify: each (id_a, id_b) pair explodes into its
+    * two member rows, the shingle table joins ONCE on doc_id, and the pair
+    * regroups to compute exact Jaccard. The shingle kernel runs over the
+    * corpus exactly once and NOTHING is persisted — the r6 shape (join the
+    * shingle table per pair side) needed a session-lifetime
+    * MEMORY_AND_DISK cache to avoid a second kernel pass, and leaked it on
+    * every call. Shuffle shape: candidates are pair-volume (AQE broadcasts
+    * them when small, making the shingle side a narrow streamed scan); the
+    * regroup shuffles shingle arrays for candidate MEMBERS only, never the
+    * corpus. */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val sides = cand.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+    sides.join(sh, "doc_id")
+      .groupBy(col("id_a"), col("id_b"))
+      // exactly one non-null value per side per group (id_a < id_b); max
+      // over the array type just selects it
+      .agg(max(when(col("doc_id") === col("id_a"), col("sh"))).as("sh_a"),
+        max(when(col("doc_id") === col("id_b"), col("sh"))).as("sh_b"))
       .withColumn("jaccard",
         SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
@@ -72,15 +84,14 @@ object Dedup {
     * candidate VOLUME separately from wall time (a super-linear probe ratio
     * is only attributable once pair counts are known).
     *
-    * The banded table is ALWAYS materialized once (localCheckpoint): it
-    * feeds both sides of the self-join — and the skew-guard counting pass
-    * when enabled — and re-deriving it would re-run the shingle+minhash
-    * kernels over the full corpus per use. It is (docs × bands) fixed-width
-    * rows, far smaller than the text it came from, and spills to disk if
-    * memory is tight. LAZY checkpoint: materializes on the first action
-    * over the result, not at plan-construction time — an eager one would
-    * run the heaviest job of the pipeline synchronously for callers that
-    * only .explain() or inspect the schema. */
+    * The banded table feeds both sides of the self-join — but both sides
+    * shuffle on the SAME keys (band, band_key), so their exchanges
+    * canonicalize identically and Catalyst's ReuseExchange serves the
+    * self-join from ONE map stage: the shingle+minhash kernels run over
+    * the corpus once, with no persist/checkpoint pinning blocks for the
+    * session's lifetime (the r6 localCheckpoint here leaked a
+    * corpus-proportional table on every call). The skew-guard counting
+    * pass, when enabled, is the one extra kernel pass. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 4,
       maxBandBucket: Int = Int.MaxValue): DataFrame = {
@@ -89,7 +100,6 @@ object Dedup {
       TextAnalysis.hashedShingles(textCol), hashParams(numHashes), bands)
     val banded0 = df.select(col(idCol).as("doc_id"),
       posexplode(bandKeys).as(Seq("band", "band_key")))
-      .localCheckpoint(false)
     // Skew guard: a band bucket with m documents yields m² candidate pairs,
     // and real corpora have boilerplate mega-buckets (empty pages, headers).
     // Buckets above the cap are dropped wholesale — the standard LSH spam
@@ -131,6 +141,12 @@ object Dedup {
       .union(pairs
         .select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
       .distinct().localCheckpoint(true)
+    // every localCheckpoint in this function gets an explicit release below
+    // (edges once consumed; each propagation round when the next round has
+    // materialized) — block-manager usage stays bounded by TWO rounds of
+    // labels instead of growing linearly with rounds for the session's
+    // lifetime. Only the FINAL round's checkpoint survives: it backs the
+    // returned frame (freed by the ContextCleaner when the frame is GC'd).
     // Small graphs (≤ localThreshold directed edges ≈ 16 MB of id pairs)
     // solve on the driver: union-find with path compression is
     // microseconds, where the distributed loop pays several full job
@@ -140,6 +156,7 @@ object Dedup {
     // owns it. Same fixpoint either way (min id per component).
     if (edges.count() <= localThreshold) {
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      unpersistCheckpoint(edges)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -169,6 +186,7 @@ object Dedup {
       .withColumn("canonical_id", col("doc_id"))
     var changed = 1L
     var it = 0
+    var prevRound: Option[DataFrame] = None
     while (changed > 0 && it < maxIters) {
       val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
@@ -194,9 +212,14 @@ object Dedup {
             coalesce(col("_lc"), col("x.canonical_id"))).as("canonical_id"))
         .localCheckpoint(false)
       changed = next.filter(col("canonical_id") =!= col("old")).count()
+      // the count materialized `next` with truncated lineage — the prior
+      // round's blocks are unreachable from here on; release them now
+      prevRound.foreach(unpersistCheckpoint)
+      prevRound = Some(next)
       labels = next.drop("old")
       it += 1
     }
+    unpersistCheckpoint(edges)
     // non-convergence must fail loudly: intermediate labels look valid but
     // split one dup cluster into several "canonicals"
     if (changed > 0) throw new IllegalStateException(
@@ -205,6 +228,9 @@ object Dedup {
         "diameter exceeds it)")
     labels
   }
+
+  private def unpersistCheckpoint(ds: DataFrame): Unit =
+    graft.util.Checkpoints.release(ds)
 
   /** Exact Jaccard of two distinct-element arrays. */
   def jaccardArr(a: Column, b: Column): Column =
@@ -314,13 +340,7 @@ object Dedup {
   def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], minJaccard: Double): DataFrame = {
     val (t, cand) = prefixStage(df, textCol, idCol, blockCols, minJaccard)
-    val sh = t.select(col("doc_id"), col("sh"))
-    cand
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        SetSimilarity.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+    verifyPairs(cand, t.select(col("doc_id"), col("sh")), minJaccard)
   }
 
   /** Prefix-filter candidate pairs only — [[ngramJaccardPairsPrefix]]'s
@@ -330,16 +350,15 @@ object Dedup {
       blockCols: Seq[String], minJaccard: Double): DataFrame =
     prefixStage(df, textCol, idCol, blockCols, minJaccard)._2
 
-  /** Shared stage of the prefix-filter join: the shingle table `t` —
-    * persisted ONCE (MEMORY_AND_DISK — corpus-scale, so lineage is kept
-    * for fault recovery; see the minhashLsh note): it feeds the prefix
-    * explode AND both verify joins — and the distinct candidate id pairs
-    * derived from it. */
+  /** Shared stage of the prefix-filter join. The prefix self-join shuffles
+    * both sides on the same (blk, ph) keys → ReuseExchange computes the
+    * exploded prefix table once; the verify pass ([[verifyPairs]]) is the
+    * one other shingle-kernel pass. Nothing persists — the r6
+    * MEMORY_AND_DISK cache here leaked a corpus-scale table per call. */
   private def prefixStage(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], minJaccard: Double): (DataFrame, DataFrame) = {
     val t = df.select(concat_ws("", blockCols.map(col): _*).as("blk"),
       col(idCol).as("doc_id"), TextAnalysis.hashedShingles(textCol).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixLen = size(col("sh")) - ceil(lit(minJaccard) * size(col("sh"))).cast("int") + 1
     val pref = t.select(col("blk"), col("doc_id"),
       explode(slice(col("sh"), lit(1), prefixLen)).as("ph"))
@@ -416,6 +435,12 @@ object Dedup {
     * corpus (boilerplate: headers, nav bars, license blurbs) is dropped
     * from every document; documents reassemble in original line order
     * (empty string when nothing survives, so row count is preserved).
+    *
+    * Output schema is exactly (idCol, textCol) — the rebuilt text REPLACES
+    * the input row; other input columns are dropped. Callers piping a
+    * wider corpus table join the result back on `idCol` to retain them
+    * (the narrow output keeps the reassembly shuffle free of payload
+    * columns, which is the right default at 100 TB).
     *
     * Shape at 100 TB: lines explode narrowly; the occurrence count and
     * the drop anti-join shuffle a 128-bit line digest, never the line

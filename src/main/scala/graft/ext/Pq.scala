@@ -72,6 +72,9 @@ object Pq {
       cbs = recompute(assign(cbs), cbs)
       it += 1
     }
+    // training is complete (centroids live on the driver) — release the
+    // exploded training table's checkpoint blocks
+    graft.util.Checkpoints.release(sub)
     Codebooks(m, dsub, cbs)
   }
 

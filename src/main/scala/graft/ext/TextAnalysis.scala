@@ -78,10 +78,13 @@ object TextAnalysis {
     val n = df.count()
     val terms = df.select(col(idCol).as("doc_id"),
       explode(wordTokens(textCol)).as("term"))
-    // materialize: tf feeds BOTH the document-frequency aggregate and the
-    // score join — without the checkpoint the explode+groupBy runs twice
+    // tf feeds BOTH the document-frequency aggregate and the score join;
+    // both consumers sit above the same (doc_id, term) aggregation
+    // exchange, so ReuseExchange runs the heavy explode + partial-count
+    // map stage once and each branch replays only its reduce side — no
+    // checkpoint, no blocks pinned past the query (the r6 eager checkpoint
+    // here leaked a corpus-scale table per call)
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
     val dfreq0 = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dfreq = if (minDf > 1L) dfreq0.filter(col("df") >= minDf) else dfreq0
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
@@ -158,23 +161,41 @@ object TextAnalysis {
     * exactly how production packers run; a single global order would
     * funnel one task, so there deliberately isn't one. The explode emits
     * ⌈ntok/ctxLen⌉ + 1 rows per doc at most. Output:
-    * (source, seq_id, doc_id, start_tok, ntok). */
+    * (source, seq_id, doc_id, start_tok, ntok).
+    *
+    * The default shard key is `srcCol` alone, which caps window
+    * parallelism at SOURCE CARDINALITY — a 3-source 100 TB corpus would
+    * funnel through 3 sort tasks. `subShards > 1` lifts that ceiling with
+    * a composite key (source, hash(doc_id) mod subShards): each sub-shard
+    * packs its own independent token stream (sequences never span
+    * sub-shards), and the output gains a `sub_shard` column so sequence
+    * ids stay interpretable per (source, sub_shard). */
   def packSequences(df: org.apache.spark.sql.DataFrame, textCol: String,
-      idCol: String, ctxLen: Int,
-      srcCol: String = "source"): org.apache.spark.sql.DataFrame = {
+      idCol: String, ctxLen: Int, srcCol: String = "source",
+      subShards: Int = 1): org.apache.spark.sql.DataFrame = {
     require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    require(subShards > 0, s"subShards must be positive, got $subShards")
+    val base = df.select(col(srcCol).as("source"), col(idCol).as("doc_id"),
+      tokenCount(textCol).cast("long").as("ntok"))
+    val (sharded, shardCols) =
+      if (subShards == 1) (base, Seq(col("source")))
+      else (base.withColumn("sub_shard",
+        pmod(hash(col("doc_id")), lit(subShards))),
+        Seq(col("source"), col("sub_shard")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .partitionBy(shardCols: _*).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.select(col(srcCol).as("source"), col(idCol).as("doc_id"),
-        tokenCount(textCol).cast("long").as("ntok"))
+    val packed = sharded
       .filter(col("ntok") > 0)
       .withColumn("start_tok", coalesce(sum(col("ntok")).over(w), lit(0L)))
       // integral DIV (not fp /): exact past 2^53 tokens per shard
       .withColumn("seq_id", explode(sequence(
         expr(s"start_tok div $ctxLen"),
         expr(s"(start_tok + ntok - 1) div $ctxLen"))))
-      .select("source", "seq_id", "doc_id", "start_tok", "ntok")
+    if (subShards == 1)
+      packed.select("source", "seq_id", "doc_id", "start_tok", "ntok")
+    else
+      packed.select("source", "sub_shard", "seq_id", "doc_id", "start_tok", "ntok")
   }
 
   /** PII redaction for corpus curation: e-mail addresses and phone-shaped

@@ -131,6 +131,7 @@ object GridOps {
         .select("ci", "cj", "ck", "d")
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
         .toSeq
+    graft.util.Checkpoints.release(in) // faces are on the driver now
     // quads at cell boundaries, both triangles wound outward
     val verts = scala.collection.mutable.ArrayBuffer.empty[Double]
     val tris = scala.collection.mutable.ArrayBuffer.empty[Int]

@@ -119,6 +119,47 @@ class TextAnalysisSuite extends AnyFunSuite {
       ("b", 0L, 4L, 0L, 2L)))
   }
 
+  test("packSequences subShards>1: independent per-sub-shard packing invariants") {
+    val docs = Seq.tabulate(60)(i =>
+      (i.toLong, s"src${i % 2}", (1 to i % 7 + 1).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val packed = TextAnalysis.packSequences(docs, "text", "doc_id", 8,
+      subShards = 3)
+    assert(packed.columns.toSeq ==
+      Seq("source", "sub_shard", "seq_id", "doc_id", "start_tok", "ntok"))
+    val rows = packed.collect().map(r => (r.getString(0), r.getInt(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // every doc lands in exactly one (source, sub_shard)
+    assert(rows.groupBy(_._4).forall { case (_, rs) =>
+      rs.map(r => (r._1, r._2)).distinct.length == 1
+    })
+    // all 60 docs have >= 1 token, so all survive
+    assert(rows.map(_._4).distinct.length == 60)
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, rs) =>
+      // within a sub-shard, start_tok is the running sum of prior ntok in
+      // ascending doc_id order — a contiguous token stream
+      val perDoc = rs.map(r => (r._4, r._5, r._6)).distinct.sortBy(_._1)
+      var run = 0L
+      perDoc.foreach { case (_, start, ntok) =>
+        assert(start == run); run += ntok
+      }
+      // each doc emits exactly the ctx sequences it overlaps
+      rs.foreach { case (_, _, seq, _, start, ntok) =>
+        assert(seq >= start / 8 && seq <= (start + ntok - 1) / 8)
+      }
+      val byDoc = rs.groupBy(_._4)
+      byDoc.foreach { case (_, drs) =>
+        val (start, ntok) = (drs.head._5, drs.head._6)
+        assert(drs.length == ((start + ntok - 1) / 8 - start / 8 + 1).toInt)
+      }
+    }
+    // sub-shard union ≡ the docs of the subShards=1 packing (same ntok)
+    val flat = TextAnalysis.packSequences(docs, "text", "doc_id", 8)
+      .select("doc_id", "ntok").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r._4, r._6)).toSet == flat)
+  }
+
   test("chunk: window/overlap semantics and edge cases") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
@@ -367,6 +408,34 @@ class DedupSuite extends AnyFunSuite {
       .collect()
     both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
+
+  test("dedup operators leave no persistent blocks (scoped cache lifetimes)") {
+    val sc = spark.sparkContext
+    def leakedBy(body: => Unit): Set[Int] = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      body
+      sc.getPersistentRDDs.keySet.toSet -- before
+    }
+    assert(leakedBy(
+      Dedup.minhashLsh(docs, "text", "doc_id", minJaccard = 0.5).count()
+    ).isEmpty, "minhashLsh leaked blocks")
+    assert(leakedBy(
+      Dedup.ngramJaccardPairsPrefix(docs.withColumn("blk", lit(1)),
+        "text", "doc_id", Seq("blk"), 0.3).count()
+    ).isEmpty, "ngramJaccardPairsPrefix leaked blocks")
+    assert(leakedBy {
+      val pairs = Dedup.minhashLsh(docs, "text", "doc_id", minJaccard = 0.5)
+      Dedup.connectedComponents(pairs).count() // driver union-find path
+    }.isEmpty, "connectedComponents (driver path) leaked blocks")
+    // distributed path: per-round checkpoints and the edge table are
+    // released as the loop advances; only the FINAL round's checkpoint may
+    // remain — it backs the returned frame
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id", minJaccard = 0.5)
+    val left = leakedBy(
+      Dedup.connectedComponents(pairs, localThreshold = 0).count())
+    assert(left.size <= 1,
+      s"connectedComponents (distributed path) left ${left.size} RDDs")
+  }
 }
 
 class SimilaritySuite extends AnyFunSuite {
@@ -496,6 +565,61 @@ class CorpusCurationSuite extends AnyFunSuite {
     val streamed = spark.table("curate_out")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(streamed == batch - 100000L) // sentinel's window never closes
+  }
+
+  test("streaming curation end-to-end: parquet source → parquet sink, " +
+      "checkpoint-restart drain matches the batch twin") {
+    import org.apache.spark.sql.functions.col
+    val good = "the quick brown fox jumps over the lazy dog and it is fine " * 3
+    val docs = Seq(
+      (10L, good),              // survives
+      (11L, good),              // in-window exact dup of 10 → dropped
+      (30L, "!!!! ????"),       // junk → quality-gated
+      (40L, "another clean english document that is long enough to pass the gate " * 3))
+      .toDF("doc_id", "text")
+      .withColumn("ts", col("doc_id").cast("timestamp"))
+    val src = java.nio.file.Files.createTempDirectory("graft_cstream_src").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_cstream_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cstream_ckpt").toString
+    docs.write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val q = graft.pipeline.CorpusCuration.curateStream(
+        spark.readStream.schema(docs.schema).parquet(src), None,
+        windowDur = "100 seconds", watermark = "10 seconds")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    // the watermark (max ts 40s − 10s) has not passed the [0,100s) window
+    // yet — append mode has emitted nothing, but state is checkpointed
+    val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ws",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    assert(spark.read.schema(sinkSchema).parquet(sink).isEmpty)
+    // drain at "shutdown": append one clean far-future document to the
+    // SOURCE, restart the query on its existing checkpoint — the next
+    // micro-batch's watermark closes the first window and flushes its
+    // survivors to the sink (the sessionization drain recipe, composed
+    // over the curation pipeline)
+    Seq((100000L, "distinct flush sentinel body that is long and clean enough to pass " * 3))
+      .toDF("doc_id", "text")
+      .withColumn("ts", col("doc_id").cast("timestamp"))
+      .write.mode("append").parquet(src)
+    runOnce()
+    val streamed = spark.read.parquet(sink)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch twin over the SAME post-drain source; the sentinel's own
+    // window never closes, so it is the one row append mode withholds
+    val batch = graft.pipeline.CorpusCuration.curateStream(
+      spark.read.parquet(src), None,
+      windowDur = "100 seconds", watermark = "10 seconds")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch - 100000L)
+    assert(streamed == Set(10L, 40L))
   }
 
   test("injected mega-bucket: skew guard bounds candidate volume") {
