@@ -145,6 +145,14 @@ object GraftFunctions {
       require(exprs.length == 1, "alpha_word_fraction(t)")
       columnFn(exprs.head)(graft.ext.TextAnalysis.alphaWordFraction)
     }, "built-in")
+    registry.createOrReplaceTempFunction("dup_line_fraction", exprs => {
+      require(exprs.length == 1, "dup_line_fraction(t)")
+      columnFn(exprs.head)(graft.ext.TextAnalysis.dupLineFraction)
+    }, "built-in")
+    registry.createOrReplaceTempFunction("dup_para_fraction", exprs => {
+      require(exprs.length == 1, "dup_para_fraction(t)")
+      columnFn(exprs.head)(graft.ext.TextAnalysis.dupParaFraction)
+    }, "built-in")
     registry.createOrReplaceTempFunction("dup_shingle_fraction", exprs => {
       require(exprs.length == 1 || exprs.length == 2,
         "dup_shingle_fraction(t[, n])")

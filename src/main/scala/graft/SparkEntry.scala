@@ -815,6 +815,40 @@ object SparkEntry {
         "text", "doc_id")
         .select("doc_id").orderBy("doc_id")
     }),
+
+    // ext: deterministic output sharding — md5-bucket shard + independent
+    // second-hash within-shard order, the reproducible "global shuffle"
+    // a training-data writer repartitions/sorts by; both columns narrow
+    "q68_shuffle_shards" -> ((s, dir) =>
+      ext.Sampling.shuffleShards(
+        Tables.load(s, dir, "documents").select("doc_id"),
+        "doc_id", 8, salt = "s7")
+        .orderBy("doc_id")),
+
+    // ext: token-budget corpus selection — per-source quality-ranked
+    // greedy cut under a 2000-token budget; the oracle replays the q18
+    // quality formula and the running window sum (CAST to BIGINT — the
+    // q64 HUGEINT lesson)
+    "q69_token_budget" -> ((s, dir) =>
+      ext.TextAnalysis.selectByTokenBudget(
+        Tables.load(s, dir, "documents"), "text", "doc_id", 2000L)
+        .orderBy("source", "doc_id")),
+
+    // ext: Gopher repetition signals over deterministically-synthesized
+    // structure (corpus docs are single-line, so both engines inject the
+    // same duplicate lines/paragraphs before measuring)
+    "q70_repetition" -> ((s, dir) => {
+      val a = substring(col("text"), 1, 30)
+      val b = substring(col("text"), 31, 30)
+      val c = substring(col("text"), 61, 30)
+      val aug = concat(a, lit("\n"), a, lit("\n\n"), b, lit("\n\n"), b,
+        lit("\n\n"), c)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          round(ext.TextAnalysis.dupLineFraction(aug), 6).as("dup_line"),
+          round(ext.TextAnalysis.dupParaFraction(aug), 6).as("dup_para"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -1639,5 +1673,59 @@ object SparkEntry {
                    HAVING a <> least(a, min(b)))
          SELECT vec_id FROM embeddings
          WHERE vec_id NOT IN (SELECT vec_id FROM drops) ORDER BY vec_id""",
+
+    // deterministic sharding: bucket mod n + an independent second bucket
+    "q68_shuffle_shards" ->
+      s"""SELECT doc_id,
+           CAST(${BucketSql("s7", "doc_id")} % 8 AS INT) AS shard,
+           ${BucketSql("s7#o", "doc_id")} AS shard_order
+         FROM documents ORDER BY doc_id""",
+
+    // q18's quality replay ranked per source, running token sum under a
+    // 2000-token budget; windowed sum CAST — DuckDB returns HUGEINT
+    "q69_token_budget" ->
+      s"""WITH t AS (SELECT source, doc_id, text, $ToksSql AS toks,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok_cnt
+           FROM documents),
+         s AS (SELECT source, doc_id, text, tok_cnt, $LangScoreSql FROM t),
+         q AS (SELECT source, doc_id, CAST(tok_cnt AS BIGINT) AS ntok,
+             round(0.3 * least(tok_cnt / 100.0, 1.0)
+               + 0.4 * (1.0 - CASE WHEN len(text) > 0
+                   THEN (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)) / len(text)
+                   ELSE 0.0 END)
+               + 0.3 * least(CASE WHEN tok_cnt > 0
+                   THEN (CAST(s_en AS DOUBLE) / tok_cnt) ELSE 0.0 END * 5.0, 1.0), 6) AS quality
+           FROM s WHERE tok_cnt > 0),
+         w AS (SELECT source, doc_id, ntok, quality,
+             CAST(sum(ntok) OVER (PARTITION BY source
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+           FROM q)
+         SELECT source, doc_id, ntok, quality, cum_tok FROM w
+         WHERE cum_tok <= 2000 ORDER BY source, doc_id""",
+
+    // repetition signals over the same synthesized line/paragraph layout
+    "q70_repetition" ->
+      s"""WITH t AS (SELECT doc_id,
+             concat(substr(text, 1, 30), chr(10), substr(text, 1, 30),
+               chr(10), chr(10), substr(text, 31, 30),
+               chr(10), chr(10), substr(text, 31, 30),
+               chr(10), chr(10), substr(text, 61, 30)) AS aug
+           FROM documents),
+         l AS (SELECT doc_id,
+             list_filter(list_transform(string_split(aug, chr(10)),
+               x -> trim(x)), x -> len(x) > 0) AS ls,
+             list_filter(list_transform(string_split_regex(aug, '\\n{2,}'),
+               x -> trim(x)), x -> len(x) > 0) AS ps
+           FROM t)
+         SELECT doc_id,
+           round(CASE WHEN len(ls) > 0
+             THEN 1 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+             ELSE 0 END, 6) AS dup_line,
+           round(CASE WHEN len(ps) > 0
+             THEN 1 - CAST(len(list_distinct(ps)) AS DOUBLE) / len(ps)
+             ELSE 0 END, 6) AS dup_para
+         FROM l ORDER BY doc_id""",
   )
 }

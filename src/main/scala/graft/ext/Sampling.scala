@@ -98,6 +98,26 @@ object Sampling {
     }.reduce(_ || _) match { case keep => df.filter(keep) }
   }
 
+  /** Deterministic training-output sharding — the "global shuffle" a
+    * corpus needs before sequence packing / training-data writes, without
+    * a global sort: `shardCol` = hash-bucket mod `nShards` (uniform,
+    * reproducible shard assignment) and `orderCol` = an INDEPENDENT
+    * second hash (different salt) giving a content-deterministic
+    * within-shard order that correlates with nothing about the input
+    * layout. Writers then `repartition(shardCol)` +
+    * `sortWithinPartitions(orderCol)` for a byte-reproducible shuffled
+    * corpus on any cluster at any parallelism — `rand()`-shuffling
+    * guarantees none of that. Both columns are narrow codegen
+    * projections; the only shuffle is the writer's own repartition. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "", shardCol: String = "shard",
+      orderCol: String = "shard_order"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    df.withColumn(shardCol,
+        pmod(hashBucket(col(idCol), salt), lit(nShards.toLong)).cast("int"))
+      .withColumn(orderCol, hashBucket(col(idCol), salt + "#o"))
+  }
+
   /** The `n` rows of each stratum with the smallest (bucket, id) — a
     * deterministic uniform sample of exactly min(n, |stratum|) rows per
     * stratum (hash order is uniform; the id tiebreak makes the cut total).

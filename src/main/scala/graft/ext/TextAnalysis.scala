@@ -286,4 +286,56 @@ object TextAnalysis {
       lit(0.4) * (lit(1.0) - punctRatio) +
       lit(0.3) * least(stopRatio * 5.0, lit(1.0))
   }
+
+  /** Fraction of duplicated non-blank LINES within a document — the
+    * Gopher repetition filter (Rae et al. 2021 §A1.1) a level above
+    * [[dupShingleFraction]]'s n-grams: 1 − distinct/total over
+    * space-trimmed, non-empty lines; 0 for line-free text. Pure narrow
+    * array ops, no shuffle. */
+  def dupLineFraction(c: Column): Column = repeatedFraction(split(c, "\n"))
+
+  /** Fraction of duplicated non-blank PARAGRAPHS (runs split on 2+
+    * newlines) — same recipe one level up. */
+  def dupParaFraction(c: Column): Column =
+    repeatedFraction(split(c, "\n{2,}"))
+
+  private def repeatedFraction(parts: Column): Column = {
+    val t = filter(transform(parts, p => trim(p)), p => length(p) > 0)
+    when(size(t) > 0,
+      lit(1.0) - size(array_distinct(t)).cast("double") / size(t).cast("double"))
+      .otherwise(0.0)
+  }
+
+  /** Quality-ranked corpus selection under a per-source token budget —
+    * the data-mixing step that caps each domain's contribution: within
+    * every `srcCol` shard, documents rank by quality (6-dp rounded
+    * [[qualityScore]] by default, or a caller-supplied column) descending
+    * with `idCol` as the tiebreak, and survive while the running token
+    * total stays within `budget`. Documents are atomic — one that would
+    * cross the budget is dropped (with everything ranked below it), never
+    * truncated; zero-token documents are dropped outright.
+    *
+    * Output: (source, doc_id, ntok, quality, cum_tok), cum_tok ≤ budget.
+    *
+    * Shape at 100 TB: one sort-based window per source — the same
+    * per-shard parallelism ceiling as [[packSequences]], and here it is
+    * semantic (the budget is per source, so the ranked scan must be
+    * global within one): sources select independently in parallel, and a
+    * finer budget unit wants a finer `srcCol`. */
+  def selectByTokenBudget(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, budget: Long,
+      srcCol: String = "source",
+      qualityCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val q = qualityCol.map(col).getOrElse(round(qualityScore(textCol), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(srcCol).as("source"), col(idCol).as("doc_id"),
+        tokenCount(textCol).cast("long").as("ntok"), q.as("quality"))
+      .filter(col("ntok") > 0)
+      .withColumn("cum_tok", sum(col("ntok")).over(w))
+      .filter(col("cum_tok") <= budget)
+  }
 }

@@ -160,6 +160,53 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(rows.map(r => (r._4, r._6)).toSet == flat)
   }
 
+  test("dupLineFraction / dupParaFraction: blanks, singles, repeats") {
+    val df = Seq(
+      "a\na\nb",               // lines a,a,b → 1 − 2/3
+      "a\n\n a \n\nb",         // paras a,a,b (trimmed) → 1 − 2/3; lines same
+      "one line only",         // single → 0
+      "", "   ", " \n \n ",    // nothing non-blank → 0
+      "p\n\n\n\np"             // 2+ newline runs are ONE separator → p,p → 0.5
+    ).toDF("text")
+    val got = df.select(
+      TextAnalysis.dupLineFraction(col("text")).as("l"),
+      TextAnalysis.dupParaFraction(col("text")).as("p"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    def ~=(x: Double, y: Double) = math.abs(x - y) < 1e-9
+    assert(~=(got(0)._1, 1.0 - 2.0 / 3) && ~=(got(0)._2, 0.0))
+    assert(~=(got(1)._1, 1.0 - 2.0 / 3) && ~=(got(1)._2, 1.0 - 2.0 / 3))
+    assert(got(2) == ((0.0, 0.0)) && got(3) == ((0.0, 0.0)))
+    assert(got(4) == ((0.0, 0.0)) && got(5) == ((0.0, 0.0)))
+    assert(~=(got(6)._2, 0.5))
+  }
+
+  test("selectByTokenBudget: quality ranking, atomic prefix cut, per-source budgets") {
+    val docs = Seq(
+      // source a — quality-ranked: d1(0.9, 3), d2(0.8, 4), d3(0.7, 2), d4(0.6, 1)
+      (1L, "a", "w w w", 0.9),
+      (2L, "a", "w w w w", 0.8),
+      (3L, "a", "w w", 0.7),
+      (4L, "a", "w", 0.6),
+      (5L, "a", "   ", 0.99),   // zero tokens → dropped despite top quality
+      // source b — its own budget
+      (6L, "b", "w w w w w w", 0.5),
+      (7L, "b", "w w w", 0.4)
+    ).toDF("doc_id", "source", "text", "q")
+    val got = TextAnalysis.selectByTokenBudget(docs, "text", "doc_id",
+      budget = 7L, qualityCol = Some("q"))
+      .orderBy("source", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    // a: cum 3, 7, 9, 10 → the PREFIX within budget survives; d3 would
+    // cross and is dropped atomically, taking d4 with it (prefix cut,
+    // not best-fit packing)
+    assert(got.toSeq == Seq(
+      ("a", 1L, 3L, 3L), ("a", 2L, 4L, 7L),
+      ("b", 6L, 6L, 6L)))
+    // default quality path runs and respects the budget bound
+    val dflt = TextAnalysis.selectByTokenBudget(docs, "text", "doc_id", 5L)
+    assert(dflt.collect().forall(_.getLong(4) <= 5L))
+  }
+
   test("chunk: window/overlap semantics and edge cases") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
@@ -669,6 +716,31 @@ class SamplingSuite extends AnyFunSuite {
     val other = Sampling.hashFraction(docs, "doc_id", 0.25, "s2")
       .select("doc_id").as[Long].collect().toSet
     assert(other != a)
+  }
+
+  test("shuffleShards: deterministic, layout-invariant, balanced, " +
+      "independent order key") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.shuffleShards(df, "doc_id", 8, salt = "x")
+        .select("doc_id", "shard", "shard_order")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val a = run(docs)
+    val b = run(docs.repartition(16))
+    assert(a.toSet == b.toSet) // assignment survives any input layout
+    // every shard populated, roughly uniform (2000/8 = 250)
+    val sizes = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0 until 8).toSet)
+    assert(sizes.values.forall(n => n > 150 && n < 350))
+    // the within-shard order key is independent of the id order: sorting
+    // shard 0 by shard_order must not reproduce ascending doc_id
+    val s0 = a.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(s0.length > 10 && !(s0 sameElements s0.sorted))
+    assert(a.map(_._3).distinct.length == a.length) // order key collision-free here
+    // a different salt reshards
+    val c = Sampling.shuffleShards(docs, "doc_id", 8, salt = "y")
+      .select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(c.toSet != a.map(t => (t._1, t._2)).toSet)
   }
 
   test("hashSplit: total partition, stable, ~weight proportions") {
