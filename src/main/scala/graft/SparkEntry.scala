@@ -816,6 +816,18 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // ext: decontamination audit — per-document distinct-shingle hit
+    // counts against the benchmark set (q60's split), the report run
+    // before anything is dropped
+    "q71_contamination_report" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      ext.Dedup.contaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ext: deterministic output sharding — md5-bucket shard + independent
     // second-hash within-shard order, the reproducible "global shuffle"
     // a training-data writer repartitions/sorts by; both columns narrow
@@ -1673,6 +1685,17 @@ object SparkEntry {
                    HAVING a <> least(a, min(b)))
          SELECT vec_id FROM embeddings
          WHERE vec_id NOT IN (SELECT vec_id FROM drops) ORDER BY vec_id""",
+
+    // decontamination audit: q60's corpus/bench split with the hit count
+    // kept instead of collapsed into the anti-join
+    "q71_contamination_report" ->
+      s"""WITH b AS (SELECT DISTINCT unnest($ShinglesSql) AS sh
+             FROM documents WHERE doc_id % 97 = 0),
+         ce AS (SELECT doc_id, unnest($ShinglesSql) AS sh
+             FROM documents WHERE doc_id % 97 <> 0)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         FROM ce WHERE sh IN (SELECT sh FROM b)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     // deterministic sharding: bucket mod n + an independent second bucket
     "q68_shuffle_shards" ->

@@ -395,6 +395,24 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Decontamination AUDIT — the report a pipeline runs BEFORE dropping
+    * anything: for every contaminated corpus document, how many of its
+    * DISTINCT word n-grams hit the benchmark's shingle set. Same
+    * join shape (and cost) as [[decontaminate]], with the count kept
+    * instead of collapsed into an anti-join; documents with zero hits do
+    * not appear. Output: (idCol, n_hit). */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val bsh = bench
+      .select(explode(TextAnalysis.hashedShingles(textCol, n)).as("sh"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(TextAnalysis.hashedShingles(textCol, n)).as("sh"))
+      .join(bsh, "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit"))
+  }
+
   /** Decontamination fast path for benchmark sets that fit on the driver
     * (the common case — eval suites are MBs): the bench's distinct shingle
     * hashes are collected once, sorted, and shipped to executors as a

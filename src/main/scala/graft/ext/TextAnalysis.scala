@@ -172,18 +172,26 @@ object TextAnalysis {
     * ids stay interpretable per (source, sub_shard). */
   def packSequences(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, ctxLen: Int, srcCol: String = "source",
-      subShards: Int = 1): org.apache.spark.sql.DataFrame = {
+      subShards: Int = 1,
+      orderCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
     require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
     require(subShards > 0, s"subShards must be positive, got $subShards")
-    val base = df.select(col(srcCol).as("source"), col(idCol).as("doc_id"),
-      tokenCount(textCol).cast("long").as("ntok"))
+    // `orderCol` overrides the in-shard concatenation order (ascending
+    // doc id by default; the id stays the tiebreak) — the hook
+    // [[graft.pipeline.CorpusCuration.trainingMix]] uses to pack in
+    // [[Sampling.shuffleShards]]' content-shuffled order
+    val cols = Seq(col(srcCol).as("source"), col(idCol).as("doc_id")) ++
+      orderCol.map(o => col(o).as("_ord")) :+
+      tokenCount(textCol).cast("long").as("ntok")
+    val base = df.select(cols: _*)
     val (sharded, shardCols) =
       if (subShards == 1) (base, Seq(col("source")))
       else (base.withColumn("sub_shard",
         pmod(hash(col("doc_id")), lit(subShards))),
         Seq(col("source"), col("sub_shard")))
+    val ordering = orderCol.map(_ => col("_ord")).toSeq :+ col("doc_id")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(shardCols: _*).orderBy(col("doc_id"))
+      .partitionBy(shardCols: _*).orderBy(ordering: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val packed = sharded
       .filter(col("ntok") > 0)
@@ -196,6 +204,50 @@ object TextAnalysis {
       packed.select("source", "seq_id", "doc_id", "start_tok", "ntok")
     else
       packed.select("source", "sub_shard", "seq_id", "doc_id", "start_tok", "ntok")
+  }
+
+  /** One output row of [[packSequencesStream]] (and of
+    * [[packSequences]] in its default shape). */
+  case class PackedDoc(source: String, seq_id: Long, doc_id: Long,
+    start_tok: Long, ntok: Long)
+
+  /** Streaming twin of [[packSequences]]: the per-shard running token
+    * offset lives in keyed state (ONE long per shard —
+    * `flatMapGroupsWithState`, no timeout, state bounded by shard
+    * cardinality), so sequences keep packing seamlessly across
+    * micro-batches — the shape an always-on ingest-to-training pipeline
+    * needs. Within a micro-batch a shard's documents pack in ascending
+    * `idCol` order (deterministic); across batches, arrival order rules —
+    * a single AvailableNow batch is therefore exactly [[packSequences]],
+    * which the suite pins. `srcCol` is cast to string (the state key);
+    * append output mode. */
+  def packSequencesStream(df: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, ctxLen: Int,
+      srcCol: String = "source"): org.apache.spark.sql.DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(srcCol).cast("string").as("source"),
+        col(idCol).cast("long").as("doc_id"),
+        tokenCount(textCol).cast("long").as("ntok"))
+      .filter(col("ntok") > 0)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (src, docs, state) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = docs.toVector.sortBy(_._2).flatMap { case (_, id, ntok) =>
+            val start = off
+            off += ntok
+            (start / ctxLen to (start + ntok - 1) / ctxLen).map(seq =>
+              PackedDoc(src, seq, id, start, ntok))
+          }
+          state.update(off)
+          out.iterator
+      }
+      .toDF()
   }
 
   /** PII redaction for corpus curation: e-mail addresses and phone-shaped

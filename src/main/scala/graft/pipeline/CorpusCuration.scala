@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Dedup, Sampling, TextAnalysis}
 
 /** End-to-end corpus curation — the composed training-data pipeline the
   * extension operators exist for:
@@ -47,6 +47,49 @@ object CorpusCuration {
         round(TextAnalysis.qualityScore(textCol), 6).as("quality"),
         TextAnalysis.tokenCount(textCol).cast("long").as("tok_cnt"))
       .filter(col("quality") >= minQuality)
+  }
+
+  /** End-to-end TRAINING-MIX assembly — raw corpus to packed, shuffled
+    * training sequences, every stage one of the oracle-checked operators:
+    *
+    *   1. [[curate]] — near-dup removal (LSH + connected components) and
+    *      the quality gate;
+    *   2. optional benchmark decontamination
+    *      ([[Dedup.decontaminate]] join shape — this is a batch path);
+    *   3. per-source token-budget selection
+    *      ([[TextAnalysis.selectByTokenBudget]] domain caps);
+    *   4. deterministic output sharding ([[Sampling.shuffleShards]]:
+    *      md5 shard + independent within-shard order);
+    *   5. per-shard GPT-style packing in the shuffled order
+    *      ([[TextAnalysis.packSequences]] with `orderCol`).
+    *
+    * Output: (shard, seq_id, doc_id, start_tok, ntok) — one row per
+    * (document, training sequence it overlaps), reproducible bit-for-bit
+    * on any cluster layout from (corpus, salt) alone. Downstream writers
+    * `repartition($"shard")` and read each shard's documents in
+    * (seq_id, start_tok) order. */
+  def trainingMix(df: DataFrame, bench: Option[DataFrame] = None,
+      textCol: String = "text", idCol: String = "doc_id",
+      srcCol: String = "source", budgetPerSource: Long = Long.MaxValue / 4,
+      ctxLen: Int = 2048, nShards: Int = 1024, salt: String = "",
+      minJaccard: Double = 0.3, minQuality: Double = 0.55,
+      maxBandBucket: Int = 10000): DataFrame = {
+    val kept = curate(df, textCol, idCol, minJaccard, minQuality,
+      maxBandBucket).select(col(idCol))
+    val curated = df.join(kept, Seq(idCol), "left_semi")
+    val clean = bench match {
+      case Some(b) => Dedup.decontaminate(curated, b, textCol, idCol)
+      case None => curated
+    }
+    val selected = TextAnalysis.selectByTokenBudget(clean, textCol, idCol,
+      budgetPerSource, srcCol).select(col("doc_id").as(idCol))
+    val body = df.select(col(idCol), col(textCol))
+      .join(selected, Seq(idCol), "left_semi")
+    val sharded = Sampling.shuffleShards(body, idCol, nShards, salt)
+    TextAnalysis.packSequences(sharded, textCol, idCol, ctxLen,
+        srcCol = "shard", orderCol = Some("shard_order"))
+      .select(col("source").as("shard"), col("seq_id"), col("doc_id"),
+        col("start_tok"), col("ntok"))
   }
 
   /** Ingest-time streaming curation — the first line of defense a

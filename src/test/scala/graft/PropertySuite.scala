@@ -132,6 +132,74 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("packSequences: random corpora pack contiguously per shard, " +
+      "every doc covers exactly its overlapped sequences") {
+    import graft.ext.TextAnalysis
+    val rnd = new Random(13)
+    for (_ <- 1 to 4) {
+      val ctx = 4 + rnd.nextInt(12)
+      val sub = 1 + rnd.nextInt(3)
+      val docs = (0 until 80).map(i => (i.toLong, s"s${rnd.nextInt(3)}",
+        ("w " * rnd.nextInt(10)).trim)).toDF("doc_id", "source", "text")
+      val packed = TextAnalysis.packSequences(docs, "text", "doc_id", ctx,
+        subShards = sub)
+      val shardIdx = if (sub == 1) Seq(0) else Seq(0, 1)
+      val rows = packed.collect().map { r =>
+        val key = shardIdx.map(r.get(_).toString).mkString("|")
+        (key, r.getLong(shardIdx.length), r.getLong(shardIdx.length + 1),
+          r.getLong(shardIdx.length + 2), r.getLong(shardIdx.length + 3))
+      }
+      // zero-token docs never appear
+      val nonEmpty = docs.collect()
+        .filter(_.getString(2).trim.nonEmpty).map(_.getLong(0)).toSet
+      assert(rows.map(_._3).toSet == nonEmpty)
+      rows.groupBy(_._1).foreach { case (_, rs) =>
+        val perDoc = rs.map(r => (r._3, r._4, r._5)).distinct
+          .sortBy(r => (r._2, r._1))
+        var run = 0L
+        perDoc.foreach { case (_, start, ntok) =>
+          assert(start == run, s"gap at offset $start (expected $run)")
+          run += ntok
+        }
+      }
+      rows.foreach { case (_, seq, _, start, ntok) =>
+        assert(seq >= start / ctx && seq <= (start + ntok - 1) / ctx)
+      }
+      val byDoc = rows.groupBy(r => (r._1, r._3))
+      byDoc.foreach { case (_, drs) =>
+        val (start, ntok) = (drs.head._4, drs.head._5)
+        assert(drs.length == ((start + ntok - 1) / ctx - start / ctx + 1).toInt)
+      }
+    }
+  }
+
+  test("selectByTokenBudget equals the locally-computed maximal quality prefix") {
+    import graft.ext.TextAnalysis
+    val rnd = new Random(17)
+    for (_ <- 1 to 5) {
+      val budget = 5L + rnd.nextInt(40)
+      val docs = (0 until 60).map { i =>
+        (i.toLong, s"s${rnd.nextInt(3)}", ("w " * rnd.nextInt(8)).trim,
+          math.round(rnd.nextDouble() * 100) / 100.0)
+      }.toDF("doc_id", "source", "text", "q")
+      val got = TextAnalysis.selectByTokenBudget(docs, "text", "doc_id",
+        budget, qualityCol = Some("q"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+      assert(got.forall(_._3 <= budget))
+      // replicate the greedy prefix on the driver
+      val local = docs.collect().map(r => (r.getString(1), r.getLong(0),
+        r.getString(2).split("\\s+").count(_.nonEmpty).toLong, r.getDouble(3)))
+        .filter(_._3 > 0)
+        .groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+          val ranked = ds.sortBy(d => (-d._4, d._2))
+          var run = 0L
+          ranked.takeWhile { d => run += d._3; run <= budget }
+            .map(d => (src, d._2)).toSeq
+        }.toSet
+      assert(got.map(t => (t._1, t._2)).toSet == local)
+    }
+  }
+
   test("−99 sentinel masking round-trips through unmask") {
     import graft.sources.Ingest
     val rnd = new Random(11)

@@ -207,6 +207,46 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(dflt.collect().forall(_.getLong(4) <= 5L))
   }
 
+  test("packSequencesStream: one batch ≡ packSequences; shard offsets " +
+      "persist across checkpoint restarts") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "a", (1 to 6).map(_ => "w").mkString(" ")),
+      (1L, "a", (1 to 3).map(_ => "w").mkString(" ")),
+      (3L, "a", (1 to 8).map(_ => "w").mkString(" ")),
+      (4L, "b", (1 to 2).map(_ => "w").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val src = java.nio.file.Files.createTempDirectory("graft_pack_src").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_pack_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pack_ckpt").toString
+    docs.write.mode("append").parquet(src)
+    def drain(): Unit = {
+      val q = TextAnalysis.packSequencesStream(
+        spark.readStream.schema(docs.schema).parquet(src),
+        "text", "doc_id", 8)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    drain()
+    def sinkRows() = spark.read.parquet(sink)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = TextAnalysis.packSequences(docs, "text", "doc_id", 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(sinkRows() == batch) // one AvailableNow batch ≡ the batch op
+    // late second batch: shard a's offset must CONTINUE from 6+3+8 = 17
+    Seq((9L, "a", (1 to 4).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+      .write.mode("append").parquet(src)
+    drain()
+    val late = (sinkRows() -- batch).filter(_._3 == 9L)
+    // 4 tokens from offset 17 span ctx sequences 2..2 (17/8=2, 20/8=2)
+    assert(late == Set(("a", 2L, 9L, 17L, 4L)))
+  }
+
   test("chunk: window/overlap semantics and edge cases") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
@@ -612,6 +652,66 @@ class CorpusCurationSuite extends AnyFunSuite {
     val streamed = spark.table("curate_out")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(streamed == batch - 100000L) // sentinel's window never closes
+  }
+
+  test("trainingMix: curate → decontaminate → budget → shard → pack, " +
+      "composed invariants hold and the output is layout-invariant") {
+    import org.apache.spark.sql.functions.col
+    val good = "the quick brown fox jumps over the lazy dog and it is fine " * 3
+    val clean2 = "another clean english document that is long enough to pass the gate " * 3
+    val leaky = "a quick brown fox benchmark question appears here today " * 3
+    val docs = (Seq(
+      (10L, "web", good),       // canonical of the dup cluster
+      (11L, "web", good),       // exact dup → dropped by curate
+      (20L, "web", leaky),      // shares a bench 3-gram → decontaminated
+      (30L, "web", "!!!! ????")) ++ // junk → quality-gated
+      (40L until 60L).map(i => (i, "wiki", clean2 + s" tail$i")))
+      .toDF("doc_id", "source", "text")
+    val bench = Seq((0L, "fox benchmark question time")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.CorpusCuration.trainingMix(df, Some(bench),
+        budgetPerSource = 300L, ctxLen = 64, nShards = 4, salt = "t",
+        minJaccard = 0.5)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val out = run(docs)
+    val ids = out.map(_._3)
+    assert(ids.contains(10L) && !ids.contains(11L)) // dedup kept the canonical
+    assert(!ids.contains(20L))                      // decontaminated
+    assert(!ids.contains(30L))                      // quality-gated
+    // wiki budget: each tail doc is ~36 tokens; 300 tokens keep ~8 of 20
+    val wiki = ids.filter(_ >= 40L)
+    assert(wiki.nonEmpty && wiki.size < 20)
+    // packing invariants per shard: in shuffled order, offsets are the
+    // running sum (contiguous token stream), seq ids cover each doc's span
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      val docsIn = rs.map(r => (r._3, r._4, r._5)).toSeq.distinct.sortBy(_._2)
+      var runTok = 0L
+      docsIn.foreach { case (_, start, ntok) =>
+        assert(start == runTok); runTok += ntok
+      }
+      rs.foreach { case (_, seq, _, start, ntok) =>
+        assert(seq >= start / 64 && seq <= (start + ntok - 1) / 64)
+      }
+    }
+    // bit-reproducible on a different input layout
+    assert(run(docs.repartition(13)) == out)
+  }
+
+  test("new-op plan shapes: shuffleShards narrow, token budget one window exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 100L)
+      .map(i => (i, "s" + i % 2, "w x y z " * (i % 5 + 1).toInt))
+      .toDF("doc_id", "source", "text")
+    // sharding must stay a narrow projection — no exchange anywhere
+    val shardPlan = Sampling.shuffleShards(docs, "doc_id", 8)
+      .queryExecution.executedPlan.toString
+    assert(!shardPlan.contains("Exchange"), shardPlan.take(400))
+    // budget selection: exactly one hash exchange (the per-source window)
+    val sel = TextAnalysis.selectByTokenBudget(docs, "text", "doc_id", 50L)
+    sel.count()
+    val p = sel.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(600))
   }
 
   test("streaming curation end-to-end: parquet source → parquet sink, " +
