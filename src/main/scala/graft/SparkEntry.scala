@@ -778,6 +778,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ext: boilerplate audit on the same synthesized corpus — the hot
+    // lines q63 strips, with their occurrence counts
+    "q72_boilerplate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val multi = docs
+        .withColumn("lid", col("doc_id") - col("doc_id") % 5)
+        .join(docs.select(col("doc_id").as("lid"), col("text").as("ltext")),
+          "lid")
+        .select(col("doc_id"),
+          concat_ws("\n", col("text"), col("ltext")).as("text"))
+      ext.Dedup.boilerplateReport(multi, "text", maxOccurrences = 2)
+        .orderBy("line")
+    }),
+
     // ext: GPT-style sequence packing — concatenate per source shard, cut
     // every 512 tokens, one row per (doc, overlapped training sequence)
     "q64_seq_pack" -> ((s, dir) =>
@@ -1685,6 +1699,18 @@ object SparkEntry {
                    HAVING a <> least(a, min(b)))
          SELECT vec_id FROM embeddings
          WHERE vec_id NOT IN (SELECT vec_id FROM drops) ORDER BY vec_id""",
+
+    // boilerplate audit: q63's synthesized corpus, hot lines + counts
+    "q72_boilerplate" ->
+      """WITH multi AS (
+           SELECT a.doc_id AS doc_id,
+                  concat(a.text, chr(10), b.text) AS text
+           FROM documents a
+           JOIN documents b ON b.doc_id = a.doc_id - a.doc_id % 5),
+         lines AS (SELECT unnest(string_split(text, chr(10))) AS line
+                   FROM multi)
+         SELECT line, CAST(count(*) AS BIGINT) AS n FROM lines
+         GROUP BY line HAVING count(*) > 2 ORDER BY line""",
 
     // decontamination audit: q60's corpus/bench split with the hit count
     // kept instead of collapsed into the anti-join

@@ -482,6 +482,19 @@ object Dedup {
       .select(col(idCol), coalesce(col("_rebuilt"), lit("")).as(textCol))
   }
 
+  /** Corpus boilerplate REPORT — the audit companion to [[dedupLines]]:
+    * the text and occurrence count of every line appearing more than
+    * `maxOccurrences` times across the corpus (the headers/nav/license
+    * blurbs line dedup would strip). One explode + one count aggregation;
+    * map-side partial aggregation collapses repeats before the shuffle,
+    * so shuffle volume is per-partition-distinct lines, and the output is
+    * hot-set-sized. Output: (line, n). */
+  def boilerplateReport(df: DataFrame, textCol: String,
+      maxOccurrences: Int = 1): DataFrame =
+    df.select(explode(split(col(textCol), "\n")).as("line"))
+      .groupBy(col("line")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxOccurrences)
+
   /** 60-bit SimHash over distinct word tokens: bit b of the sketch is the
     * sign of Σ_tokens (±1 per token-hash bit b); hash bit b lands at
     * sketch position 59−b. Near-duplicates have small Hamming distance.

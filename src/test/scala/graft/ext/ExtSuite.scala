@@ -496,6 +496,19 @@ class DedupSuite extends AnyFunSuite {
     both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("boilerplateReport surfaces hot lines with their counts") {
+    val df = Seq(
+      (1L, "head\nbody one"), (2L, "head\nbody two"),
+      (3L, "head\nunique"), (4L, "solo")).toDF("doc_id", "text")
+    val got = Dedup.boilerplateReport(df, "text", maxOccurrences = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("head", 3L)))
+    // at the default threshold the twice-occurring body lines still hide
+    val loose = Dedup.boilerplateReport(df, "text")
+      .collect().map(_.getString(0)).toSet
+    assert(loose == Set("head"))
+  }
+
   test("dedup operators leave no persistent blocks (scoped cache lifetimes)") {
     val sc = spark.sparkContext
     def leakedBy(body: => Unit): Set[Int] = {
