@@ -792,6 +792,29 @@ object SparkEntry {
         .orderBy("line")
     }),
 
+    // ext: exact substring-duplication spans (Lee et al. 2022 shape) on
+    // the synthesized corpus — every group-of-5 shares its leader's text
+    // as a suffix block, so each doc carries a corpus-duplicated span
+    "q73_dup_spans" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val multi = docs
+        .withColumn("lid", col("doc_id") - col("doc_id") % 5)
+        .join(docs.select(col("doc_id").as("lid"), col("text").as("ltext")),
+          "lid")
+        .select(col("doc_id"),
+          concat_ws("\n", col("text"), col("ltext")).as("text"))
+      ext.Dedup.duplicatedSpans(multi, "doc_id", "text")
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // ext: corpus-trained bigram LM scoring (CCNet-style perplexity
+    // filter) — per-doc length-normalized negative log likelihood under
+    // add-1-smoothed corpus transition counts
+    "q74_lm_score" -> ((s, dir) =>
+      ext.TextAnalysis.lmScore(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ext: GPT-style sequence packing — concatenate per source shard, cut
     // every 512 tokens, one row per (doc, overlapped training sequence)
     "q64_seq_pack" -> ((s, dir) =>
@@ -1711,6 +1734,54 @@ object SparkEntry {
                    FROM multi)
          SELECT line, CAST(count(*) AS BIGINT) AS n FROM lines
          GROUP BY line HAVING count(*) > 2 ORDER BY line""",
+
+    // substring-duplication spans: q72's synthesized corpus; duplicated
+    // 8-token windows counted corpus-wide, consecutive starts merged into
+    // maximal spans (islands by pos - row_number)
+    "q73_dup_spans" ->
+      """WITH multi AS (
+           SELECT a.doc_id AS doc_id,
+                  concat(a.text, chr(10), b.text) AS text
+           FROM documents a
+           JOIN documents b ON b.doc_id = a.doc_id - a.doc_id % 5),
+         toks AS (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\s+') AS t
+                  FROM multi
+                  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 8),
+         gs AS (SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 7)) AS g
+                FROM toks),
+         grams AS (SELECT doc_id, g - 1 AS pos,
+                          array_to_string(t[g:g+7], ' ') AS gram
+                   FROM gs),
+         hot AS (SELECT gram FROM grams
+                 GROUP BY gram HAVING count(*) >= 2),
+         isl AS (SELECT doc_id, pos,
+                        pos - row_number()
+                          OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM grams WHERE gram IN (SELECT gram FROM hot))
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+         FROM isl GROUP BY doc_id, grp
+         ORDER BY doc_id, span_start""",
+
+    // bigram LM scoring: add-1-smoothed corpus transition counts, context
+    // count = occurrences as bigram head, V = corpus vocabulary
+    "q74_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents
+             WHERE len($ToksSql) >= 2),
+         gs AS (SELECT doc_id, t, unnest(generate_series(2, len(t))) AS g
+                FROM toks),
+         bg AS (SELECT doc_id, t[g-1] AS w1, t[g] AS w2 FROM gs),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         v AS (SELECT count(DISTINCT w) AS v
+               FROM (SELECT unnest(t) AS w FROM toks))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                round(-avg(ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v))), 6)
+                  AS nll
+         FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+         GROUP BY doc_id ORDER BY doc_id""",
 
     // decontamination audit: q60's corpus/bench split with the hit count
     // kept instead of collapsed into the anti-join

@@ -495,6 +495,50 @@ object Dedup {
       .groupBy(col("line")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxOccurrences)
 
+  /** Exact substring-duplication report (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): maximal token spans
+    * whose every k-token window occurs at least `minCount` times across
+    * the corpus. The paper builds a corpus suffix array — inherently
+    * single-machine; the distributed equivalent hashes every k-token
+    * window, counts occurrences, and merges runs of consecutive
+    * duplicated window starts into maximal spans (a span of t duplicated
+    * tokens is exactly a run of t−k+1 duplicated windows, so the two
+    * formulations agree for spans ≥ k).
+    *
+    * Shape at 100 TB: the window stream is one row per token position
+    * carrying only (id, pos, 64-bit window hash) — the count shuffles the
+    * hash with map-side combine, never window text; the hot set joins
+    * back by hash (AQE broadcasts it when duplication is sparse); the
+    * island merge windows per document — parallelism = corpus size, state
+    * = document length. No all-pairs anything.
+    *
+    * Tokens are whitespace runs (the [[TextAnalysis.packSequences]]
+    * convention, not the lowercased shingle alphabet — span positions
+    * must be recoverable offsets into the original text). Documents
+    * shorter than k tokens cannot host a span and are skipped.
+    * Output: (idCol, span_start, span_tokens), positions 0-based. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minCount: Int = 2): DataFrame = {
+    val toks = df
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= k)
+    val grams = toks.select(col(idCol),
+      posexplode(transform(sequence(lit(0), size(col("toks")) - k),
+        i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+        .as(Seq("pos", "gh")))
+    val hot = grams.groupBy(col("gh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount).select("gh")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    grams.join(hot, Seq("gh"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).cast("long")
+          .as("span_tokens"))
+      .drop("grp")
+  }
+
   /** 60-bit SimHash over distinct word tokens: bit b of the sketch is the
     * sign of Σ_tokens (±1 per token-hash bit b); hash bit b lands at
     * sketch position 59−b. Near-duplicates have small Hamming distance.

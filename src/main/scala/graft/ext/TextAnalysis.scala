@@ -97,6 +97,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("score"))
   }
 
+  /** Corpus-trained add-k–smoothed bigram language-model scoring — the
+    * CCNet-style perplexity filter (Wenzek et al. 2020) trained on the
+    * corpus itself instead of an external KenLM: documents whose token
+    * transitions are atypical for the corpus (gibberish, boilerplate
+    * soup, wrong-language fragments) score a high negative log
+    * likelihood and can be dropped by quantile.
+    *
+    * Model: p(w₂|w₁) = (c(w₁w₂) + a) / (c(w₁) + a·V), counts over the
+    * whole corpus, c(w₁) = occurrences of w₁ as a bigram CONTEXT, V =
+    * corpus vocabulary size; score = −mean ln p over the document's
+    * bigrams (length-normalized, so long docs aren't penalized).
+    *
+    * Shape at 100 TB: the bigram stream carries only (id, 64-bit hashes);
+    * both count tables aggregate with map-side combine down to
+    * distinct-bigram/vocab size; the context count joins onto the BIGRAM
+    * count table (small side), so the corpus-scale stream is joined
+    * exactly once, on the bigram hash, with AQE free to broadcast the
+    * fused rate table; V broadcasts as one row. Tokens are the lowercased
+    * alphanumeric runs every other text operator uses.
+    * Output: (idCol, n_bigrams, nll), nll rounded at 6 dp; documents with
+    * fewer than two tokens have no bigrams and are skipped. */
+  def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, addK: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), wordTokens(textCol).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = toks.select(col(idCol),
+      explode(transform(sequence(lit(2), size(col("toks"))),
+        g => struct(element_at(col("toks"), g - 1).as("w1"),
+          element_at(col("toks"), g).as("w2")))).as("b"))
+      .select(col(idCol), xxhash64(col("b.w1")).as("w1h"),
+        xxhash64(col("b.w1"), col("b.w2")).as("bh"))
+    val c2 = bg.groupBy(col("bh"))
+      .agg(count(lit(1)).as("c2"), first(col("w1h")).as("w1h"))
+    val c1 = bg.groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
+    val rates = c2.join(c1, "w1h").select("bh", "c2", "c1")
+    val v = toks.select(explode(col("toks")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    bg.join(rates, Seq("bh"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp",
+        log((col("c2") + addK) / (col("c1") + col("v") * addK)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("lp")), 6).as("nll"))
+  }
+
   /** Tiny per-language stopword lists for the language-ID heuristic.
     * Deterministic and SQL-expressible; not a trained model. */
   val stopwords: Seq[(String, Seq[String])] = Seq(

@@ -180,6 +180,21 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(~=(got(6)._2, 0.5))
   }
 
+  test("lmScore: add-1 bigram NLL against hand-computed counts") {
+    // corpus bigrams: (a,b)×3, (b,a)×1, (b,c)×1; contexts a=3, b=2; V=3
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // p(a,b)=(3+1)/(3+3)=2/3, p(b,a)=p(b,c)=(1+1)/(2+3)=2/5
+    val lnAB = math.log(2.0 / 3); val lnBX = math.log(2.0 / 5)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(got.length == 2) // single-token doc 3 has no bigrams
+    assert(got(0) == ((1L, 3L, r6(-(2 * lnAB + lnBX) / 3))))
+    assert(got(1) == ((2L, 2L, r6(-(lnAB + lnBX) / 2))))
+  }
+
   test("selectByTokenBudget: quality ranking, atomic prefix cut, per-source budgets") {
     val docs = Seq(
       // source a — quality-ranked: d1(0.9, 3), d2(0.8, 4), d3(0.7, 2), d4(0.6, 1)
@@ -507,6 +522,23 @@ class DedupSuite extends AnyFunSuite {
     val loose = Dedup.boilerplateReport(df, "text")
       .collect().map(_.getString(0)).toSet
     assert(loose == Set("head"))
+  }
+
+  test("duplicatedSpans merges duplicated k-gram runs into maximal spans") {
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val df = Seq(
+      (1L, shared + " ta tb tc"),
+      (2L, shared + " td te tf"),
+      (3L, "x1 x2 x3 x4 zz x1 x2 x3 x4 qq"),
+      (4L, "u1 u2 u3 u4 u5 u6")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df, "doc_id", "text", k = 4)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 1/2 share a 10-token prefix (windows 0..6 → one maximal span);
+    // doc 3 repeats a 4-gram WITHIN itself (two disjoint spans); doc 4 is
+    // unique and hosts none
+    assert(got.toSeq == Seq((1L, 0L, 10L), (2L, 0L, 10L),
+      (3L, 0L, 4L), (3L, 5L, 4L)))
   }
 
   test("dedup operators leave no persistent blocks (scoped cache lifetimes)") {
