@@ -815,6 +815,13 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ext: distributed BPE merge learning — the 8 highest-frequency
+    // symbol-pair merges over the corpus vocabulary, from characters
+    "q75_bpe_train" -> ((s, dir) =>
+      ext.TextAnalysis.bpeTrain(
+        Tables.load(s, dir, "documents"), "text", 8)
+        .orderBy("rank")),
+
     // ext: GPT-style sequence packing — concatenate per source shard, cut
     // every 512 tokens, one row per (doc, overlapped training sequence)
     "q64_seq_pack" -> ((s, dir) =>
@@ -909,6 +916,41 @@ object SparkEntry {
        ELSE list_transform(generate_series(1, len($ToksSql) - 2),
               g -> concat($ToksSql[g], ' ', $ToksSql[g+1], ' ', $ToksSql[g+2]))
        END)"""
+  /** DuckDB replica of [[ext.TextAnalysis.bpeTrain]] (q75): `n` generated
+    * merge rounds. Each round recounts weighted adjacent pairs from the
+    * previous vocabulary, picks the (count desc, lhs, rhs) argmax, and
+    * applies the merge as a literal `[lhs][rhs]` → `[lhs rhs]` replace —
+    * DuckDB's replace and Spark's share left-to-right non-overlapping
+    * no-rescan semantics, so the greedy merge is byte-identical. */
+  private def BpeTrainSql(n: Int): String = {
+    val rounds = (1 to n).map { i =>
+      s"""p$i AS (SELECT s[g-1] AS lhs, s[g] AS rhs,
+               CAST(sum(cnt) AS BIGINT) AS n
+             FROM (SELECT cnt, s, unnest(generate_series(2, len(s))) AS g
+                   FROM (SELECT cnt,
+                           regexp_extract_all(seq, '\\[([^\\]]*)\\]', 1) AS s
+                         FROM v${i - 1}))
+             GROUP BY lhs, rhs),
+         b$i AS (SELECT lhs, rhs, n FROM p$i
+                 ORDER BY n DESC, lhs, rhs LIMIT 1),
+         v$i AS (SELECT cnt,
+                   replace(seq, '[' || b.lhs || '][' || b.rhs || ']',
+                     '[' || b.lhs || b.rhs || ']') AS seq
+                 FROM v${i - 1}, b$i b)"""
+    }.mkString(",\n         ")
+    val union = (1 to n).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, n FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH v0 AS (
+         SELECT cnt, '[' || array_to_string(
+             regexp_extract_all(word, '.'), '][') || ']' AS seq
+         FROM (SELECT word, count(*) AS cnt
+               FROM (SELECT unnest($ToksSql) AS word FROM documents)
+               GROUP BY word)),
+         $rounds
+         SELECT * FROM ($union) ORDER BY rank"""
+  }
+
   private def baseHashSql(s: String): String =
     s"CAST(CAST(concat('0x', substr(md5($s), 1, 15)) AS UBIGINT) % ${ext.Dedup.Prime} AS BIGINT)"
   /** DuckDB replica of [[ext.Sampling.hashBucket]] (q55/q56). */
@@ -1782,6 +1824,11 @@ object SparkEntry {
                   AS nll
          FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
          GROUP BY doc_id ORDER BY doc_id""",
+
+    // BPE merge learning: 8 generated rounds — pair counts over the
+    // previous round's vocab, 1-row argmax (count desc, lhs, rhs), then a
+    // literal [lhs][rhs] replace (greedy left-to-right, both engines)
+    "q75_bpe_train" -> BpeTrainSql(8),
 
     // decontamination audit: q60's corpus/bench split with the hit count
     // kept instead of collapsed into the anti-join

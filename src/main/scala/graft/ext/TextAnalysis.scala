@@ -142,6 +142,71 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("lp")), 6).as("nll"))
   }
 
+  /** Distributed BPE merge learning (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units" §3.2): learn the
+    * `numMerges` highest-frequency symbol-pair merges over the corpus,
+    * starting from characters. Ties break on (count desc, lhs, rhs) —
+    * ASCII-lexicographic, engine-portable.
+    *
+    * Shape at 100 TB: ONE corpus pass builds the word-frequency table;
+    * every merge round then iterates on that vocabulary table (distinct
+    * words — millions of rows, corpus-size-independent): a weighted
+    * adjacent-pair count with map-side combine, a 1-row argmax collect
+    * (the same driver-synchronized round structure as Lloyd iterations in
+    * [[Ivf]]), and a narrow per-row merge application. Symbol sequences
+    * travel as `[sym][sym]…` strings so the merge application is a single
+    * literal `replace` — left-to-right, non-overlapping, no rescan of the
+    * replacement: exactly BPE's greedy semantics, and byte-identical
+    * between engines. Lineage is truncated every 16 rounds so deep merge
+    * schedules don't accumulate a 2·N-deep plan.
+    * Output: (rank, lhs, rhs, n) — the merge table, rank ascending; stops
+    * early (shorter output) if the vocabulary fully merges. */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chars = call_function("regexp_extract_all",
+      col("word"), lit("."), lit(0))
+    var vocab = df.select(explode(wordTokens(textCol)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), concat(lit("["),
+        array_join(chars, "]["), lit("]")).as("seq"))
+    var prev: Option[org.apache.spark.sql.DataFrame] = None
+    val syms = call_function("regexp_extract_all",
+      col("seq"), lit("\\[([^\\]]*)\\]"), lit(1))
+    val rules = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var exhausted = false
+    for (r <- 1 to numMerges if !exhausted) {
+      val best = vocab.select(col("cnt"), syms.as("s"))
+        // single-symbol words host no pairs — and Spark's sequence(2, 1)
+        // would DESCEND into an out-of-bounds element_at under ANSI
+        .filter(size(col("s")) >= 2)
+        .select(col("cnt"),
+          explode(transform(sequence(lit(2), size(col("s"))),
+            g => struct(element_at(col("s"), g - 1).as("lhs"),
+              element_at(col("s"), g).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rr) = (best(0).getString(0), best(0).getString(1))
+        rules += ((r.toLong, l, rr, best(0).getLong(2)))
+        vocab = vocab.withColumn("seq",
+          replace(col("seq"), lit(s"[$l][$rr]"), lit(s"[$l$rr]")))
+        if (r % 16 == 0) {
+          val cp = vocab.localCheckpoint(true)
+          prev.foreach(graft.util.Checkpoints.release)
+          prev = Some(cp); vocab = cp
+        }
+      }
+    }
+    val out = rules.toSeq.toDF("rank", "lhs", "rhs", "n")
+    prev.foreach(graft.util.Checkpoints.release)
+    out
+  }
+
   /** Tiny per-language stopword lists for the language-ID heuristic.
     * Deterministic and SQL-expressible; not a trained model. */
   val stopwords: Seq[(String, Seq[String])] = Seq(

@@ -195,6 +195,20 @@ class TextAnalysisSuite extends AnyFunSuite {
     assert(got(1) == ((2L, 2L, r6(-(lnAB + lnBX) / 2))))
   }
 
+  test("bpeTrain: greedy merges, deterministic tie-breaks, early stop") {
+    // counts: low*3, lower*2, newest*1 — hand-traced merge schedule:
+    // r1 (l,o) 5 [ties (o,w) on count, lhs breaks], r2 (lo,w) 5,
+    // r3 (e,r) 2 [ties (low,e), lhs 'e' < 'low'], r4 (low,er) 2
+    val df = Seq("low low low lower lower newest").toDF("text")
+    val got = TextAnalysis.bpeTrain(df, "text", 4).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "l", "o", 5L), (2L, "lo", "w", 5L),
+      (3L, "e", "r", 2L), (4L, "low", "er", 2L)))
+    // single-char-word corpus has no adjacent pairs: empty table, early stop
+    assert(TextAnalysis.bpeTrain(
+      Seq("a b a").toDF("text"), "text", 3).count() == 0)
+  }
+
   test("selectByTokenBudget: quality ranking, atomic prefix cut, per-source budgets") {
     val docs = Seq(
       // source a — quality-ranked: d1(0.9, 3), d2(0.8, 4), d3(0.7, 2), d4(0.6, 1)
