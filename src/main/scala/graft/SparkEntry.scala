@@ -822,6 +822,13 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "text", 8)
         .orderBy("rank")),
 
+    // ext: the learned tokenizer's vocabulary — corpus subword
+    // frequencies after the q75 merge schedule
+    "q76_bpe_vocab" -> ((s, dir) =>
+      ext.TextAnalysis.bpeSubwords(
+        Tables.load(s, dir, "documents"), "text", 8)
+        .orderBy("subword")),
+
     // ext: GPT-style sequence packing — concatenate per source shard, cut
     // every 512 tokens, one row per (doc, overlapped training sequence)
     "q64_seq_pack" -> ((s, dir) =>
@@ -922,7 +929,7 @@ object SparkEntry {
     * applies the merge as a literal `[lhs][rhs]` → `[lhs rhs]` replace —
     * DuckDB's replace and Spark's share left-to-right non-overlapping
     * no-rescan semantics, so the greedy merge is byte-identical. */
-  private def BpeTrainSql(n: Int): String = {
+  private def BpeChainSql(n: Int): String = {
     val rounds = (1 to n).map { i =>
       s"""p$i AS (SELECT s[g-1] AS lhs, s[g] AS rhs,
                CAST(sum(cnt) AS BIGINT) AS n
@@ -938,18 +945,32 @@ object SparkEntry {
                      '[' || b.lhs || b.rhs || ']') AS seq
                  FROM v${i - 1}, b$i b)"""
     }.mkString(",\n         ")
-    val union = (1 to n).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, n FROM b$i")
-      .mkString(" UNION ALL ")
-    s"""WITH v0 AS (
+    s"""v0 AS (
          SELECT cnt, '[' || array_to_string(
              regexp_extract_all(word, '.'), '][') || ']' AS seq
          FROM (SELECT word, count(*) AS cnt
                FROM (SELECT unnest($ToksSql) AS word FROM documents)
                GROUP BY word)),
-         $rounds
+         $rounds"""
+  }
+
+  private def BpeTrainSql(n: Int): String = {
+    val union = (1 to n).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, n FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${BpeChainSql(n)}
          SELECT * FROM ($union) ORDER BY rank"""
   }
+
+  /** DuckDB replica of [[ext.TextAnalysis.bpeSubwords]] (q76): the final
+    * vocabulary's symbols, frequency-weighted. */
+  private def BpeSubwordsSql(n: Int): String =
+    s"""WITH ${BpeChainSql(n)}
+       SELECT sym AS subword, CAST(sum(cnt) AS BIGINT) AS n
+       FROM (SELECT cnt,
+               unnest(regexp_extract_all(seq, '\\[([^\\]]*)\\]', 1)) AS sym
+             FROM v$n)
+       GROUP BY sym ORDER BY subword"""
 
   private def baseHashSql(s: String): String =
     s"CAST(CAST(concat('0x', substr(md5($s), 1, 15)) AS UBIGINT) % ${ext.Dedup.Prime} AS BIGINT)"
@@ -1829,6 +1850,9 @@ object SparkEntry {
     // previous round's vocab, 1-row argmax (count desc, lhs, rhs), then a
     // literal [lhs][rhs] replace (greedy left-to-right, both engines)
     "q75_bpe_train" -> BpeTrainSql(8),
+
+    // BPE vocabulary: final-round subword frequencies (same CTE chain)
+    "q76_bpe_vocab" -> BpeSubwordsSql(8),
 
     // decontamination audit: q60's corpus/bench split with the hit count
     // kept instead of collapsed into the anti-join

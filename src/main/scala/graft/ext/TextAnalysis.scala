@@ -165,6 +165,35 @@ object TextAnalysis {
       numMerges: Int): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val (rules, _, cp) = bpeMerge(df, textCol, numMerges)
+    cp.foreach(graft.util.Checkpoints.release)
+    rules.toDF("rank", "lhs", "rhs", "n")
+  }
+
+  /** Corpus subword frequency table after [[bpeTrain]]'s merge schedule —
+    * the learned tokenizer's vocabulary with corpus counts (the serving
+    * artifact a real pipeline ships next to the merge rules). Same round
+    * structure as the trainer; the final vocabulary's symbols explode
+    * weighted by word frequency. Output: (subword, n).
+    * For merge schedules ≥ 16 rounds the returned frame is backed by the
+    * loop's last lineage checkpoint, which lives until the session drops
+    * it — materialize and release promptly in long-lived sessions. */
+  def bpeSubwords(df: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int): org.apache.spark.sql.DataFrame = {
+    val (_, vocab, _) = bpeMerge(df, textCol, numMerges)
+    vocab.select(col("cnt"), explode(bpeSyms).as("subword"))
+      .groupBy(col("subword")).agg(sum(col("cnt")).as("n"))
+  }
+
+  private def bpeSyms: Column = call_function("regexp_extract_all",
+    col("seq"), lit("\\[([^\\]]*)\\]"), lit(1))
+
+  /** Shared BPE merge loop: (rules, final vocabulary (cnt, seq), last
+    * lineage checkpoint if one was taken). */
+  private def bpeMerge(df: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int): (Seq[(Long, String, String, Long)],
+      org.apache.spark.sql.DataFrame,
+      Option[org.apache.spark.sql.DataFrame]) = {
     val chars = call_function("regexp_extract_all",
       col("word"), lit("."), lit(0))
     var vocab = df.select(explode(wordTokens(textCol)).as("word"))
@@ -172,12 +201,10 @@ object TextAnalysis {
       .select(col("cnt"), concat(lit("["),
         array_join(chars, "]["), lit("]")).as("seq"))
     var prev: Option[org.apache.spark.sql.DataFrame] = None
-    val syms = call_function("regexp_extract_all",
-      col("seq"), lit("\\[([^\\]]*)\\]"), lit(1))
     val rules = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var exhausted = false
     for (r <- 1 to numMerges if !exhausted) {
-      val best = vocab.select(col("cnt"), syms.as("s"))
+      val best = vocab.select(col("cnt"), bpeSyms.as("s"))
         // single-symbol words host no pairs — and Spark's sequence(2, 1)
         // would DESCEND into an out-of-bounds element_at under ANSI
         .filter(size(col("s")) >= 2)
@@ -202,9 +229,7 @@ object TextAnalysis {
         }
       }
     }
-    val out = rules.toSeq.toDF("rank", "lhs", "rhs", "n")
-    prev.foreach(graft.util.Checkpoints.release)
-    out
+    (rules.toSeq, vocab, prev)
   }
 
   /** Tiny per-language stopword lists for the language-ID heuristic.

@@ -209,6 +209,16 @@ class TextAnalysisSuite extends AnyFunSuite {
       Seq("a b a").toDF("text"), "text", 3).count() == 0)
   }
 
+  test("bpeSubwords: frequency-weighted vocabulary after the merge schedule") {
+    // after the 4 merges above (the 4th, (low,er), fully merges 'lower'):
+    // low→[low], lower→[lower], newest stays characters
+    val df = Seq("low low low lower lower newest").toDF("text")
+    val got = TextAnalysis.bpeSubwords(df, "text", 4).orderBy("subword")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("e", 2L), ("low", 3L), ("lower", 2L),
+      ("n", 1L), ("s", 1L), ("t", 1L), ("w", 1L)))
+  }
+
   test("selectByTokenBudget: quality ranking, atomic prefix cut, per-source budgets") {
     val docs = Seq(
       // source a — quality-ranked: d1(0.9, 3), d2(0.8, 4), d3(0.7, 2), d4(0.6, 1)
