@@ -807,6 +807,20 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // ext: span removal on the same corpus — group leaders (text = own
+    // block twice) strip to empty; members keep only their unique block
+    "q77_strip_spans" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val multi = docs
+        .withColumn("lid", col("doc_id") - col("doc_id") % 5)
+        .join(docs.select(col("doc_id").as("lid"), col("text").as("ltext")),
+          "lid")
+        .select(col("doc_id"),
+          concat_ws("\n", col("text"), col("ltext")).as("text"))
+      ext.Dedup.stripDuplicatedSpans(multi, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ext: corpus-trained bigram LM scoring (CCNet-style perplexity
     // filter) — per-doc length-normalized negative log likelihood under
     // add-1-smoothed corpus transition counts
@@ -1827,6 +1841,45 @@ object SparkEntry {
                 CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
          FROM isl GROUP BY doc_id, grp
          ORDER BY doc_id, span_start""",
+
+    // span removal: q73's spans anti-applied to the token stream; rows
+    // preserved (fully-duplicated docs rebuild to '')
+    "q77_strip_spans" ->
+      """WITH multi AS (
+           SELECT a.doc_id AS doc_id,
+                  concat(a.text, chr(10), b.text) AS text
+           FROM documents a
+           JOIN documents b ON b.doc_id = a.doc_id - a.doc_id % 5),
+         toks AS (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\s+') AS t
+                  FROM multi),
+         gs AS (SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 7)) AS g
+                FROM toks WHERE len(t) >= 8),
+         grams AS (SELECT doc_id, g - 1 AS pos,
+                          array_to_string(t[g:g+7], ' ') AS gram
+                   FROM gs),
+         hot AS (SELECT gram FROM grams
+                 GROUP BY gram HAVING count(*) >= 2),
+         isl AS (SELECT doc_id, pos,
+                        pos - row_number()
+                          OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM grams WHERE gram IN (SELECT gram FROM hot)),
+         spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+                   FROM isl GROUP BY doc_id, grp),
+         tok2 AS (SELECT doc_id, unnest(t) AS tok,
+                         unnest(generate_series(0, len(t) - 1)) AS pos
+                  FROM toks),
+         keep AS (SELECT k.doc_id, k.pos, k.tok FROM tok2 k
+                  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = k.doc_id
+                      AND k.pos >= s.s AND k.pos < s.e)),
+         rebuilt AS (SELECT doc_id,
+                            string_agg(tok, ' ' ORDER BY pos) AS text
+                     FROM keep GROUP BY doc_id)
+         SELECT m.doc_id, coalesce(r.text, '') AS text
+         FROM multi m LEFT JOIN rebuilt r USING (doc_id)
+         ORDER BY m.doc_id""",
 
     // bigram LM scoring: add-1-smoothed corpus transition counts, context
     // count = occurrences as bigram head, V = corpus vocabulary

@@ -539,6 +539,34 @@ object Dedup {
       .drop("grp")
   }
 
+  /** Removal companion to [[duplicatedSpans]]: rebuild every document
+    * with its duplicated spans cut out (whitespace canonicalized to one
+    * space). Symmetric removal — EVERY occurrence of a duplicated span is
+    * dropped, in contrast to Lee et al.'s keep-one-occurrence; pair with
+    * a canonical-selection pass when one copy should survive (documented
+    * deviation: symmetric removal needs no cross-document coordination,
+    * so the rebuild stays a narrow per-document map under the span join).
+    * Row count is preserved: span-free documents pass through verbatim
+    * (modulo whitespace canonicalization), fully-duplicated documents
+    * become empty strings. Output schema: (idCol, textCol). */
+  def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minCount: Int = 2): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, k, minCount)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_tokens")))
+        .as("_spans"))
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("_toks"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), array_join(
+        filter(col("_toks"), (_, i) =>
+          // exists over a NULL span list (span-free doc) is NULL → keep
+          !coalesce(exists(col("_spans"),
+            s => i >= s.getField("span_start") &&
+              i < s.getField("span_start") + s.getField("span_tokens")),
+            lit(false))),
+        " ").as(textCol))
+  }
+
   /** 60-bit SimHash over distinct word tokens: bit b of the sketch is the
     * sign of Σ_tokens (±1 per token-hash bit b); hash bit b lands at
     * sketch position 59−b. Near-duplicates have small Hamming distance.

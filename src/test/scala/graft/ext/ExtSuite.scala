@@ -565,6 +565,23 @@ class DedupSuite extends AnyFunSuite {
       (3L, 0L, 4L), (3L, 5L, 4L)))
   }
 
+  test("stripDuplicatedSpans removes covered tokens, preserves rows") {
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val df = Seq(
+      (1L, shared + " ta tb tc"),
+      (2L, shared + " td te tf"),
+      (4L, "u1 u2 u3 u4 u5 u6")).toDF("doc_id", "text")
+    val got = Dedup.stripDuplicatedSpans(df, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "ta tb tc"), (2L, "td te tf"),
+      (4L, "u1 u2 u3 u4 u5 u6")))
+    // fully-duplicated documents become empty strings, rows preserved
+    val dup = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got2 = Dedup.stripDuplicatedSpans(dup, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(got2.toSeq == Seq("", ""))
+  }
+
   test("dedup operators leave no persistent blocks (scoped cache lifetimes)") {
     val sc = spark.sparkContext
     def leakedBy(body: => Unit): Set[Int] = {
