@@ -843,6 +843,20 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "text", 8)
         .orderBy("subword")),
 
+    // ext: cross-source shingle containment — the dataset-overlap audit
+    // run before mixing corpora
+    "q78_source_overlap" -> ((s, dir) =>
+      ext.Dedup.sourceOverlap(
+        Tables.load(s, dir, "documents"), "source", "text")
+        .orderBy("src_a", "src_b")),
+
+    // ext: feature-hashing document embedding (hashing trick) — signed
+    // token counts in 16 hashed slots, long format
+    "q79_feature_hash" -> ((s, dir) =>
+      ext.TextAnalysis.featureHash(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "slot")),
+
     // ext: GPT-style sequence packing — concatenate per source shard, cut
     // every 512 tokens, one row per (doc, overlapped training sequence)
     "q64_seq_pack" -> ((s, dir) =>
@@ -1906,6 +1920,33 @@ object SparkEntry {
 
     // BPE vocabulary: final-round subword frequencies (same CTE chain)
     "q76_bpe_vocab" -> BpeSubwordsSql(8),
+
+    // cross-source containment: per-source distinct shingle sets, shared
+    // shingles joined, containment = n_common / |sh(src_a)|
+    "q78_source_overlap" ->
+      s"""WITH s AS (SELECT DISTINCT src, sh FROM
+             (SELECT source AS src, unnest($ShinglesSql) AS sh
+              FROM documents)),
+         t AS (SELECT src, count(*) AS n_sh FROM s GROUP BY src),
+         c AS (SELECT a.src AS src_a, b.src AS src_b,
+                      CAST(count(*) AS BIGINT) AS n_common
+               FROM s a JOIN s b ON a.sh = b.sh AND a.src <> b.src
+               GROUP BY 1, 2)
+         SELECT src_a, src_b, n_common,
+                round(n_common / CAST(t.n_sh AS DOUBLE), 6) AS containment
+         FROM c JOIN t ON t.src = c.src_a ORDER BY src_a, src_b""",
+
+    // feature hashing: 60-bit md5-prefix token hash, slot = h mod 16,
+    // sign = bit 8; signed counts per (doc, slot)
+    "q79_feature_hash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS t FROM documents),
+         h AS (SELECT doc_id,
+                 CAST(CAST(concat('0x', substr(md5(t), 1, 15))
+                   AS UBIGINT) AS BIGINT) AS h
+               FROM tok)
+         SELECT doc_id, CAST(h % 16 AS BIGINT) AS slot,
+                CAST(sum(((h // 256) % 2) * 2 - 1) AS BIGINT) AS val
+         FROM h GROUP BY doc_id, slot ORDER BY doc_id, slot""",
 
     // decontamination audit: q60's corpus/bench split with the hit count
     // kept instead of collapsed into the anti-join

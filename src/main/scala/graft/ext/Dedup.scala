@@ -567,6 +567,32 @@ object Dedup {
         " ").as(textCol))
   }
 
+  /** Cross-source n-gram containment report — the dataset-overlap audit
+    * run before mixing corpora (how much of source A's shingle set also
+    * appears in source B; asymmetric by design: a small corpus can be
+    * fully contained in a large one without the converse). One
+    * distinct-(source, shingle-hash) pass — map-side partial dedup, then
+    * a self-join on the 60-bit shingle hash whose output is bounded by
+    * (shingles shared) × (sources sharing them)²; with S sources the
+    * report is ≤ S² rows. Output: (src_a, src_b, n_common, containment)
+    * where containment = |sh(A) ∩ sh(B)| / |sh(A)|. */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = df.select(col(srcCol).as("src"),
+      explode(TextAnalysis.hashedShingles(textCol, n)).as("sh")).distinct()
+    val tot = sh.groupBy(col("src")).agg(count(lit(1)).as("n_sh"))
+    sh.select(col("src").as("src_a"), col("sh"))
+      .join(sh.select(col("src").as("src_b"), col("sh")), Seq("sh"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(tot.select(col("src").as("src_a"), col("n_sh").as("n_a")),
+        Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_a"), 6)
+          .as("containment"))
+  }
+
   /** 60-bit SimHash over distinct word tokens: bit b of the sketch is the
     * sign of Σ_tokens (±1 per token-hash bit b); hash bit b lands at
     * sketch position 59−b. Near-duplicates have small Hamming distance.

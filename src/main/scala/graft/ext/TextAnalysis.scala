@@ -232,6 +232,30 @@ object TextAnalysis {
     (rules.toSeq, vocab, prev)
   }
 
+  /** Feature-hashing document embedding (the "hashing trick", Weinberger
+    * et al. 2009): a dense `dim`-slot signed token-count vector per
+    * document, from hashes alone — no trained model, so it is available
+    * at curation time and bridges raw text into the embedding stack
+    * ([[Similarity.cosinePairs]]/[[Similarity.semanticDedup]] accept the
+    * assembled vectors). Token hash = the corpus-wide 60-bit md5 prefix
+    * convention (cross-engine, same as minhash's base hash); slot =
+    * h mod dim, sign = bit 8 of h.
+    *
+    * Output is LONG format (idCol, slot, val) — zero slots are absent,
+    * and the (id, slot) aggregation combines map-side so the shuffle
+    * carries ≤ dim rows per document regardless of document length.
+    * Zero-token documents emit no rows. */
+  def featureHash(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int = 16): org.apache.spark.sql.DataFrame = {
+    val h = expr(
+      "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)")
+    df.select(col(idCol), explode(wordTokens(textCol)).as("t"))
+      .select(col(idCol), pmod(h, lit(dim)).as("slot"),
+        (pmod(shiftright(h, 8), lit(2)) * 2 - 1).as("sgn"))
+      .groupBy(col(idCol), col("slot"))
+      .agg(sum(col("sgn")).as("val"))
+  }
+
   /** Tiny per-language stopword lists for the language-ID heuristic.
     * Deterministic and SQL-expressible; not a trained model. */
   val stopwords: Seq[(String, Seq[String])] = Seq(

@@ -209,6 +209,29 @@ class TextAnalysisSuite extends AnyFunSuite {
       Seq("a b a").toDF("text"), "text", 3).count() == 0)
   }
 
+  test("featureHash matches an independent md5 reference") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val words = Seq("foo", "bar", "foo", "baz9")
+    val expected = words.map(h60)
+      .groupBy(h => h % 16)
+      .map { case (slot, hs) =>
+        (1L, slot, hs.map(h => ((h >> 8) % 2) * 2 - 1).sum) }
+      .toSeq.sortBy(_._2)
+    val got = TextAnalysis.featureHash(
+        Seq((1L, words.mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("slot").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected)
+    // blank documents emit no rows
+    assert(TextAnalysis.featureHash(
+      Seq((2L, "  ")).toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+  }
+
   test("bpeSubwords: frequency-weighted vocabulary after the merge schedule") {
     // after the 4 merges above (the 4th, (low,er), fully merges 'lower'):
     // low→[low], lower→[lower], newest stays characters
@@ -580,6 +603,17 @@ class DedupSuite extends AnyFunSuite {
     val got2 = Dedup.stripDuplicatedSpans(dup, "doc_id", "text", k = 4)
       .orderBy("doc_id").collect().map(_.getString(1))
     assert(got2.toSeq == Seq("", ""))
+  }
+
+  test("sourceOverlap: asymmetric containment over distinct shingle sets") {
+    // A = {xyz, yzw, yzq}, B = {xyz, yzw}, C = {ppp} (disjoint)
+    val df = Seq(
+      ("A", "x y z w"), ("A", "x y z q"),
+      ("B", "x y z w"), ("C", "p p p p")).toDF("source", "text")
+    val got = Dedup.sourceOverlap(df, "source", "text")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("A", "B", 2L, 0.666667), ("B", "A", 2L, 1.0)))
   }
 
   test("dedup operators leave no persistent blocks (scoped cache lifetimes)") {
