@@ -200,6 +200,129 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("duplicatedSpans/stripDuplicatedSpans equal a local reference on random corpora") {
+    import graft.ext.Dedup
+    val rnd = new Random(23)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff")
+    for (trial <- 1 to 3) {
+      val k = 3 + trial % 2
+      val docs = (0 until 15).map(i => (i.toLong,
+        (0 until (5 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")))
+      // driver reference: window counts → duplicated starts → islands
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val grams = toks.toSeq.flatMap { case (id, ts) =>
+        if (ts.length >= k)
+          (0 to ts.length - k).map(p => (id, p, ts.slice(p, p + k).mkString(" ")))
+        else Nil
+      }
+      val counts = grams.groupBy(_._3).map { case (g, v) => g -> v.length }
+      val expSpans = grams.filter(g => counts(g._3) >= 2).groupBy(_._1).toSeq
+        .flatMap { case (id, ps) =>
+          val islands = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+          ps.map(_._2).sorted.foreach { p =>
+            if (islands.nonEmpty && islands.last._2 + 1 == p)
+              islands(islands.length - 1) = (islands.last._1, p)
+            else islands += ((p, p))
+          }
+          islands.map { case (s, e) => (id, s.toLong, (e - s + k).toLong) }
+        }.sorted
+      val df = docs.toDF("doc_id", "text")
+      val gotSpans = Dedup.duplicatedSpans(df, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(gotSpans == expSpans)
+      // strip: rebuilt text = tokens minus covered positions
+      val covered = expSpans.groupBy(_._1).map { case (id, ss) =>
+        id -> ss.flatMap(s => s._2 until (s._2 + s._3)).toSet
+      }
+      val expText = docs.map { case (id, _) =>
+        id -> toks(id).zipWithIndex
+          .filterNot { case (_, i) => covered.getOrElse(id, Set.empty)(i.toLong) }
+          .map(_._1).mkString(" ")
+      }.toMap
+      val gotText = Dedup.stripDuplicatedSpans(df, "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(gotText == expText)
+    }
+  }
+
+  test("bpeTrain equals a local reference BPE on random corpora") {
+    import graft.ext.TextAnalysis
+    val rnd = new Random(29)
+    def mergeSeq(seq: Vector[String], l: String, r: String): Vector[String] = {
+      val res = Vector.newBuilder[String]
+      var i = 0
+      while (i < seq.length) {
+        if (i + 1 < seq.length && seq(i) == l && seq(i + 1) == r) {
+          res += (l + r); i += 2
+        } else { res += seq(i); i += 1 }
+      }
+      res.result()
+    }
+    for (_ <- 1 to 3) {
+      val words = (0 until 40).map(_ =>
+        (0 until (1 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+          .mkString)
+      var vocabSeq: Map[Vector[String], Long] = words.groupBy(identity)
+        .map { case (w, v) => w.map(_.toString).toVector -> v.length.toLong }
+      val expected = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      var done = false
+      for (r <- 1 to 6 if !done) {
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+          .withDefaultValue(0L)
+        vocabSeq.foreach { case (seq, c) =>
+          seq.sliding(2).filter(_.length == 2)
+            .foreach(p => pc((p(0), p(1))) += c)
+        }
+        if (pc.isEmpty) done = true
+        else {
+          val ((l, rr), n) = pc.toSeq
+            .sortBy { case ((a, b), cnt) => (-cnt, a, b) }.head
+          expected += ((r.toLong, l, rr, n))
+          vocabSeq = vocabSeq.map { case (seq, c) => mergeSeq(seq, l, rr) -> c }
+        }
+      }
+      val got = TextAnalysis.bpeTrain(
+          Seq(words.mkString(" ")).toDF("text"), "text", 6)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(got.toSeq == expected.toSeq)
+      // merge counts are non-increasing with rank (BPE invariant)
+      assert(got.map(_._4).toSeq == got.map(_._4).sorted.reverse.toSeq)
+    }
+  }
+
+  test("lmScore equals a local reference bigram model on random corpora") {
+    import graft.ext.TextAnalysis
+    val rnd = new Random(31)
+    val vocab = Array("aa", "bb", "cc", "dd")
+    for (_ <- 1 to 3) {
+      val docs = (0 until 20).map(i => (i.toLong,
+        (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")))
+      val toks = docs.map { case (id, t) =>
+        id -> "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+      }.filter(_._2.length >= 2)
+      val bgs = toks.map { case (id, ts) => id -> ts.sliding(2).map(p => (p(0), p(1))).toSeq }
+      val c2 = bgs.flatMap(_._2).groupBy(identity).map { case (p, v) => p -> v.length }
+      val c1 = bgs.flatMap(_._2).groupBy(_._1).map { case (w, v) => w -> v.length }
+      val v = toks.flatMap(_._2).distinct.length
+      val expected = bgs.map { case (id, bs) =>
+        val nll = -bs.map(b =>
+          math.log((c2(b) + 1.0) / (c1(b._1) + 1.0 * v))).sum / bs.length
+        id -> (bs.length.toLong, nll)
+      }.toMap
+      val got = TextAnalysis.lmScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.map(_._1).toSet == expected.keySet)
+      got.foreach { case (id, n, nll) =>
+        assert(n == expected(id)._1)
+        assert(math.abs(nll - expected(id)._2) < 1e-6)
+      }
+    }
+  }
+
   test("−99 sentinel masking round-trips through unmask") {
     import graft.sources.Ingest
     val rnd = new Random(11)
