@@ -857,6 +857,45 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id", "slot")),
 
+    // ext: CCNet perplexity bucketing — head/middle/tail terciles of the
+    // corpus-trained bigram-LM nll, thresholds broadcast (no global rank)
+    "q80_ppl_buckets" -> ((s, dir) =>
+      ext.TextAnalysis.pplBuckets(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ext: DSIR importance weights — hashed unigram+bigram log
+    // target/raw likelihood ratio, target = src0+src1
+    "q81_dsir" -> ((s, dir) =>
+      ext.TextAnalysis.dsirWeights(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        org.apache.spark.sql.functions.col("source").isin("src0", "src1"))
+        .orderBy("doc_id")),
+
+    // ext: corpus datasheet — per-source volume, dup ratio, length
+    // percentiles, language spread in one aggregation pass
+    "q82_corpus_report" -> ((s, dir) =>
+      ext.TextAnalysis.corpusReport(
+        Tables.load(s, dir, "documents"))
+        .orderBy("source")),
+
+    // ext: real token counts under the corpus-trained BPE tokenizer —
+    // the 8-merge schedule folded as literal replaces over distinct words
+    "q83_bpe_encode" -> ((s, dir) =>
+      ext.TextAnalysis.bpeEncode(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id")),
+
+    // ext: DSIR Gumbel top-k — reproducible importance draw of the 200
+    // most target-like candidates, noise keyed on (salt, doc_id)
+    "q84_dsir_select" -> ((s, dir) =>
+      ext.TextAnalysis.dsirSelect(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        org.apache.spark.sql.functions.col("source").isin("src0", "src1"),
+        200)
+        .orderBy(org.apache.spark.sql.functions.col("key").desc,
+          org.apache.spark.sql.functions.col("doc_id"))),
+
     // ext: GPT-style sequence packing — concatenate per source shard, cut
     // every 512 tokens, one row per (doc, overlapped training sequence)
     "q64_seq_pack" -> ((s, dir) =>
@@ -999,6 +1038,32 @@ object SparkEntry {
                unnest(regexp_extract_all(seq, '\\[([^\\]]*)\\]', 1)) AS sym
              FROM v$n)
        GROUP BY sym ORDER BY subword"""
+
+  /** DuckDB replica of [[ext.TextAnalysis.bpeEncode]] (q83): the trained
+    * schedule's b_i rules folded over the distinct-word table (same
+    * `[lhs][rhs]` replace semantics), joined back onto document words. */
+  private def BpeEncodeSql(n: Int): String = {
+    val encRounds = (1 to n).map { i =>
+      s"""e$i AS (SELECT word,
+               replace(seq, '[' || b.lhs || '][' || b.rhs || ']',
+                 '[' || b.lhs || b.rhs || ']') AS seq
+             FROM e${i - 1}, b$i b)"""
+    }.mkString(",\n         ")
+    s"""WITH ${BpeChainSql(n)},
+         e0 AS (SELECT word, '[' || array_to_string(
+                  regexp_extract_all(word, '.'), '][') || ']' AS seq
+                FROM (SELECT DISTINCT word FROM
+                  (SELECT unnest($ToksSql) AS word FROM documents))),
+         $encRounds,
+         wt AS (SELECT word,
+                  len(regexp_extract_all(seq, '\\[([^\\]]*)\\]', 1)) AS ntok
+                FROM e$n),
+         w AS (SELECT doc_id, unnest($ToksSql) AS word FROM documents)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(ntok) AS BIGINT) AS n_tokens
+         FROM w JOIN wt USING (word)
+         GROUP BY doc_id ORDER BY doc_id"""
+  }
 
   private def baseHashSql(s: String): String =
     s"CAST(CAST(concat('0x', substr(md5($s), 1, 15)) AS UBIGINT) % ${ext.Dedup.Prime} AS BIGINT)"
@@ -1947,6 +2012,114 @@ object SparkEntry {
          SELECT doc_id, CAST(h % 16 AS BIGINT) AS slot,
                 CAST(sum(((h // 256) % 2) * 2 - 1) AS BIGINT) AS val
          FROM h GROUP BY doc_id, slot ORDER BY doc_id, slot""",
+
+    // CCNet perplexity buckets: q74's scoring CTE + exact tercile value
+    // thresholds (quantile_cont ≡ Spark percentile, pos = (n−1)·q)
+    "q80_ppl_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents
+             WHERE len($ToksSql) >= 2),
+         gs AS (SELECT doc_id, t, unnest(generate_series(2, len(t))) AS g
+                FROM toks),
+         bg AS (SELECT doc_id, t[g-1] AS w1, t[g] AS w2 FROM gs),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         v AS (SELECT count(DISTINCT w) AS v
+               FROM (SELECT unnest(t) AS w FROM toks)),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  round(-avg(ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v))), 6)
+                    AS nll
+                FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                  CROSS JOIN v
+                GROUP BY doc_id),
+         thr AS (SELECT quantile_cont(nll, 1.0/3) AS t1,
+                        quantile_cont(nll, 2.0/3) AS t2 FROM sc)
+         SELECT doc_id, n_bigrams, nll,
+           CASE WHEN nll <= t1 THEN 'head'
+                WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+         FROM sc CROSS JOIN thr ORDER BY doc_id""",
+
+    // DSIR importance weights: hashed unigram+bigram features (60-bit md5
+    // prefix, 64 slots), add-1-smoothed log target/raw rate ratio
+    "q81_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+             $ToksSql AS t FROM documents),
+         uni AS (SELECT doc_id, tgt, unnest(t) AS f FROM toks),
+         bi AS (SELECT doc_id, tgt, t[g-1] || ' ' || t[g] AS f
+                FROM (SELECT doc_id, tgt, t,
+                        unnest(generate_series(2, len(t))) AS g
+                      FROM toks WHERE len(t) >= 2)),
+         fe AS (SELECT doc_id, tgt,
+                  CAST(CAST(concat('0x', substr(md5(f), 1, 15))
+                    AS UBIGINT) AS BIGINT) % 64 AS slot
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         rates AS (SELECT slot,
+                     sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                     sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+                   FROM fe GROUP BY slot),
+         tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM rates),
+         lr AS (SELECT slot, ln(ct + 1.0) - ln(nt + 64.0)
+                  - ln(cr + 1.0) + ln(nr + 64.0) AS lr
+                FROM rates CROSS JOIN tot),
+         dc AS (SELECT doc_id, slot, count(*) AS n FROM fe
+                WHERE NOT tgt GROUP BY doc_id, slot)
+         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+                round(sum(n * lr), 6) AS logw
+         FROM dc JOIN lr USING (slot) GROUP BY doc_id ORDER BY doc_id""",
+
+    // corpus datasheet: per-source volume, exact-dup ratio via md5
+    // digests, length percentiles, language spread
+    "q82_corpus_report" ->
+      s"""WITH t AS (SELECT source, lang, text,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           round(avg(tok), 6) AS mean_tokens,
+           round(1.0 - count(DISTINCT md5(text))
+             / CAST(count(*) AS DOUBLE), 6) AS dup_ratio,
+           quantile_cont(CAST(len(text) AS DOUBLE), 0.5) AS p50_chars,
+           quantile_cont(CAST(len(text) AS DOUBLE), 0.9) AS p90_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         FROM t GROUP BY source ORDER BY source""",
+
+    // BPE encoding: the generated training chain + rule fold over the
+    // distinct-word table, joined back per document
+    "q83_bpe_encode" -> BpeEncodeSql(8),
+
+    // DSIR Gumbel top-k: q81's weight CTE + deterministic (salt, id)-keyed
+    // Gumbel perturbation, top 200 by perturbed weight
+    "q84_dsir_select" ->
+      s"""WITH toks AS (SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+             $ToksSql AS t FROM documents),
+         uni AS (SELECT doc_id, tgt, unnest(t) AS f FROM toks),
+         bi AS (SELECT doc_id, tgt, t[g-1] || ' ' || t[g] AS f
+                FROM (SELECT doc_id, tgt, t,
+                        unnest(generate_series(2, len(t))) AS g
+                      FROM toks WHERE len(t) >= 2)),
+         fe AS (SELECT doc_id, tgt,
+                  CAST(CAST(concat('0x', substr(md5(f), 1, 15))
+                    AS UBIGINT) AS BIGINT) % 64 AS slot
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         rates AS (SELECT slot,
+                     sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                     sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+                   FROM fe GROUP BY slot),
+         tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM rates),
+         lr AS (SELECT slot, ln(ct + 1.0) - ln(nt + 64.0)
+                  - ln(cr + 1.0) + ln(nr + 64.0) AS lr
+                FROM rates CROSS JOIN tot),
+         dc AS (SELECT doc_id, slot, count(*) AS n FROM fe
+                WHERE NOT tgt GROUP BY doc_id, slot),
+         dw AS (SELECT doc_id, round(sum(n * lr), 6) AS logw
+                FROM dc JOIN lr USING (slot) GROUP BY doc_id),
+         g AS (SELECT doc_id, logw,
+                 (CAST(CAST(concat('0x', substr(md5(concat('dsir',
+                     CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT)
+                   AS BIGINT) % 1048576 + 0.5) / 1048576.0 AS u
+               FROM dw)
+         SELECT doc_id, logw, round(logw - ln(-ln(u)), 6) AS key
+         FROM g ORDER BY key DESC, doc_id LIMIT 200""",
 
     // decontamination audit: q60's corpus/bench split with the hit count
     // kept instead of collapsed into the anti-join

@@ -157,8 +157,9 @@ object TextAnalysis {
     * travel as `[sym][sym]…` strings so the merge application is a single
     * literal `replace` — left-to-right, non-overlapping, no rescan of the
     * replacement: exactly BPE's greedy semantics, and byte-identical
-    * between engines. Lineage is truncated every 16 rounds so deep merge
-    * schedules don't accumulate a 2·N-deep plan.
+    * between engines. The word table is materialized (localCheckpoint) up
+    * front — the rounds never re-scan the corpus — and lineage is re-cut
+    * every 16 rounds so deep schedules don't accumulate a 2·N-deep plan.
     * Output: (rank, lhs, rhs, n) — the merge table, rank ascending; stops
     * early (shorter output) if the vocabulary fully merges. */
   def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
@@ -175,9 +176,9 @@ object TextAnalysis {
     * artifact a real pipeline ships next to the merge rules). Same round
     * structure as the trainer; the final vocabulary's symbols explode
     * weighted by word frequency. Output: (subword, n).
-    * For merge schedules ≥ 16 rounds the returned frame is backed by the
-    * loop's last lineage checkpoint, which lives until the session drops
-    * it — materialize and release promptly in long-lived sessions. */
+    * The returned frame is backed by the loop's last lineage checkpoint,
+    * which lives until the session drops it — materialize and release
+    * promptly in long-lived sessions. */
   def bpeSubwords(df: org.apache.spark.sql.DataFrame, textCol: String,
       numMerges: Int): org.apache.spark.sql.DataFrame = {
     val (_, vocab, _) = bpeMerge(df, textCol, numMerges)
@@ -185,11 +186,52 @@ object TextAnalysis {
       .groupBy(col("subword")).agg(sum(col("cnt")).as("n"))
   }
 
+  /** Per-document token counts under the corpus-trained BPE tokenizer:
+    * learn [[bpeTrain]]'s merge schedule, encode every document with it,
+    * and report the token count the REAL tokenizer would produce — the
+    * number a pre-training budget is actually denominated in (whitespace
+    * counts under-count rare and agglutinated words, which fragment into
+    * several subwords). Composes with [[tokenBudget]]-style selection.
+    *
+    * Shape at 100 TB: training iterates on the materialized distinct-word
+    * table ([[bpeTrain]]); the collected N-rule schedule is then applied
+    * as ONE narrow projection folding N literal replaces over that same
+    * distinct-word table (word → subword count, corpus-size-independent),
+    * and the corpus-scale pass pre-aggregates per-document word counts
+    * map-side before joining the small word→count map (AQE broadcasts
+    * it). No corpus-scale shuffle beyond the per-doc word count.
+    *
+    * Output: (idCol, n_words, n_tokens) — n_words = word occurrences,
+    * n_tokens = BPE subword count after `numMerges` merges; zero-word
+    * documents emit no rows. */
+  def bpeEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, numMerges: Int): org.apache.spark.sql.DataFrame = {
+    val (rules, _, cp) = bpeMerge(df, textCol, numMerges)
+    cp.foreach(graft.util.Checkpoints.release)
+    val chars = call_function("regexp_extract_all",
+      col("word"), lit("."), lit(0))
+    val enc = rules.foldLeft(
+      concat(lit("["), array_join(chars, "]["), lit("]"))) {
+        case (c, (_, l, r, _)) =>
+          replace(c, lit(s"[$l][$r]"), lit(s"[$l$r]"))
+      }
+    val wtok = df.select(explode(wordTokens(textCol)).as("word")).distinct()
+      .select(col("word"), size(call_function("regexp_extract_all",
+        enc, lit("\\[([^\\]]*)\\]"), lit(1))).cast("long").as("ntok"))
+    df.select(col(idCol), explode(wordTokens(textCol)).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("nw"))
+      .join(wtok, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("nw")).as("n_words"),
+        sum(col("nw") * col("ntok")).as("n_tokens"))
+  }
+
   private def bpeSyms: Column = call_function("regexp_extract_all",
     col("seq"), lit("\\[([^\\]]*)\\]"), lit(1))
 
-  /** Shared BPE merge loop: (rules, final vocabulary (cnt, seq), last
-    * lineage checkpoint if one was taken). */
+  /** Shared BPE merge loop: (rules, final vocabulary (cnt, seq), the live
+    * lineage checkpoint backing the vocabulary — always present; callers
+    * that do not return the vocabulary must release it). */
   private def bpeMerge(df: org.apache.spark.sql.DataFrame, textCol: String,
       numMerges: Int): (Seq[(Long, String, String, Long)],
       org.apache.spark.sql.DataFrame,
@@ -201,6 +243,17 @@ object TextAnalysis {
       .select(col("cnt"), concat(lit("["),
         array_join(chars, "]["), lit("]")).as("seq"))
     var prev: Option[org.apache.spark.sql.DataFrame] = None
+    // materialize-and-rotate: each cut releases the previous checkpoint's
+    // blocks (the new one is eager, so the old lineage is never re-read)
+    def cut(): Unit = {
+      val cp = vocab.localCheckpoint(true)
+      prev.foreach(graft.util.Checkpoints.release)
+      prev = Some(cp); vocab = cp
+    }
+    // THE corpus pass: without this cut every round's pair-count action
+    // would re-scan the corpus through the groupBy lineage — N corpus
+    // passes instead of one, which at 100 TB is the whole cost
+    cut()
     val rules = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var exhausted = false
     for (r <- 1 to numMerges if !exhausted) {
@@ -222,11 +275,7 @@ object TextAnalysis {
         rules += ((r.toLong, l, rr, best(0).getLong(2)))
         vocab = vocab.withColumn("seq",
           replace(col("seq"), lit(s"[$l][$rr]"), lit(s"[$l$rr]")))
-        if (r % 16 == 0) {
-          val cp = vocab.localCheckpoint(true)
-          prev.foreach(graft.util.Checkpoints.release)
-          prev = Some(cp); vocab = cp
-        }
+        if (r % 16 == 0) cut()
       }
     }
     (rules.toSeq, vocab, prev)
@@ -549,4 +598,153 @@ object TextAnalysis {
       .withColumn("cum_tok", sum(col("ntok")).over(w))
       .filter(col("cum_tok") <= budget)
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    * every document with the corpus-trained bigram LM ([[lmScore]]) and
+    * split the corpus into head/middle/tail terciles of the nll
+    * distribution — the standard pre-training recipe keeps head (and
+    * often middle) and drops the gibberish tail.
+    *
+    * Buckets come from VALUE thresholds (the exact 1/3 and 2/3
+    * percentiles of nll), not from a global rank: classification is then
+    * a narrow broadcast-compare, with no single-task global window. The
+    * threshold aggregate itself is 1 output row; at 100 TB swap the
+    * exact percentile for `approx_percentile` (same plan shape) or
+    * train thresholds on a sample, as CCNet does. The scored subtree
+    * feeds both the thresholds and the output — its corpus-scale
+    * shuffle is computed once and reused (ReuseExchange), only the
+    * post-aggregate tail runs twice.
+    *
+    * Output: (idCol, n_bigrams, nll, bucket); docs with <2 tokens have
+    * no bigrams and are absent, like [[lmScore]]. */
+  def pplBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, addK: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    val scored = lmScore(df, idCol, textCol, addK)
+    val thr = scored.agg(percentile(col("nll"),
+        array(lit(1.0 / 3), lit(2.0 / 3))).as("t"))
+      .select(element_at(col("t"), 1).as("t1"),
+        element_at(col("t"), 2).as("t2"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("bucket",
+        when(col("nll") <= col("t1"), lit("head"))
+          .when(col("nll") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col("n_bigrams"), col("nll"), col("bucket"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every candidate
+    * (non-target) document by how much more likely its hashed n-gram
+    * features are under the target distribution than under the raw pool
+    * — log w(x) = Σ_f [ln p̂_tgt(slot(f)) − ln p̂_raw(slot(f))] over the
+    * document's unigram + bigram occurrences, with add-1 smoothing over
+    * `buckets` hashed slots. High-logw documents look like the target
+    * corpus; resample by logw (+ Gumbel noise, caller-side) to tilt the
+    * mixture.
+    *
+    * Feature hash = the corpus-wide 60-bit md5 prefix convention
+    * (cross-engine, same as [[featureHash]]); slot = h mod buckets.
+    *
+    * Shape at 100 TB: two corpus passes, both shuffle-light — (1) the
+    * slot-rate table aggregates target and raw counts in ONE map-side
+    * combined groupBy over `buckets` keys (output ≤ buckets rows,
+    * broadcast back with the two totals riding a 1-row cross join); (2)
+    * per-doc (id, slot) counts combine map-side to ≤ buckets rows per
+    * document before joining the broadcast rate table. No global sort,
+    * no driver data path.
+    *
+    * Output: (idCol, n_feats, logw) for candidate documents with ≥1
+    * token, logw rounded at 6 dp, higher = more target-like. */
+  def dsirWeights(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, isTarget: Column,
+      buckets: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = df.select(col(idCol).as("doc_id"), isTarget.as("tgt"),
+      wordTokens(textCol).as("ts"))
+    val uni = toks.select(col("doc_id"), col("tgt"),
+      explode(col("ts")).as("f"))
+    val bi = toks.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("tgt"),
+        explode(transform(sequence(lit(2), size(col("ts"))), g =>
+          concat(element_at(col("ts"), g - 1), lit(" "),
+            element_at(col("ts"), g)))).as("f"))
+    val feats = uni.unionByName(bi).select(col("doc_id"), col("tgt"),
+      pmod(expr("CAST(conv(substring(md5(f),1,15),16,10) AS BIGINT)"),
+        lit(buckets)).as("slot"))
+    val rates = feats.groupBy(col("slot"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+    val totals = rates.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lr = rates.crossJoin(broadcast(totals))
+      .select(col("slot"),
+        (log(col("ct") + 1.0) - log(col("nt") + lit(buckets.toDouble))
+          - log(col("cr") + 1.0)
+          + log(col("nr") + lit(buckets.toDouble))).as("lr"))
+    feats.filter(!col("tgt"))
+      .groupBy(col("doc_id"), col("slot"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(lr), Seq("slot"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_feats"),
+        round(sum(col("n") * col("lr")), 6).as("logw"))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** DSIR selection (Xie et al. 2023 §3, Gumbel top-k): sample the `k`
+    * most target-like candidate documents WITHOUT replacement from the
+    * importance distribution — equivalent to drawing by softmax(logw) —
+    * by perturbing each [[dsirWeights]] score with deterministic Gumbel
+    * noise g = −ln(−ln u) and keeping the k largest logw + g. The noise
+    * is keyed on (salt, id) through the corpus-wide md5 convention, so
+    * the draw is reproducible across runs, engines, and layouts.
+    *
+    * Shape at 100 TB: the perturbation is a narrow map over the weight
+    * table; top-k is Spark's TakeOrdered (per-partition k, driver merges
+    * k per partition) — no global sort. Ties break on id.
+    *
+    * Output: (idCol, logw, key), the k selected rows, key descending. */
+  def dsirSelect(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, isTarget: Column, k: Int,
+      buckets: Int = 64, salt: String = "dsir"):
+      org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = expr(s"CAST(conv(substring(md5(concat('$salt', " +
+      s"CAST(`$idCol` AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    val u = (pmod(h, lit(1048576L)).cast("double") + 0.5) / 1048576.0
+    dsirWeights(df, idCol, textCol, isTarget, buckets)
+      .withColumn("key", round(col("logw") - log(-log(u)), 6))
+      .orderBy(col("key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("logw"), col("key"))
+  }
+
+  /** Corpus datasheet: the per-source summary a dataset card reports
+    * before training — document and token volume, exact-duplicate ratio,
+    * length percentiles, and language spread.
+    *
+    * Shape at 100 TB: ONE groupBy(source) pass; the md5-distinct count
+    * expands once (Spark's single-distinct rewrite), the exact
+    * percentiles carry a value→count map whose cardinality is bounded by
+    * distinct document lengths (swap for `approx_percentile` /
+    * `approx_count_distinct` when even that is too wide). No driver data
+    * path; output is one row per source.
+    *
+    * Output: (source, n_docs, n_tokens, mean_tokens, dup_ratio,
+    * p50_chars, p90_chars, n_langs), ratios at 6 dp. */
+  def corpusReport(df: org.apache.spark.sql.DataFrame,
+      srcCol: String = "source", textCol: String = "text",
+      langCol: String = "lang"): org.apache.spark.sql.DataFrame =
+    df.select(col(srcCol).as("source"),
+        tokenCount(textCol).cast("long").as("ntok"),
+        length(col(textCol)).cast("double").as("nch"),
+        md5(col(textCol).cast("binary")).as("dig"), col(langCol).as("lang"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        round(avg(col("ntok")), 6).as("mean_tokens"),
+        round(lit(1.0) - count_distinct(col("dig")) /
+          count(lit(1)).cast("double"), 6).as("dup_ratio"),
+        percentile(col("nch"), lit(0.5)).as("p50_chars"),
+        percentile(col("nch"), lit(0.9)).as("p90_chars"),
+        count_distinct(col("lang")).as("n_langs"))
 }

@@ -323,6 +323,107 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("pplBuckets terciles are consistent with lmScore and exact percentiles") {
+    import graft.ext.TextAnalysis
+    val rnd = new Random(37)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee")
+    val docs = (0 until 30).map(i => (i.toLong,
+      (0 until (2 + rnd.nextInt(15))).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val scored = TextAnalysis.lmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // exact (n−1)·q percentile over the scored nll values
+    def pct(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted
+      val p = q * (s.length - 1)
+      val lo = p.toInt
+      val frac = p - lo
+      if (lo + 1 < s.length) s(lo) * (1 - frac) + s(lo + 1) * frac else s(lo)
+    }
+    val nlls = scored.values.toSeq
+    val (t1, t2) = (pct(nlls, 1.0 / 3), pct(nlls, 2.0 / 3))
+    val got = TextAnalysis.pplBuckets(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    assert(got.map(_._1).toSet == scored.keySet)
+    got.foreach { case (id, nll, bucket) =>
+      assert(nll == scored(id))
+      val exp = if (nll <= t1) "head" else if (nll <= t2) "middle" else "tail"
+      assert(bucket == exp, s"doc $id nll=$nll t1=$t1 t2=$t2")
+    }
+    assert(got.map(_._3).toSet == Set("head", "middle", "tail"))
+  }
+
+  test("dsirWeights equals a local reference and ranks target-like docs higher") {
+    import graft.ext.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    // target speaks (xx yy)+; one candidate mimics it, one is disjoint
+    val docs = Seq(
+      (0L, "tgt", "xx yy xx yy xx yy"), (1L, "tgt", "xx yy zz xx yy"),
+      (2L, "raw", "xx yy xx yy"), (3L, "raw", "pp qq rr pp qq"),
+      (4L, "raw", "xx yy pp qq"), (5L, "raw", "zz zz zz"))
+    val df = docs.toDF("doc_id", "source", "text")
+    val B = 16
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    def feats(t: String): Seq[Long] = {
+      val ts = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+      val uni = ts.map(h)
+      val bi = if (ts.length >= 2)
+        ts.sliding(2).map(p => h(p(0) + " " + p(1))).toSeq else Nil
+      (uni ++ bi).map(x => x % B)
+    }
+    val tgtF = docs.filter(_._2 == "tgt").flatMap(d => feats(d._3))
+    val rawF = docs.filter(_._2 == "raw").flatMap(d => feats(d._3))
+    val ct = tgtF.groupBy(identity).map { case (s, v) => s -> v.length }
+    val cr = rawF.groupBy(identity).map { case (s, v) => s -> v.length }
+    val expected = docs.filter(_._2 == "raw").map { case (id, _, t) =>
+      val fs = feats(t)
+      val lw = fs.map(s =>
+        math.log((ct.getOrElse(s, 0) + 1.0) / (tgtF.length + B)) -
+        math.log((cr.getOrElse(s, 0) + 1.0) / (rawF.length + B))).sum
+      id -> ((fs.length.toLong, lw))
+    }.toMap
+    val got = TextAnalysis.dsirWeights(df, "doc_id", "text",
+        col("source") === "tgt", B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == expected.keySet)
+    val byId = got.map(g => g._1 -> g).toMap
+    expected.foreach { case (id, (n, lw)) =>
+      assert(byId(id)._2 == n)
+      assert(math.abs(byId(id)._3 - lw) < 1e-6)
+    }
+    // the mimic outranks the partial overlap, which outranks the disjoint
+    assert(byId(2L)._3 > byId(4L)._3 && byId(4L)._3 > byId(3L)._3)
+  }
+
+  test("corpusReport matches a local reference datasheet") {
+    import graft.ext.TextAnalysis
+    val docs = Seq(
+      (0L, "s1", "en", "one two three"), (1L, "s1", "en", "one two three"),
+      (2L, "s1", "de", "vier funf"), (3L, "s2", "en", "a b c d"),
+      (4L, "s2", "fr", "   "), (5L, "s2", "fr", "e f"))
+    val got = TextAnalysis.corpusReport(
+        docs.toDF("doc_id", "source", "lang", "text"))
+      .orderBy("source").collect()
+    assert(got.length == 2)
+    val s1 = got(0)
+    assert(s1.getString(0) == "s1" && s1.getLong(1) == 3)
+    assert(s1.getLong(2) == 8)               // 3 + 3 + 2 tokens
+    assert(s1.getDouble(4) == math.floor((1.0 - 2.0 / 3) * 1e6 + 0.5) / 1e6)
+    assert(s1.getLong(7) == 2)               // en, de
+    val s2 = got(1)
+    assert(s2.getLong(1) == 3 && s2.getLong(2) == 6) // 4 + 0 + 2 tokens
+    assert(s2.getDouble(4) == 0.0)           // all distinct
+    // p50 of lengths (7, 3, 3) = 3.0; p90 = 0.9·(n−1) interpolation
+    assert(s2.getDouble(5) == 3.0)
+    assert(math.abs(s2.getDouble(6) - (3 + 0.8 * 4)) < 1e-9)
+    assert(s2.getLong(7) == 2)               // en, fr
+  }
+
   test("−99 sentinel masking round-trips through unmask") {
     import graft.sources.Ingest
     val rnd = new Random(11)

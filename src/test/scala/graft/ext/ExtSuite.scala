@@ -242,6 +242,44 @@ class TextAnalysisSuite extends AnyFunSuite {
       ("n", 1L), ("s", 1L), ("t", 1L), ("w", 1L)))
   }
 
+  test("bpeEncode: real token counts under the trained schedule") {
+    // same corpus/schedule as the bpeTrain test — after (l,o) (lo,w) (e,r)
+    // (low,er): low → 1 subword, lower → 1, newest → 6 characters (none of
+    // its adjacent pairs ever win a merge round)
+    val df = Seq((1L, "low low low lower lower newest"), (2L, "  "))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(df, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 6L, 3L * 1 + 2L * 1 + 6L))) // doc 2 absent
+  }
+
+  test("dsirSelect: deterministic Gumbel top-k over the weight table") {
+    val docs = Seq(
+      (1L, true, "alpha beta alpha"),
+      (2L, true, "alpha beta gamma"),
+      (3L, false, "alpha beta alpha beta"),
+      (4L, false, "delta epsilon zeta"),
+      (5L, false, "alpha gamma beta")
+    ).toDF("doc_id", "tgt", "text")
+    val sel = TextAnalysis.dsirSelect(docs, "doc_id", "text", col("tgt"), 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(sel.length == 2)
+    // independent reference: dsirWeights + MessageDigest-keyed Gumbel noise
+    val w = TextAnalysis.dsirWeights(docs, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def h60(s: String) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    def key(id: Long) = {
+      val u = (h60("dsir" + id) % 1048576L + 0.5) / 1048576.0
+      math.round((w(id) - math.log(-math.log(u))) * 1e6) / 1e6
+    }
+    val expect = w.keys.toSeq.map(id => (id, w(id), key(id)))
+      .sortBy { case (id, _, k) => (-k, id) }.take(2)
+    assert(sel.toSeq.sortBy(t => (-t._3, t._1)) == expect)
+  }
+
   test("selectByTokenBudget: quality ranking, atomic prefix cut, per-source budgets") {
     val docs = Seq(
       // source a — quality-ranked: d1(0.9, 3), d2(0.8, 4), d3(0.7, 2), d4(0.6, 1)
