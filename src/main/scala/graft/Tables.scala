@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md). */
 object Tables {
@@ -12,12 +12,19 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    // long (spark.sql.legacy.parquet.nanosAsLong) — convert to a micros
-    // timestamp (floor), matching engines that truncate nanos to micros.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    // events.ts arrives in whatever physical form the generator used:
+    //  - TIMESTAMP(NANOS), which Spark only reads as a long
+    //    (spark.sql.legacy.parquet.nanosAsLong) → floor to micros;
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    //    TIMESTAMP_NTZ when inferTimestampNTZ is on → cast to LTZ.
+    // Both normalize to TIMESTAMP_LTZ; the session timezone is UTC
+    // everywhere, so the NTZ→LTZ cast is wall-clock identity and epoch
+    // functions (unix_micros etc.) see the same instants the oracle does.
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    } else df
   }
 
   /** Register every table as a temp view for spark.sql use. */
