@@ -979,6 +979,61 @@ object SparkEntry {
           round(ext.TextAnalysis.dupParaFraction(aug), 6).as("dup_para"))
         .orderBy("doc_id")
     }),
+
+    // ext: per-domain cap — keep the 10 best (longest) docs per source;
+    // the rank-limit window compiles to WindowGroupLimit partial top-N
+    "q85_domain_cap" -> ((s, dir) =>
+      ext.Sampling.capPerGroupByScore(
+        Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id", 10)
+        .orderBy("source", "doc_id")),
+
+    // ext: exact top-20 tokens without a vocabulary shuffle — Misra-Gries
+    // candidate sketch + exact recount of the retained set
+    "q86_heavy_hitters" -> ((s, dir) =>
+      ext.TextAnalysis.heavyHitters(
+        Tables.load(s, dir, "documents"), "text", 20)),
+
+    // ext: Bloom-prefiltered decontamination — q60's semantics (and
+    // oracle, verbatim) through a bloom prune + exact confirm join
+    "q87_decontam_bloom" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      ext.Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // ext: incremental snapshot diff — old/new corpus versions synthesized
+    // deterministically from md5 buckets (5% added since old, 3% removed,
+    // 10% edited via an appended marker), classified by content digest
+    "q88_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def bucket(salt: String) = ext.Sampling.hashBucket(col("doc_id"), salt)
+      def cut(f: Double) = lit((f * ext.Sampling.Space).toLong)
+      val oldSnap = docs.filter(bucket("add") >= cut(0.05))
+        .withColumn("text", when(bucket("ed") < cut(0.10),
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val newSnap = docs.filter(bucket("rm") >= cut(0.03))
+      ext.Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ext: weighted sampling without replacement (Efraimidis-Spirakis),
+    // weight = n_chars — reproducible k-row draw, TakeOrdered plan
+    "q89_weighted_sample" -> ((s, dir) =>
+      ext.Sampling.weightedSampleK(
+        Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", "n_chars", 100, salt = "ws")
+        .orderBy("doc_id")),
+
+    // ext: robust outlier flags — modified z-score against per-type
+    // median/MAD, |M| > 3.5; the mean-free gate outliers can't drag
+    "q90_robust_outliers" -> ((s, dir) =>
+      ext.Outliers.robustFlags(
+        Tables.load(s, dir, "events"), "event_type", "event_id", "value")
+        .orderBy("event_type", "event_id")),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -2185,5 +2240,68 @@ object SparkEntry {
              THEN 1 - CAST(len(list_distinct(ps)) AS DOUBLE) / len(ps)
              ELSE 0 END, 6) AS dup_para
          FROM l ORDER BY doc_id""",
+
+    "q85_domain_cap" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         QUALIFY row_number() OVER (PARTITION BY source
+           ORDER BY n_chars DESC, doc_id) <= 10
+         ORDER BY source, doc_id""",
+
+    "q86_heavy_hitters" ->
+      s"""SELECT word AS token, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest($ToksSql) AS word FROM documents)
+         GROUP BY word ORDER BY cnt DESC, token LIMIT 20""",
+
+    // same semantics (and SQL) as q60 — the bloom prune is an internal
+    // optimization the exact confirm join erases
+    "q87_decontam_bloom" ->
+      s"""WITH b AS (SELECT DISTINCT unnest($ShinglesSql) AS sh
+             FROM documents WHERE doc_id % 97 = 0),
+         ce AS (SELECT doc_id, unnest($ShinglesSql) AS sh
+             FROM documents WHERE doc_id % 97 <> 0),
+         bad AS (SELECT DISTINCT doc_id FROM ce WHERE sh IN (SELECT sh FROM b))
+         SELECT doc_id FROM documents
+         WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
+
+    "q88_snapshot_diff" -> {
+      val cut05 = (0.05 * ext.Sampling.Space).toLong
+      val cut10 = (0.10 * ext.Sampling.Space).toLong
+      val cut03 = (0.03 * ext.Sampling.Space).toLong
+      s"""WITH o AS (SELECT doc_id,
+               md5(CASE WHEN ${BucketSql("ed", "doc_id")} < $cut10
+                 THEN concat(text, ' v2') ELSE text END) AS dig_old
+             FROM documents WHERE ${BucketSql("add", "doc_id")} >= $cut05),
+         n AS (SELECT doc_id, md5(text) AS dig_new
+             FROM documents WHERE ${BucketSql("rm", "doc_id")} >= $cut03)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN dig_old = dig_new THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         ORDER BY doc_id"""
+    },
+
+    // the A-ES key replays weightedSampleK's IEEE steps exactly:
+    // u = (bucket + 0.5) / 2^60, key = -ln(u) / weight
+    "q89_weighted_sample" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+         ORDER BY -ln((CAST(${BucketSql("ws", "doc_id")} AS DOUBLE) + 0.5)
+             / CAST(${ext.Sampling.Space} AS DOUBLE))
+           / CAST(n_chars AS DOUBLE), doc_id
+         LIMIT 100""",
+
+    "q90_robust_outliers" ->
+      """WITH s AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY event_type),
+         m AS (SELECT e.event_type,
+               quantile_cont(abs(e.value - s.med), 0.5) AS mad
+             FROM events e JOIN s USING (event_type) GROUP BY e.event_type)
+         SELECT e.event_type, e.event_id, e.value,
+           0.6745 * (e.value - s.med) / m.mad AS mz
+         FROM events e JOIN s USING (event_type) JOIN m USING (event_type)
+         WHERE m.mad > 0 AND abs(0.6745 * (e.value - s.med) / m.mad) > 3.5
+         ORDER BY event_type, event_id""",
   )
 }

@@ -448,6 +448,72 @@ object Dedup {
         TextAnalysis.hashedShingles(textCol, n), sh), lit(false)))
   }
 
+  /** Decontamination through a BLOOM prefilter — the middle of the
+    * broadcast-size spectrum. [[decontaminateBroadcast]] ships exact
+    * sorted longs (8 B/shingle, capped at 5M); [[decontaminate]] pays a
+    * full shuffle join. This variant ships a Bloom filter (~1.2 B/shingle
+    * at 1% fpp — an order of magnitude more bench headroom under the same
+    * broadcast budget) as a narrow per-row prefilter, then confirms the
+    * few survivors through the exact shingle join.
+    *
+    * EXACT despite the sketch: a Bloom filter has no false negatives, so
+    * every truly contaminated document reaches the confirm join; false
+    * positives only cost those documents a pointless (tiny) join probe.
+    * Result ≡ [[decontaminate]] row-for-row, pinned by DedupSuite.
+    *
+    * Shape at 100 TB: the corpus-side scan is one shuffle-free codegen
+    * filter ([[graft.functions.ArrayMightContainBloom]]); the exact
+    * shingle join runs over ~(contaminated + fpp · corpus) documents
+    * instead of the whole corpus — at 1% fpp the join input is ~99%
+    * smaller. The bench side is scanned twice (distinct-count + filter
+    * build, both vocabulary-sized aggregations on MB-scale eval suites);
+    * null-text corpus rows survive, matching the join shape. */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    val bsh = bench
+      .select(explode(TextAnalysis.hashedShingles(textCol, n)).as("sh"))
+      .distinct()
+    val expected = math.max(bsh.count(), 1L)
+    val bloom = bsh.stat.bloomFilter("sh", expected, fpp)
+    val candidates = corpus.filter(coalesce(
+      graft.functions.ArrayMightContainBloom.column(
+        TextAnalysis.hashedShingles(textCol, n), bloom), lit(false)))
+    val contaminated = candidates
+      .select(col(idCol), explode(TextAnalysis.hashedShingles(textCol, n)).as("sh"))
+      .join(bsh, "sh")
+      .select(col(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Incremental corpus snapshot diff: classify every document id across
+    * two corpus versions as `added` / `removed` / `changed` / `unchanged`
+    * by content digest — the planning step of an incremental pipeline run
+    * (re-embed/re-score only `added`+`changed`, retire `removed`, skip the
+    * usually-overwhelming `unchanged` majority instead of reprocessing
+    * 100 TB because 0.1% moved).
+    *
+    * Shape at 100 TB: each side reduces to (id, md5(text)) — a narrow
+    * projection shipping 16-byte digests, never text — then ONE full-outer
+    * shuffle join on the id. Corpus stores bucketed by `idCol` (e.g.
+    * [[graft.sources.BlockModelStore]]-style layouts) make that join
+    * co-located and shuffle-free. Output: (idCol, status). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    // digest never null even for null text (sentinel), so presence is
+    // carried by the digest itself and a null-text document still diffs
+    val dig = (c: Column) => coalesce(md5(c.cast("binary")), lit("<null>"))
+    val o = oldDf.select(col(idCol), dig(col(textCol)).as("_dig_old"))
+    val n = newDf.select(col(idCol), dig(col(textCol)).as("_dig_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_dig_old").isNull, lit("added"))
+          .when(col("_dig_new").isNull, lit("removed"))
+          .when(col("_dig_old") === col("_dig_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Corpus-level LINE deduplication (the RefinedWeb/CCNet recipe): a line
     * whose exact text occurs more than `maxOccurrences` times ACROSS the
     * corpus (boilerplate: headers, nav bars, license blurbs) is dropped

@@ -132,4 +132,51 @@ object Sampling {
       .filter(col("_samp_rnk") <= n)
       .drop("_samp_rnk")
   }
+
+  /** Per-group cap by a SCORE: keep the `cap` best rows of each group,
+    * ranked (scoreCol DESC, idCol ASC) — the "keep the N best documents
+    * per domain" guard a web corpus runs before training (a handful of
+    * mirror/spam domains otherwise dominate the token budget).
+    *
+    * Semantics: `row_number() OVER (PARTITION BY group ORDER BY score
+    * DESC, id) <= cap`. The scale shape comes from Catalyst's
+    * WindowGroupLimit rewrite: a rank-limit window compiles to a PARTIAL
+    * per-input-partition top-`cap` (a bounded heap, no sort) BEFORE the
+    * shuffle and a final top-`cap` after it, so a hot domain with 10⁹
+    * pages ships at most `cap` rows per map task — the shuffle carries
+    * O(cap · partitions) rows per group, never the group itself.
+    * SamplingSuite pins the WindowGroupLimit node in the physical plan so
+    * a regression back to a full-sort window is caught. */
+  def capPerGroupByScore(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("_cap_rnk", row_number().over(w))
+      .filter(col("_cap_rnk") <= cap)
+      .drop("_cap_rnk")
+  }
+
+  /** Weighted sampling WITHOUT replacement, k rows, deterministic
+    * (Efraimidis–Spirakis A-ES): each row draws `u` uniform on (0,1) from
+    * the content hash and keeps key = −ln(u)/w; the k smallest keys win.
+    * Inclusion probability is proportional to weight at every prefix, the
+    * draw is reproducible on any engine that can compute md5, and the
+    * plan is a TakeOrderedAndProject — per-partition top-k then a driver
+    * merge of k·P rows, never a global sort. Ties (same key, possible
+    * only for equal (u, w) pairs) break on the id.
+    *
+    * `u` is (bucket + 0.5) / 2⁶⁰ — strictly inside (0,1), so the log is
+    * finite; weights must be strictly positive. */
+  def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (hashBucket(col(idCol), salt).cast("double") + lit(0.5)) /
+      lit(Space.toDouble)
+    val key = -log(u) / col(weightCol).cast("double")
+    df.withColumn("_wsk", key)
+      .orderBy(col("_wsk").asc, col(idCol).asc)
+      .limit(k)
+      .drop("_wsk")
+  }
 }

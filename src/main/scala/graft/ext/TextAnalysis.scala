@@ -747,4 +747,41 @@ object TextAnalysis {
         percentile(col("nch"), lit(0.5)).as("p50_chars"),
         percentile(col("nch"), lit(0.9)).as("p90_chars"),
         count_distinct(col("lang")).as("n_langs"))
+
+  /** EXACT top-`k` most frequent word tokens, computed without a
+    * vocabulary-sized shuffle.
+    *
+    * A plain `explode → groupBy(token) → orderBy(count)` hash-partitions
+    * the full VOCABULARY — hundreds of millions of distinct keys on a
+    * web-scale corpus, a shuffle whose size has nothing to do with the
+    * answer (k rows). This runs two linear passes instead:
+    *
+    *  1. one [[graft.agg.MisraGriesAgg]] summary over the token stream —
+    *     partial per-partition bounded maps, one merge of `capacity`-sized
+    *     sketches to the driver, NO token shuffle. The sketch's retained
+    *     set provably contains every token with frequency > n/(capacity+1);
+    *  2. an exact recount of ONLY the retained candidates: a narrow
+    *     `InSet` filter (≤ capacity strings broadcast with the plan), then
+    *     a groupBy whose key space is ≤ capacity — the map-side partial
+    *     aggregation collapses everything before the (tiny) shuffle.
+    *
+    * The result is EXACT (counts come from the recount, not the sketch)
+    * whenever the k-th true frequency exceeds n/(capacity+1) — with the
+    * default capacity=4096 that means "the 20th most common word appears
+    * in more than 0.02% of tokens", comfortably true of natural-language
+    * corpora at any scale (Zipf); size capacity ≥ n/f_k when in doubt.
+    * Ties break lexicographically. Output: (token, cnt), count-desc. */
+  def heavyHitters(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int, capacity: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(k > 0 && capacity >= k, s"need capacity >= k > 0, got k=$k capacity=$capacity")
+    val toks = df.select(explode(wordTokens(textCol)).as("token"))
+    val candidates = toks
+      .agg(graft.agg.MisraGriesAgg(col("token"), capacity).as("cand"))
+      .head().getSeq[String](0)
+    toks.filter(col("token").isInCollection(candidates))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+  }
 }

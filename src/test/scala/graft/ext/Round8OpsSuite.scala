@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.agg.SparkTest
+
+/** Round-8 operators: domain cap, heavy hitters, bloom decontamination,
+  * snapshot diff, weighted sampling, robust outliers. */
+class Round8OpsSuite extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  // ---- capPerGroupByScore ------------------------------------------------
+
+  test("capPerGroupByScore equals the naive rank window, ties and small groups included") {
+    val df = Seq(
+      // group a: 6 rows, score ties at 5
+      ("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 7.0), ("a", 4L, 1.0),
+      ("a", 5L, 5.0), ("a", 6L, 9.0),
+      // group b: smaller than the cap
+      ("b", 7L, 2.0), ("b", 8L, 3.0)).toDF("g", "id", "score")
+    val got = Sampling.capPerGroupByScore(df, "g", "score", "id", 3)
+      .orderBy("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"id".asc)
+    val want = df.withColumn("r", row_number().over(w)).filter($"r" <= 3)
+      .orderBy("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
+    // score ties at the boundary break toward the smaller id
+    assert(got.toSeq == Seq(("a", 1L), ("a", 3L), ("a", 6L), ("b", 7L), ("b", 8L)))
+  }
+
+  test("capPerGroupByScore compiles to a WindowGroupLimit partial top-N") {
+    val df = Seq(("a", 1L, 2.0), ("a", 2L, 3.0)).toDF("g", "id", "score")
+    val plan = Sampling.capPerGroupByScore(df, "g", "score", "id", 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit partial top-N in plan:\n$plan")
+  }
+
+  // ---- weightedSampleK ---------------------------------------------------
+
+  test("weightedSampleK returns k rows and replays the A-ES formula exactly") {
+    val rows = (1L to 200L).map(i => (i, (i % 7 + 1).toDouble))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSampleK(df, "id", "w", 20, salt = "t")
+      .select("id").as[Long].collect().toSet
+    // replay: u from the same md5 bucket, key = -ln(u)/w, 20 smallest
+    val bucketed = df.select($"id", $"w",
+      Sampling.hashBucket($"id", "t").as("b")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val want = bucketed.map { case (id, w, b) =>
+      (-math.log((b.toDouble + 0.5) / Sampling.Space.toDouble) / w, id)
+    }.sortBy(identity).take(20).map(_._2).toSet
+    assert(got == want)
+    assert(got.size == 20)
+  }
+
+  test("weightedSampleK favors heavy weights and caps at the row count") {
+    // two strata: weight 50 vs weight 1 — the heavy half should dominate
+    val df = (1L to 100L).map(i => (i, if (i <= 50) 50.0 else 1.0))
+      .toDF("id", "w")
+    val picked = Sampling.weightedSampleK(df, "id", "w", 30, salt = "bias")
+      .select("id").as[Long].collect()
+    assert(picked.count(_ <= 50L) >= 25, s"heavy stratum underdrawn: ${picked.toSeq}")
+    assert(Sampling.weightedSampleK(df, "id", "w", 500).count() == 100)
+  }
+
+  // ---- heavyHitters / MisraGriesAgg --------------------------------------
+
+  test("heavyHitters equals the exact top-k on a Zipf-ish corpus") {
+    // token t_i appears ~ 200/i times; plenty of one-off noise tokens
+    val words = (1 to 40).flatMap(i => Seq.fill(200 / i)(s"t$i")) ++
+      (1 to 300).map(i => s"noise$i")
+    val docs = words.grouped(17).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.heavyHitters(docs, "text", 10, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = docs.select(explode(TextAnalysis.wordTokens("text")).as("t"))
+      .groupBy("t").count().orderBy($"count".desc, $"t".asc).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exact)
+  }
+
+  test("MisraGries retains every value above the n/(c+1) frequency bound") {
+    // n = 1000; capacity 9 → guarantee threshold n/10 = 100
+    val stream = Seq.fill(300)("hot1") ++ Seq.fill(200)("hot2") ++
+      (1 to 500).map(i => s"cold$i")
+    val retained = stream.toDF("t")
+      .agg(graft.agg.MisraGriesAgg(col("t"), 9))
+      .head().getSeq[String](0).toSet
+    assert(retained.contains("hot1") && retained.contains("hot2"))
+    assert(retained.size <= 9)
+  }
+
+  // ---- decontaminateBloom ------------------------------------------------
+
+  test("decontaminateBloom equals the exact join shape, null text surviving") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma something else"), // shares a 3-gram with bench
+      (4L, null.asInstanceOf[String]),
+      (5L, "totally clean text here indeed")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val got = Dedup.decontaminateBloom(corpus, bench, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val want = Dedup.decontaminate(corpus, bench, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == want)
+    assert(got == Seq(2L, 4L, 5L)) // 1 and 3 share the bench 3-gram; null survives
+  }
+
+  // ---- snapshotDiff ------------------------------------------------------
+
+  test("snapshotDiff classifies added/removed/changed/unchanged, null text included") {
+    val old = Seq(
+      (1L, "same"), (2L, "before"), (3L, "gone"),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val cur = Seq(
+      (1L, "same"), (2L, "after"), (4L, "fresh"),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = Dedup.snapshotDiff(old, cur, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"))
+  }
+
+  // ---- robustFlags -------------------------------------------------------
+
+  test("robustFlags finds planted outliers and skips zero-MAD keys") {
+    val normal = (1L to 50L).map(i => ("a", i, (i % 11).toDouble))
+    val planted = Seq(("a", 98L, 500.0), ("a", 99L, -500.0))
+    val constant = (200L to 220L).map(i => ("b", i, 42.0)) :+ ("b", 221L, 9000.0)
+    val df = (normal ++ planted ++ constant).toDF("k", "id", "v")
+    val got = Outliers.robustFlags(df, "k", "id", "v")
+      .select("id").as[Long].collect().toSet
+    // the two planted extremes flag; the zero-MAD 'b' key flags nothing
+    assert(got == Set(98L, 99L))
+  }
+}
