@@ -180,6 +180,41 @@ object Bench {
         System.err.println(s"dedup_scale_probe failed: ${e.getMessage}")
     }
 
+    // 16×-scale sketch probe (full runs only): heavy hitters (Misra-Gries
+    // sketch + exact recount) and bloom decontamination on the replicated
+    // corpus. Both operators are built INSIDE the timed thunk — their
+    // driver-side steps (the sketch merge, the bloom build + collect) are
+    // part of the operator's cost and must not leak outside the window
+    // the way a pre-built DataFrame would hide them. ratio_16x ≈ 16
+    // certifies the sketch passes stay linear (bounded sketch state, no
+    // vocabulary shuffle) while the corpus grows 16×.
+    if (probeOn("sketch")) try {
+      def timeThunk(mk: => org.apache.spark.sql.DataFrame): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime(); mk.count(); (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once(), once())
+      }
+      val probe = Seq(1, 16).map { f =>
+        dropCaches()
+        val (docs, bench) = SparkEntry.probeCorpus(spark, sfDir, f)
+        f -> Seq(
+          "heavy_hitters" ->
+            timeThunk(ext.TextAnalysis.heavyHitters(docs, "text", 20)),
+          "decontam_bloom" ->
+            timeThunk(ext.Dedup.decontaminateBloom(docs, bench, "text", "doc_id")))
+      }.toMap
+      val lines = probe(16).zip(probe(1)).map { case ((name, t16), (_, t1)) =>
+        s"\"$name\":{\"sec_1x\":$t1,\"sec_16x\":$t16," +
+          s"\"ratio_16x\":${t16 / math.max(t1, 1e-9)}}"
+      }.mkString("{", ",", "}")
+      val l = s"""{"metric":"sketch_scale_probe","probes_isolated":true,"factor":16,"ops":$lines}"""
+      println(l); extraLines += l
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"sketch_scale_probe failed: ${e.getMessage}")
+    }
+
     // 100×-row window/join probe (full runs only): q32's per-key running
     // window and q42's interval-join attribution with keys replicated
     // disjointly. Certification is PER-ROW cost (like the geometry probe):

@@ -99,8 +99,11 @@ object SparkEntry {
     * document frequency, and the measured "scale ratio" explodes ~100×
     * from candidate volume the real corpus doesn't have — a probe
     * artifact, verified empirically at sf0.1.) */
-  def dedupProbe(s: SparkSession, dir: String, factor: Int)
-      : (Map[String, DataFrame], Map[String, DataFrame]) = {
+  /** Replicated probe corpus (docs, benchSlice) shared by the dedup and
+    * sketch scale probes — factor× textually-disjoint copies, EAGERLY
+    * materialized so probes time the operator, not the corpus build. */
+  def probeCorpus(s: SparkSession, dir: String, factor: Int)
+      : (DataFrame, DataFrame) = {
     val base = Tables.load(s, dir, "documents")
     // id stride above the corpus maximum so replica id ranges are disjoint
     // at any corpus scale (a fixed stride would collide past it)
@@ -130,6 +133,12 @@ object SparkEntry {
     // contamination hits are constant while the corpus grows factor×
     val bench = copy(0).filter(col("doc_id") % 100 === 0)
       .localCheckpoint(true)
+    (docs, bench)
+  }
+
+  def dedupProbe(s: SparkSession, dir: String, factor: Int)
+      : (Map[String, DataFrame], Map[String, DataFrame]) = {
+    val (docs, bench) = probeCorpus(s, dir, factor)
     val ops = Map(
       "minhash_lsh" -> ext.Dedup.minhashLsh(docs, "text", "doc_id",
         numHashes = 16, bands = 4, minJaccard = 0.3),

@@ -57,6 +57,14 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got.size == 20)
   }
 
+  test("weightedSampleK plans as TakeOrderedAndProject (no global sort)") {
+    val df = (1L to 50L).map(i => (i, 1.0 + i)).toDF("id", "w")
+    val plan = Sampling.weightedSampleK(df, "id", "w", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k plan, got:\n$plan")
+  }
+
   test("weightedSampleK favors heavy weights and caps at the row count") {
     // two strata: weight 50 vs weight 1 — the heavy half should dominate
     val df = (1L to 100L).map(i => (i, if (i <= 50) 50.0 else 1.0))
