@@ -33,16 +33,34 @@ import org.apache.spark.sql.functions._
   * about the same double. */
 object Outliers {
 
-  def robustFlags(df: DataFrame, keyCol: String, idCol: String,
-      valCol: String, cut: Double = 3.5): DataFrame = {
+  /** Per-key (median, MAD) threshold table — the trained state of the
+    * gate. KEY-CARDINALITY-sized output; computed over a batch (or a
+    * representative history window) and handed to [[flagsWith]], which is
+    * where the streaming twin comes from: percentiles are a stateful
+    * aggregation a stream cannot run, but a trained threshold table
+    * applied per-row is stateless. */
+  def thresholds(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
     val med = df.groupBy(col(keyCol))
       .agg(percentile(col(valCol), lit(0.5)).as("_med"))
-    val mad = df.join(broadcast(med), Seq(keyCol))
+    df.join(broadcast(med), Seq(keyCol))
       .groupBy(col(keyCol), col("_med"))
       .agg(percentile(abs(col(valCol) - col("_med")), lit(0.5)).as("_mad"))
+  }
+
+  /** Flag rows against a pre-trained [[thresholds]] table: broadcast join
+    * + narrow codegen filter — stateless, so `data` may be a STREAMING
+    * DataFrame (score live events against batch-trained thresholds, the
+    * standard deploy shape) or the training batch itself (then ≡
+    * [[robustFlags]], pinned in Round8OpsSuite). */
+  def flagsWith(data: DataFrame, thresholds: DataFrame, keyCol: String,
+      idCol: String, valCol: String, cut: Double = 3.5): DataFrame = {
     val mz = lit(0.6745) * (col(valCol) - col("_med")) / col("_mad")
-    df.join(broadcast(mad), Seq(keyCol))
+    data.join(broadcast(thresholds), Seq(keyCol))
       .filter(col("_mad") > 0 && abs(mz) > cut)
       .select(col(keyCol), col(idCol), col(valCol), mz.as("mz"))
   }
+
+  def robustFlags(df: DataFrame, keyCol: String, idCol: String,
+      valCol: String, cut: Double = 3.5): DataFrame =
+    flagsWith(df, thresholds(df, keyCol, valCol), keyCol, idCol, valCol, cut)
 }

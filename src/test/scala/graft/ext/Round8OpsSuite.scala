@@ -138,6 +138,26 @@ class Round8OpsSuite extends AnyFunSuite {
 
   // ---- robustFlags -------------------------------------------------------
 
+  test("flagsWith scores a STREAM against batch-trained thresholds, batch == stream") {
+    val hist = ((1L to 50L).map(i => ("a", i, (i % 11).toDouble)) ++
+      Seq(("a", 98L, 500.0))).toDF("k", "id", "v")
+    val th = Outliers.thresholds(hist, "k", "v")
+    val live = Seq(("a", 201L, 400.0), ("a", 202L, 5.0), ("a", 203L, -400.0))
+      .toDF("k", "id", "v")
+    val src = java.nio.file.Files.createTempDirectory("graft_outl_src").toString
+    live.write.mode("append").parquet(src)
+    val streamed = spark.readStream.schema(live.schema).parquet(src)
+    val q = Outliers.flagsWith(streamed, th, "k", "id", "v")
+      .writeStream.format("memory").queryName("outl_flags")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("outl_flags").select("id").as[Long].collect().toSet
+    val batch = Outliers.flagsWith(live, th, "k", "id", "v")
+      .select("id").as[Long].collect().toSet
+    assert(got == batch)
+    assert(got == Set(201L, 203L))
+  }
+
   test("robustFlags finds planted outliers and skips zero-MAD keys") {
     val normal = (1L to 50L).map(i => ("a", i, (i % 11).toDouble))
     val planted = Seq(("a", 98L, 500.0), ("a", 99L, -500.0))
