@@ -161,6 +161,14 @@ object GraftFunctions {
         else 3
       columnFn(exprs.head)(graft.ext.TextAnalysis.dupShingleFraction(_, n))
     }, "built-in")
+    registry.createOrReplaceTempFunction("misra_gries", exprs => {
+      require(exprs.length == 1 || exprs.length == 2,
+        "misra_gries(value[, capacity])")
+      val cap =
+        if (exprs.length == 2) exprs(1).eval().asInstanceOf[Number].intValue()
+        else 4096
+      graft.agg.MisraGriesAgg(Cast(exprs.head, StringType), cap)
+    }, "built-in")
     registry.createOrReplaceTempFunction("major", exprs => {
       require(exprs.length == 1, "major(value)")
       // Mirror the Column helper: MajorAgg's buffer codec only handles

@@ -89,6 +89,17 @@ class GraftFunctionsSuite extends AnyFunSuite {
     assert(out(0).getString(2) == "a")
   }
 
+  test("misra_gries usable from SQL: retained set covers the heavy token") {
+    graft.GraftFunctions.register(spark)
+    (Seq.fill(50)("hot") ++ (1 to 30).map(i => s"c$i")).toDF("t")
+      .createOrReplaceTempView("t_mg")
+    val retained = spark.sql("SELECT misra_gries(t, 8) FROM t_mg")
+      .head().getSeq[String](0)
+    assert(retained.contains("hot") && retained.size <= 8)
+    // estimate-desc transport order puts the heavy token first
+    assert(retained.head == "hot")
+  }
+
   test("kernel functions usable from SQL: shingles, simhash, jaccard") {
     graft.GraftFunctions.register(spark)
     Seq((1L, "the quick brown fox jumps over the lazy dog"),
