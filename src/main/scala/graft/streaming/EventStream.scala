@@ -66,6 +66,60 @@ object EventStream {
       df.filter(col("event_type") === fromType),
       df.filter(col("event_type") === toType), withinSec)
 
+  /** Ordered funnel completion: per user, the EARLIEST chain of `steps`
+    * event types in order (t₁ = min ts of step 1; tᵢ = min ts of step i
+    * strictly after tᵢ₋₁), kept when the whole chain closes within
+    * `withinSec` of t₁. The greedy earliest chain is the standard funnel
+    * semantics: if any ordered chain completes, the earliest-per-step one
+    * does too (each greedy tᵢ is ≤ any other valid chain's tᵢ, by
+    * induction), so greedy completion ⇔ completion.
+    *
+    * Shape at 100 TB: k−1 per-user min-aggregations, each a
+    * USER-CARDINALITY-sized table joined back on `user_id` — partial
+    * aggregation collapses each step's events map-side, AQE picks the
+    * join strategy as step tables shrink down the funnel (conversion
+    * decays, so later steps broadcast). No per-user event sorting, no
+    * window over the full stream, no state beyond one timestamp per user
+    * per step. Output: (user_id, t1_us … tk_us) in epoch micros. */
+  def funnel(df: DataFrame, steps: Seq[String], withinSec: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got $steps")
+    val first = df.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t1_us"))
+    val chain = steps.zipWithIndex.tail.foldLeft(first) { case (acc, (step, i)) =>
+      df.filter(col("event_type") === step)
+        .select(col("user_id"), unix_micros(col("ts")).as("_us"))
+        .join(acc, "user_id")
+        .filter(col("_us") > col(s"t${i}_us"))
+        .groupBy((col("user_id") +: (1 to i).map(j => col(s"t${j}_us"))): _*)
+        .agg(min(col("_us")).as(s"t${i + 1}_us"))
+    }
+    chain.filter(
+      col(s"t${steps.size}_us") <= col("t1_us") + lit(withinSec * 1000000L))
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event (the cohort), counted once per later week they were active in.
+    * Weeks are epoch-micros integer weeks (floor(us / 7 days)) — no
+    * calendar/timezone arithmetic, identical on any engine.
+    *
+    * Shape at 100 TB: one per-user min (user-cardinality), one distinct
+    * over (user, week) — both collapse map-side — then a user-keyed join
+    * and a tiny (cohorts × offsets) count. Output: (cohort_week,
+    * week_offset, n_users), offset 0 = the cohort's own week. */
+  def cohortRetention(df: DataFrame): DataFrame = {
+    val WeekUs = 7L * 86400L * 1000000L
+    // integer `div`, not `/` (Divide on longs is double division)
+    val weeks = df.select(col("user_id"),
+      expr(s"unix_micros(ts) div ${WeekUs}L").as("week"))
+    val cohort = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    weeks.distinct()
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Stream-stream interval join with event-time bounds: watermarks on both
     * sides let Spark expire join state once `withinSec` (+ watermark delay)
     * has passed — bounded state on an unbounded stream, the shape a

@@ -136,6 +136,64 @@ class Round8OpsSuite extends AnyFunSuite {
       4L -> "added", 5L -> "unchanged"))
   }
 
+  // ---- funnel / retention ------------------------------------------------
+
+  test("funnel keeps ordered in-window chains, greedy earliest per step") {
+    def ev(id: Long, u: Long, t: Long, ty: String) =
+      (id, new java.sql.Timestamp(t * 1000L), u, ty)
+    val events = Seq(
+      // user 1: completes view(10) -> click(20) -> purchase(30)
+      ev(1, 1, 10, "view"), ev(2, 1, 20, "click"), ev(3, 1, 30, "purchase"),
+      // user 2: purchase BEFORE the view — no ordered chain
+      ev(4, 2, 10, "purchase"), ev(5, 2, 20, "view"), ev(6, 2, 30, "click"),
+      // user 3: ordered but the chain closes outside the 100 s window
+      ev(7, 3, 10, "view"), ev(8, 3, 50, "click"), ev(9, 3, 200, "purchase"),
+      // user 4: greedy earliest — duplicate earlier steps don't block
+      ev(10, 4, 5, "view"), ev(11, 4, 6, "view"), ev(12, 4, 7, "click"),
+      ev(13, 4, 8, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.streaming.EventStream.funnel(
+      events, Seq("view", "click", "purchase"), 100L)
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 10000000L, 20000000L, 30000000L),
+      (4L, 5000000L, 7000000L, 8000000L)))
+  }
+
+  test("cohortRetention counts distinct users per (cohort, offset) week") {
+    val Week = 7L * 86400L
+    def ev(id: Long, u: Long, week: Long) =
+      (id, new java.sql.Timestamp(week * Week * 1000L + 1000L), u, "view")
+    val events = Seq(
+      ev(1, 1, 0), ev(2, 1, 0), ev(3, 1, 2), // user 1: cohort 0, active w0+w2
+      ev(4, 2, 0), ev(5, 2, 1),              // user 2: cohort 0, active w0+w1
+      ev(6, 3, 1))                           // user 3: cohort 1, active w1
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.streaming.EventStream.cohortRetention(events)
+      .orderBy("cohort_week", "week_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)))
+  }
+
+  // ---- resizeNearest -----------------------------------------------------
+
+  test("resizeNearest: stride-2 subsample matches the analytic raster") {
+    val ids = Seq(5L, 12L, 40L).toDF("doc_id")
+    val resized = Multimodal.decodeFeatures(
+      Multimodal.resizeNearest(Multimodal.synthesizeImages(ids, "doc_id"), 2, 2))
+      .collect().map(f => f.id -> f).toMap
+    for (id <- Seq(5L, 12L, 40L)) {
+      val (w, h) = ((id % 13 + 3).toInt, (id % 7 + 2).toInt)
+      val (nw, nh) = (math.max(1, w / 2), math.max(1, h / 2))
+      val pix = for (y <- 0 until nh; x <- 0 until nw)
+        yield ((id * 31 + 2 * x * 7 + 2 * y * 13) % 256).toDouble
+      val f = resized(id)
+      assert((f.width, f.height) == (nw, nh), s"id $id dims")
+      assert(math.abs(f.brightness - pix.sum / pix.size) < 1e-9, s"id $id brightness")
+    }
+  }
+
   // ---- robustFlags -------------------------------------------------------
 
   test("flagsWith scores a STREAM against batch-trained thresholds, batch == stream") {
