@@ -120,4 +120,34 @@ object CorpusCuration {
     Dedup.nearDupFilterStreamLsh(gated, textCol, idCol, tsCol,
       windowDur, watermark)
   }
+
+  /** Incremental re-run of a PER-DOCUMENT feature stage — the payoff of
+    * [[graft.ext.Dedup.snapshotDiff]]: when 0.1% of a 100 TB corpus
+    * changed between snapshots, recompute `featureFn` for the `added` +
+    * `changed` documents only and carry every `unchanged` document's row
+    * forward from the previous output; `removed` rows drop.
+    *
+    * EXACTNESS CONTRACT: `featureFn` must be per-document (row-local —
+    * quality signals, language-ID, token counts, fingerprints …). For a
+    * corpus-global stage (dedup, TF-IDF, DSIR rates) the carried rows
+    * would be stale — re-run those stages on the full corpus instead,
+    * where [[curate]]'s own shapes keep them tractable. The suite pins
+    * incremental ≡ full recompute on the same snapshot pair.
+    *
+    * Shape at 100 TB: one digest diff join ([[Dedup.snapshotDiff]]) + two
+    * id-keyed semi-joins; `featureFn` runs over the (tiny) delta. The
+    * diff's statuses double as the run's audit row. */
+  def incrementalFeatures(oldCorpus: DataFrame, oldFeatures: DataFrame,
+      newCorpus: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id")(
+      featureFn: DataFrame => DataFrame): DataFrame = {
+    val diff = Dedup.snapshotDiff(oldCorpus, newCorpus, idCol, textCol)
+    val dirty = diff.filter(col("status").isin("added", "changed"))
+      .select(col(idCol))
+    val carried = oldFeatures.join(
+      diff.filter(col("status") === "unchanged").select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val fresh = featureFn(newCorpus.join(dirty, Seq(idCol), "left_semi"))
+    carried.unionByName(fresh)
+  }
 }

@@ -136,6 +136,23 @@ class Round8OpsSuite extends AnyFunSuite {
       4L -> "added", 5L -> "unchanged"))
   }
 
+  test("incrementalFeatures == full recompute, touching only the delta") {
+    def features(c: org.apache.spark.sql.DataFrame) =
+      c.select($"id", length($"text").as("len"))
+    val old = Seq((1L, "aaa"), (2L, "bb"), (3L, "gone")).toDF("id", "text")
+    val cur = Seq((1L, "aaa"), (2L, "bb changed"), (4L, "new")).toDF("id", "text")
+    val oldFeat = features(old)
+    var touched: Set[Long] = Set.empty
+    val got = graft.pipeline.CorpusCuration.incrementalFeatures(
+      old, oldFeat, cur, idCol = "id") { delta =>
+      touched = delta.select("id").as[Long].collect().toSet
+      features(delta)
+    }.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val full = features(cur).collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == full)
+    assert(touched == Set(2L, 4L)) // changed + added only; 1 carried, 3 dropped
+  }
+
   // ---- funnel / retention ------------------------------------------------
 
   test("funnel keeps ordered in-window chains, greedy earliest per step") {
