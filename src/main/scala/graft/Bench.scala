@@ -54,9 +54,15 @@ object Bench {
       if (probeArgs.nonEmpty) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => args.isEmpty || args.exists(n.contains) }
-    // failures surface as a -1.0 "timing" in the artifact (a crashed query
+    // The timed action MATERIALIZES every output row (foreach), not
+    // count(): under count() Catalyst legitimately prunes everything the
+    // row count doesn't need — q77's whole strip computation vanished via
+    // row-preserving-join elimination and recorded a phantom 0.24 s for a
+    // ~2.4 s query. foreach consumes every column, so the measured plan is
+    // the one Verify actually writes.
+    // Failures surface as a -1.0 "timing" in the artifact (a crashed query
     // must not masquerade as a fast one) plus a stderr line. After the
-    // count, any persistent blocks the query created are released (outside
+    // run, any persistent blocks the query created are released (outside
     // the timed window) so they cannot pollute the queries that follow —
     // r6's recorded q46/q47/q48 were 6–60× their isolated times from
     // exactly that accumulation.
@@ -65,7 +71,10 @@ object Bench {
       val before = sc.getPersistentRDDs.keySet.toSet
       val t0 = System.nanoTime()
       val dt =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try {
+          fn(spark, sfDir).foreach((_: org.apache.spark.sql.Row) => ())
+          (System.nanoTime() - t0) / 1e9
+        }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] query failed: ${e.getMessage}")
@@ -351,9 +360,15 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // assembled AFTER every phase: the calibration array in the artifact
     // covers the probe window AND both query passes
+    // "timed_action" documents the r8 methodology change: every output row
+    // is fully materialized (foreach), where earlier rounds timed count()
+    // — which let Catalyst prune unused aggregates/joins and hid ~45% of
+    // the real execution cost (q04 0.2 s → 6.1 s, q77 0.2 s → 3.2 s).
+    // Totals are therefore NOT comparable with BENCH_r07 and earlier.
     val mainLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""calibration_sec":$calJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""timed_action":"foreach-materialize-all-columns (r7 and earlier timed count(), which pruned unused plan branches)",""" +
+        s""""queries":$qs,"calibration_sec":$calJson,"sf":"$sfDir"}"""
     println(mainLine)
 
     // Truncation defense: the driver captures a bounded TAIL of stdout and

@@ -20,11 +20,22 @@ object Tables {
     // Both normalize to TIMESTAMP_LTZ; the session timezone is UTC
     // everywhere, so the NTZ→LTZ cast is wall-clock identity and epoch
     // functions (unix_micros etc.) see the same instants the oracle does.
-    if (name == "events") df.schema("ts").dataType match {
+    val typed = if (name == "events") df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     } else df
+    // NOTE on scan parallelism: these single-row-group files plan as ONE
+    // scan split (Spark cannot split below row-group granularity). A
+    // blanket repartition here was tried and measured NET-NEGATIVE: most
+    // consumers are codegen pipelines cheap enough that the exchange (and
+    // its determinism sort) costs more than the extra cores return, and
+    // queries deriving several subtrees from one table pay it per
+    // subtree. The one place scan parallelism genuinely gates throughput
+    // — the ImageIO codec stage — rebalances at its own boundary
+    // ([[graft.ext.Multimodal.synthesizeImages]]), the standard
+    // "repartition before the expensive map" placement.
+    typed
   }
 
   /** Register every table as a temp view for spark.sql use. */

@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to FILE-BACKED stream caches: every read/write spins
+  // up a temp file through a synchronized registry — under a 32-thread
+  // codec stage that lock + disk churn costs more than the decode itself
+  // (measured: parallel resize SLOWER than serial until disabled). The
+  // blobs here are KB-scale; memory-cached streams are strictly better.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaMeta(format: String, width: Int, height: Int, nFrames: Int)
   final case class MediaRow(id: Long, media: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(id: Long, nBytes: Int, digest: String,
@@ -44,7 +51,16 @@ object Multimodal {
     * executors (ImageIO, no driver collect). */
   def synthesizeImages(df: DataFrame, idCol: String): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+    // codec work (PNG encode here, decode/resize downstream) is orders of
+    // magnitude heavier per row than the scan feeding it — rebalance an
+    // under-parallel input to the session's parallelism BEFORE the
+    // expensive map (the standard placement); no-op when the source
+    // already has enough splits
+    val ids0 = df.select(col(idCol).cast("long")).as[Long]
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val ids = if (ids0.rdd.getNumPartitions * 4 <= target)
+      ids0.repartition(target) else ids0
+    ids.mapPartitions(_.map { id =>
       val w = (id % 13 + 3).toInt
       val h = (id % 7 + 2).toInt
       val img = new java.awt.image.BufferedImage(w, h,

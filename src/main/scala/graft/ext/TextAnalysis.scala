@@ -50,12 +50,14 @@ object TextAnalysis {
     graft.functions.HashedShingles.column(col(t), n)
 
   /** Winnowing-style document fingerprint: minimum md5 over all character
-    * 8-grams — a rolling-hash analog that is stable across engines. */
+    * 8-grams — a rolling-hash analog that is stable across engines.
+    * Computed by the native [[graft.functions.MinMd5Ngram]] kernel (one
+    * digest instance down the document); bit-identical to the composed
+    * `array_min(transform(sequence(...), i => md5(substr(...))))` form,
+    * which evaluated a lambda + fresh hex string per character position. */
   def fingerprint(t: String, n: Int = 8): Column = fingerprint(col(t), n)
   def fingerprint(c: Column, n: Int): Column =
-    array_min(transform(
-      sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
-      i => md5(c.substr(i, lit(n)))))
+    graft.functions.MinMd5Ngram.column(c, n)
 
   /** Top-`k` characteristic terms per document by TF-IDF.
     *

@@ -117,6 +117,93 @@ object HashedShingles {
     ExpressionUtils.column(HashedShingles(ExpressionUtils.expression(text), n))
 }
 
+/** Kernel for [[MinMd5Ngram]]: one MessageDigest reused across positions,
+  * min kept as the raw 16-byte digest (unsigned byte-wise order ≡
+  * lexicographic order of the lowercase-hex rendering, because the hex
+  * alphabet 0-9a-f is ascending in ASCII), hex-encoded once at the end. */
+object FingerprintKernel {
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def minMd5Ngram(s: UTF8String, n: Int): UTF8String = {
+    // one byte-array pass builds char-start offsets, then every n-gram
+    // digests straight out of the shared byte buffer: no per-position
+    // substring, no per-position digest allocation (digest into a
+    // reusable 16-byte buffer via the DigestException overload)
+    val bytes = s.getBytes
+    val len = bytes.length
+    val offs = new Array[Int](len + 1) // chars <= bytes, malformed-input safe
+    var i = 0
+    var chars = 0
+    while (i < len) {
+      offs(chars) = i
+      chars += 1
+      val b = bytes(i) & 0xFF
+      i += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+    }
+    offs(chars) = len
+    val positions = math.max(chars - (n - 1), 1)
+    val md = MessageDigest.getInstance("MD5")
+    val cand = new Array[Byte](16)
+    val best = new Array[Byte](16)
+    var have = false
+    var p = 0
+    while (p < positions) {
+      val from = offs(p)
+      val until = offs(math.min(p + n, chars))
+      md.reset()
+      md.update(bytes, from, until - from)
+      md.digest(cand, 0, 16)
+      if (!have || java.util.Arrays.compareUnsigned(cand, best) < 0) {
+        System.arraycopy(cand, 0, best, 0, 16)
+        have = true
+      }
+      p += 1
+    }
+    val out = new Array[Char](32)
+    var j = 0
+    while (j < 16) {
+      out(j * 2) = HexChars((best(j) >> 4) & 0xF)
+      out(j * 2 + 1) = HexChars(best(j) & 0xF)
+      j += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+}
+
+/** `min_md5_ngram(text, n)`: minimum md5 hex digest over all character
+  * n-grams — the winnowing-style document fingerprint, natively.
+  *
+  * Bit-identical to the SQL chain
+  * `array_min(transform(sequence(1, greatest(length(t)-(n-1), 1)),
+  * i => md5(substr(t, i, n))))` (pinned by Round8OpsSuite), but ~10×
+  * cheaper: the composed form materializes a position array, a substring
+  * string, an md5 call AND a 32-char hex string per position through
+  * interpreted higher-order-function eval; the kernel runs one digest
+  * instance down the document and hex-encodes exactly once. Texts shorter
+  * than n (empty included) hash their whole content, matching
+  * `substr`'s clamping. */
+case class MinMd5Ngram(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"n must be positive, got $n")
+
+  override def prettyName: String = "min_md5_ngram"
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(t: Any): Any =
+    FingerprintKernel.minMd5Ngram(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.FingerprintKernel.minMd5Ngram($t, $n);")
+
+  override protected def withNewChildInternal(c: Expression): MinMd5Ngram =
+    copy(child = c)
+}
+
+object MinMd5Ngram {
+  def column(text: Column, n: Int): Column =
+    ExpressionUtils.column(MinMd5Ngram(ExpressionUtils.expression(text), n))
+}
+
 /** 60-bit SimHash sketch computed natively: tokenize (same scanner as
   * [[ShingleKernel.tokens]]), distinct tokens, one md5-derived 60-bit hash
   * per token, ±1 per-bit vote, sign fold. Bit-identical to the SQL

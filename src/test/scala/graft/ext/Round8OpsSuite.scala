@@ -103,6 +103,19 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(retained.size <= 9)
   }
 
+  test("MinMd5Ngram kernel == composed md5/substr formula, edges included") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "exactly8", "short", "", "åccénted ünicode tèxt here",
+      "aaaaaaaaaaaaaaaaaaaa")
+    val df = texts.toDF("t")
+    val got = df.select(TextAnalysis.fingerprint("t").as("fp"))
+      .as[String].collect().toSeq
+    val composed = df.select(array_min(transform(
+      sequence(lit(1), greatest(length($"t") - 7, lit(1))),
+      i => md5($"t".substr(i, lit(8))))).as("fp")).as[String].collect().toSeq
+    assert(got == composed)
+  }
+
   // ---- decontaminateBloom ------------------------------------------------
 
   test("decontaminateBloom equals the exact join shape, null text surviving") {
