@@ -585,12 +585,12 @@ object Dedup {
     * Output: (idCol, span_start, span_tokens), positions 0-based. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minCount: Int = 2): DataFrame = {
-    val toks = df
-      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= k)
-    val grams = toks.select(col(idCol),
-      posexplode(transform(sequence(lit(0), size(col("toks")) - k),
-        i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+    // positional gram hashes via the native kernel (one tokenize + one
+    // XXH64 per position) — bit-identical to the composed
+    // transform/slice/concat_ws/xxhash64 chain it replaces, which paid an
+    // interpreted lambda and three allocations per token position
+    val grams = df.select(col(idCol),
+      posexplode(graft.functions.TokenNgramHashes.column(col(textCol), k))
         .as(Seq("pos", "gh")))
     val hot = grams.groupBy(col("gh")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount).select("gh")

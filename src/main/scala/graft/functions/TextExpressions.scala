@@ -204,6 +204,74 @@ object MinMd5Ngram {
     ExpressionUtils.column(MinMd5Ngram(ExpressionUtils.expression(text), n))
 }
 
+/** Kernel for [[TokenNgramHashes]]. Tokenization replicates
+  * `split(trim(text), "\\s+")` EXACTLY — UTF8String.trim (spaces only,
+  * like SQL trim, NOT Java's control-char trim) then the same Java regex
+  * with limit −1 (trailing empties kept) — so positions match the
+  * composed form byte-for-byte; the hash is the same XXH64/seed-42 that
+  * `xxhash64(string)` computes. */
+object NgramHashKernel {
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  def positionalHashes(s: UTF8String, k: Int): ArrayData = {
+    val trimmed = s.trim.toString
+    if (trimmed.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val toks = Ws.split(trimmed, -1)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = java.lang.Long.valueOf(
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(UTF8String.fromString(sb.toString), 42L))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `token_ngram_hashes(text, k)`: xxhash64 of every POSITIONAL k-gram of
+  * whitespace tokens, in document order (length max(0, ntok−k+1); shorter
+  * texts yield an empty array). Bit-identical to
+  * `transform(sequence(0, size(toks)-k), i => xxhash64(concat_ws(' ',
+  * slice(toks, i+1, k))))` over `toks = split(trim(text), '\\s+')`
+  * (pinned by Round8OpsSuite) — but the composed form evaluates an
+  * interpreted lambda, an array slice, a concat AND a fresh string per
+  * position; the kernel tokenizes once and reuses one builder. This is
+  * the hot inner map of the duplicated-span detector
+  * ([[graft.ext.Dedup.duplicatedSpans]]), which runs it over every token
+  * position of the corpus. */
+case class TokenNgramHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def prettyName: String = "token_ngram_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    NgramHashKernel.positionalHashes(t.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.NgramHashKernel.positionalHashes($t, $k);")
+
+  override protected def withNewChildInternal(c: Expression): TokenNgramHashes =
+    copy(child = c)
+}
+
+object TokenNgramHashes {
+  def column(text: Column, k: Int): Column =
+    ExpressionUtils.column(TokenNgramHashes(ExpressionUtils.expression(text), k))
+}
+
 /** 60-bit SimHash sketch computed natively: tokenize (same scanner as
   * [[ShingleKernel.tokens]]), distinct tokens, one md5-derived 60-bit hash
   * per token, ±1 per-bit vote, sign fold. Bit-identical to the SQL

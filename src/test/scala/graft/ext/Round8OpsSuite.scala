@@ -103,6 +103,25 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(retained.size <= 9)
   }
 
+  test("TokenNgramHashes kernel == composed split/slice/xxhash64 chain, edges included") {
+    val texts = Seq("one two three four five six seven eight nine",
+      "exactly three tokens", "two tok", "", "   ",
+      "\tleading tab keeps an empty first token after space-only trim x y z",
+      "trailing tab after spaces  \t", "a  b   c d e f g h i")
+    val df = texts.toDF("t")
+    val k = 3
+    val got = df.select(graft.functions.TokenNgramHashes.column($"t", k).as("h"))
+      .as[Seq[Long]].collect().toSeq
+    val composed = df
+      .select(split(trim($"t"), "\\s+").as("toks"))
+      .select(when(size($"toks") >= k,
+        transform(sequence(lit(0), size($"toks") - k),
+          i => xxhash64(concat_ws(" ", slice($"toks", i + 1, lit(k))))))
+        .otherwise(array().cast("array<bigint>")).as("h"))
+      .as[Seq[Long]].collect().toSeq
+    assert(got == composed)
+  }
+
   test("MinMd5Ngram kernel == composed md5/substr formula, edges included") {
     val texts = Seq("the quick brown fox jumps over the lazy dog",
       "exactly8", "short", "", "åccénted ünicode tèxt here",
