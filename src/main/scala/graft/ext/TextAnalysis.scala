@@ -661,18 +661,13 @@ object TextAnalysis {
       textCol: String, isTarget: Column,
       buckets: Int = 64): org.apache.spark.sql.DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val toks = df.select(col(idCol).as("doc_id"), isTarget.as("tgt"),
-      wordTokens(textCol).as("ts"))
-    val uni = toks.select(col("doc_id"), col("tgt"),
-      explode(col("ts")).as("f"))
-    val bi = toks.filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), col("tgt"),
-        explode(transform(sequence(lit(2), size(col("ts"))), g =>
-          concat(element_at(col("ts"), g - 1), lit(" "),
-            element_at(col("ts"), g)))).as("f"))
-    val feats = uni.unionByName(bi).select(col("doc_id"), col("tgt"),
-      pmod(expr("CAST(conv(substring(md5(f),1,15),16,10) AS BIGINT)"),
-        lit(buckets)).as("slot"))
+    // one kernel scan per document replaces the uni/bi explode-union of
+    // feature STRINGS + interpreted md5/conv/pmod per feature — slots are
+    // computed before the explode, so only ints flow through the plan
+    // (bit-identical; pinned by Round8OpsSuite)
+    val feats = df.select(col(idCol).as("doc_id"), isTarget.as("tgt"),
+      explode(graft.functions.DsirSlots.column(col(textCol), buckets))
+        .as("slot"))
     val rates = feats.groupBy(col("slot"))
       .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
         sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))

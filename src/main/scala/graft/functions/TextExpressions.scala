@@ -272,6 +272,61 @@ object TokenNgramHashes {
     ExpressionUtils.column(TokenNgramHashes(ExpressionUtils.expression(text), k))
 }
 
+/** `dsir_slots(text, buckets)`: the DSIR hashed feature stream — every
+  * word token AND every adjacent bigram, each mapped to
+  * `hash60(feature) mod buckets` — as one positional int array
+  * (duplicates preserved; the slot COUNTS are the feature vector).
+  * Bit-identical to exploding `wordTokens` ∪ adjacent-bigram concats
+  * through `pmod(conv(substr(md5(f),1,15),16,10), buckets)` (pinned by
+  * Round8OpsSuite) — but one scan, one digest instance, and no feature
+  * STRINGS ever materialize in the plan. Documents with no tokens yield
+  * an empty array (explode drops them, matching the composed form). */
+case class DsirSlots(child: Expression, buckets: Int) extends UnaryExpression {
+  require(buckets > 0, s"buckets must be positive, got $buckets")
+
+  override def prettyName: String = "dsir_slots"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    DsirSlotKernel.slots(t.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.DsirSlotKernel.slots($t, $buckets);")
+
+  override protected def withNewChildInternal(c: Expression): DsirSlots =
+    copy(child = c)
+}
+
+object DsirSlotKernel {
+  def slots(text: UTF8String, buckets: Int): ArrayData = {
+    val toks = ShingleKernel.tokens(text.toString)
+    val n = toks.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n + math.max(n - 1, 0))
+    var i = 0
+    while (i < n) {
+      out(i) = (ShingleKernel.hash60(toks(i)) % buckets).toInt
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(48)
+    var g = 1
+    while (g < n) {
+      sb.setLength(0)
+      sb.append(toks(g - 1)).append(' ').append(toks(g))
+      out(n + g - 1) = (ShingleKernel.hash60(sb.toString) % buckets).toInt
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object DsirSlots {
+  def column(text: Column, buckets: Int): Column =
+    ExpressionUtils.column(DsirSlots(ExpressionUtils.expression(text), buckets))
+}
+
 /** 60-bit SimHash sketch computed natively: tokenize (same scanner as
   * [[ShingleKernel.tokens]]), distinct tokens, one md5-derived 60-bit hash
   * per token, ±1 per-bit vote, sign fold. Bit-identical to the SQL

@@ -122,6 +122,28 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got == composed)
   }
 
+  test("DsirSlots kernel == composed uni+bigram md5-slot chain") {
+    val texts = Seq("The quick brown-fox 42 jumps", "single", "", "!!!",
+      "a b a b a")
+    val df = texts.toDF("t")
+    val buckets = 64
+    val got = df.select(graft.functions.DsirSlots.column($"t", buckets).as("s"))
+      .as[Seq[Int]].collect().toSeq.map(_.sorted)
+    val ts = TextAnalysis.wordTokens("t")
+    val uni = df.select($"t", explode(ts).as("f"))
+    val bi = df.filter(size(ts) >= 2).select($"t",
+      explode(transform(sequence(lit(2), size(ts)), g =>
+        concat(element_at(ts, g - 1), lit(" "), element_at(ts, g)))).as("f"))
+    val composedRows = uni.unionByName(bi)
+      .select($"t", pmod(
+        expr("CAST(conv(substring(md5(f),1,15),16,10) AS BIGINT)"),
+        lit(buckets)).cast("int").as("slot"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val composed = texts.map(t => composedRows.getOrElse(t, Seq.empty))
+    assert(got == composed)
+  }
+
   test("MinMd5Ngram kernel == composed md5/substr formula, edges included") {
     val texts = Seq("the quick brown fox jumps over the lazy dog",
       "exactly8", "short", "", "åccénted ünicode tèxt here",
