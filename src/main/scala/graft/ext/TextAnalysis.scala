@@ -122,19 +122,19 @@ object TextAnalysis {
     * fewer than two tokens have no bigrams and are skipped. */
   def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, addK: Double = 1.0): org.apache.spark.sql.DataFrame = {
-    val toks = df.select(col(idCol), wordTokens(textCol).as("toks"))
-      .filter(size(col("toks")) >= 2)
-    val bg = toks.select(col(idCol),
-      explode(transform(sequence(lit(2), size(col("toks"))),
-        g => struct(element_at(col("toks"), g - 1).as("w1"),
-          element_at(col("toks"), g).as("w2")))).as("b"))
-      .select(col(idCol), xxhash64(col("b.w1")).as("w1h"),
-        xxhash64(col("b.w1"), col("b.w2")).as("bh"))
+    // hash-only bigram stream via the native kernel (one tokenize + one
+    // chained XXH64 pair per position); bit-identical to exploding
+    // struct(w1, w2) and hashing per row — Round8OpsSuite pins it
+    val bg = df.select(col(idCol),
+      explode(graft.functions.BigramHashes.column(col(textCol))).as("b"))
+      .select(col(idCol), col("b.w1h").as("w1h"), col("b.bh").as("bh"))
     val c2 = bg.groupBy(col("bh"))
       .agg(count(lit(1)).as("c2"), first(col("w1h")).as("w1h"))
     val c1 = bg.groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
     val rates = c2.join(c1, "w1h").select("bh", "c2", "c1")
-    val v = toks.select(explode(col("toks")).as("w"))
+    val v = df.select(wordTokens(textCol).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(col("toks")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
     bg.join(rates, Seq("bh"))
       .crossJoin(broadcast(v))

@@ -327,6 +327,62 @@ object DsirSlots {
     ExpressionUtils.column(DsirSlots(ExpressionUtils.expression(text), buckets))
 }
 
+/** `bigram_hashes(text)`: per adjacent word-token bigram, the struct
+  * (w1h = xxhash64(w1), bh = xxhash64(w1, w2)) in document order — the
+  * hash-only bigram stream of the corpus LM
+  * ([[graft.ext.TextAnalysis.lmScore]]). Bit-identical to exploding
+  * `struct(w1, w2)` and hashing per row (xxhash64's multi-argument
+  * chaining: bh seeds w2's hash with w1's — pinned by Round8OpsSuite),
+  * minus the per-position lambda, struct-of-strings, and two expression
+  * evals. Texts with < 2 tokens yield an empty array. */
+case class BigramHashes(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "bigram_hashes"
+  override def dataType: DataType = BigramHashes.Schema
+
+  override def nullSafeEval(t: Any): Any =
+    BigramHashKernel.bigrams(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.BigramHashKernel.bigrams($t);")
+
+  override protected def withNewChildInternal(c: Expression): BigramHashes =
+    copy(child = c)
+}
+
+object BigramHashKernel {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  def bigrams(text: UTF8String): ArrayData = {
+    val toks = ShingleKernel.tokens(text.toString)
+    val n = toks.length
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev = UTF8String.fromString(toks(0))
+    var g = 1
+    while (g < n) {
+      val cur = UTF8String.fromString(toks(g))
+      val w1h = XXH64.hashUTF8String(prev, 42L)
+      val bh = XXH64.hashUTF8String(cur, w1h)
+      out(g - 1) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](w1h, bh))
+      prev = cur
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object BigramHashes {
+  import org.apache.spark.sql.types.{LongType => SLong, StructField, StructType}
+  val Schema: DataType = ArrayType(
+    StructType(Seq(StructField("w1h", SLong, nullable = false),
+      StructField("bh", SLong, nullable = false))), containsNull = false)
+
+  def column(text: Column): Column =
+    ExpressionUtils.column(BigramHashes(ExpressionUtils.expression(text)))
+}
+
 /** 60-bit SimHash sketch computed natively: tokenize (same scanner as
   * [[ShingleKernel.tokens]]), distinct tokens, one md5-derived 60-bit hash
   * per token, ±1 per-bit vote, sign fold. Bit-identical to the SQL

@@ -122,6 +122,25 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got == composed)
   }
 
+  test("BigramHashes kernel == composed struct-explode xxhash64 chain") {
+    val texts = Seq("the quick brown fox", "one", "", "a a a", "Mixed CASE 42!")
+    val df = texts.toDF("t")
+    val got = df.select($"t",
+      explode(graft.functions.BigramHashes.column($"t")).as("b"))
+      .select($"t", $"b.w1h", $"b.bh")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+    val ts = TextAnalysis.wordTokens("t")
+    val composed = df.filter(size(ts) >= 2)
+      .select($"t", explode(transform(sequence(lit(2), size(ts)),
+        g => struct(element_at(ts, g - 1).as("w1"), element_at(ts, g).as("w2"))))
+        .as("b"))
+      .select($"t", xxhash64($"b.w1"), xxhash64($"b.w1", $"b.w2"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+    assert(got == composed)
+  }
+
   test("DsirSlots kernel == composed uni+bigram md5-slot chain") {
     val texts = Seq("The quick brown-fox 42 jumps", "single", "", "!!!",
       "a b a b a")
