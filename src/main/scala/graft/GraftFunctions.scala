@@ -161,6 +161,27 @@ object GraftFunctions {
         else 3
       columnFn(exprs.head)(graft.ext.TextAnalysis.dupShingleFraction(_, n))
     }, "built-in")
+    registry.createOrReplaceTempFunction("min_md5_ngram", exprs => {
+      require(exprs.length == 1 || exprs.length == 2, "min_md5_ngram(text[, n])")
+      val n =
+        if (exprs.length == 2) exprs(1).eval().asInstanceOf[Number].intValue()
+        else 8
+      graft.functions.MinMd5Ngram(exprs.head, n)
+    }, "built-in")
+    registry.createOrReplaceTempFunction("token_ngram_hashes", exprs => {
+      require(exprs.length == 2, "token_ngram_hashes(text, k)")
+      graft.functions.TokenNgramHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())
+    }, "built-in")
+    registry.createOrReplaceTempFunction("dsir_slots", exprs => {
+      require(exprs.length == 2, "dsir_slots(text, buckets)")
+      graft.functions.DsirSlots(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())
+    }, "built-in")
+    registry.createOrReplaceTempFunction("bigram_hashes", exprs => {
+      require(exprs.length == 1, "bigram_hashes(text)")
+      graft.functions.BigramHashes(exprs.head)
+    }, "built-in")
     registry.createOrReplaceTempFunction("misra_gries", exprs => {
       require(exprs.length == 1 || exprs.length == 2,
         "misra_gries(value[, capacity])")

@@ -89,6 +89,20 @@ class GraftFunctionsSuite extends AnyFunSuite {
     assert(out(0).getString(2) == "a")
   }
 
+  test("r8 kernels usable from SQL: min_md5_ngram, token_ngram_hashes, dsir_slots, bigram_hashes") {
+    graft.GraftFunctions.register(spark)
+    Seq("the quick brown fox jumps over it").toDF("t")
+      .createOrReplaceTempView("t_k8")
+    val r = spark.sql(
+      """SELECT min_md5_ngram(t) AS fp, size(token_ngram_hashes(t, 3)) AS ng,
+           size(dsir_slots(t, 64)) AS ds, size(bigram_hashes(t)) AS bg
+         FROM t_k8""").head()
+    assert(r.getString(0).length == 32)
+    assert(r.getInt(1) == 5)  // 7 tokens -> 5 positional 3-grams
+    assert(r.getInt(2) == 13) // 7 unigrams + 6 bigrams
+    assert(r.getInt(3) == 6)
+  }
+
   test("misra_gries usable from SQL: retained set covers the heavy token") {
     graft.GraftFunctions.register(spark)
     (Seq.fill(50)("hot") ++ (1 to 30).map(i => s"c$i")).toDF("t")
