@@ -1057,6 +1057,14 @@ object SparkEntry {
       streaming.EventStream.cohortRetention(Tables.load(s, dir, "events"))
         .orderBy("cohort_week", "week_offset")),
 
+    // ext: document novelty — fraction of a doc's distinct shingles that
+    // are corpus-unique; digest-only shuffle, the aggregate complement
+    // of pairwise dedup
+    "q94_novelty" -> ((s, dir) =>
+      ext.TextAnalysis.noveltyScore(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ext: REAL image resize — decode → stride-2 nearest-neighbor →
     // re-encode PNG → decode again; the oracle recomputes the subsampled
     // synthetic raster analytically
@@ -2367,6 +2375,20 @@ object SparkEntry {
          FROM d JOIN c USING (user_id)
          GROUP BY cohort_week, week_offset
          ORDER BY cohort_week, week_offset""",
+
+    // novelty over the same 60-bit shingle-hash convention the dedup
+    // stack uses (first 15 md5 hex digits)
+    "q94_novelty" ->
+      s"""WITH d AS (SELECT doc_id, unnest(list_transform($ShinglesSql,
+               s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT)
+                 AS BIGINT))) AS sh
+             FROM documents),
+         c AS (SELECT sh, count(*) AS c FROM d GROUP BY sh)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           round(sum(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END) / count(*), 6)
+             AS novelty
+         FROM d JOIN c USING (sh)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     // stride-2 nearest-neighbor subsample of the q61 synthetic raster:
     // output pixel (x, y) = source pixel (2x, 2y)

@@ -745,6 +745,29 @@ object TextAnalysis {
         percentile(col("nch"), lit(0.9)).as("p90_chars"),
         count_distinct(col("lang")).as("n_langs"))
 
+  /** Document NOVELTY score: the fraction of a document's distinct word
+    * n-gram shingles that appear NOWHERE else in the corpus — high for
+    * original content, low for templated/boilerplate/near-duplicated text.
+    * The aggregate complement of pairwise dedup: no candidate pairs, just
+    * "how much of this document is corpus-unique".
+    *
+    * Shape at 100 TB: one explode of 60-bit shingle HASHES (strings never
+    * leave the document row), a shingle-count aggregation that collapses
+    * map-side, and one hash-keyed join back — the same digest-only
+    * shuffle discipline as line dedup. Output: (idCol, n_shingles,
+    * novelty) with novelty at 6 dp. */
+  def noveltyScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(hashedShingles(textCol, n)).as("sh"))
+    val counts = sh.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+    sh.join(counts, "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        round(sum(when(col("c") === 1, 1.0).otherwise(0.0)) /
+          count(lit(1)), 6).as("novelty"))
+  }
+
   /** EXACT top-`k` most frequent word tokens, computed without a
     * vocabulary-sized shuffle.
     *

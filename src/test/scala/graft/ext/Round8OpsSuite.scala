@@ -284,6 +284,19 @@ class Round8OpsSuite extends AnyFunSuite {
     }
   }
 
+  test("noveltyScore: unique docs score 1, duplicated docs score 0, mixed in between") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, shared), (2L, shared), // exact near-dups: every shingle shared
+      (3L, "completely original words nowhere else written down"),
+      (4L, shared + " plus unique continuation tokens here")).toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) == 0.0 && got(2L) == 0.0)
+    assert(got(3L) == 1.0)
+    assert(got(4L) > 0.0 && got(4L) < 1.0)
+  }
+
   // ---- robustFlags -------------------------------------------------------
 
   test("flagsWith scores a STREAM against batch-trained thresholds, batch == stream") {
