@@ -1065,6 +1065,35 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ext: cross-corpus near-dedup — a synthetic "new crawl" (hash half
+    // of the corpus) LSH-matched AGAINST the standing half; candidate
+    // pairs only ever span the two sides (incremental-ingest shape)
+    "q95_cross_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val isNew = ext.Sampling.hashBucket(col("doc_id"), "xd") <
+        lit(ext.Sampling.Space / 2)
+      ext.Dedup.minhashLshCross(
+        docs.filter(isNew), docs.filter(!isNew), "text", "doc_id",
+        minJaccard = 0.3)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_new", "id_ref")
+    }),
+
+    // ext: lexical diversity per source — cross-document distinct-shingle
+    // ratio; slice-level companion of the q94 per-document novelty
+    "q96_diversity" -> ((s, dir) =>
+      ext.TextAnalysis.diversityReport(
+        Tables.load(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+
+    // ext: tokenizer fertility by language under the corpus-trained
+    // 8-merge BPE schedule — chars per token, the tokenizer-fit audit
+    "q97_fertility" -> ((s, dir) =>
+      ext.TextAnalysis.tokenizerFertility(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        "lang", "n_chars", 8)
+        .orderBy("lang")),
+
     // ext: REAL image resize — decode → stride-2 nearest-neighbor →
     // re-encode PNG → decode again; the oracle recomputes the subsampled
     // synthetic raster analytically
@@ -1137,10 +1166,12 @@ object SparkEntry {
              FROM v$n)
        GROUP BY sym ORDER BY subword"""
 
-  /** DuckDB replica of [[ext.TextAnalysis.bpeEncode]] (q83): the trained
-    * schedule's b_i rules folded over the distinct-word table (same
-    * `[lhs][rhs]` replace semantics), joined back onto document words. */
-  private def BpeEncodeSql(n: Int): String = {
+  /** DuckDB replica of [[ext.TextAnalysis.bpeEncode]] (q83, q97): the
+    * trained schedule's b_i rules folded over the distinct-word table
+    * (same `[lhs][rhs]` replace semantics), joined back onto document
+    * words — WITH-chain up to per-document relation `enc`; callers
+    * append their SELECT. */
+  private def BpeDocTokensSql(n: Int): String = {
     val encRounds = (1 to n).map { i =>
       s"""e$i AS (SELECT word,
                replace(seq, '[' || b.lhs || '][' || b.rhs || ']',
@@ -1156,12 +1187,15 @@ object SparkEntry {
          wt AS (SELECT word,
                   len(regexp_extract_all(seq, '\\[([^\\]]*)\\]', 1)) AS ntok
                 FROM e$n),
-         w AS (SELECT doc_id, unnest($ToksSql) AS word FROM documents)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-                CAST(sum(ntok) AS BIGINT) AS n_tokens
-         FROM w JOIN wt USING (word)
-         GROUP BY doc_id ORDER BY doc_id"""
+         w AS (SELECT doc_id, unnest($ToksSql) AS word FROM documents),
+         enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(ntok) AS BIGINT) AS n_tokens
+                 FROM w JOIN wt USING (word) GROUP BY doc_id)"""
   }
+
+  private def BpeEncodeSql(n: Int): String =
+    s"""${BpeDocTokensSql(n)}
+       SELECT doc_id, n_words, n_tokens FROM enc ORDER BY doc_id"""
 
   private def baseHashSql(s: String): String =
     s"CAST(CAST(concat('0x', substr(md5($s), 1, 15)) AS UBIGINT) % ${ext.Dedup.Prime} AS BIGINT)"
@@ -2389,6 +2423,60 @@ object SparkEntry {
              AS novelty
          FROM d JOIN c USING (sh)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    // q21's minhash machinery with a side column: candidates pair only
+    // across the hash-half split (side 0 = "new crawl", side 1 = corpus)
+    "q95_cross_dedup" ->
+      s"""WITH dd AS (SELECT doc_id, text,
+             CASE WHEN ${BucketSql("xd", "doc_id")} <
+               ${ext.Sampling.Space / 2} THEN 0 ELSE 1 END AS side
+           FROM documents),
+         d AS (SELECT doc_id, side, $ShinglesSql AS sh FROM dd),
+         h AS (SELECT doc_id, side, sh,
+                 list_transform(sh, s -> ${baseHashSql("s")}) AS hv FROM d),
+         g AS (SELECT doc_id, side, $SigSql AS sig FROM h),
+         b AS (SELECT doc_id, side, t2.b AS band,
+                 array_to_string(sig[(t2.b * 4 + 1):(t2.b * 4 + 4)], ',')
+                   AS band_key
+               FROM g, generate_series(0, 3) AS t2(b)),
+         cand AS (SELECT DISTINCT l.doc_id AS id_new, r.doc_id AS id_ref
+                  FROM b l JOIN b r ON l.band = r.band
+                    AND l.band_key = r.band_key
+                  WHERE l.side = 0 AND r.side = 1),
+         j AS (SELECT c.id_new, c.id_ref,
+                 (CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE))
+                   / CAST(len(list_distinct(list_concat(da.sh, db.sh)))
+                       AS DOUBLE) AS jaccard
+               FROM cand c JOIN d da ON da.doc_id = c.id_new
+                 JOIN d db ON db.doc_id = c.id_ref)
+         SELECT id_new, id_ref, round(jaccard, 6) AS jaccard
+         FROM j WHERE jaccard >= 0.3 ORDER BY id_new, id_ref""",
+
+    // hashed shingles mirror the Spark side exactly, so even a 60-bit
+    // collision changes both engines' distinct counts identically
+    "q96_diversity" ->
+      s"""WITH d AS (SELECT source, $ShinglesSql AS sh FROM documents),
+         u AS (SELECT source, unnest(list_transform(sh,
+                 s -> ${baseHashSql("s")})) AS h FROM d),
+         a AS (SELECT source, CAST(count(*) AS BIGINT) AS sh_total,
+                 CAST(count(DISTINCT h) AS BIGINT) AS sh_distinct
+               FROM u GROUP BY source),
+         n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source)
+         SELECT source, n_docs, sh_total, sh_distinct,
+           CAST(sh_distinct AS DOUBLE) / CAST(sh_total AS DOUBLE)
+             AS diversity
+         FROM n JOIN a USING (source) ORDER BY source""",
+
+    "q97_fertility" ->
+      s"""${BpeDocTokensSql(8)}
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
+             AS fertility
+         FROM documents JOIN enc USING (doc_id)
+         GROUP BY lang ORDER BY lang""",
 
     // stride-2 nearest-neighbor subsample of the q61 synthetic raster:
     // output pixel (x, y) = source pixel (2x, 2y)

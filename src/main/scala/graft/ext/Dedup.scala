@@ -125,6 +125,63 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-corpus MinHash+LSH: near-duplicate pairs BETWEEN two corpora —
+    * a fresh snapshot against the already-curated reference — never within
+    * one side. The incremental-ingest shape: each new crawl batch is
+    * near-deduplicated against the standing corpus before admission, so
+    * only genuinely novel content pays downstream curation compute.
+    * Returns `(id_new, id_ref, jaccard)` with the same banding math and
+    * exact-Jaccard verify as [[minhashLsh]].
+    *
+    * 100 TB shape: both sides map to banded keys shuffle-free (the same
+    * native shingle/band kernels); the only corpus-scale shuffles are the
+    * two band-key exchanges — and the reference side's banded table is a
+    * pure function of its text, so a standing corpus can persist it as a
+    * bucketed table and pay NOTHING per incoming batch. The verify regroup
+    * moves shingle arrays for candidate members only. The skew guard drops
+    * band buckets whose combined two-side population exceeds the cap —
+    * boilerplate spam pairs across corpora exactly like within one. */
+  def minhashLshCross(newDf: DataFrame, refDf: DataFrame, textCol: String,
+      idCol: String, numHashes: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.0, maxBandBucket: Int = Int.MaxValue)
+      : DataFrame = {
+    require(numHashes % bands == 0)
+    val params = hashParams(numHashes)
+    // ids tag with a side marker so the two corpora may reuse id space
+    // (snapshots of the same collection usually do)
+    def sideKey(side: Int) = struct(lit(side).as("s"),
+      col(idCol).cast("long").as("i"))
+    def banded(df: DataFrame, side: Int) = {
+      val keys = graft.functions.MinHashBandKeys.column(
+        TextAnalysis.hashedShingles(textCol), params, bands)
+      df.select(sideKey(side).as("doc_id"),
+        posexplode(keys).as(Seq("band", "band_key")))
+    }
+    val (bn0, br0) = (banded(newDf, 0), banded(refDf, 1))
+    val (bn, br) =
+      if (maxBandBucket == Int.MaxValue) (bn0, br0)
+      else {
+        val hot = bn0.unionByName(br0).groupBy(col("band"), col("band_key"))
+          .count().filter(col("count") > maxBandBucket)
+          .select("band", "band_key")
+        (bn0.join(broadcast(hot), Seq("band", "band_key"), "left_anti"),
+          br0.join(broadcast(hot), Seq("band", "band_key"), "left_anti"))
+      }
+    val cand = bn.as("l")
+      .join(br.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.band_key") === col("r.band_key"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+    def keyed(df: DataFrame, side: Int) =
+      df.select(sideKey(side).as("doc_id"),
+        TextAnalysis.hashedShingles(textCol).as("sh"))
+    verifyPairs(cand, keyed(newDf, 0).unionByName(keyed(refDf, 1)),
+        minJaccard)
+      .select(col("id_a.i").as("id_new"), col("id_b.i").as("id_ref"),
+        col("jaccard"))
+  }
+
   /** Connected components over a duplicate-pair list → canonical id per
     * member (every node takes the minimum id reachable from it). Small
     * edge sets solve on the driver (union-find); larger ones run

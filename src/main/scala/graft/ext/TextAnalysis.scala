@@ -768,6 +768,58 @@ object TextAnalysis {
           count(lit(1)), 6).as("novelty"))
   }
 
+  /** Lexical DIVERSITY report per corpus slice: how much of a slice's
+    * shingle mass is distinct. `sh_total` counts per-document distinct
+    * shingles (so within-document repetition doesn't inflate the base);
+    * `diversity = sh_distinct / sh_total` is the cross-document
+    * distinct-n ratio — 1.0 when every document contributes fresh
+    * n-grams, → 0 as the slice converges on shared boilerplate. The
+    * slice-level companion of [[noveltyScore]] (which scores documents).
+    *
+    * Shape at 100 TB: shingle HASHES explode (strings stay in the row),
+    * then one partial-aggregated count + count-distinct per group —
+    * a digest-only shuffle keyed by (group, hash). The ratio is emitted
+    * as the raw IEEE quotient (bit-identical in any engine), not
+    * rounded: integer ratios can land exactly on decimal half-boundaries
+    * where engines' rounding of the same double disagrees. */
+  def diversityReport(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val sh = df.select(col(groupCol),
+      explode(hashedShingles(textCol, n)).as("sh"))
+    val agg = sh.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("sh_total"),
+        count_distinct(col("sh")).as("sh_distinct"))
+    val docs = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    docs.join(agg, Seq(groupCol))
+      .withColumn("diversity", col("sh_distinct") / col("sh_total"))
+      .select(col(groupCol), col("n_docs"), col("sh_total"),
+        col("sh_distinct"), col("diversity"))
+  }
+
+  /** Tokenizer FERTILITY audit: characters per BPE token for each corpus
+    * slice, under the corpus-trained merge schedule from [[bpeEncode]].
+    * The standard tokenizer-fit metric — a language whose fertility is
+    * far above the corpus mean is being shattered into char-level pieces
+    * (its data is under-represented in the merge training), which inflates
+    * its effective sequence length and training cost.
+    *
+    * Documents with no word tokens (e.g. scripts outside the tokenizer's
+    * alphabet) carry no token count and are excluded, same as
+    * [[bpeEncode]]'s output. Fertility is the raw IEEE quotient of two
+    * exact long sums — engine-portable unrounded. */
+  def tokenizerFertility(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, groupCol: String, charsCol: String,
+      numMerges: Int): org.apache.spark.sql.DataFrame = {
+    val enc = bpeEncode(df, idCol, textCol, numMerges)
+    df.select(col(idCol), col(groupCol), col(charsCol))
+      .join(enc, Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(charsCol)).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("fertility", col("n_chars") / col("n_tokens"))
+  }
+
   /** EXACT top-`k` most frequent word tokens, computed without a
     * vocabulary-sized shuffle.
     *

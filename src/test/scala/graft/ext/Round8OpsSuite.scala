@@ -329,4 +329,82 @@ class Round8OpsSuite extends AnyFunSuite {
     // the two planted extremes flag; the zero-MAD 'b' key flags nothing
     assert(got == Set(98L, 99L))
   }
+
+  // ---- diversityReport / tokenizerFertility ------------------------------
+
+  test("diversityReport: all-identical slice collapses, all-unique slice is 1.0") {
+    val df = Seq(
+      ("a", "alpha beta gamma delta"), ("a", "alpha beta gamma delta"),
+      ("a", "alpha beta gamma delta"),
+      ("b", "one two three four"), ("b", "five six seven eight")
+    ).toDF("source", "text")
+    val got = TextAnalysis.diversityReport(df, "source", "text")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // 'a': 3 docs x 2 distinct shingles each, only 2 distinct overall
+    // 'b': 2 docs x 2 shingles, all 4 distinct
+    assert(got.toSeq == Seq(("a", 3L, 6L, 2L, 2.0 / 6.0),
+      ("b", 2L, 4L, 4L, 1.0)))
+  }
+
+  test("tokenizerFertility == bpeEncode joined and aggregated by group") {
+    val df = Seq(
+      (1L, "en", 20L, "the cat sat on the mat"),
+      (2L, "en", 15L, "the cat ran far"),
+      (3L, "de", 18L, "der hund lief weit")
+    ).toDF("doc_id", "lang", "n_chars", "text")
+    val got = TextAnalysis.tokenizerFertility(
+      df, "doc_id", "text", "lang", "n_chars", 4)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val enc = TextAnalysis.bpeEncode(df, "doc_id", "text", 4)
+    val want = df.join(enc, Seq("doc_id")).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("nc"),
+        sum("n_tokens").as("nt"))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(2).toDouble / r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+    // fertility is chars per token: strictly positive, finite
+    assert(got.forall(g => g._5 > 0 && java.lang.Double.isFinite(g._5)))
+  }
+
+  // ---- minhashLshCross ---------------------------------------------------
+
+  test("minhashLshCross == within-union LSH restricted to cross-side pairs") {
+    val newDf = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about spark engines"),
+      (3L, "the quick brown fox jumps over the lazy cat")
+    ).toDF("doc_id", "text")
+    val refDf = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog today"),
+      (12L, "unrelated reference corpus document entirely"),
+      (13L, "completely different text about spark engines and scale")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashLshCross(newDf, refDf, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // same banding over the union: cross pairs are exactly the union's
+    // pairs with one member per side (new ids < ref ids here, so id_a=new)
+    val newIds = Set(1L, 2L, 3L)
+    val want = Dedup.minhashLsh(newDf.unionByName(refDf), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => newIds(p._1) && !newIds(p._2)).toSet
+    assert(got == want)
+    assert(got.nonEmpty) // the fox and spark docs must pair across sides
+  }
+
+  test("minhashLshCross keeps overlapping id spaces apart (snapshot ids)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    // same table on both sides: every doc pairs with ITSELF across sides
+    // at jaccard 1.0, and never within a side
+    val got = Dedup.minhashLshCross(docs, docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 1L, 1.0), (2L, 2L, 1.0)))
+  }
 }
