@@ -1094,6 +1094,22 @@ object SparkEntry {
         "lang", "n_chars", 8)
         .orderBy("lang")),
 
+    // ext: embedding cluster map — 8 seed centroids (lowest vec_ids),
+    // shuffle-free nearest-centroid assignment, per-cluster population +
+    // coherence; the balance audit behind cluster-aware pruning
+    "q98_cluster_map" -> ((s, dir) =>
+      ext.Similarity.clusterMap(
+        Tables.load(s, dir, "embeddings"), 8)
+        .orderBy("cluster")),
+
+    // ext: GPT-3-style supervised quality filter — NB log-odds of the
+    // "curated slice" label (src0/src1), trained on the corpus itself
+    "q99_quality_classifier" -> ((s, dir) =>
+      ext.TextAnalysis.nbQualityScore(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("source").isin("src0", "src1"))
+        .orderBy("doc_id")),
+
     // ext: REAL image resize — decode → stride-2 nearest-neighbor →
     // re-encode PNG → decode again; the oracle recomputes the subsampled
     // synthetic raster analytically
@@ -2477,6 +2493,59 @@ object SparkEntry {
              AS fertility
          FROM documents JOIN enc USING (doc_id)
          GROUP BY lang ORDER BY lang""",
+
+    // seed centroids = the 8 lowest vec_ids; assignment replicated as an
+    // argmin over the cross join (L2 ties toward the lower cluster index)
+    "q98_cluster_map" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                 AS cluster, v AS c
+               FROM e ORDER BY vec_id LIMIT 8),
+         a AS (SELECT vec_id, v, cluster, c,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY list_distance(v, c), cluster) AS rn
+               FROM e, s),
+         b AS (SELECT * FROM a WHERE rn = 1)
+         SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+           round(avg(CASE WHEN list_dot_product(v, v) > 0
+               AND list_dot_product(c, c) > 0
+             THEN list_dot_product(v, c) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c)))
+             END), 6) AS mean_cos
+         FROM b GROUP BY cluster ORDER BY cluster""",
+
+    // multinomial NB with add-one smoothing; pred compares the ROUNDED
+    // score so both engines decide the boundary on the same double
+    "q99_quality_classifier" ->
+      s"""WITH d AS (SELECT doc_id,
+             CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS pos,
+             $ToksSql AS toks
+           FROM documents),
+         t AS (SELECT doc_id, pos, unnest(toks) AS tok FROM d),
+         c AS (SELECT tok,
+                 sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS cp,
+                 sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS cn
+               FROM t GROUP BY tok),
+         g AS (SELECT CAST(sum(cp) AS BIGINT) AS tp,
+                 CAST(sum(cn) AS BIGINT) AS tn,
+                 CAST(count(*) AS BIGINT) AS v FROM c),
+         nd AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
+                  CAST(count(*) - sum(pos) AS BIGINT) AS nn FROM d),
+         w AS (SELECT tok,
+                 ln(CAST(cp + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE)) -
+                 ln(CAST(cn + 1 AS DOUBLE) / CAST(tn + v AS DOUBLE)) AS w
+               FROM c, g),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  sum(w) AS sw
+                FROM t JOIN w USING (tok) GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+           round(ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) +
+             coalesce(sc.sw, 0), 6) AS score,
+           CASE WHEN round(ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) +
+             coalesce(sc.sw, 0), 6) > 0 THEN 1 ELSE 0 END AS pred
+         FROM d LEFT JOIN sc USING (doc_id), nd
+         ORDER BY d.doc_id""",
 
     // stride-2 nearest-neighbor subsample of the q61 synthetic raster:
     // output pixel (x, y) = source pixel (2x, 2y)

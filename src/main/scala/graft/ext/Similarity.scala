@@ -123,4 +123,47 @@ object Similarity {
       .select(col("doc_id").as(idCol))
     df.join(dropIds, Seq(idCol), "left_anti")
   }
+
+  /** Embedding CLUSTER MAP: assign every vector to its nearest of `k`
+    * deterministic seed centroids (the `k` lowest-id vectors, squared-L2
+    * nearest, ties toward the lower cluster index) and report each
+    * cluster's population and coherence (mean cosine to its centroid) —
+    * the corpus-level balance/diversity audit behind cluster-aware
+    * pruning and mixture design (SemDeDup prunes WITHIN such clusters;
+    * this maps them).
+    *
+    * Seeds, not Lloyd: iterated k-means centroids are deterministic only
+    * up to float summation order (see [[Ivf.train]]), which no
+    * cross-engine gate can pin; a reproducibility-gated report pins
+    * centroids to actual corpus vectors so the assignment is bit-stable.
+    * Callers wanting trained centroids run [[Ivf.train]] →
+    * [[Ivf.assign]] and aggregate the same way.
+    *
+    * Shape at 100 TB: the seed pull is k·dim doubles to the driver;
+    * assignment is a shuffle-free broadcast codegen map
+    * ([[graft.functions.NearestCentroid]]); the report is one k-row
+    * aggregate with map-side combine. */
+  def clusterMap(df: DataFrame, k: Int, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val centroids = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>").as("c")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val session = df.sparkSession
+    import session.implicits._
+    val cdf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cluster", "c")
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cluster",
+        graft.functions.NearestCentroid.column(col("v"), centroids))
+      .join(broadcast(cdf), "cluster")
+      // zero vectors have no direction: their cosine is undefined, so they
+      // count toward n but not toward the coherence mean (NULL skips avg —
+      // and ANSI mode would otherwise fault the whole job on one zero row)
+      .withColumn("cos2", when(dot(col("v"), col("v")) > 0 &&
+          dot(col("c"), col("c")) > 0,
+        cosine(col("v"), col("c"))))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("cos2")), 6).as("mean_cos"))
+  }
 }

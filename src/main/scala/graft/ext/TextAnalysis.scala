@@ -768,6 +768,54 @@ object TextAnalysis {
           count(lit(1)), 6).as("novelty"))
   }
 
+  /** Supervised QUALITY CLASSIFIER: multinomial Naive Bayes log-odds of a
+    * binary "reference-like" label, trained on the corpus itself — the
+    * GPT-3-recipe page filter (Brown et al. 2020, Appendix A: a classifier
+    * trained to separate a curated reference slice from raw crawl, every
+    * page scored, high scorers kept). Model: per-token weight
+    * `ln((c⁺+1)/(T⁺+V)) − ln((c⁻+1)/(T⁻+V))` (add-one smoothing, V =
+    * corpus vocabulary), document score = class-prior log-odds + Σ weight
+    * over the document's tokens WITH multiplicity; `pred` = 1 iff the
+    * 6 dp-rounded score is positive (the comparison runs on the rounded
+    * value so it is engine-portable). Documents with no word tokens score
+    * the prior alone.
+    *
+    * Shape at 100 TB: token counts collapse map-side to vocabulary size;
+    * the totals pull is 3 longs; the weight table joins the token stream
+    * on the token key with NO broadcast assumption (a web-scale vocabulary
+    * is not driver-sized — AQE broadcasts iff the smoothed table fits);
+    * everything else is narrow. Output: (idCol, n_tokens, score, pred). */
+  def nbQualityScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, posCol: Column): org.apache.spark.sql.DataFrame = {
+    val docs = df.select(col(idCol), posCol.cast("boolean").as("pos"),
+      wordTokens(textCol).as("toks"))
+    val toks = docs.select(col(idCol), col("pos"),
+      explode(col("toks")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("cn"))
+    val tot = counts.agg(sum(col("cp")), sum(col("cn")), count(lit(1))).first()
+    val (tp, tn, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val nd = docs.agg(sum(when(col("pos"), 1L).otherwise(0L)),
+      count(lit(1))).first()
+    val (np, nn) = (nd.getLong(0), nd.getLong(1) - nd.getLong(0))
+    require(np > 0 && nn > 0, "both label classes must be non-empty")
+    val prior = math.log(np.toDouble / nn.toDouble)
+    val w = counts.select(col("tok"),
+      (log((col("cp") + 1L).cast("double") / lit((tp + v).toDouble)) -
+        log((col("cn") + 1L).cast("double") / lit((tn + v).toDouble))).as("w"))
+    val sums = toks.join(w, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("sw"))
+    docs.select(col(idCol))
+      .join(sums, Seq(idCol), "left")
+      .withColumn("score",
+        round(lit(prior) + coalesce(col("sw"), lit(0.0)), 6))
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("score"),
+        when(col("score") > 0, 1).otherwise(0).as("pred"))
+  }
+
   /** Lexical DIVERSITY report per corpus slice: how much of a slice's
     * shingle mass is distinct. `sh_total` counts per-document distinct
     * shingles (so within-document repetition doesn't inflate the base);

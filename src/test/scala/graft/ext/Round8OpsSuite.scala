@@ -371,6 +371,61 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got.forall(g => g._5 > 0 && java.lang.Double.isFinite(g._5)))
   }
 
+  // ---- clusterMap / nbQualityScore ---------------------------------------
+
+  test("clusterMap assigns to the nearest seed, seeds to themselves") {
+    // 2-d vectors around two well-separated seeds (ids 0 and 1)
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 10.0f)),
+      (2L, Seq(0.5f, 0.2f)), (3L, Seq(9.5f, 10.1f)), (4L, Seq(0.1f, 0.9f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val rows = Similarity.clusterMap(df, 2).orderBy("cluster").collect()
+    val got = rows.map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq((0, 3L), (1, 2L)))
+    // the zero seed centroid has no direction → its coherence is NULL
+    // (not a fault); the non-degenerate cluster's is a valid cosine
+    assert(rows(0).isNullAt(2))
+    val c1 = rows(1).getDouble(2)
+    assert(c1 >= -1.0 - 1e-9 && c1 <= 1.0 + 1e-9)
+  }
+
+  test("nbQualityScore replays the NB log-odds formula, empty docs get the prior") {
+    val df = Seq(
+      (1L, 1, "good clean prose text"),
+      (2L, 1, "good text"),
+      (3L, 0, "spam spam spam junk"),
+      (4L, 0, "junk spam"),
+      (5L, 0, "")).toDF("doc_id", "pos", "text")
+    val got = TextAnalysis.nbQualityScore(df, "doc_id", "text", $"pos" === 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // hand replay: token counts with multiplicity
+    val docs = Seq(1L -> ("good clean prose text", true),
+      2L -> ("good text", true), 3L -> ("spam spam spam junk", false),
+      4L -> ("junk spam", false), 5L -> ("", false))
+    val toks = docs.flatMap { case (id, (t, p)) =>
+      "[a-z0-9]+".r.findAllIn(t.toLowerCase).map(w => (id, p, w)) }
+    val vocab = toks.map(_._3).distinct
+    val tp = toks.count(_._2).toLong; val tn = toks.count(!_._2).toLong
+    val v = vocab.size.toLong
+    def w(tok: String) = {
+      val cp = toks.count(x => x._2 && x._3 == tok)
+      val cn = toks.count(x => !x._2 && x._3 == tok)
+      math.log((cp + 1).toDouble / (tp + v)) -
+        math.log((cn + 1).toDouble / (tn + v))
+    }
+    val prior = math.log(2.0 / 3.0)
+    val want = docs.map { case (id, (t, _)) =>
+      val dts = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+      val score = BigDecimal(prior + dts.map(w).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, dts.size.toLong, score, if (score > 0) 1 else 0)
+    }
+    assert(got.toSeq == want)
+    // the quality slice scores positive, the spam slice negative
+    assert(got(0)._4 == 1 && got(2)._4 == 0)
+  }
+
   // ---- minhashLshCross ---------------------------------------------------
 
   test("minhashLshCross == within-union LSH restricted to cross-side pairs") {
