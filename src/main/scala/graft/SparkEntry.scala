@@ -139,9 +139,16 @@ object SparkEntry {
   def dedupProbe(s: SparkSession, dir: String, factor: Int)
       : (Map[String, DataFrame], Map[String, DataFrame]) = {
     val (docs, bench) = probeCorpus(s, dir, factor)
+    val crossSide =
+      ext.Sampling.hashBucket(col("doc_id"), "xd") <
+        lit(ext.Sampling.Space / 2)
     val ops = Map(
       "minhash_lsh" -> ext.Dedup.minhashLsh(docs, "text", "doc_id",
         numHashes = 16, bands = 4, minJaccard = 0.3),
+      // incremental-ingest shape: half the replicated corpus plays the
+      // incoming snapshot, half the standing reference
+      "minhash_cross" -> ext.Dedup.minhashLshCross(docs.filter(crossSide),
+        docs.filter(!crossSide), "text", "doc_id", minJaccard = 0.3),
       "lsh_dedup_win" -> ext.Dedup.lshDedupSurvivors(
         docs.withColumn("ts", col("doc_id").cast("timestamp")),
         "text", "doc_id", "ts", "100 seconds"),

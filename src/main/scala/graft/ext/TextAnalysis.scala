@@ -816,6 +816,68 @@ object TextAnalysis {
         when(col("score") > 0, 1).otherwise(0).as("pred"))
   }
 
+  /** Driver-held NB classifier model: vocabulary, per-token log-odds
+    * weights (same formula as [[nbQualityScore]]), class-prior log-odds.
+    * The serving twin of the distributed scorer — see [[nbScoreWith]]. */
+  final case class NbModel(vocab: Array[String], weights: Array[Double],
+    prior: Double)
+
+  /** Train an [[NbModel]] on a labeled batch. The vocabulary pull is
+    * driver-sized and CAPPED — training at full corpus scale stays in
+    * [[nbQualityScore]]'s join shape (no cap); this path exists to hand a
+    * trained model to ingest-time scoring. A vocabulary above `maxVocab`
+    * fails LOUDLY rather than silently truncating (a clipped vocabulary
+    * would silently shift every score). */
+  def nbTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      posCol: Column, maxVocab: Int = 2000000): NbModel = {
+    val docs = df.select(posCol.cast("boolean").as("pos"),
+      wordTokens(textCol).as("toks"))
+    val toks = docs.select(col("pos"), explode(col("toks")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("cn"))
+    val tot = counts.agg(sum(col("cp")), sum(col("cn")), count(lit(1))).first()
+    val (tp, tn, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    require(v <= maxVocab,
+      s"nbTrain vocabulary $v exceeds maxVocab=$maxVocab — score with " +
+        "nbQualityScore's join shape instead of a driver-held model")
+    val nd = docs.agg(sum(when(col("pos"), 1L).otherwise(0L)),
+      count(lit(1))).first()
+    val (np, nn) = (nd.getLong(0), nd.getLong(1) - nd.getLong(0))
+    require(np > 0 && nn > 0, "both label classes must be non-empty")
+    val rows = counts.collect()
+    val vocab = new Array[String](rows.length)
+    val w = new Array[Double](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      vocab(i) = r.getString(0)
+      // the exact per-token formula nbQualityScore evaluates in codegen
+      // (Math.log over the same IEEE divisions), so the two shapes agree
+      w(i) = math.log((r.getLong(1) + 1L).toDouble / (tp + v).toDouble) -
+        math.log((r.getLong(2) + 1L).toDouble / (tn + v).toDouble)
+      i += 1
+    }
+    NbModel(vocab, w, math.log(np.toDouble / nn.toDouble))
+  }
+
+  /** Score rows against a pre-trained [[NbModel]]: one narrow codegen
+    * lookup-sum per row ([[graft.functions.TokenWeightSum]]) — no join,
+    * no shuffle, so `data` may be a STREAMING DataFrame (ingest-time
+    * quality gating against a batch-trained classifier, the standard
+    * deploy shape). On the training corpus itself this equals
+    * [[nbQualityScore]] (pinned in Round8OpsSuite); on NEW data the two
+    * differ only in bookkeeping: unseen tokens weigh 0 here and n_tokens
+    * counts ALL tokens, while the join shape would drop unseen tokens
+    * from both. Output: (idCol, n_tokens, score, pred). */
+  def nbScoreWith(data: org.apache.spark.sql.DataFrame, model: NbModel,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    data.select(col(idCol), wordTokens(textCol).as("_toks"))
+      .select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"),
+        round(lit(model.prior) + graft.functions.TokenWeightSum.column(
+          col("_toks"), model.vocab.zip(model.weights)), 6).as("score"))
+      .withColumn("pred", when(col("score") > 0, 1).otherwise(0))
+
   /** Lexical DIVERSITY report per corpus slice: how much of a slice's
     * shingle mass is distinct. `sh_total` counts per-document distinct
     * shingles (so within-document repetition doesn't inflate the base);

@@ -567,3 +567,72 @@ object ArrayOverlapsSet {
     ExpressionUtils.column(ArrayOverlapsSet(
       ExpressionUtils.expression(arr), set.toSeq))
 }
+
+/** Weighted-vocabulary lookup-sum for a driver-built sorted (token,
+  * weight) table: Σ weight(token) over the array WITH multiplicity,
+  * unknown tokens contributing 0. One binary search per token, the
+  * vocabulary shipped once per executor as codegen reference objects —
+  * the kernel behind [[graft.ext.TextAnalysis.nbScoreWith]]'s per-row
+  * classifier scoring (no join, no shuffle, streaming-safe). */
+object TokenWeightKernel {
+  def sum(arr: ArrayData, keys: Array[UTF8String], w: Array[Double]): Double = {
+    var s = 0.0
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      var lo = 0
+      var hi = keys.length - 1
+      while (lo <= hi) {
+        val m = (lo + hi) >>> 1
+        val c = keys(m).compareTo(t)
+        if (c == 0) { s += w(m); lo = hi + 1; hi = -2 } // found → exit
+        else if (c < 0) lo = m + 1
+        else hi = m - 1
+      }
+      i += 1
+    }
+    s
+  }
+}
+
+/** `token_weight_sum(array<string>)`: Σ weight over the fixed sorted
+  * vocabulary, 0 for unknown tokens. Vocab and weights ride the
+  * expression as Seqs (value equality for Catalyst transforms) with lazy
+  * array mirrors; the companion sorts the pairs once at construction. */
+case class TokenWeightSum(child: Expression, vocab: Seq[String],
+    weights: Seq[Double])
+  extends UnaryExpression {
+
+  @transient private lazy val keysArr: Array[UTF8String] =
+    vocab.iterator.map(UTF8String.fromString).toArray
+  @transient private lazy val wArr: Array[Double] = weights.toArray
+
+  override def prettyName: String = "token_weight_sum"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullSafeEval(arr: Any): Any =
+    TokenWeightKernel.sum(arr.asInstanceOf[ArrayData], keysArr, wArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("twsKeys", keysArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val wRef = ctx.addReferenceObj("twsWeights", wArr, "double[]")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.TokenWeightKernel.sum($arr, $kRef, $wRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenWeightSum =
+    copy(child = c)
+}
+
+object TokenWeightSum {
+  /** `pairs` need not be sorted; UTF8String (binary) order is applied
+    * here so the kernel's binary search sees a consistent key order. */
+  def column(tokens: Column, pairs: Array[(String, Double)]): Column = {
+    val sorted = pairs.sortBy(p => UTF8String.fromString(p._1))
+    ExpressionUtils.column(TokenWeightSum(
+      ExpressionUtils.expression(tokens),
+      sorted.map(_._1).toSeq, sorted.map(_._2).toSeq))
+  }
+}

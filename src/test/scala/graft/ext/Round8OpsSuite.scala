@@ -426,6 +426,30 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got(0)._4 == 1 && got(2)._4 == 0)
   }
 
+  test("nbScoreWith == nbQualityScore on the training corpus; stream == batch") {
+    val df = Seq(
+      (1L, 1, "good clean prose text"), (2L, 1, "good text"),
+      (3L, 0, "spam spam spam junk"), (4L, 0, "junk spam"), (5L, 0, ""))
+      .toDF("doc_id", "pos", "text")
+    val model = TextAnalysis.nbTrain(df, "text", $"pos" === 1)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    assert(rows(TextAnalysis.nbScoreWith(df, model, "doc_id", "text")) ==
+      rows(TextAnalysis.nbQualityScore(df, "doc_id", "text", $"pos" === 1)))
+    // streamed serving: file source through the same narrow kernel
+    val live = df.select("doc_id", "text")
+    val src = java.nio.file.Files.createTempDirectory("graft_nb_src").toString
+    live.write.mode("append").parquet(src)
+    val streamed = spark.readStream.schema(live.schema).parquet(src)
+    val q = TextAnalysis.nbScoreWith(streamed, model, "doc_id", "text")
+      .writeStream.format("memory").queryName("nb_scores")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(rows(spark.table("nb_scores")) ==
+      rows(TextAnalysis.nbScoreWith(live, model, "doc_id", "text")))
+  }
+
   // ---- minhashLshCross ---------------------------------------------------
 
   test("minhashLshCross == within-union LSH restricted to cross-side pairs") {
