@@ -1086,6 +1086,23 @@ object SparkEntry {
         .orderBy("id_new", "id_ref")
     }),
 
+    // ext: store-served cross-dedup — the standing half's LSH index is
+    // WRITTEN once (banded keys + shingle hashes) and the incoming half
+    // is matched FROM it; same answer as q95, but the reference corpus's
+    // kernels never re-run per batch (steady-state incremental ingest)
+    "q100_cross_store" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val isNew = ext.Sampling.hashBucket(col("doc_id"), "xd") <
+        lit(ext.Sampling.Space / 2)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q100_store_${s.sparkContext.applicationId}").toString
+      ext.Dedup.writeLshStore(docs.filter(!isNew), "text", "doc_id", path)
+      ext.Dedup.minhashLshCrossFromStore(docs.filter(isNew), s, path,
+        "text", "doc_id", minJaccard = 0.3)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_new", "id_ref")
+    }),
+
     // ext: lexical diversity per source — cross-document distinct-shingle
     // ratio; slice-level companion of the q94 per-document novelty
     "q96_diversity" -> ((s, dir) =>
@@ -1116,6 +1133,15 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         col("source").isin("src0", "src1"))
         .orderBy("doc_id")),
+
+    // ext: JL random projection — 64-dim embeddings compressed to 8
+    // deterministic hyperplane components (unrounded doubles: exact
+    // half-integer weights + fixed accumulation order are bit-identical
+    // across engines)
+    "q101_jl_projection" -> ((s, dir) =>
+      ext.Similarity.randomProjection(
+        Tables.load(s, dir, "embeddings"), 8)
+        .orderBy("vec_id")),
 
     // ext: REAL image resize — decode → stride-2 nearest-neighbor →
     // re-encode PNG → decode again; the oracle recomputes the subsampled
@@ -2449,7 +2475,30 @@ object SparkEntry {
 
     // q21's minhash machinery with a side column: candidates pair only
     // across the hash-half split (side 0 = "new crawl", side 1 = corpus)
-    "q95_cross_dedup" ->
+    "q95_cross_dedup" -> CrossDedupSql,
+
+    // the store-served path is pinned to the SAME oracle: serving the
+    // reference side from its persisted index must not change one pair
+    "q100_cross_store" -> CrossDedupSql,
+
+    // stride-2 nearest-neighbor subsample of the q61 synthetic raster:
+    // output pixel (x, y) = source pixel (2x, 2y)
+    "q93_image_resize" ->
+      """SELECT doc_id AS id,
+           CAST(greatest((doc_id % 13 + 3) // 2, 1) AS INT) AS width,
+           CAST(greatest((doc_id % 7 + 2) // 2, 1) AS INT) AS height,
+           round(list_avg(flatten(list_transform(
+             generate_series(0, CAST(greatest((doc_id % 7 + 2) // 2, 1) AS INT) - 1),
+             y -> list_transform(
+               generate_series(0, CAST(greatest((doc_id % 13 + 3) // 2, 1) AS INT) - 1),
+               x -> CAST((doc_id * 31 + 2 * x * 7 + 2 * y * 13) % 256 AS DOUBLE))))), 6)
+             AS brightness
+         FROM documents ORDER BY doc_id""",
+  ) ++ oracleSqlExt
+
+  // shared by q95 (inline sides) and q100 (store-served reference side):
+  // the two shapes are pinned to pair-identical output
+  private lazy val CrossDedupSql =
       s"""WITH dd AS (SELECT doc_id, text,
              CASE WHEN ${BucketSql("xd", "doc_id")} <
                ${ext.Sampling.Space / 2} THEN 0 ELSE 1 END AS side
@@ -2473,7 +2522,23 @@ object SparkEntry {
                FROM cand c JOIN d da ON da.doc_id = c.id_new
                  JOIN d db ON db.doc_id = c.id_ref)
          SELECT id_new, id_ref, round(jaccard, 6) AS jaccard
-         FROM j WHERE jaccard >= 0.3 ORDER BY id_new, id_ref""",
+         FROM j WHERE jaccard >= 0.3 ORDER BY id_new, id_ref"""
+
+  /** Continuation of [[oracleSql]] (the map literal splits around
+    * [[CrossDedupSql]]). */
+  private lazy val oracleSqlExt: Map[String, String] = Map(
+    // the hyperplane literals interpolate from Similarity.jlPlane — ONE
+    // source of truth for the weights in both engines
+    "q101_jl_projection" -> {
+      val planes = (0 until 8).map { i =>
+        val h = ext.Similarity.jlPlane(i, 64).mkString("[", ", ", "]")
+        // * (1/sqrt) like the Spark side — x*(1/s) and x/s differ in IEEE
+        s"list_dot_product(CAST(embedding AS DOUBLE[]), $h) * (1.0 / sqrt(8)) AS proj$i"
+      }.mkString(",\n           ")
+      s"""SELECT vec_id,
+           $planes
+         FROM embeddings ORDER BY vec_id"""
+    },
 
     // hashed shingles mirror the Spark side exactly, so even a 60-bit
     // collision changes both engines' distinct counts identically
@@ -2554,18 +2619,5 @@ object SparkEntry {
          FROM d LEFT JOIN sc USING (doc_id), nd
          ORDER BY d.doc_id""",
 
-    // stride-2 nearest-neighbor subsample of the q61 synthetic raster:
-    // output pixel (x, y) = source pixel (2x, 2y)
-    "q93_image_resize" ->
-      """SELECT doc_id AS id,
-           CAST(greatest((doc_id % 13 + 3) // 2, 1) AS INT) AS width,
-           CAST(greatest((doc_id % 7 + 2) // 2, 1) AS INT) AS height,
-           round(list_avg(flatten(list_transform(
-             generate_series(0, CAST(greatest((doc_id % 7 + 2) // 2, 1) AS INT) - 1),
-             y -> list_transform(
-               generate_series(0, CAST(greatest((doc_id % 13 + 3) // 2, 1) AS INT) - 1),
-               x -> CAST((doc_id * 31 + 2 * x * 7 + 2 * y * 13) % 256 AS DOUBLE))))), 6)
-             AS brightness
-         FROM documents ORDER BY doc_id""",
   )
 }

@@ -146,18 +146,37 @@ object Dedup {
       minJaccard: Double = 0.0, maxBandBucket: Int = Int.MaxValue)
       : DataFrame = {
     require(numHashes % bands == 0)
-    val params = hashParams(numHashes)
-    // ids tag with a side marker so the two corpora may reuse id space
-    // (snapshots of the same collection usually do)
-    def sideKey(side: Int) = struct(lit(side).as("s"),
-      col(idCol).cast("long").as("i"))
-    def banded(df: DataFrame, side: Int) = {
-      val keys = graft.functions.MinHashBandKeys.column(
-        TextAnalysis.hashedShingles(textCol), params, bands)
-      df.select(sideKey(side).as("doc_id"),
-        posexplode(keys).as(Seq("band", "band_key")))
-    }
-    val (bn0, br0) = (banded(newDf, 0), banded(refDf, 1))
+    crossCore(
+      bandedRaw(newDf, textCol, idCol, numHashes, bands),
+      bandedRaw(refDf, textCol, idCol, numHashes, bands),
+      shingleRaw(newDf, textCol, idCol),
+      shingleRaw(refDf, textCol, idCol),
+      minJaccard, maxBandBucket)
+  }
+
+  // the un-tagged per-corpus map stages (pure functions of the text):
+  // (doc_id long, band, band_key) and (doc_id long, sh) — exactly what
+  // [[writeLshStore]] persists and [[minhashLshCrossFromStore]] reloads
+  private def bandedRaw(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, bands: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(graft.functions.MinHashBandKeys.column(
+        TextAnalysis.hashedShingles(textCol), hashParams(numHashes), bands))
+        .as(Seq("band", "band_key")))
+  private def shingleRaw(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.hashedShingles(textCol).as("sh"))
+
+  /** [[minhashLshCross]]'s join core over pre-built per-side banded and
+    * shingle tables. Ids tag with a side marker so the two corpora may
+    * reuse id space (snapshots of the same collection usually do). */
+  private def crossCore(bandedNew: DataFrame, bandedRef: DataFrame,
+      shNew: DataFrame, shRef: DataFrame, minJaccard: Double,
+      maxBandBucket: Int): DataFrame = {
+    def tag(df: DataFrame, side: Int) = df.withColumn("doc_id",
+      struct(lit(side).as("s"), col("doc_id").as("i")))
+    val (bn0, br0) = (tag(bandedNew, 0), tag(bandedRef, 1))
     val (bn, br) =
       if (maxBandBucket == Int.MaxValue) (bn0, br0)
       else {
@@ -173,13 +192,45 @@ object Dedup {
         col("l.band_key") === col("r.band_key"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .distinct()
-    def keyed(df: DataFrame, side: Int) =
-      df.select(sideKey(side).as("doc_id"),
-        TextAnalysis.hashedShingles(textCol).as("sh"))
-    verifyPairs(cand, keyed(newDf, 0).unionByName(keyed(refDf, 1)),
-        minJaccard)
+    verifyPairs(cand, tag(shNew, 0).unionByName(tag(shRef, 1)), minJaccard)
       .select(col("id_a.i").as("id_new"), col("id_b.i").as("id_ref"),
         col("jaccard"))
+  }
+
+  /** Persist a standing corpus's LSH index: its banded band-key table and
+    * its shingle-hash table, both pure functions of the text — the
+    * per-document shingle/minhash kernels run ONCE here and never again.
+    * Every subsequent [[minhashLshCrossFromStore]] batch reads these
+    * columnar tables instead of re-deriving them: the incoming snapshot
+    * pays its own (small) map stage, the standing 100 TB corpus pays a
+    * column-pruned scan. Layout: `path/banded` and `path/shingles`. */
+  def writeLshStore(df: DataFrame, textCol: String, idCol: String,
+      path: String, numHashes: Int = 16, bands: Int = 4): Unit = {
+    bandedRaw(df, textCol, idCol, numHashes, bands)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/banded")
+    shingleRaw(df, textCol, idCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/shingles")
+  }
+
+  /** [[minhashLshCross]] with the reference side served from a
+    * [[writeLshStore]] index — the steady-state incremental-ingest path.
+    * `numHashes`/`bands` must match the store's (band keys are opaque
+    * strings; mismatched parameters silently produce no matches, so pass
+    * the same values, they are not discoverable from the store). */
+  def minhashLshCrossFromStore(newDf: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      textCol: String, idCol: String, numHashes: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.0, maxBandBucket: Int = Int.MaxValue)
+      : DataFrame = {
+    require(numHashes % bands == 0)
+    crossCore(
+      bandedRaw(newDf, textCol, idCol, numHashes, bands),
+      spark.read.parquet(s"$path/banded"),
+      shingleRaw(newDf, textCol, idCol),
+      spark.read.parquet(s"$path/shingles"),
+      minJaccard, maxBandBucket)
   }
 
   /** Connected components over a duplicate-pair list → canonical id per

@@ -124,6 +124,34 @@ object Similarity {
     df.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** Johnson–Lindenstrauss RANDOM PROJECTION: compress `vecCol` to
+    * `outDim` dimensions with the deterministic pseudo-random hyperplane
+    * family [[hyperplaneBucket]] signs against
+    * (h_i[d] = (1 + ((i·31 + d·17) mod 61)) − 30.5), scaled by 1/√outDim —
+    * the standard cheap front-end for ANN and clustering when the raw
+    * embedding width is the cost driver (distances are preserved within
+    * (1±ε) at outDim = O(ln n / ε²), JL lemma).
+    *
+    * A narrow per-row map: outDim sequential-order dot products against
+    * plan-literal hyperplanes — no shuffle, no model state, streaming-
+    * safe, and bit-identical in any engine (exact half-integer weights,
+    * fixed accumulation order; the projections are emitted UNROUNDED).
+    * Output: (idCol, proj0 … proj{outDim−1}). */
+  def randomProjection(df: DataFrame, outDim: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val v = col(vecCol).cast("array<double>")
+    val projs = (0 until outDim).map { i =>
+      (dot(v, lit(jlPlane(i, dim))) * scale).as(s"proj$i")
+    }
+    df.select((col(idCol) +: projs): _*)
+  }
+
+  /** Hyperplane i of the deterministic JL family (exact half-integers). */
+  def jlPlane(i: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(d => (1.0 + ((i * 31 + d * 17) % 61)) - 30.5)
+
   /** Embedding CLUSTER MAP: assign every vector to its nearest of `k`
     * deterministic seed centroids (the `k` lowest-id vectors, squared-L2
     * nearest, ties toward the lower cluster index) and report each

@@ -426,6 +426,19 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got(0)._4 == 1 && got(2)._4 == 0)
   }
 
+  test("randomProjection replays dot(v, h_i)/sqrt(k) exactly") {
+    val vec = Array.tabulate(16)(d => (d * 0.25f) - 1.0f)
+    val df = Seq((7L, vec.toSeq)).toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(df, 4).collect()(0)
+    val scale = 1.0 / math.sqrt(4.0)
+    (0 until 4).foreach { i =>
+      val h = Similarity.jlPlane(i, 16)
+      var acc = 0.0
+      (0 until 16).foreach(d => acc += vec(d).toDouble * h(d))
+      assert(got.getDouble(1 + i) == acc * scale) // bit-exact, no tolerance
+    }
+  }
+
   test("nbScoreWith == nbQualityScore on the training corpus; stream == batch") {
     val df = Seq(
       (1L, 1, "good clean prose text"), (2L, 1, "good text"),
@@ -473,6 +486,28 @@ class Round8OpsSuite extends AnyFunSuite {
       .filter(p => newIds(p._1) && !newIds(p._2)).toSet
     assert(got == want)
     assert(got.nonEmpty) // the fox and spark docs must pair across sides
+  }
+
+  test("minhashLshCrossFromStore == the inline shape (same pairs, same jaccard)") {
+    val newDf = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text about spark engines")
+    ).toDF("doc_id", "text")
+    val refDf = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog today"),
+      (12L, "unrelated reference corpus document entirely")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_lsh_store")
+      .toString
+    Dedup.writeLshStore(refDf, "text", "doc_id", path)
+    def collect(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromStore = collect(
+      Dedup.minhashLshCrossFromStore(newDf, spark, path, "text", "doc_id"))
+    val inline = collect(
+      Dedup.minhashLshCross(newDf, refDf, "text", "doc_id"))
+    assert(fromStore == inline)
+    assert(fromStore.nonEmpty)
   }
 
   test("minhashLshCross keeps overlapping id spaces apart (snapshot ids)") {
