@@ -439,6 +439,19 @@ class Round8OpsSuite extends AnyFunSuite {
     }
   }
 
+  test("randomProjection and nbScoreWith plan with no Exchange (narrow maps)") {
+    val emb = Seq((1L, Seq.fill(16)(0.5f))).toDF("vec_id", "embedding")
+    val p1 = Similarity.randomProjection(emb, 4)
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"), s"JL projection must not shuffle:\n$p1")
+    val df = Seq((1L, 1, "good text"), (2L, 0, "junk")).toDF("doc_id", "pos", "text")
+    val model = TextAnalysis.nbTrain(df, "text", $"pos" === 1)
+    val p2 = TextAnalysis.nbScoreWith(df, model, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange") && !p2.contains("Join"),
+      s"broadcast NB scoring must not shuffle or join:\n$p2")
+  }
+
   test("nbScoreWith == nbQualityScore on the training corpus; stream == batch") {
     val df = Seq(
       (1L, 1, "good clean prose text"), (2L, 1, "good text"),
