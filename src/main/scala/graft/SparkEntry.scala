@@ -1143,6 +1143,15 @@ object SparkEntry {
         Tables.load(s, dir, "embeddings"), 8)
         .orderBy("vec_id")),
 
+    // ext: JL-shortlisted ANN — rank in the 8-dim projected space, keep
+    // 50 candidates, exact-rerank only those (project→shortlist→rerank)
+    "q102_jl_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      ext.Similarity.projectedTopK(emb, emb.filter(col("vec_id") < 3),
+        10, 8, 50)
+        .orderBy("query_id", "rank")
+    }),
+
     // ext: REAL image resize — decode → stride-2 nearest-neighbor →
     // re-encode PNG → decode again; the oracle recomputes the subsampled
     // synthetic raster analytically
@@ -2527,6 +2536,40 @@ object SparkEntry {
   /** Continuation of [[oracleSql]] (the map literal splits around
     * [[CrossDedupSql]]). */
   private lazy val oracleSqlExt: Map[String, String] = Map(
+    // same projections as q101; shortlist ranked on the UNROUNDED pcos
+    // (bit-identical both engines), exact stage ranked on the rounded cos
+    "q102_jl_topk" -> {
+      val comps = (0 until 8).map { i =>
+        val h = ext.Similarity.jlPlane(i, 64).mkString("[", ", ", "]")
+        s"list_dot_product(v, $h) * (1.0 / sqrt(8))"
+      }.mkString("[", ",\n             ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         p AS (SELECT vec_id, $comps AS pv FROM e),
+         s AS (SELECT pq.vec_id AS query_id, pc.vec_id AS corpus_id,
+                 list_dot_product(pc.pv, pq.pv) /
+                   (sqrt(list_dot_product(pc.pv, pc.pv)) *
+                    sqrt(list_dot_product(pq.pv, pq.pv))) AS pcos
+               FROM p pc, p pq
+               WHERE pq.vec_id < 3 AND pc.vec_id <> pq.vec_id),
+         sh AS (SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY pcos DESC, corpus_id) AS prank
+                FROM s),
+         x AS (SELECT sh.query_id, sh.corpus_id,
+                 round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+               FROM sh JOIN e a ON a.vec_id = sh.corpus_id
+                 JOIN e b ON b.vec_id = sh.query_id
+               WHERE sh.prank <= 50),
+         r AS (SELECT query_id, corpus_id, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, corpus_id) AS INT) AS rank
+               FROM x)
+         SELECT query_id, rank, corpus_id, cos FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""" },
+
     // the hyperplane literals interpolate from Similarity.jlPlane — ONE
     // source of truth for the weights in both engines
     "q101_jl_projection" -> {

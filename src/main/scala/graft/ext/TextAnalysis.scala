@@ -870,6 +870,13 @@ object TextAnalysis {
     * differ only in bookkeeping: unseen tokens weigh 0 here and n_tokens
     * counts ALL tokens, while the join shape would drop unseen tokens
     * from both. Output: (idCol, n_tokens, score, pred). */
+  /** The [[NbModel]] score as a bare COLUMN (6 dp-rounded, same value as
+    * [[nbScoreWith]]'s `score`) — for inline narrow gates in composed
+    * pipelines, batch or streaming. */
+  def nbScore(model: NbModel, textCol: String): Column =
+    round(lit(model.prior) + graft.functions.TokenWeightSum.column(
+      wordTokens(textCol), model.vocab.zip(model.weights)), 6)
+
   def nbScoreWith(data: org.apache.spark.sql.DataFrame, model: NbModel,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
     data.select(col(idCol), wordTokens(textCol).as("_toks"))

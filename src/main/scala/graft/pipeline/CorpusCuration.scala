@@ -14,7 +14,11 @@ import graft.ext.{Dedup, Sampling, TextAnalysis}
   *      band);
   *   2. per-document features: language-ID, quality score, token count;
   *   3. quality gate on the rounded score (both engines compare the same
-  *      6-dp value, so the threshold is hash-stable at the boundary).
+  *      6-dp value, so the threshold is hash-stable at the boundary);
+  *   0. (optional, runs first) a supervised NB classifier gate
+  *      ([[TextAnalysis.nbScore]] against a pre-trained model) — the
+  *      GPT-3-recipe page filter, a narrow stateless column shared
+  *      verbatim with [[curateStream]].
   *
   * Every stage is a shuffle-bounded DataFrame op: the LSH band join and
   * the label-propagation joins are the only shuffles that touch pair
@@ -35,7 +39,24 @@ import graft.ext.{Dedup, Sampling, TextAnalysis}
 object CorpusCuration {
   def curate(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", minJaccard: Double = 0.3,
-      minQuality: Double = 0.55, maxBandBucket: Int = 10000): DataFrame = {
+      minQuality: Double = 0.55, maxBandBucket: Int = 10000,
+      classifier: Option[TextAnalysis.NbModel] = None,
+      minClassifierScore: Double = 0.0): DataFrame = {
+    // optional GPT-3-recipe supervised gate FIRST: a narrow per-row
+    // lookup-sum (no join), so the LSH stage never pays for pages the
+    // classifier would drop anyway; gate-first also makes
+    // `curate(df, classifier = Some(m))` ≡ `curate(gated df)` exactly
+    val src = classifier match {
+      case Some(m) =>
+        df.filter(TextAnalysis.nbScore(m, textCol) > minClassifierScore)
+      case None => df
+    }
+    curateBody(src, textCol, idCol, minJaccard, minQuality, maxBandBucket)
+  }
+
+  private def curateBody(df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double, minQuality: Double,
+      maxBandBucket: Int): DataFrame = {
     val pairs = Dedup.minhashLsh(df, textCol, idCol, numHashes = 16,
       bands = 4, minJaccard = minJaccard, maxBandBucket = maxBandBucket)
     val dropIds = Dedup.connectedComponents(pairs)
@@ -110,12 +131,21 @@ object CorpusCuration {
   def curateStream(df: DataFrame, bench: Option[DataFrame] = None,
       textCol: String = "text", idCol: String = "doc_id",
       tsCol: String = "ts", minQuality: Double = 0.55,
-      windowDur: String = "10 minutes", watermark: String = "1 hour"): DataFrame = {
+      windowDur: String = "10 minutes", watermark: String = "1 hour",
+      classifier: Option[TextAnalysis.NbModel] = None,
+      minClassifierScore: Double = 0.0): DataFrame = {
     val decontaminated = bench match {
       case Some(b) => Dedup.decontaminateBroadcast(df, b, textCol, idCol)
       case None => df
     }
-    val gated = decontaminated
+    // the classifier gate is the same stateless column as the batch
+    // path's — a batch-trained model scoring live ingest
+    val classified = classifier match {
+      case Some(m) => decontaminated
+        .filter(TextAnalysis.nbScore(m, textCol) > minClassifierScore)
+      case None => decontaminated
+    }
+    val gated = classified
       .filter(round(TextAnalysis.qualityScore(textCol), 6) >= minQuality)
     Dedup.nearDupFilterStreamLsh(gated, textCol, idCol, tsCol,
       windowDur, watermark)

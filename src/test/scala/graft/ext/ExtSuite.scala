@@ -779,6 +779,36 @@ class CorpusCurationSuite extends AnyFunSuite {
     assert(out == Set(10L, 20L))
   }
 
+  test("classifier gate: curate(df, model) == curate(pre-gated df), stream shares it") {
+    val good = "the quick brown fox jumps over the lazy dog and it is fine " * 3
+    val spammy = "buy cheap pills now click here buy cheap pills now " * 3
+    val docs = Seq(
+      (10L, good), (11L, good),          // dup cluster, both classifier-pass
+      (20L, "another clean english document that is long enough to pass the gate " * 3),
+      (30L, spammy))                     // classifier-dropped
+      .toDF("doc_id", "text")
+    // train on a labeled slice: good-like positive, spam negative
+    val labeled = Seq((1, good), (1, "clean english document text"),
+      (0, spammy), (0, "buy cheap click now")).toDF("pos", "text")
+    val m = TextAnalysis.nbTrain(labeled, "text", $"pos" === 1)
+    val gated = graft.pipeline.CorpusCuration.curate(docs,
+        minJaccard = 0.5, classifier = Some(m))
+      .collect().map(_.getLong(0)).toSet
+    val manual = graft.pipeline.CorpusCuration.curate(
+        docs.filter(TextAnalysis.nbScore(m, "text") > 0), minJaccard = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(gated == manual)
+    assert(!gated.contains(30L) && gated.contains(10L) && gated.contains(20L))
+    // the streaming path applies the same stateless column
+    val withTs = docs.withColumn("ts",
+      org.apache.spark.sql.functions.col("doc_id").cast("timestamp"))
+    val streamGated = graft.pipeline.CorpusCuration.curateStream(withTs,
+        None, windowDur = "1000 seconds", watermark = "10 seconds",
+        classifier = Some(m))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!streamGated.contains(30L))
+  }
+
   test("curateStream: decontaminate + gate + windowed dedup, batch == stream") {
     val good = "the quick brown fox jumps over the lazy dog and it is fine " * 3
     val leaky = "a quick brown fox benchmark question appears here today " * 3

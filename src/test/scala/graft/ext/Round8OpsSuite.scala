@@ -439,6 +439,31 @@ class Round8OpsSuite extends AnyFunSuite {
     }
   }
 
+  test("projectedTopK with shortlist >= corpus == brute force exactly") {
+    val rnd = new scala.util.Random(7)
+    // 4 well-separated clusters + noise: the structured case JL serves
+    // (uniform-random cosines are near-constant and NO shortlist helps)
+    val vecs = (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      (i, Seq.tabulate(16)(d =>
+        (if (d / 4 == c) 3.0f else 0.0f) + rnd.nextFloat() - 0.5f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 2)
+    def collect(d: org.apache.spark.sql.DataFrame) = d
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val exact = collect(Similarity.bruteForceTopK(df, queries, 5))
+    assert(collect(Similarity.projectedTopK(df, queries, 5, 8, 40)) == exact)
+    // at a 12-candidate budget the projected shortlist still recalls most
+    // of the true top-5 (JL preserves relative distances approximately)
+    val budget = collect(Similarity.projectedTopK(df, queries, 5, 8, 12))
+    val recall = budget.map(x => (x._1, x._3)).toSet
+      .intersect(exact.map(x => (x._1, x._3)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.6, s"JL shortlist recall $recall")
+  }
+
   test("randomProjection and nbScoreWith plan with no Exchange (narrow maps)") {
     val emb = Seq((1L, Seq.fill(16)(0.5f))).toDF("vec_id", "embedding")
     val p1 = Similarity.randomProjection(emb, 4)
