@@ -139,16 +139,29 @@ object SparkEntry {
   def dedupProbe(s: SparkSession, dir: String, factor: Int)
       : (Map[String, DataFrame], Map[String, DataFrame]) = {
     val (docs, bench) = probeCorpus(s, dir, factor)
-    val crossSide =
-      ext.Sampling.hashBucket(col("doc_id"), "xd") <
-        lit(ext.Sampling.Space / 2)
     val ops = Map(
       "minhash_lsh" -> ext.Dedup.minhashLsh(docs, "text", "doc_id",
         numHashes = 16, bands = 4, minJaccard = 0.3),
-      // incremental-ingest shape: half the replicated corpus plays the
-      // incoming snapshot, half the standing reference
-      "minhash_cross" -> ext.Dedup.minhashLshCross(docs.filter(crossSide),
-        docs.filter(!crossSide), "text", "doc_id", minJaccard = 0.3),
+      // incremental-ingest shape: a FIXED small batch (the bench slice)
+      // deduped against the standing corpus, which grows factor× — the
+      // inline shape re-runs the standing side's kernels every batch, so
+      // its ratio tracks corpus growth...
+      "minhash_cross" -> ext.Dedup.minhashLshCross(bench, docs,
+        "text", "doc_id", minJaccard = 0.3),
+      // ...while the store-served shape wrote the standing index ONCE
+      // (outside the timed window) and pays a columnar scan of the
+      // precomputed tables instead. Measured honestly: it wins at 1×
+      // (~0.25 s vs ~0.43 s) and is a wash at 16× — the shingle/band
+      // KERNELS are ns/row, so at bench scale recompute ≈ re-read; the
+      // store's real 100 TB case is when the standing side's raw text is
+      // wider than its shingle arrays or lives on colder storage
+      "minhash_cross_store" -> {
+        val path = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_probe_lsh_${s.sparkContext.applicationId}_$factor").toString
+        ext.Dedup.writeLshStore(docs, "text", "doc_id", path)
+        ext.Dedup.minhashLshCrossFromStore(bench, s, path,
+          "text", "doc_id", minJaccard = 0.3)
+      },
       "lsh_dedup_win" -> ext.Dedup.lshDedupSurvivors(
         docs.withColumn("ts", col("doc_id").cast("timestamp")),
         "text", "doc_id", "ts", "100 seconds"),

@@ -94,9 +94,11 @@ object CorpusCuration {
       srcCol: String = "source", budgetPerSource: Long = Long.MaxValue / 4,
       ctxLen: Int = 2048, nShards: Int = 1024, salt: String = "",
       minJaccard: Double = 0.3, minQuality: Double = 0.55,
-      maxBandBucket: Int = 10000): DataFrame = {
+      maxBandBucket: Int = 10000,
+      classifier: Option[TextAnalysis.NbModel] = None,
+      minClassifierScore: Double = 0.0): DataFrame = {
     val kept = curate(df, textCol, idCol, minJaccard, minQuality,
-      maxBandBucket).select(col(idCol))
+      maxBandBucket, classifier, minClassifierScore).select(col(idCol))
     val curated = df.join(kept, Seq(idCol), "left_semi")
     val clean = bench match {
       case Some(b) => Dedup.decontaminate(curated, b, textCol, idCol)
