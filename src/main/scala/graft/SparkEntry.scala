@@ -1165,6 +1165,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ext: PSI drift monitor — src9's quality distribution vs everyone
+    // else's, 10 fixed bins on the ROUNDED score (engine-stable edges)
+    "q103_psi_drift" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("source"),
+        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+      ext.Outliers.psiDrift(
+        docs.filter(col("source") =!= "src9"),
+        docs.filter(col("source") === "src9"), "q", 10, 0.0, 1.0)
+        .orderBy("bucket")
+    }),
+
     // ext: REAL image resize — decode → stride-2 nearest-neighbor →
     // re-encode PNG → decode again; the oracle recomputes the subsampled
     // synthetic raster analytically
@@ -1285,6 +1296,23 @@ object SparkEntry {
   private val SigSql = ext.Dedup.hashParams(16).map { case (a, b) =>
     s"list_min(list_transform(hv, h -> ($a * h + $b) % ${ext.Dedup.Prime}))"
   }.mkString("[", ", ", "]")
+  /** DuckDB replica of [[ext.TextAnalysis.qualityScore]] (q18, q103):
+    * CTE prefix producing relation `s` (doc_id, source, text, tok_cnt,
+    * s_* language hits) and the rounded score expression over it. */
+  private lazy val QualityCtesSql =
+    s"""WITH t AS (
+           SELECT doc_id, source, text, $ToksSql AS toks,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok_cnt
+           FROM documents),
+         s AS (SELECT doc_id, source, text, tok_cnt, $LangScoreSql FROM t)"""
+  private val QualityValSql =
+    s"""round(0.3 * least(tok_cnt / 100.0, 1.0)
+             + 0.4 * (1.0 - CASE WHEN len(text) > 0
+                 THEN (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)) / len(text)
+                 ELSE 0.0 END)
+             + 0.3 * least(CASE WHEN tok_cnt > 0
+                 THEN (CAST(s_en AS DOUBLE) / tok_cnt) ELSE 0.0 END * 5.0, 1.0), 6)"""
   private val CosSql =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
@@ -1500,20 +1528,10 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     "q18_langid_quality" ->
-      s"""WITH t AS (
-           SELECT doc_id, text, $ToksSql AS toks,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok_cnt
-           FROM documents),
-         s AS (SELECT doc_id, text, tok_cnt, $LangScoreSql FROM t)
+      s"""$QualityCtesSql
          SELECT doc_id,
            $LangCaseSql AS lang_id,
-           round(0.3 * least(tok_cnt / 100.0, 1.0)
-             + 0.4 * (1.0 - CASE WHEN len(text) > 0
-                 THEN (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)) / len(text)
-                 ELSE 0.0 END)
-             + 0.3 * least(CASE WHEN tok_cnt > 0
-                 THEN (CAST(s_en AS DOUBLE) / tok_cnt) ELSE 0.0 END * 5.0, 1.0), 6) AS quality
+           $QualityValSql AS quality
          FROM s ORDER BY doc_id""",
 
     "q19_fingerprint" ->
@@ -2549,6 +2567,35 @@ object SparkEntry {
   /** Continuation of [[oracleSql]] (the map literal splits around
     * [[CrossDedupSql]]). */
   private lazy val oracleSqlExt: Map[String, String] = Map(
+    // same smoothing arithmetic ORDER as the Spark side: (cnt + 0.5) /
+    // (total + 0.5 * n); psi rounds at 6 dp over the ln
+    "q103_psi_drift" ->
+      s"""$QualityCtesSql,
+         sc AS (SELECT source, $QualityValSql AS q FROM s),
+         bb AS (SELECT CAST(least(greatest(floor((q - 0.0) / 1.0 * 10),
+                  0.0), 9.0) AS INT) AS bucket
+                FROM sc WHERE source <> 'src9'),
+         bl AS (SELECT CAST(least(greatest(floor((q - 0.0) / 1.0 * 10),
+                  0.0), 9.0) AS INT) AS bucket
+                FROM sc WHERE source = 'src9'),
+         cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
+                FROM bb GROUP BY bucket),
+         cl AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_live
+                FROM bl GROUP BY bucket),
+         r AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
+         j AS (SELECT r.bucket, coalesce(cb.n_base, 0) AS n_base,
+                 coalesce(cl.n_live, 0) AS n_live
+               FROM r LEFT JOIN cb ON cb.bucket = r.bucket
+                 LEFT JOIN cl ON cl.bucket = r.bucket),
+         tt AS (SELECT (SELECT count(*) FROM bb) + 0.5 * 10 AS tb,
+                 (SELECT count(*) FROM bl) + 0.5 * 10 AS tl)
+         SELECT bucket, n_base, n_live,
+           (n_base + 0.5) / tb AS p_base,
+           (n_live + 0.5) / tl AS p_live,
+           round(((n_live + 0.5) / tl - (n_base + 0.5) / tb) *
+             ln(((n_live + 0.5) / tl) / ((n_base + 0.5) / tb)), 6) AS psi
+         FROM j, tt ORDER BY bucket""",
+
     // same projections as q101; shortlist ranked on the UNROUNDED pcos
     // (bit-identical both engines), exact stage ranked on the rounded cos
     "q102_jl_topk" -> {

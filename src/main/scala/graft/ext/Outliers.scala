@@ -63,4 +63,43 @@ object Outliers {
   def robustFlags(df: DataFrame, keyCol: String, idCol: String,
       valCol: String, cut: Double = 3.5): DataFrame =
     flagsWith(df, thresholds(df, keyCol, valCol), keyCol, idCol, valCol, cut)
+
+  /** Population-Stability-Index DRIFT report: how far a live slice's
+    * distribution of `valCol` has moved from a baseline slice's — the
+    * corpus-monitoring gate run per ingest batch (alert past the classic
+    * 0.1/0.25 PSI thresholds before a shifted crawl poisons a training
+    * mix). Values bucket into `nBuckets` fixed-width bins over [lo, hi]
+    * (outside values clamp into the edge bins — they count, loudly, in
+    * the tails); proportions are +0.5-smoothed so empty bins stay finite;
+    * per-bucket `psi = (p_live − p_base)·ln(p_live / p_base)` ≥ 0, total
+    * PSI = Σ psi. Bucket on an ENGINE-STABLE value (a rounded score, a
+    * count) — raw float edges would let a 1-ulp divergence flip a bin.
+    *
+    * Shape at 100 TB: two narrow bucket maps + two nBuckets-sized
+    * aggregations (map-side combine collapses everything); the totals
+    * are two scalar pulls; the report is nBuckets rows. Output:
+    * (bucket, n_base, n_live, p_base, p_live, psi) — proportions
+    * unrounded (exact rational divisions), psi at 6 dp (ln). */
+  def psiDrift(base: DataFrame, live: DataFrame, valCol: String,
+      nBuckets: Int = 10, lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
+    require(nBuckets > 0 && hi > lo)
+    def counts(df: DataFrame, name: String) = {
+      val b = least(greatest(
+        floor((col(valCol) - lit(lo)) / lit(hi - lo) * lit(nBuckets)),
+        lit(0.0)), lit((nBuckets - 1).toDouble)).cast("int")
+      df.select(b.as("bucket")).groupBy("bucket").agg(count(lit(1)).as(name))
+    }
+    val (tb, tl) = (base.count(), live.count())
+    val session = base.sparkSession
+    val all = session.range(nBuckets)
+      .select(col("id").cast("int").as("bucket"))
+    val p = (col("n_base") + lit(0.5)) / lit(tb + 0.5 * nBuckets)
+    val q = (col("n_live") + lit(0.5)) / lit(tl + 0.5 * nBuckets)
+    all.join(counts(base, "n_base"), Seq("bucket"), "left")
+      .join(counts(live, "n_live"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_base", "n_live"))
+      .withColumn("p_base", p).withColumn("p_live", q)
+      .withColumn("psi", round((col("p_live") - col("p_base")) *
+        log(col("p_live") / col("p_base")), 6))
+  }
 }

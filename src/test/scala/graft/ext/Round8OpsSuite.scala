@@ -501,6 +501,28 @@ class Round8OpsSuite extends AnyFunSuite {
       rows(TextAnalysis.nbScoreWith(live, model, "doc_id", "text")))
   }
 
+  // ---- psiDrift ----------------------------------------------------------
+
+  test("psiDrift: identical slices score 0, shift scores positive, edges clamp") {
+    val base = (0 until 10).flatMap(b => Seq.fill(5)(b / 10.0 + 0.05))
+      .toDF("v")
+    // identical distribution → every bucket's psi is exactly 0
+    val same = Outliers.psiDrift(base, base, "v").orderBy("bucket").collect()
+    assert(same.length == 10)
+    assert(same.forall(r => r.getDouble(5) == 0.0))
+    assert(same.forall(r => r.getLong(1) == 5L && r.getLong(2) == 5L))
+    // live mass moved into the top bucket → that bucket drifts positive,
+    // and every bucket's psi term is non-negative by construction
+    val live = Seq.fill(50)(0.95).toDF("v")
+    val drift = Outliers.psiDrift(base, live, "v").orderBy("bucket").collect()
+    assert(drift(9).getDouble(5) > 0.5)
+    assert(drift.forall(r => r.getDouble(5) >= 0.0))
+    // out-of-range values clamp into the edge bins (counted, not lost)
+    val wild = Seq(-5.0, 99.0).toDF("v")
+    val clamped = Outliers.psiDrift(base, wild, "v").orderBy("bucket").collect()
+    assert(clamped(0).getLong(2) == 1L && clamped(9).getLong(2) == 1L)
+  }
+
   // ---- minhashLshCross ---------------------------------------------------
 
   test("minhashLshCross == within-union LSH restricted to cross-side pairs") {
