@@ -900,12 +900,19 @@ object TextAnalysis {
     * rounded: integer ratios can land exactly on decimal half-boundaries
     * where engines' rounding of the same double disagrees. */
   def diversityReport(df: org.apache.spark.sql.DataFrame, groupCol: String,
-      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+      textCol: String, n: Int = 3,
+      approx: Boolean = false): org.apache.spark.sql.DataFrame = {
     val sh = df.select(col(groupCol),
       explode(hashedShingles(textCol, n)).as("sh"))
+    // exact distinct carries the slice's full shingle-hash set through
+    // the aggregation — vocabulary-sized state at 100 TB. approx = true
+    // swaps in HLL++ (bounded sketch state, ~2% default error), the same
+    // exact→sketch switch the breakdown engine's nunique/anunique makes
+    val distinctAgg =
+      if (approx) approx_count_distinct(col("sh")).as("sh_distinct")
+      else count_distinct(col("sh")).as("sh_distinct")
     val agg = sh.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("sh_total"),
-        count_distinct(col("sh")).as("sh_distinct"))
+      .agg(count(lit(1)).as("sh_total"), distinctAgg)
     val docs = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
     docs.join(agg, Seq(groupCol))
       .withColumn("diversity", col("sh_distinct") / col("sh_total"))

@@ -348,6 +348,21 @@ class Round8OpsSuite extends AnyFunSuite {
       ("b", 2L, 4L, 4L, 1.0)))
   }
 
+  test("diversityReport approx path tracks exact within HLL tolerance") {
+    val df = (1L to 300L).map(i =>
+      ("s" + (i % 3), s"unique text number $i with shared filler words"))
+      .toDF("source", "text")
+    val exact = TextAnalysis.diversityReport(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = TextAnalysis.diversityReport(df, "source", "text",
+        approx = true)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex < 0.1,
+        s"$k: approx ${approx(k)} vs exact $ex")
+    }
+  }
+
   test("tokenizerFertility == bpeEncode joined and aggregated by group") {
     val df = Seq(
       (1L, "en", 20L, "the cat sat on the mat"),
