@@ -1165,6 +1165,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ext: paragraph-level corpus dedup — q63's recipe one unit up:
+    // docs synthesized as (own text ¶ leader text), the shared leader
+    // paragraph crosses the occurrence cap and is stripped everywhere
+    "q104_para_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val multi = docs
+        .withColumn("lid", col("doc_id") - col("doc_id") % 5)
+        .join(docs.select(col("doc_id").as("lid"), col("text").as("ltext")),
+          "lid")
+        .select(col("doc_id"),
+          concat_ws("\n\n", col("text"), col("ltext")).as("text"))
+      ext.Dedup.dedupParagraphs(multi, "text", "doc_id",
+        maxOccurrences = 2)
+        .orderBy("doc_id")
+    }),
+
     // ext: PSI drift monitor — src9's quality distribution vs everyone
     // else's, 10 fixed bins on the ROUNDED score (engine-stable edges)
     "q103_psi_drift" -> ((s, dir) => {
@@ -2567,6 +2583,28 @@ object SparkEntry {
   /** Continuation of [[oracleSql]] (the map literal splits around
     * [[CrossDedupSql]]). */
   private lazy val oracleSqlExt: Map[String, String] = Map(
+    // q63's CTE shape with the paragraph splitter and joiner
+    "q104_para_dedup" ->
+      """WITH multi AS (
+           SELECT a.doc_id AS doc_id,
+                  concat(a.text, chr(10), chr(10), b.text) AS text
+           FROM documents a
+           JOIN documents b ON b.doc_id = a.doc_id - a.doc_id % 5),
+         paras AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(text, '\n{2,}')) AS para,
+                  unnest(generate_series(1,
+                    len(string_split_regex(text, '\n{2,}')))) AS pos
+           FROM multi),
+         hot AS (SELECT para FROM paras GROUP BY para HAVING count(*) > 2),
+         kept AS (SELECT * FROM paras
+                  WHERE para NOT IN (SELECT para FROM hot))
+         SELECT m.doc_id,
+                coalesce(string_agg(k.para, chr(10) || chr(10)
+                  ORDER BY k.pos), '') AS text
+         FROM multi m LEFT JOIN kept k ON k.doc_id = m.doc_id
+         GROUP BY m.doc_id ORDER BY m.doc_id""",
+
     // same smoothing arithmetic ORDER as the Spark side: (cnt + 0.5) /
     // (total + 0.5 * n); psi rounds at 6 dp over the ln
     "q103_psi_drift" ->

@@ -640,9 +640,10 @@ object Dedup {
     * size. No broadcast assumption on the hot set — boilerplate can be
     * corpus-scale, AQE picks the join strategy. */
   def dedupLines(df: DataFrame, textCol: String, idCol: String,
-      maxOccurrences: Int = 1): DataFrame = {
+      maxOccurrences: Int = 1, sepRegex: String = "\n",
+      joiner: String = "\n"): DataFrame = {
     val lines = df.select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "line")))
       .withColumn("lh", md5(col("line")))
     val hot = lines.groupBy(col("lh")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxOccurrences).select("lh")
@@ -650,11 +651,21 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("line")))),
-        x => x.getField("line")), "\n").as("_rebuilt"))
+        x => x.getField("line")), joiner).as("_rebuilt"))
     df.select(col(idCol))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("_rebuilt"), lit("")).as(textCol))
   }
+
+  /** [[dedupLines]] at PARAGRAPH granularity — the other unit the
+    * RefinedWeb recipe dedups at (Penedo et al. 2023 §4.2): blocks
+    * separated by blank lines. Runs of 3+ newlines canonicalize to the
+    * two-newline joiner on reassembly (the standard lossy normalization —
+    * paragraph identity, not byte layout, is what dedup keys on). */
+  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String,
+      maxOccurrences: Int = 1): DataFrame =
+    dedupLines(df, textCol, idCol, maxOccurrences,
+      sepRegex = "\n{2,}", joiner = "\n\n")
 
   /** Corpus boilerplate REPORT — the audit companion to [[dedupLines]]:
     * the text and occurrence count of every line appearing more than

@@ -516,6 +516,20 @@ class Round8OpsSuite extends AnyFunSuite {
       rows(TextAnalysis.nbScoreWith(live, model, "doc_id", "text")))
   }
 
+  test("dedupParagraphs strips hot paragraphs, keeps order, canonicalizes gaps") {
+    val boiler = "subscribe to our newsletter"
+    val df = Seq(
+      (1L, s"alpha one\n\n$boiler\n\n\nbeta two"),
+      (2L, s"$boiler\n\ngamma three"),
+      (3L, s"delta four\n\n$boiler")).toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(df, "text", "doc_id")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // the 3x paragraph is stripped everywhere; survivors keep document
+    // order; the \n\n\n run canonicalizes to the \n\n joiner
+    assert(got.toSeq == Seq((1L, "alpha one\n\nbeta two"),
+      (2L, "gamma three"), (3L, "delta four")))
+  }
+
   // ---- psiDrift ----------------------------------------------------------
 
   test("psiDrift: identical slices score 0, shift scores positive, edges clamp") {
