@@ -1204,6 +1204,39 @@ object SparkEntry {
           round(col("brightness"), 6).as("brightness"))
         .orderBy("id")
     }),
+
+    // ext: hard-negative mining — per anchor (vec_id < 5), the 10 most
+    // similar vectors with a DIFFERENT label; label filter applied
+    // before the JL shortlist so the candidate budget is all cross-label
+    "q105_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      ext.Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+        10, 8, 50)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ext: D4 prototypicality — cosine to the assigned seed centroid,
+    // within-cluster rank, top-25% drop flag (the diversify cut)
+    "q106_prototypicality" -> ((s, dir) =>
+      ext.Similarity.prototypicality(
+        Tables.load(s, dir, "embeddings"), 8, 0.25)
+        .orderBy("vec_id")),
+
+    // ext: containment pairs — docs synthesized as (own ⧺ group-leader
+    // text): every member CONTAINS the leader's shingles while Jaccard
+    // stays low; bottom-k sampled-membership candidates + exact verify
+    "q107_containment" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val multi = docs
+        .withColumn("lid", col("doc_id") - col("doc_id") % 10)
+        .join(docs.select(col("doc_id").as("lid"), col("text").as("ltext")),
+          "lid")
+        .select(col("doc_id"),
+          concat_ws(" ", col("text"), col("ltext")).as("text"))
+      ext.Dedup.containmentPairs(multi, "text", "doc_id",
+        minContainment = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -2759,6 +2792,101 @@ object SparkEntry {
              coalesce(sc.sw, 0), 6) > 0 THEN 1 ELSE 0 END AS pred
          FROM d LEFT JOIN sc USING (doc_id), nd
          ORDER BY d.doc_id""",
+
+    // q102's two-stage replay with the label predicate pushed under the
+    // shortlist (hyperplane literals again interpolate from jlPlane)
+    "q105_hard_negatives" -> {
+      val comps = (0 until 8).map { i =>
+        val h = ext.Similarity.jlPlane(i, 64).mkString("[", ", ", "]")
+        s"list_dot_product(v, $h) * (1.0 / sqrt(8))"
+      }.mkString("[", ",\n             ", "]")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         p AS (SELECT vec_id, label, $comps AS pv FROM e),
+         s AS (SELECT pq.vec_id AS query_id, pc.vec_id AS corpus_id,
+                 pc.label AS neg_label,
+                 list_dot_product(pc.pv, pq.pv) /
+                   (sqrt(list_dot_product(pc.pv, pc.pv)) *
+                    sqrt(list_dot_product(pq.pv, pq.pv))) AS pcos
+               FROM p pc, p pq
+               WHERE pq.vec_id < 5 AND pc.label <> pq.label),
+         sh AS (SELECT query_id, corpus_id, neg_label,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY pcos DESC, corpus_id) AS prank
+                FROM s),
+         x AS (SELECT sh.query_id, sh.corpus_id, sh.neg_label,
+                 round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+               FROM sh JOIN e a ON a.vec_id = sh.corpus_id
+                 JOIN e b ON b.vec_id = sh.query_id
+               WHERE sh.prank <= 50),
+         r AS (SELECT query_id, corpus_id, neg_label, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, corpus_id) AS INT) AS rank
+               FROM x)
+         SELECT query_id, rank, corpus_id, neg_label, cos FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""" },
+
+    // q98's seed-centroid assignment + within-cluster prototype rank;
+    // NULL cosines (zero vectors) rank last via the -2 sentinel
+    "q106_prototypicality" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                 AS cluster, v AS c
+               FROM e ORDER BY vec_id LIMIT 8),
+         a AS (SELECT vec_id, v, cluster, c,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY list_distance(v, c), cluster) AS rn
+               FROM e, s),
+         b AS (SELECT vec_id, cluster,
+                 CASE WHEN list_dot_product(v, v) > 0
+                     AND list_dot_product(c, c) > 0
+                   THEN round(list_dot_product(v, c) /
+                     (sqrt(list_dot_product(v, v)) *
+                      sqrt(list_dot_product(c, c))), 6)
+                 END AS cos
+               FROM a WHERE rn = 1),
+         r AS (SELECT vec_id, cluster, cos,
+                 CAST(row_number() OVER (PARTITION BY cluster
+                   ORDER BY coalesce(cos, -2.0) DESC, vec_id) AS INT)
+                   AS rnk,
+                 count(*) OVER (PARTITION BY cluster) AS n
+               FROM b)
+         SELECT vec_id, cluster, cos, rnk, CAST(n AS BIGINT) AS n,
+           CASE WHEN rnk <= ceil(0.25 * n) THEN 1 ELSE 0 END AS drop_flag
+         FROM r ORDER BY vec_id""",
+
+    // bottom-k sampled-membership candidates (the 8 smallest shingle
+    // hashes probe the full inverted index) + exact containment verify;
+    // integer-ratio containments stay unrounded (exact divisions)
+    "q107_containment" ->
+      s"""WITH m AS (SELECT d.doc_id,
+               concat_ws(' ', d.text, l.text) AS text
+             FROM documents d
+             JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 10),
+         d AS (SELECT doc_id, list_sort(list_transform($ShinglesSql,
+                 s -> ${baseHashSql("s")})) AS sh FROM m),
+         posts AS (SELECT doc_id, unnest(sh) AS h FROM d),
+         probes AS (SELECT doc_id AS probe_id, unnest(sh[1:8]) AS h FROM d),
+         cand AS (SELECT DISTINCT least(pr.probe_id, p.doc_id) AS id_a,
+                    greatest(pr.probe_id, p.doc_id) AS id_b
+                  FROM probes pr JOIN posts p USING (h)
+                  WHERE pr.probe_id <> p.doc_id),
+         x AS (SELECT c.id_a, c.id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                 CAST(len(a.sh) AS BIGINT) AS n_a,
+                 CAST(len(b.sh) AS BIGINT) AS n_b
+               FROM cand c JOIN d a ON a.doc_id = c.id_a
+                 JOIN d b ON b.doc_id = c.id_b)
+         SELECT id_a, id_b, n_a, n_b, inter,
+           CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS cont_a,
+           CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS cont_b
+         FROM x
+         WHERE greatest(CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE),
+                        CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE)) >= 0.5
+         ORDER BY id_a, id_b""",
 
   )
 }

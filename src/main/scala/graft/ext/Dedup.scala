@@ -821,4 +821,67 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
+
+  /** CONTAINMENT pairs — near-superset detection. Jaccard-driven dedup is
+    * blind to asymmetric duplication: a document quoted whole inside a
+    * much larger one has containment |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B|,
+    * under every MinHash band threshold. This operator reports pairs where
+    * EITHER direction's exact shingle containment reaches `minContainment`.
+    *
+    * Candidates cannot come from MinHash (it sketches Jaccard, exactly the
+    * measure that hides these pairs). Instead: every document posts its
+    * full hashed-shingle set to an inverted index and probes with its
+    * `sampleK` SMALLEST shingle hashes — a bottom-k sketch, i.e. a uniform
+    * sample of the doc's shingles, since the hash order is independent of
+    * the text. If c(A→B) ≥ τ, each of A's sampled shingles lands in B
+    * w.p. ≥ τ, so the pair is missed only with prob ≤ (1−τ)^k — 0.4% at
+    * τ=0.5, k=8 — and every candidate is then verified EXACTLY (one merge
+    * scan per pair), so false candidates cost time, never correctness.
+    *
+    * Scale shape: the probe side carries k hashes/doc; the posting side is
+    * the corpus shingle volume but joins on a long key with AQE deciding
+    * the build side. Hot shingles (boilerplate) would quadratically blow
+    * the candidate set — `maxPosting` drops their posting lists wholesale
+    * (broadcast anti-join, same spam defense as [[minhashCandidates]]'s
+    * band cap); a contained pair still surfaces through its other sampled
+    * shingles. Containments are emitted as unrounded integer-ratio doubles
+    * (exact division results are bit-identical cross-engine). */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      minContainment: Double = 0.5, sampleK: Int = 8,
+      maxPosting: Int = Int.MaxValue): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.hashedShingles(textCol).as("sh"))
+    val posts0 = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val posts =
+      if (maxPosting == Int.MaxValue) posts0
+      else {
+        val hot = posts0.groupBy(col("h")).count()
+          .filter(col("count") > maxPosting).select("h")
+        posts0.join(broadcast(hot), Seq("h"), "left_anti")
+      }
+    // bottom-k probe: hashedShingles is sorted ascending, so the k
+    // smallest hashes are a prefix slice — no extra sort
+    val probes = sh.select(col("doc_id").as("probe_id"),
+      explode(slice(col("sh"), 1, sampleK)).as("h"))
+    val cand = probes.join(posts, "h")
+      .filter(col("probe_id") =!= col("doc_id"))
+      .select(least(col("probe_id"), col("doc_id")).as("id_a"),
+        greatest(col("probe_id"), col("doc_id")).as("id_b"))
+      .distinct()
+    val sides = cand.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+    sides.join(sh, "doc_id")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(when(col("doc_id") === col("id_a"), col("sh"))).as("sh_a"),
+        max(when(col("doc_id") === col("id_b"), col("sh"))).as("sh_b"))
+      .withColumn("inter",
+        graft.functions.SetSimilarity.sortedIntersectSize(
+          col("sh_a"), col("sh_b")).cast("long"))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
+      .withColumn("n_b", size(col("sh_b")).cast("long"))
+      .withColumn("cont_a", col("inter").cast("double") / col("n_a").cast("double"))
+      .withColumn("cont_b", col("inter").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+      .select("id_a", "id_b", "n_a", "n_b", "inter", "cont_a", "cont_b")
+  }
 }

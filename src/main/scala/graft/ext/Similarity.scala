@@ -250,4 +250,106 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         round(avg(col("cos2")), 6).as("mean_cos"))
   }
+
+  /** HARD-NEGATIVE MINING — label-constrained nearest-neighbor search:
+    * for each query (anchor), the `k` most cosine-similar corpus vectors
+    * whose `labelCol` DIFFERS from the anchor's. High-similarity
+    * wrong-label rows are the informative negatives for contrastive
+    * training, and the same shape is general pre-filtered vector search
+    * (the hard vector-DB case): the predicate is applied BEFORE the
+    * shortlist window, so none of the candidate budget is spent on rows
+    * the filter would discard — with a post-filter, a query whose top
+    * `shortlist` projected neighbors all share its label would return
+    * nothing.
+    *
+    * Execution is [[projectedTopK]]'s project→shortlist→rerank discipline
+    * with the label carried through: the corpus scan touches `outDim`
+    * doubles + one label per row, the per-query top-`shortlist` window
+    * sees only cross-label pairs, and full-width vectors join back for
+    * shortlist survivors only. `shortlist ≥ corpus` makes it exact. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      outDim: Int, shortlist: Int, labelCol: String = "label",
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = withProjVec(corpus, outDim, vecCol)
+      .select(col(idCol).as("corpus_id"), col("projv").as("cp"),
+        col(labelCol).as("neg_label"))
+    val q = withProjVec(queries, outDim, vecCol)
+      .select(col(idCol).as("query_id"), col("projv").as("qp"),
+        col(labelCol).as("qlabel"),
+        col(vecCol).cast("array<double>").as("qvec"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("corpus_id"))
+    val short = c.crossJoin(broadcast(q.select("query_id", "qp", "qlabel")))
+      .filter(col("neg_label") =!= col("qlabel"))
+      .withColumn("pcos",
+        dot(col("cp"), col("qp")) / (norm(col("cp")) * norm(col("qp"))))
+      .select(col("query_id"), col("corpus_id"), col("neg_label"),
+        col("pcos"))
+      .withColumn("prank", row_number().over(ws))
+      .filter(col("prank") <= shortlist)
+      .select("query_id", "corpus_id", "neg_label")
+    val cv = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 6).desc, col("corpus_id"))
+    short.join(cv, "corpus_id")
+      .join(broadcast(q.select(col("query_id"), col("qvec"),
+        norm(col("qvec")).as("qnorm"))), "query_id")
+      .withColumn("cos",
+        dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")))
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"),
+        col("neg_label"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** D4-style PROTOTYPICALITY scores (Tirumala et al. 2023 "D4"): each
+    * vector's cosine to its [[clusterMap]] seed centroid, ranked within
+    * its cluster (rank 1 = most prototypical), with the top `dropFrac`
+    * of every cluster flagged for removal. After near-duplicates are
+    * gone (SemDeDup), the most prototypical points are the semantically
+    * redundant mass near each cluster center — dropping them is the
+    * diversify step of the D4 recipe; the flag makes the cut auditable
+    * instead of silent.
+    *
+    * Determinism: centroids are the `k` lowest-id corpus vectors (seed
+    * centroids, not Lloyd means — see [[clusterMap]]); ranking orders by
+    * the 6 dp-rounded cosine with id tiebreak; zero vectors (undefined
+    * cosine, NULL) rank last via a −2 sentinel that no real cosine can
+    * reach. `dropFrac` should be a binary-exact fraction (0.25, 0.5) so
+    * `ceil(dropFrac · n)` is the same double in every engine.
+    *
+    * Shape at 100 TB: assignment is the same shuffle-free broadcast
+    * codegen map as [[clusterMap]]; rank and cluster size share ONE
+    * shuffle-by-cluster exchange (both windows partition identically).
+    * k must exceed the executor-partition row count for the window state
+    * to matter; per-cluster skew is bounded by the corpus balance the
+    * [[clusterMap]] report itself audits. */
+  def prototypicality(df: DataFrame, k: Int, dropFrac: Double,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val centroids = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>").as("c")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val session = df.sparkSession
+    import session.implicits._
+    val cdf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cluster", "c")
+    val wr = Window.partitionBy(col("cluster"))
+      .orderBy(coalesce(col("cos"), lit(-2.0)).desc, col(idCol))
+    val wn = Window.partitionBy(col("cluster"))
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cluster",
+        graft.functions.NearestCentroid.column(col("v"), centroids))
+      .join(broadcast(cdf), "cluster")
+      .withColumn("cos", when(dot(col("v"), col("v")) > 0 &&
+          dot(col("c"), col("c")) > 0,
+        round(cosine(col("v"), col("c")), 6)))
+      .withColumn("rnk", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("drop_flag",
+        when(col("rnk") <= ceil(lit(dropFrac) * col("n")), 1).otherwise(0))
+      .select(col(idCol), col("cluster"), col("cos"), col("rnk"),
+        col("n"), col("drop_flag"))
+  }
 }

@@ -610,4 +610,148 @@ class Round8OpsSuite extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set((1L, 1L, 1.0), (2L, 2L, 1.0)))
   }
+
+  // ---- hardNegatives / prototypicality -----------------------------------
+
+  test("hardNegatives at full shortlist == label-filtered brute force") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      (i, c, Seq.tabulate(16)(d =>
+        (if (d / 4 == c) 3.0f else 0.0f) + rnd.nextFloat() - 0.5f))
+    }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+    val got = Similarity.hardNegatives(df, queries, 5, 8, 40)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSeq
+    // naive replay: brute force then drop same-label rows, re-rank
+    val naive = Similarity.bruteForceTopK(df, queries, 40).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        val qLabel = (q % 4).toInt
+        rows.filter { case (_, c, _) => (c % 4).toInt != qLabel }
+          .sortBy { case (_, c, cos) => (-cos, c) }.take(5).zipWithIndex
+          .map { case ((_, c, cos), i) => (q, i + 1, c, (c % 4).toInt, cos) }
+      }.sortBy(x => (x._1, x._2))
+    assert(got == naive)
+    // every mined negative really carries a different label
+    assert(got.forall { case (q, _, _, l, _) => l != (q % 4).toInt })
+  }
+
+  test("hardNegatives pre-filters: full k even when projected neighbors share the label") {
+    // anchor's own cluster (same label) dominates similarity; a
+    // post-filtered shortlist of 3 would return nothing cross-label
+    val vecs =
+      (0L until 10L).map(i => (i, 0, Seq.tabulate(8)(d => if (d < 4) 5.0f else 0.1f))) ++
+      (10L until 14L).map(i => (i, 1, Seq.tabulate(8)(d => if (d < 4) 0.1f else 5.0f)))
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(df, df.filter($"vec_id" === 0L),
+      4, 4, 3)
+    // shortlist 3 < same-label cluster size, yet all 3 survivors are
+    // cross-label (capped by the shortlist, never empty)
+    val rows = got.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getInt(3) == 1))
+  }
+
+  test("prototypicality ranks centroid-nearest first and flags ceil(frac*n)") {
+    // cluster 0 seed = id 0 at the origin-ish; cluster 1 seed = id 1
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.6f, 0.4f)),
+      (4L, Seq(0.1f, 0.9f)), (5L, Seq(0.4f, 0.6f)), (6L, Seq(0.2f, 0.8f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val rows = Similarity.prototypicality(df, 2, 0.5)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
+        r.getLong(4), r.getInt(5)))
+    // ids 0,2,3 go to cluster 0; 1,4,5,6 to cluster 1 (nearest seed)
+    assert(rows.map(_._2).toSeq == Seq(0, 1, 0, 0, 1, 1, 1))
+    // seeds are their own centroids: cos 1, rank 1, flagged
+    assert(rows(0)._3 == 1.0 && rows(0)._4 == 1 && rows(0)._6 == 1)
+    assert(rows(1)._3 == 1.0 && rows(1)._4 == 1 && rows(1)._6 == 1)
+    // cluster sizes 3 and 4 → ceil(0.5*n) = 2 flagged in each
+    assert(rows.count(r => r._2 == 0 && r._6 == 1) == 2)
+    assert(rows.count(r => r._2 == 1 && r._6 == 1) == 2)
+    // within a cluster, rank order follows cosine-to-centroid descending
+    val c1 = rows.filter(_._2 == 1).sortBy(_._4)
+    assert(c1.map(_._3).toSeq == c1.map(_._3).sortBy(-(_: Double)).toSeq)
+  }
+
+  // ---- containmentPairs --------------------------------------------------
+
+  test("containmentPairs finds the near-superset MinHash-Jaccard misses") {
+    val extra = (1 to 16).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, s"a b c d e f $extra"),
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    // doc 1 (4 shingles) is wholly inside doc 2 (20 shingles)
+    assert(got == Seq((1L, 2L, 4L, 20L, 4L, 1.0, 0.2)))
+    // the same pair's Jaccard is 0.2 — invisible to the 0.3 LSH gate
+    val lsh = Dedup.minhashLsh(docs, "text", "doc_id", minJaccard = 0.3)
+      .collect()
+    assert(!lsh.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("containmentPairs with sampleK >= all shingles == exhaustive all-pairs") {
+    val rnd = new scala.util.Random(3)
+    // overlapping windows of one shared token stream: containment-rich
+    val base = (0 until 40).map(i => s"w$i")
+    val docs = (1L to 12L).map { i =>
+      val start = rnd.nextInt(30)
+      val len = 6 + rnd.nextInt(12)
+      (i, base.slice(start, (start + len) min base.size).mkString(" "))
+    }.toDF("doc_id", "text")
+    def collect(d: org.apache.spark.sql.DataFrame) = d
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    val sampled = collect(
+      Dedup.containmentPairs(docs, "text", "doc_id", 0.3, sampleK = 1000))
+    // exhaustive reference: every pair through the exact verify
+    val sh = docs.select($"doc_id",
+      TextAnalysis.hashedShingles("text").as("sh"))
+    val naive = sh.as("a").join(sh.as("b"),
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        graft.functions.SetSimilarity.sortedIntersectSize(
+          $"a.sh", $"b.sh").cast("long").as("inter"),
+        size($"a.sh").cast("double").as("na"),
+        size($"b.sh").cast("double").as("nb"))
+      .filter(greatest($"inter" / $"na", $"inter" / $"nb") >= 0.3)
+    val want = collect(naive.select($"id_a", $"id_b", lit(0L).as("p"),
+      lit(0L).as("q"), $"inter"))
+    assert(sampled == want && sampled.nonEmpty)
+  }
+
+  test("containmentPairs survives a hot-posting cap (pair found via other samples)") {
+    // 'h h h' is a boilerplate shingle shared by every doc; cap drops it
+    val docs = Seq(
+      (1L, "h h h a b c d e"),
+      (2L, "h h h a b c d e z1 z2 z3 z4 z5 z6 z7 z8"),
+      (3L, "h h h p q r s"),
+      (4L, "h h h m n o k")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", 0.6,
+        maxPosting = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.contains((1L, 2L)))
+  }
+
+  test("prototypicality ranks zero vectors last (NULL cosine sentinel)") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    // k=1: everything lands in cluster 0 (seed id 0)
+    val rows = Similarity.prototypicality(df, 1, 0.25)
+      .orderBy("rnk").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 2L, 1L))
+    assert(rows(2).isNullAt(2)) // the zero vector's cosine is NULL
+    // ceil(0.25*3) = 1 → only the seed is flagged
+    assert(rows.map(_.getInt(5)).toSeq == Seq(1, 0, 0))
+  }
 }
