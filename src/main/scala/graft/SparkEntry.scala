@@ -1237,6 +1237,20 @@ object SparkEntry {
         minContainment = 0.5)
         .orderBy("id_a", "id_b")
     }),
+
+    // ext: PMI collocations — adjacent-bigram phrase mining over the
+    // corpus (c12 >= 5), PMI from exact-integer probability ratios
+    "q108_pmi_collocations" -> ((s, dir) =>
+      ext.TextAnalysis.pmiCollocations(
+        Tables.load(s, dir, "documents"), "text", 5L)
+        .orderBy("w1", "w2")),
+
+    // ext: first-order Markov transition matrix over per-user event
+    // sequences ((ts, event_id) order; unrounded integer-ratio P(to|from))
+    "q109_transitions" -> ((s, dir) =>
+      streaming.EventStream.transitionMatrix(
+        Tables.load(s, dir, "events"))
+        .orderBy("from_type", "to_type")),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -2887,6 +2901,41 @@ object SparkEntry {
          WHERE greatest(CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE),
                         CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE)) >= 0.5
          ORDER BY id_a, id_b""",
+
+    // PMI argument formed as the same left-assoc double product in both
+    // engines (exact below 2^53); ln output rounds at 6 dp
+    "q108_pmi_collocations" ->
+      s"""WITH tk AS (SELECT $ToksSql AS toks FROM documents),
+         u AS (SELECT unnest(toks) AS w FROM tk),
+         uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
+         bg AS (SELECT toks[g] AS w1, toks[g + 1] AS w2
+               FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1))
+                       AS g
+                     FROM tk WHERE len(toks) >= 2)),
+         bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM bg GROUP BY w1, w2),
+         tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS t1,
+                   (SELECT CAST(sum(c12) AS DOUBLE) FROM bi) AS t2)
+         SELECT w1, w2, c12, ua.c AS c1, ub.c AS c2,
+           round(ln((CAST(c12 AS DOUBLE) * t1 * t1) /
+             (t2 * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 6) AS pmi
+         FROM bi JOIN uni ua ON ua.w = bi.w1
+           JOIN uni ub ON ub.w = bi.w2, tot
+         WHERE c12 >= 5 ORDER BY w1, w2""",
+
+    "q109_transitions" ->
+      s"""WITH a AS (SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+               FROM events),
+         c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+               FROM a WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+               FROM c GROUP BY from_type)
+         SELECT from_type, to_type, n, n_from,
+           CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+         FROM c JOIN t USING (from_type)
+         ORDER BY from_type, to_type""",
 
   )
 }

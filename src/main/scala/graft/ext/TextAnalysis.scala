@@ -980,4 +980,48 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
   }
+
+  /** PMI COLLOCATIONS — corpus phrase mining: every adjacent word bigram
+    * occurring at least `minCount` times, scored by pointwise mutual
+    * information ln(P(w1w2) / (P(w1)·P(w2))) with P over token (T1) and
+    * bigram (T2) totals. High-PMI bigrams are the multiword units a
+    * tokenizer/vocabulary should treat atomically, and the phrase-level
+    * complement of the unigram [[heavyHitters]] report.
+    *
+    * Numerics: the PMI argument is formed as the exact-integer product
+    * ratio (c12·T1·T1) / (T2·c1·c2) — exact under 2⁵³ — so both engines
+    * hand ln() the same double; the output rounds at 6 dp (ln itself may
+    * differ by an ulp across libm implementations). Guard your corpus
+    * size: T1² · max(c12) must stay below 2⁵³ for the exactness argument
+    * (at ~10⁸ tokens switch to the log-sum form).
+    *
+    * Shape at 100 TB: one token explode with map-side combine into a
+    * vocabulary-sized unigram table, one bigram explode likewise; the
+    * unigram re-join runs on the BIGRAM-distinct table (vocab², but only
+    * observed pairs ≥ minCount after the pre-filter), not the corpus.
+    * Totals are single-row broadcasts. */
+  def pmiCollocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long = 5L): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(wordTokens(textCol).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+           i -> struct(element_at(toks, i) AS w1,
+                       element_at(toks, i + 1) AS w2))""")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val t1 = uni.agg(sum(col("c"))).head().getLong(0)
+    val t2 = bi.agg(sum(col("c12"))).head().getLong(0)
+    bi.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      // multiply as doubles (exact below 2^53, and int64 products would
+      // overflow-fault under ANSI long before the exactness bound)
+      .withColumn("pmi", round(log(
+        (col("c12").cast("double") * lit(t1.toDouble) * lit(t1.toDouble)) /
+          (lit(t2.toDouble) * col("c1").cast("double") * col("c2").cast("double"))), 6))
+      .select("w1", "w2", "c12", "c1", "c2", "pmi")
+  }
 }

@@ -120,6 +120,34 @@ object EventStream {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** First-order Markov TRANSITION MATRIX over per-user event sequences:
+    * for every ordered (from_type → to_type) adjacency, the transition
+    * count and the row-conditional probability P(to | from). The standard
+    * journey-analysis / next-event-model summary.
+    *
+    * Deterministic: per-user order is (ts, event_id) — the id breaks
+    * equal-timestamp ties. Probabilities are integer-ratio doubles and
+    * stay unrounded (exact divisions are bit-identical cross-engine).
+    *
+    * Shape at 100 TB: ONE shuffle by user for the lead() window (per-user
+    * sequences are the data's natural grain; no global order), then a
+    * map-side-combined count into a (|types|²)-row table; the per-from
+    * totals join is a sum over that tiny table, never the events. */
+  def transitionMatrix(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val adj = df
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = adj.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    adj.join(totals, "from_type")
+      .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
+      .select("from_type", "to_type", "n", "n_from", "p")
+  }
+
   /** Stream-stream interval join with event-time bounds: watermarks on both
     * sides let Spark expire join state once `withinSec` (+ watermark delay)
     * has passed — bounded state on an unbounded stream, the shape a

@@ -742,6 +742,54 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got.contains((1L, 2L)))
   }
 
+  // ---- pmiCollocations / transitionMatrix --------------------------------
+
+  test("pmiCollocations replays the exact probability-ratio formula") {
+    val docs = Seq(
+      (1L, "new york new york"),
+      (2L, "york new"),
+      (3L, "new")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "text", minCount = 2L)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    // unigrams: new=4, york=3, T1=7; bigrams: (new,york)=2, (york,new)=2, T2=4
+    def pmi(c12: Long, c1: Long, c2: Long) =
+      BigDecimal(math.log((c12.toDouble * 7.0 * 7.0) /
+        (4.0 * c1.toDouble * c2.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      ("new", "york", 2L, 4L, 3L, pmi(2, 4, 3)),
+      ("york", "new", 2L, 3L, 4L, pmi(2, 3, 4))))
+  }
+
+  test("pmiCollocations: minCount prunes, single-token docs count as unigrams only") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c d"), (4L, "e"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", "b", 2L))) // (c,d) has c12=1 → pruned
+  }
+
+  test("transitionMatrix counts adjacencies per user with id tie-break") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val events = Seq(
+      (1L, ts(10), 1L, "A"), (2L, ts(20), 1L, "B"), (3L, ts(30), 1L, "A"),
+      // user 2: equal timestamps — event_id orders B(4) before B(5)
+      (4L, ts(10), 2L, "B"), (5L, ts(10), 2L, "B"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.streaming.EventStream.transitionMatrix(events)
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("A", "B", 1L, 1L, 1.0),
+      ("B", "A", 1L, 2L, 0.5),
+      ("B", "B", 1L, 2L, 0.5)))
+    // no cross-user adjacency: user 1's last event never chains to user 2
+  }
+
   test("prototypicality ranks zero vectors last (NULL cosine sentinel)") {
     val df = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.8f, 0.2f)))
