@@ -1251,6 +1251,15 @@ object SparkEntry {
       streaming.EventStream.transitionMatrix(
         Tables.load(s, dir, "events"))
         .orderBy("from_type", "to_type")),
+
+    // ext: MMR diverse top-k — greedy relevance-vs-redundancy selection
+    // over a 20-candidate shortlist; oracle replays all 8 greedy steps
+    "q110_mmr" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      ext.Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 3),
+        8, 0.7, 20)
+        .orderBy("query_id", "mmr_rank")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -1344,6 +1353,70 @@ object SparkEntry {
 
   private def baseHashSql(s: String): String =
     s"CAST(CAST(concat('0x', substr(md5($s), 1, 15)) AS UBIGINT) % ${ext.Dedup.Prime} AS BIGINT)"
+
+  /** DuckDB replica of [[ext.Similarity.mmrTopK]] (q110): `k` generated
+    * greedy steps. Step 1 picks peak relevance; step i ≥ 2 scores every
+    * unselected candidate as `λ·rel − (1−λ)·max sim to the selected set`
+    * (the λ and 1−λ literals interpolate from the SAME doubles the Scala
+    * greedy uses, so the score arithmetic is bit-identical) and picks the
+    * (score desc, corpus_id) argmax per query. Every CTE is MATERIALIZED:
+    * each step references the previous selection three times, and inlined
+    * CTEs would re-evaluate the chain exponentially (3^k). */
+  private def MmrChainSql(k: Int, lambda: Double, candidates: Int,
+      nQueries: Int): String = {
+    val L = lambda.toString
+    val M = (1.0 - lambda).toString
+    def cos(a: String, b: String) =
+      s"""list_dot_product($a, $b) /
+         (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"""
+    val steps = (2 to k).map { i =>
+      s"""pick$i AS MATERIALIZED (SELECT query_id, corpus_id, rel, $i AS mmr_rank FROM (
+             SELECT m.query_id, m.corpus_id, m.rel,
+               row_number() OVER (PARTITION BY m.query_id
+                 ORDER BY ($L * m.rel - $M * m.maxsim) DESC, m.corpus_id)
+                 AS rn
+             FROM (SELECT c.query_id, c.corpus_id, c.rel,
+                     max(ps.sim) AS maxsim
+                   FROM cands c
+                   JOIN ps ON ps.query_id = c.query_id
+                     AND ps.id_a = c.corpus_id
+                   JOIN sel${i - 1} s ON s.query_id = ps.query_id
+                     AND s.corpus_id = ps.id_b
+                   WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+                     WHERE x.query_id = c.query_id
+                       AND x.corpus_id = c.corpus_id)
+                   GROUP BY c.query_id, c.corpus_id, c.rel) m) t
+           WHERE rn = 1),
+         sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1}
+           UNION ALL SELECT * FROM pick$i)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+       cand0 AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                   ${cos("c.v", "q.v")} AS rel
+                 FROM e c, e q
+                 WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       cands AS MATERIALIZED (SELECT query_id, corpus_id, rel FROM (
+                   SELECT query_id, corpus_id, rel,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(rel, 6) DESC, corpus_id) AS rn
+                   FROM cand0) t WHERE rn <= $candidates),
+       ps AS MATERIALIZED (SELECT a.query_id, a.corpus_id AS id_a, b.corpus_id AS id_b,
+                ${cos("va.v", "vb.v")} AS sim
+              FROM cands a JOIN cands b ON a.query_id = b.query_id
+                AND a.corpus_id <> b.corpus_id
+              JOIN e va ON va.vec_id = a.corpus_id
+              JOIN e vb ON vb.vec_id = b.corpus_id),
+       sel1 AS MATERIALIZED (SELECT query_id, corpus_id, rel, 1 AS mmr_rank FROM (
+                  SELECT query_id, corpus_id, rel,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY rel DESC, corpus_id) AS rn
+                  FROM cands) t WHERE rn = 1),
+       $steps
+       SELECT query_id, CAST(mmr_rank AS INT) AS mmr_rank, corpus_id,
+         round(rel, 6) AS rel
+       FROM sel$k ORDER BY query_id, mmr_rank"""
+  }
   /** DuckDB replica of [[ext.Sampling.hashBucket]] (q55/q56). */
   private def BucketSql(salt: String, idCol: String): String =
     s"CAST(CAST(concat('0x', substr(md5(concat('$salt', CAST($idCol AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT)"
@@ -2936,6 +3009,8 @@ object SparkEntry {
            CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
          FROM c JOIN t USING (from_type)
          ORDER BY from_type, to_type""",
+
+    "q110_mmr" -> MmrChainSql(8, 0.7, 20, 3),
 
   )
 }

@@ -304,6 +304,100 @@ object Similarity {
         col("neg_label"), round(col("cos"), 6).as("cos"))
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998) DIVERSE
+    * top-k: greedily select `k` of the query's `candidates` most-relevant
+    * corpus vectors, each step maximizing
+    * `lambda·rel(c) − (1−lambda)·max_{s∈S} sim(c, s)` — relevance traded
+    * against redundancy with what is already selected. The serving-side
+    * diversify step for retrieval/RAG and eval-set construction (top-k
+    * without it returns k near-duplicates of the best hit).
+    *
+    * Stage 1 is the [[bruteForceTopK]] shape keeping the top `candidates`
+    * per query (compose with [[projectedTopK]]/[[Ivf]] upstream to prune
+    * the scan); stage 2 runs the O(k·candidates) greedy per query inside
+    * one `mapGroups` over the bounded candidate set — the selection is
+    * inherently sequential, but each group is `candidates` rows, so the
+    * stage is embarrassingly parallel ACROSS queries and state never
+    * exceeds candidates·dim doubles.
+    *
+    * Determinism: every score is built from fixed-order dot products and
+    * the exact form `lambda·rel − (1−lambda)·maxSim` (1−lambda computed
+    * once); ties break toward the lower corpus id; candidate membership
+    * cuts on the 6 dp-rounded relevance like every top-k here. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      lambda: Double, candidates: Int, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val session = corpus.sparkSession
+    import session.implicits._
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("rel"), 6).desc, col("corpus_id"))
+    val cand = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("rel",
+        dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")))
+      .withColumn("crank", row_number().over(ws))
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("corpus_id"), col("rel"), col("cvec"))
+      .as[(Long, Long, Double, Seq[Double])]
+    val oneMinus = 1.0 - lambda
+    cand.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val rows = it.toArray.sortBy(_._2) // id order; scores decide below
+        val vecs = rows.map(_._4.toArray)
+        val norms = vecs.map { v =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          math.sqrt(s)
+        }
+        def sim(a: Int, b: Int): Double = {
+          val va = vecs(a); val vb = vecs(b)
+          var s = 0.0; var i = 0
+          while (i < va.length) { s += va(i) * vb(i); i += 1 }
+          s / (norms(a) * norms(b))
+        }
+        val n = rows.length
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+        var step = 1
+        while (step <= k && selected.length < n) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!selected.contains(i)) {
+              val score =
+                if (selected.isEmpty) rows(i)._3
+                else lambda * rows(i)._3 - oneMinus * maxSim(i)
+              // strict improvement wins; ties keep the lower corpus id
+              // (rows are id-sorted, so the first seen wins ties)
+              if (score > bestScore) { best = i; bestScore = score }
+            }
+            i += 1
+          }
+          selected += best
+          out += ((qid, step, rows(best)._2, rows(best)._3))
+          var j = 0
+          while (j < n) {
+            if (!selected.contains(j)) {
+              val s = sim(j, best)
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "mmr_rank", "corpus_id", "rel")
+      .withColumn("rel", round(col("rel"), 6))
+  }
+
   /** D4-style PROTOTYPICALITY scores (Tirumala et al. 2023 "D4"): each
     * vector's cosine to its [[clusterMap]] seed centroid, ranked within
     * its cluster (rank 1 = most prototypical), with the top `dropFrac`

@@ -742,6 +742,53 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got.contains((1L, 2L)))
   }
 
+  // ---- mmrTopK -----------------------------------------------------------
+
+  test("mmrTopK with lambda=1 reduces to pure-relevance ranking") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 30L).map { i =>
+      (i, Seq.tabulate(12)(_ => rnd.nextFloat() - 0.3f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 2)
+    val mmr = Similarity.mmrTopK(df, queries, 5, 1.0, 20)
+      .orderBy("query_id", "mmr_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val brute = Similarity.bruteForceTopK(df, queries, 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(mmr == brute)
+  }
+
+  test("mmrTopK diversifies: second pick escapes the near-duplicate cluster") {
+    // cluster X: three near-identical highly relevant vectors; cluster Y:
+    // one slightly less relevant but orthogonal-ish vector
+    val docs = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f)),            // the query
+      (1L, Seq(0.99f, 0.10f, 0.00f)),           // X
+      (2L, Seq(0.99f, 0.11f, 0.00f)),           // X (near-dup of 1)
+      (3L, Seq(0.98f, 0.12f, 0.00f)),           // X (near-dup of 1)
+      (4L, Seq(0.80f, 0.00f, 0.60f)))           // Y (distinct direction)
+      .toDF("vec_id", "embedding")
+    val queries = docs.filter($"vec_id" === 100L)
+    val relOrder = Similarity.mmrTopK(docs, queries, 3, 1.0, 4)
+      .orderBy("mmr_rank").collect().map(_.getLong(2)).toSeq
+    assert(relOrder == Seq(1L, 2L, 3L)) // pure relevance: all from X
+    val diverse = Similarity.mmrTopK(docs, queries, 3, 0.5, 4)
+      .orderBy("mmr_rank").collect().map(_.getLong(2)).toSeq
+    assert(diverse.head == 1L)          // most relevant still first
+    assert(diverse(1) == 4L, s"second pick should diversify, got $diverse")
+  }
+
+  test("mmrTopK caps at the candidate-set size") {
+    val docs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(docs, docs.filter($"vec_id" === 0L),
+      10, 0.7, 2)
+    assert(got.count() == 2)
+  }
+
   // ---- pmiCollocations / transitionMatrix --------------------------------
 
   test("pmiCollocations replays the exact probability-ratio formula") {
