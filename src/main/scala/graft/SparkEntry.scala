@@ -1252,6 +1252,15 @@ object SparkEntry {
         Tables.load(s, dir, "events"))
         .orderBy("from_type", "to_type")),
 
+    // ext: temperature (alpha-)sampling at tau=0.5 — per-source keep rate
+    // k/sqrt(n): small sources survive, the hot crawl shrinks; sqrt is
+    // IEEE-exact in both engines so the cut replays bit-identically
+    "q111_temperature_mix" -> ((s, dir) =>
+      ext.Sampling.temperatureMixture(Tables.load(s, dir, "documents"),
+          "source", 0.5, 3.0, "doc_id", "tm")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     // ext: MMR diverse top-k — greedy relevance-vs-redundancy selection
     // over a 20-candidate shortlist; oracle replays all 8 greedy steps
     "q110_mmr" -> ((s, dir) => {
@@ -3011,6 +3020,22 @@ object SparkEntry {
          ORDER BY from_type, to_type""",
 
     "q110_mmr" -> MmrChainSql(8, 0.7, 20, 3),
+
+    // rate = least(3.0 * (1.0 / sqrt(cnt)), 1.0) — the exact form the
+    // Scala side evaluates (x * (1/s), not x/s; sqrt is IEEE-exact)
+    "q111_temperature_mix" ->
+      s"""WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS cnt
+             FROM documents GROUP BY source),
+         r AS (SELECT source,
+                 CAST(floor(least(3.0 * (1.0 / sqrt(cnt)),
+                     CAST(1.0 AS DOUBLE))
+                   * CAST(${ext.Sampling.Space} AS DOUBLE)) AS BIGINT)
+                   AS cut
+               FROM c)
+         SELECT d.doc_id, d.source FROM documents d
+         JOIN r ON d.source = r.source
+         WHERE ${BucketSql("tm", "d.doc_id")} < r.cut
+         ORDER BY d.doc_id""",
 
   )
 }

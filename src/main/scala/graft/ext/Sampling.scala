@@ -179,4 +179,36 @@ object Sampling {
       .limit(k)
       .drop("_wsk")
   }
+
+  /** TEMPERATURE (α-)sampling — the mT5/data-mixing recipe for smoothing
+    * source imbalance without a target-proportion table: each source is
+    * kept at rate `min(k · n_s^(τ−1), 1)`, so τ = 1 keeps everything at
+    * rate k, τ < 1 UP-weights small sources relative to large ones (the
+    * hot web crawl shrinks, the small curated set survives), τ > 1
+    * sharpens toward the big sources. The cut is the same deterministic
+    * md5 bucket as [[hashFraction]]/[[mixture]]: reproducible on any
+    * layout, monotone in k (raising k only ADDS documents).
+    *
+    * τ = 0.5 evaluates via sqrt (IEEE-correctly-rounded in every engine —
+    * exact cross-engine parity for the oracle gate); other τ go through
+    * pow, whose last-ulp behavior is libm-specific (fine in production,
+    * suite-tested rather than oracle-gated).
+    *
+    * Shape at 100 TB: one count per source (map-side combined, S rows
+    * collected), then a shuffle-free narrow filter — the keep decision is
+    * a pure function of (source, id, salt). */
+  def temperatureMixture(df: DataFrame, sourceCol: String, tau: Double,
+      k: Double, idCol: String, salt: String = ""): DataFrame = {
+    require(tau > 0 && k > 0, s"need tau > 0 and k > 0, got tau=$tau k=$k")
+    val counts = df.groupBy(col(sourceCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val b = hashBucket(col(idCol), salt)
+    counts.map { case (src, n) =>
+      val factor =
+        if (tau == 0.5) 1.0 / math.sqrt(n.toDouble)
+        else math.pow(n.toDouble, tau - 1.0)
+      val rate = math.min(k * factor, 1.0)
+      col(sourceCol) === src && b < (rate * Space.toDouble).toLong
+    }.reduce(_ || _) match { case keep => df.filter(keep) }
+  }
 }

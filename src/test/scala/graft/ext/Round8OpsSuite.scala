@@ -742,6 +742,44 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got.contains((1L, 2L)))
   }
 
+  // ---- temperatureMixture ------------------------------------------------
+
+  test("temperatureMixture replays the per-source bucket cut exactly") {
+    val df = (1L to 300L).map(i => (i, if (i <= 240) "big" else "small"))
+      .toDF("id", "src")
+    val got = Sampling.temperatureMixture(df, "src", 0.5, 3.0, "id", "t")
+      .select("id").as[Long].collect().toSet
+    val rates = Map(
+      "big" -> math.min(3.0 * (1.0 / math.sqrt(240.0)), 1.0),
+      "small" -> math.min(3.0 * (1.0 / math.sqrt(60.0)), 1.0))
+    val want = df.select($"id", $"src",
+        Sampling.hashBucket($"id", "t").as("b")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter { case (_, src, b) =>
+        b < (rates(src) * Sampling.Space.toDouble).toLong }
+      .map(_._1).toSet
+    assert(got == want && got.nonEmpty)
+    // tau < 1 up-weights the small source's retention FRACTION
+    val fSmall = want.count(_ > 240L).toDouble / 60.0
+    val fBig = want.count(_ <= 240L).toDouble / 240.0
+    assert(fSmall > fBig, s"small $fSmall should exceed big $fBig")
+  }
+
+  test("temperatureMixture: tau=1 is a flat rate, k is monotone") {
+    val df = (1L to 200L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    // tau = 1: rate = k for every source == hashFraction at the same salt
+    val flat = Sampling.temperatureMixture(df, "src", 1.0, 0.3, "id", "m")
+      .select("id").as[Long].collect().toSet
+    val frac = Sampling.hashFraction(df, "id", 0.3, "m")
+      .select("id").as[Long].collect().toSet
+    assert(flat == frac)
+    val k2 = Sampling.temperatureMixture(df, "src", 0.5, 0.6, "id", "m")
+      .select("id").as[Long].collect().toSet
+    val k1 = Sampling.temperatureMixture(df, "src", 0.5, 0.3, "id", "m")
+      .select("id").as[Long].collect().toSet
+    assert(k1.subsetOf(k2), "raising k must only add documents")
+  }
+
   // ---- mmrTopK -----------------------------------------------------------
 
   test("mmrTopK with lambda=1 reduces to pure-relevance ranking") {
