@@ -120,6 +120,25 @@ object EventStream {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Windowed HOT-VALUES monitor: per tumbling window, the Misra–Gries
+    * candidate set over `valueCol` — the continuous twin of
+    * [[graft.ext.TextAnalysis.heavyHitters]]'s first pass. State per
+    * window is bounded by `capacity` counters regardless of value
+    * cardinality (the property that makes it streamable: an exact
+    * per-value count would hold the full vocabulary in state forever);
+    * the retained set provably contains every value with frequency
+    * > n/(capacity+1) in its window. Candidates, not counts — recount
+    * the flagged values exactly downstream when counts matter.
+    *
+    * The same call runs batch or streaming (add `withWatermark` upstream
+    * on a stream); [[graft.agg.MisraGriesAgg]] merges are what Structured
+    * Streaming's partial aggregation replays per micro-batch. */
+  def hotValues(df: DataFrame, valueCol: String, dur: String = "1 hour",
+      capacity: Int = 64): DataFrame =
+    df.groupBy(window(col("ts"), dur))
+      .agg(graft.agg.MisraGriesAgg(col(valueCol), capacity).as("hot"))
+      .select(col("window.start").as("ws"), col("hot"))
+
   /** First-order Markov TRANSITION MATRIX over per-user event sequences:
     * for every ordered (from_type → to_type) adjacency, the transition
     * count and the row-conditional probability P(to | from). The standard

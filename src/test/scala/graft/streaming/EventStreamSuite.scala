@@ -62,6 +62,37 @@ class EventStreamSuite extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("hotValues: bounded Misra-Gries state retains guaranteed heavy values, batch and stream") {
+    // window 0: 'view' x6 of n=10 (> n/(cap+1) = 3.33 at cap=2) must be
+    // retained under ANY arrival order; window 1: 'buy' x4 of 5 likewise
+    val evs = (1L to 10L).map { i =>
+      EventStream.Event(i, ts(i), 1, if (i <= 6) "view" else s"t$i", 1.0)
+    } ++ (11L to 15L).map { i =>
+      EventStream.Event(i, ts(i + 70), 1, if (i <= 14) "buy" else "other", 1.0)
+    }
+    val dir = Files.createTempDirectory("graft_hot").toString
+    evs.toDF().write.mode("overwrite").parquet(dir)
+    def check(rows: Array[org.apache.spark.sql.Row]): Unit = {
+      assert(rows.length == 2)
+      val byWindow = rows.map(r =>
+        r.getTimestamp(0) -> r.getSeq[String](1).toSet).toMap
+      val Seq(w0, w1) = byWindow.keys.toSeq.sortBy(_.getTime)
+      assert(byWindow(w0).contains("view"), s"w0 lost 'view': $byWindow")
+      assert(byWindow(w1).contains("buy"), s"w1 lost 'buy': $byWindow")
+      assert(byWindow.values.forall(_.size <= 2), "capacity bound violated")
+    }
+    check(EventStream.hotValues(spark.read.parquet(dir), "event_type",
+      capacity = 2).collect())
+    val stream = spark.readStream.schema(evs.toDF().schema).parquet(dir)
+      .withWatermark("ts", "10 minutes")
+    val q = EventStream.hotValues(stream, "event_type", capacity = 2)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hot_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    check(spark.table("hot_out").collect())
+  }
+
   test("chunk + redact run unchanged under Structured Streaming") {
     // both are stateless narrow ops, so the same code drives a stream —
     // the property a 100 TB ingest pipeline needs (no batch/stream fork)
