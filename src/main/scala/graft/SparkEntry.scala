@@ -1261,6 +1261,37 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    // ext: multiclass NB — the k-way nbQualityScore (supervised language
+    // classifier trained on the lang labels; argmax on rounded scores)
+    "q112_nb_multiclass" -> ((s, dir) =>
+      ext.TextAnalysis.nbMulticlass(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy("doc_id")),
+
+    // ext: precision/recall threshold sweep of the q99 classifier gate
+    "q113_pr_curve" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lbl = col("source").isin("src0", "src1")
+      val scored = ext.TextAnalysis
+        .nbQualityScore(docs, "doc_id", "text", lbl)
+        .join(docs.select(col("doc_id"),
+          when(lbl, 1).otherwise(0).as("label")), "doc_id")
+      ext.Eval.prCurve(scored, "score", "label")
+        .orderBy(col("threshold").desc)
+    }),
+
+    // ext: exact Mann-Whitney ROC-AUC of the same gate (ties at half
+    // credit via average ranks; all arithmetic exact in doubles)
+    "q114_auc" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lbl = col("source").isin("src0", "src1")
+      val scored = ext.TextAnalysis
+        .nbQualityScore(docs, "doc_id", "text", lbl)
+        .join(docs.select(col("doc_id"),
+          when(lbl, 1).otherwise(0).as("label")), "doc_id")
+      ext.Eval.aucRoc(scored, "score", "label")
+    }),
+
     // ext: MMR diverse top-k — greedy relevance-vs-redundancy selection
     // over a 20-candidate shortlist; oracle replays all 8 greedy steps
     "q110_mmr" -> ((s, dir) => {
@@ -1362,6 +1393,38 @@ object SparkEntry {
 
   private def baseHashSql(s: String): String =
     s"CAST(CAST(concat('0x', substr(md5($s), 1, 15)) AS UBIGINT) % ${ext.Dedup.Prime} AS BIGINT)"
+
+  /** DuckDB replica of [[ext.TextAnalysis.nbQualityScore]] on the
+    * src0/src1 slice label — shared by q99 (the classifier itself) and
+    * the q113/q114 eval operators that sweep/rank its scores. */
+  private lazy val NbScoredSql: String =
+    s"""WITH d AS (SELECT doc_id,
+             CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS pos,
+             $ToksSql AS toks
+           FROM documents),
+         t AS (SELECT doc_id, pos, unnest(toks) AS tok FROM d),
+         c AS (SELECT tok,
+                 sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS cp,
+                 sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS cn
+               FROM t GROUP BY tok),
+         g AS (SELECT CAST(sum(cp) AS BIGINT) AS tp,
+                 CAST(sum(cn) AS BIGINT) AS tn,
+                 CAST(count(*) AS BIGINT) AS v FROM c),
+         nd AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
+                  CAST(count(*) - sum(pos) AS BIGINT) AS nn FROM d),
+         w AS (SELECT tok,
+                 ln(CAST(cp + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE)) -
+                 ln(CAST(cn + 1 AS DOUBLE) / CAST(tn + v AS DOUBLE)) AS w
+               FROM c, g),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  sum(w) AS sw
+                FROM t JOIN w USING (tok) GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens, d.pos,
+           round(ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) +
+             coalesce(sc.sw, 0), 6) AS score,
+           CASE WHEN round(ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) +
+             coalesce(sc.sw, 0), 6) > 0 THEN 1 ELSE 0 END AS pred
+         FROM d LEFT JOIN sc USING (doc_id), nd"""
 
   /** DuckDB replica of [[ext.Similarity.mmrTopK]] (q110): `k` generated
     * greedy steps. Step 1 picks peak relevance; step i ≥ 2 scores every
@@ -2860,34 +2923,8 @@ object SparkEntry {
     // multinomial NB with add-one smoothing; pred compares the ROUNDED
     // score so both engines decide the boundary on the same double
     "q99_quality_classifier" ->
-      s"""WITH d AS (SELECT doc_id,
-             CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS pos,
-             $ToksSql AS toks
-           FROM documents),
-         t AS (SELECT doc_id, pos, unnest(toks) AS tok FROM d),
-         c AS (SELECT tok,
-                 sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS cp,
-                 sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS cn
-               FROM t GROUP BY tok),
-         g AS (SELECT CAST(sum(cp) AS BIGINT) AS tp,
-                 CAST(sum(cn) AS BIGINT) AS tn,
-                 CAST(count(*) AS BIGINT) AS v FROM c),
-         nd AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
-                  CAST(count(*) - sum(pos) AS BIGINT) AS nn FROM d),
-         w AS (SELECT tok,
-                 ln(CAST(cp + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE)) -
-                 ln(CAST(cn + 1 AS DOUBLE) / CAST(tn + v AS DOUBLE)) AS w
-               FROM c, g),
-         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                  sum(w) AS sw
-                FROM t JOIN w USING (tok) GROUP BY doc_id)
-         SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
-           round(ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) +
-             coalesce(sc.sw, 0), 6) AS score,
-           CASE WHEN round(ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) +
-             coalesce(sc.sw, 0), 6) > 0 THEN 1 ELSE 0 END AS pred
-         FROM d LEFT JOIN sc USING (doc_id), nd
-         ORDER BY d.doc_id""",
+      s"""SELECT doc_id, n_tokens, score, pred FROM ($NbScoredSql)
+         ORDER BY doc_id""",
 
     // q102's two-stage replay with the label predicate pushed under the
     // shortlist (hyperplane literals again interpolate from jlPlane)
@@ -3036,6 +3073,89 @@ object SparkEntry {
          JOIN r ON d.source = r.source
          WHERE ${BucketSql("tm", "d.doc_id")} < r.cut
          ORDER BY d.doc_id""",
+
+    // k-way NB: score_c = prior_c + Σ ln(cnt+1) − n_doc·ln(T_c+V) — only
+    // OBSERVED (token, class) rows join (unseen tokens add ln(1) = 0)
+    "q112_nb_multiclass" ->
+      s"""WITH d AS (SELECT doc_id, lang AS cls, $ToksSql AS toks
+             FROM documents),
+         t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         tc AS (SELECT cls, unnest(toks) AS tok FROM d),
+         c AS (SELECT cls, tok, CAST(count(*) AS BIGINT) AS cnt
+               FROM tc GROUP BY cls, tok),
+         vt AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM c),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         cl AS (SELECT dd.cls,
+                  ln(CAST(dd.ndc AS DOUBLE) / CAST(nt.n AS DOUBLE))
+                    AS prior,
+                  ln(CAST(coalesce(cs.tc2, 0) + vt.v AS DOUBLE)) AS lntc
+                FROM (SELECT cls, CAST(count(*) AS BIGINT) AS ndc
+                      FROM d GROUP BY cls) dd
+                LEFT JOIN (SELECT cls, CAST(sum(cnt) AS BIGINT) AS tc2
+                           FROM c GROUP BY cls) cs ON cs.cls = dd.cls,
+                  vt, nt),
+         s AS (SELECT t.doc_id, c.cls,
+                 sum(ln(CAST(c.cnt + 1 AS DOUBLE))) AS s
+               FROM t JOIN c ON c.tok = t.tok GROUP BY t.doc_id, c.cls),
+         pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+                FROM d),
+         sc AS (SELECT pd.doc_id, pd.n_tokens, cl.cls,
+                  round(cl.prior + coalesce(s.s, 0.0) -
+                    CAST(pd.n_tokens AS DOUBLE) * cl.lntc, 6) AS score
+                FROM pd CROSS JOIN cl
+                LEFT JOIN s ON s.doc_id = pd.doc_id AND s.cls = cl.cls),
+         r AS (SELECT doc_id, n_tokens, cls, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, cls) AS rn
+               FROM sc)
+         SELECT doc_id, n_tokens, cls AS pred, score FROM r WHERE rn = 1
+         ORDER BY doc_id""",
+
+    // threshold sweep over the per-score aggregate (never the corpus);
+    // window sums CAST to BIGINT (DuckDB windowed sum is HUGEINT)
+    "q113_pr_curve" ->
+      s"""WITH scored AS ($NbScoredSql),
+         per AS (SELECT score AS threshold,
+                   CAST(sum(pos) AS BIGINT) AS npos,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM scored GROUP BY score),
+         tot AS (SELECT CAST(sum(npos) AS BIGINT) AS p_total FROM per),
+         cum AS (SELECT threshold,
+                   CAST(sum(npos) OVER (ORDER BY threshold DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS tp,
+                   CAST(sum(n - npos) OVER (ORDER BY threshold DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS fp
+                 FROM per)
+         SELECT threshold, tp, fp,
+           CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+           CAST(tp AS DOUBLE) / CAST(p_total AS DOUBLE) AS recall
+         FROM cum, tot ORDER BY threshold DESC""",
+
+    // Mann-Whitney rank form: every npos·avgRank term is an exact
+    // multiple of 0.5, so the sums are order-independent and unrounded
+    "q114_auc" ->
+      s"""WITH scored AS ($NbScoredSql),
+         per AS (SELECT score AS s, CAST(sum(pos) AS BIGINT) AS npos,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM scored GROUP BY score),
+         rk AS (SELECT npos, n,
+                  CAST(sum(n) OVER (ORDER BY s ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+                FROM per),
+         ag AS (SELECT sum(CAST(npos AS DOUBLE) *
+                    (CAST(cum - n AS DOUBLE) +
+                     CAST(n + 1 AS DOUBLE) / 2.0)) AS prs,
+                  CAST(sum(npos) AS BIGINT) AS n_pos,
+                  CAST(sum(n - npos) AS BIGINT) AS n_neg
+                FROM rk)
+         SELECT (prs - (CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE))
+               / 2.0) /
+             (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
+           n_pos, n_neg
+         FROM ag""",
 
   )
 }

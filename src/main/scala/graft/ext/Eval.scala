@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation operators — the audit side of every model gate in
+  * the curation pipelines ([[TextAnalysis.nbQualityScore]], the
+  * `trainingMix` classifier gate): threshold sweeps and ranking quality,
+  * computed exactly.
+  *
+  * Scale discipline: both operators first collapse the corpus to ONE row
+  * per distinct score (map-side-combined groupBy — scores are rounded by
+  * the scorer, so this table is bounded by score granularity, not corpus
+  * size), then run the order-statistic window over that aggregate. The
+  * single-partition window is over the per-score table only; the corpus
+  * itself never globally sorts.
+  */
+object Eval {
+
+  /** PRECISION/RECALL CURVE: one row per distinct score, classifying
+    * `score >= threshold` as positive. `tp`/`fp` are running totals down
+    * the score-descending sweep; precision and recall are emitted as
+    * unrounded integer-ratio doubles (exact divisions — bit-identical in
+    * any engine). `labelCol` must be 0/1. */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val perScore = df.groupBy(col(scoreCol).as("threshold"))
+      .agg(sum(col(labelCol)).cast("long").as("npos"),
+        count(lit(1)).as("n"))
+    val totPos = sum(col("npos")).over(Window.partitionBy())
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore
+      .withColumn("tp", sum(col("npos")).over(w))
+      .withColumn("fp", sum(col("n") - col("npos")).over(w))
+      .withColumn("p_total", totPos)
+      .select(col("threshold"), col("tp"), col("fp"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        (col("tp").cast("double") / col("p_total").cast("double"))
+          .as("recall"))
+  }
+
+  /** ROC-AUC, exactly, as the Mann–Whitney rank statistic: the
+    * probability a random positive outranks a random negative, ties at
+    * half credit. Tie groups take their AVERAGE rank
+    * (`ranks_below + (n+1)/2`), so every per-group term `npos · avgRank`
+    * is an exact multiple of 0.5 — partial sums stay exact in doubles
+    * (below 2⁵³), which makes the aggregation order-independent and the
+    * unrounded result bit-identical across engines.
+    * Returns one row: (auc, n_pos, n_neg). */
+  def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val perScore = df.groupBy(col(scoreCol).as("s"))
+      .agg(sum(col(labelCol)).cast("long").as("npos"),
+        count(lit(1)).as("n"))
+    val w = Window.orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perScore
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("avg_rank",
+        (col("cum") - col("n")).cast("double") +
+          (col("n") + lit(1L)).cast("double") / lit(2.0))
+    ranked.agg(
+        sum(col("npos").cast("double") * col("avg_rank")).as("pos_rank_sum"),
+        sum(col("npos")).cast("long").as("n_pos"),
+        sum(col("n") - col("npos")).cast("long").as("n_neg"))
+      .select(
+        ((col("pos_rank_sum") -
+          (col("n_pos").cast("double") * (col("n_pos") + lit(1L)).cast("double"))
+            / lit(2.0)) /
+          (col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+}

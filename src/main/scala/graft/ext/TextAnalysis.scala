@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines — all
@@ -814,6 +815,56 @@ object TextAnalysis {
       .select(col(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("score"),
         when(col("score") > 0, 1).otherwise(0).as("pred"))
+  }
+
+  /** MULTICLASS multinomial Naive Bayes — the k-way generalization of
+    * [[nbQualityScore]] (supervised language/domain/register classifier
+    * trained on an existing labeled slice). Per class c:
+    * `score_c = ln(n_c/N) + Σ_tok ln((cnt_{tok,c}+1)/(T_c+V))`, prediction
+    * is the argmax. The per-token sum is algebraically split as
+    * `Σ ln(cnt+1) − n_doc·ln(T_c+V)`: tokens UNSEEN in class c contribute
+    * ln(0+1) = 0 to the first term, so only OBSERVED (token, class)
+    * count rows ever join the token stream — no dense vocab×k table.
+    *
+    * Ties (and the argmax boundary) are decided on the 6 dp-rounded
+    * score with the lexicographically-first class winning, so engines
+    * agree at the boundary. Shape at 100 TB: one (class, token) count
+    * aggregation (vocab·k rows, map-side combined), the token stream
+    * joins it by token with NO broadcast assumption, and the per-doc
+    * regroup carries k rows per document; the class table (k rows) is a
+    * broadcast. */
+  def nbMulticlass(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, labelCol: String): org.apache.spark.sql.DataFrame = {
+    val docs = df.select(col(idCol), col(labelCol).as("cls"),
+      wordTokens(textCol).as("toks"))
+    val toks = docs.select(col(idCol), explode(col("toks")).as("tok"))
+    val counts = docs.select(col("cls"), explode(col("toks")).as("tok"))
+      .groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val v = counts.select(col("tok")).distinct().count()
+    val nTotal = docs.count()
+    val classes = docs.groupBy(col("cls")).agg(count(lit(1)).as("ndc"))
+      .join(counts.groupBy(col("cls")).agg(sum(col("cnt")).as("tc")),
+        Seq("cls"), "left")
+      .select(col("cls"),
+        log(col("ndc").cast("double") / lit(nTotal.toDouble)).as("prior"),
+        log((coalesce(col("tc"), lit(0L)) + lit(v)).cast("double"))
+          .as("lntc"))
+    val s = toks.join(counts, Seq("tok"))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(log((col("cnt") + lit(1L)).cast("double"))).as("s"))
+    val perDoc = docs.select(col(idCol),
+      size(col("toks")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("cls").asc)
+    perDoc.crossJoin(broadcast(classes))
+      .join(s, Seq(idCol, "cls"), "left")
+      .withColumn("score", round(
+        col("prior") + coalesce(col("s"), lit(0.0)) -
+          col("n_tokens").cast("double") * col("lntc"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("n_tokens"), col("cls").as("pred"),
+        col("score"))
   }
 
   /** Driver-held NB classifier model: vocabulary, per-token log-odds

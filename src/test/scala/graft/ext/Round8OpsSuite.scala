@@ -742,6 +742,57 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got.contains((1L, 2L)))
   }
 
+  // ---- Eval: prCurve / aucRoc --------------------------------------------
+
+  test("prCurve replays the hand-computed threshold sweep") {
+    val df = Seq((0.9, 1), (0.8, 1), (0.8, 0), (0.5, 0), (0.3, 1))
+      .toDF("score", "label")
+    val got = Eval.prCurve(df, "score", "label")
+      .orderBy($"threshold".desc).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (0.9, 1L, 0L, 1.0, 1.0 / 3.0),
+      (0.8, 2L, 1L, 2.0 / 3.0, 2.0 / 3.0),
+      (0.5, 2L, 2L, 2.0 / 4.0, 2.0 / 3.0),
+      (0.3, 3L, 2L, 3.0 / 5.0, 3.0 / 3.0)))
+  }
+
+  test("aucRoc is the exact Mann-Whitney statistic with half-credit ties") {
+    val df = Seq((0.9, 1), (0.8, 1), (0.8, 0), (0.5, 0), (0.3, 1))
+      .toDF("score", "label")
+    val r = Eval.aucRoc(df, "score", "label").collect()(0)
+    // pairs: 5 wins + 1 tie (0.8 vs 0.8) of 6 → (5 + 0.5)/6... counted:
+    // wins 3.5 of 6 comparisons (see ranks: 1 + 3.5 + 5 = 9.5)
+    assert(r.getDouble(0) == 3.5 / 6.0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
+    // perfect separation → exactly 1; all-tied scores → exactly 0.5
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0)).toDF("score", "label")
+    assert(Eval.aucRoc(perfect, "score", "label").collect()(0).getDouble(0) == 1.0)
+    val tied = Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)).toDF("score", "label")
+    assert(Eval.aucRoc(tied, "score", "label").collect()(0).getDouble(0) == 0.5)
+  }
+
+  // ---- nbMulticlass ------------------------------------------------------
+
+  test("nbMulticlass replays the k-way NB formula; empty docs tie to the first class") {
+    val df = Seq(
+      (1L, "a", "aa aa"), (2L, "a", "aa bb"),
+      (3L, "b", "cc cc"), (4L, "b", "")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.nbMulticlass(df, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    // hand replay: T_a=4 (aa x3, bb x1), T_b=2 (cc x2), V=3, priors 2/4
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sA1 = r6(math.log(2.0 / 4.0) + (math.log(4.0) + math.log(4.0)) -
+      2.0 * math.log(7.0)) // doc1 under class a
+    assert(got(0) == (1L, 2L, "a", sA1))
+    assert(got(1)._3 == "a" && got(2)._3 == "b")
+    // doc 4 is empty: score = prior for both classes (equal) → 'a' wins
+    assert(got(3) == (4L, 0L, "a", r6(math.log(2.0 / 4.0))))
+  }
+
   // ---- temperatureMixture ------------------------------------------------
 
   test("temperatureMixture replays the per-source bucket cut exactly") {
