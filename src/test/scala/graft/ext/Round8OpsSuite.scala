@@ -742,6 +742,35 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got.contains((1L, 2L)))
   }
 
+  // ---- plan-shape pins for the new narrow ops ----------------------------
+
+  test("temperatureMixture plans as a shuffle-free narrow filter") {
+    val df = (1L to 50L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val plan = Sampling.temperatureMixture(df, "src", 0.5, 2.0, "id", "p")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"temperatureMixture must not shuffle:\n$plan")
+  }
+
+  test("prototypicality shares ONE keyed exchange between rank and size windows") {
+    val df = (0L until 20L).map(i =>
+      (i, Seq.tabulate(4)(d => (i + d).toFloat))).toDF("vec_id", "embedding")
+    val plan = Similarity.prototypicality(df, 2, 0.25)
+      .queryExecution.executedPlan.toString
+    val keyed = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(keyed == 1, s"expected 1 keyed exchange, got $keyed:\n$plan")
+  }
+
+  test("prCurve's only keyed shuffle is the per-score aggregate") {
+    val df = (1L to 100L).map(i => (i * 0.01, (i % 2).toInt))
+      .toDF("score", "label")
+    val plan = Eval.prCurve(df, "score", "label")
+      .queryExecution.executedPlan.toString
+    val keyed = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(keyed == 1,
+      s"the corpus must collapse per-score before the sweep, got $keyed keyed exchanges:\n$plan")
+  }
+
   // ---- Eval: prCurve / aucRoc --------------------------------------------
 
   test("prCurve replays the hand-computed threshold sweep") {
