@@ -1261,6 +1261,14 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    // ext: leakage-safe split — hashSplit 80/20, then train docs
+    // near-duplicating any test doc (cross-LSH at 0.3) are dropped
+    "q115_decontam_split" -> ((s, dir) =>
+      pipeline.CorpusCuration.decontaminatedSplit(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        testFrac = 0.2, minJaccard = 0.3, salt = "ds")
+        .orderBy("doc_id")),
+
     // ext: multiclass NB — the k-way nbQualityScore (supervised language
     // classifier trained on the lang labels; argmax on rounded scores)
     "q112_nb_multiclass" -> ((s, dir) =>
@@ -3073,6 +3081,42 @@ object SparkEntry {
          JOIN r ON d.source = r.source
          WHERE ${BucketSql("tm", "d.doc_id")} < r.cut
          ORDER BY d.doc_id""",
+
+    // q95's cross-LSH machinery pointed at the split boundary (side =
+    // hashSplit bucket vs the interpolated 80% threshold); leaky train
+    // docs anti-join away, test survives intact
+    "q115_decontam_split" -> {
+      val th = ext.Sampling.thresholds(Seq(0.8, 0.2)).head
+      s"""WITH dd AS (SELECT doc_id, text,
+             CASE WHEN ${BucketSql("ds", "doc_id")} < $th
+               THEN 0 ELSE 1 END AS side
+           FROM documents),
+         d AS (SELECT doc_id, side, $ShinglesSql AS sh FROM dd),
+         h AS (SELECT doc_id, side, sh,
+                 list_transform(sh, s -> ${baseHashSql("s")}) AS hv FROM d),
+         g AS (SELECT doc_id, side, $SigSql AS sig FROM h),
+         b AS (SELECT doc_id, side, t2.b AS band,
+                 array_to_string(sig[(t2.b * 4 + 1):(t2.b * 4 + 4)], ',')
+                   AS band_key
+               FROM g, generate_series(0, 3) AS t2(b)),
+         cand AS (SELECT DISTINCT l.doc_id AS id_new, r.doc_id AS id_ref
+                  FROM b l JOIN b r ON l.band = r.band
+                    AND l.band_key = r.band_key
+                  WHERE l.side = 0 AND r.side = 1),
+         j AS (SELECT c.id_new,
+                 (CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE))
+                   / CAST(len(list_distinct(list_concat(da.sh, db.sh)))
+                       AS DOUBLE) AS jaccard
+               FROM cand c JOIN d da ON da.doc_id = c.id_new
+                 JOIN d db ON db.doc_id = c.id_ref),
+         leaky AS (SELECT DISTINCT id_new AS doc_id FROM j
+                   WHERE jaccard >= 0.3)
+         SELECT doc_id, 'train' AS split FROM dd
+         WHERE side = 0 AND doc_id NOT IN (SELECT doc_id FROM leaky)
+         UNION ALL
+         SELECT doc_id, 'test' AS split FROM dd WHERE side = 1
+         ORDER BY doc_id"""
+    },
 
     // k-way NB: score_c = prior_c + Σ ln(cnt+1) − n_doc·ln(T_c+V) — only
     // OBSERVED (token, class) rows join (unseen tokens add ln(1) = 0)

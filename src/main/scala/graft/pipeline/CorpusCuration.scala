@@ -182,4 +182,37 @@ object CorpusCuration {
     val fresh = featureFn(newCorpus.join(dirty, Seq(idCol), "left_semi"))
     carried.unionByName(fresh)
   }
+
+  /** LEAKAGE-SAFE train/test split: the deterministic
+    * [[graft.ext.Sampling.hashSplit]] (assignment a pure function of
+    * (id, salt) — no layout dependence), then every TRAIN document that
+    * near-duplicates ANY test document is DROPPED from train. A hash
+    * split alone only guarantees a document isn't in both sides; web
+    * corpora carry the same page under many ids, and a test page's
+    * near-twin in train is evaluation leakage the split can't see —
+    * the cross-side [[graft.ext.Dedup.minhashLshCross]] at `minJaccard`
+    * is exactly the q95 machinery pointed at the split boundary.
+    *
+    * Test stays intact (dropping from train preserves the eval set);
+    * only train shrinks. Output: (idCol, split ∈ {train, test}).
+    *
+    * Shape at 100 TB: the split is a narrow map; the cross-LSH pays each
+    * side's shingle/band kernels once, candidates are pair-volume, and
+    * the final anti-join keys on the id. */
+  def decontaminatedSplit(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", testFrac: Double = 0.2,
+      minJaccard: Double = 0.8, salt: String = "",
+      maxBandBucket: Int = Int.MaxValue): DataFrame = {
+    require(testFrac > 0 && testFrac < 1, s"testFrac $testFrac")
+    val split = graft.ext.Sampling.hashSplit(df, idCol,
+      Seq(1.0 - testFrac, testFrac), salt)
+    val train = split.filter(col("split") === 0)
+    val test = split.filter(col("split") === 1)
+    val leaky = Dedup.minhashLshCross(train, test, textCol, idCol,
+        minJaccard = minJaccard, maxBandBucket = maxBandBucket)
+      .select(col("id_new").as(idCol)).distinct()
+    train.join(leaky, Seq(idCol), "left_anti")
+      .select(col(idCol), lit("train").as("split"))
+      .unionByName(test.select(col(idCol), lit("test").as("split")))
+  }
 }

@@ -742,6 +742,46 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got.contains((1L, 2L)))
   }
 
+  // ---- decontaminatedSplit -----------------------------------------------
+
+  test("decontaminatedSplit == hashSplit + cross-LSH anti-join; test side intact") {
+    val rnd = new scala.util.Random(17)
+    val base = (0 until 50).map(i => s"w$i")
+    val docs = (1L to 60L).map { i =>
+      val start = rnd.nextInt(35)
+      (i, base.slice(start, start + 10 + rnd.nextInt(5)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.pipeline.CorpusCuration.decontaminatedSplit(
+        docs, "text", "doc_id", 0.5, 0.5, "s1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // replay from the same components
+    val split = Sampling.hashSplit(docs, "doc_id", Seq(0.5, 0.5), "s1")
+    val train = split.filter($"split" === 0)
+    val test = split.filter($"split" === 1)
+    val leaky = Dedup.minhashLshCross(train, test, "text", "doc_id",
+        minJaccard = 0.5)
+      .select("id_new").as[Long].collect().toSet
+    val want =
+      train.select("doc_id").as[Long].collect().filterNot(leaky).toSet
+        .map((id: Long) => (id, "train")) ++
+      test.select("doc_id").as[Long].collect().toSet
+        .map((id: Long) => (id, "test"))
+    assert(got == want && leaky.nonEmpty)
+    // test side survives untouched
+    assert(got.count(_._2 == "test") == test.count())
+  }
+
+  test("decontaminatedSplit: an all-duplicate corpus empties the train side") {
+    val docs = (1L to 40L)
+      .map(i => (i, "the very same page text repeated everywhere"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.CorpusCuration.decontaminatedSplit(
+        docs, "text", "doc_id", 0.5, 0.9, "dup")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.nonEmpty && got.forall(_._2 == "test"),
+      s"every train doc duplicates a test doc, got ${got.toSeq.sortBy(_._1)}")
+  }
+
   // ---- plan-shape pins for the new narrow ops ----------------------------
 
   test("temperatureMixture plans as a shuffle-free narrow filter") {
