@@ -1261,6 +1261,25 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    // ext: per-type winsorization — event values clamped into the exact
+    // [p05, p95] percentile band (unrounded: clamps are data values or
+    // exact interpolations, the q90 order-statistic discipline)
+    "q116_winsorize" -> ((s, dir) =>
+      ext.Outliers.winsorize(
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value")
+        .orderBy("event_id")),
+
+    // ext: ECDF percentile-rank transform of the quality score (mid-rank
+    // ties; exact 0.5-multiples over an exact total — unrounded)
+    "q117_ecdf" -> ((s, dir) => {
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+      ext.Eval.ecdf(scored, "q").orderBy("doc_id")
+    }),
+
     // ext: leakage-safe split — hashSplit 80/20, then train docs
     // near-duplicating any test doc (cross-LSH at 0.3) are dropped
     "q115_decontam_split" -> ((s, dir) =>
@@ -3081,6 +3100,32 @@ object SparkEntry {
          JOIN r ON d.source = r.source
          WHERE ${BucketSql("tm", "d.doc_id")} < r.cut
          ORDER BY d.doc_id""",
+
+    "q116_winsorize" ->
+      s"""WITH c AS (SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+           FROM events GROUP BY event_type)
+         SELECT e.event_type, e.event_id, e.value,
+           least(greatest(e.value, c.lo), c.hi) AS winsorized
+         FROM events e JOIN c USING (event_type)
+         ORDER BY e.event_id""",
+
+    "q117_ecdf" ->
+      s"""$QualityCtesSql,
+         qd AS (SELECT doc_id, $QualityValSql AS q FROM s),
+         per AS (SELECT q, CAST(count(*) AS BIGINT) AS n
+                 FROM qd GROUP BY q),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM per),
+         cum AS (SELECT q, n,
+                   CAST(sum(n) OVER (ORDER BY q ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum
+                 FROM per)
+         SELECT d.doc_id, d.q,
+           (CAST(cum - n AS DOUBLE) + CAST(n AS DOUBLE) / 2.0)
+             / CAST(tot AS DOUBLE) AS pct
+         FROM qd d JOIN cum USING (q), tot ORDER BY d.doc_id""",
 
     // q95's cross-LSH machinery pointed at the split boundary (side =
     // hashSplit bucket vs the interpolated 80% threshold); leaky train

@@ -41,6 +41,33 @@ object Eval {
           .as("recall"))
   }
 
+  /** Empirical-CDF (percentile-rank) TRANSFORM with the mid-rank tie
+    * convention: `ecdf(x) = (#below + #equal/2) / N` — the rank
+    * normalization that puts heterogeneous quality signals on one [0, 1]
+    * scale before blending (a weighted sum of raw scores is dominated by
+    * whichever signal has the widest units; percentile ranks are
+    * unit-free). Ties take the group midpoint — the same convention as
+    * [[aucRoc]]'s average ranks.
+    *
+    * Every term is an exact 0.5-multiple over an exact total, so the
+    * unrounded output is bit-identical across engines. The per-score
+    * table (bounded by score granularity) carries the window; the corpus
+    * pays one groupBy and one score-keyed join back. */
+  def ecdf(df: DataFrame, scoreCol: String,
+      outCol: String = "pct"): DataFrame = {
+    val per = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("_n"))
+    val w = Window.orderBy(col(scoreCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per
+      .withColumn("_cum", sum(col("_n")).over(w))
+      .withColumn("_tot", sum(col("_n")).over(Window.partitionBy()))
+      .withColumn(outCol,
+        ((col("_cum") - col("_n")).cast("double") +
+          col("_n").cast("double") / lit(2.0)) / col("_tot").cast("double"))
+      .select(col(scoreCol), col(outCol))
+    df.join(cum, Seq(scoreCol))
+  }
+
   /** ROC-AUC, exactly, as the Mann–Whitney rank statistic: the
     * probability a random positive outranks a random negative, ties at
     * half credit. Tie groups take their AVERAGE rank

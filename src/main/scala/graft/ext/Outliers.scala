@@ -102,4 +102,29 @@ object Outliers {
       .withColumn("psi", round((col("p_live") - col("p_base")) *
         log(col("p_live") / col("p_base")), 6))
   }
+
+  /** WINSORIZE: clamp `valCol` into its per-key exact-percentile
+    * [pLo, pHi] band — heavy-tail taming for numeric features where
+    * dropping outliers ([[robustFlags]]) loses the rows: extremes survive
+    * as boundary values. The output keeps every input column and appends
+    * `outCol`; values are existing data points or exact percentile
+    * interpolations, emitted unrounded (order-statistic pipeline — the
+    * q90 discipline).
+    *
+    * Shape at 100 TB: one key-cardinality percentile aggregate broadcast
+    * back, then a narrow codegen clamp; swap `percentile` for
+    * `percentile_approx` when per-key value sets outgrow aggregation
+    * buffers (same posture as [[thresholds]]). */
+  def winsorize(df: DataFrame, keyCol: String, valCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95,
+      outCol: String = "winsorized"): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo, $pHi]")
+    val cuts = df.groupBy(col(keyCol))
+      .agg(percentile(col(valCol), lit(pLo)).as("_lo"),
+        percentile(col(valCol), lit(pHi)).as("_hi"))
+    df.join(broadcast(cuts), Seq(keyCol))
+      .withColumn(outCol,
+        least(greatest(col(valCol), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
 }

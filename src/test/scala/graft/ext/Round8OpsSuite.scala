@@ -842,6 +842,31 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(Eval.aucRoc(tied, "score", "label").collect()(0).getDouble(0) == 0.5)
   }
 
+  // ---- winsorize / ecdf --------------------------------------------------
+
+  test("winsorize clamps into the per-key interpolated percentile band") {
+    val df = ((1 to 20).map(v => ("a", v.toLong, v.toDouble)) :+
+      ("b", 100L, 1000.0)).toDF("k", "id", "v")
+    val got = Outliers.winsorize(df, "k", "v", 0.05, 0.95)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getDouble(3))).toMap
+    // key a, values 1..20: p05 ≈ 1.95, p95 ≈ 19.05 (type-7 interpolation;
+    // exact bit layout is the engine's formula — assert to 1e-12)
+    assert(math.abs(got(1L) - 1.95) < 1e-12 && got(2L) == 2.0)
+    assert(math.abs(got(20L) - 19.05) < 1e-12 && got(19L) == 19.0)
+    assert(got(10L) == 10.0)
+    // a single-value key clamps to itself
+    assert(got(100L) == 1000.0)
+  }
+
+  test("ecdf assigns mid-rank percentiles, ties share the midpoint") {
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 2.0), (4L, 3.0))
+      .toDF("id", "score")
+    val got = Eval.ecdf(df, "score").orderBy("id").collect()
+      .map(r => r.getDouble(2)).toSeq
+    assert(got == Seq(0.5 / 4.0, 2.0 / 4.0, 2.0 / 4.0, 3.5 / 4.0))
+  }
+
   // ---- nbMulticlass ------------------------------------------------------
 
   test("nbMulticlass replays the k-way NB formula; empty docs tie to the first class") {
