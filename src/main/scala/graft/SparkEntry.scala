@@ -1271,6 +1271,18 @@ object SparkEntry {
         "event_type", "value")
         .orderBy("event_id")),
 
+    // ext: composite quality ranking — three heterogeneous signals
+    // rank-normalized (ecdf) and blended 0.5/0.2/0.3; unit-free scoring
+    "q118_quality_blend" -> ((s, dir) => {
+      val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
+        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"),
+        round(ext.TextAnalysis.meanWordLength(col("text")), 6).as("mwl"),
+        round(ext.TextAnalysis.alphaWordFraction(col("text")), 6).as("awf"))
+      ext.Eval.blend(scored,
+        Seq("q" -> 0.5, "mwl" -> 0.2, "awf" -> 0.3))
+        .orderBy("doc_id")
+    }),
+
     // ext: ECDF percentile-rank transform of the quality score (mid-rank
     // ties; exact 0.5-multiples over an exact total — unrounded)
     "q117_ecdf" -> ((s, dir) => {
@@ -3110,6 +3122,49 @@ object SparkEntry {
            least(greatest(e.value, c.lo), c.hi) AS winsorized
          FROM events e JOIN c USING (event_type)
          ORDER BY e.event_id""",
+
+    // three generated ecdf chains + the same left-assoc weighted sum
+    "q118_quality_blend" -> {
+      def ecdfCte(valCol: String, i: Int) =
+        s"""per$i AS (SELECT $valCol AS v$i, CAST(count(*) AS BIGINT) AS n
+               FROM base GROUP BY $valCol),
+           tot$i AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM per$i),
+           cum$i AS (SELECT v$i, n,
+                   CAST(sum(n) OVER (ORDER BY v$i ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum
+                 FROM per$i),
+           pct$i AS (SELECT v$i,
+                   (CAST(cum - n AS DOUBLE) + CAST(n AS DOUBLE) / 2.0)
+                     / CAST(tot AS DOUBLE) AS p$i
+                 FROM cum$i, tot$i)"""
+      s"""WITH t AS (
+           SELECT doc_id, source, text, $ToksSql AS toks,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS tok_cnt
+           FROM documents),
+         s AS (SELECT doc_id, source, text, toks, tok_cnt, $LangScoreSql
+               FROM t),
+         base AS (SELECT doc_id, $QualityValSql AS q,
+             round(CASE WHEN len(toks) > 0 THEN
+               CAST(len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
+                 AS DOUBLE) / len(toks) ELSE 0 END, 6) AS mwl,
+             round(CASE WHEN tok_cnt > 0 THEN
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / tok_cnt
+               ELSE 0 END, 6) AS awf
+           FROM s),
+         ${ecdfCte("q", 0)},
+         ${ecdfCte("mwl", 1)},
+         ${ecdfCte("awf", 2)}
+         SELECT b.doc_id, b.q, b.mwl, b.awf,
+           0.5 * p0 + 0.2 * p1 + 0.3 * p2 AS blended
+         FROM base b JOIN pct0 ON pct0.v0 = b.q
+           JOIN pct1 ON pct1.v1 = b.mwl
+           JOIN pct2 ON pct2.v2 = b.awf
+         ORDER BY b.doc_id"""
+    },
 
     "q117_ecdf" ->
       s"""$QualityCtesSql,

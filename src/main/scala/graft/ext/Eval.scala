@@ -68,6 +68,30 @@ object Eval {
     df.join(cum, Seq(scoreCol))
   }
 
+  /** COMPOSITE signal BLEND: each score column rank-normalizes through
+    * [[ecdf]] and the weighted left-associated sum becomes `outCol` —
+    * the unit-free way to combine heterogeneous quality signals (a
+    * weighted sum of RAW scores is dominated by whichever signal has the
+    * widest numeric range; percentile ranks weight signals by what the
+    * weights say). Weights are applied in the given order with one fixed
+    * expression shape, so the result is reproducible bit-for-bit.
+    *
+    * Shape: one per-score aggregate + score-keyed join back per signal —
+    * k bounded side tables, the corpus never sorts. */
+  def blend(df: DataFrame, weights: Seq[(String, Double)],
+      outCol: String = "blended"): DataFrame = {
+    require(weights.nonEmpty, "need at least one (scoreCol, weight)")
+    val withPcts = weights.zipWithIndex.foldLeft(df) {
+      case (acc, ((c, _), i)) => ecdf(acc, c, s"_p$i")
+    }
+    val expr = weights.zipWithIndex
+      .map { case ((_, w), i) => lit(w) * col(s"_p$i") }
+      .reduce(_ + _)
+    weights.indices.foldLeft(withPcts.withColumn(outCol, expr)) {
+      (d, i) => d.drop(s"_p$i")
+    }
+  }
+
   /** ROC-AUC, exactly, as the Mann–Whitney rank statistic: the
     * probability a random positive outranks a random negative, ties at
     * half credit. Tie groups take their AVERAGE rank

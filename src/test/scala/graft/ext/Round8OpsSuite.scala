@@ -859,6 +859,19 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got(100L) == 1000.0)
   }
 
+  test("blend == the weighted left-assoc sum of each signal's ecdf rank") {
+    val df = Seq((1L, 1.0, 10.0), (2L, 2.0, 5.0), (3L, 3.0, 5.0))
+      .toDF("id", "a", "b")
+    val got = Eval.blend(df, Seq("a" -> 0.7, "b" -> 0.3))
+      .orderBy("id").collect().map(_.getDouble(3)).toSeq
+    // a ranks: 0.5/3, 1.5/3, 2.5/3; b: 10 → 2.5/3, the tied 5s → 1/3
+    val want = Seq(
+      0.7 * (0.5 / 3.0) + 0.3 * (2.5 / 3.0),
+      0.7 * (1.5 / 3.0) + 0.3 * (1.0 / 3.0),
+      0.7 * (2.5 / 3.0) + 0.3 * (1.0 / 3.0))
+    assert(got == want)
+  }
+
   test("ecdf assigns mid-rank percentiles, ties share the midpoint") {
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 2.0), (4L, 3.0))
       .toDF("id", "score")
