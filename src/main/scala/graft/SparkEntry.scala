@@ -1271,6 +1271,30 @@ object SparkEntry {
         "event_type", "value")
         .orderBy("event_id")),
 
+    // ext: per-class precision/recall/F1 of the q112 language classifier
+    // (never-predicted classes carry NULL precision/F1, not zero)
+    "q119_class_metrics" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val preds = ext.TextAnalysis
+        .nbMulticlass(docs, "doc_id", "text", "lang")
+        .select(col("doc_id"), col("pred"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      ext.Eval.classMetrics(preds, "lang", "pred").orderBy("cls")
+    }),
+
+    // ext: Cohen's kappa between the q99 NB gate and the quality>=0.5
+    // gate — chance-corrected rater agreement, exact integer p_e
+    "q120_kappa" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val nb = ext.TextAnalysis.nbQualityScore(docs, "doc_id", "text",
+          col("source").isin("src0", "src1"))
+        .select(col("doc_id"), col("pred"))
+      val gate = docs.select(col("doc_id"),
+        when(round(ext.TextAnalysis.qualityScore("text"), 6) >= 0.5, 1)
+          .otherwise(0).as("gate"))
+      ext.Eval.cohenKappa(nb.join(gate, "doc_id"), "pred", "gate")
+    }),
+
     // ext: composite quality ranking — three heterogeneous signals
     // rank-normalized (ecdf) and blended 0.5/0.2/0.3; unit-free scoring
     "q118_quality_blend" -> ((s, dir) => {
@@ -1464,6 +1488,42 @@ object SparkEntry {
            CASE WHEN round(ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) +
              coalesce(sc.sw, 0), 6) > 0 THEN 1 ELSE 0 END AS pred
          FROM d LEFT JOIN sc USING (doc_id), nd"""
+
+  /** DuckDB replica of [[ext.TextAnalysis.nbMulticlass]] on the lang
+    * label (no ORDER BY) - shared by q112 and the q119 eval. */
+  private lazy val NbMulticlassSql: String =
+    s"""WITH d AS (SELECT doc_id, lang AS cls, $ToksSql AS toks
+             FROM documents),
+         t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         tc AS (SELECT cls, unnest(toks) AS tok FROM d),
+         c AS (SELECT cls, tok, CAST(count(*) AS BIGINT) AS cnt
+               FROM tc GROUP BY cls, tok),
+         vt AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM c),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         cl AS (SELECT dd.cls,
+                  ln(CAST(dd.ndc AS DOUBLE) / CAST(nt.n AS DOUBLE))
+                    AS prior,
+                  ln(CAST(coalesce(cs.tc2, 0) + vt.v AS DOUBLE)) AS lntc
+                FROM (SELECT cls, CAST(count(*) AS BIGINT) AS ndc
+                      FROM d GROUP BY cls) dd
+                LEFT JOIN (SELECT cls, CAST(sum(cnt) AS BIGINT) AS tc2
+                           FROM c GROUP BY cls) cs ON cs.cls = dd.cls,
+                  vt, nt),
+         s AS (SELECT t.doc_id, c.cls,
+                 sum(ln(CAST(c.cnt + 1 AS DOUBLE))) AS s
+               FROM t JOIN c ON c.tok = t.tok GROUP BY t.doc_id, c.cls),
+         pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+                FROM d),
+         sc AS (SELECT pd.doc_id, pd.n_tokens, cl.cls,
+                  round(cl.prior + coalesce(s.s, 0.0) -
+                    CAST(pd.n_tokens AS DOUBLE) * cl.lntc, 6) AS score
+                FROM pd CROSS JOIN cl
+                LEFT JOIN s ON s.doc_id = pd.doc_id AND s.cls = cl.cls),
+         r AS (SELECT doc_id, n_tokens, cls, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, cls) AS rn
+               FROM sc)
+         SELECT doc_id, n_tokens, cls AS pred, score FROM r WHERE rn = 1"""
 
   /** DuckDB replica of [[ext.Similarity.mmrTopK]] (q110): `k` generated
     * greedy steps. Step 1 picks peak relevance; step i ≥ 2 scores every
@@ -3220,40 +3280,69 @@ object SparkEntry {
 
     // k-way NB: score_c = prior_c + Σ ln(cnt+1) − n_doc·ln(T_c+V) — only
     // OBSERVED (token, class) rows join (unseen tokens add ln(1) = 0)
-    "q112_nb_multiclass" ->
-      s"""WITH d AS (SELECT doc_id, lang AS cls, $ToksSql AS toks
-             FROM documents),
-         t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-         tc AS (SELECT cls, unnest(toks) AS tok FROM d),
-         c AS (SELECT cls, tok, CAST(count(*) AS BIGINT) AS cnt
-               FROM tc GROUP BY cls, tok),
-         vt AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM c),
-         nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
-         cl AS (SELECT dd.cls,
-                  ln(CAST(dd.ndc AS DOUBLE) / CAST(nt.n AS DOUBLE))
-                    AS prior,
-                  ln(CAST(coalesce(cs.tc2, 0) + vt.v AS DOUBLE)) AS lntc
-                FROM (SELECT cls, CAST(count(*) AS BIGINT) AS ndc
-                      FROM d GROUP BY cls) dd
-                LEFT JOIN (SELECT cls, CAST(sum(cnt) AS BIGINT) AS tc2
-                           FROM c GROUP BY cls) cs ON cs.cls = dd.cls,
-                  vt, nt),
-         s AS (SELECT t.doc_id, c.cls,
-                 sum(ln(CAST(c.cnt + 1 AS DOUBLE))) AS s
-               FROM t JOIN c ON c.tok = t.tok GROUP BY t.doc_id, c.cls),
-         pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
-                FROM d),
-         sc AS (SELECT pd.doc_id, pd.n_tokens, cl.cls,
-                  round(cl.prior + coalesce(s.s, 0.0) -
-                    CAST(pd.n_tokens AS DOUBLE) * cl.lntc, 6) AS score
-                FROM pd CROSS JOIN cl
-                LEFT JOIN s ON s.doc_id = pd.doc_id AND s.cls = cl.cls),
-         r AS (SELECT doc_id, n_tokens, cls, score,
-                 row_number() OVER (PARTITION BY doc_id
-                   ORDER BY score DESC, cls) AS rn
-               FROM sc)
-         SELECT doc_id, n_tokens, cls AS pred, score FROM r WHERE rn = 1
-         ORDER BY doc_id""",
+    "q112_nb_multiclass" -> s"$NbMulticlassSql ORDER BY doc_id",
+
+    // per-class P/R/F1 over the q112 confusion matrix; never-predicted
+    // classes carry NULL precision/F1 (undefined, not zero)
+    "q119_class_metrics" ->
+      s"""WITH prd AS ($NbMulticlassSql),
+         j AS (SELECT d.lang AS label, prd.pred
+               FROM prd JOIN documents d USING (doc_id)),
+         cm AS (SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+                FROM j GROUP BY label, pred),
+         bl AS (SELECT label AS cls, CAST(sum(n) AS BIGINT) AS n_label
+                FROM cm GROUP BY label),
+         bp AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+                FROM cm GROUP BY pred),
+         tps AS (SELECT label AS cls, n AS tp FROM cm WHERE label = pred),
+         m AS (SELECT bl.cls, bl.n_label,
+                 coalesce(bp.n_pred, 0) AS n_pred,
+                 coalesce(tps.tp, 0) AS tp
+               FROM bl LEFT JOIN bp ON bp.cls = bl.cls
+                 LEFT JOIN tps ON tps.cls = bl.cls),
+         pr AS (SELECT cls, n_label, n_pred, tp,
+                 CASE WHEN n_pred > 0
+                   THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END
+                   AS precision,
+                 CAST(tp AS DOUBLE) / CAST(n_label AS DOUBLE) AS recall
+               FROM m)
+         SELECT cls, n_label, n_pred, tp, precision, recall,
+           CASE WHEN n_pred > 0 AND (precision + recall) > 0
+             THEN 2.0 * precision * recall / (precision + recall) END AS f1
+         FROM pr ORDER BY cls""",
+
+    // kappa between the q99 NB pred and the quality>=0.5 gate; p_e from
+    // the EXACT integer marginal product sum over N^2
+    "q120_kappa" ->
+      s"""$QualityCtesSql,
+         gt AS (SELECT doc_id,
+                  CASE WHEN $QualityValSql >= 0.5 THEN 1 ELSE 0 END
+                    AS gate
+                FROM s),
+         scored AS ($NbScoredSql),
+         j AS (SELECT scored.pred AS a, gt.gate AS b
+               FROM scored JOIN gt USING (doc_id)),
+         cm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+                FROM j GROUP BY a, b),
+         ma AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM cm GROUP BY a),
+         mb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM cm GROUP BY b),
+         prd AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS prod
+                 FROM ma JOIN mb ON ma.a = mb.b),
+         ag AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_agree
+                FROM cm WHERE a = b),
+         tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cm)
+         SELECT n_total AS n,
+           CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_o,
+           CAST(prod AS DOUBLE)
+             / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)) AS p_e,
+           (CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE)
+             - CAST(prod AS DOUBLE)
+               / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)))
+           / (1.0 - CAST(prod AS DOUBLE)
+               / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)))
+             AS kappa
+         FROM ag, tt, prd""",
+
 
     // threshold sweep over the per-score aggregate (never the corpus);
     // window sums CAST to BIGINT (DuckDB windowed sum is HUGEINT)

@@ -68,6 +68,65 @@ object Eval {
     df.join(cum, Seq(scoreCol))
   }
 
+  /** Per-class PRECISION/RECALL/F1 from the confusion matrix — the eval
+    * companion to a k-way classifier ([[TextAnalysis.nbMulticlass]]).
+    * The class list is the TRUE label set; a class never predicted gets
+    * NULL precision/F1 (not 0 — "undefined" and "bad" are different
+    * audit outcomes). Metrics are unrounded integer-ratio doubles; F1 is
+    * the one fixed form `2·p·r / (p + r)`.
+    *
+    * Shape at 100 TB: the corpus collapses to the k²-row confusion
+    * matrix map-side; every downstream join/aggregate runs on that. */
+  def classMetrics(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val cm = df.groupBy(col(labelCol).as("label"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val byLabel = cm.groupBy(col("label")).agg(sum("n").as("n_label"))
+    val byPred = cm.groupBy(col("pred")).agg(sum("n").as("n_pred"))
+    val tp = cm.filter(col("label") === col("pred"))
+      .select(col("label").as("cls"), col("n").as("tp"))
+    val p = col("tp").cast("double") / col("n_pred").cast("double")
+    val r = col("tp").cast("double") / col("n_label").cast("double")
+    byLabel.select(col("label").as("cls"), col("n_label"))
+      .join(byPred.select(col("pred").as("cls"), col("n_pred")),
+        Seq("cls"), "left")
+      .join(tp, Seq("cls"), "left")
+      .na.fill(0L, Seq("n_pred", "tp"))
+      .withColumn("precision", when(col("n_pred") > 0, p))
+      .withColumn("recall", r)
+      .withColumn("f1",
+        when(col("n_pred") > 0 && (p + r) > 0,
+          lit(2.0) * p * r / (p + r)))
+      .select("cls", "n_label", "n_pred", "tp",
+        "precision", "recall", "f1")
+  }
+
+  /** COHEN'S KAPPA — chance-corrected agreement between two raters
+    * (e.g. two quality gates): `κ = (p_o − p_e) / (1 − p_e)`. The
+    * expected agreement is computed from the EXACT integer sum
+    * `Σ_c n_a(c)·n_b(c)` (order-free) over N², so the unrounded double
+    * is engine-identical. Guard: the product sum overflows int64 past
+    * ~3·10⁹ rows — aggregate per-partition or switch the marginals to
+    * doubles at that scale (ANSI mode faults loudly, never wraps).
+    * Returns one row: (n, p_o, p_e, kappa). */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cm = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val marg = cm.groupBy(col("a")).agg(sum("n").as("na"))
+      .join(cm.groupBy(col("b")).agg(sum("n").as("nb")),
+        col("a") === col("b"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("prod"))
+    val agree = cm.filter(col("a") === col("b"))
+      .agg(coalesce(sum("n"), lit(0L)).as("n_agree"))
+    val total = cm.agg(sum("n").as("n_total"))
+    val po = col("n_agree").cast("double") / col("n_total").cast("double")
+    val pe = col("prod").cast("double") /
+      (col("n_total").cast("double") * col("n_total").cast("double"))
+    agree.crossJoin(total).crossJoin(marg)
+      .select(col("n_total").as("n"), po.as("p_o"), pe.as("p_e"),
+        ((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
   /** COMPOSITE signal BLEND: each score column rank-normalizes through
     * [[ecdf]] and the weighted left-associated sum becomes `outCol` —
     * the unit-free way to combine heterogeneous quality signals (a

@@ -859,6 +859,33 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got(100L) == 1000.0)
   }
 
+  test("classMetrics: hand-computed P/R/F1; never-predicted class gets NULLs") {
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a"))
+      .toDF("label", "pred")
+    val rows = Eval.classMetrics(df, "label", "pred")
+      .orderBy("cls").collect()
+    def m(i: Int) = (rows(i).getString(0), rows(i).getLong(1),
+      rows(i).getLong(2), rows(i).getLong(3))
+    assert(m(0) == ("a", 2L, 2L, 1L) && rows(0).getDouble(4) == 0.5 &&
+      rows(0).getDouble(5) == 0.5 && rows(0).getDouble(6) == 0.5)
+    assert(m(1) == ("b", 2L, 3L, 2L) && rows(1).getDouble(5) == 1.0 &&
+      rows(1).getDouble(6) == 0.8)
+    assert(m(2) == ("c", 1L, 0L, 0L) && rows(2).isNullAt(4) &&
+      rows(2).getDouble(5) == 0.0 && rows(2).isNullAt(6))
+  }
+
+  test("cohenKappa replays the chance-corrected agreement exactly") {
+    val df = Seq((1, 1), (1, 0), (0, 0), (0, 0)).toDF("a", "b")
+    val r = Eval.cohenKappa(df, "a", "b").collect()(0)
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 0.75 &&
+      r.getDouble(2) == 0.5 && r.getDouble(3) == 0.5)
+    // perfect agreement → kappa 1; independence-shaped table → kappa 0
+    val perfect = Seq((1, 1), (0, 0)).toDF("a", "b")
+    assert(Eval.cohenKappa(perfect, "a", "b").collect()(0).getDouble(3) == 1.0)
+    val indep = Seq((1, 1), (1, 0), (0, 1), (0, 0)).toDF("a", "b")
+    assert(Eval.cohenKappa(indep, "a", "b").collect()(0).getDouble(3) == 0.0)
+  }
+
   test("blend == the weighted left-assoc sum of each signal's ecdf rank") {
     val df = Seq((1L, 1.0, 10.0), (2L, 2.0, 5.0), (3L, 3.0, 5.0))
       .toDF("id", "a", "b")
