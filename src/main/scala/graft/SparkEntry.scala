@@ -173,14 +173,22 @@ object SparkEntry {
       "line_dedup" -> ext.Dedup.dedupLines(docs, "text", "doc_id"),
       // sources repeat across copies, so per-shard window rows grow
       // factor× — certifies the sort-based window's n·log n per shard
-      "seq_pack" -> ext.TextAnalysis.packSequences(docs, "text", "doc_id", 512))
+      "seq_pack" -> ext.TextAnalysis.packSequences(docs, "text", "doc_id", 512),
+      // the replicated corpus is EXACTLY what containment detects (every
+      // copy contains every other), so candidate pairs legitimately grow
+      // ~factor× per document — read the ratio against cand_pairs, and
+      // note the hot-posting cap is the production spam defense
+      "containment" -> ext.Dedup.containmentPairs(docs, "text", "doc_id",
+        minContainment = 0.5, maxPosting = 2000))
     // untimed diagnostics: candidate-pair volume per op, so a bad ratio is
     // attributable (candidate blowup vs fixed-cost overhead)
     val diag = Map(
       "minhash_lsh" -> ext.Dedup.minhashCandidates(docs, "text", "doc_id",
         numHashes = 16, bands = 4),
       "ngram_prefix" -> ext.Dedup.ngramPrefixCandidates(docs, "text",
-        "doc_id", Seq("lang", "source"), 0.3))
+        "doc_id", Seq("lang", "source"), 0.3),
+      "containment" -> ext.Dedup.containmentCandidates(docs, "text",
+        "doc_id", maxPosting = 2000))
     (ops, diag)
   }
 

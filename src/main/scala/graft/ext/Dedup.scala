@@ -851,23 +851,8 @@ object Dedup {
       maxPosting: Int = Int.MaxValue): DataFrame = {
     val sh = df.select(col(idCol).as("doc_id"),
       TextAnalysis.hashedShingles(textCol).as("sh"))
-    val posts0 = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-    val posts =
-      if (maxPosting == Int.MaxValue) posts0
-      else {
-        val hot = posts0.groupBy(col("h")).count()
-          .filter(col("count") > maxPosting).select("h")
-        posts0.join(broadcast(hot), Seq("h"), "left_anti")
-      }
-    // bottom-k probe: hashedShingles is sorted ascending, so the k
-    // smallest hashes are a prefix slice — no extra sort
-    val probes = sh.select(col("doc_id").as("probe_id"),
-      explode(slice(col("sh"), 1, sampleK)).as("h"))
-    val cand = probes.join(posts, "h")
-      .filter(col("probe_id") =!= col("doc_id"))
-      .select(least(col("probe_id"), col("doc_id")).as("id_a"),
-        greatest(col("probe_id"), col("doc_id")).as("id_b"))
-      .distinct()
+    val cand = containmentCandidates(df, textCol, idCol, sampleK,
+      maxPosting)
     val sides = cand.select(col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as("doc_id"))
     sides.join(sh, "doc_id")
@@ -883,5 +868,33 @@ object Dedup {
       .withColumn("cont_b", col("inter").cast("double") / col("n_b").cast("double"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
       .select("id_a", "id_b", "n_a", "n_b", "inter", "cont_a", "cont_b")
+  }
+
+  /** [[containmentPairs]]'s candidate stage — public so scale probes can
+    * measure candidate VOLUME separately from wall time (duplication is
+    * what the operator detects, so candidate growth on a duplicated
+    * corpus is signal, not overhead — a probe ratio is only attributable
+    * once the pair counts are known). */
+  def containmentCandidates(df: DataFrame, textCol: String, idCol: String,
+      sampleK: Int = 8, maxPosting: Int = Int.MaxValue): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.hashedShingles(textCol).as("sh"))
+    val posts0 = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val posts =
+      if (maxPosting == Int.MaxValue) posts0
+      else {
+        val hot = posts0.groupBy(col("h")).count()
+          .filter(col("count") > maxPosting).select("h")
+        posts0.join(broadcast(hot), Seq("h"), "left_anti")
+      }
+    // bottom-k probe: hashedShingles is sorted ascending, so the k
+    // smallest hashes are a prefix slice — no extra sort
+    val probes = sh.select(col("doc_id").as("probe_id"),
+      explode(slice(col("sh"), 1, sampleK)).as("h"))
+    probes.join(posts, "h")
+      .filter(col("probe_id") =!= col("doc_id"))
+      .select(least(col("probe_id"), col("doc_id")).as("id_a"),
+        greatest(col("probe_id"), col("doc_id")).as("id_b"))
+      .distinct()
   }
 }
