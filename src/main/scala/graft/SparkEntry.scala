@@ -1303,6 +1303,18 @@ object SparkEntry {
       ext.Eval.cohenKappa(nb.join(gate, "doc_id"), "pred", "gate")
     }),
 
+    // ext: per-language AUC of the q99 gate — the sliced fairness view
+    // a single corpus-level AUC hides; every stage keys on the slice
+    "q121_auc_by_lang" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lbl = col("source").isin("src0", "src1")
+      val scored = ext.TextAnalysis
+        .nbQualityScore(docs, "doc_id", "text", lbl)
+        .join(docs.select(col("doc_id"), col("lang"),
+          when(lbl, 1).otherwise(0).as("label")), "doc_id")
+      ext.Eval.aucRocBy(scored, "lang", "score", "label").orderBy("lang")
+    }),
+
     // ext: composite quality ranking — three heterogeneous signals
     // rank-normalized (ecdf) and blended 0.5/0.2/0.3; unit-free scoring
     "q118_quality_blend" -> ((s, dir) => {
@@ -3373,6 +3385,36 @@ object SparkEntry {
            CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
            CAST(tp AS DOUBLE) / CAST(p_total AS DOUBLE) AS recall
          FROM cum, tot ORDER BY threshold DESC""",
+
+    // q114's rank arithmetic with every window/agg PARTITIONED BY lang;
+    // the label joins back from documents
+    "q121_auc_by_lang" ->
+      s"""WITH scored AS ($NbScoredSql),
+         lb AS (SELECT scored.doc_id, scored.score, scored.pos AS label,
+                  d.lang
+                FROM scored JOIN documents d USING (doc_id)),
+         per AS (SELECT lang AS g, score AS s,
+                   CAST(sum(label) AS BIGINT) AS npos,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM lb GROUP BY lang, score),
+         rk AS (SELECT g, npos, n,
+                  CAST(sum(n) OVER (PARTITION BY g ORDER BY s ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+                FROM per),
+         ag AS (SELECT g, sum(CAST(npos AS DOUBLE) *
+                    (CAST(cum - n AS DOUBLE) +
+                     CAST(n + 1 AS DOUBLE) / 2.0)) AS prs,
+                  CAST(sum(npos) AS BIGINT) AS n_pos,
+                  CAST(sum(n - npos) AS BIGINT) AS n_neg
+                FROM rk GROUP BY g)
+         SELECT g AS lang,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             (prs - (CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE))
+               / 2.0) /
+             (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc,
+           n_pos, n_neg
+         FROM ag ORDER BY lang""",
 
     // Mann-Whitney rank form: every npos·avgRank term is an exact
     // multiple of 0.5, so the sums are order-independent and unrounded

@@ -127,6 +127,42 @@ object Eval {
         ((po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
 
+  /** GROUP-SLICED ROC-AUC — [[aucRoc]] per `groupCol` slice (per
+    * language, per source, per cohort): the fairness/robustness view a
+    * single corpus-level AUC hides (a gate can rank well globally and
+    * invert on one language). Same exact Mann–Whitney arithmetic; a
+    * slice missing a class gets NULL auc (undefined, not 0.5).
+    *
+    * Scale note: unlike the global [[aucRoc]] (whose order-statistic
+    * window is single-partition over the per-score table), every stage
+    * here keys on the group — the rank window partitions by slice, so
+    * parallelism grows with slice count. */
+  def aucRocBy(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol).as("g"), col(scoreCol).as("s"))
+      .agg(sum(col(labelCol)).cast("long").as("npos"),
+        count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("g")).orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = per
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("avg_rank",
+        (col("cum") - col("n")).cast("double") +
+          (col("n") + lit(1L)).cast("double") / lit(2.0))
+    val auc =
+      (col("prs") -
+        (col("n_pos").cast("double") * (col("n_pos") + lit(1L)).cast("double"))
+          / lit(2.0)) /
+        (col("n_pos").cast("double") * col("n_neg").cast("double"))
+    ranked.groupBy(col("g"))
+      .agg(sum(col("npos").cast("double") * col("avg_rank")).as("prs"),
+        sum(col("npos")).cast("long").as("n_pos"),
+        sum(col("n") - col("npos")).cast("long").as("n_neg"))
+      .select(col("g").as(groupCol),
+        when(col("n_pos") > 0 && col("n_neg") > 0, auc).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
   /** COMPOSITE signal BLEND: each score column rank-normalizes through
     * [[ecdf]] and the weighted left-associated sum becomes `outCol` —
     * the unit-free way to combine heterogeneous quality signals (a

@@ -886,6 +886,30 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(Eval.cohenKappa(indep, "a", "b").collect()(0).getDouble(3) == 0.0)
   }
 
+  test("aucRocBy slices == global aucRoc per slice; one-class slices NULL") {
+    val df = Seq(("x", 0.9, 1), ("x", 0.8, 0), ("x", 0.5, 1),
+      ("y", 0.7, 1), ("y", 0.6, 0), ("z", 0.5, 1), ("z", 0.4, 1))
+      .toDF("g", "score", "label")
+    val by = Eval.aucRocBy(df, "g", "score", "label").orderBy("g").collect()
+    val gx = Eval.aucRoc(df.filter($"g" === "x"), "score", "label")
+      .collect()(0).getDouble(0)
+    val gy = Eval.aucRoc(df.filter($"g" === "y"), "score", "label")
+      .collect()(0).getDouble(0)
+    assert(by(0).getDouble(1) == gx && by(1).getDouble(1) == gy)
+    assert(by(2).isNullAt(1)) // z has no negatives → undefined, not 0.5
+  }
+
+  test("aucRoc is invariant under the ecdf transform (monotone, tie-preserving)") {
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 200).map(_ =>
+      (math.floor(rnd.nextDouble() * 20) / 20.0, rnd.nextInt(2)))
+      .toDF("score", "label")
+    val raw = Eval.aucRoc(df, "score", "label").collect()(0).getDouble(0)
+    val viaEcdf = Eval.aucRoc(
+      Eval.ecdf(df, "score"), "pct", "label").collect()(0).getDouble(0)
+    assert(raw == viaEcdf) // exact: identical rank structure
+  }
+
   test("blend == the weighted left-assoc sum of each signal's ecdf rank") {
     val df = Seq((1L, 1.0, 10.0), (2L, 2.0, 5.0), (3L, 3.0, 5.0))
       .toDF("id", "a", "b")
