@@ -1303,6 +1303,18 @@ object SparkEntry {
       ext.Eval.cohenKappa(nb.join(gate, "doc_id"), "pred", "gate")
     }),
 
+    // ext: calibration bins of the q99 gate — observed positive rate vs
+    // stated sigmoid confidence per rounded-probability decile
+    "q122_calibration" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lbl = col("source").isin("src0", "src1")
+      val scored = ext.TextAnalysis
+        .nbQualityScore(docs, "doc_id", "text", lbl)
+        .join(docs.select(col("doc_id"),
+          when(lbl, 1).otherwise(0).as("label")), "doc_id")
+      ext.Eval.calibrationBins(scored, "score", "label").orderBy("bin")
+    }),
+
     // ext: per-language AUC of the q99 gate — the sliced fairness view
     // a single corpus-level AUC hides; every stage keys on the slice
     "q121_auc_by_lang" -> ((s, dir) => {
@@ -3385,6 +3397,20 @@ object SparkEntry {
            CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
            CAST(tp AS DOUBLE) / CAST(p_total AS DOUBLE) AS recall
          FROM cum, tot ORDER BY threshold DESC""",
+
+    // sigmoid probs bin on the ROUNDED value (engine-stable edges);
+    // pos_rate stays an exact unrounded integer ratio
+    "q122_calibration" ->
+      s"""WITH scored AS ($NbScoredSql),
+         pb AS (SELECT round(1.0 / (1.0 + exp(-score)), 6) AS p,
+                  pos AS y
+                FROM scored),
+         b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, y
+               FROM pb)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           round(avg(p), 6) AS mean_conf,
+           CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+         FROM b GROUP BY bin ORDER BY bin""",
 
     // q114's rank arithmetic with every window/agg PARTITIONED BY lang;
     // the label joins back from documents

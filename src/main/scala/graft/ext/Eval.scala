@@ -127,6 +127,30 @@ object Eval {
         ((po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
 
+  /** CALIBRATION (reliability) BINS: log-odds scores map through the
+    * sigmoid to probabilities, bin on the 6 dp-ROUNDED probability
+    * (engine-stable bin edges — the PSI discipline), and each bin
+    * reports observed positive rate vs mean stated confidence. A gate
+    * can rank perfectly (AUC 1) and still lie about its probabilities;
+    * this is the audit that catches it. `pos_rate` is an exact integer
+    * ratio (unrounded); `mean_conf` averages rounded values and rounds
+    * at 6 dp (summation-order grain).
+    *
+    * One corpus pass with map-side combine into nBins rows. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 0)
+    val prob = round(lit(1.0) / (lit(1.0) + exp(-col(scoreCol))), 6)
+    df.select(prob.as("p"), col(labelCol).cast("long").as("y"))
+      .withColumn("bin",
+        least(floor(col("p") * nBins).cast("int"), lit(nBins - 1)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("p")), 6).as("mean_conf"),
+        (sum(col("y")).cast("double") / count(lit(1)).cast("double"))
+          .as("pos_rate"))
+  }
+
   /** GROUP-SLICED ROC-AUC — [[aucRoc]] per `groupCol` slice (per
     * language, per source, per cohort): the fairness/robustness view a
     * single corpus-level AUC hides (a gate can rank well globally and

@@ -886,6 +886,19 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(Eval.cohenKappa(indep, "a", "b").collect()(0).getDouble(3) == 0.0)
   }
 
+  test("calibrationBins: sigmoid deciles, exact pos_rate, top-bin clamp") {
+    // logit 0 → p=0.5 (bin 5); big positive logits clamp into bin 9
+    val df = Seq((0.0, 1), (0.0, 0), (100.0, 1), (100.0, 1), (-100.0, 0))
+      .toDF("score", "label")
+    val rows = Eval.calibrationBins(df, "score", "label")
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (0, 1L, 0.0, 0.0),        // p≈0 → bin 0, no positives
+      (5, 2L, 0.5, 0.5),        // the two logit-0 rows, one positive
+      (9, 2L, 1.0, 1.0)))       // p≈1 clamps to bin 9 (not bin 10)
+  }
+
   test("aucRocBy slices == global aucRoc per slice; one-class slices NULL") {
     val df = Seq(("x", 0.9, 1), ("x", 0.8, 0), ("x", 0.5, 1),
       ("y", 0.7, 1), ("y", 0.6, 0), ("z", 0.5, 1), ("z", 0.4, 1))
