@@ -742,6 +742,42 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got.contains((1L, 2L)))
   }
 
+  // ---- layout invariance (the distributed failure mode) -------------------
+
+  test("new ops are invariant under repartition (layout-independence)") {
+    val rnd = new scala.util.Random(29)
+    val base = (0 until 40).map(i => s"w$i")
+    val docs = (1L to 40L).map { i =>
+      val st = rnd.nextInt(28)
+      (i, if (i % 7 == 0) "en" else "de",
+        base.slice(st, st + 8 + rnd.nextInt(6)).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val shuffled = docs.repartition(7)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    assert(rows(TextAnalysis.pmiCollocations(docs, "text", 2L)) ==
+      rows(TextAnalysis.pmiCollocations(shuffled, "text", 2L)))
+    assert(rows(TextAnalysis.nbMulticlass(docs, "doc_id", "text", "lang")) ==
+      rows(TextAnalysis.nbMulticlass(shuffled, "doc_id", "text", "lang")))
+    assert(rows(Dedup.containmentPairs(docs, "text", "doc_id", 0.3)) ==
+      rows(Dedup.containmentPairs(shuffled, "text", "doc_id", 0.3)))
+    assert(rows(graft.pipeline.CorpusCuration.decontaminatedSplit(
+        docs, "text", "doc_id", 0.5, 0.5, "s2")) ==
+      rows(graft.pipeline.CorpusCuration.decontaminatedSplit(
+        shuffled, "text", "doc_id", 0.5, 0.5, "s2")))
+    val emb = (0L until 30L).map(i =>
+      (i, (i % 3).toInt, Seq.tabulate(8)(d => (i * 7 % 11 + d).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val sEmb = emb.repartition(5)
+    val q = emb.filter($"vec_id" < 2)
+    assert(rows(Similarity.mmrTopK(emb, q, 4, 0.6, 10)) ==
+      rows(Similarity.mmrTopK(sEmb, q, 4, 0.6, 10)))
+    assert(rows(Eval.ecdf(docs.select($"doc_id",
+        (($"doc_id" % 5).cast("double")).as("s")), "s")) ==
+      rows(Eval.ecdf(shuffled.select($"doc_id",
+        (($"doc_id" % 5).cast("double")).as("s")), "s")))
+  }
+
   // ---- decontaminatedSplit -----------------------------------------------
 
   test("decontaminatedSplit == hashSplit + cross-LSH anti-join; test side intact") {
