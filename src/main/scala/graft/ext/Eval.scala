@@ -54,18 +54,29 @@ object Eval {
     * table (bounded by score granularity) carries the window; the corpus
     * pays one groupBy and one score-keyed join back. */
   def ecdf(df: DataFrame, scoreCol: String,
+      outCol: String = "pct"): DataFrame =
+    df.join(ecdfTable(df, scoreCol, outCol), Seq(scoreCol))
+
+  /** [[ecdf]]'s (score → percentile) side table alone — join it back
+    * yourself when composing several rank transforms over one scored
+    * projection ([[blend]] does): `df.join(table)` inside [[ecdf]]
+    * references `df` twice, so CHAINING k ecdf calls re-evaluates the
+    * upstream scoring projection ~2^k times (measured 2× per level on
+    * the regex-heavy quality signals). Building the k tables from the
+    * ORIGINAL frame and joining them in one chain keeps it at one full
+    * evaluation plus k column-pruned ones. */
+  def ecdfTable(df: DataFrame, scoreCol: String,
       outCol: String = "pct"): DataFrame = {
     val per = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("_n"))
     val w = Window.orderBy(col(scoreCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = per
+    per
       .withColumn("_cum", sum(col("_n")).over(w))
       .withColumn("_tot", sum(col("_n")).over(Window.partitionBy()))
       .withColumn(outCol,
         ((col("_cum") - col("_n")).cast("double") +
           col("_n").cast("double") / lit(2.0)) / col("_tot").cast("double"))
       .select(col(scoreCol), col(outCol))
-    df.join(cum, Seq(scoreCol))
   }
 
   /** Per-class PRECISION/RECALL/F1 from the confusion matrix — the eval
@@ -200,8 +211,13 @@ object Eval {
   def blend(df: DataFrame, weights: Seq[(String, Double)],
       outCol: String = "blended"): DataFrame = {
     require(weights.nonEmpty, "need at least one (scoreCol, weight)")
+    // every rank table derives from the ORIGINAL frame (not the running
+    // join), so the scoring projection evaluates once full-width plus
+    // one column-pruned pass per signal — never 2^k times (see
+    // [[ecdfTable]])
     val withPcts = weights.zipWithIndex.foldLeft(df) {
-      case (acc, ((c, _), i)) => ecdf(acc, c, s"_p$i")
+      case (acc, ((c, _), i)) =>
+        acc.join(ecdfTable(df, c, s"_p$i"), Seq(c))
     }
     val expr = weights.zipWithIndex
       .map { case ((_, w), i) => lit(w) * col(s"_p$i") }
