@@ -1303,6 +1303,14 @@ object SparkEntry {
       ext.Eval.cohenKappa(nb.join(gate, "doc_id"), "pred", "gate")
     }),
 
+    // ext: Kaplan-Meier conversion curve — time from first event to
+    // first purchase, right-censored at last observation; product-limit
+    // survival replayed as exp(sum ln) down the duration window
+    "q123_kaplan_meier" -> ((s, dir) =>
+      streaming.EventStream.kaplanMeier(
+        Tables.load(s, dir, "events"), "purchase")
+        .orderBy("dur")),
+
     // ext: calibration bins of the q99 gate — observed positive rate vs
     // stated sigmoid confidence per rounded-probability decile
     "q122_calibration" -> ((s, dir) => {
@@ -3397,6 +3405,44 @@ object SparkEntry {
            CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
            CAST(tp AS DOUBLE) / CAST(p_total AS DOUBLE) AS recall
          FROM cum, tot ORDER BY threshold DESC""",
+
+    // product-limit estimator; the fully-converting terminal row (d =
+    // n_risk) pins survival 0 explicitly — ln(0) faults in DuckDB
+    "q123_kaplan_meier" ->
+      s"""WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+             max(epoch_us(ts)) AS tmax,
+             min(CASE WHEN event_type = 'purchase'
+               THEN epoch_us(ts) END) AS tev
+           FROM events GROUP BY user_id),
+         du AS (SELECT (coalesce(tev, tmax) - t0) // 1000000 AS dur,
+                  CASE WHEN tev IS NOT NULL THEN 1 ELSE 0 END AS ev
+                FROM pu),
+         bd AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+                  CAST(count(*) - sum(ev) AS BIGINT) AS c
+                FROM du GROUP BY dur),
+         tt AS (SELECT CAST(sum(d + c) AS BIGINT) AS nn FROM bd),
+         k AS (SELECT dur, d, c,
+                 CAST(sum(d + c) OVER (ORDER BY dur ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_all
+               FROM bd),
+         r AS (SELECT dur, d, c,
+                 nn - (cum_all - (d + c)) AS n_risk FROM k, tt),
+         f AS (SELECT dur, d, c, n_risk,
+                 CASE WHEN d < n_risk
+                   THEN ln(1.0 - CAST(d AS DOUBLE)
+                     / CAST(n_risk AS DOUBLE))
+                   ELSE 0.0 END AS lnf,
+                 max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY dur ASC ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS dead
+               FROM r)
+         SELECT dur, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+           CASE WHEN dead = 1 THEN 0.0
+             ELSE round(exp(sum(lnf) OVER (ORDER BY dur ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+             END AS survival
+         FROM f ORDER BY dur""",
 
     // sigmoid probs bin on the ROUNDED value (engine-stable edges);
     // pos_rate stays an exact unrounded integer ratio

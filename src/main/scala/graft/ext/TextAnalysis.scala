@@ -840,14 +840,20 @@ object TextAnalysis {
     val toks = docs.select(col(idCol), explode(col("toks")).as("tok"))
     val counts = docs.select(col("cls"), explode(col("toks")).as("tok"))
       .groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("cnt"))
-    val v = counts.select(col("tok")).distinct().count()
-    val nTotal = docs.count()
+    // V and N stay DISTRIBUTED (1-row frames cross-joined into the k-row
+    // class table) — no eager driver action inside the operator, so the
+    // whole classifier is one lazy DAG
+    val vdf = counts.select(col("tok")).distinct()
+      .agg(count(lit(1)).as("_v"))
+    val ndf = docs.agg(count(lit(1)).as("_nt"))
     val classes = docs.groupBy(col("cls")).agg(count(lit(1)).as("ndc"))
       .join(counts.groupBy(col("cls")).agg(sum(col("cnt")).as("tc")),
         Seq("cls"), "left")
+      .crossJoin(broadcast(vdf)).crossJoin(broadcast(ndf))
       .select(col("cls"),
-        log(col("ndc").cast("double") / lit(nTotal.toDouble)).as("prior"),
-        log((coalesce(col("tc"), lit(0L)) + lit(v)).cast("double"))
+        log(col("ndc").cast("double") / col("_nt").cast("double"))
+          .as("prior"),
+        log((coalesce(col("tc"), lit(0L)) + col("_v")).cast("double"))
           .as("lntc"))
     val s = toks.join(counts, Seq("tok"))
       .groupBy(col(idCol), col("cls"))

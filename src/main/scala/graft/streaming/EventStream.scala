@@ -120,6 +120,56 @@ object EventStream {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** KAPLAN–MEIER conversion curve (product-limit estimator): time from
+    * each user's FIRST event to their FIRST `targetType` event; users
+    * who never convert are right-censored at their last observed event —
+    * the survival-analysis answer to "how long until users buy" that a
+    * naive mean-of-converters biases (it silently drops everyone still
+    * running). Per distinct duration (integer seconds): users at risk,
+    * conversions `d`, censored `c`, and S(t) = Π_{t_j ≤ t} (1 − d_j/n_j)
+    * — the probability a user has NOT converted by t. Deaths and censors
+    * sharing a timestamp follow the standard convention (both counted at
+    * risk at that time).
+    *
+    * S(t) evaluates as `exp(Σ ln(1 − d/n))` down the duration-ordered
+    * window — zero-conversion rows add ln(1) = 0 — one fixed form both
+    * engines replay; rounded at 6 dp (libm ulp). A row where every
+    * remaining user converts (d = n_risk, necessarily the last row) is
+    * pinned to survival 0 EXPLICITLY: its factor is ln(0), which DuckDB
+    * faults on and Spark nulls, so neither engine may evaluate it.
+    *
+    * Shape at 100 TB: ONE groupBy(user) pass over the events; the curve
+    * table is distinct-duration-sized and carries the windows. */
+  def kaplanMeier(df: DataFrame, targetType: String): DataFrame = {
+    val perUser = df.groupBy(col("user_id")).agg(
+      min(unix_micros(col("ts"))).as("t0"),
+      max(unix_micros(col("ts"))).as("tmax"),
+      min(when(col("event_type") === targetType,
+        unix_micros(col("ts")))).as("tev"))
+    val durs = perUser.select(
+      expr("(coalesce(tev, tmax) - t0) div 1000000").as("dur"),
+      col("tev").isNotNull.cast("int").as("ev"))
+    val byDur = durs.groupBy(col("dur")).agg(
+      sum(col("ev")).cast("long").as("d"),
+      (count(lit(1)) - sum(col("ev"))).cast("long").as("c"))
+    val w = Window.orderBy(col("dur").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = sum(col("d") + col("c")).over(Window.partitionBy())
+    byDur
+      .withColumn("cum_all", sum(col("d") + col("c")).over(w))
+      .withColumn("n_risk", tot - (col("cum_all") - (col("d") + col("c"))))
+      .withColumn("_lnf", when(col("d") < col("n_risk"),
+        log(lit(1.0) -
+          col("d").cast("double") / col("n_risk").cast("double")))
+        .otherwise(lit(0.0)))
+      .withColumn("_dead",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(w))
+      .withColumn("survival", when(col("_dead") === 1, lit(0.0))
+        .otherwise(round(exp(sum(col("_lnf")).over(w)), 6)))
+      .select(col("dur"), col("n_risk"), col("d"), col("c"),
+        col("survival"))
+  }
+
   /** Windowed HOT-VALUES monitor: per tumbling window, the Misra–Gries
     * candidate set over `valueCol` — the continuous twin of
     * [[graft.ext.TextAnalysis.heavyHitters]]'s first pass. State per

@@ -1114,6 +1114,32 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", "b", 2L))) // (c,d) has c12=1 → pruned
   }
 
+  test("kaplanMeier: hand-computed curve, censoring, terminal-death pin") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val events = Seq(
+      (1L, ts(0), 1L, "view"), (2L, ts(10), 1L, "purchase"),
+      (3L, ts(0), 2L, "view"), (4L, ts(20), 2L, "view"),   // censored @20
+      (5L, ts(0), 3L, "purchase"),                          // converts @0
+      (6L, ts(0), 4L, "view"), (7L, ts(10), 4L, "click"))   // censored @10
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.streaming.EventStream.kaplanMeier(events, "purchase")
+      .orderBy("dur").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (0L, 4L, 1L, 0L, 0.75),   // S = 1 - 1/4
+      (10L, 3L, 1L, 1L, 0.5),   // S = 0.75 * (1 - 1/3)
+      (20L, 1L, 0L, 1L, 0.5)))  // censoring alone never moves S
+    // every remaining user converting at once pins survival to exact 0
+    val all = Seq((1L, ts(0), 1L, "view"), (2L, ts(5), 1L, "purchase"),
+      (3L, ts(0), 2L, "view"), (4L, ts(5), 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val last = graft.streaming.EventStream.kaplanMeier(all, "purchase")
+      .orderBy("dur").collect()
+    assert(last.length == 1 && last(0).getDouble(4) == 0.0)
+  }
+
   test("transitionMatrix counts adjacencies per user with id tie-break") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)
