@@ -1303,6 +1303,17 @@ object SparkEntry {
       ext.Eval.cohenKappa(nb.join(gate, "doc_id"), "pred", "gate")
     }),
 
+    // ext: perceptual image near-dups — REAL decode → 60-bit aHash →
+    // pigeonhole Hamming banding; the oracle recomputes the hash from
+    // the analytic synthetic raster
+    "q124_image_neardup" -> ((s, dir) => {
+      val media = ext.Multimodal.synthesizeImages(
+        Tables.load(s, dir, "documents"), "doc_id")
+      ext.Dedup.hammingNearDups(
+        ext.Multimodal.aHash(media), "ahash", "id", maxHamming = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ext: Kaplan-Meier conversion curve — time from first event to
     // first purchase, right-censored at last observation; product-limit
     // survival replayed as exp(sum ln) down the duration window
@@ -3405,6 +3416,36 @@ object SparkEntry {
            CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
            CAST(tp AS DOUBLE) / CAST(p_total AS DOUBLE) AS recall
          FROM cum, tot ORDER BY threshold DESC""",
+
+    // analytic raster → 10x6 nearest samples → integer-exact mean
+    // threshold → 60-bit hash → 3-chunk pigeonhole at maxHamming 2
+    "q124_image_neardup" ->
+      s"""WITH g AS (SELECT doc_id, CAST(doc_id % 13 + 3 AS BIGINT) AS w,
+             CAST(doc_id % 7 + 2 AS BIGINT) AS h FROM documents),
+         px AS (SELECT doc_id, k,
+                 (doc_id * 31 + ((k % 10) * w // 10) * 7 +
+                  ((k // 10) * h // 6) * 13) % 256 AS p
+               FROM (SELECT doc_id, w, h,
+                       unnest(generate_series(0, 59)) AS k FROM g)),
+         tot AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS total
+                 FROM px GROUP BY doc_id),
+         hs AS (SELECT px.doc_id,
+                 CAST(sum(CASE WHEN p * 60 > total
+                   THEN CAST(1 AS BIGINT) << k
+                   ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash
+               FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id),
+         b AS (SELECT doc_id, ahash, c,
+                 (ahash >> (c * 20)) & 1048575 AS cv
+               FROM hs, generate_series(0, 2) AS t(c)),
+         cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                  FROM b l JOIN b r ON l.c = r.c AND l.cv = r.cv
+                    AND l.doc_id < r.doc_id)
+         SELECT id_a, id_b,
+           CAST(bit_count(xor(a.ahash, b2.ahash)) AS BIGINT) AS hamming
+         FROM cand JOIN hs a ON a.doc_id = cand.id_a
+           JOIN hs b2 ON b2.doc_id = cand.id_b
+         WHERE bit_count(xor(a.ahash, b2.ahash)) <= 2
+         ORDER BY id_a, id_b""",
 
     // product-limit estimator; the fully-converting terminal row (d =
     // n_risk) pins survival 0 explicitly — ln(0) faults in DuckDB

@@ -799,12 +799,26 @@ object Dedup {
     * is governed by chunk width, the verify is one xor+popcount per pair.
     * 60 must divide evenly; maxHamming = 2, 3, 4 → 20-, 15-, 12-bit chunks. */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDups(
+      df.select(col(idCol), simhash(textCol).as("_sk")), "_sk", idCol,
+      maxHamming)
+
+  /** Pigeonhole-banded Hamming near-dup pairs over ANY 60-bit sketch
+    * column — the [[simhashNearDups]] machinery decoupled from text so
+    * other modalities plug in (perceptual image hashes:
+    * [[Multimodal.aHash]] feeds this for image near-dup detection).
+    * Split the sketch into `maxHamming + 1` equal chunks — a pair within
+    * `maxHamming` flips must agree on at least one whole chunk —
+    * equality-join per chunk, verify exact xor-popcount. Shuffles only
+    * (chunk, value, id). */
+  def hammingNearDups(df: DataFrame, sketchCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     require(60 % chunks == 0, s"60 bits must split evenly into $chunks chunks")
     val width = 60 / chunks
     val mask = (1L << width) - 1L
-    val t = df.select(col(idCol).as("doc_id"), simhash(textCol).as("sk"))
+    val t = df.select(col(idCol).as("doc_id"), col(sketchCol).as("sk"))
     val banded = t.select(col("doc_id"),
       posexplode(array((0 until chunks).map { c =>
         shiftright(col("sk"), c * width).bitwiseAND(lit(mask))

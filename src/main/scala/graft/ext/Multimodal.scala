@@ -158,6 +158,64 @@ object Multimodal {
     ds.mapPartitions(_.grouped(batchSize).flatMap(_.map(decode)))
   }
 
+  /** Perceptual AVERAGE-HASH (aHash) of decoded images: sample the
+    * luminance on a `cols`×`rows` grid (nearest-neighbor positions
+    * `(i·w div cols, j·h div rows)` — integer arithmetic an external
+    * checker can replay), set bit `j·cols + i` iff the sample exceeds
+    * the grid mean. The default 10×6 grid yields the engine's 60-bit
+    * sketch convention, so [[graft.ext.Dedup.hammingNearDups]] bands it
+    * directly — near-duplicate IMAGE detection (re-encodes, minor
+    * crops/rescales land within a few bits) with the same pigeonhole
+    * machinery as text SimHash.
+    *
+    * The threshold compares `sample·n > Σ samples` in exact integer
+    * arithmetic — no float mean, no rounding boundary. Palette images
+    * hash palette-decoded r+g+b sums; component rasters sum bands
+    * (constant per image, so ordering against the mean is unaffected).
+    * Narrow per-row map, stream-safe. */
+  def aHash(ds: Dataset[MediaRow], cols: Int = 10, rows: Int = 6): DataFrame = {
+    require(cols * rows <= 60, s"grid ${cols}x$rows exceeds 60 sketch bits")
+    import ds.sparkSession.implicits._
+    ds.map { m =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.media))
+      require(img != null, s"row ${m.id}: media bytes are not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val n = cols * rows
+      val icm = img.getColorModel match {
+        case c: java.awt.image.IndexColorModel => c
+        case _ => null
+      }
+      def lum(x: Int, y: Int): Long =
+        if (icm != null) {
+          val i = raster.getSample(x, y, 0)
+          (icm.getRed(i) + icm.getGreen(i) + icm.getBlue(i)).toLong
+        } else {
+          var s = 0L; var b = 0
+          while (b < raster.getNumBands) { s += raster.getSample(x, y, b); b += 1 }
+          s
+        }
+      val samples = new Array[Long](n)
+      var total = 0L
+      var k = 0
+      while (k < n) {
+        val sx = ((k % cols).toLong * w / cols).toInt
+        val sy = ((k / cols).toLong * h / rows).toInt
+        samples(k) = lum(sx, sy)
+        total += samples(k)
+        k += 1
+      }
+      var bits = 0L
+      k = 0
+      while (k < n) {
+        if (samples(k) * n > total) bits |= 1L << k
+        k += 1
+      }
+      (m.id, bits)
+    }.toDF("id", "ahash")
+  }
+
   /** Sample every nth frame of a video-like row (frames as binary chunks of
     * the media blob): posexplode keeps the frame index. */
   def frameSample(df: DataFrame, every: Int): DataFrame =

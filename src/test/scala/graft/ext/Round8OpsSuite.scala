@@ -1114,6 +1114,30 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", "b", 2L))) // (c,d) has c12=1 → pruned
   }
 
+  test("aHash replays the analytic raster; hammingNearDups pairs by distance") {
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val media = Multimodal.synthesizeImages(docs, "doc_id")
+    val got = Multimodal.aHash(media).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def expected(id: Long): Long = {
+      val w = id % 13 + 3; val h = id % 7 + 2
+      val ps = (0 until 60).map { k =>
+        (id * 31 + ((k % 10) * w / 10) * 7 + ((k / 10) * h / 6) * 13) % 256 }
+      val tot = ps.sum
+      ps.zipWithIndex.foldLeft(0L) { case (acc, (p, k)) =>
+        if (p * 60 > tot) acc | (1L << k) else acc }
+    }
+    assert(got == Seq(1L, 2L, 3L).map(i => (i, expected(i))))
+    // generalized pigeonhole banding over hand sketches
+    val sk = Seq((1L, 0L), (2L, 3L), (3L, 7L), (4L, 0xF0F0F0L))
+      .toDF("id", "sk")
+    val pairs = Dedup.hammingNearDups(sk, "sk", "id", 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // d(1,2)=2 and d(2,3)=1 pass; d(1,3)=3 is a candidate (two chunks
+    // agree) but the exact verify rejects it; 4 is far from everything
+    assert(pairs == Set((1L, 2L), (2L, 3L)))
+  }
+
   test("kaplanMeier: hand-computed curve, censoring, terminal-death pin") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)
