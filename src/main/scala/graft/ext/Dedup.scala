@@ -436,6 +436,36 @@ object Dedup {
     lshDedupSurvivors(df.withWatermark(tsCol, watermark), textCol, idCol,
       tsCol, windowDur, numHashes, bands)
 
+  /** [[lshDedupSurvivors]] for HAMMING sketches — windowed near-dup
+    * dedup over any 60-bit sketch column (perceptual image hashes:
+    * [[Multimodal.aHash]] → this is streaming image dedup). Sketch
+    * chunks play the role of LSH bands: min-id wins each
+    * (window, chunk, value) bucket, a row survives iff it wins ALL
+    * `maxHamming + 1` of its chunks — any pair within `maxHamming` bit
+    * flips shares a whole chunk, so one of them loses that bucket. Same
+    * two chained aggregations Structured Streaming supports; the
+    * streaming caller adds `withWatermark` upstream. */
+  def hammingDedupSurvivors(df: DataFrame, sketchCol: String,
+      idCol: String, tsCol: String = "ts",
+      windowDur: String = "10 minutes", maxHamming: Int = 2): DataFrame = {
+    val chunks = maxHamming + 1
+    require(60 % chunks == 0, s"60 bits must split evenly into $chunks chunks")
+    val width = 60 / chunks
+    val mask = (1L << width) - 1L
+    val banded = df.select(col(tsCol).as("_ts"), col(idCol).as("doc_id"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftright(col(sketchCol), c * width).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("chunk", "cv")))
+    banded
+      .groupBy(window(col("_ts"), windowDur).as("w"),
+        col("chunk"), col("cv"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("w"), col("doc_id"))
+      .agg(count(lit(1)).as("_n_won"))
+      .filter(col("_n_won") === lit(chunks))
+      .select(col("w").getField("start").as("ws"), col("doc_id"))
+  }
+
   /** Prefix-filtered n-gram Jaccard pairs (AllPairs/SSJoin candidate
     * generation): for `J(a,b) ≥ t`, `|a∩b| ≥ t·|a|`, so in ANY fixed
     * global element order the first `|a| − ⌈t·|a|⌉ + 1` elements of `a`

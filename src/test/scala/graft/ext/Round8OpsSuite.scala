@@ -1138,6 +1138,21 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (2L, 3L)))
   }
 
+  test("hammingDedupSurvivors: min-id wins buckets, survivors win all chunks") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val rows = Seq(
+      (1L, ts(10), 0L),          // canonical
+      (2L, ts(20), 3L),          // 2 bits from id 1 → shares chunks → drops
+      // all three 20-bit chunks nonzero → no bucket shared with 1 or 2
+      (3L, ts(30), (0x12345L << 40) | (0x23456L << 20) | 0x34567L)
+    ).toDF("id", "ts", "ahash")
+    val got = Dedup.hammingDedupSurvivors(rows, "ahash", "id",
+        windowDur = "10 minutes", maxHamming = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(1L, 3L))
+  }
+
   test("kaplanMeier: hand-computed curve, censoring, terminal-death pin") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)

@@ -62,6 +62,37 @@ class EventStreamSuite extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming image dedup: hammingDedupSurvivors batch == stream over a file source") {
+    // synthesized images hashed for real, then the windowed Hamming
+    // survivor plan runs identically batch and streaming (append mode,
+    // watermark-closed windows; the far-future row flushes every window)
+    val docs = (1L to 40L).toDF("doc_id")
+    val hashes = graft.ext.Multimodal.aHash(
+        graft.ext.Multimodal.synthesizeImages(docs, "doc_id"))
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(CAST(CASE WHEN id = 40 THEN 1000000 " +
+          "ELSE id * 60 END * 1000000 AS LONG))"))
+    val dir = Files.createTempDirectory("graft_imgdedup").toString
+    hashes.write.mode("overwrite").parquet(dir)
+    val batch = graft.ext.Dedup.hammingDedupSurvivors(
+        spark.read.parquet(dir), "ahash", "id", windowDur = "10 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    val stream = spark.readStream.schema(hashes.schema).parquet(dir)
+      .withWatermark("ts", "10 seconds")
+    val q = graft.ext.Dedup.hammingDedupSurvivors(
+        stream, "ahash", "id", windowDur = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("img_dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("img_dedup_out")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    // all watermark-closed windows agree; the flush row's own window may
+    // stay open (nothing newer advances past it)
+    assert(streamed == batch || streamed == batch.filterNot(_._2 == 40L))
+    assert(streamed.nonEmpty && streamed.size < 39)
+  }
+
   test("hotValues: bounded Misra-Gries state retains guaranteed heavy values, batch and stream") {
     // window 0: 'view' x6 of n=10 (> n/(cap+1) = 3.33 at cap=2) must be
     // retained under ANY arrival order; window 1: 'buy' x4 of 5 likewise
