@@ -1269,6 +1269,23 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    // ext: robust scaling — every event's modified z-score vs its type's
+    // median/MAD (NULL for zero-MAD keys); unrounded order statistics
+    "q125_robust_scale" -> ((s, dir) =>
+      ext.Outliers.robustScale(
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "event_id", "value")
+        .orderBy("event_id")),
+
+    // ext: equal-frequency discretization — event values into 8
+    // value-threshold bins at exact k/8 percentiles
+    "q126_discretize" -> ((s, dir) =>
+      ext.Outliers.discretize(
+        Tables.load(s, dir, "events").select(col("event_id"), col("value")),
+        "value", 8)
+        .orderBy("event_id")),
+
     // ext: per-type winsorization — event values clamped into the exact
     // [p05, p95] percentile band (unrounded: clamps are data values or
     // exact interpolations, the q90 order-statistic discipline)
@@ -3223,6 +3240,40 @@ object SparkEntry {
          JOIN r ON d.source = r.source
          WHERE ${BucketSql("tm", "d.doc_id")} < r.cut
          ORDER BY d.doc_id""",
+
+    // q90's med/MAD machinery without the cut; same left-assoc mz form
+    "q125_robust_scale" ->
+      s"""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY event_type),
+         d AS (SELECT e.event_type, e.event_id, e.value, m.med
+               FROM events e JOIN m USING (event_type)),
+         s AS (SELECT event_type,
+                 quantile_cont(abs(value - med), 0.5) AS mad
+               FROM d GROUP BY event_type)
+         SELECT d.event_type, d.event_id, d.value,
+           CASE WHEN s.mad > 0
+             THEN 0.6745 * (d.value - d.med) / s.mad END AS mz
+         FROM d JOIN s USING (event_type) ORDER BY d.event_id""",
+
+    // mid-rank ecdf bins — exact 0.5-multiple arithmetic, NO interpolated
+    // thresholds (those flip tie-groups on 1-ulp cut divergence)
+    "q126_discretize" ->
+      s"""WITH per AS (SELECT value AS v, CAST(count(*) AS BIGINT) AS n
+             FROM events GROUP BY value),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM per),
+         cum AS (SELECT v, n,
+                   CAST(sum(n) OVER (ORDER BY v ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum
+                 FROM per),
+         pct AS (SELECT v,
+                   (CAST(cum - n AS DOUBLE) + CAST(n AS DOUBLE) / 2.0)
+                     / CAST(tot AS DOUBLE) AS p
+                 FROM cum, tot)
+         SELECT e.event_id, e.value,
+           least(CAST(floor(p * 8) AS INT), 7) AS bin
+         FROM events e JOIN pct ON pct.v = e.value
+         ORDER BY e.event_id""",
 
     "q116_winsorize" ->
       s"""WITH c AS (SELECT event_type,

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Robust outlier detection over a keyed numeric stream — the data-quality
@@ -63,6 +63,44 @@ object Outliers {
   def robustFlags(df: DataFrame, keyCol: String, idCol: String,
       valCol: String, cut: Double = 3.5): DataFrame =
     flagsWith(df, thresholds(df, keyCol, valCol), keyCol, idCol, valCol, cut)
+
+  /** ROBUST SCALING — the transform sibling of [[robustFlags]]: every
+    * row's modified z-score `0.6745·(x − median) / MAD`, NULL for
+    * zero-MAD keys (a constant column has no scale; 0 would claim every
+    * value is central). Median/MAD resist 50% contamination where
+    * mean/stddev scaling is dragged by the very outliers preprocessing
+    * exists to tame. Same shape as [[flagsWith]] without the cut: two
+    * key-cardinality aggregates broadcast back + a narrow codegen map;
+    * output is unrounded (the q90 order-statistic discipline). */
+  def robustScale(df: DataFrame, keyCol: String, idCol: String,
+      valCol: String, outCol: String = "mz"): DataFrame = {
+    val mz = lit(0.6745) * (col(valCol) - col("_med")) / col("_mad")
+    df.join(broadcast(thresholds(df, keyCol, valCol)), Seq(keyCol))
+      .select(col(keyCol), col(idCol), col(valCol),
+        when(col("_mad") > 0, mz).as(outCol))
+  }
+
+  /** EQUAL-FREQUENCY DISCRETIZATION via the mid-rank ECDF:
+    * `bin = ⌊ecdf(x)·nBins⌋` — feature binning for NB-style models,
+    * mixture strata, monotone compression of heavy-tailed features.
+    * Deliberately NOT interpolated percentile thresholds: an
+    * interpolated cut compared `≤` against data carrying heavy ties
+    * flips whole tie-groups across bins on a 1-ulp cross-engine
+    * divergence (measured at sf0.001 — 286 of 1000 rows). The mid-rank
+    * ECDF is exact 0.5-multiple arithmetic over an exact total, so the
+    * bin boundary is the same double in every engine; a tie-group lands
+    * wholly in one bin.
+    *
+    * Shape: [[graft.ext.Eval.ecdfTable]]'s per-value aggregate + one
+    * value-keyed join back — no corpus sort, no interpolation. */
+  def discretize(df: DataFrame, valCol: String, nBins: Int,
+      outCol: String = "bin"): DataFrame = {
+    require(nBins > 1, s"need nBins > 1, got $nBins")
+    df.join(Eval.ecdfTable(df, valCol, "_pct"), Seq(valCol))
+      .withColumn(outCol,
+        least(floor(col("_pct") * nBins).cast("int"), lit(nBins - 1)))
+      .drop("_pct")
+  }
 
   /** Population-Stability-Index DRIFT report: how far a live slice's
     * distribution of `valCol` has moved from a baseline slice's — the

@@ -972,6 +972,31 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("robustScale: modified z for all rows, NULL for zero-MAD keys") {
+    val df = ((1 to 9).map(v => ("a", v.toLong, v.toDouble)) ++
+      Seq(("b", 10L, 5.0), ("b", 11L, 5.0))).toDF("k", "id", "v")
+    val got = Outliers.robustScale(df, "k", "id", "v")
+      .orderBy("id").collect()
+    // key a: median 5, MAD 2 → mz(1) = 0.6745*(1-5)/2
+    assert(got(0).getDouble(3) == 0.6745 * (1.0 - 5.0) / 2.0)
+    assert(got(4).getDouble(3) == 0.0) // the median itself
+    // constant key b: MAD 0 → NULL, not 0
+    assert(got(9).isNullAt(3) && got(10).isNullAt(3))
+  }
+
+  test("discretize: equal-frequency bins; a tie-group lands in ONE bin") {
+    val df = (1 to 8).map(v => (v.toLong, v.toDouble)).toDF("id", "v")
+    val got = Outliers.discretize(df, "v", 4)
+      .orderBy("id").collect().map(_.getInt(2)).toSeq
+    assert(got == Seq(0, 0, 1, 1, 2, 2, 3, 3))
+    // heavy ties: every copy of the duplicated value gets the same bin
+    val tied = ((1 to 12).map(i => (i.toLong, 5.0)) ++
+      Seq((13L, 1.0), (14L, 9.0))).toDF("id", "v")
+    val bins = Outliers.discretize(tied, "v", 4)
+      .filter($"v" === 5.0).select("bin").distinct().collect()
+    assert(bins.length == 1)
+  }
+
   test("ecdf assigns mid-rank percentiles, ties share the midpoint") {
     val df = Seq((1L, 1.0), (2L, 2.0), (3L, 2.0), (4L, 3.0))
       .toDF("id", "score")
