@@ -444,18 +444,39 @@ object Dedup {
     * `maxHamming + 1` of its chunks — any pair within `maxHamming` bit
     * flips shares a whole chunk, so one of them loses that bucket. Same
     * two chained aggregations Structured Streaming supports; the
-    * streaming caller adds `withWatermark` upstream. */
+    * streaming caller adds `withWatermark` upstream.
+    *
+    * PRECISION, not just recall, drives the knobs — a chunk collision
+    * between NON-dups deletes a row with no pair-level verify possible
+    * in this no-pair-materialization shape:
+    *  - default `maxHamming = 1` keeps chunks 30 bits wide: random
+    *    collisions ≈ N²/2³¹ per window, vs N²/2²¹ at 20-bit chunks
+    *    (thousands of false drops per 100k-row window). Raise
+    *    `maxHamming` only with a matching window-size budget.
+    *  - DEGENERATE chunk values (all-zero / all-one — flat or dark
+    *    image regions, where unrelated sketches pile up) compete on
+    *    the FULL sketch instead of the chunk, so they only dedup
+    *    identical sketches. Cost: a near-dup pair whose ONLY agreeing
+    *    chunk is degenerate both survive — the batch pass
+    *    ([[hammingNearDups]], which does verify exactly) owns that
+    *    tail, as it owns cross-window pairs. */
   def hammingDedupSurvivors(df: DataFrame, sketchCol: String,
       idCol: String, tsCol: String = "ts",
-      windowDur: String = "10 minutes", maxHamming: Int = 2): DataFrame = {
+      windowDur: String = "10 minutes", maxHamming: Int = 1): DataFrame = {
     val chunks = maxHamming + 1
     require(60 % chunks == 0, s"60 bits must split evenly into $chunks chunks")
     val width = 60 / chunks
     val mask = (1L << width) - 1L
     val banded = df.select(col(tsCol).as("_ts"), col(idCol).as("doc_id"),
+      col(sketchCol).as("_sk"),
       posexplode(array((0 until chunks).map { c =>
         shiftright(col(sketchCol), c * width).bitwiseAND(lit(mask))
       }: _*)).as(Seq("chunk", "cv")))
+      // degenerate chunks carry no locality signal: key them by the
+      // full sketch so only identical sketches collide there
+      .withColumn("cv",
+        when(col("cv") === 0L || col("cv") === lit(mask), col("_sk"))
+          .otherwise(col("cv")))
     banded
       .groupBy(window(col("_ts"), windowDur).as("w"),
         col("chunk"), col("cv"))
@@ -895,8 +916,7 @@ object Dedup {
       maxPosting: Int = Int.MaxValue): DataFrame = {
     val sh = df.select(col(idCol).as("doc_id"),
       TextAnalysis.hashedShingles(textCol).as("sh"))
-    val cand = containmentCandidates(df, textCol, idCol, sampleK,
-      maxPosting)
+    val cand = containmentCandidatesFrom(sh, sampleK, maxPosting)
     val sides = cand.select(col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as("doc_id"))
     sides.join(sh, "doc_id")
@@ -920,9 +940,17 @@ object Dedup {
     * corpus is signal, not overhead — a probe ratio is only attributable
     * once the pair counts are known). */
   def containmentCandidates(df: DataFrame, textCol: String, idCol: String,
-      sampleK: Int = 8, maxPosting: Int = Int.MaxValue): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.hashedShingles(textCol).as("sh"))
+      sampleK: Int = 8, maxPosting: Int = Int.MaxValue): DataFrame =
+    containmentCandidatesFrom(
+      df.select(col(idCol).as("doc_id"),
+        TextAnalysis.hashedShingles(textCol).as("sh")),
+      sampleK, maxPosting)
+
+  // one construction site for the shingled frame; note the posts/probes/
+  // verify subtrees still evaluate it independently (lazy, no persist —
+  // house style), so the kernel runs ~3x per job by design
+  private def containmentCandidatesFrom(sh: DataFrame, sampleK: Int,
+      maxPosting: Int): DataFrame = {
     val posts0 = sh.select(col("doc_id"), explode(col("sh")).as("h"))
     val posts =
       if (maxPosting == Int.MaxValue) posts0

@@ -55,7 +55,9 @@ object Eval {
     * pays one groupBy and one score-keyed join back. */
   def ecdf(df: DataFrame, scoreCol: String,
       outCol: String = "pct"): DataFrame =
-    df.join(ecdfTable(df, scoreCol, outCol), Seq(scoreCol))
+    // LEFT join: a NULL score has no rank — the row survives with NULL
+    // pct instead of silently vanishing from the output
+    df.join(ecdfTable(df, scoreCol, outCol), Seq(scoreCol), "left")
 
   /** [[ecdf]]'s (score → percentile) side table alone — join it back
     * yourself when composing several rank transforms over one scored
@@ -67,7 +69,11 @@ object Eval {
     * evaluation plus k column-pruned ones. */
   def ecdfTable(df: DataFrame, scoreCol: String,
       outCol: String = "pct"): DataFrame = {
-    val per = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("_n"))
+    // NULL scores are excluded from the ranking AND the total — they
+    // can't equi-join back anyway, and counting them in N would skew
+    // every surviving row's percentile
+    val per = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol)).agg(count(lit(1)).as("_n"))
     val w = Window.orderBy(col(scoreCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     per

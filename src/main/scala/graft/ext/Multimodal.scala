@@ -170,8 +170,10 @@ object Multimodal {
     *
     * The threshold compares `sample·n > Σ samples` in exact integer
     * arithmetic — no float mean, no rounding boundary. Palette images
-    * hash palette-decoded r+g+b sums; component rasters sum bands
-    * (constant per image, so ordering against the mean is unaffected).
+    * hash palette-decoded r+g+b sums; component rasters sum the COLOR
+    * bands only — alpha (the trailing band when the color model carries
+    * one) varies per pixel, and summing it would make the same image
+    * hash differently on a transparent vs opaque background.
     * Narrow per-row map, stream-safe. */
   def aHash(ds: Dataset[MediaRow], cols: Int = 10, rows: Int = 6): DataFrame = {
     require(cols * rows <= 60, s"grid ${cols}x$rows exceeds 60 sketch bits")
@@ -187,13 +189,15 @@ object Multimodal {
         case c: java.awt.image.IndexColorModel => c
         case _ => null
       }
+      val colorBands =
+        raster.getNumBands - (if (img.getColorModel.hasAlpha) 1 else 0)
       def lum(x: Int, y: Int): Long =
         if (icm != null) {
           val i = raster.getSample(x, y, 0)
           (icm.getRed(i) + icm.getGreen(i) + icm.getBlue(i)).toLong
         } else {
           var s = 0L; var b = 0
-          while (b < raster.getNumBands) { s += raster.getSample(x, y, b); b += 1 }
+          while (b < colorBands) { s += raster.getSample(x, y, b); b += 1 }
           s
         }
       val samples = new Array[Long](n)

@@ -96,9 +96,11 @@ object Outliers {
   def discretize(df: DataFrame, valCol: String, nBins: Int,
       outCol: String = "bin"): DataFrame = {
     require(nBins > 1, s"need nBins > 1, got $nBins")
-    df.join(Eval.ecdfTable(df, valCol, "_pct"), Seq(valCol))
-      .withColumn(outCol,
-        least(floor(col("_pct") * nBins).cast("int"), lit(nBins - 1)))
+    // LEFT join + explicit NULL guard: a NULL value keeps its row with a
+    // NULL bin (least() skips nulls and would fabricate the top bin)
+    df.join(Eval.ecdfTable(df, valCol, "_pct"), Seq(valCol), "left")
+      .withColumn(outCol, when(col("_pct").isNotNull,
+        least(floor(col("_pct") * nBins).cast("int"), lit(nBins - 1))))
       .drop("_pct")
   }
 
@@ -161,8 +163,10 @@ object Outliers {
       .agg(percentile(col(valCol), lit(pLo)).as("_lo"),
         percentile(col(valCol), lit(pHi)).as("_hi"))
     df.join(broadcast(cuts), Seq(keyCol))
-      .withColumn(outCol,
-        least(greatest(col(valCol), col("_lo")), col("_hi")))
+      // least/greatest SKIP nulls, which would fabricate the lower cut
+      // out of a missing measurement — a NULL input stays NULL
+      .withColumn(outCol, when(col(valCol).isNotNull,
+        least(greatest(col(valCol), col("_lo")), col("_hi"))))
       .drop("_lo", "_hi")
   }
 }

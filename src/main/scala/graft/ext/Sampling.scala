@@ -200,8 +200,13 @@ object Sampling {
   def temperatureMixture(df: DataFrame, sourceCol: String, tau: Double,
       k: Double, idCol: String, salt: String = ""): DataFrame = {
     require(tau > 0 && k > 0, s"need tau > 0 and k > 0, got tau=$tau k=$k")
-    val counts = df.groupBy(col(sourceCol)).count().collect()
+    // NULL sources carry no rate (they'd NPE the sort and match nothing
+    // anyway) and an empty frame has no conditions to reduce — both
+    // degrade to "keep nothing", never to a crash
+    val counts = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    if (counts.isEmpty) return df.filter(lit(false))
     val b = hashBucket(col(idCol), salt)
     counts.map { case (src, n) =>
       val factor =

@@ -339,8 +339,12 @@ object Similarity {
       .orderBy(round(col("rel"), 6).desc, col("corpus_id"))
     val cand = c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("rel",
-        dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")))
+      // a zero vector has no direction: its cosine would divide by zero
+      // (an ANSI-mode fault) — guard the division and exclude the row
+      // from candidacy rather than let one bad vector kill the job
+      .withColumn("rel", when(col("cnorm") * col("qnorm") > 0,
+        dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm"))))
+      .filter(col("rel").isNotNull)
       .withColumn("crank", row_number().over(ws))
       .filter(col("crank") <= candidates)
       .select(col("query_id"), col("corpus_id"), col("rel"), col("cvec"))

@@ -1069,16 +1069,19 @@ object TextAnalysis {
                        element_at(toks, i + 1) AS w2))""")).as("b"))
       .select(col("b.w1"), col("b.w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val t1 = uni.agg(sum(col("c"))).head().getLong(0)
-    val t2 = bi.agg(sum(col("c12"))).head().getLong(0)
+    // totals as 1-row broadcast frames — no eager driver action, the
+    // whole report is one lazy DAG (the nbMulticlass discipline)
+    val t1df = uni.agg(sum(col("c")).cast("double").as("_t1"))
+    val t2df = bi.agg(sum(col("c12")).cast("double").as("_t2"))
     bi.filter(col("c12") >= minCount)
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(t1df)).crossJoin(broadcast(t2df))
       // multiply as doubles (exact below 2^53, and int64 products would
       // overflow-fault under ANSI long before the exactness bound)
       .withColumn("pmi", round(log(
-        (col("c12").cast("double") * lit(t1.toDouble) * lit(t1.toDouble)) /
-          (lit(t2.toDouble) * col("c1").cast("double") * col("c2").cast("double"))), 6))
+        (col("c12").cast("double") * col("_t1") * col("_t1")) /
+          (col("_t2") * col("c1").cast("double") * col("c2").cast("double"))), 6))
       .select("w1", "w2", "c12", "c1", "c2", "pmi")
   }
 }

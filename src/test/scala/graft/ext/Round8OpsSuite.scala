@@ -742,6 +742,36 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got.contains((1L, 2L)))
   }
 
+  test("NULL/zero/empty edges degrade, never crash or fabricate values") {
+    // mmrTopK: a zero corpus vector is excluded, not an encoder fault
+    val docs = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrTopK(docs, docs.filter($"vec_id" === 0L),
+      3, 0.7, 5)
+    assert(mmr.collect().map(_.getLong(2)).toSet == Set(1L))
+    // temperatureMixture: empty frame → empty result; NULL source drops
+    val empty = Seq.empty[(Long, String)].toDF("id", "src")
+    assert(Sampling.temperatureMixture(empty, "src", 0.5, 1.0, "id")
+      .count() == 0)
+    val withNull = Seq((1L, "a"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "src")
+    assert(Sampling.temperatureMixture(withNull, "src", 0.5, 5.0, "id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // winsorize: a NULL measurement stays NULL (never the lower cut)
+    val wdf = Seq(("k", 1L, Some(1.0)), ("k", 2L, Some(2.0)),
+      ("k", 3L, None: Option[Double])).toDF("k", "id", "v")
+    assert(Outliers.winsorize(wdf, "k", "v").orderBy("id")
+      .collect()(2).isNullAt(3))
+    // ecdf/discretize: NULL-score rows survive with NULL outputs and are
+    // excluded from the percentile total
+    val edf = Seq((1L, Some(1.0)), (2L, Some(2.0)),
+      (3L, None: Option[Double])).toDF("id", "s")
+    val e = Eval.ecdf(edf, "s").orderBy("id").collect()
+    assert(e.length == 3 && e(2).isNullAt(2) && e(0).getDouble(2) == 0.25)
+    val d = Outliers.discretize(edf, "s", 2).orderBy("id").collect()
+    assert(d.length == 3 && d(2).isNullAt(2))
+  }
+
   // ---- layout invariance (the distributed failure mode) -------------------
 
   test("new ops are invariant under repartition (layout-independence)") {
@@ -1163,19 +1193,23 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (2L, 3L)))
   }
 
-  test("hammingDedupSurvivors: min-id wins buckets, survivors win all chunks") {
+  test("hammingDedupSurvivors: near-dups drop, degenerate chunks can't mass-delete") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)
+    val base = (0xAAAAAL << 40) | (0xBBBBBL << 20) | 0xCCCCCL
     val rows = Seq(
-      (1L, ts(10), 0L),          // canonical
-      (2L, ts(20), 3L),          // 2 bits from id 1 → shares chunks → drops
-      // all three 20-bit chunks nonzero → no bucket shared with 1 or 2
-      (3L, ts(30), (0x12345L << 40) | (0x23456L << 20) | 0x34567L)
+      (1L, ts(10), base),        // canonical
+      (2L, ts(20), base ^ 3L),   // 2 flips in chunk 0 → loses chunks 1,2
+      (3L, ts(30), (0x11111L << 40) | (0x22222L << 20) | 0x33333L),
+      // 4 and 5 are NOT near-dups (hamming 3) but share all-zero high
+      // chunks — the degenerate-chunk guard must keep BOTH (the old
+      // chunk-value key would have falsely deleted 5)
+      (4L, ts(40), 0L), (5L, ts(50), 7L)
     ).toDF("id", "ts", "ahash")
     val got = Dedup.hammingDedupSurvivors(rows, "ahash", "id",
         windowDur = "10 minutes", maxHamming = 2)
       .collect().map(_.getLong(1)).toSet
-    assert(got == Set(1L, 3L))
+    assert(got == Set(1L, 3L, 4L, 5L))
   }
 
   test("kaplanMeier: hand-computed curve, censoring, terminal-death pin") {
