@@ -44,7 +44,11 @@ object Similarity {
       .withColumn("qnorm", norm(col("qvec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")))
+      // zero-norm guard: ANSI mode faults on divide-by-zero; a zero
+      // vector is excluded from candidacy instead (same in every top-k)
+      .withColumn("cos", when(col("cnorm") * col("qnorm") > 0,
+        dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm"))))
+      .filter(col("cos").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cos"), 6).desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -67,7 +71,9 @@ object Similarity {
       .withColumn("qnorm", norm(col("qvec")))
     val scored = c.join(broadcast(q), "bkt")
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")))
+      .withColumn("cos", when(col("cnorm") * col("qnorm") > 0,
+        dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm"))))
+      .filter(col("cos").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cos"), 6).desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -186,8 +192,9 @@ object Similarity {
       .orderBy(col("pcos").desc, col("corpus_id"))
     val short = c.crossJoin(broadcast(q.select("query_id", "qp")))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("pcos",
-        dot(col("cp"), col("qp")) / (norm(col("cp")) * norm(col("qp"))))
+      .withColumn("pcos", when(norm(col("cp")) * norm(col("qp")) > 0,
+        dot(col("cp"), col("qp")) / (norm(col("cp")) * norm(col("qp")))))
+      .filter(col("pcos").isNotNull)
       .select(col("query_id"), col("corpus_id"), col("pcos"))
       .withColumn("prank", row_number().over(ws))
       .filter(col("prank") <= shortlist)
@@ -200,8 +207,9 @@ object Similarity {
     short.join(cv, "corpus_id")
       .join(broadcast(q.select(col("query_id"), col("qvec"),
         norm(col("qvec")).as("qnorm"))), "query_id")
-      .withColumn("cos",
-        dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")))
+      .withColumn("cos", when(col("cnorm") * col("qnorm") > 0,
+        dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm"))))
+      .filter(col("cos").isNotNull)
       .withColumn("rank", row_number().over(we))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"),
@@ -281,8 +289,9 @@ object Similarity {
       .orderBy(col("pcos").desc, col("corpus_id"))
     val short = c.crossJoin(broadcast(q.select("query_id", "qp", "qlabel")))
       .filter(col("neg_label") =!= col("qlabel"))
-      .withColumn("pcos",
-        dot(col("cp"), col("qp")) / (norm(col("cp")) * norm(col("qp"))))
+      .withColumn("pcos", when(norm(col("cp")) * norm(col("qp")) > 0,
+        dot(col("cp"), col("qp")) / (norm(col("cp")) * norm(col("qp")))))
+      .filter(col("pcos").isNotNull)
       .select(col("query_id"), col("corpus_id"), col("neg_label"),
         col("pcos"))
       .withColumn("prank", row_number().over(ws))
@@ -296,8 +305,9 @@ object Similarity {
     short.join(cv, "corpus_id")
       .join(broadcast(q.select(col("query_id"), col("qvec"),
         norm(col("qvec")).as("qnorm"))), "query_id")
-      .withColumn("cos",
-        dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm")))
+      .withColumn("cos", when(col("cnorm") * col("qnorm") > 0,
+        dot(col("cvec"), col("qvec")) / (col("cnorm") * col("qnorm"))))
+      .filter(col("cos").isNotNull)
       .withColumn("rank", row_number().over(we))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"),
