@@ -1320,6 +1320,13 @@ object SparkEntry {
       ext.Eval.cohenKappa(nb.join(gate, "doc_id"), "pred", "gate")
     }),
 
+    // ext: BM25 keyword retrieval — the sparse complement to the ANN
+    // stack; top-10 docs for a three-term query
+    "q127_bm25" -> ((s, dir) =>
+      ext.TextAnalysis.bm25(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "hash join filter")
+        .orderBy(col("score").desc, col("doc_id"))),
+
     // ext: perceptual image near-dups — REAL decode → 60-bit aHash →
     // pigeonhole Hamming banding; the oracle recomputes the hash from
     // the analytic synthetic raster
@@ -3467,6 +3474,33 @@ object SparkEntry {
            CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
            CAST(tp AS DOUBLE) / CAST(p_total AS DOUBLE) AS recall
          FROM cum, tot ORDER BY threshold DESC""",
+
+    // Lucene-form BM25; k1/b-derived literals interpolate from the SAME
+    // Scala doubles so the score arithmetic replays bit-for-bit
+    "q127_bm25" -> {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH d AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks
+                FROM d),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+                FROM dd),
+         h AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
+         hits AS (SELECT doc_id, dl, tok FROM h
+                  WHERE tok IN ('hash', 'join', 'filter')),
+         tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+                FROM hits GROUP BY doc_id, dl, tok),
+         dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                 FROM hits GROUP BY tok),
+         sc AS (SELECT tf.doc_id,
+                  round(sum(ln(1.0 + (st.n - dft.df + 0.5)
+                      / (dft.df + 0.5)) *
+                    (tf.tf * ${k1 + 1.0}) /
+                    (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl
+                      / st.avgdl))), 6) AS score
+                FROM tf JOIN dft USING (tok), st GROUP BY tf.doc_id)
+         SELECT doc_id, score FROM sc
+         ORDER BY score DESC, doc_id LIMIT 10"""
+    },
 
     // analytic raster → 10x6 nearest samples → integer-exact mean
     // threshold → 60-bit hash → 3-chunk pigeonhole at maxHamming 2

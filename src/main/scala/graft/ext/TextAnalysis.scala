@@ -1038,6 +1038,51 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 KEYWORD RETRIEVAL (Robertson–Spärck Jones, the Lucene-form
+    * idf): rank documents against a text query by
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))` — the sparse complement to the
+    * vector-search stack (exact term match, no embedding model, the
+    * baseline every retrieval benchmark starts from). Results order by
+    * (6 dp-rounded score desc, id) and cut at `topN` via
+    * TakeOrderedAndProject — no global sort.
+    *
+    * Shape at 100 TB: the token explode filters to QUERY terms before
+    * any shuffle (a handful of tokens per doc survive, not the doc); the
+    * df/N/avgdl statistics are |query|-row and 1-row broadcast frames
+    * (one lazy DAG, no driver actions); candidate volume is
+    * docs-containing-a-query-term. For many-query workloads, invert
+    * once and join — this is the single-query serving shape. */
+  def bm25(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, query: String, k1: Double = 1.2, b: Double = 0.75,
+      topN: Int = 10): org.apache.spark.sql.DataFrame = {
+    val qTerms = "[a-z0-9]+".r.findAllIn(query.toLowerCase).toSeq.distinct
+    require(qTerms.nonEmpty, s"query '$query' has no terms")
+    val docs = df.select(col(idCol), wordTokens(textCol).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("_n"),
+      avg(col("dl")).as("_avgdl"))
+    val hits = docs
+      .select(col(idCol), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isInCollection(qTerms))
+    val tf = hits.groupBy(col(idCol), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = hits.select(col(idCol), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("_df"))
+    tf.join(broadcast(dft), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_n") - col("_df") + lit(0.5)) /
+          (col("_df") + lit(0.5))))
+      .withColumn("_s", col("_idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl") / col("_avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("_s")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topN)
+  }
+
   /** PMI COLLOCATIONS — corpus phrase mining: every adjacent word bigram
     * occurring at least `minCount` times, scored by pointwise mutual
     * information ln(P(w1w2) / (P(w1)·P(w2))) with P over token (T1) and

@@ -1140,6 +1140,26 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got.count() == 2)
   }
 
+  test("bm25 replays the scoring formula; docs without query terms excluded") {
+    val df = Seq((1L, "hash join"), (2L, "hash hash hash scan scan scan"),
+      (3L, "other words entirely")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(df, "doc_id", "text", "hash join")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val (k1, b) = (1.2, 0.75)
+    val n = 3.0; val avgdl = (2.0 + 6.0 + 3.0) / 3.0
+    def idf(dfq: Double) = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+    def term(tf: Double, dfq: Double, dl: Double) =
+      idf(dfq) * (tf * (k1 + 1.0)) /
+        (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 2L)) // doc 3 matches nothing
+    assert(got(1L) == r6(term(1, 2, 2) + term(1, 1, 2)))
+    assert(got(2L) == r6(term(3, 2, 6)))
+    // the short doc holding the RARE term outranks the tf-stuffed one
+    assert(got(1L) > got(2L))
+  }
+
   // ---- pmiCollocations / transitionMatrix --------------------------------
 
   test("pmiCollocations replays the exact probability-ratio formula") {
