@@ -473,10 +473,15 @@ object Dedup {
         shiftright(col(sketchCol), c * width).bitwiseAND(lit(mask))
       }: _*)).as(Seq("chunk", "cv")))
       // degenerate chunks carry no locality signal: key them by the
-      // full sketch so only identical sketches collide there
+      // full sketch so only identical sketches collide there. The tag
+      // keeps the two key schemes in disjoint spaces — a full sketch
+      // that happens to be numerically < 2^width (its high chunk is
+      // all-zero, the very case this guard targets) must not collide
+      // with another row's ordinary chunk value at the same index
       .withColumn("cv",
-        when(col("cv") === 0L || col("cv") === lit(mask), col("_sk"))
-          .otherwise(col("cv")))
+        when(col("cv") === 0L || col("cv") === lit(mask),
+          struct(lit(1).as("deg"), col("_sk").as("v")))
+          .otherwise(struct(lit(0).as("deg"), col("cv").as("v"))))
     banded
       .groupBy(window(col("_ts"), windowDur).as("w"),
         col("chunk"), col("cv"))

@@ -37,7 +37,10 @@ object Eval {
       .select(col("threshold"), col("tp"), col("fp"),
         (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
           .as("precision"),
-        (col("tp").cast("double") / col("p_total").cast("double"))
+        // all-negative corpus: recall is undefined (NULL), not a fault —
+        // ANSI mode would raise on the 0 divisor otherwise
+        when(col("p_total") > 0,
+          col("tp").cast("double") / col("p_total").cast("double"))
           .as("recall"))
   }
 
@@ -141,7 +144,10 @@ object Eval {
       (col("n_total").cast("double") * col("n_total").cast("double"))
     agree.crossJoin(total).crossJoin(marg)
       .select(col("n_total").as("n"), po.as("p_o"), pe.as("p_e"),
-        ((po - pe) / (lit(1.0) - pe)).as("kappa"))
+        // both raters constant and agreeing → p_e = 1 → 0/0; kappa is
+        // undefined there (NULL), matching classMetrics/aucRocBy's
+        // degenerate-input convention rather than an ANSI fault
+        when(pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
 
   /** CALIBRATION (reliability) BINS: log-odds scores map through the
@@ -221,9 +227,12 @@ object Eval {
     // join), so the scoring projection evaluates once full-width plus
     // one column-pruned pass per signal — never 2^k times (see
     // [[ecdfTable]])
+    // LEFT joins, matching [[ecdf]]'s convention: a row with a NULL in
+    // any signal column survives with NULL `outCol` (the weighted sum
+    // propagates the NULL) instead of silently vanishing
     val withPcts = weights.zipWithIndex.foldLeft(df) {
       case (acc, ((c, _), i)) =>
-        acc.join(ecdfTable(df, c, s"_p$i"), Seq(c))
+        acc.join(ecdfTable(df, c, s"_p$i"), Seq(c), "left")
     }
     val expr = weights.zipWithIndex
       .map { case ((_, w), i) => lit(w) * col(s"_p$i") }
@@ -257,10 +266,13 @@ object Eval {
         sum(col("npos")).cast("long").as("n_pos"),
         sum(col("n") - col("npos")).cast("long").as("n_neg"))
       .select(
-        ((col("pos_rank_sum") -
-          (col("n_pos").cast("double") * (col("n_pos") + lit(1L)).cast("double"))
-            / lit(2.0)) /
-          (col("n_pos").cast("double") * col("n_neg").cast("double")))
+        // single-class input → AUC undefined (NULL), same guard as
+        // aucRocBy — not an ANSI divide-by-zero fault
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("pos_rank_sum") -
+            (col("n_pos").cast("double") * (col("n_pos") + lit(1L)).cast("double"))
+              / lit(2.0)) /
+            (col("n_pos").cast("double") * col("n_neg").cast("double")))
           .as("auc"),
         col("n_pos"), col("n_neg"))
   }

@@ -1232,6 +1232,50 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(got == Set(1L, 3L, 4L, 5L))
   }
 
+  test("hammingDedupSurvivors: degenerate full-sketch keys can't collide with ordinary chunk values") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // maxHamming=1 → two 30-bit chunks. X's high chunk is all-zero, so its
+    // degenerate key is the full sketch 5 — numerically equal to Y's
+    // ORDINARY high-chunk value 5. Hamming(X, Y) = 4, far from dup; an
+    // untagged key space would bucket them together at chunk 1 and
+    // falsely delete Y.
+    val x = 5L
+    val y = (5L << 30) | 9L
+    val rows = Seq((1L, ts(10), x), (2L, ts(20), y)).toDF("id", "ts", "ahash")
+    val got = Dedup.hammingDedupSurvivors(rows, "ahash", "id",
+        windowDur = "10 minutes", maxHamming = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("eval guards: degenerate inputs yield NULL, not an ANSI fault") {
+    // all-negative corpus → recall undefined on every prCurve row
+    val neg = Seq((0.9, 0), (0.5, 0)).toDF("score", "label")
+    val pr = Eval.prCurve(neg, "score", "label").collect()
+    assert(pr.forall(_.isNullAt(4)) && pr.forall(!_.isNullAt(3)))
+    // single-class corpus → AUC undefined
+    val auc = Eval.aucRoc(neg, "score", "label").collect()(0)
+    assert(auc.isNullAt(0) && auc.getLong(1) == 0L && auc.getLong(2) == 2L)
+    // constant, agreeing raters → p_e = 1 → kappa undefined
+    val const = Seq((1, 1), (1, 1)).toDF("a", "b")
+    val k = Eval.cohenKappa(const, "a", "b").collect()(0)
+    assert(k.getDouble(2) == 1.0 && k.isNullAt(3))
+  }
+
+  test("blend keeps rows with a NULL signal (NULL blended), matching ecdf") {
+    val df = Seq((1L, Some(1.0), Some(10.0)), (2L, None, Some(5.0)),
+      (3L, Some(3.0), Some(5.0)))
+      .toDF("id", "a", "b")
+    val got = Eval.blend(df, Seq("a" -> 0.7, "b" -> 0.3))
+      .orderBy("id").collect()
+    assert(got.length == 3)            // row 2 survives
+    assert(got(1).isNullAt(3))         // with NULL blended
+    assert(!got(0).isNullAt(3) && !got(2).isNullAt(3))
+    // non-NULL ranks exclude the NULL row from N: a's table is over 2 rows
+    assert(got(0).getDouble(3) == 0.7 * (0.5 / 2.0) + 0.3 * (2.5 / 3.0))
+  }
+
   test("kaplanMeier: hand-computed curve, censoring, terminal-death pin") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)
