@@ -104,14 +104,26 @@ object Bench {
       .mkString("[", ",", "]")
     val extraLines = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    // min-of-2 timing for probe sides (same discipline as the query loop):
-    // a single contended run can inflate a probe several-fold and the
-    // ratio is the judged artifact — steady-state cost, not scheduler luck
-    def timeMin2(df: org.apache.spark.sql.DataFrame): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
-      }
-      math.min(once(), once())
+    // INTERLEAVED two-pass timing for probes — the query loop's
+    // discipline applied to the probe matrices. r8 timed each probe op
+    // min-of-2 BACK-TO-BACK, and a single multi-second contention window
+    // poisoned both samples of whichever op it landed on: ngram_prefix
+    // recorded 121× at 16× in the artifact while isolated reruns measure
+    // ~4-5× — and across bench reruns the inflated op MOVES (one run
+    // spiked lsh_dedup_win/minhash_cross ~30× with ngram_prefix at 5×).
+    // Timing the whole (factor × op) matrix in two passes with a
+    // per-cell min means a window must recur at the same matrix cell
+    // minutes apart to survive into the artifact.
+    def interleavedTimes[K](cells: Seq[(K, () => Long)])
+        : (Map[K, Double], Map[K, Long]) = {
+      val rows = scala.collection.mutable.Map.empty[K, Long]
+      def pass(): Map[K, Double] = cells.map { case (k, run) =>
+        val t0 = System.nanoTime()
+        rows(k) = run()
+        k -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+      val p1 = pass(); val p2 = pass()
+      (p1.map { case (k, v) => k -> math.min(v, p2(k)) }, rows.toMap)
     }
     // Probes run first, but each still resets to a clean block-manager
     // state: a probe's own previous factor leaves checkpointed corpora
@@ -132,19 +144,15 @@ object Bench {
     // (linear total cost, shuffle-free fused scans) if the design scales.
     if (probeOn("geometry")) try {
       dropCaches()
-      val probe = Seq(1, 100).map { factor =>
-        factor -> SparkEntry.geometryProbe(spark, factor).toSeq.sortBy(_._1)
-          .map { case (name, df) =>
-            var rows = 1L
-            def once(): Double = {
-              val t0 = System.nanoTime()
-              rows = math.max(df.count(), 1L)
-              (System.nanoTime() - t0) / 1e9
-            }
-            (name, math.min(once(), once()), rows)
-          }
-      }.toMap
-      val perRow = probe(100).zip(probe(1)).map { case ((name, t100, n100), (_, t1, n1)) =>
+      val cells = for {
+        factor <- Seq(1, 100)
+        (name, df) <- SparkEntry.geometryProbe(spark, factor).toSeq.sortBy(_._1)
+      } yield ((factor, name), () => math.max(df.count(), 1L))
+      val (times, rows) = interleavedTimes(cells)
+      val names = cells.map(_._1._2).distinct.sorted
+      val perRow = names.map { name =>
+        val (t1, n1) = (times((1, name)), rows((1, name)))
+        val (t100, n100) = (times((100, name)), rows((100, name)))
         s"\"$name\":{\"sec_12k\":$t1,\"sec_1200k\":$t100," +
           s"\"ns_per_row_12k\":${t1 * 1e9 / n1},\"ns_per_row_1200k\":${t100 * 1e9 / n100}}"
       }.mkString("{", ",", "}")
@@ -162,27 +170,37 @@ object Bench {
     // LSH / prefix-filter paths stay linear in corpus size; a quadratic
     // candidate join would show ≫16.
     if (probeOn("dedup")) try {
-      // per-factor: dropCaches first (releases the PREVIOUS factor's
-      // checkpointed corpus — its DataFrames are already timed), then
-      // dedupProbe materializes the replicated corpus eagerly OUTSIDE the
-      // timed region, then ops are timed and candidate volumes counted
-      val probe = Seq(1, 16).map { f =>
-        dropCaches()
-        val (ops, diag) = SparkEntry.dedupProbe(spark, sfDir, f)
-        val timed = ops.toSeq.sortBy(_._1)
-          .map { case (name, df) => (name, timeMin2(df)) }
-        val counts = diag.toSeq.sortBy(_._1)
+      // One dropCaches up front, then BOTH factors' ops are built before
+      // any timing (corpora localCheckpointed, stores written — all
+      // outside the timed windows). No dropCaches between factors: it
+      // would unpersist factor 1's localCheckpointed corpus, whose
+      // truncated lineage cannot recompute. The matrix then times in two
+      // interleaved passes (see interleavedTimes).
+      dropCaches()
+      val built = Seq(1, 16).map { f =>
+        f -> SparkEntry.dedupProbe(spark, sfDir, f)
+      }
+      val cells = for {
+        (f, (ops, _)) <- built
+        (name, df) <- ops.toSeq.sortBy(_._1)
+      } yield ((f, name), () => { df.count(); 0L })
+      val (times, _) = interleavedTimes(cells)
+      // untimed diagnostics: candidate-pair volume per op, so a bad ratio
+      // is attributable (candidate blowup vs fixed-cost overhead)
+      val counts = built.toMap.map { case (f, (_, diag)) =>
+        f -> diag.toSeq.sortBy(_._1)
           .map { case (name, df) => (name, df.count()) }.toMap
-        f -> (timed, counts)
-      }.toMap
-      val lines = probe(16)._1.zip(probe(1)._1).map { case ((name, t16), (_, t1)) =>
-        val cand = probe(1)._2.get(name).map { c1 =>
-          s",\"cand_pairs_1x\":$c1,\"cand_pairs_16x\":${probe(16)._2(name)}"
+      }
+      val names = built.head._2._1.keys.toSeq.sorted
+      val lines = names.map { name =>
+        val t1 = times((1, name)); val t16 = times((16, name))
+        val cand = counts(1).get(name).map { c1 =>
+          s",\"cand_pairs_1x\":$c1,\"cand_pairs_16x\":${counts(16)(name)}"
         }.getOrElse("")
         s"\"$name\":{\"sec_1x\":$t1,\"sec_16x\":$t16," +
           s"\"ratio_16x\":${t16 / math.max(t1, 1e-9)}$cand}"
       }.mkString("{", ",", "}")
-      val l = s"""{"metric":"dedup_scale_probe","probes_isolated":true,"factor":16,"ops":$lines}"""
+      val l = s"""{"metric":"dedup_scale_probe","probes_isolated":true,"factor":16,"interleaved_passes":2,"ops":$lines}"""
       println(l); extraLines += l
     } catch {
       case e: Throwable =>
@@ -198,26 +216,37 @@ object Bench {
     // certifies the sketch passes stay linear (bounded sketch state, no
     // vocabulary shuffle) while the corpus grows 16×.
     if (probeOn("sketch")) try {
-      def timeThunk(mk: => org.apache.spark.sql.DataFrame): Double = {
-        def once(): Double = {
-          val t0 = System.nanoTime(); mk.count(); (System.nanoTime() - t0) / 1e9
-        }
-        math.min(once(), once())
+      dropCaches()
+      val corpora = Seq(1, 16).map { f =>
+        f -> SparkEntry.probeCorpus(spark, sfDir, f)
       }
-      val probe = Seq(1, 16).map { f =>
-        dropCaches()
-        val (docs, bench) = SparkEntry.probeCorpus(spark, sfDir, f)
-        f -> Seq(
+      // The operators build INSIDE the timed thunk — their driver-side
+      // steps (sketch merge, bloom build + collect) are part of the
+      // operator's cost. That makes the FIRST invocation carry the
+      // kernels' JIT/classload too: r8's artifact read heavy_hitters at
+      // 8.93 s for 1× vs 0.59 s for 16× (ratio 0.066), impossible as
+      // steady state. One discarded 1× warmup invocation absorbs it.
+      locally {
+        val (docs, bench) = corpora.head._2
+        ext.TextAnalysis.heavyHitters(docs, "text", 20).count()
+        ext.Dedup.decontaminateBloom(docs, bench, "text", "doc_id").count()
+      }
+      val cells = for {
+        (f, (docs, bench)) <- corpora
+        (name, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
           "heavy_hitters" ->
-            timeThunk(ext.TextAnalysis.heavyHitters(docs, "text", 20)),
+            (() => ext.TextAnalysis.heavyHitters(docs, "text", 20)),
           "decontam_bloom" ->
-            timeThunk(ext.Dedup.decontaminateBloom(docs, bench, "text", "doc_id")))
-      }.toMap
-      val lines = probe(16).zip(probe(1)).map { case ((name, t16), (_, t1)) =>
+            (() => ext.Dedup.decontaminateBloom(docs, bench, "text", "doc_id")))
+      } yield ((f, name), () => { mk().count(); 0L })
+      val (times, _) = interleavedTimes(cells)
+      val names = Seq("heavy_hitters", "decontam_bloom")
+      val lines = names.map { name =>
+        val t1 = times((1, name)); val t16 = times((16, name))
         s"\"$name\":{\"sec_1x\":$t1,\"sec_16x\":$t16," +
           s"\"ratio_16x\":${t16 / math.max(t1, 1e-9)}}"
       }.mkString("{", ",", "}")
-      val l = s"""{"metric":"sketch_scale_probe","probes_isolated":true,"factor":16,"ops":$lines}"""
+      val l = s"""{"metric":"sketch_scale_probe","probes_isolated":true,"factor":16,"warmup":true,"interleaved_passes":2,"ops":$lines}"""
       println(l); extraLines += l
     } catch {
       case e: Throwable =>
@@ -233,19 +262,15 @@ object Bench {
     // overhead noise swings the quotient 10×.
     if (probeOn("window")) try {
       dropCaches()
-      val probe = Seq(1, 100).map { f =>
-        f -> SparkEntry.windowProbe(spark, sfDir, f).toSeq.sortBy(_._1)
-          .map { case (name, df) =>
-            var rows = 1L
-            def once(): Double = {
-              val t0 = System.nanoTime()
-              rows = math.max(df.count(), 1L)
-              (System.nanoTime() - t0) / 1e9
-            }
-            (name, math.min(once(), once()), rows)
-          }
-      }.toMap
-      val lines = probe(100).zip(probe(1)).map { case ((name, t100, n100), (_, t1, n1)) =>
+      val cells = for {
+        f <- Seq(1, 100)
+        (name, df) <- SparkEntry.windowProbe(spark, sfDir, f).toSeq.sortBy(_._1)
+      } yield ((f, name), () => math.max(df.count(), 1L))
+      val (times, rows) = interleavedTimes(cells)
+      val names = cells.map(_._1._2).distinct.sorted
+      val lines = names.map { name =>
+        val (t1, n1) = (times((1, name)), rows((1, name)))
+        val (t100, n100) = (times((100, name)), rows((100, name)))
         s"\"$name\":{\"sec_1x\":$t1,\"sec_100x\":$t100," +
           s"\"rows_1x\":$n1,\"rows_100x\":$n100," +
           s"\"ns_per_row_1x\":${t1 * 1e9 / n1},\"ns_per_row_100x\":${t100 * 1e9 / n100}}"
@@ -255,6 +280,48 @@ object Bench {
     } catch {
       case e: Throwable =>
         System.err.println(s"window_scale_probe failed: ${e.getMessage}")
+    }
+
+    // ANN-store phase probe: q62's timed body serves from a MEMOIZED
+    // standing store (SparkEntry.annStoreSetup), so the bench's q62
+    // number means "serve". This probe is where the other phases live:
+    // IVF+PQ training, the partitioned store write, and the serve path
+    // each timed separately (serve interleaved min-of-2; train/write are
+    // one-shot by nature — a deployment pays them once).
+    if (probeOn("annstore")) try {
+      dropCaches()
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val n = emb.count().toInt
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      var coarse: Array[Array[Double]] = null
+      var cb: ext.Pq.Codebooks = null
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_probe_annstore_${spark.sparkContext.applicationId}").toString
+      val tTrain = t {
+        coarse = ext.Ivf.train(emb, k = 8, iters = 2)
+        cb = ext.Pq.trainResidual(emb, coarse, m = 8, ksub = 16, iters = 2)
+      }
+      val tWrite = t {
+        ext.Pq.writeStore(emb, path, cb, Some(coarse), residual = true)
+      }
+      def serveOnce(): Double = t {
+        ext.Pq.topKFromStore(spark, path, emb,
+          emb.filter(col("vec_id") < 3), 10, cb, rerank = n,
+          coarse = Some(coarse), nprobe = 8, residual = true)
+          .foreach((_: org.apache.spark.sql.Row) => ())
+      }
+      serveOnce() // discard first-use codegen/classload
+      val tServe = math.min(serveOnce(), serveOnce())
+      val l = s"""{"metric":"ann_store_phase_probe","probes_isolated":true,""" +
+        s""""train_sec":$tTrain,"write_sec":$tWrite,"serve_sec":$tServe,""" +
+        s""""note":"q62's bench number is the serve path; train+write are one-time index builds"}"""
+      println(l); extraLines += l
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"ann_store_phase_probe failed: ${e.getMessage}")
     }
 
     // ANN recall probe (full runs only): the oracle queries run at
@@ -366,24 +433,34 @@ object Bench {
     // the real execution cost (q04 0.2 s → 6.1 s, q77 0.2 s → 3.2 s).
     // Totals are therefore NOT comparable with BENCH_r07 and earlier.
     val mainLine =
-      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s"""{"metric":"total_full","value":$total,"unit":"sec",""" +
         s""""timed_action":"foreach-materialize-all-columns (r7 and earlier timed count(), which pruned unused plan branches)",""" +
         s""""queries":$qs,"calibration_sec":$calJson,"sf":"$sfDir"}"""
     println(mainLine)
 
-    // Truncation defense: the driver captures a bounded TAIL of stdout and
-    // round 4 lost the leading query line mid-record. Re-print the main
-    // line LAST so any tail window contains it whole — tagged "total_tail"
-    // so a consumer scanning ALL lines for "total" cannot double-count
-    // (ADVICE r5); bench_out.json remains the canonical artifact and a
-    // file pickup never depends on the capture window at all. FULL runs
-    // only — a query-subset or isolated probe iteration must not clobber
-    // the complete artifact.
-    println(mainLine.replaceFirst("\"metric\":\"total\"", "\"metric\":\"total_tail\""))
+    // Truncation defense, round-9 form: the driver captures a bounded
+    // ~2000-char TAIL of stdout and parses what it finds there — the
+    // full-precision line above is ~5 KB at 128 queries, so r8's
+    // artifact recorded parsed:null and a mid-line fragment. The LAST
+    // printed line is therefore a COMPACT complete record that fits the
+    // window whole: query keys truncated to their unique qNN prefix and
+    // times rounded to ms. Exactly one line carries metric "total" (the
+    // full-precision twin is "total_full"), so a consumer scanning all
+    // lines cannot double-count (ADVICE r5); bench_out.json remains the
+    // canonical full-precision artifact.
+    val compactQs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 1000) / 1000.0
+    }.mkString("{", ",", "}")
+    val compactLine =
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},""" +
+        s""""unit":"sec","n_queries":${results.size},"queries":$compactQs,"sf":"$sfDir"}"""
+    if (compactLine.length > 1900)
+      System.err.println(s"[bench] compact line ${compactLine.length} chars — tail window may clip it")
+    println(compactLine)
     if (args.isEmpty) try {
       val out = java.nio.file.Paths.get("bench_out.json")
       java.nio.file.Files.write(out,
-        (mainLine +: extraLines.toSeq).mkString("", "\n", "\n")
+        (compactLine +: mainLine +: extraLines.toSeq).mkString("", "\n", "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
       case e: Throwable => System.err.println(s"bench_out.json write failed: ${e.getMessage}")

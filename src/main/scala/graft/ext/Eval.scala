@@ -242,6 +242,58 @@ object Eval {
     }
   }
 
+  /** [[blend]]'s SHARED-SCAN form for a unique-keyed frame: the scoring
+    * projection — typically the expensive part (regex-heavy quality
+    * signals) — evaluates exactly ONCE. Each row explodes into
+    * (signal, value) pairs; one (signal, value)-keyed aggregate replaces
+    * the k per-signal aggregates, the mid-rank window partitions by
+    * signal, ranks join back on (signal, value), and a final pivot on
+    * `idCol` reassembles (id, signals..., outCol). [[blend]] instead
+    * re-evaluates `df` once full-width plus once column-pruned per
+    * signal (k+1 scans) — at corpus scale the scan dominates, so this
+    * shape is the one a 100 TB blend runs. Same arithmetic as [[ecdf]]
+    * (exact 0.5-multiples over exact totals, NULL signals rank as NULL
+    * and the row survives with NULL `outCol`); same left-assoc weighted
+    * sum, so results are bit-identical with [[blend]]'s.
+    *
+    * Requires `idCol` unique (the pivot reassembles one row per id) and
+    * returns only (idCol, signal columns, outCol) — callers needing other
+    * columns join back on the id. */
+  def blendKeyed(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)],
+      outCol: String = "blended"): DataFrame = {
+    require(weights.nonEmpty, "need at least one (scoreCol, weight)")
+    val sigs = weights.map(_._1)
+    val exploded = df.select(col(idCol).as("_id"),
+      posexplode(array(sigs.map(c => col(c).cast("double")): _*))
+        .as(Seq("_sig", "_v")))
+    val per = exploded.filter(col("_v").isNotNull)
+      .groupBy(col("_sig"), col("_v")).agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(col("_sig")).orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val table = per
+      .withColumn("_cum", sum(col("_n")).over(w))
+      .withColumn("_tot",
+        sum(col("_n")).over(Window.partitionBy(col("_sig"))))
+      .withColumn("_p",
+        ((col("_cum") - col("_n")).cast("double") +
+          col("_n").cast("double") / lit(2.0)) / col("_tot").cast("double"))
+      .select(col("_sig"), col("_v"), col("_p"))
+    val ranked = exploded.join(table, Seq("_sig", "_v"), "left")
+    val vCols = sigs.indices.map(i =>
+      max(when(col("_sig") === i, col("_v"))).as(s"_v$i"))
+    val pCols = sigs.indices.map(i =>
+      max(when(col("_sig") === i, col("_p"))).as(s"_p$i"))
+    val expr = weights.zipWithIndex
+      .map { case ((_, wt), i) => lit(wt) * col(s"_p$i") }
+      .reduce(_ + _)
+    ranked.groupBy(col("_id"))
+      .agg((vCols ++ pCols).head, (vCols ++ pCols).tail: _*)
+      .select(col("_id").as(idCol) +:
+        sigs.zipWithIndex.map { case (c, i) => col(s"_v$i").as(c) } :+
+        expr.as(outCol): _*)
+  }
+
   /** ROC-AUC, exactly, as the Mann–Whitney rank statistic: the
     * probability a random positive outranks a random negative, ties at
     * half credit. Tie groups take their AVERAGE rank

@@ -266,3 +266,18 @@ object Elevation {
     df.withColumn(out, ElevationExpr.column(
       col(xCol).cast("double"), col(yCol).cast("double"), mesh))
 }
+
+/** Distance-to-surface column — the Raytracer's `tridist` mode
+  * (/root/reference/pd_vtk.py:1205-1218): `‖p − mean(hits)‖` over the
+  * vertical ray through (x, y). The hits share the point's x and y, so
+  * the norm reduces to `|z − surfaceZ(x, y)|`; null when the ray misses
+  * the mesh footprint (the reference leaves its null fill in place).
+  * Composes the [[ElevationExpr]] codegen kernel with `abs` — one fused
+  * shuffle-free scan, the mesh ships once as a plan reference object. */
+object Tridist {
+  def apply(df: DataFrame, mesh: TriMesh, out: String = "tridist",
+      xCol: String = "x", yCol: String = "y", zCol: String = "z"): DataFrame =
+    df.withColumn(out, abs(col(zCol).cast("double") -
+      ElevationExpr.column(
+        col(xCol).cast("double"), col(yCol).cast("double"), mesh)))
+}

@@ -1263,6 +1263,28 @@ class Round8OpsSuite extends AnyFunSuite {
     assert(k.getDouble(2) == 1.0 && k.isNullAt(3))
   }
 
+  test("blendKeyed == blend bit-for-bit, including NULL-signal rows") {
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 100L).map { i =>
+      (i,
+        if (i % 17 == 0) None else Some(math.floor(rnd.nextDouble() * 10) / 10.0),
+        Some(math.floor(rnd.nextDouble() * 5) / 5.0),
+        Some(rnd.nextInt(3).toDouble))
+    }.toDF("id", "a", "b", "c")
+    val ws = Seq("a" -> 0.5, "b" -> 0.2, "c" -> 0.3)
+    def m(d: org.apache.spark.sql.DataFrame) = d
+      .select("id", "a", "b", "c", "blended").collect()
+      .map(r => r.getLong(0) ->
+        (0 to 3).map(i => if (r.isNullAt(i + 1)) null
+          else r.getDouble(i + 1)).toSeq).toMap
+    assert(m(Eval.blendKeyed(df, "id", ws)) == m(Eval.blend(df, ws)))
+    // the shared-scan plan carries ONE corpus-keyed aggregate over the
+    // exploded signals plus the pivot — not one aggregate per signal
+    val plan = Eval.blendKeyed(df, "id", ws)
+      .queryExecution.optimizedPlan.toString
+    assert("Generate explode".r.findAllIn(plan).size <= 1)
+  }
+
   test("blend keeps rows with a NULL signal (NULL blended), matching ecdf") {
     val df = Seq((1L, Some(1.0), Some(10.0)), (2L, None, Some(5.0)),
       (3L, Some(3.0), Some(5.0)))

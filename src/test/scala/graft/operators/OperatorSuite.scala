@@ -235,6 +235,24 @@ class ElevationSuite extends AnyFunSuite {
     assert(rows(1).exists(z => math.abs(z - 5.0) < 1e-9))
     assert(rows(2).isEmpty) // off-footprint ray miss
   }
+
+  test("tridist: |z − surface| along the vertical ray, null on miss, no UDF") {
+    // sloped plane z = 2 + 0.5x over x∈[0,10], y∈[0,10]
+    val quad = TriMesh.quad("q",
+      Array(0, 0, 2, 10, 0, 7, 10, 10, 7, 0, 10, 2))
+    val pts = Seq((4.0, 5.0, 10.0), (4.0, 5.0, 1.0), (12.0, 5.0, 3.0))
+      .toDF("x", "y", "z").repartition(2)
+    val out = Tridist(pts, quad)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+    val rows = out.orderBy($"z".desc).collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    // surface at x=4 is z=4: distances |10−4| and |1−4| — the reference's
+    // ‖p − mean(hits)‖ reduces to the vertical gap on a vertical ray
+    assert(rows(0).exists(d => math.abs(d - 6.0) < 1e-9))
+    assert(rows(2).exists(d => math.abs(d - 3.0) < 1e-9))
+    assert(rows(1).isEmpty) // x=12 is off-footprint → null, not 0
+  }
 }
 
 class BlockModelStoreSuite extends AnyFunSuite {
