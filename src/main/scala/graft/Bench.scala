@@ -253,6 +253,54 @@ object Bench {
         System.err.println(s"sketch_scale_probe failed: ${e.getMessage}")
     }
 
+    // 16×-scale eval probe (full runs only): the eval harness operators
+    // collapse the corpus map-side by design (per-score tables bounded by
+    // score granularity, k²-row confusion matrices) — so wall time should
+    // grow ~linearly with the corpus while the windowed/final stages stay
+    // constant-size. ratio_16x in [~1, ~16] certifies it empirically, the
+    // way the dedup/sketch ops are certified. Two interleaved passes; the
+    // per-cell min also absorbs first-use JIT.
+    if (probeOn("eval")) try {
+      dropCaches()
+      import org.apache.spark.sql.functions.{col, length, round}
+      val corpora = Seq(1, 16).map { f =>
+        f -> SparkEntry.probeCorpus(spark, sfDir, f)._1
+      }
+      // a CHEAP deterministic score (bounded granularity, like a real
+      // rounded quality signal) — scoring with the full quality kernel
+      // here measured the kernel's own thread scaling, not the eval
+      // operators under test
+      def scored(docs: org.apache.spark.sql.DataFrame) =
+        docs.select(col("doc_id"),
+          round((length(col("text")) % 1000).cast("double") / 1000.0, 3)
+            .as("score"),
+          (col("doc_id") % 2).cast("int").as("label"))
+      val cells = for {
+        (f, docs) <- corpora
+        (name, mk) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+          "pr_curve" ->
+            (() => ext.Eval.prCurve(scored(docs), "score", "label")),
+          "auc_roc" ->
+            (() => ext.Eval.aucRoc(scored(docs), "score", "label")),
+          "ecdf" -> (() => ext.Eval.ecdf(scored(docs), "score")),
+          "class_metrics" -> (() => ext.Eval.classMetrics(
+            docs.select(col("lang").as("label"), col("source").as("pred")),
+            "label", "pred")))
+      } yield ((f, name), () => { mk().count(); 0L })
+      val (times, _) = interleavedTimes(cells)
+      val names = Seq("pr_curve", "auc_roc", "ecdf", "class_metrics")
+      val lines = names.map { name =>
+        val t1 = times((1, name)); val t16 = times((16, name))
+        s"\"$name\":{\"sec_1x\":$t1,\"sec_16x\":$t16," +
+          s"\"ratio_16x\":${t16 / math.max(t1, 1e-9)}}"
+      }.mkString("{", ",", "}")
+      val l = s"""{"metric":"eval_scale_probe","probes_isolated":true,"factor":16,"interleaved_passes":2,"ops":$lines}"""
+      println(l); extraLines += l
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"eval_scale_probe failed: ${e.getMessage}")
+    }
+
     // 100×-row window/join probe (full runs only): q32's per-key running
     // window and q42's interval-join attribution with keys replicated
     // disjointly. Certification is PER-ROW cost (like the geometry probe):

@@ -214,6 +214,26 @@ object Dedup {
       .parquet(s"$path/shingles")
   }
 
+  /** Append a delta batch's banded/shingle rows to an existing
+    * [[writeLshStore]] index — the nightly state advance of an
+    * incremental pipeline. The index stays APPEND-ONLY (no rewrite of
+    * the standing corpus's partitions): rows for removed or changed
+    * documents remain as stale entries, and read paths filter hits
+    * against the live id set (as
+    * [[graft.pipeline.CorpusCuration.incrementalCurate]] does with its
+    * unchanged-status semi-join) — the standard LSM-style trade of
+    * read-time filtering for O(delta) writes. Compact by rebuilding with
+    * [[writeLshStore]] when stale volume warrants it. */
+  def appendLshStore(delta: DataFrame, textCol: String, idCol: String,
+      path: String, numHashes: Int = 16, bands: Int = 4): Unit = {
+    bandedRaw(delta, textCol, idCol, numHashes, bands)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/banded")
+    shingleRaw(delta, textCol, idCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/shingles")
+  }
+
   /** [[minhashLshCross]] with the reference side served from a
     * [[writeLshStore]] index — the steady-state incremental-ingest path.
     * `numHashes`/`bands` must match the store's (band keys are opaque

@@ -62,13 +62,21 @@ object CorpusCuration {
     val dropIds = Dedup.connectedComponents(pairs)
       .filter(col("canonical_id") =!= col("doc_id"))
       .select(col("doc_id").as(idCol))
-    df.join(dropIds, Seq(idCol), "left_anti")
-      .select(col(idCol),
-        TextAnalysis.langId(textCol).as("lang_id"),
-        round(TextAnalysis.qualityScore(textCol), 6).as("quality"),
-        TextAnalysis.tokenCount(textCol).cast("long").as("tok_cnt"))
+    curationFeatures(df.join(dropIds, Seq(idCol), "left_anti"),
+        textCol, idCol)
       .filter(col("quality") >= minQuality)
   }
+
+  /** The per-document (row-local) feature projection every curation path
+    * shares: language-ID, 6-dp quality score, token count. Row-local is
+    * what makes it safe to carry forward through
+    * [[incrementalFeatures]]. */
+  def curationFeatures(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol),
+      TextAnalysis.langId(textCol).as("lang_id"),
+      round(TextAnalysis.qualityScore(textCol), 6).as("quality"),
+      TextAnalysis.tokenCount(textCol).cast("long").as("tok_cnt"))
 
   /** End-to-end TRAINING-MIX assembly — raw corpus to packed, shuffled
     * training sequences, every stage one of the oracle-checked operators:
@@ -181,6 +189,110 @@ object CorpusCuration {
       Seq(idCol), "left_semi")
     val fresh = featureFn(newCorpus.join(dirty, Seq(idCol), "left_semi"))
     carried.unionByName(fresh)
+  }
+
+  /** Persist the STANDING curation state an incremental nightly run
+    * serves from — written once over the full corpus, then advanced in
+    * O(delta) (see [[incrementalCurate]]):
+    *
+    *   - `path/lsh`      — the corpus's banded + shingle tables
+    *                       ([[Dedup.writeLshStore]]); per-document
+    *                       kernels run here and never again;
+    *   - `path/pairs`    — the verified near-dup pair list at
+    *                       `minJaccard` (long ids);
+    *   - `path/features` — [[curationFeatures]] for EVERY document,
+    *                       ungated: a document dropped as a duplicate
+    *                       tonight may be its cluster's sole survivor
+    *                       tomorrow, and its carried feature row must
+    *                       exist.
+    *
+    * `minJaccard`/`maxBandBucket` (and the default 16/4 LSH shape) are
+    * part of the state's identity — [[incrementalCurate]] must be called
+    * with the same values. */
+  def writeCurationState(df: DataFrame, path: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      minJaccard: Double = 0.3, maxBandBucket: Int = 10000): Unit = {
+    val over = org.apache.spark.sql.SaveMode.Overwrite
+    Dedup.writeLshStore(df, textCol, idCol, s"$path/lsh")
+    Dedup.minhashLsh(df, textCol, idCol, numHashes = 16, bands = 4,
+        minJaccard = minJaccard, maxBandBucket = maxBandBucket)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"), col("jaccard"))
+      .write.mode(over).parquet(s"$path/pairs")
+    curationFeatures(df, textCol, idCol)
+      .write.mode(over).parquet(s"$path/features")
+  }
+
+  /** The NIGHTLY incremental run — [[curate]]'s exact result on the new
+    * snapshot at O(delta) kernel cost, the composition a 100 TB operator
+    * actually schedules:
+    *
+    *   1. [[Dedup.snapshotDiff]] classifies the new snapshot against the
+    *      old by content digest (narrow digest join — no text ships);
+    *   2. the standing pair list restricts to pairs whose BOTH endpoints
+    *      are unchanged (id-keyed semi-joins on a pair-volume table);
+    *   3. the added+changed delta LSH-joins against the standing index
+    *      ([[Dedup.minhashLshCrossFromStore]] — the delta pays its own
+    *      map stage, the standing corpus pays a column-pruned scan),
+    *      with hits filtered to unchanged reference ids so stale index
+    *      rows (changed/removed docs) cannot witness pairs;
+    *   4. the delta self-joins ([[Dedup.minhashLsh]] at delta scale);
+    *   5. the three pair sets union into [[Dedup.connectedComponents]] —
+    *      by construction exactly the full run's pair set, so canonical
+    *      choice (and thus the survivor set) matches the full recompute;
+    *   6. [[incrementalFeatures]] recomputes row-local features for the
+    *      delta only and carries every unchanged document's row forward;
+    *      survivors gate on quality as [[curate]] does.
+    *
+    * EXACTNESS: ≡ `curate(newCorpus)` (suite-pinned) provided the state
+    * was written with the same `minJaccard`/`maxBandBucket`/LSH shape.
+    * One margin: the hot-bucket cap counts buckets per-run, so a bucket
+    * that crosses `maxBandBucket` only in the combined new corpus can
+    * differ at the cap boundary — the cap is a spam defense, not a
+    * semantic knob, and real deltas move bucket counts by epsilon.
+    *
+    * Afterwards, advance the state: [[Dedup.appendLshStore]] the delta
+    * (append-only index; stale rows are filtered at read time exactly as
+    * step 3 does), and write this run's pair list + features as the next
+    * state — or rebuild with [[writeCurationState]] when stale volume
+    * warrants compaction. */
+  def incrementalCurate(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, oldCorpus: DataFrame, newCorpus: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      minJaccard: Double = 0.3, minQuality: Double = 0.55,
+      maxBandBucket: Int = 10000): DataFrame = {
+    val diff = Dedup.snapshotDiff(oldCorpus, newCorpus, idCol, textCol)
+    val unchanged = diff.filter(col("status") === "unchanged")
+      .select(col(idCol).cast("long").as(idCol))
+    val delta = newCorpus.join(
+      diff.filter(col("status").isin("added", "changed"))
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val pairsStd = spark.read.parquet(s"$statePath/pairs")
+      .join(unchanged.select(col(idCol).as("id_a")), Seq("id_a"), "left_semi")
+      .join(unchanged.select(col(idCol).as("id_b")), Seq("id_b"), "left_semi")
+      .select("id_a", "id_b", "jaccard")
+    val pairsCross = Dedup.minhashLshCrossFromStore(delta, spark,
+        s"$statePath/lsh", textCol, idCol, minJaccard = minJaccard,
+        maxBandBucket = maxBandBucket)
+      .join(unchanged.select(col(idCol).as("id_ref")), Seq("id_ref"),
+        "left_semi")
+      .select(least(col("id_new"), col("id_ref")).as("id_a"),
+        greatest(col("id_new"), col("id_ref")).as("id_b"), col("jaccard"))
+    val pairsDelta = Dedup.minhashLsh(delta, textCol, idCol,
+        numHashes = 16, bands = 4, minJaccard = minJaccard,
+        maxBandBucket = maxBandBucket)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"), col("jaccard"))
+    val dropIds = Dedup.connectedComponents(
+        pairsStd.unionByName(pairsCross).unionByName(pairsDelta))
+      .filter(col("canonical_id") =!= col("doc_id"))
+      .select(col("doc_id").as(idCol))
+    incrementalFeatures(oldCorpus,
+        spark.read.parquet(s"$statePath/features"), newCorpus, textCol,
+        idCol)(curationFeatures(_, textCol, idCol))
+      .join(dropIds, Seq(idCol), "left_anti")
+      .filter(col("quality") >= minQuality)
   }
 
   /** LEAKAGE-SAFE train/test split: the deterministic

@@ -779,6 +779,61 @@ class CorpusCurationSuite extends AnyFunSuite {
     assert(out == Set(10L, 20L))
   }
 
+  test("incrementalCurate == full curate on the changed snapshot (night-2 run)") {
+    val good = "the quick brown fox jumps over the lazy dog and it is fine " * 3
+    val clean = "another clean english document that is long enough to pass the gate " * 3
+    val third = "yet another perfectly ordinary and sufficiently long piece of text here " * 3
+    // dup relations use EXACT copies (Jaccard 1 matches every LSH band)
+    // so the expected survivor set is deterministic — banding recall at
+    // J≈0.9 is probabilistic by design
+    val oldCorpus = Seq(
+      (10L, good), (11L, good),          // standing dup cluster
+      (20L, clean), (40L, clean),        // standing dup cluster
+      (30L, third))
+      .toDF("doc_id", "text")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_cur_state").toString
+    graft.pipeline.CorpusCuration.writeCurationState(oldCorpus, state,
+      minJaccard = 0.5)
+    // night 2: 10 removed (its dup 11 must now survive), 30 changed into
+    // a copy of 20's cluster, 50/51 added as a fresh dup cluster, 52
+    // added junk
+    val newCorpus = Seq(
+      (11L, good),
+      (20L, clean), (40L, clean),
+      (30L, clean),
+      (50L, third), (51L, third),
+      (52L, "!!!! ???? ////"))
+      .toDF("doc_id", "text")
+    val inc = graft.pipeline.CorpusCuration.incrementalCurate(spark,
+        state, oldCorpus, newCorpus, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val full = graft.pipeline.CorpusCuration.curate(newCorpus,
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(inc == full)
+    // the run exercised every diff class: a revived survivor (11), a
+    // changed doc joining a standing cluster (30 vs 20/40), a fresh
+    // delta-only cluster (50/51), and the quality gate (52)
+    assert(inc.map(_._1) == Set(11L, 20L, 50L))
+    // night-3 state advance: the added+changed delta appends to the
+    // index (stale rows for 30's old text remain — read paths filter by
+    // live status, as incrementalCurate itself does)
+    val delta = newCorpus.join(
+      graft.ext.Dedup.snapshotDiff(oldCorpus, newCorpus, "doc_id", "text")
+        .filter($"status".isin("added", "changed")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    graft.ext.Dedup.appendLshStore(delta, "text", "doc_id", s"$state/lsh")
+    val banded = spark.read.parquet(s"$state/lsh/banded")
+    // ids: 5 old ∪ {30 again, 50, 51, 52} = 8 distinct
+    assert(banded.select("doc_id").distinct().count() == 8)
+    // 30 carries BOTH its stale and fresh band rows — the append-only trade
+    assert(banded.filter($"doc_id" === 30L).count() >
+      banded.filter($"doc_id" === 50L).count())
+  }
+
   test("classifier gate: curate(df, model) == curate(pre-gated df), stream shares it") {
     val good = "the quick brown fox jumps over the lazy dog and it is fine " * 3
     val spammy = "buy cheap pills now click here buy cheap pills now " * 3
