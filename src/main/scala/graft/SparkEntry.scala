@@ -1474,6 +1474,71 @@ object SparkEntry {
         8, 0.7, 20)
         .orderBy("query_id", "mmr_rank")
     }),
+
+    // ext: corpus vocabulary drift — KL/JS divergence between the English
+    // and non-English token distributions (the PSI analogue for text)
+    "q129_vocab_divergence" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      ext.TextAnalysis.vocabDivergence(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text")
+    }),
+
+    // ext: per-doc token Shannon entropy — repetition/diversity signal;
+    // the whole histogram lives in one per-row HOF chain (no shuffle)
+    "q130_token_entropy" -> ((s, dir) =>
+      ext.TextAnalysis.tokenEntropy(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ext: Zipf rank-frequency OLS over the top-200 tokens — corpus-health
+    // slope/r² (natural text ≈ −1); top-N via TakeOrderedAndProject
+    "q131_zipf" -> ((s, dir) =>
+      ext.TextAnalysis.zipfFit(
+        Tables.load(s, dir, "documents"), "text", 200)),
+
+    // ext: simplified-silhouette cluster quality over the label clusters —
+    // O(n·k) centroid form, broadcast k×d centroid table
+    "q132_cluster_quality" -> ((s, dir) =>
+      ext.Similarity.clusterQuality(
+        Tables.load(s, dir, "embeddings"), "label")
+        .orderBy("cluster")),
+
+    // ext: logistic-regression quality gate — 5 rounds of full-batch GD
+    // (one scan + one VectorMeanAgg gradient reduce per round, d+1-double
+    // driver update); the convex complement to the q99 NB gate
+    "q134_logistic_train" -> ((s, dir) => {
+      import s.implicits._
+      val w = ext.TextAnalysis.logisticTrain(
+        logitFeatures(Tables.load(s, dir, "documents")),
+        Seq("x1", "x2"), "y")
+      w.toIndexedSeq.zipWithIndex.map { case (wi, j) => (j, wi) }
+        .toDF("j", "w")
+        .select(col("j"), round(col("w"), 6).as("weight"))
+        .orderBy("j")
+    }),
+
+    // ext: per-doc sigmoid scores + 0.5-gate under the q134 model — the
+    // scoring pass is a pure codegen map over the scan
+    "q135_logistic_scores" -> ((s, dir) => {
+      val f = logitFeatures(Tables.load(s, dir, "documents"))
+      val w = ext.TextAnalysis.logisticTrain(f, Seq("x1", "x2"), "y")
+      ext.TextAnalysis.logisticScoreWith(f, "doc_id", Seq("x1", "x2"), w)
+        .orderBy("doc_id")
+    }),
+
+    // ext: hybrid retrieval — reciprocal rank fusion of the q127 BM25 run
+    // with a dense cosine top-10 (RAG's standard sparse+dense merge)
+    "q133_hybrid_rrf" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val sparse = ext.TextAnalysis.bm25(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        "hash join filter")
+      val dense = ext.Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 10)
+        .select(col("corpus_id").as("doc_id"), col("cos").as("score"))
+      ext.Similarity.rrfFuse(sparse, dense, "doc_id")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -1731,6 +1796,49 @@ object SparkEntry {
                  ELSE 0.0 END)
              + 0.3 * least(CASE WHEN tok_cnt > 0
                  THEN (CAST(s_en AS DOUBLE) / tok_cnt) ELSE 0.0 END * 5.0, 1.0), 6)"""
+  /** Shared feature projection for the q134/q135 logistic gate: bounded
+    * [0,1]-ish features whose per-row arithmetic replays identically in
+    * DuckDB (ln of an exact integer argument, exact integer ratios); the
+    * ln-scale constant interpolates from the SAME Scala double. */
+  private val LogitLnScale: Double = math.log(1001.0)
+  private def logitFeatures(docs: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val toks = ext.TextAnalysis.wordTokens("text")
+    docs.select(col("doc_id"),
+      (log(lit(1.0) + size(toks).cast("double")) / lit(LogitLnScale))
+        .as("x1"),
+      (size(array_distinct(toks)).cast("double") /
+        (lit(1.0) + size(toks).cast("double"))).as("x2"),
+      when(col("source").isin("src0", "src1"), 1.0).otherwise(0.0).as("y"))
+  }
+
+  /** DuckDB replica of the q134/q135 GD chain: 5 generated MATERIALIZED
+    * rounds, each re-scoring `f` under the previous round's weights. The
+    * dot product is written with the same leading-zero left association
+    * as the Spark zip_with fold. */
+  private lazy val LogitChainSql: String = {
+    val lr = 0.5
+    val feat =
+      s"""f AS MATERIALIZED (SELECT doc_id,
+           ln(1.0 + CAST(len($ToksSql) AS DOUBLE)) / $LogitLnScale AS x1,
+           CAST(len(list_distinct($ToksSql)) AS DOUBLE) /
+             (1.0 + CAST(len($ToksSql) AS DOUBLE)) AS x2,
+           CASE WHEN source IN ('src0', 'src1') THEN 1.0 ELSE 0.0 END AS y
+         FROM documents),
+         it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    val rounds = (1 to 5).map { i =>
+      def g(x: String) =
+        s"(y - 1.0 / (1.0 + exp(-(0.0 + w0 * 1.0 + w1 * x1 + w2 * x2)))) * $x"
+      s"""it$i AS MATERIALIZED (SELECT
+           w0 + $lr * avg(${g("1.0")}) AS w0,
+           w1 + $lr * avg(${g("x1")}) AS w1,
+           w2 + $lr * avg(${g("x2")}) AS w2
+         FROM f, it${i - 1} GROUP BY w0, w1, w2)"""
+    }
+    (feat +: rounds).mkString("WITH ", ",\n", "")
+  }
+  private val LogitDotSql = "(0.0 + w0 * 1.0 + w1 * x1 + w2 * x2)"
+
   private val CosSql =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
@@ -3683,6 +3791,171 @@ object SparkEntry {
              (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
            n_pos, n_neg
          FROM ag""",
+
+    // Laplace-smoothed KL/JS over the union vocabulary; the smoothed
+    // probabilities replay the same double arithmetic in both engines and
+    // the order-dependent sums are absorbed by the 6 dp grain
+    "q129_vocab_divergence" ->
+      s"""WITH ta AS (SELECT unnest($ToksSql) AS tok FROM documents
+                WHERE lang = 'en'),
+         tb AS (SELECT unnest($ToksSql) AS tok FROM documents
+                WHERE lang <> 'en'),
+         ca AS (SELECT tok, count(*) AS ca FROM ta GROUP BY tok),
+         cb AS (SELECT tok, count(*) AS cb FROM tb GROUP BY tok),
+         m AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+               FROM ca FULL OUTER JOIN cb USING (tok)),
+         t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b,
+                 CAST(count(*) AS BIGINT) AS vocab FROM m),
+         p AS (SELECT n_a, n_b, vocab,
+                 (CAST(ca AS DOUBLE) + 0.5)
+                   / (CAST(n_a AS DOUBLE) + 0.5 * CAST(vocab AS DOUBLE)) AS pa,
+                 (CAST(cb AS DOUBLE) + 0.5)
+                   / (CAST(n_b AS DOUBLE) + 0.5 * CAST(vocab AS DOUBLE)) AS pb
+               FROM m, t)
+         SELECT n_a, n_b, vocab,
+           round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
+           round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
+           round(sum(pa * ln(pa * 2.0 / (pa + pb)) / 2.0 +
+                     pb * ln(pb * 2.0 / (pa + pb)) / 2.0), 6) AS js
+         FROM p GROUP BY n_a, n_b, vocab""",
+
+    // per-doc histogram entropy: -(c/n)·ln(c/n) summed over distinct
+    // tokens; empty docs NULL, single-token docs 0 with NULL norm
+    "q130_token_entropy" ->
+      s"""WITH d AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         base AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+                    CAST(len(list_distinct(toks)) AS INT) AS n_distinct
+                  FROM d),
+         h AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         cnt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+                 FROM h GROUP BY doc_id, tok),
+         ent AS (SELECT cnt.doc_id,
+                   sum(-(c / n_tokens) * ln(c / n_tokens)) AS hh
+                 FROM cnt JOIN base USING (doc_id) GROUP BY cnt.doc_id)
+         SELECT doc_id, n_tokens, n_distinct,
+           CASE WHEN n_tokens > 0 THEN round(coalesce(hh, 0.0), 6)
+             END AS entropy,
+           CASE WHEN n_distinct > 1
+             THEN round(hh / ln(CAST(n_distinct AS DOUBLE)), 6)
+             END AS norm_entropy
+         FROM base LEFT JOIN ent USING (doc_id) ORDER BY doc_id""",
+
+    // OLS of ln(freq) on ln(rank) over the deterministic (count desc,
+    // token) top-200; the 5 sums fold on <=200 rows so the 6 dp grain
+    // absorbs order effects
+    "q131_zipf" ->
+      s"""WITH h AS (SELECT unnest($ToksSql) AS tok FROM documents),
+         c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM h
+               GROUP BY tok ORDER BY c DESC, tok LIMIT 200),
+         r AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok)
+                    AS DOUBLE)) AS x,
+                 ln(CAST(c AS DOUBLE)) AS y FROM c),
+         sums AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                    sum(y * y) AS syy, sum(x * y) AS sxy FROM r)
+         SELECT n_terms, round(m, 6) AS slope,
+           round((sy - m * sx) / n_terms, 6) AS intercept,
+           round(pow(sxy - sx * sy / n_terms, 2) /
+             ((sxx - sx * sx / n_terms) * (syy - sy * sy / n_terms)), 6)
+             AS r2
+         FROM (SELECT *, (sxy - sx * sy / n_terms)
+                 / (sxx - sx * sx / n_terms) AS m FROM sums)""",
+
+    // simplified silhouette vs per-(cluster,dim) centroid means; the
+    // point-centroid distances round at 6 dp BEFORE the a/b compare so
+    // both engines pick the same argmin
+    "q132_cluster_quality" ->
+      """WITH e AS (SELECT vec_id, label AS cluster,
+                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         x AS (SELECT vec_id, cluster, unnest(v) AS xv,
+                 unnest(generate_series(1, len(v))) AS d FROM e),
+         cent AS (SELECT cluster AS ccl, d, avg(xv) AS m
+                  FROM x GROUP BY cluster, d),
+         dd AS (SELECT x.vec_id, x.cluster, cent.ccl,
+                  round(sqrt(sum((x.xv - cent.m) * (x.xv - cent.m))), 6)
+                    AS dd
+                FROM x JOIN cent USING (d)
+                GROUP BY x.vec_id, x.cluster, cent.ccl),
+         a AS (SELECT vec_id, cluster, dd AS a FROM dd
+               WHERE cluster = ccl),
+         b AS (SELECT vec_id, cluster, min(dd) AS b FROM dd
+               WHERE cluster <> ccl GROUP BY vec_id, cluster),
+         s AS (SELECT a.cluster, a.a,
+                 CASE WHEN greatest(a.a, b.b) > 0
+                   THEN (b.b - a.a) / greatest(a.a, b.b)
+                   ELSE 0.0 END AS s
+               FROM a JOIN b USING (vec_id, cluster))
+         SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+           round(avg(a), 6) AS mean_a,
+           round(avg(s), 6) AS mean_silhouette
+         FROM s GROUP BY cluster ORDER BY cluster""",
+
+    // 5 generated GD rounds (MATERIALIZED — the chain is re-referenced);
+    // the only cross-engine divergence is gradient-avg summation order,
+    // ~1e-13 after amplification vs the 6 dp grain
+    "q134_logistic_train" ->
+      s"""$LogitChainSql
+         SELECT j, round(w, 6) AS weight
+         FROM (SELECT unnest([w0, w1, w2]) AS w, unnest([0, 1, 2]) AS j
+               FROM it5)
+         ORDER BY j""",
+
+    // sigmoid scores under the it5 weights; pred gates on the ROUNDED
+    // score so both engines compare the same double against 0.5
+    "q135_logistic_scores" ->
+      s"""$LogitChainSql
+         SELECT doc_id,
+           round(1.0 / (1.0 + exp(-$LogitDotSql)), 6) AS score,
+           CASE WHEN round(1.0 / (1.0 + exp(-$LogitDotSql)), 6) >= 0.5
+             THEN 1 ELSE 0 END AS pred
+         FROM f, it5 ORDER BY doc_id""",
+
+    // RRF = 1/(60+rank_sparse) + 1/(60+rank_dense) over the q127 BM25
+    // top-10 and the dense cosine top-10 for query vector 0; both ranks
+    // order by (6 dp score desc, id) so the fusion is engine-portable
+    "q133_hybrid_rrf" -> {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH d AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks
+                FROM d),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+                FROM dd),
+         h AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
+         hits AS (SELECT doc_id, dl, tok FROM h
+                  WHERE tok IN ('hash', 'join', 'filter')),
+         tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+                FROM hits GROUP BY doc_id, dl, tok),
+         dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                 FROM hits GROUP BY tok),
+         sc AS (SELECT tf.doc_id,
+                  round(sum(ln(1.0 + (st.n - dft.df + 0.5)
+                      / (dft.df + 0.5)) *
+                    (tf.tf * ${k1 + 1.0}) /
+                    (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl
+                      / st.avgdl))), 6) AS score
+                FROM tf JOIN dft USING (tok), st GROUP BY tf.doc_id),
+         bmtop AS (SELECT doc_id, score FROM sc
+                   ORDER BY score DESC, doc_id LIMIT 10),
+         ra AS (SELECT doc_id, CAST(row_number() OVER
+                    (ORDER BY score DESC, doc_id) AS INT) AS rank_a
+                FROM bmtop),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         dn AS (SELECT a.vec_id AS doc_id, round($CosSql, 6) AS cos
+                FROM e a, e b WHERE b.vec_id = 0 AND a.vec_id <> 0),
+         dntop AS (SELECT doc_id, cos FROM dn
+                   ORDER BY cos DESC, doc_id LIMIT 10),
+         rb AS (SELECT doc_id, CAST(row_number() OVER
+                    (ORDER BY cos DESC, doc_id) AS INT) AS rank_b
+                FROM dntop),
+         f AS (SELECT doc_id, rank_a, rank_b
+               FROM ra FULL OUTER JOIN rb USING (doc_id))
+         SELECT doc_id, rank_a, rank_b,
+           round(coalesce(1.0 / (60 + rank_a), 0.0) +
+                 coalesce(1.0 / (60 + rank_b), 0.0), 6) AS rrf
+         FROM f ORDER BY rrf DESC, doc_id LIMIT 10"""
+    },
 
   )
 }

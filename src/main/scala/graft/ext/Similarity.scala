@@ -460,4 +460,79 @@ object Similarity {
       .select(col(idCol), col("cluster"), col("cos"), col("rnk"),
         col("n"), col("drop_flag"))
   }
+
+  /** CLUSTER QUALITY via the SIMPLIFIED SILHOUETTE (Hruschka et al. 2004):
+    * per point, a = L2 distance to its OWN cluster centroid, b = min
+    * distance to any OTHER centroid, s = (b − a) / max(a, b); reported as
+    * the per-cluster mean. The O(n²) classical silhouette is replaced by
+    * an O(n·k) centroid form — the only version that exists at corpus
+    * scale — and it is the standard health check after [[clusterMap]] /
+    * IVF training: a cluster whose mean s ≲ 0 is absorbing its
+    * neighbours' points.
+    *
+    * Shape at 100 TB: centroids come from ONE posexplode aggregation that
+    * collapses map-side to k·d cells; the k×d centroid table is rebuilt
+    * as arrays and broadcast, so scoring is a shuffle-free per-row map
+    * over the scan; the final per-cluster mean is a k-row aggregate.
+    * Determinism: distances are compared on 6 dp-rounded values with a
+    * centroid-id tiebreak, so `b`'s argmin is engine-portable. Output:
+    * (cluster, n, mean_a, mean_silhouette) at 6 dp, ordered by cluster. */
+  def clusterQuality(df: DataFrame, clusterCol: String,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val pts = df.select(col(clusterCol).as("cluster"), col(idCol),
+      col(vecCol).cast("array<double>").as("v"))
+    val cents = pts
+      .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("cluster"), col("d")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("ps"))
+      .select(col("cluster").as("ccl"),
+        expr("transform(ps, p -> p.m)").as("c"))
+    val dist = sqrt(aggregate(zip_with(col("v"), col("c"),
+        (x: Column, y: Column) => (x - y) * (x - y)),
+      lit(0.0), (acc: Column, t: Column) => acc + t))
+    val scored = pts.crossJoin(broadcast(cents))
+      .select(col("cluster"), col(idCol), col("ccl"),
+        round(dist, 6).as("dd"))
+    val a = scored.filter(col("cluster") === col("ccl"))
+      .select(col("cluster"), col(idCol), col("dd").as("a"))
+    val b = scored.filter(col("cluster") =!= col("ccl"))
+      .groupBy(col("cluster"), col(idCol)).agg(min(col("dd")).as("b"))
+    a.join(b, Seq("cluster", idCol))
+      .withColumn("s", when(greatest(col("a"), col("b")) > 0,
+        (col("b") - col("a")) / greatest(col("a"), col("b")))
+        .otherwise(lit(0.0)))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), round(avg(col("a")), 6).as("mean_a"),
+        round(avg(col("s")), 6).as("mean_silhouette"))
+  }
+
+  /** RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher 2009): merge two
+    * retrieval rankings — canonically a sparse (BM25) and a dense (ANN
+    * cosine) run — into one list by Σ 1/(k + rank), the standard hybrid
+    * step of a RAG / training-data retrieval stack. Score-scale-free by
+    * construction, so the two runs need no calibration. A doc present in
+    * only one run contributes only that run's term (the other is 0, the
+    * conventional full-list limit).
+    *
+    * Shape at 100 TB: each input is already a top-N retrieval result
+    * (driver-bounded), so ranking windows and the full-outer merge run on
+    * ≤ 2N rows — the fusion itself never touches the corpus. Determinism:
+    * ranks order by 6 dp-rounded score with id tiebreak; the fused order
+    * ties break on id. Output: (idCol, rank_a, rank_b, rrf) at 6 dp,
+    * best-first, top `topN`. */
+  def rrfFuse(runA: DataFrame, runB: DataFrame, idCol: String,
+      scoreCol: String = "score", k: Int = 60, topN: Int = 10): DataFrame = {
+    def ranked(df: DataFrame, rn: String) =
+      df.select(col(idCol), round(col(scoreCol), 6).as("_s"))
+        .withColumn(rn, row_number().over(
+          Window.orderBy(col("_s").desc, col(idCol))))
+        .select(col(idCol), col(rn))
+    ranked(runA, "rank_a").join(ranked(runB, "rank_b"), Seq(idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k) + col("rank_a")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(k) + col("rank_b")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topN)
+  }
 }

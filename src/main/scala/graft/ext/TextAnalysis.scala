@@ -1129,4 +1129,171 @@ object TextAnalysis {
           (col("_t2") * col("c1").cast("double") * col("c2").cast("double"))), 6))
       .select("w1", "w2", "c12", "c1", "c2", "pmi")
   }
+
+  /** CORPUS VOCABULARY DIVERGENCE: KL(A‖B), KL(B‖A) and Jensen–Shannon
+    * divergence between the word-token distributions of two corpus
+    * slices — the text analogue of PSI ([[Outliers]]): "how far has this
+    * month's crawl drifted from the reference mix", or "how different are
+    * two sources really". Laplace smoothing with `alpha` over the UNION
+    * vocabulary keeps every log finite; JS is computed against the
+    * half-sum mixture so it is symmetric and bounded by ln 2.
+    *
+    * Shape at 100 TB: each side's token explode collapses map-side to
+    * vocabulary size; one full-outer hash join on the token key merges
+    * the two vocab tables; the three totals (N_a, N_b, |V|) are a 1-row
+    * broadcast; the final reduce is a single sum. Nothing corpus-sized
+    * ever shuffles. Output: one row (n_a, n_b, vocab, kl_ab, kl_ba, js)
+    * with divergences at 6 dp. */
+  def vocabDivergence(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, textCol: String,
+      alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    def vocab(df: org.apache.spark.sql.DataFrame, cn: String) =
+      df.select(explode(wordTokens(textCol)).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(cn))
+    val merged = vocab(a, "ca").join(vocab(b, "cb"), Seq("tok"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = merged.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      count(lit(1)).as("vocab"))
+    val pa = (col("ca").cast("double") + lit(alpha)) /
+      (col("n_a").cast("double") + lit(alpha) * col("vocab").cast("double"))
+    val pb = (col("cb").cast("double") + lit(alpha)) /
+      (col("n_b").cast("double") + lit(alpha) * col("vocab").cast("double"))
+    merged.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"), col("vocab"),
+        (pa * log(pa / pb)).as("t_ab"), (pb * log(pb / pa)).as("t_ba"),
+        (pa * log(pa * 2.0 / (pa + pb)) / 2.0 +
+          pb * log(pb * 2.0 / (pa + pb)) / 2.0).as("t_js"))
+      .groupBy(col("n_a"), col("n_b"), col("vocab"))
+      .agg(round(sum(col("t_ab")), 6).as("kl_ab"),
+        round(sum(col("t_ba")), 6).as("kl_ba"),
+        round(sum(col("t_js")), 6).as("js"))
+  }
+
+  /** PER-DOCUMENT TOKEN ENTROPY: Shannon entropy (nats) of the document's
+    * own word-token distribution, plus the ln(distinct)-normalized form —
+    * a repetition/diversity signal orthogonal to [[dupShingleFraction]]
+    * (a spam page looping ten phrases has low entropy at high length).
+    * Degenerates: no tokens → NULL entropy; a single distinct token → 0
+    * entropy with NULL norm_entropy (ln 1 = 0 denominator).
+    *
+    * Shape at 100 TB: a pure per-row codegen'd expression — the token
+    * histogram lives inside one higher-order-function chain (distinct ×
+    * filter-count), so the operator is a shuffle-free map over the scan.
+    * Output: (idCol, n_tokens, n_distinct, entropy, norm_entropy) at
+    * 6 dp. */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        wordTokens(textCol).as("_toks"))
+      .select(col(idCol), size(col("_toks")).as("n_tokens"),
+        size(array_distinct(col("_toks"))).as("n_distinct"),
+        expr("""aggregate(
+            transform(array_distinct(_toks),
+              u -> size(filter(_toks, x -> x = u))),
+            CAST(0.0 AS DOUBLE),
+            (h, c) -> h - (CAST(c AS DOUBLE) / size(_toks)) *
+              ln(CAST(c AS DOUBLE) / size(_toks)))""").as("_h"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        when(col("n_tokens") > 0, round(col("_h"), 6)).as("entropy"),
+        when(col("n_distinct") > 1,
+          round(col("_h") / log(col("n_distinct").cast("double")), 6))
+          .as("norm_entropy"))
+
+  /** LOGISTIC-REGRESSION QUALITY CLASSIFIER trained by `iters` rounds of
+    * full-batch gradient descent — the convex, calibrated complement to
+    * the [[nbQualityScore]] Naive Bayes gate (fastText-style linear page
+    * filters are this model over hashed features). Update rule per round:
+    * w ← w + lr · mean((y − σ(w·x)) · x) over the whole corpus.
+    *
+    * Shape at 100 TB: the canonical distributed-GD loop — each iteration
+    * is ONE corpus scan whose per-row gradient folds into a single
+    * [[graft.agg.VectorMeanAgg]] (map-side partial buffers of d+1
+    * doubles), then a d+1-double driver update re-broadcast as literals.
+    * No per-row state, no shuffle beyond the aggregate's 1-row exchange;
+    * iteration count is the only scan multiplier (cache the feature
+    * projection upstream if iterating hard).
+    *
+    * Determinism: the dot product folds left over zip_with (the same
+    * left-associated sum both engines write), so the only cross-engine
+    * divergence is gradient-mean summation order — ~1e−15 relative per
+    * round, amplified ≲2× per iteration at bounded features (keep
+    * features in [0, 1]), far inside a 6 dp output grain. Returns the
+    * bias-first weight vector (driver-side, like [[NbModel]]). */
+  def logisticTrain(df: org.apache.spark.sql.DataFrame,
+      featureCols: Seq[String], labelCol: String, iters: Int = 5,
+      lr: Double = 0.5): Array[Double] = {
+    val feats = df.select(
+      array(lit(1.0) +: featureCols.map(c => col(c).cast("double")): _*)
+        .as("x"),
+      col(labelCol).cast("double").as("y"))
+    var w = Array.fill(featureCols.size + 1)(0.0)
+    for (_ <- 1 to iters) {
+      val wCol = array(w.map(lit(_)).toIndexedSeq: _*)
+      val dot = aggregate(zip_with(wCol, col("x"),
+          (wi: Column, xi: Column) => wi * xi),
+        lit(0.0), (s: Column, t: Column) => s + t)
+      val err = col("y") - lit(1.0) / (lit(1.0) + exp(-dot))
+      val gm = feats
+        .select(transform(col("x"), xi => err * xi).as("g"))
+        .agg(graft.agg.VectorMeanAgg.column(col("g")).as("gm"))
+        .head().getSeq[Double](0)
+      w = w.zip(gm).map { case (wi, gi) => wi + lr * gi }
+    }
+    w
+  }
+
+  /** Score rows under a [[logisticTrain]] model: σ(w·x) at 6 dp plus the
+    * 0.5-threshold prediction (compared on the ROUNDED score, so the
+    * gate is engine-portable). Pure per-row codegen map. */
+  def logisticScoreWith(df: org.apache.spark.sql.DataFrame, idCol: String,
+      featureCols: Seq[String], weights: Array[Double]):
+      org.apache.spark.sql.DataFrame = {
+    val x = array(lit(1.0) +: featureCols.map(c => col(c).cast("double")): _*)
+    val wCol = array(weights.map(lit(_)).toIndexedSeq: _*)
+    val dot = aggregate(zip_with(wCol, x,
+        (wi: Column, xi: Column) => wi * xi),
+      lit(0.0), (s: Column, t: Column) => s + t)
+    df.select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-dot)), 6).as("score"))
+      .withColumn("pred", when(col("score") >= 0.5, 1).otherwise(0))
+  }
+
+  /** ZIPF RANK–FREQUENCY FIT: OLS of ln(freq) on ln(rank) over the corpus
+    * top-`topN` tokens — natural text follows slope ≈ −1 (Zipf 1949);
+    * machine-generated or templated corpora bend the curve, so the slope
+    * and r² are a cheap corpus-health diagnostic next to [[corpusReport]].
+    * Rank ties break on the token string for determinism.
+    *
+    * Shape at 100 TB: the token explode collapses map-side to vocabulary
+    * size; `orderBy(...).limit(topN)` compiles to TakeOrderedAndProject
+    * (per-partition top-N + driver merge of N·parts rows — never a full
+    * vocab sort); ranking and the OLS reduce then run on ≤ topN rows.
+    * Output: one row (n_terms, slope, intercept, r2) at 6 dp. */
+  def zipfFit(df: org.apache.spark.sql.DataFrame, textCol: String,
+      topN: Int = 200): org.apache.spark.sql.DataFrame = {
+    val top = df.select(explode(wordTokens(textCol)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(topN)
+    val ranked = top.withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("tok"))))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    ranked.agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n_terms"),
+        ((col("sxy") - col("sx") * col("sy") / col("n_terms")) /
+          (col("sxx") - col("sx") * col("sx") / col("n_terms"))).as("_m"),
+        col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
+      .select(col("n_terms"), round(col("_m"), 6).as("slope"),
+        round((col("sy") - col("_m") * col("sx")) / col("n_terms"), 6)
+          .as("intercept"),
+        round(pow(col("sxy") - col("sx") * col("sy") / col("n_terms"), 2) /
+          ((col("sxx") - col("sx") * col("sx") / col("n_terms")) *
+           (col("syy") - col("sy") * col("sy") / col("n_terms"))), 6)
+          .as("r2"))
+  }
 }

@@ -1,0 +1,201 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.agg.SparkTest
+
+/** Round-9 operators: vocabulary divergence, token entropy, Zipf fit,
+  * simplified-silhouette cluster quality, reciprocal rank fusion. */
+class Round9OpsSuite extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  // ---- vocabDivergence ---------------------------------------------------
+
+  test("vocabDivergence: identical slices diverge zero, JS is symmetric and bounded") {
+    val a = Seq("alpha beta gamma", "beta beta delta").toDF("text")
+    val same = TextAnalysis.vocabDivergence(a, a, "text").head()
+    assert(same.getAs[Double]("kl_ab") == 0.0)
+    assert(same.getAs[Double]("kl_ba") == 0.0)
+    assert(same.getAs[Double]("js") == 0.0)
+    val b = Seq("epsilon zeta", "zeta eta").toDF("text")
+    val ab = TextAnalysis.vocabDivergence(a, b, "text").head()
+    val ba = TextAnalysis.vocabDivergence(b, a, "text").head()
+    assert(ab.getAs[Double]("js") == ba.getAs[Double]("js"),
+      "JS must be symmetric")
+    assert(ab.getAs[Double]("js") > 0.0 &&
+      ab.getAs[Double]("js") <= math.log(2.0) + 1e-9,
+      "JS of disjoint vocabularies is positive and <= ln 2")
+    assert(ab.getAs[Double]("kl_ab") == ba.getAs[Double]("kl_ba"))
+    assert(ab.getAs[Long]("vocab") == 7L) // union of 4 + 3 disjoint terms
+  }
+
+  test("vocabDivergence replays the hand-computed smoothed KL on a 2-term corpus") {
+    // A = {x:2, y:0}, B = {x:0, y:1}; alpha=0.5, V=2
+    // pa(x)=2.5/3, pa(y)=0.5/3; pb(x)=0.5/2, pb(y)=1.5/2
+    val a = Seq("x x").toDF("text")
+    val b = Seq("y").toDF("text")
+    val r = TextAnalysis.vocabDivergence(a, b, "text").head()
+    val (pax, pay, pbx, pby) = (2.5 / 3, 0.5 / 3, 0.5 / 2, 1.5 / 2)
+    val klAb = pax * math.log(pax / pbx) + pay * math.log(pay / pby)
+    assert(r.getAs[Double]("kl_ab") ==
+      BigDecimal(klAb).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 1L)
+  }
+
+  // ---- tokenEntropy ------------------------------------------------------
+
+  test("tokenEntropy: uniform, constant, and empty documents") {
+    val df = Seq(
+      (1L, "a b c d"),        // uniform over 4: H = ln 4, norm = 1
+      (2L, "spam spam spam"), // constant: H = 0, norm NULL
+      (3L, ""),               // empty: NULL entropy
+      (4L, "a a b b")         // two tokens equal: H = ln 2, norm = 1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Double]("entropy") ==
+      BigDecimal(math.log(4.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(0).getAs[Double]("norm_entropy") == 1.0)
+    assert(got(1).getAs[Double]("entropy") == 0.0)
+    assert(got(1).isNullAt(got(1).fieldIndex("norm_entropy")))
+    assert(got(2).isNullAt(got(2).fieldIndex("entropy")))
+    assert(got(2).getAs[Int]("n_tokens") == 0)
+    assert(got(3).getAs[Double]("entropy") ==
+      BigDecimal(math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("tokenEntropy is a shuffle-free per-row map (no Exchange in the plan)") {
+    val df = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val plan = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
+  }
+
+  // ---- zipfFit -----------------------------------------------------------
+
+  test("zipfFit recovers slope -1 with r2 1 on an exact power law") {
+    // freq(rank r) = 720/r for r=1..6 -> ln(freq) = ln 720 - ln(rank)
+    val docs = (1 to 6).flatMap { r =>
+      Seq.fill(720 / r)(s"w$r")
+    }.mkString(" ")
+    val got = TextAnalysis.zipfFit(Seq(docs).toDF("text"), "text", 10).head()
+    assert(got.getAs[Long]("n_terms") == 6L)
+    assert(math.abs(got.getAs[Double]("slope") + 1.0) < 1e-6)
+    assert(math.abs(got.getAs[Double]("r2") - 1.0) < 1e-6)
+    assert(math.abs(got.getAs[Double]("intercept") - math.log(720.0)) < 1e-6)
+  }
+
+  test("zipfFit top-N compiles to TakeOrderedAndProject, never a full vocab sort") {
+    val plan = TextAnalysis.zipfFit(Seq("a b c").toDF("text"), "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in plan:\n$plan")
+  }
+
+  // ---- clusterQuality ----------------------------------------------------
+
+  test("clusterQuality: separated clusters score near 1, merged clusters near 0") {
+    // two tight, far-apart clusters and one cluster duplicated on top of
+    // the first (its points are equidistant-ish -> low silhouette)
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val rows = Seq(
+      (1L, 0, v(0, 0)), (2L, 0, v(0, 1)), (3L, 0, v(1, 0)),
+      (4L, 1, v(100, 100)), (5L, 1, v(100, 101)), (6L, 1, v(101, 100)),
+      (7L, 2, v(0.5, 0.5)), (8L, 2, v(0.4, 0.4)), (9L, 2, v(0.6, 0.3))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.clusterQuality(rows, "label")
+      .orderBy("cluster").collect()
+    assert(got.map(_.getAs[Long]("n")).toSeq == Seq(3L, 3L, 3L))
+    // cluster 1 is 140 units from everything: silhouette ~ 1
+    assert(got(1).getAs[Double]("mean_silhouette") > 0.99)
+    // clusters 0 and 2 overlap: silhouette well below the separated one
+    assert(got(0).getAs[Double]("mean_silhouette") < 0.5)
+    assert(got(2).getAs[Double]("mean_silhouette") < 0.5)
+  }
+
+  test("clusterQuality a-distance: a point sitting on its centroid has a = 0") {
+    def v(x: Double) = Array(x.toFloat)
+    // cluster 0 is one point (its own centroid); cluster 1 far away
+    val rows = Seq((1L, 0, v(5)), (2L, 1, v(50)), (3L, 1, v(50)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.clusterQuality(rows, "label")
+      .orderBy("cluster").collect()
+    assert(got(0).getAs[Double]("mean_a") == 0.0)
+    assert(got(0).getAs[Double]("mean_silhouette") == 1.0)
+    assert(got(1).getAs[Double]("mean_a") == 0.0)
+  }
+
+  // ---- rrfFuse -----------------------------------------------------------
+
+  test("rrfFuse replays hand-computed reciprocal ranks, one-sided docs included") {
+    val a = Seq((10L, 3.0), (20L, 2.0), (30L, 1.0)).toDF("id", "score")
+    val b = Seq((20L, 9.0), (40L, 8.0)).toDF("id", "score")
+    val got = Similarity.rrfFuse(a, b, "id", scoreCol = "score", k = 60)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("rrf")))
+    def rrf(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 20 is rank 2 in A and rank 1 in B; 10 only A rank 1; 40 only B rank 2
+    assert(got.head == (20L, rrf(1.0 / 62 + 1.0 / 61)))
+    assert(got.toMap == Map(
+      20L -> rrf(1.0 / 62 + 1.0 / 61), 10L -> rrf(1.0 / 61),
+      30L -> rrf(1.0 / 63), 40L -> rrf(1.0 / 62)))
+    // fused order is score-desc with id tiebreak
+    assert(got.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L))
+  }
+
+  // ---- logisticTrain / logisticScoreWith ---------------------------------
+
+  test("logisticTrain replays the hand-computed first GD round") {
+    // w=0 => sigmoid = 0.5 for every row, so round 1 is
+    // w_j = lr * mean((y - 0.5) * x_j)
+    val df = Seq((1.0, 0.2, 1.0), (1.0, 0.8, 0.0), (1.0, 0.4, 1.0))
+      .toDF("x1", "x2", "y")
+    val w = TextAnalysis.logisticTrain(df, Seq("x1", "x2"), "y",
+      iters = 1, lr = 0.5)
+    val g0 = (0.5 + (-0.5) + 0.5) / 3
+    val g1 = (0.5 * 1.0 + (-0.5) * 1.0 + 0.5 * 1.0) / 3
+    val g2 = (0.5 * 0.2 + (-0.5) * 0.8 + 0.5 * 0.4) / 3
+    assert(math.abs(w(0) - 0.5 * g1) < 1e-12)
+    assert(math.abs(w(1) - 0.5 * g0) < 1e-12) // x1 is constant 1.0 here too
+    assert(math.abs(w(2) - 0.5 * g2) < 1e-12)
+  }
+
+  test("logisticTrain separates a linearly separable label and the gate predicts it") {
+    // y = 1 iff x1 > 0.5; plenty of iterations at a bounded feature
+    val rows = (0 until 40).map { i =>
+      val x1 = i / 40.0
+      (i.toLong, x1, if (x1 > 0.5) 1.0 else 0.0)
+    }
+    val df = rows.toDF("id", "x1", "y")
+    val w = TextAnalysis.logisticTrain(df, Seq("x1"), "y",
+      iters = 200, lr = 2.0)
+    assert(w(1) > 0, "informative feature gets a positive weight")
+    val scored = TextAnalysis.logisticScoreWith(df, "id", Seq("x1"), w)
+      .join(df.select(col("id"), col("y")), "id")
+      .select(col("pred"), col("y")).collect()
+    val acc = scored.count(r =>
+      r.getInt(0).toDouble == r.getDouble(1)).toDouble / scored.length
+    assert(acc >= 0.9, s"train accuracy $acc after 200 rounds")
+  }
+
+  test("logisticScoreWith is a shuffle-free map and gates on the rounded score") {
+    val df = Seq((1L, 0.5)).toDF("id", "x1")
+    val scored = TextAnalysis.logisticScoreWith(df, "id", Seq("x1"),
+      Array(0.0, 0.0))
+    assert(!scored.queryExecution.executedPlan.toString.contains("Exchange"))
+    val r = scored.head()
+    assert(r.getDouble(1) == 0.5 && r.getInt(2) == 1) // sigma(0)=0.5 >= 0.5
+  }
+
+  test("rrfFuse ranks on the 6 dp-rounded score with id tiebreak") {
+    // scores equal after rounding: rank order falls back to id
+    val a = Seq((2L, 1.0000001), (1L, 1.0000004)).toDF("id", "score")
+    val b = spark.emptyDataFrame
+      .select(lit(0L).as("id"), lit(0.0).as("score")).limit(0)
+    val got = Similarity.rrfFuse(a, b, "id", scoreCol = "score")
+      .collect().map(_.getAs[Long]("id"))
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+}
