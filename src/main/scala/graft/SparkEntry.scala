@@ -1504,6 +1504,41 @@ object SparkEntry {
         Tables.load(s, dir, "embeddings"), "label")
         .orderBy("cluster")),
 
+    // ext: LSH candidates → exact Levenshtein verify — the "≤ k edits"
+    // dedup policy (threshold form band-limits the DP; length prefilter)
+    "q136_edit_verify" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      ext.Dedup.editDistanceVerify(
+        ext.Dedup.minhashCandidates(docs, "text", "doc_id"),
+        docs, "doc_id", "text", 50)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ext: count-min sketch point estimates — the cell table collapses
+    // map-side to ≤ d·w rows; probes broadcast-join it (absent key → 0
+    // + collisions). 'zzznope' exercises the absent-key path
+    "q137_cms_counts" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(ext.TextAnalysis.wordTokens("text")).as("tok"))
+      val probes = Seq("hash", "join", "filter", "data", "the", "zzznope")
+        .toDF("tok")
+      ext.Cms.estimates(ext.Cms.cells(toks, "tok"), probes, "tok")
+        .orderBy("tok")
+    }),
+
+    // ext: CMS inner product — equi-join cardinality estimated from two
+    // d·w cell tables without scanning either side (the planner's
+    // pre-join sizing pass at 100 TB)
+    "q138_cms_join_size" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def toks(p: org.apache.spark.sql.Column) = docs.filter(p)
+        .select(explode(ext.TextAnalysis.wordTokens("text")).as("tok"))
+      ext.Cms.innerProduct(
+        ext.Cms.cells(toks(col("source").isin("src0", "src1")), "tok"),
+        ext.Cms.cells(toks(col("lang") === "zh"), "tok"))
+    }),
+
     // ext: logistic-regression quality gate — 5 rounds of full-batch GD
     // (one scan + one VectorMeanAgg gradient reduce per round, d+1-double
     // driver update); the convex complement to the q99 NB gate
@@ -1838,6 +1873,12 @@ object SparkEntry {
     (feat +: rounds).mkString("WITH ", ",\n", "")
   }
   private val LogitDotSql = "(0.0 + w0 * 1.0 + w1 * x1 + w2 * x2)"
+
+  /** DuckDB replica of [[ext.Cms.bucket]] at width 1024: the md5-prefix
+    * 60-bit hash of "j:key", expecting `j` in scope. */
+  private def CmsBucketSql(keyExpr: String): String =
+    s"""CAST(CAST(concat('0x', substr(md5(concat(j, ':', $keyExpr)), 1, 15))
+       AS UBIGINT) % 1024 AS BIGINT)"""
 
   private val CosSql =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
@@ -3890,6 +3931,49 @@ object SparkEntry {
            round(avg(a), 6) AS mean_a,
            round(avg(s), 6) AS mean_silhouette
          FROM s GROUP BY cluster ORDER BY cluster""",
+
+    // candidate CTEs shared with q21; byte-level DuckDB levenshtein ==
+    // codepoint-level Spark levenshtein on the ASCII test corpus
+    "q136_edit_verify" ->
+      s"""$MinhashPairsSql
+         SELECT c.id_a, c.id_b,
+           CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_dist
+         FROM cand c JOIN documents ta ON ta.doc_id = c.id_a
+                     JOIN documents tb ON tb.doc_id = c.id_b
+         WHERE levenshtein(ta.text, tb.text) <= 50
+         ORDER BY id_a, id_b""",
+
+    // same md5-prefix hash family; min over the 4 rows' cells, absent
+    // cell = 0
+    "q137_cms_counts" ->
+      s"""WITH h AS (SELECT unnest($ToksSql) AS tok FROM documents),
+         cells AS (SELECT j, ${CmsBucketSql("tok")} AS b,
+                     CAST(count(*) AS BIGINT) AS cell
+                   FROM h, generate_series(0, 3) g(j) GROUP BY j, b),
+         probes AS (SELECT unnest(['hash', 'join', 'filter', 'data',
+                      'the', 'zzznope']) AS tok),
+         pb AS (SELECT tok, j, ${CmsBucketSql("tok")} AS b
+                FROM probes, generate_series(0, 3) g(j))
+         SELECT pb.tok, min(coalesce(cell, 0)) AS est
+         FROM pb LEFT JOIN cells USING (j, b)
+         GROUP BY pb.tok ORDER BY tok""",
+
+    // CMS inner product: min over j of sum_b cellA*cellB
+    "q138_cms_join_size" ->
+      s"""WITH ha AS (SELECT unnest($ToksSql) AS tok FROM documents
+                WHERE source IN ('src0', 'src1')),
+         hb AS (SELECT unnest($ToksSql) AS tok FROM documents
+                WHERE lang = 'zh'),
+         ca AS (SELECT j, ${CmsBucketSql("tok")} AS b,
+                  CAST(count(*) AS BIGINT) AS cell
+                FROM ha, generate_series(0, 3) g(j) GROUP BY j, b),
+         cb AS (SELECT j, ${CmsBucketSql("tok")} AS b,
+                  CAST(count(*) AS BIGINT) AS cell
+                FROM hb, generate_series(0, 3) g(j) GROUP BY j, b),
+         dots AS (SELECT ca.j, CAST(sum(ca.cell * cb.cell) AS BIGINT) AS dot
+                  FROM ca JOIN cb ON ca.j = cb.j AND ca.b = cb.b
+                  GROUP BY ca.j)
+         SELECT min(dot) AS est_join_size FROM dots""",
 
     // 5 generated GD rounds (MATERIALIZED — the chain is re-referenced);
     // the only cross-engine divergence is gradient-avg summation order,

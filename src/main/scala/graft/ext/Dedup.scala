@@ -382,6 +382,36 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** EDIT-DISTANCE VERIFY of candidate pairs: exact Levenshtein distance
+    * for each (id_a, id_b) candidate — the character-level second stage
+    * behind a banding first stage ([[minhashCandidates]]), for when the
+    * dedup policy is "≤ k edits" rather than shingle Jaccard (template
+    * spam, OCR rescans, near-identical boilerplate variants).
+    *
+    * Two scale guards around the O(m·n) DP: a length prefilter
+    * (| |a|−|b| | > k can never pass — evaluated on already-joined
+    * lengths, no DP touched) and Spark's THRESHOLD form
+    * `levenshtein(a, b, k)`, which band-limits the DP to O(k·min(m,n))
+    * and returns −1 on early exit. Both joins hash on the id key only;
+    * text moves once per candidate side.
+    *
+    * Distances are Unicode-codepoint edits (Spark semantics). A DuckDB
+    * oracle replays byte-level edits, so cross-engine parity holds on
+    * ASCII corpora (the test tables are ASCII; on multibyte corpora pin
+    * with a suite instead). Output: (id_a, id_b, edit_dist ≤ maxDist). */
+  def editDistanceVerify(cand: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, maxDist: Int): DataFrame = {
+    val t = docs.select(col(idCol), col(textCol))
+    cand
+      .join(t.select(col(idCol).as("id_a"), col(textCol).as("_ta")), "id_a")
+      .join(t.select(col(idCol).as("id_b"), col(textCol).as("_tb")), "id_b")
+      .filter(abs(length(col("_ta")) - length(col("_tb"))) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("_ta"), col("_tb"), maxDist))
+      .filter(col("edit_dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   /** Full MinHash signature as one string column — all `numHashes` minima
     * comma-joined (= every band key concatenated). Signature equality
     * implies near-identical shingle sets (J ≈ 1 across all hash

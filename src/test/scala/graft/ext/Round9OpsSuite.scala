@@ -145,6 +145,62 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L))
   }
 
+  // ---- editDistanceVerify ------------------------------------------------
+
+  test("editDistanceVerify keeps pairs within maxDist and reports the exact distance") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fix"),   // 1 edit from doc 1
+      (3L, "completely different text entirely"),
+      (4L, "the quick brown fox jumps")) // 6 edits from doc 1
+      .toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.editDistanceVerify(cand, docs, "doc_id", "text", 5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // (1,3) dies on the length prefilter (|19-34| > 5); (1,4) on distance
+    assert(got.toSeq == Seq((1L, 2L, 1)))
+    val loose = Dedup.editDistanceVerify(cand, docs, "doc_id", "text", 10)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(loose.toSeq == Seq((1L, 2L, 1), (1L, 4L, 6)))
+  }
+
+  // ---- Cms ---------------------------------------------------------------
+
+  test("CMS estimates are exact at ample width and never undercount when narrow") {
+    val toks = Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val df = toks.toDF("tok")
+    val probes = Seq("alpha", "beta", "gamma", "absent").toDF("tok")
+    // wide sketch: collisions vanishingly unlikely over 3 keys
+    val wide = Cms.estimates(Cms.cells(df, "tok", 4, 4096), probes, "tok",
+      4, 4096).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == Map("alpha" -> 7L, "beta" -> 3L, "gamma" -> 1L,
+      "absent" -> 0L))
+    // 1-bucket sketch: every estimate collapses to the stream length —
+    // the never-undercount bound at its degenerate extreme
+    val narrow = Cms.estimates(Cms.cells(df, "tok", 2, 1), probes, "tok",
+      2, 1).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(narrow.values.forall(_ == 11L))
+  }
+
+  test("CMS inner product bounds the exact equi-join size from above") {
+    val a = (Seq.fill(4)("x") ++ Seq.fill(2)("y") ++ Seq("only_a")).toDF("tok")
+    val b = (Seq.fill(3)("x") ++ Seq.fill(5)("y") ++ Seq("only_b")).toDF("tok")
+    val exact = 4 * 3 + 2 * 5 // 22 join rows on shared keys
+    val est = Cms.innerProduct(Cms.cells(a, "tok", 4, 4096),
+      Cms.cells(b, "tok", 4, 4096)).head().getLong(0)
+    assert(est == exact) // ample width: no collisions, bound is tight
+    val estNarrow = Cms.innerProduct(Cms.cells(a, "tok", 4, 2),
+      Cms.cells(b, "tok", 4, 2)).head().getLong(0)
+    assert(estNarrow >= exact)
+  }
+
+  test("CMS cell table stays within d*w rows however large the input") {
+    val df = (1 to 500).map(i => s"tok$i").toDF("tok")
+    assert(Cms.cells(df, "tok", 4, 16).count() <= 4L * 16)
+  }
+
   // ---- logisticTrain / logisticScoreWith ---------------------------------
 
   test("logisticTrain replays the hand-computed first GD round") {
