@@ -301,6 +301,64 @@ object Bench {
         System.err.println(s"eval_scale_probe failed: ${e.getMessage}")
     }
 
+    // r9 text/cluster/GD probe at 16× corpus: vocabDivergence (vocab-sized
+    // full-outer merge), tokenEntropy (per-row HOF map — foreach, count()
+    // would prune the whole projection), zipfFit (TakeOrderedAndProject
+    // top-N), clusterQuality (O(n·k) broadcast-centroid scoring over 16×
+    // embeddings), logisticTrain (5 GD scans + gradient reduces). Same
+    // two-interleaved-pass min-per-cell discipline as the dedup probe.
+    if (probeOn("text9")) try {
+      dropCaches()
+      import org.apache.spark.sql.functions.{col, max, lit}
+      val corpora = Seq(1, 16).map { f =>
+        f -> SparkEntry.probeCorpus(spark, sfDir, f)._1
+      }
+      val embBase = Tables.load(spark, sfDir, "embeddings")
+      val embStride = embBase.agg(max(col("vec_id"))).first().getLong(0) + 1L
+      val embs = Seq(1, 16).map { f =>
+        val rep = (0 until f).map(i => embBase.select(
+            (col("vec_id") + lit(i * embStride)).as("vec_id"),
+            col("embedding"), col("label"))).reduce(_ union _)
+        val ck = rep.localCheckpoint(true)
+        f -> ck
+      }
+      val cells =
+        (for {
+          (f, docs) <- corpora
+          (name, run) <- Seq[(String, () => Long)](
+            "vocab_div" -> (() => { ext.TextAnalysis.vocabDivergence(
+              docs.filter(col("lang") === "en"),
+              docs.filter(col("lang") =!= "en"), "text").count(); 0L }),
+            "token_entropy" -> (() => { ext.TextAnalysis
+              .tokenEntropy(docs, "doc_id", "text")
+              .foreach((_: org.apache.spark.sql.Row) => ()); 0L }),
+            "zipf_fit" -> (() => { ext.TextAnalysis
+              .zipfFit(docs, "text", 200).count(); 0L }),
+            "logistic_train" -> (() => { ext.TextAnalysis.logisticTrain(
+              docs.select(col("doc_id"),
+                (org.apache.spark.sql.functions.length(col("text")) % 97)
+                  .cast("double").divide(97.0).as("x1"),
+                (col("doc_id") % 7).cast("double").divide(7.0).as("x2"),
+                (col("doc_id") % 2).cast("double").as("y")),
+              Seq("x1", "x2"), "y"); 0L }))
+        } yield ((f, name), run)) ++
+        (for ((f, emb) <- embs) yield ((f, "cluster_quality"),
+          () => { ext.Similarity.clusterQuality(emb, "label").count(); 0L }))
+      val (times, _) = interleavedTimes(cells)
+      val names = Seq("vocab_div", "token_entropy", "zipf_fit",
+        "logistic_train", "cluster_quality")
+      val lines = names.map { name =>
+        val t1 = times((1, name)); val t16 = times((16, name))
+        s"\"$name\":{\"sec_1x\":$t1,\"sec_16x\":$t16," +
+          s"\"ratio_16x\":${t16 / math.max(t1, 1e-9)}}"
+      }.mkString("{", ",", "}")
+      val l = s"""{"metric":"text9_scale_probe","probes_isolated":true,"factor":16,"interleaved_passes":2,"ops":$lines}"""
+      println(l); extraLines += l
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"text9_scale_probe failed: ${e.getMessage}")
+    }
+
     // 100×-row window/join probe (full runs only): q32's per-key running
     // window and q42's interval-join attribution with keys replicated
     // disjointly. Certification is PER-ROW cost (like the geometry probe):
