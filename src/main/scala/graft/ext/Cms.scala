@@ -52,6 +52,22 @@ object Cms {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cell"), lit(0L))).as("est"))
 
+  /** Windowed cell table — the SAME call runs batch or Structured
+    * Streaming (add `withWatermark` upstream on a stream): per event-time
+    * window the aggregation state is AT MOST d·w cells no matter how many
+    * distinct keys flow through — the fixed-state property
+    * [[graft.streaming.EventStream.hotValues]] (Misra–Gries) provides for
+    * heavy keys, extended here to point-estimates of ANY key. Partial
+    * aggregation per micro-batch is exactly the sketch's cell-wise merge. */
+  def cellsWindowed(df: DataFrame, keyCol: String, tsCol: String = "ts",
+      dur: String = "1 hour", depth: Int = 4,
+      width: Int = 1024): DataFrame =
+    df.select(col(tsCol),
+        explodeBuckets(col(keyCol), depth, width).as(Seq("j", "b")))
+      .groupBy(window(col(tsCol), dur), col("j"), col("b"))
+      .agg(count(lit(1)).as("cell"))
+      .select(col("window.start").as("ws"), col("j"), col("b"), col("cell"))
+
   /** Join-size / inner-product estimate between two sketched key columns:
     * min over j of Σ_b cellA·cellB (Cormode & Muthukrishnan §4.2) — an
     * upper-biased estimate of Σ_key cntA(key)·cntB(key), i.e. the exact

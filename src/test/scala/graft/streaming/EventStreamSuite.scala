@@ -93,6 +93,36 @@ class EventStreamSuite extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.size < 39)
   }
 
+  test("windowed CMS cells: batch == stream, per-window state capped at d*w") {
+    // two 1h windows of event types; d=2, w=8 keeps collisions plausible
+    // while the cap stays visible
+    val evs = (1L to 20L).map { i =>
+      EventStream.Event(i, ts(i), 1, s"type${i % 5}", 1.0)
+    } ++ (21L to 30L).map { i =>
+      EventStream.Event(i, ts(i + 70), 1, s"type${i % 3}", 1.0)
+    }
+    val dir = Files.createTempDirectory("graft_cms_stream").toString
+    evs.toDF().write.mode("overwrite").parquet(dir)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Cms.cellsWindowed(df, "event_type", "ts", "1 hour", 2, 8)
+    val batch = cells(spark.read.parquet(dir)).collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // per-window cap: at most d*w = 16 cells however many keys arrive
+    assert(batch.groupBy(_._1).values.forall(_.size <= 16))
+    val stream = spark.readStream.schema(evs.toDF().schema).parquet(dir)
+      .withWatermark("ts", "10 minutes")
+    val q = cells(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("cms_out").collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch)
+  }
+
   test("hotValues: bounded Misra-Gries state retains guaranteed heavy values, batch and stream") {
     // window 0: 'view' x6 of n=10 (> n/(cap+1) = 3.33 at cap=2) must be
     // retained under ANY arrival order; window 1: 'buy' x4 of 5 likewise
