@@ -1504,6 +1504,19 @@ object SparkEntry {
         Tables.load(s, dir, "embeddings"), "label")
         .orderBy("cluster")),
 
+    // ext: PageRank over the symmetrized q21 near-dup graph — template
+    // hubs rank high; 5 damped power-iteration rounds, each one
+    // edges⋈rank join + map-side contribution sum
+    "q139_pagerank" -> ((s, dir) => {
+      val pairs = ext.Dedup.minhashLsh(Tables.load(s, dir, "documents"),
+        "text", "doc_id", numHashes = 16, bands = 4, minJaccard = 0.3)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      ext.Graph.pageRank(edges, "src", "dst", 5)
+        .select(col("node").as("doc_id"), round(col("pr"), 6).as("pr"))
+        .orderBy("doc_id")
+    }),
+
     // ext: LSH candidates → exact Levenshtein verify — the "≤ k edits"
     // dedup policy (threshold form band-limits the DP; length prefilter)
     "q136_edit_verify" -> ((s, dir) => {
@@ -3931,6 +3944,43 @@ object SparkEntry {
            round(avg(a), 6) AS mean_a,
            round(avg(s), 6) AS mean_silhouette
          FROM s GROUP BY cluster ORDER BY cluster""",
+
+    // 5 generated MATERIALIZED power-iteration rounds over the q21 pair
+    // CTEs; per-round: dangling-mass scalar (left-join null test = the
+    // anti-join), contribution sum, rank refresh — the damping factor
+    // contracts the sum-order float divergence every round
+    "q139_pagerank" -> {
+      val (damping, iters) = (0.85, 5)
+      val resid = 1.0 - damping
+      val rounds = (1 to iters).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT coalesce(sum(pr), 0.0) AS dang
+             FROM pr${i - 1} p LEFT JOIN dg ON dg.node = p.node
+             WHERE dg.outdeg IS NULL),
+           c$i AS MATERIALIZED (SELECT e.dst AS node,
+               sum(p.pr / dg.outdeg) AS s
+             FROM ed e JOIN pr${i - 1} p ON p.node = e.src
+                       JOIN dg ON dg.node = e.src
+             GROUP BY e.dst),
+           pr$i AS MATERIALIZED (SELECT nd.node,
+               $resid / n + $damping * (coalesce(c.s, 0.0) + d.dang / n)
+                 AS pr
+             FROM nd LEFT JOIN c$i c ON c.node = nd.node, nn, d$i d)"""
+      }.mkString(",\n")
+      s"""$MinhashPairsSql,
+         ed AS MATERIALIZED (
+           SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard >= 0.3
+           UNION ALL
+           SELECT id_b AS src, id_a AS dst FROM j WHERE jaccard >= 0.3),
+         nd AS MATERIALIZED (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+         dg AS MATERIALIZED (SELECT src AS node,
+             CAST(count(*) AS BIGINT) AS outdeg FROM ed GROUP BY src),
+         pr0 AS MATERIALIZED (SELECT node, 1.0 / n AS pr FROM nd, nn),
+         $rounds
+         SELECT node AS doc_id, round(pr, 6) AS pr FROM pr$iters
+         ORDER BY doc_id"""
+    },
 
     // candidate CTEs shared with q21; byte-level DuckDB levenshtein ==
     // codepoint-level Spark levenshtein on the ASCII test corpus

@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over plain edge DataFrames — the category the
+  * rest of the engine reaches with [[Dedup.connectedComponents]] (label
+  * propagation to a fixpoint) extended to damped power iteration.
+  *
+  * Everything is edge-relational: no graph object, no driver adjacency —
+  * an iteration is a join-aggregate over the edge list, which is exactly
+  * how GraphX/Pregel lower to shuffles anyway, minus the abstraction. */
+object Graph {
+
+  /** PAGERANK by `iters` damped power-iteration rounds (Page et al. 1999):
+    * pr ← (1−d)/N + d·(Σ_in pr/outdeg + dangling/N), dangling = the rank
+    * mass of nodes with no out-edges, redistributed uniformly. On the
+    * near-dup graph this scores how CENTRAL a document is in its
+    * duplication neighbourhood (template hubs rank high — a curation
+    * signal the pairwise jaccard can't see); on a link graph it is the
+    * classic domain-authority quality weight.
+    *
+    * Shape at 100 TB: each round is one edges⋈pr hash join (both sides
+    * partitioned by the join key; the edge side's exchange is reused
+    * across rounds), a map-side-combined contribution sum, and a 1-double
+    * dangling-mass pull — the driver never sees a node table. Each
+    * round's rank table is eagerly truncated (`localCheckpoint`; swap for
+    * `checkpoint` on a real cluster) so the lineage — and the work — stays
+    * LINEAR in `iters` instead of re-deriving round t−1 under both of
+    * round t's consumers.
+    *
+    * Determinism: contribution sums are the only order-dependent doubles
+    * and the damping factor contracts their divergence every round; the
+    * caller rounds the published ranks (6 dp is far above the residual).
+    * Output: (node, pr), Σpr = 1 up to float error. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count().toDouble
+    val resid = 1.0 - damping
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+    var pr = nodes.select(col("node"), (lit(1.0) / lit(n)).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val dang = pr.join(deg, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0))).first().getDouble(0)
+      val contribs = e
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(deg.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("outdeg")).as("s"))
+      pr = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(resid) / lit(n) + lit(damping) *
+            (coalesce(col("s"), lit(0.0)) + lit(dang) / lit(n))).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+}

@@ -201,6 +201,38 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(Cms.cells(df, "tok", 4, 16).count() <= 4L * 16)
   }
 
+  // ---- pageRank ----------------------------------------------------------
+
+  test("pageRank replays a hand-computed chain with a dangling node, mass conserved") {
+    // directed chain 1 -> 2 -> 3; node 3 is dangling (its mass spreads)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference replay of the same update rule
+    val (d, n) = (0.85, 3.0)
+    var pr = Map(1L -> 1 / n, 2L -> 1 / n, 3L -> 1 / n)
+    for (_ <- 1 to 3) {
+      val dang = pr(3L)
+      pr = Map(
+        1L -> ((1 - d) / n + d * (0.0 + dang / n)),
+        2L -> ((1 - d) / n + d * (pr(1L) / 1 + dang / n)),
+        3L -> ((1 - d) / n + d * (pr(2L) / 1 + dang / n)))
+    }
+    for (k <- pr.keys) assert(math.abs(got(k) - pr(k)) < 1e-12,
+      s"node $k: ${got(k)} vs ${pr(k)}")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "rank mass conserved")
+  }
+
+  test("pageRank: the hub of a symmetric star outranks its leaves") {
+    val spokes = (2L to 6L)
+    val edges = (spokes.map(l => (1L, l)) ++ spokes.map(l => (l, 1L)))
+      .toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(spokes.forall(l => got(1L) > got(l)), s"hub must dominate: $got")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
   // ---- logisticTrain / logisticScoreWith ---------------------------------
 
   test("logisticTrain replays the hand-computed first GD round") {
