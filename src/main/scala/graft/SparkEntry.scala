@@ -1504,6 +1504,13 @@ object SparkEntry {
         Tables.load(s, dir, "embeddings"), "label")
         .orderBy("cluster")),
 
+    // ext: int8 scalar quantization of the embedding store — per-dim
+    // min/max affine map + per-vector reconstruction MSE (the recall
+    // audit before a 4× store compression ships)
+    "q140_int8_quant" -> ((s, dir) =>
+      ext.Similarity.scalarQuantize(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("mse")).orderBy("vec_id")),
+
     // ext: PageRank over the symmetrized q21 near-dup graph — template
     // hubs rank high; 5 damped power-iteration rounds, each one
     // edges⋈rank join + map-side contribution sum
@@ -3944,6 +3951,24 @@ object SparkEntry {
            round(avg(a), 6) AS mean_a,
            round(avg(s), 6) AS mean_silhouette
          FROM s GROUP BY cluster ORDER BY cluster""",
+
+    // same affine form left-associated; round() sees only non-negative
+    // arguments so HALF_UP and half-away agree; (qv+128) == round(...)
+    // exactly on integers, so the reconstruction skips the offset
+    "q140_int8_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         x AS (SELECT vec_id, unnest(v) AS x,
+                 unnest(generate_series(1, len(v))) AS d FROM e),
+         st AS (SELECT d, min(x) AS lo, max(x) AS hi FROM x GROUP BY d),
+         r AS (SELECT vec_id, x.x,
+                 CASE WHEN st.hi > st.lo
+                 THEN st.lo + round((x.x - st.lo) * 255.0 / (st.hi - st.lo))
+                   * (st.hi - st.lo) / 255.0
+                 ELSE st.lo END AS xr
+               FROM x JOIN st USING (d))
+         SELECT vec_id, round(avg((x - xr) * (x - xr)), 6) AS mse
+         FROM r GROUP BY vec_id ORDER BY vec_id""",
 
     // 5 generated MATERIALIZED power-iteration rounds over the q21 pair
     // CTEs; per-round: dangling-mass scalar (left-join null test = the

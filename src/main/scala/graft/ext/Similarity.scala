@@ -507,6 +507,54 @@ object Similarity {
         round(avg(col("s")), 6).as("mean_silhouette"))
   }
 
+  /** INT8 SCALAR QUANTIZATION of an embedding column — the storage path of
+    * an ANN stack: per-dimension corpus min/max affine-maps each float to
+    * a signed byte (4× memory vs float32, 8× vs the double compute form),
+    * the standard serving-store compression when PQ's codebook training
+    * is overkill. Returns the quantized vector plus the per-vector
+    * reconstruction MSE so recall regressions are auditable BEFORE the
+    * store swap.
+    *
+    * Shape at 100 TB: the dim-stats aggregation collapses map-side to d
+    * cells; the d-length lo/hi arrays broadcast; quantization and the MSE
+    * are then one shuffle-free per-row HOF map. Determinism: the affine
+    * arithmetic is a fixed left-associated form, `round` sees only
+    * non-negative arguments (both engines round ties away from zero
+    * there), and constant dims quantize to 0 with exact-lo
+    * reconstruction. Output: (idCol, q array<tinyint>, mse at 6 dp). */
+  def scalarQuantize(df: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val dims = df
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("d"), col("lo"), col("hi"))))
+        .as("ds"))
+      .select(expr("transform(ds, p -> p.lo)").as("los"),
+        expr("transform(ds, p -> p.hi)").as("his"))
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(dims))
+      .withColumn("q", expr(
+        """transform(v, (x, i) -> CAST(
+             CASE WHEN element_at(his, i + 1) > element_at(los, i + 1)
+             THEN round((x - element_at(los, i + 1)) * 255.0 /
+               (element_at(his, i + 1) - element_at(los, i + 1))) - 128
+             ELSE 0 END AS TINYINT))"""))
+      .withColumn("_xr", expr(
+        """transform(v, (x, i) ->
+             CASE WHEN element_at(his, i + 1) > element_at(los, i + 1)
+             THEN element_at(los, i + 1) +
+               round((x - element_at(los, i + 1)) * 255.0 /
+                 (element_at(his, i + 1) - element_at(los, i + 1))) *
+               (element_at(his, i + 1) - element_at(los, i + 1)) / 255.0
+             ELSE element_at(los, i + 1) END)"""))
+      .withColumn("mse", round(expr(
+        """aggregate(zip_with(v, _xr, (a, b) -> (a - b) * (a - b)),
+           CAST(0.0 AS DOUBLE), (s, t) -> s + t) / size(v)"""), 6))
+      .select(col(idCol), col("q"), col("mse"))
+  }
+
   /** RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher 2009): merge two
     * retrieval rankings — canonically a sparse (BM25) and a dense (ANN
     * cosine) run — into one list by Σ 1/(k + rank), the standard hybrid

@@ -201,6 +201,37 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(Cms.cells(df, "tok", 4, 16).count() <= 4L * 16)
   }
 
+  // ---- scalarQuantize ----------------------------------------------------
+
+  test("scalarQuantize: on-grid values reconstruct exactly, constants go to 0, range holds") {
+    // dim 0 spans [0, 255] with on-grid points (exact reconstruction);
+    // dim 1 is constant (lo == hi -> q = 0, xr = lo, zero error)
+    val rows = Seq(
+      (1L, Array(0.0f, 7.0f)),
+      (2L, Array(255.0f, 7.0f)),
+      (3L, Array(128.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.scalarQuantize(rows)
+      .orderBy("vec_id").collect()
+    assert(got.map(_.getAs[Double]("mse")).forall(_ == 0.0))
+    val qs = got.map(_.getSeq[Byte](1))
+    assert(qs(0) == Seq(-128.toByte, 0.toByte)) // 0 -> q=-128; const dim -> 0
+    assert(qs(1) == Seq(127.toByte, 0.toByte))  // 255 -> q=127
+    assert(qs(2) == Seq(0.toByte, 0.toByte))    // 128 -> round(128.0)=128 -> 0
+    assert(qs.flatten.forall(b => b >= -128 && b <= 127))
+  }
+
+  test("scalarQuantize MSE is bounded by the quantization step") {
+    // off-grid values: per-dim step = (hi-lo)/255, max err step/2
+    val rows = (0 until 50).map(i => (i.toLong, Array(i * 0.13f, -i * 0.07f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.scalarQuantize(rows).collect()
+    val step = math.pow(49 * 0.13f / 255.0 / 2.0, 2) +
+      math.pow(49 * 0.07f / 255.0 / 2.0, 2)
+    assert(got.map(_.getAs[Double]("mse")).forall(_ <= step),
+      "per-vector MSE exceeds the half-step bound")
+  }
+
   // ---- pageRank ----------------------------------------------------------
 
   test("pageRank replays a hand-computed chain with a dangling node, mass conserved") {
