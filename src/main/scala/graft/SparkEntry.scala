@@ -1504,6 +1504,37 @@ object SparkEntry {
         Tables.load(s, dir, "embeddings"), "label")
         .orderBy("cluster")),
 
+    // ext: label propagation over the near-dup graph — every 5th doc
+    // seeds its lang; plurality vote per round, seeds clamped; exact
+    // integer arithmetic (no float grain at all)
+    "q142_label_prop" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = ext.Dedup.minhashLsh(docs, "text", "doc_id",
+        numHashes = 16, bands = 4, minJaccard = 0.3)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val seeds = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"))
+      ext.Graph.labelPropagation(edges, seeds, "src", "dst",
+        "doc_id", "lang", 5)
+        .select(col("node").as("doc_id"), col("label"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.6 salted skew-join: explicit (key, salt) split of hot keys for
+    // the joins AQE can't re-plan; result ≡ the plain join (the oracle
+    // IS the plain join)
+    "q141_salted_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      operators.SkewJoin.saltedJoin(li, ords, "l_orderkey", 8, "l_partkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ext: int8 scalar quantization of the embedding store — per-dim
     // min/max affine map + per-vector reconstruction MSE (the recall
     // audit before a 4× store compression ships)
@@ -3951,6 +3982,47 @@ object SparkEntry {
            round(avg(a), 6) AS mean_a,
            round(avg(s), 6) AS mean_silhouette
          FROM s GROUP BY cluster ORDER BY cluster""",
+
+    // 5 generated MATERIALIZED plurality-vote rounds over the q21 pair
+    // CTEs; all-integer — no rounding grain anywhere
+    "q142_label_prop" -> {
+      val iters = 5
+      val rounds = (1 to iters).map { i =>
+        s"""v$i AS MATERIALIZED (SELECT e.dst AS node, l.label,
+               CAST(count(*) AS BIGINT) AS c
+             FROM ed e JOIN lb${i - 1} l ON l.node = e.src
+             WHERE l.label IS NOT NULL GROUP BY e.dst, l.label),
+           t$i AS MATERIALIZED (SELECT node, label AS vote FROM (
+             SELECT node, label, row_number() OVER (PARTITION BY node
+               ORDER BY c DESC, label) AS rn FROM v$i) WHERE rn = 1),
+           lb$i AS MATERIALIZED (SELECT nd.node,
+               coalesce(sd.seed, t.vote) AS label
+             FROM nd LEFT JOIN sd ON sd.node = nd.node
+                     LEFT JOIN t$i t ON t.node = nd.node)"""
+      }.mkString(",\n")
+      s"""$MinhashPairsSql,
+         ed AS MATERIALIZED (
+           SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard >= 0.3
+           UNION ALL
+           SELECT id_b AS src, id_a AS dst FROM j WHERE jaccard >= 0.3),
+         nd AS MATERIALIZED (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+         sd AS MATERIALIZED (SELECT doc_id AS node, lang AS seed
+           FROM documents WHERE doc_id % 5 = 0),
+         lb0 AS MATERIALIZED (SELECT nd.node, sd.seed AS label
+           FROM nd LEFT JOIN sd ON sd.node = nd.node),
+         $rounds
+         SELECT node AS doc_id, label FROM lb$iters ORDER BY doc_id"""
+    },
+
+    // the salted join is semantically the plain join — 2 dp money grain
+    // (summands on the 0.01 grid never land on a .005 tie)
+    "q141_salted_join" ->
+      """SELECT o_orderpriority,
+         round(sum(l_extendedprice), 2) AS revenue,
+         count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // same affine form left-associated; round() sees only non-negative
     // arguments so HALF_UP and half-away agree; (qv+128) == round(...)

@@ -201,6 +201,60 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(Cms.cells(df, "tok", 4, 16).count() <= 4L * 16)
   }
 
+  // ---- SkewJoin ----------------------------------------------------------
+
+  test("saltedJoin equals the plain join and actually splits a hot key") {
+    val big = (1L to 200L).map(i => (42L, i, i * 2.0)) ++
+      Seq((7L, 999L, 1.0)) // hot key 42 plus a singleton key
+    val bigDf = big.toDF("k", "rid", "v")
+    val smallDf = Seq((42L, "hot"), (7L, "cold"), (8L, "unmatched"))
+      .toDF("k", "tag")
+    val salted = graft.operators.SkewJoin
+      .saltedJoin(bigDf, smallDf, "k", 8, "rid")
+    val plain = bigDf.join(smallDf, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "rid", "v", "tag").collect().toSet ==
+      plain.select("k", "rid", "v", "tag").collect().toSet)
+    // the hot key's rows really spread over multiple salt buckets
+    import org.apache.spark.sql.functions.{conv => sconv}
+    val nSalts = bigDf.filter($"k" === 42L)
+      .select(pmod(sconv(substring(md5($"rid".cast("string")), 1, 15),
+        16, 10).cast("long"), lit(8L)).as("s"))
+      .distinct().count()
+    assert(nSalts > 4, s"expected the hot key spread across salts, got $nSalts")
+  }
+
+  // ---- labelPropagation --------------------------------------------------
+
+  test("labelPropagation spreads a seed down a chain one hop per round, seeds clamped") {
+    // chain 1-2-3-4 (symmetric); node 1 seeded "a"; node 4 seeded "b"
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq((1L, "a"), (4L, "b")).toDF("node", "lab")
+    def run(iters: Int) = Graph.labelPropagation(
+      edges, seeds, "src", "dst", "node", "lab", iters)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val r1 = run(1)
+    assert(r1(2L).contains("a") && r1(3L).contains("b"))
+    assert(r1(1L).contains("a") && r1(4L).contains("b"), "seeds clamped")
+    // node 2 hears 'a' (from 1) and 'b' (from 3) in round 2: tie breaks
+    // to the lexicographically smaller label
+    val r2 = run(2)
+    assert(r2(2L).contains("a") && r2(3L).contains("a"),
+      s"tie must break to the smaller label: $r2")
+  }
+
+  test("labelPropagation leaves unreachable nodes NULL") {
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, "x")).toDF("node", "lab")
+    val got = Graph.labelPropagation(edges, seeds, "src", "dst",
+      "node", "lab", 3)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(2L).contains("x"))
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+  }
+
   // ---- scalarQuantize ----------------------------------------------------
 
   test("scalarQuantize: on-grid values reconstruct exactly, constants go to 0, range holds") {
