@@ -322,7 +322,32 @@ object Bench {
         val ck = rep.localCheckpoint(true)
         f -> ck
       }
+      // synthetic ring+chord graph (i → i±1, i+7 mod n) at 1× and 16×
+      // nodes: times the per-round join-aggregate machinery itself,
+      // independent of how the edges were mined
+      val graphs = Seq(1, 16).map { f =>
+        val n = 20000L * f
+        val ids = spark.range(n).select(col("id"))
+        val e = ids.select(col("id").as("src"),
+            ((col("id") + 1L) % n).as("dst"))
+          .union(ids.select(col("id").as("src"),
+            ((col("id") + n - 1L) % n).as("dst")))
+          .union(ids.select(col("id").as("src"),
+            ((col("id") + 7L) % n).as("dst")))
+          .localCheckpoint(true)
+        f -> e
+      }
       val cells =
+        (for {
+          (f, e) <- graphs
+          (name, run) <- Seq[(String, () => Long)](
+            "pagerank" -> (() =>
+              { ext.Graph.pageRank(e, "src", "dst", 3).count(); 0L }),
+            "label_prop" -> (() => { ext.Graph.labelPropagation(e,
+              e.select((col("src") * 20L).as("node"),
+                (col("src") % 5L).cast("string").as("lab")).limit(1000),
+              "src", "dst", "node", "lab", 3).count(); 0L }))
+        } yield ((f, name), run)) ++
         (for {
           (f, docs) <- corpora
           (name, run) <- Seq[(String, () => Long)](
@@ -346,7 +371,7 @@ object Bench {
           () => { ext.Similarity.clusterQuality(emb, "label").count(); 0L }))
       val (times, _) = interleavedTimes(cells)
       val names = Seq("vocab_div", "token_entropy", "zipf_fit",
-        "logistic_train", "cluster_quality")
+        "logistic_train", "cluster_quality", "pagerank", "label_prop")
       val lines = names.map { name =>
         val t1 = times((1, name)); val t16 = times((16, name))
         s"\"$name\":{\"sec_1x\":$t1,\"sec_16x\":$t16," +
