@@ -1504,6 +1504,32 @@ object SparkEntry {
         Tables.load(s, dir, "embeddings"), "label")
         .orderBy("cluster")),
 
+    // §2.6 pivot: status columns per priority (sum-CASE oracle; absent
+    // combos are NULL in both engines)
+    "q143_pivot" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(lit(1L)))
+        .orderBy("o_orderpriority")),
+
+    // §2.6 unpivot/melt: wide part attributes to (attr, val) rows
+    "q144_unpivot" -> ((s, dir) =>
+      Tables.load(s, dir, "part")
+        .filter(col("p_partkey") <= 50)
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size").cast("double").as("p_size"),
+            col("p_retailprice").cast("double").as("p_retailprice")),
+          "attr", "val")
+        .orderBy("p_partkey", "attr")),
+
+    // ext: per-user daily resample with forward fill — irregular events
+    // to a dense model-ready state table; fill is an exact data value
+    "q145_resample_fill" -> ((s, dir) =>
+      streaming.EventStream.resampleFill(
+        Tables.load(s, dir, "events").filter(col("user_id") < 10))
+        .orderBy("user_id", "bucket")),
+
     // ext: label propagation over the near-dup graph — every 5th doc
     // seeds its lang; plurality vote per round, seeds clamped; exact
     // integer arithmetic (no float grain at all)
@@ -3982,6 +4008,48 @@ object SparkEntry {
            round(avg(a), 6) AS mean_a,
            round(avg(s), 6) AS mean_silhouette
          FROM s GROUP BY cluster ORDER BY cluster""",
+
+    // sum-CASE pivot: absent (priority, status) combos are NULL under
+    // sum in both engines (count would give 0 in SQL but NULL in pivot)
+    "q143_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q144_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+         FROM part WHERE p_partkey <= 50
+         UNION ALL
+         SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+         FROM part WHERE p_partkey <= 50
+         ORDER BY p_partkey, attr""",
+
+    // dense per-user daily grid + forward fill; the filled value is the
+    // day's LAST observation by (ts, event_id) — exact, no rounding
+    "q145_resample_fill" ->
+      """WITH f AS (SELECT * FROM events WHERE user_id < 10),
+         daily AS (SELECT user_id, date_trunc('day', ts) AS bucket, value
+                   FROM (SELECT user_id, ts, event_id, value,
+                           row_number() OVER (
+                             PARTITION BY user_id, date_trunc('day', ts)
+                             ORDER BY ts DESC, event_id DESC) AS rn
+                         FROM f) WHERE rn = 1),
+         span AS (SELECT user_id, date_trunc('day', min(ts)) AS d0,
+                    date_trunc('day', max(ts)) AS d1
+                  FROM f GROUP BY user_id),
+         grid AS (SELECT user_id,
+                    unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                      AS bucket
+                  FROM span)
+         SELECT g.user_id AS user_id, g.bucket AS bucket,
+           last_value(d.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill
+         FROM grid g LEFT JOIN daily d
+           ON d.user_id = g.user_id AND d.bucket = g.bucket
+         ORDER BY g.user_id, g.bucket""",
 
     // 5 generated MATERIALIZED plurality-vote rounds over the q21 pair
     // CTEs; all-integer — no rounding grain anywhere

@@ -358,4 +358,40 @@ object EventStream {
     * events (ids are non-negative in every source this engine writes). */
   def withoutDrainSentinels(df: DataFrame): DataFrame =
     df.filter(col("event_id") =!= lit(Long.MinValue))
+
+  /** REGULAR-GRID RESAMPLE with forward fill: per user, a dense daily
+    * time grid from their first to their last event day, carrying the
+    * day's LAST observed value (by (ts, event_id) — deterministic under
+    * equal timestamps) forward across event-less days. The standard
+    * irregular-events → model-ready-features step (a daily "state of the
+    * user" table a training pipeline joins against); gaps become explicit
+    * repeated rows instead of silent holes.
+    *
+    * Shape at 100 TB: one shuffle by user for the per-day top-1 and span
+    * aggregation (map-side combined to users×days), the grid explodes
+    * from 2 timestamps per user (never a global calendar cross join), and
+    * the forward fill is a running `last(ignoreNulls)` over the same
+    * user partitioning — Catalyst reuses one exchange for all three.
+    * Output: (user_id, bucket, fill) — fill is an exact data value, no
+    * arithmetic, so no rounding grain is needed. */
+  def resampleFill(df: DataFrame): DataFrame = {
+    val daily = df
+      .withColumn("bucket", date_trunc("day", col("ts")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("bucket"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("bucket"), col("value"))
+    val grid = df
+      .groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("d0"),
+        date_trunc("day", max(col("ts"))).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("bucket"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "bucket"), "left")
+      .withColumn("fill", last(col("value"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("bucket"), col("fill"))
+  }
 }

@@ -93,6 +93,26 @@ class EventStreamSuite extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.size < 39)
   }
 
+  test("resampleFill: dense daily grid, last-of-day wins, gaps carry forward") {
+    def day(d: Int, min: Int) = new Timestamp(
+      java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 00:00:00").getTime +
+        min * 60000L)
+    val evs = Seq(
+      EventStream.Event(1, day(1, 10), 1, "a", 5.0),
+      EventStream.Event(2, day(1, 20), 1, "a", 7.0),  // later same day wins
+      EventStream.Event(3, day(3, 0), 1, "a", 9.0),   // day 2 is a gap
+      EventStream.Event(4, day(2, 0), 2, "a", 1.0))
+    val got = EventStream.resampleFill(evs.toDF())
+      .orderBy("user_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(10),
+        r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01", 7.0),  // last of day 1
+      (1L, "2024-01-02", 7.0),  // gap: carried forward
+      (1L, "2024-01-03", 9.0),
+      (2L, "2024-01-02", 1.0))) // single-day user: 1-row grid
+  }
+
   test("windowed CMS cells: batch == stream, per-window state capped at d*w") {
     // two 1h windows of event types; d=2, w=8 keeps collisions plausible
     // while the cap stays visible
