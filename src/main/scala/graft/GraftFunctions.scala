@@ -111,6 +111,10 @@ object GraftFunctions {
       require(exprs.length == 1, "normalize_text(t)")
       columnFn(exprs.head)(graft.ext.TextAnalysis.normalize)
     }, "built-in")
+    registry.createOrReplaceTempFunction("token_entropy", exprs => {
+      require(exprs.length == 1, "token_entropy(t)")
+      columnFn(exprs.head)(graft.ext.TextAnalysis.tokenEntropyCol)
+    }, "built-in")
     registry.createOrReplaceTempFunction("fingerprint", exprs => {
       require(exprs.length == 1 || exprs.length == 2, "fingerprint(t[, n])")
       val n =

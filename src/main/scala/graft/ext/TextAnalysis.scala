@@ -1182,6 +1182,19 @@ object TextAnalysis {
     * filter-count), so the operator is a shuffle-free map over the scan.
     * Output: (idCol, n_tokens, n_distinct, entropy, norm_entropy) at
     * 6 dp. */
+  /** Column form of [[tokenEntropy]]'s entropy (6 dp, NULL for empty
+    * docs) — the SQL-registration surface (`token_entropy(t)`); binds the
+    * token array once through the single-element-transform trick. */
+  def tokenEntropyCol(c: Column): Column =
+    element_at(transform(array(wordTokens(c)), toks =>
+      when(size(toks) === 0, lit(null).cast("double")).otherwise(
+        round(aggregate(
+          transform(array_distinct(toks),
+            u => size(filter(toks, x => x === u))),
+          lit(0.0),
+          (h, cnt) => h - (cnt.cast("double") / size(toks)) *
+            log(cnt.cast("double") / size(toks))), 6))), 1)
+
   def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame =
     df.select(col(idCol),

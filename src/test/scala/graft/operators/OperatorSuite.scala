@@ -171,6 +171,23 @@ class GraftFunctionsSuite extends AnyFunSuite {
     assert(math.abs(r(2).getDouble(3) - 2.0 / 3.0) < 1e-12)
   }
 
+  test("round-9 SQL surface: token_entropy matches the DataFrame operator") {
+    graft.GraftFunctions.register(spark)
+    Seq((1L, "a b c d"), (2L, "spam spam spam"), (3L, ""))
+      .toDF("doc_id", "text").createOrReplaceTempView("t_r9e")
+    val viaSql = spark.sql(
+      "SELECT doc_id, token_entropy(text) AS e FROM t_r9e ORDER BY doc_id")
+      .collect().map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    val viaOp = graft.ext.TextAnalysis
+      .tokenEntropy(spark.table("t_r9e"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    assert(viaSql.toSeq == viaOp.toSeq)
+    assert(viaSql(0).contains(BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(viaSql(1).contains(0.0) && viaSql(2).isEmpty)
+  }
+
   test("round-5 SQL text surface: token_count, lang_id, quality_score, normalize_text, fingerprint") {
     graft.GraftFunctions.register(spark)
     Seq((1L, "the cat and the dog walked to the park"),
