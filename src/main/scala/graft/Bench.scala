@@ -579,8 +579,11 @@ object Bench {
     // full-precision twin is "total_full"), so a consumer scanning all
     // lines cannot double-count (ADVICE r5); bench_out.json remains the
     // canonical full-precision artifact.
+    // centisecond precision: at 145+ queries millisecond entries push the
+    // line past the driver's ~2000-char stdout tail; exact values live in
+    // the full-precision line and bench_out.json
     val compactQs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 1000) / 1000.0
+      "\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 100) / 100.0
     }.mkString("{", ",", "}")
     val compactLine =
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},""" +

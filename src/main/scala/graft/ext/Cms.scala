@@ -26,9 +26,11 @@ object Cms {
   /** Row j's bucket for `key`: first 15 md5 hex chars of "j:key" as a
     * 60-bit integer, mod `width` — the engine-portable hash family used
     * across the dedup stack. */
-  def bucket(j: Int, key: Column, width: Int): Column =
+  def bucket(j: Int, key: Column, width: Int): Column = {
+    require(width > 0, s"CMS width must be positive, got $width")
     conv(substring(md5(concat(lit(j.toString + ":"), key)), 1, 15), 16, 10)
       .cast("long") % width
+  }
 
   private def explodeBuckets(key: Column, depth: Int, width: Int) =
     posexplode(array((0 until depth).map(j => bucket(j, key, width)): _*))

@@ -401,6 +401,7 @@ object Dedup {
     * with a suite instead). Output: (id_a, id_b, edit_dist ≤ maxDist). */
   def editDistanceVerify(cand: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     val t = docs.select(col(idCol), col(textCol))
     cand
       .join(t.select(col(idCol).as("id_a"), col(textCol).as("_ta")), "id_a")

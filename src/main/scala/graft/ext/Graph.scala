@@ -36,28 +36,41 @@ object Graph {
     * Output: (node, pr), Σpr = 1 up to float error. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    // materialize the edge list ONCE: the caller's edges are often a
+    // mining pipeline (LSH pair extraction) that must not re-run inside
+    // every round's contribution join
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val n = nodes.count().toDouble
+    // empty-graph guard: n = 0 would constant-fold 1/0 at ANALYSIS time
+    // (ANSI) — fail loudly instead of with an optimizer-phase fault
+    require(n > 0, "pageRank: empty edge set")
     val resid = 1.0 - damping
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
     var pr = nodes.select(col("node"), (lit(1.0) / lit(n)).as("pr"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
+      // dangling mass as a broadcast 1-row frame, NOT a driver pull —
+      // pr is checkpointed, so its two consumers (dangling sum and the
+      // contribution join) read the materialized round, and the whole
+      // round stays one job (the checkpoint) instead of two
       val dang = pr.join(deg, Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("pr")), lit(0.0))).first().getDouble(0)
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("_dang"))
       val contribs = e
         .join(pr.withColumnRenamed("node", "src"), "src")
         .join(deg.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") / col("outdeg")).as("s"))
       pr = nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit(resid) / lit(n) + lit(damping) *
-            (coalesce(col("s"), lit(0.0)) + lit(dang) / lit(n))).as("pr"))
+            (coalesce(col("s"), lit(0.0)) + col("_dang") / lit(n)))
+            .as("pr"))
         .localCheckpoint(true)
     }
     pr
@@ -80,7 +93,10 @@ object Graph {
   def labelPropagation(edges: DataFrame, seeds: DataFrame, srcCol: String,
       dstCol: String, nodeCol: String, labelCol: String,
       iters: Int = 5): DataFrame = {
+    // same edge-list materialization as pageRank — rounds must join a
+    // table, not re-run the caller's mining pipeline
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)

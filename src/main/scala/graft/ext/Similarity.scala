@@ -549,9 +549,11 @@ object Similarity {
                  (element_at(his, i + 1) - element_at(los, i + 1))) *
                (element_at(his, i + 1) - element_at(los, i + 1)) / 255.0
              ELSE element_at(los, i + 1) END)"""))
-      .withColumn("mse", round(expr(
+      // empty-vector guard: size(v) = 0 would fault the ANSI division;
+      // an empty embedding has no reconstruction error to report → NULL
+      .withColumn("mse", when(size(col("v")) > 0, round(expr(
         """aggregate(zip_with(v, _xr, (a, b) -> (a - b) * (a - b)),
-           CAST(0.0 AS DOUBLE), (s, t) -> s + t) / size(v)"""), 6))
+           CAST(0.0 AS DOUBLE), (s, t) -> s + t) / size(v)"""), 6)))
       .select(col(idCol), col("q"), col("mse"))
   }
 

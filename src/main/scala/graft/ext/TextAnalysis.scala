@@ -1292,21 +1292,29 @@ object TextAnalysis {
         Window.orderBy(col("c").desc, col("tok"))))
       .select(log(col("rank").cast("double")).as("x"),
         log(col("c").cast("double")).as("y"))
+    // degenerate guards (ANSI division faults, not NULLs): a 1-term
+    // corpus has zero rank variance (slope undefined) and an all-equal
+    // -count top list has zero freq variance (r² undefined) — both yield
+    // NULL, matching the eval harness convention
+    val varX = col("sxx") - col("sx") * col("sx") / col("n_terms")
+    val varY = col("syy") - col("sy") * col("sy") / col("n_terms")
     ranked.agg(count(lit(1)).as("n_terms"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
       .select(col("n_terms"),
-        ((col("sxy") - col("sx") * col("sy") / col("n_terms")) /
-          (col("sxx") - col("sx") * col("sx") / col("n_terms"))).as("_m"),
+        when(col("n_terms") > 1,
+          (col("sxy") - col("sx") * col("sy") / col("n_terms")) / varX)
+          .as("_m"),
         col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
       .select(col("n_terms"), round(col("_m"), 6).as("slope"),
-        round((col("sy") - col("_m") * col("sx")) / col("n_terms"), 6)
+        when(col("n_terms") > 1, round(
+          (col("sy") - col("_m") * col("sx")) / col("n_terms"), 6))
           .as("intercept"),
-        round(pow(col("sxy") - col("sx") * col("sy") / col("n_terms"), 2) /
-          ((col("sxx") - col("sx") * col("sx") / col("n_terms")) *
-           (col("syy") - col("sy") * col("sy") / col("n_terms"))), 6)
+        when(col("n_terms") > 1 && varY > 0, round(
+          pow(col("sxy") - col("sx") * col("sy") / col("n_terms"), 2) /
+            (varX * varY), 6))
           .as("r2"))
   }
 }

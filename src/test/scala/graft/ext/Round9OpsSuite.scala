@@ -94,6 +94,29 @@ class Round9OpsSuite extends AnyFunSuite {
       s"expected TakeOrderedAndProject in plan:\n$plan")
   }
 
+  test("degenerate guards: 1-term zipf, flat-count r2, empty-vector mse, empty pageRank") {
+    // single distinct token: zero rank variance -> NULL slope/intercept/r2
+    val one = TextAnalysis.zipfFit(Seq("solo solo solo").toDF("text"), "text", 10)
+      .head()
+    assert(one.getLong(0) == 1L)
+    assert(one.isNullAt(1) && one.isNullAt(2) && one.isNullAt(3))
+    // every count equal: zero freq variance -> NULL r2, slope 0 defined
+    val flat = TextAnalysis.zipfFit(Seq("aa bb cc").toDF("text"), "text", 10)
+      .head()
+    assert(flat.getDouble(1) == 0.0 && flat.isNullAt(3))
+    // empty embedding: NULL mse instead of an ANSI 0/0 fault
+    val emptyVec = Similarity.scalarQuantize(
+      Seq((1L, Array.empty[Float])).toDF("vec_id", "embedding"))
+      .head()
+    assert(emptyVec.isNullAt(2))
+    // empty edge set fails loudly, not with an optimizer-phase fault
+    val err = intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"),
+        "src", "dst", 1)
+    }
+    assert(err.getMessage.contains("empty edge set"))
+  }
+
   // ---- clusterQuality ----------------------------------------------------
 
   test("clusterQuality: separated clusters score near 1, merged clusters near 0") {
