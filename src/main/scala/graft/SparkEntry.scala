@@ -1554,7 +1554,7 @@ object SparkEntry {
       val li = Tables.load(s, dir, "lineitem")
       val ords = Tables.load(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      operators.SkewJoin.saltedJoin(li, ords, "l_orderkey", 8, "l_partkey")
+      operators.SkewJoin.saltedJoin(li, ords, "l_orderkey", 4, "l_partkey")
         .groupBy(col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
           count(lit(1)).as("n"))
