@@ -1504,6 +1504,22 @@ object SparkEntry {
         Tables.load(s, dir, "embeddings"), "label")
         .orderBy("cluster")),
 
+    // ext: SFT chat-turn validation gate — per-conversation structural
+    // flags (starts-user / alternates / ends-assistant / >=2 turns)
+    "q146_chat_validate" -> ((s, dir) =>
+      ext.Chat.validateTurns(chatTurns(
+          Tables.load(s, dir, "events").filter(col("user_id") < 50)),
+        "conv_id", "turn_idx", "role")
+        .orderBy("conv_id")),
+
+    // ext: chat-template flatten — ordered <|role|>content training
+    // string per conversation (packSequences takes it from here)
+    "q147_chat_flatten" -> ((s, dir) =>
+      ext.Chat.flatten(chatTurns(
+          Tables.load(s, dir, "events").filter(col("user_id") < 50)),
+        "conv_id", "turn_idx", "role", "content")
+        .orderBy("conv_id")),
+
     // §2.6 pivot: status columns per priority (sum-CASE oracle; absent
     // combos are NULL in both engines)
     "q143_pivot" -> ((s, dir) =>
@@ -1908,6 +1924,22 @@ object SparkEntry {
                  ELSE 0.0 END)
              + 0.3 * least(CASE WHEN tok_cnt > 0
                  THEN (CAST(s_en AS DOUBLE) / tok_cnt) ELSE 0.0 END * 5.0, 1.0), 6)"""
+  /** Shared turn table for the q146/q147 chat operators: per user, events
+    * in (ts, event_id) order become numbered turns; view/click/signup map
+    * to 'user', purchase/error to 'assistant'; content = event_type (a
+    * deterministic string — `value` would drag double formatting into the
+    * cross-engine compare). */
+  private def chatTurns(events: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame =
+    events.select(col("user_id").as("conv_id"),
+      row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+        .as("turn_idx"),
+      when(col("event_type").isin("view", "click", "signup"), "user")
+        .otherwise("assistant").as("role"),
+      col("event_type").as("content"))
+
   /** Shared feature projection for the q134/q135 logistic gate: bounded
     * [0,1]-ish features whose per-row arithmetic replays identically in
     * DuckDB (ln of an exact integer argument, exact integer ratios); the
@@ -1950,6 +1982,16 @@ object SparkEntry {
     (feat +: rounds).mkString("WITH ", ",\n", "")
   }
   private val LogitDotSql = "(0.0 + w0 * 1.0 + w1 * x1 + w2 * x2)"
+
+  /** DuckDB replica of [[chatTurns]]: the shared turn CTE for q146/q147. */
+  private val ChatTurnsSql =
+    """turns AS (SELECT user_id AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS INT) AS turn_idx,
+         CASE WHEN event_type IN ('view', 'click', 'signup') THEN 'user'
+           ELSE 'assistant' END AS role,
+         event_type AS content
+       FROM events WHERE user_id < 50)"""
 
   /** DuckDB replica of [[ext.Cms.bucket]] at width 1024: the md5-prefix
     * 60-bit hash of "j:key", expecting `j` in scope. */
@@ -4008,6 +4050,33 @@ object SparkEntry {
            round(avg(a), 6) AS mean_a,
            round(avg(s), 6) AS mean_silhouette
          FROM s GROUP BY cluster ORDER BY cluster""",
+
+    // all-integer structural flags over the shared turn CTE
+    "q146_chat_validate" ->
+      s"""WITH $ChatTurnsSql
+         SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+           CASE WHEN min_by(role, turn_idx) = 'user' THEN 1 ELSE 0 END
+             AS starts_user,
+           CASE WHEN sum(CASE WHEN prev = role THEN 1 ELSE 0 END) = 0
+             THEN 1 ELSE 0 END AS alternates,
+           CASE WHEN max_by(role, turn_idx) = 'assistant' THEN 1 ELSE 0 END
+             AS ends_assistant,
+           CASE WHEN min_by(role, turn_idx) = 'user'
+                 AND sum(CASE WHEN prev = role THEN 1 ELSE 0 END) = 0
+                 AND max_by(role, turn_idx) = 'assistant'
+                 AND count(*) >= 2 THEN 1 ELSE 0 END AS valid
+         FROM (SELECT conv_id, turn_idx, role,
+                 lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS prev
+               FROM turns)
+         GROUP BY conv_id ORDER BY conv_id""",
+
+    "q147_chat_flatten" ->
+      s"""WITH $ChatTurnsSql
+         SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+           string_agg(concat('<|', role, '|>', content), ''
+             ORDER BY turn_idx) AS text
+         FROM turns GROUP BY conv_id ORDER BY conv_id""",
 
     // sum-CASE pivot: absent (priority, status) combos are NULL under
     // sum in both engines (count would give 0 in SQL but NULL in pivot)

@@ -224,6 +224,43 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(Cms.cells(df, "tok", 4, 16).count() <= 4L * 16)
   }
 
+  // ---- Chat --------------------------------------------------------------
+
+  test("validateTurns flags each structural defect independently") {
+    val turns = Seq(
+      // conv 1: valid u/a/u/a
+      (1L, 1, "user"), (1L, 2, "assistant"), (1L, 3, "user"),
+      (1L, 4, "assistant"),
+      // conv 2: double user turn (not alternating)
+      (2L, 1, "user"), (2L, 2, "user"), (2L, 3, "assistant"),
+      // conv 3: starts with assistant
+      (3L, 1, "assistant"), (3L, 2, "user"), (3L, 3, "assistant"),
+      // conv 4: single turn
+      (4L, 1, "user")
+    ).toDF("conv_id", "turn_idx", "role")
+    val got = Chat.validateTurns(turns, "conv_id", "turn_idx", "role")
+      .orderBy("conv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 1, 1, 1, 1),
+      (2L, 3L, 1, 0, 1, 0),
+      (3L, 3L, 0, 1, 1, 0),
+      (4L, 1L, 1, 1, 0, 0)))
+  }
+
+  test("flatten assembles <|role|>content in turn order, out-of-order input included") {
+    val turns = Seq(
+      (1L, 2, "assistant", "hi there"), (1L, 1, "user", "hello"),
+      (1L, 3, "user", "bye")
+    ).toDF("conv_id", "turn_idx", "role", "content")
+    val got = Chat.flatten(turns, "conv_id", "turn_idx", "role", "content")
+      .head()
+    assert(got.getLong(1) == 3L)
+    assert(got.getString(2) ==
+      "<|user|>hello<|assistant|>hi there<|user|>bye")
+  }
+
   // ---- SkewJoin ----------------------------------------------------------
 
   test("saltedJoin equals the plain join and actually splits a hot key") {
