@@ -359,6 +359,18 @@ object Bench {
               .foreach((_: org.apache.spark.sql.Row) => ()); 0L }),
             "zipf_fit" -> (() => { ext.TextAnalysis
               .zipfFit(docs, "text", 200).count(); 0L }),
+            "cms_cells" -> (() => { ext.Cms.estimates(
+              ext.Cms.cells(docs.select(org.apache.spark.sql.functions
+                .explode(ext.TextAnalysis.wordTokens("text")).as("tok")),
+                "tok"),
+              docs.sparkSession.createDataFrame(
+                java.util.Arrays.asList(
+                  org.apache.spark.sql.Row("hash"),
+                  org.apache.spark.sql.Row("join")),
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("tok",
+                    org.apache.spark.sql.types.StringType)))),
+              "tok").count(); 0L }),
             "logistic_train" -> (() => { ext.TextAnalysis.logisticTrain(
               docs.select(col("doc_id"),
                 (org.apache.spark.sql.functions.length(col("text")) % 97)
@@ -371,7 +383,8 @@ object Bench {
           () => { ext.Similarity.clusterQuality(emb, "label").count(); 0L }))
       val (times, _) = interleavedTimes(cells)
       val names = Seq("vocab_div", "token_entropy", "zipf_fit",
-        "logistic_train", "cluster_quality", "pagerank", "label_prop")
+        "cms_cells", "logistic_train", "cluster_quality", "pagerank",
+        "label_prop")
       val lines = names.map { name =>
         val t1 = times((1, name)); val t16 = times((16, name))
         s"\"$name\":{\"sec_1x\":$t1,\"sec_16x\":$t16," +
