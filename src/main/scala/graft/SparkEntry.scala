@@ -1504,6 +1504,16 @@ object SparkEntry {
         Tables.load(s, dir, "embeddings"), "label")
         .orderBy("cluster")),
 
+    // ext: per-node triangle counts over the near-dup graph — dense
+    // duplication cliques vs bridging hubs; oriented-wedge join (i<j<k)
+    "q148_triangles" -> ((s, dir) => {
+      val pairs = ext.Dedup.minhashLsh(Tables.load(s, dir, "documents"),
+        "text", "doc_id", numHashes = 16, bands = 4, minJaccard = 0.3)
+      ext.Graph.triangleCount(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("triangles"))
+        .orderBy("doc_id")
+    }),
+
     // ext: SFT chat-turn validation gate — per-conversation structural
     // flags (starts-user / alternates / ends-assistant / >=2 turns)
     "q146_chat_validate" -> ((s, dir) =>
@@ -4050,6 +4060,27 @@ object SparkEntry {
            round(avg(a), 6) AS mean_a,
            round(avg(s), 6) AS mean_silhouette
          FROM s GROUP BY cluster ORDER BY cluster""",
+
+    // oriented-wedge triangle count over the q21 pairs (already lo<hi
+    // and distinct); all-integer
+    "q148_triangles" ->
+      s"""$MinhashPairsSql,
+         und AS MATERIALIZED (SELECT id_a AS lo, id_b AS hi FROM j
+           WHERE jaccard >= 0.3),
+         nd AS (SELECT DISTINCT node FROM
+           (SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)),
+         w AS (SELECT e1.lo AS i, e1.hi AS j, e2.hi AS k
+               FROM und e1 JOIN und e2
+                 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+         tri AS (SELECT w.i, w.j, w.k FROM w
+                 WHERE EXISTS (SELECT 1 FROM und
+                   WHERE und.lo = w.j AND und.hi = w.k)),
+         pn AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM
+                  (SELECT unnest([i, j, k]) AS node FROM tri)
+                GROUP BY node)
+         SELECT nd.node AS doc_id, coalesce(pn.t, 0) AS triangles
+         FROM nd LEFT JOIN pn ON pn.node = nd.node
+         ORDER BY doc_id""",
 
     // all-integer structural flags over the shared turn CTE
     "q146_chat_validate" ->

@@ -378,6 +378,26 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  // ---- triangleCount -----------------------------------------------------
+
+  test("triangleCount: K4 gives 3 per node; direction/dup/self-loop noise ignored") {
+    // complete graph on {1,2,3,4} (4 triangles, each node in 3), plus a
+    // pendant node 5, a duplicate edge, a reversed edge and a self-loop
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq((2L, 1L), (1L, 2L), (3L, 3L), (4L, 5L)))
+      .toDF("src", "dst")
+    val got = Graph.triangleCount(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+  }
+
+  test("triangleCount: triangle-free bipartite graph counts zero everywhere") {
+    val edges = (for { a <- 1L to 3L; b <- 10L to 12L } yield (a, b))
+      .toDF("src", "dst")
+    val got = Graph.triangleCount(edges, "src", "dst").collect()
+    assert(got.length == 6 && got.forall(_.getLong(1) == 0L))
+  }
+
   // ---- logisticTrain / logisticScoreWith ---------------------------------
 
   test("logisticTrain replays the hand-computed first GD round") {
