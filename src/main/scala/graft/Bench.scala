@@ -346,7 +346,9 @@ object Bench {
             "label_prop" -> (() => { ext.Graph.labelPropagation(e,
               e.select((col("src") * 20L).as("node"),
                 (col("src") % 5L).cast("string").as("lab")).limit(1000),
-              "src", "dst", "node", "lab", 3).count(); 0L }))
+              "src", "dst", "node", "lab", 3).count(); 0L }),
+            "triangles" -> (() =>
+              { ext.Graph.triangleCount(e, "src", "dst").count(); 0L }))
         } yield ((f, name), run)) ++
         (for {
           (f, docs) <- corpora
@@ -384,7 +386,7 @@ object Bench {
       val (times, _) = interleavedTimes(cells)
       val names = Seq("vocab_div", "token_entropy", "zipf_fit",
         "cms_cells", "logistic_train", "cluster_quality", "pagerank",
-        "label_prop")
+        "label_prop", "triangles")
       val lines = names.map { name =>
         val t1 = times((1, name)); val t16 = times((16, name))
         s"\"$name\":{\"sec_1x\":$t1,\"sec_16x\":$t16," +
