@@ -1677,6 +1677,80 @@ object SparkEntry {
         .select(col("corpus_id").as("doc_id"), col("cos").as("score"))
       ext.Similarity.rrfFuse(sparse, dense, "doc_id")
     }),
+
+    // ext: retrieval-quality audit — hit@10 / MRR / nDCG@10 of the brute
+    // cosine run against label-match relevance judgments; every stage
+    // keys on the query, the corpus never appears downstream of the run
+    "q149_retrieval_metrics" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val runs = ext.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 10), 10)
+      val qrels = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label"))
+        .join(emb.select(col("vec_id").as("corpus_id"), col("label")),
+          "label")
+        .filter(col("corpus_id") =!= col("query_id"))
+        .select("query_id", "corpus_id")
+      ext.Eval.retrievalMetrics(runs, qrels, "query_id", "corpus_id",
+          "cos", 10)
+        .orderBy("query_id")
+    }),
+
+    // ext: Fleiss' kappa across THREE quality raters (NB gate, heuristic
+    // quality gate, length gate) — the n-rater agreement audit; ratings
+    // collapse map-side to per-item counts
+    "q150_fleiss_kappa" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val nb = ext.TextAnalysis.nbQualityScore(docs, "doc_id", "text",
+          col("source").isin("src0", "src1"))
+        .select(col("doc_id"), lit("nb").as("rater"), col("pred").as("vote"))
+      val gate = docs.select(col("doc_id"), lit("gate").as("rater"),
+        when(round(ext.TextAnalysis.qualityScore("text"), 6) >= 0.5, 1)
+          .otherwise(0).as("vote"))
+      val len = docs.select(col("doc_id"), lit("len").as("rater"),
+        when(col("n_chars") >= 300, 1).otherwise(0).as("vote"))
+      ext.Eval.fleissKappa(nb.unionByName(gate).unionByName(len),
+        "doc_id", "rater", "vote")
+    }),
+
+    // ext: Brier score + Murphy decomposition of the q99 NB gate — the
+    // scalar probability audit next to q122's per-bin reliability view
+    "q151_brier" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lbl = col("source").isin("src0", "src1")
+      val scored = ext.TextAnalysis
+        .nbQualityScore(docs, "doc_id", "text", lbl)
+        .join(docs.select(col("doc_id"),
+          when(lbl, 1).otherwise(0).as("label")), "doc_id")
+      ext.Eval.brierDecomposition(scored, "score", "label")
+    }),
+
+    // ext: multi-source BFS over the near-dup graph — hop distance from
+    // every 50th doc as the trusted seed set ("k hops from known-good");
+    // frontier rounds, NULL = unreached within 5
+    "q152_bfs_hops" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = ext.Dedup.minhashLsh(docs, "text", "doc_id",
+        numHashes = 16, bands = 4, minJaccard = 0.3)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val seeds = docs.filter(col("doc_id") % 50 === 0).select(col("doc_id"))
+      ext.Graph.bfsHops(edges, seeds, "src", "dst", "doc_id", 5)
+        .select(col("node").as("doc_id"), col("hops"))
+        .orderBy("doc_id")
+    }),
+
+    // ext: leakage-safe split — q55's hash split keyed by near-dup
+    // COMPONENT, so a duplication cluster never straddles train/test
+    "q153_leakage_split" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = ext.Dedup.minhashLsh(docs, "text", "doc_id",
+        numHashes = 16, bands = 4, minJaccard = 0.3)
+      ext.Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+          Seq(0.8, 0.1, 0.1), "lk")
+        .select(col("doc_id"), col("group_id"), col("split"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -4354,6 +4428,174 @@ object SparkEntry {
            round(coalesce(1.0 / (60 + rank_a), 0.0) +
                  coalesce(1.0 / (60 + rank_b), 0.0), 6) AS rrf
          FROM f ORDER BY rrf DESC, doc_id LIMIT 10"""
+    },
+
+    // ln-ratio discount (ln(r+1)/ln 2) interpolated from the SAME Scala
+    // Ln2 double the Spark side uses — library log2's differ in the last
+    // ulp between engines, a fixed ln-ratio does not
+    "q149_retrieval_metrics" -> {
+      val ln2 = ext.Eval.Ln2
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         scored AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                      round($CosSql, 6) AS cos
+                    FROM e a, e b
+                    WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id),
+         run AS (SELECT query_id, corpus_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, corpus_id) AS INT) AS rank
+                 FROM scored QUALIFY rank <= 10),
+         qr AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id
+                FROM embeddings q JOIN embeddings c ON q.label = c.label
+                  AND c.vec_id <> q.vec_id
+                WHERE q.vec_id < 10),
+         nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+                FROM qr GROUP BY query_id),
+         j AS (SELECT run.query_id, run.rank,
+                 CASE WHEN qr.corpus_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS rel
+               FROM run LEFT JOIN qr ON qr.query_id = run.query_id
+                 AND qr.corpus_id = run.corpus_id),
+         per AS (SELECT query_id, CAST(max(rel) AS INT) AS hit_k,
+                   coalesce(1.0 / CAST(min(CASE WHEN rel = 1 THEN rank END)
+                     AS DOUBLE), 0.0) AS mrr_raw,
+                   sum(CAST(rel AS DOUBLE) /
+                     (ln(CAST(rank AS DOUBLE) + 1.0) / $ln2)) AS dcg
+                 FROM j GROUP BY query_id)
+         SELECT per.query_id, nr.n_rel, per.hit_k,
+           round(per.mrr_raw, 6) AS mrr,
+           round(per.dcg / list_sum(list_transform(
+             generate_series(1,
+               least(10, CAST(greatest(nr.n_rel, 1) AS INT))),
+             i -> 1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / $ln2))), 6)
+             AS ndcg
+         FROM per JOIN nr USING (query_id) ORDER BY query_id"""
+    },
+
+    // Fleiss over three deterministic raters: the q99 NB pred, the q120
+    // quality gate, and an n_chars >= 300 length gate; all-integer
+    // counts into the final ratios
+    "q150_fleiss_kappa" ->
+      s"""$QualityCtesSql,
+         nb AS ($NbScoredSql),
+         votes AS (
+           SELECT doc_id, 'nb' AS rater, pred AS vote FROM nb
+           UNION ALL
+           SELECT doc_id, 'gate' AS rater,
+             CASE WHEN $QualityValSql >= 0.5 THEN 1 ELSE 0 END AS vote
+           FROM s
+           UNION ALL
+           SELECT doc_id, 'len' AS rater,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS vote
+           FROM documents),
+         nij AS (SELECT doc_id AS item, vote AS cat,
+                   CAST(count(*) AS BIGINT) AS nij
+                 FROM votes GROUP BY doc_id, vote),
+         pi AS (SELECT item, CAST(sum(nij) AS BIGINT) AS r,
+                  CAST(sum(nij * nij) AS BIGINT) AS ss
+                FROM nij GROUP BY item),
+         pib AS (SELECT item, r,
+                   CASE WHEN r > 1 THEN CAST(ss - r AS DOUBLE)
+                     / CAST(r * (r - 1) AS DOUBLE) END AS p_i
+                 FROM pi),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(r) AS BIGINT) AS n_ratings,
+                 avg(p_i) AS p_bar
+               FROM pib),
+         pj AS (SELECT cat, CAST(sum(nij) AS BIGINT) AS cj
+                FROM nij GROUP BY cat),
+         pe AS (SELECT sum((CAST(cj AS DOUBLE) / CAST(n_ratings AS DOUBLE))
+                  * (CAST(cj AS DOUBLE) / CAST(n_ratings AS DOUBLE)))
+                  AS p_e
+                FROM pj, g)
+         SELECT n_items, n_ratings, round(p_bar, 6) AS p_bar,
+           round(p_e, 6) AS p_e,
+           round(CASE WHEN p_e < 1.0
+             THEN (p_bar - p_e) / (1.0 - p_e) END, 6) AS kappa
+         FROM g, pe""",
+
+    // Murphy decomposition over the q122 sigmoid bins; every divisor is
+    // a bin count >= 1, the global ratios replay Spark's exact shapes
+    "q151_brier" ->
+      s"""WITH scored AS ($NbScoredSql),
+         pb AS (SELECT round(1.0 / (1.0 + exp(-score)), 6) AS p,
+                  CAST(pos AS DOUBLE) AS y
+                FROM scored),
+         b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, y
+               FROM pb),
+         per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+                   sum(p) AS sp, sum(y) AS sy,
+                   sum((p - y) * (p - y)) AS sq
+                 FROM b GROUP BY bin),
+         t AS (SELECT CAST(sum(n_b) AS BIGINT) AS n,
+                 sum(sy) / CAST(sum(n_b) AS DOUBLE) AS ybar
+               FROM per),
+         dec AS (SELECT t.n, t.ybar,
+                   sum(per.sq) AS tsq,
+                   sum(CAST(per.n_b AS DOUBLE)
+                     * (per.sp / CAST(per.n_b AS DOUBLE)
+                        - per.sy / CAST(per.n_b AS DOUBLE))
+                     * (per.sp / CAST(per.n_b AS DOUBLE)
+                        - per.sy / CAST(per.n_b AS DOUBLE))) AS trel,
+                   sum(CAST(per.n_b AS DOUBLE)
+                     * (per.sy / CAST(per.n_b AS DOUBLE) - t.ybar)
+                     * (per.sy / CAST(per.n_b AS DOUBLE) - t.ybar)) AS tres
+                 FROM per, t GROUP BY t.n, t.ybar)
+         SELECT n, round(tsq / CAST(n AS DOUBLE), 6) AS brier,
+           round(trel / CAST(n AS DOUBLE), 6) AS reliability,
+           round(tres / CAST(n AS DOUBLE), 6) AS resolution,
+           round(ybar * (1.0 - ybar), 6) AS uncertainty
+         FROM dec""",
+
+    // 5 generated MATERIALIZED min-propagation rounds ≡ BFS settled set
+    // after 5 frontiers; all-integer
+    "q152_bfs_hops" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, min(d) AS d FROM (
+             SELECT node, d FROM d${i - 1}
+             UNION ALL
+             SELECT e.dst AS node, d${i - 1}.d + 1 AS d
+             FROM e JOIN d${i - 1} ON e.src = d${i - 1}.node)
+           GROUP BY node)"""
+      }.mkString(",\n")
+      s"""$MinhashPairsSql,
+         und AS MATERIALIZED (SELECT id_a, id_b FROM j
+           WHERE jaccard >= 0.3),
+         e AS (SELECT id_a AS src, id_b AS dst FROM und
+               UNION ALL SELECT id_b, id_a FROM und),
+         sd AS (SELECT doc_id AS node FROM documents
+                WHERE doc_id % 50 = 0),
+         nd AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+            UNION ALL SELECT node FROM sd)),
+         d0 AS MATERIALIZED (SELECT node, 0 AS d FROM sd),
+         $rounds
+         SELECT nd.node AS doc_id, CAST(d5.d AS INT) AS hops
+         FROM nd LEFT JOIN d5 ON d5.node = nd.node
+         ORDER BY doc_id"""
+    },
+
+    // q43's recursive component closure + q55's bucket CASE, keyed on
+    // the component canonical (singletons group as themselves)
+    "q153_leakage_split" -> {
+      val th = ext.Sampling.thresholds(Seq(0.8, 0.1, 0.1))
+      s"""WITH RECURSIVE pairs AS (
+           $MinhashPairsSql
+           SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+         e AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         r(a, b) AS (SELECT a, b FROM e
+                     UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         can AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+                 FROM r GROUP BY a),
+         g AS (SELECT d.doc_id,
+                 coalesce(can.canonical_id, d.doc_id) AS group_id
+               FROM documents d LEFT JOIN can USING (doc_id))
+         SELECT doc_id, group_id,
+           CASE WHEN ${BucketSql("lk", "group_id")} < ${th(0)} THEN 0
+                WHEN ${BucketSql("lk", "group_id")} < ${th(1)} THEN 1
+                ELSE 2 END AS split
+         FROM g ORDER BY doc_id"""
     },
 
   )

@@ -328,4 +328,158 @@ object Eval {
           .as("auc"),
         col("n_pos"), col("n_neg"))
   }
+
+  /** ln 2 as one shared double so the nDCG discount `ln(r+1)/ln 2`
+    * evaluates the same expression shape in Spark and in any SQL oracle
+    * (library `log2` implementations differ in the last ulp between
+    * engines; a fixed ln-ratio does not). */
+  val Ln2: Double = math.log(2.0)
+
+  /** RANKING-QUALITY METRICS for a retrieval run (BM25 / ANN / hybrid)
+    * against a relevance-judgment table: per query, hit@k, MRR and
+    * binary-relevance nDCG@k — the audit loop of a RAG retrieval stack
+    * ([[TextAnalysis.bm25]], [[Similarity.bruteForceTopK]],
+    * [[Similarity.rrfFuse]] produce `runs`; an annotation set or a
+    * label-derived gold standard produces `qrels`).
+    *
+    * `runs` is (query, doc, score); ranks are recomputed here as
+    * `score desc, doc asc` so ties are deterministic regardless of how
+    * the run was produced. `qrels` is (query, doc) — binary relevance,
+    * duplicates ignored. The ideal DCG normalizes by
+    * `min(k, |qrels(q)|)` over ALL judged docs, not just retrieved ones,
+    * so missing a relevant doc costs score. A query with no qrels rows
+    * gets NULL ndcg (undefined, not 0 — the [[cohenKappa]] convention);
+    * a query that retrieved no relevant doc gets mrr = 0.
+    *
+    * Shape at 100 TB: everything keys on the query — one rank window
+    * partitioned by query over the top-k run (bounded at k rows per
+    * query), one broadcast-able qrels join, one per-query collapse.
+    * Parallelism grows with query count; the corpus never appears.
+    * Returns (query, n_rel, hit_k, mrr, ndcg) — mrr/ndcg rounded 6 dp. */
+  def retrievalMetrics(runs: DataFrame, qrels: DataFrame,
+      queryCol: String, docCol: String, scoreCol: String,
+      k: Int = 10): DataFrame = {
+    require(k > 0, s"k $k")
+    val ranked = runs
+      .withColumn("_rank", row_number().over(
+        Window.partitionBy(col(queryCol))
+          .orderBy(col(scoreCol).desc, col(docCol).asc)))
+      .filter(col("_rank") <= k)
+    val rels = qrels.select(col(queryCol), col(docCol)).distinct()
+    val nRel = rels.groupBy(col(queryCol))
+      .agg(count(lit(1)).cast("long").as("n_rel"))
+    val dcgTerm = col("_r").cast("double") /
+      (log(col("_rank").cast("double") + lit(1.0)) / lit(Ln2))
+    val per = ranked
+      .join(rels.withColumn("_hit", lit(1)), Seq(queryCol, docCol), "left")
+      .withColumn("_r", coalesce(col("_hit"), lit(0)))
+      .groupBy(col(queryCol))
+      .agg(max(col("_r")).cast("int").as("hit_k"),
+        // no relevant doc retrieved → min() is NULL → NULL reciprocal →
+        // the standard MRR contribution of 0 (never an ANSI fault: the
+        // divisor is a rank >= 1)
+        coalesce(lit(1.0) /
+            min(when(col("_r") === 1, col("_rank"))).cast("double"),
+          lit(0.0)).as("_mrr"),
+        sum(dcgTerm).as("_dcg"))
+    // ideal DCG: the same discount summed over the first min(k, n_rel)
+    // positions — a sequential fold in BOTH engines (order-stable)
+    val idcg = aggregate(
+      sequence(lit(1), least(lit(k), greatest(col("n_rel"), lit(1L)).cast("int"))),
+      lit(0.0),
+      (acc, i) => acc + lit(1.0) / (log(i.cast("double") + lit(1.0)) / lit(Ln2)))
+    per.join(nRel, Seq(queryCol), "left")
+      .select(col(queryCol), coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hit_k"), round(col("_mrr"), 6).as("mrr"),
+        when(col("n_rel") > 0, round(col("_dcg") / idcg, 6)).as("ndcg"))
+  }
+
+  /** FLEISS' KAPPA — chance-corrected agreement among MANY raters
+    * (Fleiss 1971), the n-rater generalization of [[cohenKappa]]: three
+    * quality gates, k annotation passes, model-ensemble votes. Input is
+    * LONG format: one row per (item, rater, label); rater identity only
+    * disambiguates rows (the statistic uses per-item label counts).
+    * Assumes the same rater count per item (the classic statistic);
+    * items with a single rating get NULL per-item agreement and drop
+    * from P̄ (avg ignores NULL) rather than faulting the r(r−1) divisor.
+    *
+    * All inputs to the final ratios are exact integer sums (order-free);
+    * P̄ averages one bounded double per item. Returns one row:
+    * (n_items, n_ratings, p_bar, p_e, kappa), kappa NULL when p_e = 1
+    * (all raters constant and identical — undefined, the
+    * [[cohenKappa]] convention).
+    *
+    * Shape at 100 TB: the ratings collapse map-side to (item, label)
+    * counts, then to one row per item, then to one global row; the
+    * category table is bounded by label cardinality. */
+  def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val nij = df.groupBy(col(itemCol).as("item"), col(labelCol).as("cat"))
+      .agg(count(lit(1)).as("nij"))
+    val perItem = nij.groupBy(col("item"))
+      .agg(sum(col("nij")).as("r"),
+        sum(col("nij") * col("nij")).as("ss"))
+      .withColumn("p_i", when(col("r") > 1,
+        (col("ss") - col("r")).cast("double") /
+          (col("r") * (col("r") - lit(1L))).cast("double")))
+    val g = perItem.agg(count(lit(1)).as("n_items"),
+      sum(col("r")).cast("long").as("n_ratings"),
+      avg(col("p_i")).as("p_bar"))
+    val pj = nij.groupBy(col("cat")).agg(sum(col("nij")).as("cj"))
+    val pe = pj.crossJoin(g.select(col("n_ratings").as("_t")))
+      .agg(sum((col("cj").cast("double") / col("_t").cast("double")) *
+        (col("cj").cast("double") / col("_t").cast("double"))).as("p_e"))
+    g.crossJoin(pe)
+      .select(col("n_items"), col("n_ratings"),
+        round(col("p_bar"), 6).as("p_bar"),
+        round(col("p_e"), 6).as("p_e"),
+        round(when(col("p_e") < 1.0,
+          (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))), 6)
+          .as("kappa"))
+  }
+
+  /** BRIER SCORE with the Murphy (1973) decomposition — the
+    * probability-side companion to [[calibrationBins]]: one number for
+    * "how wrong are the stated probabilities" (brier), split into how
+    * much the bins lie (reliability, lower better), how much they
+    * separate outcomes (resolution, higher better), and the outcome
+    * entropy floor (uncertainty). `scoreCol` is a log-odds score like
+    * [[calibrationBins]] takes; it maps through the 6 dp-rounded sigmoid
+    * so bin edges are engine-stable. The decomposition identity
+    * `brier = rel − res + unc` holds up to within-bin variance of the
+    * stated probabilities (exact only if every forecast equals its bin
+    * mean) — emit all four, don't derive one from the rest.
+    *
+    * One corpus pass, map-side combined into nBins rows, then one global
+    * row. Returns (n, brier, reliability, resolution, uncertainty). */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 0)
+    val prob = round(lit(1.0) / (lit(1.0) + exp(-col(scoreCol))), 6)
+    val binned = df.select(prob.as("p"), col(labelCol).cast("double").as("y"))
+      .withColumn("bin",
+        least(floor(col("p") * nBins).cast("int"), lit(nBins - 1)))
+    val per = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("p")).as("sp"),
+        sum(col("y")).as("sy"),
+        sum((col("p") - col("y")) * (col("p") - col("y"))).as("sq"))
+    val nD = col("n_b").cast("double")
+    per.crossJoin(
+        per.agg(sum(col("n_b")).as("n"), sum(col("sy")).as("ty"))
+          .select(col("n"), (col("ty") / col("n").cast("double")).as("ybar")))
+      .select(col("n"), col("sq"),
+        (nD * (col("sp") / nD - col("sy") / nD) *
+          (col("sp") / nD - col("sy") / nD)).as("rel_b"),
+        (nD * (col("sy") / nD - col("ybar")) *
+          (col("sy") / nD - col("ybar"))).as("res_b"),
+        col("ybar"))
+      .groupBy(col("n"), col("ybar"))
+      .agg(sum(col("sq")).as("tsq"), sum(col("rel_b")).as("trel"),
+        sum(col("res_b")).as("tres"))
+      .select(col("n"),
+        round(col("tsq") / col("n").cast("double"), 6).as("brier"),
+        round(col("trel") / col("n").cast("double"), 6).as("reliability"),
+        round(col("tres") / col("n").cast("double"), 6).as("resolution"),
+        round(col("ybar") * (lit(1.0) - col("ybar")), 6).as("uncertainty"))
+  }
 }

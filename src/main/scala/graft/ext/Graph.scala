@@ -158,4 +158,48 @@ object Graph {
     }
     lab
   }
+
+  /** MULTI-SOURCE BFS: hop distance from the nearest seed, capped at
+    * `maxHops` rounds. On the near-dup graph this measures how far a
+    * document sits from a trusted (or poisoned) set through duplication
+    * chains — "2 hops from known spam" is a curation gate the direct
+    * pair list can't express; on a link graph it is the crawl-frontier
+    * depth.
+    *
+    * Frontier form, not full re-propagation: round i joins the edges
+    * against ONLY the nodes first settled at hop i−1, anti-joins the
+    * settled set, and the new frontier settles at hop i. Each round's
+    * shuffle is proportional to the frontier's edge neighbourhood — on
+    * a high-diameter graph far cheaper than re-propagating every
+    * settled distance (and identical in result: BFS settles each node
+    * the first time it is reached). Rounds localCheckpoint like
+    * [[pageRank]] so lineage stays linear; all-integer, exactly
+    * replayable cross-engine.
+    *
+    * Output: (node, hops) for every node of the graph and every seed —
+    * NULL hops = unreached within `maxHops` (distinguishable from
+    * hop-maxHops, unlike a sentinel). */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, srcCol: String,
+      dstCol: String, nodeCol: String, maxHops: Int = 5): DataFrame = {
+    require(maxHops >= 0, s"maxHops $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(seeds.select(col(nodeCol).cast("long").as("node")))
+      .distinct().localCheckpoint(true)
+    var frontier = seeds.select(col(nodeCol).cast("long").as("node"))
+      .distinct().withColumn("hops", lit(0)).localCheckpoint(true)
+    var dist = frontier
+    for (i <- 1 to maxHops) {
+      frontier = e
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(i))
+        .localCheckpoint(true)
+      dist = dist.union(frontier).localCheckpoint(true)
+    }
+    nodes.join(dist, Seq("node"), "left")
+  }
 }

@@ -216,4 +216,38 @@ object Sampling {
       col(sourceCol) === src && b < (rate * Space.toDouble).toLong
     }.reduce(_ || _) match { case keep => df.filter(keep) }
   }
+
+  /** LEAKAGE-SAFE SPLIT: [[hashSplit]] keyed by NEAR-DUP GROUP instead
+    * of document id. A plain per-id split puts two near-duplicates on
+    * opposite sides of the train/test boundary — the eval then scores
+    * memorization, not generalization (the classic contamination bug a
+    * per-id hash split cannot prevent). Here the duplicate-pair list
+    * ([[Dedup.minhashLsh]] output, or any (id_a, id_b) edge set) closes
+    * into components ([[Dedup.connectedComponents]]); every member of a
+    * component shares the component's canonical id as its `group_id`,
+    * singletons group as themselves, and the split buckets on
+    * `group_id` — a whole duplication cluster always lands in ONE split.
+    *
+    * Determinism is [[hashSplit]]'s: a (group, salt) never migrates.
+    * NOTE the incremental caveat: new edges can MERGE two components,
+    * moving the merged group's rows to min-id's split — re-splitting
+    * after re-mining pairs is correct but not append-only (document the
+    * snapshot the split was cut from).
+    *
+    * Shape at 100 TB: the component solve touches only the PAIR list
+    * (tiny vs the corpus); the corpus pays one left join against it plus
+    * the shuffle-free bucket filter. Output: input columns +
+    * (group_id, splitCol). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      weights: Seq[Double], salt: String = "",
+      splitCol: String = "split"): DataFrame = {
+    val canon = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as(idCol), col("canonical_id"))
+    val grouped = df
+      .join(canon, Seq(idCol), "left")
+      .withColumn("group_id",
+        coalesce(col("canonical_id"), col(idCol).cast("long")))
+      .drop("canonical_id")
+    hashSplit(grouped, "group_id", weights, salt, splitCol)
+  }
 }

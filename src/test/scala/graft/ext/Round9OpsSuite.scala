@@ -451,4 +451,150 @@ class Round9OpsSuite extends AnyFunSuite {
       .collect().map(_.getAs[Long]("id"))
     assert(got.toSeq == Seq(1L, 2L))
   }
+
+  // ---- retrievalMetrics --------------------------------------------------
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("retrievalMetrics replays hand-computed hit/MRR/nDCG, including no-hit and no-qrels queries") {
+    val runs = Seq(
+      // q1: rel at ranks 1 and 3 (scores descending a > b > c)
+      (1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7),
+      // q2: nothing relevant retrieved
+      (2L, 10L, 0.9), (2L, 11L, 0.8),
+      // q3: no qrels at all
+      (3L, 10L, 0.9)
+    ).toDF("q", "d", "score")
+    val qrels = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 98L))
+      .toDF("q", "d")
+    val got = Eval.retrievalMetrics(runs, qrels, "q", "d", "score", 3)
+      .orderBy("q").collect()
+    val ln2 = Eval.Ln2
+    def disc(r: Int) = 1.0 / (math.log(r + 1.0) / ln2)
+    // q1: dcg = disc(1) + disc(3); idcg over min(3, n_rel=3) positions
+    val ndcg1 = (disc(1) + disc(3)) / (disc(1) + disc(2) + disc(3))
+    assert(got(0).getAs[Long]("n_rel") == 3L)
+    assert(got(0).getAs[Int]("hit_k") == 1)
+    assert(got(0).getAs[Double]("mrr") == 1.0)
+    assert(got(0).getAs[Double]("ndcg") == r6(ndcg1))
+    // q2: retrieved nothing relevant but one rel IS judged → ndcg 0, mrr 0
+    assert(got(1).getAs[Long]("n_rel") == 1L)
+    assert(got(1).getAs[Int]("hit_k") == 0)
+    assert(got(1).getAs[Double]("mrr") == 0.0)
+    assert(got(1).getAs[Double]("ndcg") == 0.0)
+    // q3: no judgments → nDCG undefined (NULL), not 0
+    assert(got(2).getAs[Long]("n_rel") == 0L)
+    assert(got(2).isNullAt(got(2).fieldIndex("ndcg")))
+  }
+
+  test("retrievalMetrics ranks by score desc with doc-id tiebreak and caps idcg at k") {
+    // two docs tie on score: doc 5 outranks doc 6; 4 judged docs, k=2
+    val runs = Seq((1L, 6L, 0.5), (1L, 5L, 0.5)).toDF("q", "d", "score")
+    val qrels = Seq((1L, 5L), (1L, 6L), (1L, 7L), (1L, 8L)).toDF("q", "d")
+    val got = Eval.retrievalMetrics(runs, qrels, "q", "d", "score", 2)
+      .head()
+    assert(got.getAs[Double]("mrr") == 1.0) // doc 5 at rank 1
+    assert(got.getAs[Double]("ndcg") == 1.0) // both slots rel, idcg = k slots
+  }
+
+  // ---- fleissKappa -------------------------------------------------------
+
+  test("fleissKappa replays the hand-computed 2-rater 2-item case") {
+    // i1: both raters say A (p_i = 1); i2: split A/B (p_i = 0)
+    val df = Seq(
+      (1L, "r1", "A"), (1L, "r2", "A"),
+      (2L, "r1", "A"), (2L, "r2", "B")
+    ).toDF("item", "rater", "vote")
+    val got = Eval.fleissKappa(df, "item", "rater", "vote").head()
+    assert(got.getAs[Long]("n_items") == 2L)
+    assert(got.getAs[Long]("n_ratings") == 4L)
+    assert(got.getAs[Double]("p_bar") == 0.5)
+    assert(got.getAs[Double]("p_e") == 0.625) // (3/4)^2 + (1/4)^2
+    assert(got.getAs[Double]("kappa") == r6((0.5 - 0.625) / 0.375))
+  }
+
+  test("fleissKappa: unanimous constant raters give p_e = 1 and NULL kappa") {
+    val df = Seq((1L, "r1", "A"), (1L, "r2", "A"), (2L, "r1", "A"),
+      (2L, "r2", "A")).toDF("item", "rater", "vote")
+    val got = Eval.fleissKappa(df, "item", "rater", "vote").head()
+    assert(got.getAs[Double]("p_e") == 1.0)
+    assert(got.isNullAt(got.fieldIndex("kappa")))
+  }
+
+  // ---- brierDecomposition ------------------------------------------------
+
+  test("brierDecomposition replays the hand-computed two-forecast case") {
+    // log-odds 0 → p = 0.5 for both rows, outcomes split → one bin:
+    // brier 0.25, reliability 0 (bin mean = bin outcome rate),
+    // resolution 0 (one bin), uncertainty 0.25
+    val df = Seq((0.0, 1), (0.0, 0)).toDF("score", "label")
+    val got = Eval.brierDecomposition(df, "score", "label").head()
+    assert(got.getAs[Long]("n") == 2L)
+    assert(got.getAs[Double]("brier") == 0.25)
+    assert(got.getAs[Double]("reliability") == 0.0)
+    assert(got.getAs[Double]("resolution") == 0.0)
+    assert(got.getAs[Double]("uncertainty") == 0.25)
+  }
+
+  test("brierDecomposition: perfect confident forecasts score 0 with full resolution") {
+    // strong log-odds, correct: p ≈ 1 / 0 in the right bins
+    val df = Seq((40.0, 1), (-40.0, 0)).toDF("score", "label")
+    val got = Eval.brierDecomposition(df, "score", "label").head()
+    assert(got.getAs[Double]("brier") == 0.0)
+    assert(got.getAs[Double]("reliability") == 0.0)
+    assert(got.getAs[Double]("resolution") == 0.25)
+    assert(got.getAs[Double]("uncertainty") == 0.25)
+  }
+
+  // ---- bfsHops -----------------------------------------------------------
+
+  test("bfsHops: path graph settles hop-by-hop, NULL past the cap, isolated seed at 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 9L).toDF("id") // 9 is not in the graph
+    val got = Graph.bfsHops(edges, seeds, "src", "dst", "id", 3)
+      .orderBy("node").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got(1L) == Some(0) && got(2L) == Some(1) &&
+      got(3L) == Some(2) && got(4L) == Some(3))
+    assert(got(5L).isEmpty && got(6L).isEmpty, "beyond maxHops is NULL")
+    assert(got(9L) == Some(0), "off-graph seed still reports hop 0")
+  }
+
+  test("bfsHops takes the SHORTEST route when two seeds compete") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 10L).toDF("id")
+    val got = Graph.bfsHops(edges, seeds, "src", "dst", "id", 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(4L) == 1, "seed 10 reaches node 4 before seed 1's 3-hop route")
+    assert(got(3L) == 2, "ties/competition settle at the minimum")
+  }
+
+  // ---- leakageSafeSplit --------------------------------------------------
+
+  test("leakageSafeSplit keeps a whole near-dup component in one split and matches hashSplit on the group key") {
+    val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+      Seq(0.5, 0.25, 0.25), "t")
+    val rows = got.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("group_id"), r.getAs[Int]("split"))).toMap
+    assert(Seq(1L, 2L, 3L).map(rows(_)._1).distinct == Seq(1L),
+      "component {1,2,3} groups as canonical 1")
+    assert(Seq(1L, 2L, 3L).map(rows(_)._2).distinct.size == 1,
+      "the whole component lands in ONE split")
+    assert(rows(5L)._1 == 5L && rows(6L)._1 == 5L &&
+      rows(5L)._2 == rows(6L)._2)
+    assert(rows(4L)._1 == 4L, "singleton groups as itself")
+    // the split of a singleton must equal a plain hashSplit of its id
+    val plain = Sampling.hashSplit(
+        Seq(4L).toDF("group_id"), "group_id", Seq(0.5, 0.25, 0.25), "t")
+      .head().getAs[Int]("split")
+    assert(rows(4L)._2 == plain)
+  }
 }
