@@ -1751,6 +1751,62 @@ object SparkEntry {
         .select(col("doc_id"), col("group_id"), col("split"))
         .orderBy("doc_id")
     }),
+
+    // ext: quality-aware canonicalization — keep the BEST copy per
+    // near-dup cluster (max quality, id tiebreak), not the min-id one
+    "q154_keep_best" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = ext.Dedup.minhashLsh(docs, "text", "doc_id",
+        numHashes = 16, bands = 4, minJaccard = 0.3)
+      val scored = docs.select(col("doc_id"),
+        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+      ext.Dedup.canonicalByScore(scored, "doc_id", pairs, "q")
+        .select(col("doc_id"), col("group_id"), col("rep_id"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // ext: recency-weighted engagement — half-life-decayed value/count
+    // per user (decay is a shuffle-free projection + one combine)
+    "q155_time_decay" -> ((s, dir) =>
+      streaming.EventStream.timeDecayedValue(
+        Tables.load(s, dir, "events"), 7.0)
+        .orderBy("user_id")),
+
+    // ext: context-length sizing study — truncation cost at candidate
+    // token budgets; kept_frac is an exact integer ratio
+    "q156_length_budget" -> ((s, dir) =>
+      ext.TextAnalysis.lengthBudgetReport(
+        Tables.load(s, dir, "documents"), "text", Seq(16, 32, 64, 128))),
+
+    // ext: Krippendorff's alpha with an ABSTAINING rater (the length
+    // gate only votes outside n_chars [250,350]) — agreement that
+    // tolerates missing ratings, unlike q150's Fleiss
+    "q157_krippendorff" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val nb = ext.TextAnalysis.nbQualityScore(docs, "doc_id", "text",
+          col("source").isin("src0", "src1"))
+        .select(col("doc_id"), lit("nb").as("rater"), col("pred").as("vote"))
+      val gate = docs.select(col("doc_id"), lit("gate").as("rater"),
+        when(round(ext.TextAnalysis.qualityScore("text"), 6) >= 0.5, 1)
+          .otherwise(0).as("vote"))
+      val len = docs.filter(col("n_chars") < 250 || col("n_chars") > 350)
+        .select(col("doc_id"), lit("len").as("rater"),
+          when(col("n_chars") >= 300, 1).otherwise(0).as("vote"))
+      ext.Eval.krippendorffAlpha(nb.unionByName(gate).unionByName(len),
+        "doc_id", "rater", "vote")
+    }),
+
+    // ext: cross-source quantile normalization — each doc's quality maps
+    // to the GLOBAL value at its within-source percentile (exact data
+    // values, no interpolated cuts)
+    "q158_quantile_norm" -> ((s, dir) => {
+      val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+      ext.Eval.quantileNormalize(scored, "source", "q")
+        .select(col("doc_id"), col("source"), col("q"), col("norm"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -4597,6 +4653,132 @@ object SparkEntry {
                 ELSE 2 END AS split
          FROM g ORDER BY doc_id"""
     },
+
+    // q43's closure + quality argmax per component (score desc, id asc —
+    // scores rounded 6 dp on both sides so the tie set is identical)
+    "q154_keep_best" ->
+      s"""WITH RECURSIVE pairs AS (
+           $MinhashPairsSql
+           SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+         e AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         r(a, b) AS (SELECT a, b FROM e
+                     UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         can AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+                 FROM r GROUP BY a),
+         sq AS ($QualityCtesSql
+                SELECT doc_id, $QualityValSql AS q FROM s),
+         g AS (SELECT d.doc_id,
+                 coalesce(can.canonical_id, d.doc_id) AS group_id, sq.q
+               FROM documents d LEFT JOIN can USING (doc_id)
+                 JOIN sq USING (doc_id)),
+         rep AS (SELECT group_id, doc_id AS rep_id FROM g
+                 QUALIFY row_number() OVER (PARTITION BY group_id
+                   ORDER BY q DESC, doc_id) = 1)
+         SELECT g.doc_id, g.group_id, rep.rep_id,
+           CASE WHEN g.doc_id = rep.rep_id THEN 1 ELSE 0 END AS keep
+         FROM g JOIN rep USING (group_id) ORDER BY g.doc_id""",
+
+    // decay weight interpolates the SAME Ln2 double the Spark side uses;
+    // identical (-ln2 * days / halflife) shape both engines
+    "q155_time_decay" -> {
+      val ln2 = ext.Eval.Ln2
+      s"""WITH tm AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+         w AS (SELECT user_id, value,
+                 exp(-$ln2 * (CAST(tm.tmax - epoch_us(ts) AS DOUBLE)
+                   / 86400000000.0) / 7.0) AS w
+               FROM events, tm)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value * w), 6) AS decayed_value,
+           round(sum(w), 6) AS decayed_count
+         FROM w GROUP BY user_id ORDER BY user_id"""
+    },
+
+    "q156_length_budget" ->
+      s"""WITH tk AS (SELECT CAST(len($ToksSql) AS BIGINT) AS t
+             FROM documents),
+         x AS (SELECT t, unnest([16, 32, 64, 128]) AS budget FROM tk)
+         SELECT budget, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN t > budget THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_over,
+           CAST(sum(greatest(t - budget, 0)) AS BIGINT) AS tokens_lost,
+           CAST(sum(least(t, budget)) AS DOUBLE)
+             / CAST(sum(t) AS DOUBLE) AS kept_frac
+         FROM x GROUP BY budget ORDER BY budget""",
+
+    // nominal-metric alpha over pairable items only (HAVING r > 1);
+    // canonical D_o/D_e normalization, shapes replayed exactly
+    "q157_krippendorff" ->
+      s"""$QualityCtesSql,
+         nb AS ($NbScoredSql),
+         votes AS (
+           SELECT doc_id, 'nb' AS rater, pred AS vote FROM nb
+           UNION ALL
+           SELECT doc_id, 'gate' AS rater,
+             CASE WHEN $QualityValSql >= 0.5 THEN 1 ELSE 0 END AS vote
+           FROM s
+           UNION ALL
+           SELECT doc_id, 'len' AS rater,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS vote
+           FROM documents WHERE n_chars < 250 OR n_chars > 350),
+         nij AS (SELECT doc_id AS item, vote AS cat,
+                   CAST(count(*) AS BIGINT) AS nij
+                 FROM votes GROUP BY doc_id, vote),
+         pi AS (SELECT item, CAST(sum(nij) AS BIGINT) AS r,
+                  CAST(sum(nij * nij) AS BIGINT) AS ss
+                FROM nij GROUP BY item
+                HAVING sum(nij) > 1),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(r) AS BIGINT) AS n_ratings,
+                 sum(CAST(r * r - ss AS DOUBLE)
+                   / CAST(r - 1 AS DOUBLE)) AS do_sum
+               FROM pi),
+         nc AS (SELECT cat, CAST(sum(nij) AS BIGINT) AS cj
+                FROM nij JOIN pi USING (item) GROUP BY cat),
+         sqc AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS sumsq FROM nc),
+         fin AS (SELECT n_items, n_ratings,
+                   do_sum / CAST(n_ratings AS DOUBLE) AS d_o_raw,
+                   (CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE)
+                     - CAST(sumsq AS DOUBLE))
+                   / (CAST(n_ratings AS DOUBLE)
+                      * (CAST(n_ratings AS DOUBLE) - 1.0)) AS d_e_raw
+                 FROM g, sqc)
+         SELECT n_items, n_ratings,
+           round(d_o_raw, 6) AS d_o, round(d_e_raw, 6) AS d_e,
+           round(CASE WHEN d_e_raw > 0
+             THEN 1.0 - d_o_raw / d_e_raw END, 6) AS alpha
+         FROM fin""",
+
+    // mid-rank per-source percentile → min global value covering it;
+    // every float is an identical integer division or a data value
+    "q158_quantile_norm" ->
+      s"""$QualityCtesSql,
+         sc AS (SELECT doc_id, source, $QualityValSql AS q FROM s),
+         pg AS (SELECT source, q, CAST(count(*) AS BIGINT) AS n
+                FROM sc GROUP BY source, q),
+         gp AS (SELECT source, q,
+                  (CAST(sum(n) OVER (PARTITION BY source ORDER BY q ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n AS DOUBLE)
+                   + CAST(n AS DOUBLE) / 2.0)
+                  / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE)
+                    AS pct
+                FROM pg),
+         gl AS (SELECT q AS gv, CAST(count(*) AS BIGINT) AS gn
+                FROM sc GROUP BY q),
+         gc AS (SELECT gv,
+                  CAST(sum(gn) OVER (ORDER BY gv ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE)
+                  / CAST(sum(gn) OVER () AS DOUBLE) AS gcf
+                FROM gl),
+         mp AS (SELECT gp.source, gp.q, min(gc.gv) AS norm
+                FROM gp JOIN gc ON gp.pct <= gc.gcf
+                GROUP BY gp.source, gp.q)
+         SELECT sc.doc_id, sc.source, sc.q, mp.norm
+         FROM sc JOIN mp USING (source, q)
+         ORDER BY sc.doc_id""",
 
   )
 }

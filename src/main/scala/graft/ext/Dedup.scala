@@ -357,6 +357,43 @@ object Dedup {
     labels
   }
 
+  /** QUALITY-AWARE CANONICAL SELECTION: [[connectedComponents]] picks the
+    * MIN-ID representative of each near-dup cluster — arbitrary. This
+    * variant keeps the BEST row instead: within each component the
+    * representative is the max-`scoreCol` member (ties: min id), so "drop
+    * duplicates" becomes "keep the highest-quality copy" — what a
+    * curation pipeline actually wants when near-dups differ in
+    * truncation, boilerplate, or OCR noise. Rows outside any pair are
+    * their own singleton group and survive.
+    *
+    * Scores should arrive ROUNDED (the caller's grain) so the tie set —
+    * and therefore the id tiebreak — is engine-reproducible.
+    *
+    * Shape at 100 TB: the component solve touches only the pair list; the
+    * corpus pays one join against it plus one per-group top-1 window
+    * (WindowGroupLimit → partial top-n, no full sort). Output:
+    * (idCol, group_id, rep_id, keep) — filter `keep = 1` to dedup. */
+  def canonicalByScore(df: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("doc_id").as(idCol), col("canonical_id"))
+    val grouped = df.select(col(idCol), col(scoreCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("group_id",
+        coalesce(col("canonical_id"), col(idCol).cast("long")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group_id"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val rep = grouped
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("group_id"), col(idCol).cast("long").as("rep_id"))
+    grouped.join(rep, Seq("group_id"))
+      .select(col(idCol), col("group_id"), col("rep_id"),
+        when(col(idCol).cast("long") === col("rep_id"), 1).otherwise(0)
+          .as("keep"))
+  }
+
   private def unpersistCheckpoint(ds: DataFrame): Unit =
     graft.util.Checkpoints.release(ds)
 

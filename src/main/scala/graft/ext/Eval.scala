@@ -482,4 +482,94 @@ object Eval {
         round(col("tres") / col("n").cast("double"), 6).as("resolution"),
         round(col("ybar") * (lit(1.0) - col("ybar")), 6).as("uncertainty"))
   }
+
+  /** KRIPPENDORFF'S ALPHA (nominal metric) — agreement that, unlike
+    * [[fleissKappa]], tolerates MISSING ratings: raters may skip items
+    * (the real shape of human annotation queues and abstaining model
+    * gates). Items with fewer than 2 ratings are unpairable and drop.
+    * Canonical normalization: `D_o = (1/n)·Σ_i (r_i² − Σ_c n_ic²)/(r_i−1)`,
+    * `D_e = (n² − Σ_c n_c²)/(n(n−1))`, `α = 1 − D_o/D_e` where n counts
+    * pairable ratings. α is NULL when D_e = 0 (every rating one
+    * category — undefined, the [[cohenKappa]] convention).
+    *
+    * All inputs to the ratios are exact integer sums; the only
+    * order-dependent float is the per-item sum inside D_o. Shape at
+    * 100 TB: ratings collapse map-side to (item, label) counts, then per
+    * item, then one row; category marginals are label-cardinality
+    * bounded. Returns (n_items, n_ratings, d_o, d_e, alpha). */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val nij = df.groupBy(col(itemCol).as("item"), col(labelCol).as("cat"))
+      .agg(count(lit(1)).as("nij"))
+    val perItem = nij.groupBy(col("item"))
+      .agg(sum(col("nij")).as("r"),
+        sum(col("nij") * col("nij")).as("ss"))
+      .filter(col("r") > 1)
+    val pairable = nij
+      .join(perItem.select(col("item")), Seq("item"), "left_semi")
+    val g = perItem.agg(count(lit(1)).as("n_items"),
+      sum(col("r")).cast("long").as("n_ratings"),
+      sum((col("r") * col("r") - col("ss")).cast("double") /
+        (col("r") - lit(1L)).cast("double")).as("_do_sum"))
+    val nc = pairable.groupBy(col("cat")).agg(sum(col("nij")).as("cj"))
+    val sq = nc.agg(sum(col("cj") * col("cj")).cast("long").as("_sumsq"))
+    val n = col("n_ratings").cast("double")
+    val dO = col("_do_sum") / n
+    val dE = (n * n - col("_sumsq").cast("double")) /
+      (n * (n - lit(1.0)))
+    g.crossJoin(sq)
+      .select(col("n_items"), col("n_ratings"),
+        round(dO, 6).as("d_o"), round(dE, 6).as("d_e"),
+        round(when(dE > 0, lit(1.0) - dO / dE), 6).as("alpha"))
+  }
+
+  /** CROSS-GROUP QUANTILE NORMALIZATION: replace each value with the
+    * GLOBAL value at the same within-group percentile — the
+    * distribution-matching transform that makes scores comparable across
+    * sources whose scorers drift (source A's 0.7 and source B's 0.7 can
+    * mean different things; their 80th percentiles mean the same). The
+    * within-group percentile is the mid-rank [[ecdf]] (exact
+    * 0.5-multiple arithmetic); the global inverse ECDF maps it back to a
+    * DATA value — the min global value whose cumulative fraction covers
+    * the percentile — so the output is an exact corpus value, no
+    * interpolation (interpolated cuts diverge by an ulp across engines;
+    * data values cannot).
+    *
+    * Shape at 100 TB: both sides collapse to per-score tables (bounded
+    * by score granularity, not corpus size); the inverse lookup is a
+    * range join of the per-group table against the broadcast global
+    * table; the corpus pays one groupBy and one join back on
+    * (group, value). Output: input + `outCol`. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
+      outCol: String = "norm"): DataFrame = {
+    val perG = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol)).agg(count(lit(1)).as("_n"))
+    val wg = Window.partitionBy(col(groupCol)).orderBy(col(valCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gPct = perG
+      .withColumn("_cum", sum(col("_n")).over(wg))
+      .withColumn("_tot",
+        sum(col("_n")).over(Window.partitionBy(col(groupCol))))
+      .withColumn("_pct",
+        ((col("_cum") - col("_n")).cast("double") +
+          col("_n").cast("double") / lit(2.0)) / col("_tot").cast("double"))
+      .select(col(groupCol), col(valCol), col("_pct"))
+    val glob = df.filter(col(valCol).isNotNull)
+      .groupBy(col(valCol).as("_gv")).agg(count(lit(1)).as("_gn"))
+    val wAll = Window.orderBy(col("_gv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gCf = glob
+      .withColumn("_gcum", sum(col("_gn")).over(wAll))
+      .withColumn("_gtot", sum(col("_gn")).over(Window.partitionBy()))
+      .withColumn("_gcf",
+        col("_gcum").cast("double") / col("_gtot").cast("double"))
+      .select(col("_gv"), col("_gcf"))
+    // inverse ECDF: the smallest global value covering the percentile —
+    // _gcf reaches 1.0 exactly (n/n), so every _pct < 1 matches
+    val mapped = gPct
+      .join(broadcast(gCf), col("_pct") <= col("_gcf"))
+      .groupBy(col(groupCol), col(valCol))
+      .agg(min(col("_gv")).as(outCol))
+    df.join(mapped, Seq(groupCol, valCol), "left")
+  }
 }

@@ -1317,4 +1317,33 @@ object TextAnalysis {
             (varX * varY), 6))
           .as("r2"))
   }
+
+  /** CONTEXT-LENGTH BUDGET REPORT: for each candidate max-sequence-length
+    * budget, what truncating the corpus there would cost — docs over the
+    * budget, tokens lost, and the kept-token fraction. The sizing study
+    * run BEFORE committing to a context length / [[packSequences]]
+    * config: "512 keeps 94% of tokens, 1024 keeps 99.2%" is the actual
+    * decision input. `kept_frac` is an exact integer ratio (unrounded —
+    * bit-identical cross-engine).
+    *
+    * Shape at 100 TB: one shuffle-free projection (token count ×
+    * |budgets| rows via explode) into a map-side-combined |budgets|-row
+    * aggregate. */
+  def lengthBudgetReport(df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      budgets: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ > 0), s"budgets $budgets")
+    df.select(size(wordTokens(textCol)).cast("long").as("t"))
+      .select(col("t"),
+        explode(array(budgets.map(b => lit(b)): _*)).as("budget"))
+      .groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("total_tokens"),
+        sum(when(col("t") > col("budget"), 1L).otherwise(0L))
+          .as("docs_over"),
+        sum(greatest(col("t") - col("budget"), lit(0L))).as("tokens_lost"),
+        (sum(least(col("t"), col("budget").cast("long"))).cast("double") /
+          sum(col("t")).cast("double")).as("kept_frac"))
+      .orderBy(col("budget"))
+  }
 }

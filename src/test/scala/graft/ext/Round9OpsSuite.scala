@@ -597,4 +597,106 @@ class Round9OpsSuite extends AnyFunSuite {
       .head().getAs[Int]("split")
     assert(rows(4L)._2 == plain)
   }
+
+  // ---- canonicalByScore --------------------------------------------------
+
+  test("canonicalByScore keeps the max-score member per component, id tiebreak, singletons survive") {
+    val docs = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (4L, 0.5))
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.canonicalByScore(docs, "doc_id", pairs, "q")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rep_id"), r.getAs[Int]("keep"))).toMap
+    // component {1,2,3}: 2 and 3 tie at 0.9 → min id 2 wins
+    assert(Seq(1L, 2L, 3L).map(got(_)._1).distinct == Seq(2L))
+    assert(got(2L)._2 == 1 && got(1L)._2 == 0 && got(3L)._2 == 0)
+    assert(got(4L) == (4L, 1), "singleton is its own representative")
+  }
+
+  // ---- timeDecayedValue --------------------------------------------------
+
+  test("timeDecayedValue halves a value per half-life and counts recency") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-15 00:00:00")
+    val t7 = Timestamp.valueOf("2024-01-22 00:00:00")  // 7 days later
+    val df = Seq((1L, 10L, t0, 8.0), (2L, 11L, t7, 8.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = graft.streaming.EventStream.timeDecayedValue(df, 7.0)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Double]("decayed_value"), r.getAs[Double]("decayed_count")))
+      .toMap
+    assert(got(2L) == (8.0, 1.0), "the newest event decays nothing")
+    assert(got(1L)._1 == 4.0, "one half-life halves the value")
+    assert(got(1L)._2 == 0.5)
+  }
+
+  // ---- lengthBudgetReport ------------------------------------------------
+
+  test("lengthBudgetReport replays hand-computed truncation cost per budget") {
+    val df = Seq("a b c", "a b c d e", "a").toDF("text") // 3, 5, 1 tokens
+    val got = TextAnalysis.lengthBudgetReport(df, "text", Seq(2, 4))
+      .collect().map(r => r.getAs[Int]("budget") -> r).toMap
+    val b2 = got(2)
+    assert(b2.getAs[Long]("n_docs") == 3L)
+    assert(b2.getAs[Long]("total_tokens") == 9L)
+    assert(b2.getAs[Long]("docs_over") == 2L)
+    assert(b2.getAs[Long]("tokens_lost") == 4L) // (3-2) + (5-2)
+    assert(b2.getAs[Double]("kept_frac") == 5.0 / 9.0)
+    val b4 = got(4)
+    assert(b4.getAs[Long]("docs_over") == 1L)
+    assert(b4.getAs[Long]("tokens_lost") == 1L)
+    assert(b4.getAs[Double]("kept_frac") == 8.0 / 9.0)
+  }
+
+  // ---- krippendorffAlpha -------------------------------------------------
+
+  test("krippendorffAlpha replays the hand case, drops unpairable items, hits 1 on perfect agreement") {
+    // i1: A,A; i2: A,B → D_o = 0.5, D_e = 0.5, alpha = 0
+    // i3 has ONE rating → unpairable, must not change anything
+    val df = Seq((1L, "r1", "A"), (1L, "r2", "A"),
+      (2L, "r1", "A"), (2L, "r2", "B"), (3L, "r1", "B"))
+      .toDF("item", "rater", "vote")
+    val got = Eval.krippendorffAlpha(df, "item", "rater", "vote").head()
+    assert(got.getAs[Long]("n_items") == 2L)
+    assert(got.getAs[Long]("n_ratings") == 4L)
+    assert(got.getAs[Double]("d_o") == 0.5)
+    assert(got.getAs[Double]("d_e") == 0.5)
+    assert(got.getAs[Double]("alpha") == 0.0)
+    val perfect = Seq((1L, "r1", "A"), (1L, "r2", "A"),
+      (2L, "r1", "B"), (2L, "r2", "B")).toDF("item", "rater", "vote")
+    assert(Eval.krippendorffAlpha(perfect, "item", "rater", "vote")
+      .head().getAs[Double]("alpha") == 1.0)
+  }
+
+  test("krippendorffAlpha: one-category corpus has D_e = 0 and NULL alpha") {
+    val df = Seq((1L, "r1", "A"), (1L, "r2", "A")).toDF("item", "rater", "v")
+    val got = Eval.krippendorffAlpha(df, "item", "rater", "v").head()
+    assert(got.getAs[Double]("d_e") == 0.0)
+    assert(got.isNullAt(got.fieldIndex("alpha")))
+  }
+
+  // ---- quantileNormalize -------------------------------------------------
+
+  test("quantileNormalize maps within-group percentiles onto global data values") {
+    // group a: 1,2,3,4 ; group b: 101,102,103,104 — after normalization
+    // both groups must map onto the SAME global values at the same ranks
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++
+      Seq(101.0, 102.0, 103.0, 104.0).map(("b", _)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "grp", "x")
+    val got = Eval.quantileNormalize(df, "grp", "x")
+      .orderBy("grp", "x").collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Double]("x"),
+        r.getAs[Double]("norm")))
+    val a = got.filter(_._1 == "a").map(_._3).toSeq
+    val b = got.filter(_._1 == "b").map(_._3).toSeq
+    assert(a == b, "equal-shape groups normalize to the same global values")
+    // pct of the k-th of 4 distinct values = (k - 0.5)/4 → global cum
+    // fractions of the 8 pooled values are i/8: first covering value at
+    // pct .125 is the global #1 (1.0), at .375 the #3 (3.0), …
+    assert(a == Seq(1.0, 3.0, 101.0, 103.0))
+    // every normalized output is an exact member of the pooled values
+    val pool = Set(1.0, 2.0, 3.0, 4.0, 101.0, 102.0, 103.0, 104.0)
+    assert(got.forall(r => pool.contains(r._3)))
+  }
 }
