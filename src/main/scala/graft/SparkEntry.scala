@@ -1807,6 +1807,29 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("q"), col("norm"))
         .orderBy("doc_id")
     }),
+
+    // ext: rank-biased overlap of the q133 sparse/dense runs — the
+    // run-COMPARISON audit next to RRF's run-merge; bounded inputs
+    "q159_rbo" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val sparse = ext.TextAnalysis.bm25(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        "hash join filter")
+      val dense = ext.Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 10)
+        .select(col("corpus_id").as("doc_id"), col("cos").as("score"))
+      ext.Similarity.rbo(sparse, dense, "doc_id")
+    }),
+
+    // ext: Spearman rank correlation between the quality and
+    // mean-word-length signals — the monotone-agreement audit before
+    // blending; exact 0.5-multiple ranks, unrounded rho
+    "q160_spearman" -> ((s, dir) => {
+      val scored = Tables.load(s, dir, "documents").select(
+        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"),
+        round(ext.TextAnalysis.meanWordLength(col("text")), 6).as("mwl"))
+      ext.Eval.spearman(scored, "q", "mwl")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -4779,6 +4802,103 @@ object SparkEntry {
          SELECT sc.doc_id, sc.source, sc.q, mp.norm
          FROM sc JOIN mp USING (source, q)
          ORDER BY sc.doc_id""",
+
+    // q133's bm25 + dense rank CTEs, then the per-doc suffix-weight
+    // regrouping; the weights interpolate rboWeights' exact doubles
+    "q159_rbo" -> {
+      val (k1, b) = (1.2, 0.75)
+      val w = ext.Similarity.rboWeights(0.9, 10)
+      val caseW = (1 to 10).map(m => s"WHEN $m THEN ${w(m - 1)}")
+        .mkString("CASE greatest(ra.rank_a, rb.rank_b) ", " ", " END")
+      s"""WITH d AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks
+                FROM d),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+                FROM dd),
+         h AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
+         hits AS (SELECT doc_id, dl, tok FROM h
+                  WHERE tok IN ('hash', 'join', 'filter')),
+         tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+                FROM hits GROUP BY doc_id, dl, tok),
+         dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                 FROM hits GROUP BY tok),
+         sc AS (SELECT tf.doc_id,
+                  round(sum(ln(1.0 + (st.n - dft.df + 0.5)
+                      / (dft.df + 0.5)) *
+                    (tf.tf * ${k1 + 1.0}) /
+                    (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl
+                      / st.avgdl))), 6) AS score
+                FROM tf JOIN dft USING (tok), st GROUP BY tf.doc_id),
+         bmtop AS (SELECT doc_id, score FROM sc
+                   ORDER BY score DESC, doc_id LIMIT 10),
+         ra AS (SELECT doc_id, CAST(row_number() OVER
+                    (ORDER BY score DESC, doc_id) AS INT) AS rank_a
+                FROM bmtop),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         dn AS (SELECT a.vec_id AS doc_id, round($CosSql, 6) AS cos
+                FROM e a, e b WHERE b.vec_id = 0 AND a.vec_id <> 0),
+         dntop AS (SELECT doc_id, cos FROM dn
+                   ORDER BY cos DESC, doc_id LIMIT 10),
+         rb AS (SELECT doc_id, CAST(row_number() OVER
+                    (ORDER BY cos DESC, doc_id) AS INT) AS rank_b
+                FROM dntop),
+         j AS (SELECT ra.doc_id, $caseW AS w
+               FROM ra JOIN rb USING (doc_id))
+         SELECT 10 AS depth, CAST(count(*) AS BIGINT) AS overlap,
+           round(${1.0 - 0.9} * coalesce(sum(w), 0.0), 6) AS rbo,
+           round(${1.0 - 0.9} * coalesce(sum(w), 0.0)
+             + ${math.pow(0.9, 10)} * CAST(count(*) AS DOUBLE) / 10.0, 6)
+             AS rbo_ext
+         FROM j"""
+    },
+
+    // mid-rank tables per signal, exact quarter-multiple moment sums —
+    // rho crosses engines unrounded
+    "q160_spearman" ->
+      s"""WITH t AS (
+           SELECT doc_id, source, text, $ToksSql AS toks,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS tok_cnt
+           FROM documents),
+         s AS (SELECT doc_id, source, text, toks, tok_cnt, $LangScoreSql
+               FROM t),
+         base AS (SELECT $QualityValSql AS a,
+             round(CASE WHEN len(toks) > 0 THEN
+               CAST(len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
+                 AS DOUBLE) / len(toks) ELSE 0 END, 6) AS b
+           FROM s),
+         pa AS (SELECT a, CAST(count(*) AS BIGINT) AS n
+                FROM base GROUP BY a),
+         rra AS (SELECT a,
+                  CAST(CAST(sum(n) OVER (ORDER BY a ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - n AS DOUBLE)
+                  + CAST(n + 1 AS DOUBLE) / 2.0 AS ra
+                FROM pa),
+         pb AS (SELECT b, CAST(count(*) AS BIGINT) AS n
+                FROM base GROUP BY b),
+         rrb AS (SELECT b,
+                  CAST(CAST(sum(n) OVER (ORDER BY b ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - n AS DOUBLE)
+                  + CAST(n + 1 AS DOUBLE) / 2.0 AS rb
+                FROM pb),
+         r AS (SELECT rra.ra, rrb.rb FROM base
+               JOIN rra USING (a) JOIN rrb USING (b)),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(ra) AS sa, sum(rb) AS sb,
+                 sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
+                 sum(ra * rb) AS sab
+               FROM r)
+         SELECT n,
+           CASE WHEN CAST(n AS DOUBLE) * saa - sa * sa > 0
+                 AND CAST(n AS DOUBLE) * sbb - sb * sb > 0
+           THEN (CAST(n AS DOUBLE) * sab - sa * sb)
+             / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+                * (CAST(n AS DOUBLE) * sbb - sb * sb)) END AS rho
+         FROM m""",
 
   )
 }

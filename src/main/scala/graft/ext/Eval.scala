@@ -572,4 +572,51 @@ object Eval {
       .agg(min(col("_gv")).as(outCol))
     df.join(mapped, Seq(groupCol, valCol), "left")
   }
+
+  /** SPEARMAN RANK CORRELATION between two score columns — "do these
+    * quality signals agree in ORDER?", the monotone-association audit
+    * run before blending signals or replacing an expensive scorer with a
+    * cheap one (Pearson on raw scores answers a different, scale-bound
+    * question). Mid-rank ties (the [[aucRoc]] convention), pairwise
+    * complete rows only.
+    *
+    * Every rank is an exact 0.5-multiple, so all five moment sums are
+    * exact quarter-multiples (order-independent below ~2·10¹⁵ — fine to
+    * ~10⁷ rows; past that, round the output) and the unrounded rho is
+    * bit-identical cross-engine. Zero-variance inputs (an all-tied
+    * signal) give NULL, the [[cohenKappa]] undefined convention.
+    *
+    * Shape at 100 TB: two per-score rank tables (score-granularity
+    * bounded) joined back by value, one 6-number moment reduce.
+    * Returns one row: (n, rho). */
+  def spearman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    def rankTable(c: String, out: String) = {
+      val per = base.groupBy(col(c)).agg(count(lit(1)).as("_n"))
+      val w = Window.orderBy(col(c).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.withColumn("_cum", sum(col("_n")).over(w))
+        .select(col(c),
+          ((col("_cum") - col("_n")).cast("double") +
+            (col("_n") + lit(1L)).cast("double") / lit(2.0)).as(out))
+    }
+    val ranked = base
+      .join(rankTable("a", "ra"), Seq("a"))
+      .join(rankTable("b", "rb"), Seq("b"))
+    val n = col("n").cast("double")
+    val num = n * col("sab") - col("sa") * col("sb")
+    val da = n * col("saa") - col("sa") * col("sa")
+    val db = n * col("sbb") - col("sb") * col("sb")
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
+        sum(col("ra") * col("ra")).as("saa"),
+        sum(col("rb") * col("rb")).as("sbb"),
+        sum(col("ra") * col("rb")).as("sab"))
+      .select(col("n"),
+        // single sqrt of the exact product: perfect correlation lands on
+        // EXACTLY ±1 (num² = da·db), where sqrt(da)·sqrt(db) is off by
+        // an ulp
+        when(da > 0 && db > 0, num / sqrt(da * db)).as("rho"))
+  }
 }

@@ -585,4 +585,59 @@ object Similarity {
       .orderBy(col("rrf").desc, col(idCol))
       .limit(topN)
   }
+
+  /** [[rbo]]'s per-rank suffix weights `w(m) = Σ_{k=m..depth} p^(k−1)/k`,
+    * computed ONCE in fixed order on the driver — public so an external
+    * SQL checker interpolates the IDENTICAL doubles instead of re-deriving
+    * them with its own pow/fold order. */
+  def rboWeights(p: Double, depth: Int): IndexedSeq[Double] = {
+    val terms = (1 to depth).map(k => math.pow(p, k - 1) / k)
+    terms.indices.map(m => terms.drop(m).foldRight(0.0)(_ + _))
+  }
+
+  /** RANK-BIASED OVERLAP (Webber et al. 2010, truncated at `depth`):
+    * top-weighted similarity of two RANKINGS — the run-comparison audit
+    * next to [[rrfFuse]]'s run-merge ("how differently do BM25 and the
+    * dense run rank?" asked before fusing them, or across index builds /
+    * re-embeddings as a drift check). `RBO = (1−p)·Σ_k p^(k−1)·|A_k∩B_k|/k`
+    * regrouped per DOC: a doc first co-present at rank `m = max(ra, rb)`
+    * contributes the suffix weight w(m) — so the computation is one join
+    * of the two top-`depth` lists plus a `depth`-branch weight lookup, no
+    * per-k loop. Ranks recompute on the 6 dp-rounded score with id
+    * tiebreak (the [[rrfFuse]] convention).
+    *
+    * Two numbers: `rbo` is the truncated prefix sum (mass ≤ 1 − p^depth
+    * by construction — identical prefixes score exactly 1 − p^depth),
+    * and `rbo_ext` is Webber's extrapolated point estimate
+    * `rbo + p^depth · overlap/depth` (agreement beyond the horizon
+    * assumed to stay at the observed rate) — identical prefixes
+    * extrapolate to exactly 1, disjoint to 0.
+    * Bounded inputs (two top-N lists): scale-free by construction.
+    * Returns one row: (depth, overlap, rbo, rbo_ext). */
+  def rbo(runA: DataFrame, runB: DataFrame, idCol: String,
+      scoreCol: String = "score", p: Double = 0.9,
+      depth: Int = 10): DataFrame = {
+    require(p > 0 && p < 1, s"p $p")
+    require(depth > 0, s"depth $depth")
+    def ranked(df: DataFrame, rn: String) =
+      df.select(col(idCol), round(col(scoreCol), 6).as("_s"))
+        .withColumn(rn, row_number().over(
+          Window.orderBy(col("_s").desc, col(idCol))))
+        .filter(col(rn) <= depth)
+        .select(col(idCol), col(rn))
+    val w = rboWeights(p, depth)
+    val joined = ranked(runA, "rank_a")
+      .join(ranked(runB, "rank_b"), Seq(idCol))
+      .withColumn("_m", greatest(col("rank_a"), col("rank_b")))
+    val weight = (1 to depth).foldLeft(lit(0.0): Column) { (acc, m) =>
+      when(col("_m") === m, lit(w(m - 1))).otherwise(acc)
+    }
+    joined.agg(count(lit(1)).as("overlap"),
+        coalesce(sum(weight), lit(0.0)).as("_ws"))
+      .select(lit(depth).as("depth"), col("overlap"),
+        round(lit(1.0 - p) * col("_ws"), 6).as("rbo"),
+        round(lit(1.0 - p) * col("_ws") +
+          lit(math.pow(p, depth)) * col("overlap").cast("double") /
+            lit(depth.toDouble), 6).as("rbo_ext"))
+  }
 }

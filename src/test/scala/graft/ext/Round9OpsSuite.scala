@@ -699,4 +699,52 @@ class Round9OpsSuite extends AnyFunSuite {
     val pool = Set(1.0, 2.0, 3.0, 4.0, 101.0, 102.0, 103.0, 104.0)
     assert(got.forall(r => pool.contains(r._3)))
   }
+
+  // ---- rbo --------------------------------------------------------------
+
+  test("rbo: identical lists extrapolate to 1, disjoint to 0, partial overlap replays by hand") {
+    val a = (1L to 5L).map(i => (i, 10.0 - i)).toDF("id", "score")
+    val idSame = Similarity.rbo(a, a, "id", p = 0.9, depth = 5).head()
+    assert(idSame.getAs[Long]("overlap") == 5L)
+    assert(idSame.getAs[Double]("rbo") == r6(1.0 - math.pow(0.9, 5)),
+      "truncated RBO of identical prefixes carries exactly the prefix mass")
+    assert(idSame.getAs[Double]("rbo_ext") == 1.0)
+    val b = (11L to 15L).map(i => (i, 10.0 - i)).toDF("id", "score")
+    val disj = Similarity.rbo(a, b, "id", p = 0.9, depth = 5).head()
+    assert(disj.getAs[Long]("overlap") == 0L &&
+      disj.getAs[Double]("rbo") == 0.0 &&
+      disj.getAs[Double]("rbo_ext") == 0.0)
+    // same top doc only: doc 1 at rank 1 both sides → contribution w(1)
+    val c = (Seq((1L, 9.0)) ++ (12L to 15L).map(i => (i, 10.0 - i)))
+      .toDF("id", "score")
+    val one = Similarity.rbo(a, c, "id", p = 0.9, depth = 5).head()
+    val w = Similarity.rboWeights(0.9, 5)
+    assert(one.getAs[Long]("overlap") == 1L)
+    assert(one.getAs[Double]("rbo") == r6(0.09999999999999998 * w(0)))
+  }
+
+  test("rboWeights: w(m) strictly decreases and w(depth) is the bare tail term") {
+    val w = Similarity.rboWeights(0.9, 10)
+    assert(w.zip(w.tail).forall { case (x, y) => x > y })
+    assert(w(9) == math.pow(0.9, 9) / 10)
+  }
+
+  // ---- spearman ----------------------------------------------------------
+
+  test("spearman: monotone agreement 1, reversal -1, tie-heavy hand case, constant NULL") {
+    val up = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0)).toDF("a", "b")
+    assert(Eval.spearman(up, "a", "b").head().getAs[Double]("rho") == 1.0)
+    val down = Seq((1.0, 30.0), (2.0, 20.0), (3.0, 10.0)).toDF("a", "b")
+    assert(Eval.spearman(down, "a", "b").head().getAs[Double]("rho") == -1.0)
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("a", "b")
+    val cr = Eval.spearman(const, "a", "b").head()
+    assert(cr.isNullAt(cr.fieldIndex("rho")), "all-tied signal is undefined")
+    // ties: a = (1,1,2), b = (7,8,9): ranks a = (1.5, 1.5, 3), b = (1,2,3)
+    // → rho = (3*13 - 6*6)/(sqrt(3*13.5-36)*sqrt(3*14-36)) = 3/sqrt(27)
+    val tied = Seq((1.0, 7.0), (1.0, 8.0), (2.0, 9.0)).toDF("a", "b")
+    val sab = 1.5 * 1 + 1.5 * 2 + 3.0 * 3
+    val expect = (3 * sab - 6 * 6) /
+      math.sqrt((3 * 13.5 - 36) * (3 * 14.0 - 36))
+    assert(Eval.spearman(tied, "a", "b").head().getAs[Double]("rho") == expect)
+  }
 }
