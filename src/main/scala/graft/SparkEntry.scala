@@ -1830,6 +1830,25 @@ object SparkEntry {
         round(ext.TextAnalysis.meanWordLength(col("text")), 6).as("mwl"))
       ext.Eval.spearman(scored, "q", "mwl")
     }),
+
+    // ext: top principal component of the embedding store — 5 power-
+    // iteration rounds, each one scan + one VectorMeanAgg reduce + a
+    // d-double driver normalize (the logisticTrain shape, spectral)
+    "q161_pca_loadings" -> ((s, dir) => {
+      import s.implicits._
+      val v = ext.Similarity.pcaTopComponent(
+        Tables.load(s, dir, "embeddings"))
+      v.toIndexedSeq.zipWithIndex.map { case (vj, j) => (j + 1, vj) }
+        .toDF("dim", "loading")
+        .select(col("dim"), round(col("loading"), 6).as("loading"))
+        .orderBy("dim")
+    }),
+
+    // ext: the variance account of q161's direction — Rayleigh quotient
+    // vs total variance: "is this store anisotropic enough that PCA
+    // projection beats JL?" quantified
+    "q162_pca_variance" -> ((s, dir) =>
+      ext.Similarity.pcaVarianceReport(Tables.load(s, dir, "embeddings"))),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -2172,6 +2191,39 @@ object SparkEntry {
            ((CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) >> b) & 1) = 1))
          - len(toks) > 0
        THEN (CAST(1 AS BIGINT) << (59 - b)) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)"""
+
+  /** DuckDB replica of [[ext.Similarity.pcaTopComponent]] at iters = 5,
+    * d = 64 (q161/q162): CTE chain `e` (vectors), `mu` (mean list),
+    * `v0..v5` (power-iteration rounds, MATERIALIZED — each feeds the
+    * next). Shapes replay the Spark arithmetic exactly: dot = sequential
+    * list fold, per-dim mean = sum/n, normalize = w_j/‖w‖. */
+  private lazy val PcaRoundsSql: String = {
+    val d = 64
+    val rounds = (1 to 5).map { i =>
+      s"""v$i AS MATERIALIZED (
+           SELECT list_transform(w, wi -> wi / nrm) AS v FROM (
+             SELECT w, sqrt(list_sum(list_transform(w, wi -> wi * wi)))
+               AS nrm
+             FROM (
+               SELECT list(wj ORDER BY j) AS w FROM (
+                 SELECT g.j AS j,
+                   avg(sc.s * (sc.x[g.j] - sc.mu[g.j])) AS wj
+                 FROM (SELECT e.x AS x, mu.mu AS mu,
+                         list_sum(list_transform(generate_series(1, $d),
+                           j2 -> (e.x[j2] - mu.mu[j2]) * vp.v[j2])) AS s
+                       FROM e, mu, v${i - 1} vp) sc,
+                   generate_series(1, $d) AS g(j)
+                 GROUP BY g.j))))"""
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS x
+           FROM embeddings),
+       mu AS MATERIALIZED (SELECT list(m ORDER BY j) AS mu FROM (
+         SELECT g.j AS j, avg(e.x[g.j]) AS m
+         FROM e, generate_series(1, $d) AS g(j) GROUP BY g.j)),
+       v0 AS (SELECT list_transform(generate_series(1, $d),
+         j -> ${1.0 / math.sqrt(d.toDouble)}) AS v),
+       $rounds"""
+  }
 
   /** Shared minhash-LSH candidate/verify CTEs (q21, q43): WITH-prefix up to
     * the verified-pairs relation `j`; the caller appends its SELECT. */
@@ -4899,6 +4951,26 @@ object SparkEntry {
              / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
                 * (CAST(n AS DOUBLE) * sbb - sb * sb)) END AS rho
          FROM m""",
+
+    "q161_pca_loadings" ->
+      s"""WITH $PcaRoundsSql
+         SELECT CAST(g.j AS INT) AS dim, round(v5.v[g.j], 6) AS loading
+         FROM v5, generate_series(1, 64) AS g(j)
+         ORDER BY dim""",
+
+    "q162_pca_variance" ->
+      s"""WITH $PcaRoundsSql,
+         sc5 AS (SELECT list_sum(list_transform(generate_series(1, 64),
+                  j2 -> (e.x[j2] - mu.mu[j2]) * v5.v[j2])) AS s,
+                 list_sum(list_transform(generate_series(1, 64),
+                  j2 -> (e.x[j2] - mu.mu[j2]) * (e.x[j2] - mu.mu[j2])))
+                  AS cc
+               FROM e, mu, v5)
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           round(avg(s * s), 6) AS lambda,
+           round(avg(cc), 6) AS total_var,
+           round(avg(s * s) / avg(cc), 6) AS explained
+         FROM sc5""",
 
   )
 }

@@ -640,4 +640,77 @@ object Similarity {
           lit(math.pow(p, depth)) * col("overlap").cast("double") /
             lit(depth.toDouble), 6).as("rbo_ext"))
   }
+
+  /** Element-wise corpus mean of an embedding column — ONE
+    * [[graft.agg.VectorMeanAgg]] reduce, d doubles to the driver. */
+  def embeddingMean(df: DataFrame,
+      vecCol: String = "embedding"): Array[Double] = {
+    val m = df.select(col(vecCol).cast("array<double>").as("x"))
+      .agg(graft.agg.VectorMeanAgg.column(col("x")).as("m"))
+      .head().getSeq[Double](0)
+    require(m.nonEmpty, "embeddingMean: empty corpus")
+    m.toArray
+  }
+
+  /** TOP PRINCIPAL COMPONENT of the embedding corpus by POWER ITERATION
+    * (von Mises iteration over the centered covariance, never
+    * materializing the d×d matrix): per round one scan computing
+    * `s_i = (x_i − μ)·v` (the [[dot]] codegen kernel) and the d-vector
+    * mean of `s_i·(x_i − μ)` (one [[graft.agg.VectorMeanAgg]] reduce),
+    * then a d-double driver normalize — the [[graft.ext.TextAnalysis.logisticTrain]]
+    * shape applied to spectral analysis. The dominant direction of an
+    * embedding store drives whitening decisions, anisotropy diagnostics
+    * (the ANN recall probe's isotropic-corpus finding made quantitative)
+    * and JL-vs-PCA projection choices.
+    *
+    * Deterministic: v₀ = 1/√d (exact for power-of-two d), identical
+    * arithmetic shapes replayable in SQL (dot = sequential fold; mean =
+    * sum/n; normalize = w_j/‖w‖); both engines walk the same trajectory
+    * so even the SIGN agrees without a convention. Rounds are scans, not
+    * joins — no shuffle at all beyond the two reduces per round. */
+  def pcaTopComponent(df: DataFrame, vecCol: String = "embedding",
+      iters: Int = 5): Array[Double] = {
+    val x = df.select(col(vecCol).cast("array<double>").as("x"))
+    val mu = embeddingMean(df, vecCol)
+    val d = mu.length
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to iters) {
+      val muCol = array(mu.map(lit(_)).toIndexedSeq: _*)
+      val vCol = array(v.map(lit(_)).toIndexedSeq: _*)
+      val base = x.select(
+        zip_with(col("x"), muCol, (xi, mi) => xi - mi).as("c"))
+      val s = dot(col("c"), vCol)
+      val w = base
+        .select(transform(col("c"), ci => ci * s).as("g"))
+        .agg(graft.agg.VectorMeanAgg.column(col("g")).as("w"))
+        .head().getSeq[Double](0).toArray
+      val nrm = math.sqrt(w.map(z => z * z).sum)
+      require(nrm > 0, "pcaTopComponent: zero-variance corpus")
+      v = w.map(_ / nrm)
+    }
+    v
+  }
+
+  /** Variance account of [[pcaTopComponent]]'s direction: one row
+    * `(n, lambda, total_var, explained)` — λ = mean((x−μ)·v)² (the
+    * Rayleigh quotient at the returned v), total variance = mean ‖x−μ‖²
+    * (= trace of the covariance), explained = λ/total. The scalar answer
+    * to "is this store anisotropic enough that PCA projection beats a
+    * random (JL) one?". One final scan. */
+  def pcaVarianceReport(df: DataFrame, vecCol: String = "embedding",
+      iters: Int = 5): DataFrame = {
+    val mu = embeddingMean(df, vecCol)
+    val v = pcaTopComponent(df, vecCol, iters)
+    val muCol = array(mu.map(lit(_)).toIndexedSeq: _*)
+    val vCol = array(v.map(lit(_)).toIndexedSeq: _*)
+    val base = df.select(col(vecCol).cast("array<double>").as("x"))
+      .select(zip_with(col("x"), muCol, (xi, mi) => xi - mi).as("c"))
+    val s = dot(col("c"), vCol)
+    base.select((s * s).as("s2"), dot(col("c"), col("c")).as("cc"))
+      .agg(count(lit(1)).as("n"), avg(col("s2")).as("_l"),
+        avg(col("cc")).as("_t"))
+      .select(col("n"), round(col("_l"), 6).as("lambda"),
+        round(col("_t"), 6).as("total_var"),
+        round(col("_l") / col("_t"), 6).as("explained"))
+  }
 }

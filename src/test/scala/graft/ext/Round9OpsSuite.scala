@@ -747,4 +747,34 @@ class Round9OpsSuite extends AnyFunSuite {
       math.sqrt((3 * 13.5 - 36) * (3 * 14.0 - 36))
     assert(Eval.spearman(tied, "a", "b").head().getAs[Double]("rho") == expect)
   }
+
+  // ---- pcaTopComponent ---------------------------------------------------
+
+  test("pcaTopComponent recovers the dominant axis of an anisotropic cloud") {
+    // points (±3, 0) and (0, ±1): C = diag(4.5, 0.5); the eigengap is 9×
+    // per round, so 5 rounds leave tan(angle) = 9^-5 off the true e1
+    val df = Seq(
+      Array(3.0f, 0.0f), Array(-3.0f, 0.0f),
+      Array(0.0f, 1.0f), Array(0.0f, -1.0f)
+    ).map(Tuple1(_)).toDF("embedding")
+    val v = Similarity.pcaTopComponent(df, iters = 5)
+    assert(math.abs(v(0)) > 0.999999, s"v = ${v.toSeq}")
+    assert(math.abs(v(1)) < 2e-5)
+    assert(math.abs(v.map(z => z * z).sum - 1.0) < 1e-12, "unit norm")
+    val rep = Similarity.pcaVarianceReport(df, iters = 5).head()
+    assert(math.abs(rep.getAs[Double]("lambda") - 4.5) < 1e-6)
+    assert(rep.getAs[Double]("total_var") == 5.0)
+    assert(math.abs(rep.getAs[Double]("explained") - 0.9) < 1e-6)
+  }
+
+  test("pcaTopComponent centers: a shifted cloud gives the same direction") {
+    def cloud(dx: Float) = Seq(
+      Array(3.0f + dx, 0.0f), Array(-3.0f + dx, 0.0f),
+      Array(dx, 1.0f), Array(dx, -1.0f)
+    ).map(Tuple1(_)).toDF("embedding")
+    val v0 = Similarity.pcaTopComponent(cloud(0.0f), iters = 3)
+    val vShift = Similarity.pcaTopComponent(cloud(100.0f), iters = 3)
+    assert(v0.zip(vShift).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+      "mean-centering makes the component translation-invariant")
+  }
 }
