@@ -1849,6 +1849,31 @@ object SparkEntry {
     // projection beats JL?" quantified
     "q162_pca_variance" -> ((s, dir) =>
       ext.Similarity.pcaVarianceReport(Tables.load(s, dir, "embeddings"))),
+
+    // ext: nightly-append IVF store — build from the even half, APPEND
+    // the odd half against the same centroids, serve the union; at
+    // nprobe = k the search is exact, so the oracle is brute force
+    "q163_store_append" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val coarse = ext.Ivf.train(emb, k = 8, iters = 2)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q163_store_${s.sparkContext.applicationId}").toString
+      ext.Ivf.writeStore(emb.filter(col("vec_id") % 2 === 0), path, coarse)
+      ext.Ivf.appendToStore(emb.filter(col("vec_id") % 2 === 1), path,
+        coarse)
+      ext.Ivf.topKFromStore(s, path, emb.filter(col("vec_id") < 3), 10,
+        coarse, nprobe = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ext: embedding drift between the even/odd halves — the alarm that
+    // tells the appended store its centroids went stale
+    "q164_embedding_drift" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      ext.Similarity.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1))
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -4971,6 +4996,53 @@ object SparkEntry {
            round(avg(cc), 6) AS total_var,
            round(avg(s * s) / avg(cc), 6) AS explained
          FROM sc5""",
+
+    // nprobe = k ⇒ exact: the same brute-force oracle as q25/q41 —
+    // centroid quality affects only the partitioning, never the result
+    "q163_store_append" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         scored AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                      round($CosSql, 6) AS cos
+                    FROM e a, e b
+                    WHERE b.vec_id < 3 AND a.vec_id <> b.vec_id),
+         r AS (SELECT query_id, corpus_id, cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, corpus_id) AS INT) AS rank
+               FROM scored)
+         SELECT query_id, rank, corpus_id, cos FROM r
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "q164_embedding_drift" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+             FROM embeddings),
+         na AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM e
+                WHERE vec_id % 2 = 0),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_live FROM e
+                WHERE vec_id % 2 = 1),
+         ma AS (SELECT list(m ORDER BY j) AS m FROM (
+           SELECT g.j AS j, avg(x[g.j]) AS m
+           FROM e, generate_series(1, 64) AS g(j)
+           WHERE vec_id % 2 = 0 GROUP BY g.j)),
+         mb AS (SELECT list(m ORDER BY j) AS m FROM (
+           SELECT g.j AS j, avg(x[g.j]) AS m
+           FROM e, generate_series(1, 64) AS g(j)
+           WHERE vec_id % 2 = 1 GROUP BY g.j)),
+         c AS (SELECT
+             list_sum(list_transform(generate_series(1, 64),
+               j -> ma.m[j] * mb.m[j])) AS ab,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+               j -> ma.m[j] * ma.m[j]))) AS nrm_a,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+               j -> mb.m[j] * mb.m[j]))) AS nrm_b,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+               j -> (ma.m[j] - mb.m[j]) * (ma.m[j] - mb.m[j])))) AS l2
+           FROM ma, mb)
+         SELECT n_base, n_live,
+           round(CASE WHEN nrm_a > 0 AND nrm_b > 0
+             THEN ab / (nrm_a * nrm_b) END, 6) AS mean_cos,
+           round(l2, 6) AS mean_l2
+         FROM na, nb, c""",
 
   )
 }

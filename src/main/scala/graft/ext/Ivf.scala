@@ -79,6 +79,22 @@ object Ivf {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("ivf_bkt").parquet(path)
 
+  /** INCREMENTAL STORE APPEND: assign a new batch to the EXISTING
+    * centroids and append into the cell partitions — the nightly
+    * embedding ingest. Retraining the quantizer would reassign (and so
+    * rewrite) every stored cell; appending touches only the partitions
+    * the batch lands in, and [[topKFromStore]] serves the union with no
+    * change (at `nprobe = k` still exact). The cost is drift: centroids
+    * trained on the old corpus quantize new data less tightly, degrading
+    * recall at small nprobe — watch [[Similarity.embeddingDrift]] between
+    * the trained snapshot and the live batch and re-train (one full
+    * rewrite) when it alarms. */
+  def appendToStore(batch: DataFrame, path: String,
+      centroids: Array[Array[Double]], vecCol: String = "embedding"): Unit =
+    assign(batch, centroids, vecCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("ivf_bkt").parquet(path)
+
   /** Search a [[writeStore]] store: the probe filter prunes partitions at
     * planning time, then the exact re-rank runs on the surviving cells. */
   def topKFromStore(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -652,6 +652,37 @@ object Similarity {
     m.toArray
   }
 
+  /** EMBEDDING DRIFT between two corpus slices (snapshots, sources, the
+    * trained-vs-live split behind an [[Ivf]] store): cosine of the mean
+    * vectors and the L2 distance between them — the embedding-space
+    * analogue of [[Outliers.psiDrift]], and the alarm that tells an
+    * incrementally-appended ANN store ([[Ivf.appendToStore]]) its
+    * centroids have gone stale. Two [[embeddingMean]] reduces; the
+    * comparison is d driver-side doubles in fixed sequential order.
+    * Returns one row: (n_base, n_live, mean_cos, mean_l2); cos is NULL
+    * if either mean is the zero vector. */
+  def embeddingDrift(base: DataFrame, live: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val ma = embeddingMean(base, vecCol)
+    val mb = embeddingMean(live, vecCol)
+    require(ma.length == mb.length,
+      s"embeddingDrift: dim ${ma.length} vs ${mb.length}")
+    val nb = base.count()
+    val nl = live.count()
+    val dotAb = ma.zip(mb).map { case (a, b) => a * b }.sum
+    val na = math.sqrt(ma.map(z => z * z).sum)
+    val nbn = math.sqrt(mb.map(z => z * z).sum)
+    val cos: Option[Double] =
+      if (na > 0 && nbn > 0) Some(dotAb / (na * nbn)) else None
+    val l2 = math.sqrt(
+      ma.zip(mb).map { case (a, b) => (a - b) * (a - b) }.sum)
+    Seq((nb, nl, cos, l2)).toDF("n_base", "n_live", "_c", "_l")
+      .select(col("n_base"), col("n_live"),
+        round(col("_c"), 6).as("mean_cos"), round(col("_l"), 6).as("mean_l2"))
+  }
+
   /** TOP PRINCIPAL COMPONENT of the embedding corpus by POWER ITERATION
     * (von Mises iteration over the centered covariance, never
     * materializing the d×d matrix): per round one scan computing

@@ -777,4 +777,40 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(v0.zip(vShift).forall { case (a, b) => math.abs(a - b) < 1e-9 },
       "mean-centering makes the component translation-invariant")
   }
+
+  // ---- appendToStore / embeddingDrift ------------------------------------
+
+  test("appendToStore: incremental build serves exactly what a one-shot store serves") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array(math.cos(i.toDouble).toFloat, math.sin(i.toDouble).toFloat,
+        (i % 7).toFloat), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val coarse = Ivf.train(emb, k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_append_test")
+    val one = dir.resolve("one").toString
+    val inc = dir.resolve("inc").toString
+    Ivf.writeStore(emb, one, coarse)
+    Ivf.writeStore(emb.filter(col("vec_id") < 20), inc, coarse)
+    Ivf.appendToStore(emb.filter(col("vec_id") >= 20), inc, coarse)
+    val q = emb.filter(col("vec_id") < 2)
+    def serve(p: String) = Ivf.topKFromStore(spark, p, q, 5, coarse,
+        nprobe = 4)
+      .orderBy("query_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(serve(inc) == serve(one))
+  }
+
+  test("embeddingDrift: identical slices show cos 1 / l2 0; a shifted slice moves both") {
+    val a = (0L until 10L).map(i =>
+      (i, Array(1.0f, 2.0f, (i % 3).toFloat))).toDF("vec_id", "embedding")
+    val same = Similarity.embeddingDrift(a, a).head()
+    assert(same.getAs[Double]("mean_cos") == 1.0)
+    assert(same.getAs[Double]("mean_l2") == 0.0)
+    assert(same.getAs[Long]("n_base") == 10L)
+    val b = a.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(5.0f)).as("embedding"))
+    val moved = Similarity.embeddingDrift(a, b).head()
+    assert(moved.getAs[Double]("mean_l2") > 8.0)
+    assert(moved.getAs[Double]("mean_cos") < 1.0)
+  }
 }
