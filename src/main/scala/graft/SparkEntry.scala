@@ -1874,6 +1874,19 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 0),
         emb.filter(col("vec_id") % 2 === 1))
     }),
+
+    // ext: deterministic Poisson-bootstrap CI on the mean quality score —
+    // error bars without resampling passes, one scan ×40 hash weights
+    "q165_bootstrap_ci" -> ((s, dir) => {
+      val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
+        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+      ext.Eval.bootstrapCI(scored, "doc_id", "q")
+    }),
+
+    // ext: key-skew report on the events user key — the pre-join
+    // diagnostic that picks plain vs broadcast vs salted (q141) joins
+    "q166_skew_report" -> ((s, dir) =>
+      ext.Eval.skewReport(Tables.load(s, dir, "events"), "user_id")),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -5043,6 +5056,62 @@ object SparkEntry {
              THEN ab / (nrm_a * nrm_b) END, 6) AS mean_cos,
            round(l2, 6) AS mean_l2
          FROM na, nb, c""",
+
+    // Poisson(1) weights from the same md5 bucket space + thresholds the
+    // Spark side interpolates; fixed order-statistic CI convention
+    "q165_bootstrap_ci" -> {
+      val th = ext.Eval.PoissonThresholds
+      val bucket =
+        """CAST(CAST(concat('0x', substr(md5(concat('boot:',
+           CAST(rep AS VARCHAR), ':', CAST(doc_id AS VARCHAR))), 1, 15))
+           AS UBIGINT) AS BIGINT)"""
+      val caseW = th.zipWithIndex
+        .map { case (t, k) => s"WHEN $bucket < $t THEN $k" }
+        .mkString("CASE ", " ", s" ELSE ${th.size} END")
+      s"""$QualityCtesSql,
+         sc AS (SELECT doc_id, $QualityValSql AS x FROM s),
+         ex AS (SELECT doc_id, x, unnest(generate_series(0, 39)) AS rep
+                FROM sc),
+         wb AS (SELECT rep, x, $caseW AS w FROM ex),
+         pr AS (SELECT rep,
+                  CASE WHEN sum(w) > 0
+                    THEN sum(w * x) / CAST(sum(w) AS DOUBLE) END AS m
+                FROM wb GROUP BY rep),
+         rk AS (SELECT m, row_number() OVER (ORDER BY m ASC) AS rn
+                FROM pr WHERE m IS NOT NULL),
+         ci AS (SELECT min(CASE WHEN rn = 1 THEN m END) AS lo,
+                  min(CASE WHEN rn = 39 THEN m END) AS hi FROM rk)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM sc) AS n,
+           round((SELECT avg(x) FROM sc), 6) AS mean,
+           round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+         FROM ci"""
+    },
+
+    // exact integer max-share/gini ratios, ln-shape entropy (see
+    // Eval.skewReport); keys sort by (count, key) for the Gini rank
+    "q166_skew_report" ->
+      """WITH per AS (SELECT CAST(user_id AS VARCHAR) AS k,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         rk AS (SELECT k, c,
+             CAST(row_number() OVER (ORDER BY c ASC, k ASC) AS BIGINT)
+               AS i,
+             row_number() OVER (ORDER BY c DESC, k ASC) AS j
+           FROM per),
+         ag AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS keys,
+             CAST(max(c) AS BIGINT) AS mx,
+             min(CASE WHEN j = 1 THEN k END) AS topk,
+             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc,
+             CAST(sum((2 * i - 1) * c) AS BIGINT) AS gsum
+           FROM rk)
+         SELECT n AS n_rows, keys AS n_keys, topk AS top_key,
+           CAST(mx AS DOUBLE) / CAST(n AS DOUBLE) AS max_share,
+           round(ln(CAST(n AS DOUBLE)) - clogc / CAST(n AS DOUBLE), 6)
+             AS entropy,
+           CAST(gsum - keys * n AS DOUBLE) / CAST(keys * n AS DOUBLE)
+             AS gini
+         FROM ag""",
 
   )
 }

@@ -589,6 +589,108 @@ object Eval {
     * Shape at 100 TB: two per-score rank tables (score-granularity
     * bounded) joined back by value, one 6-number moment reduce.
     * Returns one row: (n, rho). */
+  /** Poisson(1) CDF cut points in the md5-bucket space `[0, 2^60)` —
+    * weight k is assigned when the bucket falls in `[t_{k−1}, t_k)`.
+    * Public single source of truth for [[bootstrapCI]]'s SQL replicas. */
+  lazy val PoissonThresholds: IndexedSeq[Long] = {
+    val e1 = math.exp(-1.0)
+    // cumulative e^-1 · Σ 1/k! for k = 0..7; weights cap at 8
+    val cdf = (0 to 7).scanLeft(0.0) { (acc, k) =>
+      acc + e1 / (1 to k).product.toDouble
+    }.tail
+    cdf.map(c => (c * Sampling.Space.toDouble).toLong).toIndexedSeq
+  }
+
+  /** DETERMINISTIC POISSON BOOTSTRAP CI for a corpus mean — error bars on
+    * an eval metric WITHOUT resampling passes (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams"): each of `reps` replicates
+    * weights every row by a Poisson(1) count derived from an md5 bucket of
+    * (salt, rep, id) — fully deterministic, so the same CI reproduces on
+    * any engine/layout, the [[Sampling]] discipline applied to
+    * uncertainty. One scan exploded ×reps (map-side combined to reps
+    * rows), then order statistics over the bounded replicate table.
+    *
+    * CI convention: empirical order statistics of the replicate means at
+    * floor(α·R) and ceil((1−α)·R) (1-based), α = 2.5% — document, don't
+    * interpolate (interpolated cuts diverge across engines). Replicates
+    * with zero total weight (vanishing probability beyond toy inputs)
+    * yield NULL means and would shift the order-statistic indices —
+    * inputs should carry ≥ ~50 rows.
+    * Returns one row: (n, mean, ci_lo, ci_hi). */
+  def bootstrapCI(df: DataFrame, idCol: String, valCol: String,
+      reps: Int = 40, salt: String = "boot"): DataFrame = {
+    require(reps >= 4, s"reps $reps")
+    val base = df.select(col(idCol).as("_id"),
+        col(valCol).cast("double").as("_x"))
+      .filter(col("_x").isNotNull)
+    val bucket = conv(substring(md5(concat(lit(salt + ":"),
+        col("_rep").cast("string"), lit(":"), col("_id").cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val w = PoissonThresholds.zipWithIndex.foldRight(
+        lit(PoissonThresholds.size): Column) { case ((t, k), acc) =>
+      when(bucket < t, lit(k)).otherwise(acc)
+    }
+    val perRep = base
+      .withColumn("_rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("_w", w)
+      .groupBy(col("_rep"))
+      .agg(sum(col("_w") * col("_x")).as("_swx"),
+        sum(col("_w")).cast("double").as("_sw"))
+      .select(when(col("_sw") > 0, col("_swx") / col("_sw")).as("_m"))
+      .filter(col("_m").isNotNull)
+    val idxLo = math.max(1, math.floor(0.025 * reps).toInt)
+    val idxHi = math.ceil(0.975 * reps).toInt
+    val ranked = perRep.withColumn("_rn",
+      row_number().over(Window.orderBy(col("_m").asc)))
+    val ci = ranked.agg(
+      min(when(col("_rn") === idxLo, col("_m"))).as("_lo"),
+      min(when(col("_rn") === idxHi, col("_m"))).as("_hi"))
+    base.agg(count(lit(1)).as("n"), avg(col("_x")).as("_mean"))
+      .crossJoin(ci)
+      .select(col("n"), round(col("_mean"), 6).as("mean"),
+        round(col("_lo"), 6).as("ci_lo"), round(col("_hi"), 6).as("ci_hi"))
+  }
+
+  /** KEY-SKEW REPORT: the pre-join diagnostic that decides between a
+    * plain shuffle join, a broadcast, and [[graft.operators.SkewJoin]] —
+    * per-key distribution summarized as max key share, Shannon entropy
+    * (ln-based; ln(n_keys) = the uniform ceiling) and the Gini
+    * coefficient over per-key counts, plus the hottest key. The corpus
+    * collapses map-side to one row per key; every statistic runs over
+    * that bounded table (the Gini rank window sorts keys, never rows).
+    * max_share and gini are exact integer ratios (unrounded); entropy
+    * rounds at 6 dp (order-dependent sum over keys). NULL keys count as
+    * a key (they hash-partition together — exactly the skew that
+    * matters). Returns one row:
+    * (n_rows, n_keys, top_key, max_share, entropy, gini). */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val per = df.groupBy(col(keyCol).cast("string").as("_k"))
+      .agg(count(lit(1)).as("_c"))
+    val ranked = per
+      .withColumn("_i",
+        row_number().over(Window.orderBy(col("_c").asc, col("_k").asc)))
+      .withColumn("_j",
+        row_number().over(Window.orderBy(col("_c").desc, col("_k").asc)))
+    ranked.agg(
+        sum(col("_c")).as("_n"), count(lit(1)).as("_keys"),
+        max(col("_c")).as("_max"),
+        min(when(col("_j") === 1, col("_k"))).as("_top"),
+        sum(col("_c").cast("double") *
+          log(col("_c").cast("double"))).as("_clogc"),
+        sum((lit(2L) * col("_i") - lit(1L)) * col("_c")).as("_gsum"))
+      .select(col("_n").as("n_rows"), col("_keys").as("n_keys"),
+        col("_top").as("top_key"),
+        (col("_max").cast("double") / col("_n").cast("double"))
+          .as("max_share"),
+        // H = ln n − (Σ c·ln c)/n — one fixed shape, exact when uniform
+        round(log(col("_n").cast("double")) -
+          col("_clogc") / col("_n").cast("double"), 6).as("entropy"),
+        // Gini over the count-ascending ranking: (2·Σ i·c_i − (K+1)·n)
+        // / (K·n) — all-integer numerator/denominator, exact ratio
+        ((col("_gsum") - col("_keys") * col("_n")).cast("double") /
+          (col("_keys") * col("_n")).cast("double")).as("gini"))
+  }
+
   def spearman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val base = df.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)

@@ -813,4 +813,66 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(moved.getAs[Double]("mean_l2") > 8.0)
     assert(moved.getAs[Double]("mean_cos") < 1.0)
   }
+
+  // ---- bootstrapCI -------------------------------------------------------
+
+  test("bootstrapCI: CI brackets the mean, is deterministic, and collapses on constant data") {
+    val df = (1L to 200L).map(i => (i, (i % 10).toDouble)).toDF("id", "x")
+    val r1 = Eval.bootstrapCI(df, "id", "x").head()
+    val r2 = Eval.bootstrapCI(df, "id", "x").head()
+    assert(r1.toSeq == r2.toSeq, "same salt → identical CI, always")
+    assert(r1.getAs[Long]("n") == 200L)
+    assert(r1.getAs[Double]("mean") == 4.5)
+    assert(r1.getAs[Double]("ci_lo") <= 4.5 && 4.5 <= r1.getAs[Double]("ci_hi"))
+    assert(r1.getAs[Double]("ci_lo") < r1.getAs[Double]("ci_hi"))
+    // a different salt reweights → a (generally) different CI
+    val r3 = Eval.bootstrapCI(df, "id", "x", salt = "other").head()
+    assert(r3.getAs[Double]("ci_lo") != r1.getAs[Double]("ci_lo") ||
+      r3.getAs[Double]("ci_hi") != r1.getAs[Double]("ci_hi"))
+    // constant data: every replicate mean is the constant
+    val c = Eval.bootstrapCI(
+      (1L to 100L).map((_, 7.0)).toDF("id", "x"), "id", "x").head()
+    assert(c.getAs[Double]("ci_lo") == 7.0 && c.getAs[Double]("ci_hi") == 7.0)
+  }
+
+  test("PoissonThresholds: weights average ~1 over the bucket space") {
+    val th = Eval.PoissonThresholds
+    assert(th.size == 8 && th.sameElements(th.sorted))
+    // E[w] = Σ k·P(k) = 1 for Poisson(1); the discretized masses match
+    val space = Sampling.Space.toDouble
+    val masses = (th.head.toDouble / space) +:
+      th.sliding(2).map(p => (p(1) - p(0)) / space).toSeq
+    val ew = masses.zipWithIndex.map { case (m, k) => m * k }.sum +
+      (1.0 - th.last / space) * 8
+    assert(math.abs(ew - 1.0) < 1e-4, s"E[w] = $ew")
+  }
+
+  // ---- skewReport --------------------------------------------------------
+
+  test("skewReport: uniform keys score zero gini / full entropy; a hot key dominates") {
+    val uniform = (1L to 100L).map(i => (i, s"k${i % 4}")).toDF("id", "k")
+    val u = Eval.skewReport(uniform, "k").head()
+    assert(u.getAs[Long]("n_rows") == 100L && u.getAs[Long]("n_keys") == 4L)
+    assert(u.getAs[Double]("gini") == 0.0)
+    assert(u.getAs[Double]("max_share") == 0.25)
+    assert(u.getAs[Double]("entropy") ==
+      BigDecimal(math.log(4.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    val skewed = ((1L to 97L).map(i => (i, "hot")) ++
+      Seq((98L, "a"), (99L, "b"), (100L, "c"))).toDF("id", "k")
+    val sk = Eval.skewReport(skewed, "k").head()
+    assert(sk.getAs[String]("top_key") == "hot")
+    assert(sk.getAs[Double]("max_share") == 0.97)
+    assert(sk.getAs[Double]("gini") > 0.7, "hot key → high gini")
+    assert(sk.getAs[Double]("entropy") < 0.2, "hot key → low entropy")
+  }
+
+  test("skewReport replays the hand-computed gini of counts (1, 9)") {
+    val df = (Seq.fill(9)("big") :+ "small").zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val got = Eval.skewReport(df, "k").head()
+    // sorted counts (1, 9): gini = (2·(1·1 + 2·9) − 3·10) / (2·10) = 0.4
+    assert(got.getAs[Double]("gini") == 0.4)
+    assert(got.getAs[String]("top_key") == "big")
+  }
 }
