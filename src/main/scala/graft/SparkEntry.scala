@@ -1887,6 +1887,12 @@ object SparkEntry {
     // diagnostic that picks plain vs broadcast vs salted (q141) joins
     "q166_skew_report" -> ((s, dir) =>
       ext.Eval.skewReport(Tables.load(s, dir, "events"), "user_id")),
+
+    // ext: per-row projection onto the q161 component — the dominant-
+    // axis coordinate as a scalar feature (shuffle-free scoring map)
+    "q167_pca_project" -> ((s, dir) =>
+      ext.Similarity.pcaProject(Tables.load(s, dir, "embeddings"))
+        .orderBy("vec_id")),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -2253,7 +2259,7 @@ object SparkEntry {
                    generate_series(1, $d) AS g(j)
                  GROUP BY g.j))))"""
     }.mkString(",\n")
-    s"""e AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS x
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
            FROM embeddings),
        mu AS MATERIALIZED (SELECT list(m ORDER BY j) AS mu FROM (
          SELECT g.j AS j, avg(e.x[g.j]) AS m
@@ -5112,6 +5118,13 @@ object SparkEntry {
            CAST(gsum - keys * n AS DOUBLE) / CAST(keys * n AS DOUBLE)
              AS gini
          FROM ag""",
+
+    "q167_pca_project" ->
+      s"""WITH $PcaRoundsSql
+         SELECT e.vec_id,
+           round(list_sum(list_transform(generate_series(1, 64),
+             j2 -> (e.x[j2] - mu.mu[j2]) * v5.v[j2])), 6) AS pc1
+         FROM e, mu, v5 ORDER BY vec_id""",
 
   )
 }

@@ -722,6 +722,22 @@ object Similarity {
     v
   }
 
+  /** Per-row PROJECTION onto [[pcaTopComponent]]'s direction — the
+    * corpus' dominant-axis coordinate as a scalar feature column
+    * (cluster/outlier maps, 1-D stratification, whitening's first step).
+    * Scoring is a shuffle-free codegen map over the scan. */
+  def pcaProject(df: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", iters: Int = 5,
+      outCol: String = "pc1"): DataFrame = {
+    val mu = embeddingMean(df, vecCol)
+    val v = pcaTopComponent(df, vecCol, iters)
+    val muCol = array(mu.map(lit(_)).toIndexedSeq: _*)
+    val vCol = array(v.map(lit(_)).toIndexedSeq: _*)
+    df.select(col(idCol),
+      round(dot(zip_with(col(vecCol).cast("array<double>"), muCol,
+        (xi, mi) => xi - mi), vCol), 6).as(outCol))
+  }
+
   /** Variance account of [[pcaTopComponent]]'s direction: one row
     * `(n, lambda, total_var, explained)` — λ = mean((x−μ)·v)² (the
     * Rayleigh quotient at the returned v), total variance = mean ‖x−μ‖²

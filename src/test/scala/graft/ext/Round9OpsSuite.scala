@@ -778,6 +778,18 @@ class Round9OpsSuite extends AnyFunSuite {
       "mean-centering makes the component translation-invariant")
   }
 
+  test("pcaProject emits the centered dominant-axis coordinate per row") {
+    val df = Seq(
+      (1L, Array(3.0f, 0.0f)), (2L, Array(-3.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pcaProject(df, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(math.abs(got(1L)) - 3.0) < 1e-4)
+    assert(got(1L) == -got(2L), "symmetric cloud projects symmetrically")
+    assert(math.abs(got(3L)) < 1e-4 && math.abs(got(4L)) < 1e-4)
+  }
+
   // ---- appendToStore / embeddingDrift ------------------------------------
 
   test("appendToStore: incremental build serves exactly what a one-shot store serves") {
