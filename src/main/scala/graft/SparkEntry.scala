@@ -1893,6 +1893,29 @@ object SparkEntry {
     "q167_pca_project" -> ((s, dir) =>
       ext.Similarity.pcaProject(Tables.load(s, dir, "embeddings"))
         .orderBy("vec_id")),
+
+    // ext: daily PSI sweep of the event value vs the first-week baseline
+    // — the drift monitor form of q103 ("when did it drift, how fast")
+    "q168_psi_over_time" -> ((s, dir) =>
+      ext.Outliers.psiOverTime(Tables.load(s, dir, "events"), "ts",
+          "value", col("ts") < lit("2024-01-08").cast("timestamp"),
+          nBuckets = 10, lo = 0.0, hi = 500.0)
+        .orderBy("ws")),
+
+    // ext: Theil–Sen robust trend of the daily mean value per event type
+    // — median of pairwise slopes over the (tiny) pre-aggregated series
+    "q169_theil_sen" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          window(col("ts"), "1 day").getField("start").as("d"))
+        .agg(round(avg(col("value")), 6).as("y"))
+        .select(col("event_type"),
+          (unix_micros(col("d")) / lit(86400000000L)).cast("double")
+            .as("x"),
+          col("y"))
+      ext.Outliers.trendTheilSen(daily, "event_type", "x", "y")
+        .orderBy("event_type")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -5125,6 +5148,59 @@ object SparkEntry {
            round(list_sum(list_transform(generate_series(1, 64),
              j2 -> (e.x[j2] - mu.mu[j2]) * v5.v[j2])), 6) AS pc1
          FROM e, mu, v5 ORDER BY vec_id""",
+
+    // same fixed-range bucketing + 0.5 smoothing as q103's psi; per-day
+    // totals replace the single live total
+    "q168_psi_over_time" ->
+      """WITH bb AS (SELECT ts,
+             CAST(least(greatest(
+               floor((value - 0.0) / 500.0 * 10), 0.0), 9.0) AS INT)
+               AS bucket
+           FROM events),
+         base AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
+                  FROM bb WHERE ts < TIMESTAMP '2024-01-08'
+                  GROUP BY bucket),
+         tbl AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM bb
+                 WHERE ts < TIMESTAMP '2024-01-08'),
+         live AS (SELECT date_trunc('day', ts) AS ws, bucket,
+                    CAST(count(*) AS BIGINT) AS n_live
+                  FROM bb GROUP BY ws, bucket),
+         tw AS (SELECT ws, CAST(sum(n_live) AS BIGINT) AS tw
+                FROM live GROUP BY ws),
+         grid AS (SELECT tw.ws, tw.tw, g.b AS bucket
+                  FROM tw, generate_series(0, 9) AS g(b)),
+         terms AS (SELECT grid.ws, grid.tw,
+             ((coalesce(l.n_live, 0) + 0.5)
+                / (CAST(grid.tw AS DOUBLE) + 5.0)
+              - (coalesce(base.n_base, 0) + 0.5)
+                / (CAST(tbl.tb AS DOUBLE) + 5.0))
+             * ln(((coalesce(l.n_live, 0) + 0.5)
+                  / (CAST(grid.tw AS DOUBLE) + 5.0))
+                / ((coalesce(base.n_base, 0) + 0.5)
+                  / (CAST(tbl.tb AS DOUBLE) + 5.0))) AS term
+           FROM grid
+           LEFT JOIN base ON base.bucket = grid.bucket
+           LEFT JOIN live l ON l.ws = grid.ws AND l.bucket = grid.bucket,
+             tbl)
+         SELECT ws, tw AS n, round(sum(term), 6) AS psi
+         FROM terms GROUP BY ws, tw ORDER BY ws""",
+
+    // slopes are ratios of rounded daily means (identical doubles both
+    // engines); quantile_cont ≡ Spark percentile bit-for-bit (q116 pin)
+    "q169_theil_sen" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+             round(avg(value), 6) AS y
+           FROM events GROUP BY event_type, d),
+         pts AS (SELECT event_type,
+             CAST(epoch_us(d) // 86400000000 AS DOUBLE) AS x, y
+           FROM daily),
+         pr AS (SELECT a.event_type,
+             (b.y - a.y) / (b.x - a.x) AS slope
+           FROM pts a JOIN pts b
+             ON a.event_type = b.event_type AND a.x < b.x)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           quantile_cont(slope, 0.5) AS slope
+         FROM pr GROUP BY event_type ORDER BY event_type""",
 
   )
 }

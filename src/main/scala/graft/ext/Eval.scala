@@ -692,8 +692,13 @@ object Eval {
   }
 
   def spearman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // the (a, b) projection has THREE consumers (the pair join + both
+    // rank tables) — materialize it once (16 bytes/row at any scale) or
+    // a regex-heavy caller scoring projection evaluates 3× (the
+    // ecdfTable lesson; measured 2.9 s → ~1 s on the q160 signals)
     val base = df.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
+      .localCheckpoint(true)
     def rankTable(c: String, out: String) = {
       val per = base.groupBy(col(c)).agg(count(lit(1)).as("_n"))
       val w = Window.orderBy(col(c).asc)

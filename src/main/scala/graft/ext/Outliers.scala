@@ -169,4 +169,73 @@ object Outliers {
         least(greatest(col(valCol), col("_lo")), col("_hi"))))
       .drop("_lo", "_hi")
   }
+
+  /** PSI DRIFT OVER TIME: [[psiDrift]] swept across event-time — one PSI
+    * number per (daily) window against a fixed baseline slice, the drift
+    * MONITOR a nightly pipeline alerts on (a single base-vs-live PSI
+    * answers "did it drift?"; this answers "when, and how fast").
+    * Same fixed-range bucketing and 0.5-count smoothing as [[psiDrift]]
+    * (engine-stable bin edges, no empty-bucket log faults).
+    *
+    * Shape at 100 TB: the corpus collapses map-side to (window, bucket)
+    * counts; the dense window×nBuckets grid and everything after run on
+    * that bounded table. Returns (ws, n, psi) per window. */
+  def psiOverTime(df: DataFrame, tsCol: String, valCol: String,
+      baseline: Column, nBuckets: Int = 10, lo: Double = 0.0,
+      hi: Double = 1.0): DataFrame = {
+    require(nBuckets > 0 && hi > lo)
+    val b = least(greatest(
+      floor((col(valCol) - lit(lo)) / lit(hi - lo) * lit(nBuckets)),
+      lit(0.0)), lit((nBuckets - 1).toDouble)).cast("int")
+    val baseCounts = df.filter(baseline).select(b.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_base"))
+    val tb = df.filter(baseline).count()
+    require(tb > 0, "psiOverTime: empty baseline slice")
+    val live = df
+      .select(window(col(tsCol), "1 day").getField("start").as("ws"),
+        b.as("bucket"))
+      .groupBy(col("ws"), col("bucket")).agg(count(lit(1)).as("n_live"))
+    val tw = live.groupBy(col("ws")).agg(sum(col("n_live")).as("tw"))
+    val buckets = df.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as("bucket"))
+    val p = (coalesce(col("n_base"), lit(0L)) + lit(0.5)) /
+      lit(tb + 0.5 * nBuckets)
+    val q = (coalesce(col("n_live"), lit(0L)) + lit(0.5)) /
+      (col("tw").cast("double") + lit(0.5 * nBuckets))
+    tw.crossJoin(broadcast(buckets))
+      .join(broadcast(baseCounts), Seq("bucket"), "left")
+      .join(live, Seq("ws", "bucket"), "left")
+      .select(col("ws"), col("tw"), ((q - p) * log(q / p)).as("_term"))
+      .groupBy(col("ws"), col("tw"))
+      .agg(round(sum(col("_term")), 6).as("psi"))
+      .select(col("ws"), col("tw").as("n"), col("psi"))
+  }
+
+  /** THEIL–SEN TREND: median of pairwise slopes per group — the robust
+    * "is this metric drifting, and how fast per day" estimator (up to
+    * ~29% corrupted points before the slope moves; an OLS slope chases
+    * every outlier day). Run it on PRE-AGGREGATED series (daily means
+    * per source/type): pair volume is quadratic in SERIES length, which
+    * stays tiny when x is a day grid, while the corpus only paid the
+    * aggregation. Feed y values ROUNDED (the caller's grain) so the
+    * pairwise slopes — and the exact-percentile median over them — are
+    * engine-identical unrounded (the q116 percentile-parity discipline).
+    * Returns (group, n_pairs, slope) — slope NULL for 1-point series. */
+  def trendTheilSen(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val pts = df.select(col(groupCol).as("_g"),
+      col(xCol).cast("double").as("_x"), col(yCol).cast("double").as("_y"))
+    val pairs = pts.as("a").join(pts.as("b"),
+        col("a._g") === col("b._g") && col("a._x") < col("b._x"))
+      .select(col("a._g").as("_g"),
+        ((col("b._y") - col("a._y")) / (col("b._x") - col("a._x")))
+          .as("_slope"))
+    val groups = pts.select(col("_g")).distinct()
+    groups.join(
+        pairs.groupBy(col("_g")).agg(count(lit(1)).as("n_pairs"),
+          percentile(col("_slope"), lit(0.5)).as("slope")),
+        Seq("_g"), "left")
+      .select(col("_g").as(groupCol),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope"))
+  }
 }

@@ -879,6 +879,43 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(sk.getAs[Double]("entropy") < 0.2, "hot key → low entropy")
   }
 
+  // ---- psiOverTime -------------------------------------------------------
+
+  test("psiOverTime: the baseline day scores exactly zero, a shifted day scores high") {
+    import java.sql.Timestamp
+    def t(day: Int, i: Int) = Timestamp.valueOf(f"2024-01-0$day 0$i:00:00")
+    // day 1 (the baseline): values spread low; day 2: same shape (psi 0
+    // vs itself only if counts AND totals match — they do for day 1);
+    // day 3: all mass moved high
+    val rows = (0 until 8).map(i => (t(1, i), (i % 4) * 0.1)) ++
+      (0 until 8).map(i => (t(3, i), 0.9))
+    val df = rows.toDF("ts", "value")
+    val got = Outliers.psiOverTime(df, "ts", "value",
+        col("ts") < lit("2024-01-02").cast("timestamp"), 10, 0.0, 1.0)
+      .orderBy("ws").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Double]("psi") == 0.0,
+      "the baseline day against itself is exactly zero")
+    assert(got(0).getAs[Long]("n") == 8L)
+    assert(got(1).getAs[Double]("psi") > 1.0,
+      "full mass relocation scores far above the 0.2 alarm bar")
+  }
+
+  // ---- trendTheilSen -----------------------------------------------------
+
+  test("trendTheilSen shrugs off an outlier day and NULLs a 1-point series") {
+    val df = (Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0),
+      (5.0, 1000.0)).map { case (x, y) => ("a", x, y) } ++
+      Seq(("b", 7.0, 3.0))).toDF("g", "x", "y")
+    val got = Outliers.trendTheilSen(df, "g", "x", "y")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("a").getAs[Long]("n_pairs") == 10L)
+    assert(got("a").getAs[Double]("slope") == 2.0,
+      "median of pairwise slopes ignores the outlier day (OLS would not)")
+    assert(got("b").getAs[Long]("n_pairs") == 0L)
+    assert(got("b").isNullAt(got("b").fieldIndex("slope")))
+  }
+
   test("skewReport replays the hand-computed gini of counts (1, 9)") {
     val df = (Seq.fill(9)("big") :+ "small").zipWithIndex
       .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
