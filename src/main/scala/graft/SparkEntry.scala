@@ -1916,6 +1916,16 @@ object SparkEntry {
       ext.Outliers.trendTheilSen(daily, "event_type", "x", "y")
         .orderBy("event_type")
     }),
+
+    // ext: mutual information between the quality and mean-word-length
+    // signals over ECDF-decile bins — the nonlinear-redundancy audit
+    // next to q160's monotone one
+    "q170_mutual_info" -> ((s, dir) => {
+      val scored = Tables.load(s, dir, "documents").select(
+        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"),
+        round(ext.TextAnalysis.meanWordLength(col("text")), 6).as("mwl"))
+      ext.Eval.mutualInfo(scored, "q", "mwl")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -5201,6 +5211,76 @@ object SparkEntry {
          SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
            quantile_cont(slope, 0.5) AS slope
          FROM pr GROUP BY event_type ORDER BY event_type""",
+
+    // ECDF-decile joint/marginal counts; one fixed MI/entropy shape
+    "q170_mutual_info" ->
+      s"""WITH t AS (
+           SELECT doc_id, source, text, $ToksSql AS toks,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS tok_cnt
+           FROM documents),
+         s AS (SELECT doc_id, source, text, toks, tok_cnt, $LangScoreSql
+               FROM t),
+         base AS MATERIALIZED (SELECT $QualityValSql AS a,
+             round(CASE WHEN len(toks) > 0 THEN
+               CAST(len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
+                 AS DOUBLE) / len(toks) ELSE 0 END, 6) AS b
+           FROM s),
+         pa AS (SELECT a, CAST(count(*) AS BIGINT) AS n
+                FROM base GROUP BY a),
+         ta AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM pa),
+         cca AS (SELECT a, n,
+             CAST(sum(n) OVER (ORDER BY a ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM pa),
+         bina AS (SELECT a, least(CAST(floor(
+             ((CAST(cum - n AS DOUBLE) + CAST(n AS DOUBLE) / 2.0)
+              / CAST(tot AS DOUBLE)) * 10) AS INT), 9) AS ba
+           FROM cca, ta),
+         pb AS (SELECT b, CAST(count(*) AS BIGINT) AS n
+                FROM base GROUP BY b),
+         tb2 AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM pb),
+         ccb AS (SELECT b, n,
+             CAST(sum(n) OVER (ORDER BY b ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM pb),
+         binb AS (SELECT b, least(CAST(floor(
+             ((CAST(cum - n AS DOUBLE) + CAST(n AS DOUBLE) / 2.0)
+              / CAST(tot AS DOUBLE)) * 10) AS INT), 9) AS bb
+           FROM ccb, tb2),
+         wb AS (SELECT bina.ba, binb.bb FROM base
+                JOIN bina USING (a) JOIN binb USING (b)),
+         joint AS (SELECT ba, bb, CAST(count(*) AS BIGINT) AS c
+                   FROM wb GROUP BY ba, bb),
+         mga AS (SELECT ba, CAST(sum(c) AS BIGINT) AS ca
+                 FROM joint GROUP BY ba),
+         mgb AS (SELECT bb, CAST(sum(c) AS BIGINT) AS cb
+                 FROM joint GROUP BY bb),
+         nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM joint),
+         mi AS (SELECT sum((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                  * ln(CAST(c * n AS DOUBLE)
+                       / CAST(ca * cb AS DOUBLE))) AS mi
+                FROM joint JOIN mga USING (ba) JOIN mgb USING (bb), nn),
+         sa2 AS (SELECT sum(CAST(ca AS DOUBLE) * ln(CAST(ca AS DOUBLE)))
+                   AS sa FROM mga),
+         sb2 AS (SELECT sum(CAST(cb AS DOUBLE) * ln(CAST(cb AS DOUBLE)))
+                   AS sb FROM mgb)
+         SELECT n, round(mi, 6) AS mi,
+           round(ln(CAST(n AS DOUBLE)) - sa / CAST(n AS DOUBLE), 6)
+             AS h_a,
+           round(ln(CAST(n AS DOUBLE)) - sb / CAST(n AS DOUBLE), 6)
+             AS h_b,
+           round(CASE WHEN ln(CAST(n AS DOUBLE)) - sa / CAST(n AS DOUBLE)
+                   > 0
+                  AND ln(CAST(n AS DOUBLE)) - sb / CAST(n AS DOUBLE) > 0
+             THEN mi / sqrt((ln(CAST(n AS DOUBLE))
+                 - sa / CAST(n AS DOUBLE))
+               * (ln(CAST(n AS DOUBLE)) - sb / CAST(n AS DOUBLE))) END,
+             6) AS nmi
+         FROM nn, mi, sa2, sb2""",
 
   )
 }

@@ -691,6 +691,58 @@ object Eval {
           (col("_keys") * col("_n")).cast("double")).as("gini"))
   }
 
+  /** MUTUAL INFORMATION between two score columns over ECDF-decile bins
+    * — the NONLINEAR dependence audit next to [[spearman]]'s monotone
+    * one (two signals can be rank-uncorrelated yet share most of their
+    * information; redundant signals waste blend weight and reviewer
+    * time). Binning is by mid-rank ECDF (engine-stable under ties — the
+    * discretize lesson; equal-width bins on raw values break on skewed
+    * signals), nBins per side. Also reports the normalized form
+    * `nmi = MI / √(H_a·H_b)` ∈ [0, 1] (NULL when either marginal
+    * entropy is 0 — a constant signal carries no information).
+    *
+    * Shape at 100 TB: two per-score rank tables joined back (one
+    * materialized scan of the pair projection), then everything runs on
+    * the ≤ nBins² joint-count table. Returns one row:
+    * (n, mi, h_a, h_b, nmi), mi/entropies rounded 6 dp. */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 1, s"nBins $nBins")
+    val base = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .localCheckpoint(true)
+    def binned(c: String, out: String) =
+      ecdfTable(base, c, "_p" + c)
+        .withColumn(out,
+          least(floor(col("_p" + c) * nBins).cast("int"), lit(nBins - 1)))
+        .select(col(c), col(out))
+    val withBins = base
+      .join(binned("a", "ba"), Seq("a"))
+      .join(binned("b", "bb"), Seq("b"))
+    val joint = withBins.groupBy(col("ba"), col("bb"))
+      .agg(count(lit(1)).as("c"))
+    val ma = joint.groupBy(col("ba")).agg(sum(col("c")).as("ca"))
+    val mb = joint.groupBy(col("bb")).agg(sum(col("c")).as("cb"))
+    val tot = joint.agg(sum(col("c")).as("n"))
+    val nD = col("n").cast("double")
+    val miTerm = (col("c").cast("double") / nD) *
+      log((col("c") * col("n")).cast("double") /
+        (col("ca") * col("cb")).cast("double"))
+    val stats = joint.join(ma, Seq("ba")).join(mb, Seq("bb"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(miTerm).as("_mi"))
+    def clogc(cnt: Column) = sum(cnt.cast("double") * log(cnt.cast("double")))
+    val sa = ma.agg(clogc(col("ca")).as("_sa"))
+    val sb = mb.agg(clogc(col("cb")).as("_sb"))
+    val hA = log(nD) - col("_sa") / nD
+    val hB = log(nD) - col("_sb") / nD
+    tot.crossJoin(stats).crossJoin(sa).crossJoin(sb)
+      .select(col("n"), round(col("_mi"), 6).as("mi"),
+        round(hA, 6).as("h_a"), round(hB, 6).as("h_b"),
+        round(when(hA > 0 && hB > 0,
+          col("_mi") / sqrt(hA * hB)), 6).as("nmi"))
+  }
+
   def spearman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     // the (a, b) projection has THREE consumers (the pair join + both
     // rank tables) — materialize it once (16 bytes/row at any scale) or

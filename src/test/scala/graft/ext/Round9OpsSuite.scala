@@ -879,6 +879,27 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(sk.getAs[Double]("entropy") < 0.2, "hot key → low entropy")
   }
 
+  // ---- mutualInfo --------------------------------------------------------
+
+  test("mutualInfo: identical signals hit nmi 1, independent grids near 0, constants NULL") {
+    // identical: each signal's entropy = MI (perfect dependence)
+    val ident = (1L to 100L).map(i => (i.toDouble, i.toDouble)).toDF("a", "b")
+    val gi = Eval.mutualInfo(ident, "a", "b", nBins = 4).head()
+    assert(gi.getAs[Double]("nmi") == 1.0)
+    assert(gi.getAs[Double]("mi") == gi.getAs[Double]("h_a"))
+    // independent: full 4×4 product grid, every cell equal → MI exactly 0
+    val indep = (for (x <- 0 until 4; y <- 0 until 4; r <- 0 until 2)
+      yield (x.toDouble, y.toDouble)).zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, x, y) }.toDF("id", "a", "b")
+    val g0 = Eval.mutualInfo(indep, "a", "b", nBins = 4).head()
+    assert(g0.getAs[Double]("mi") == 0.0)
+    // constant signal: zero entropy → nmi undefined
+    val const = (1L to 50L).map(i => (i.toDouble, 7.0)).toDF("a", "b")
+    val gc = Eval.mutualInfo(const, "a", "b", nBins = 4).head()
+    assert(gc.getAs[Double]("h_b") == 0.0)
+    assert(gc.isNullAt(gc.fieldIndex("nmi")))
+  }
+
   // ---- psiOverTime -------------------------------------------------------
 
   test("psiOverTime: the baseline day scores exactly zero, a shifted day scores high") {
