@@ -1926,6 +1926,19 @@ object SparkEntry {
         round(ext.TextAnalysis.meanWordLength(col("text")), 6).as("mwl"))
       ext.Eval.mutualInfo(scored, "q", "mwl")
     }),
+
+    // ext: second principal component — power iteration deflated by
+    // per-round Gram–Schmidt against q161's direction; with q161/q167
+    // this is the 2-D cluster-map / whitening basis
+    "q171_pca_loadings2" -> ((s, dir) => {
+      import s.implicits._
+      val v = ext.Similarity.pcaSecondComponent(
+        Tables.load(s, dir, "embeddings"))
+      v.toIndexedSeq.zipWithIndex.map { case (vj, j) => (j + 1, vj) }
+        .toDF("dim", "loading2")
+        .select(col("dim"), round(col("loading2"), 6).as("loading2"))
+        .orderBy("dim")
+    }),
   )
 
   // ---- DuckDB oracle fragments shared by the ext queries (single source
@@ -2299,6 +2312,42 @@ object SparkEntry {
          FROM e, generate_series(1, $d) AS g(j) GROUP BY g.j)),
        v0 AS (SELECT list_transform(generate_series(1, $d),
          j -> ${1.0 / math.sqrt(d.toDouble)}) AS v),
+       $rounds"""
+  }
+
+  /** DuckDB replica of [[ext.Similarity.pcaSecondComponent]] (q171):
+    * appends to [[PcaRoundsSql]] (whose v5 is the first component) the
+    * Gram–Schmidt-deflated rounds u0..u5 — matvec `w$i` then
+    * orthogonalize-and-normalize, the exact Spark driver arithmetic. */
+  private lazy val Pca2RoundsSql: String = {
+    val d = 64
+    def ortho(src: String, out: String) =
+      s"""$out AS MATERIALIZED (
+           SELECT list_transform(o, oi -> oi / nrm) AS v FROM (
+             SELECT o, sqrt(list_sum(list_transform(o, oi -> oi * oi)))
+               AS nrm
+             FROM (
+               SELECT list_transform(generate_series(1, $d),
+                 j -> ww[j] - proj * v1l[j]) AS o
+               FROM (SELECT $src.w AS ww, v5.v AS v1l,
+                       list_sum(list_transform(generate_series(1, $d),
+                         j -> $src.w[j] * v5.v[j])) AS proj
+                     FROM $src, v5))))"""
+    def matvec(i: Int) =
+      s"""w$i AS (SELECT list(wj ORDER BY j) AS w FROM (
+           SELECT g.j AS j, avg(sc.s * (sc.x[g.j] - sc.mu[g.j])) AS wj
+           FROM (SELECT e.x AS x, mu.mu AS mu,
+                   list_sum(list_transform(generate_series(1, $d),
+                     j2 -> (e.x[j2] - mu.mu[j2]) * up.v[j2])) AS s
+                 FROM e, mu, u${i - 1} up) sc,
+             generate_series(1, $d) AS g(j)
+           GROUP BY g.j))"""
+    val rounds = (1 to 5).map(i => s"${matvec(i)},\n${ortho(s"w$i", s"u$i")}")
+      .mkString(",\n")
+    s"""$PcaRoundsSql,
+       w0 AS (SELECT list_transform(generate_series(1, $d),
+         j -> ${1.0 / math.sqrt(d.toDouble)}) AS w),
+       ${ortho("w0", "u0")},
        $rounds"""
   }
 
@@ -5281,6 +5330,12 @@ object SparkEntry {
                * (ln(CAST(n AS DOUBLE)) - sb / CAST(n AS DOUBLE))) END,
              6) AS nmi
          FROM nn, mi, sa2, sb2""",
+
+    "q171_pca_loadings2" ->
+      s"""WITH $Pca2RoundsSql
+         SELECT CAST(g.j AS INT) AS dim, round(u5.v[g.j], 6) AS loading2
+         FROM u5, generate_series(1, 64) AS g(j)
+         ORDER BY dim""",
 
   )
 }

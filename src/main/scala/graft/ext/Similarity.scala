@@ -699,6 +699,21 @@ object Similarity {
     * sum/n; normalize = w_j/‖w‖); both engines walk the same trajectory
     * so even the SIGN agrees without a convention. Rounds are scans, not
     * joins — no shuffle at all beyond the two reduces per round. */
+  /** One covariance mat-vec `C·v = mean((x−μ)·v · (x−μ))` — the shared
+    * kernel of the power-iteration family: one scan, one VectorMeanAgg
+    * reduce, d doubles back. */
+  private def covMatvec(x: DataFrame, mu: Array[Double],
+      v: Array[Double]): Array[Double] = {
+    val muCol = array(mu.map(lit(_)).toIndexedSeq: _*)
+    val vCol = array(v.map(lit(_)).toIndexedSeq: _*)
+    val base = x.select(
+      zip_with(col("x"), muCol, (xi, mi) => xi - mi).as("c"))
+    val s = dot(col("c"), vCol)
+    base.select(transform(col("c"), ci => ci * s).as("g"))
+      .agg(graft.agg.VectorMeanAgg.column(col("g")).as("w"))
+      .head().getSeq[Double](0).toArray
+  }
+
   def pcaTopComponent(df: DataFrame, vecCol: String = "embedding",
       iters: Int = 5): Array[Double] = {
     val x = df.select(col(vecCol).cast("array<double>").as("x"))
@@ -706,19 +721,39 @@ object Similarity {
     val d = mu.length
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     for (_ <- 1 to iters) {
-      val muCol = array(mu.map(lit(_)).toIndexedSeq: _*)
-      val vCol = array(v.map(lit(_)).toIndexedSeq: _*)
-      val base = x.select(
-        zip_with(col("x"), muCol, (xi, mi) => xi - mi).as("c"))
-      val s = dot(col("c"), vCol)
-      val w = base
-        .select(transform(col("c"), ci => ci * s).as("g"))
-        .agg(graft.agg.VectorMeanAgg.column(col("g")).as("w"))
-        .head().getSeq[Double](0).toArray
+      val w = covMatvec(x, mu, v)
       val nrm = math.sqrt(w.map(z => z * z).sum)
       require(nrm > 0, "pcaTopComponent: zero-variance corpus")
       v = w.map(_ / nrm)
     }
+    v
+  }
+
+  /** SECOND PRINCIPAL COMPONENT by power iteration with per-round
+    * Gram–Schmidt against [[pcaTopComponent]]'s direction (projection
+    * deflation — no explicit deflated matrix, no λ₁ needed): each round
+    * is the same [[covMatvec]] scan, then a d-double driver
+    * orthogonalize-and-normalize. Two components give the 2-D cluster /
+    * outlier map ([[pcaProject]] per axis) and the next term of the
+    * variance account. Deterministic like the first component; both
+    * engines replay the identical trajectory. */
+  def pcaSecondComponent(df: DataFrame, vecCol: String = "embedding",
+      iters: Int = 5): Array[Double] = {
+    val x = df.select(col(vecCol).cast("array<double>").as("x"))
+    val mu = embeddingMean(df, vecCol)
+    val v1 = pcaTopComponent(df, vecCol, iters)
+    val d = mu.length
+    def orthoNormalize(w: Array[Double]): Array[Double] = {
+      val proj = w.zip(v1).map { case (wi, vi) => wi * vi }.sum
+      val o = w.zip(v1).map { case (wi, vi) => wi - proj * vi }
+      val nrm = math.sqrt(o.map(z => z * z).sum)
+      require(nrm > 1e-12,
+        "pcaSecondComponent: degenerate second direction " +
+          "(rank-1 corpus or start parallel to v1)")
+      o.map(_ / nrm)
+    }
+    var v = orthoNormalize(Array.fill(d)(1.0 / math.sqrt(d.toDouble)))
+    for (_ <- 1 to iters) v = orthoNormalize(covMatvec(x, mu, v))
     v
   }
 

@@ -778,6 +778,21 @@ class Round9OpsSuite extends AnyFunSuite {
       "mean-centering makes the component translation-invariant")
   }
 
+  test("pcaSecondComponent recovers the runner-up axis, orthogonal to the first") {
+    // variances 4.5 / 0.5 / ~0.005 on axes 1 / 2 / 3
+    val df = Seq(
+      Array(3.0f, 0.0f, 0.0f), Array(-3.0f, 0.0f, 0.0f),
+      Array(0.0f, 1.0f, 0.1f), Array(0.0f, -1.0f, -0.1f)
+    ).map(Tuple1(_)).toDF("embedding")
+    val v1 = Similarity.pcaTopComponent(df, iters = 6)
+    val v2 = Similarity.pcaSecondComponent(df, iters = 6)
+    assert(math.abs(v2.zip(v1).map { case (a, b) => a * b }.sum) < 1e-9,
+      "second component is orthogonal to the first")
+    assert(math.abs(v2.map(z => z * z).sum - 1.0) < 1e-12, "unit norm")
+    assert(math.abs(v2(1)) > 0.99, s"axis 2 dominates v2: ${v2.toSeq}")
+    assert(math.abs(v2(0)) < 1e-4)
+  }
+
   test("pcaProject emits the centered dominant-axis coordinate per row") {
     val df = Seq(
       (1L, Array(3.0f, 0.0f)), (2L, Array(-3.0f, 0.0f)),
