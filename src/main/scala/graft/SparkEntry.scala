@@ -1927,6 +1927,13 @@ object SparkEntry {
       ext.Eval.mutualInfo(scored, "q", "mwl")
     }),
 
+    // ext: diagonal-Mahalanobis embedding outliers — top-20 z² scores
+    // (mis-embedded / adversarial rows); shuffle-free scoring map +
+    // TakeOrderedAndProject cut
+    "q172_embedding_outliers" -> ((s, dir) =>
+      ext.Similarity.embeddingOutliers(
+        Tables.load(s, dir, "embeddings"))),
+
     // ext: second principal component — power iteration deflated by
     // per-round Gram–Schmidt against q161's direction; with q161/q167
     // this is the 2-D cluster-map / whitening basis
@@ -5336,6 +5343,34 @@ object SparkEntry {
          SELECT CAST(g.j AS INT) AS dim, round(u5.v[g.j], 6) AS loading2
          FROM u5, generate_series(1, 64) AS g(j)
          ORDER BY dim""",
+
+    // per-dim mean/std as driver-shape arithmetic ((E[x²]−μ²)·n/(n−1));
+    // zero-variance dims contribute 0 via a 0-multiplier
+    "q172_embedding_outliers" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS x
+           FROM embeddings),
+         nct AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         st AS (SELECT list(m ORDER BY j) AS mu,
+             list(m2 ORDER BY j) AS m2
+           FROM (SELECT g.j AS j, avg(x[g.j]) AS m,
+                   avg(x[g.j] * x[g.j]) AS m2
+                 FROM e, generate_series(1, 64) AS g(j) GROUP BY g.j)),
+         iv AS (SELECT mu, list_transform(generate_series(1, 64), j ->
+             CASE WHEN sqrt((m2[j] - mu[j] * mu[j])
+                 * (CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))) > 0
+               THEN 1.0 / sqrt((m2[j] - mu[j] * mu[j])
+                 * (CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)))
+               ELSE 0.0 END) AS inv
+           FROM st, nct),
+         sc AS (SELECT vec_id,
+             round(list_sum(list_transform(
+               list_transform(generate_series(1, 64),
+                 j -> (e.x[j] - iv.mu[j]) * iv.inv[j]),
+               zi -> zi * zi)), 6) AS score
+           FROM e, iv)
+         SELECT vec_id, score FROM sc
+         ORDER BY score DESC, vec_id LIMIT 20""",
 
   )
 }

@@ -773,6 +773,48 @@ object Similarity {
         (xi, mi) => xi - mi), vCol), 6).as(outCol))
   }
 
+  /** DIAGONAL-MAHALANOBIS OUTLIER SCORES over the embedding corpus:
+    * `z²(x) = Σ_j ((x_j − μ_j)/σ_j)²` with per-dimension corpus mean and
+    * sample std — the embedding-space outlier gate (mis-embedded docs,
+    * adversarial inputs, pipeline NaN-ish artifacts) that complements
+    * the text-side [[graft.ext.Outliers.robustFlags]] and the
+    * cluster-relative prototypicality score. The diagonal form skips the
+    * d×d covariance inverse — exactly what's defensible at 100 TB, and
+    * consistent after a whitening/PCA rotation.
+    *
+    * Two [[graft.agg.VectorMeanAgg]] reduces (x and x²) give μ and σ as
+    * driver doubles (σ² = (E[x²] − μ²)·n/(n−1)); zero-variance
+    * dimensions are excluded from the sum (they carry no signal and
+    * would fault the division). Scoring is a shuffle-free codegen map;
+    * the top-k cut is a TakeOrderedAndProject.
+    * Returns the `k` highest-scoring rows: (idCol, score desc, id asc). */
+  def embeddingOutliers(df: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", k: Int = 20): DataFrame = {
+    val mu = embeddingMean(df, vecCol)
+    val m2 = df.select(col(vecCol).cast("array<double>").as("x"))
+      .select(transform(col("x"), xi => xi * xi).as("x2"))
+      .agg(graft.agg.VectorMeanAgg.column(col("x2")).as("m"))
+      .head().getSeq[Double](0).toArray
+    val n = df.count()
+    require(n > 1, "embeddingOutliers: need at least 2 vectors")
+    val factor = n.toDouble / (n - 1).toDouble
+    val sig = m2.zip(mu).map { case (s2, m) =>
+      math.sqrt((s2 - m * m) * factor)
+    }
+    // zero-variance dims contribute 0 via a 0-multiplier instead of a
+    // faulting division
+    val invSig = sig.map(s => if (s > 0) 1.0 / s else 0.0)
+    val muCol = array(mu.map(lit(_)).toIndexedSeq: _*)
+    val invCol = array(invSig.map(lit(_)).toIndexedSeq: _*)
+    val z = zip_with(
+      zip_with(col(vecCol).cast("array<double>"), muCol,
+        (xi, mi) => xi - mi),
+      invCol, (ci, si) => ci * si)
+    df.select(col(idCol), round(dot(z, z), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Variance account of [[pcaTopComponent]]'s direction: one row
     * `(n, lambda, total_var, explained)` — λ = mean((x−μ)·v)² (the
     * Rayleigh quotient at the returned v), total variance = mean ‖x−μ‖²

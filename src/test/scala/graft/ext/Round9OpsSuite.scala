@@ -793,6 +793,19 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(math.abs(v2(0)) < 1e-4)
   }
 
+  test("embeddingOutliers ranks the planted outlier first and survives a constant dim") {
+    // 20 tight points + one far outlier; dim 3 is constant (σ = 0)
+    val rows = (1L to 20L).map(i =>
+      (i, Array((i % 5).toFloat, (i % 3).toFloat, 2.0f))) :+
+      (99L, Array(1000.0f, -1000.0f, 2.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.embeddingOutliers(df, k = 3).collect()
+    assert(got.head.getLong(0) == 99L, "planted outlier scores highest")
+    assert(got.head.getDouble(1) > 10 * got(1).getDouble(1))
+    // constant dim contributes zero, not a division fault
+    assert(got.forall(r => !r.getDouble(1).isNaN))
+  }
+
   test("pcaProject emits the centered dominant-axis coordinate per row") {
     val df = Seq(
       (1L, Array(3.0f, 0.0f)), (2L, Array(-3.0f, 0.0f)),
