@@ -1934,6 +1934,12 @@ object SparkEntry {
       ext.Similarity.embeddingOutliers(
         Tables.load(s, dir, "embeddings"))),
 
+    // ext: label-issue mining — the 20 docs whose lang label the q112
+    // NB margins reject most confidently (the human-audit queue)
+    "q173_label_issues" -> ((s, dir) =>
+      ext.TextAnalysis.nbLabelIssues(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "lang")),
+
     // ext: second principal component — power iteration deflated by
     // per-round Gram–Schmidt against q161's direction; with q161/q167
     // this is the 2-D cluster-map / whitening basis
@@ -2074,7 +2080,9 @@ object SparkEntry {
 
   /** DuckDB replica of [[ext.TextAnalysis.nbMulticlass]] on the lang
     * label (no ORDER BY) - shared by q112 and the q119 eval. */
-  private lazy val NbMulticlassSql: String =
+  /** [[NbMulticlassSql]]'s CTE prefix through `sc` (per-(doc, class)
+    * scores) — shared with the q173 label-issue oracle. */
+  private lazy val NbMulticlassCtesSql: String =
     s"""WITH d AS (SELECT doc_id, lang AS cls, $ToksSql AS toks
              FROM documents),
          t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
@@ -2101,7 +2109,10 @@ object SparkEntry {
                   round(cl.prior + coalesce(s.s, 0.0) -
                     CAST(pd.n_tokens AS DOUBLE) * cl.lntc, 6) AS score
                 FROM pd CROSS JOIN cl
-                LEFT JOIN s ON s.doc_id = pd.doc_id AND s.cls = cl.cls),
+                LEFT JOIN s ON s.doc_id = pd.doc_id AND s.cls = cl.cls)"""
+
+  private lazy val NbMulticlassSql: String =
+    s"""$NbMulticlassCtesSql,
          r AS (SELECT doc_id, n_tokens, cls, score,
                  row_number() OVER (PARTITION BY doc_id
                    ORDER BY score DESC, cls) AS rn
@@ -5371,6 +5382,25 @@ object SparkEntry {
            FROM e, iv)
          SELECT vec_id, score FROM sc
          ORDER BY score DESC, vec_id LIMIT 20""",
+
+    // per-(doc, class) NB scores shared with q112; margin = difference
+    // of the two 6 dp-rounded scores
+    "q173_label_issues" ->
+      s"""$NbMulticlassCtesSql,
+         r AS (SELECT doc_id, cls, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, cls) AS rn
+               FROM sc),
+         top AS (SELECT doc_id, cls AS pred, score AS ps
+                 FROM r WHERE rn = 1),
+         own AS (SELECT sc.doc_id, sc.cls AS label, sc.score AS ls
+                 FROM sc JOIN d ON d.doc_id = sc.doc_id
+                   AND d.cls = sc.cls)
+         SELECT top.doc_id, own.label, top.pred,
+           round(top.ps - own.ls, 6) AS margin
+         FROM top JOIN own ON own.doc_id = top.doc_id
+         WHERE top.pred <> own.label
+         ORDER BY margin DESC, top.doc_id LIMIT 20""",
 
   )
 }

@@ -873,6 +873,66 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** LABEL-ISSUE MINING (confident-learning shape, Northcutt et al.):
+    * rank rows whose OBSERVED label the k-way NB classifier most
+    * confidently rejects — `margin = score(pred) − score(label)` with
+    * pred ≠ label, largest first. The top of this list is what a human
+    * audits first: at real corpus scale a percent of mislabeled rows is
+    * normal and silently poisons both training and every eval slice.
+    * Same score table as [[nbMulticlass]] (cross-validation-free NB
+    * margins — the cheap first pass, not a calibrated CL estimate).
+    *
+    * Shape at 100 TB: the per-(doc, class) score frame is the corpus ×k
+    * (k = label cardinality); the disagreement filter and top-`k` cut
+    * run on it (TakeOrderedAndProject). Returns
+    * (idCol, label, pred, margin) — top `topK` by (margin desc, id). */
+  def nbLabelIssues(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, labelCol: String,
+      topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    val docs = df.select(col(idCol), col(labelCol).as("cls"),
+      wordTokens(textCol).as("toks"))
+    val toks = docs.select(col(idCol), explode(col("toks")).as("tok"))
+    val counts = docs.select(col("cls"), explode(col("toks")).as("tok"))
+      .groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val vdf = counts.select(col("tok")).distinct()
+      .agg(count(lit(1)).as("_v"))
+    val ndf = docs.agg(count(lit(1)).as("_nt"))
+    val classes = docs.groupBy(col("cls")).agg(count(lit(1)).as("ndc"))
+      .join(counts.groupBy(col("cls")).agg(sum(col("cnt")).as("tc")),
+        Seq("cls"), "left")
+      .crossJoin(broadcast(vdf)).crossJoin(broadcast(ndf))
+      .select(col("cls"),
+        log(col("ndc").cast("double") / col("_nt").cast("double"))
+          .as("prior"),
+        log((coalesce(col("tc"), lit(0L)) + col("_v")).cast("double"))
+          .as("lntc"))
+    val s = toks.join(counts, Seq("tok"))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(log((col("cnt") + lit(1L)).cast("double"))).as("s"))
+    val perDoc = docs.select(col(idCol),
+      size(col("toks")).cast("long").as("n_tokens"))
+    val scored = perDoc.crossJoin(broadcast(classes))
+      .join(s, Seq(idCol, "cls"), "left")
+      .withColumn("score", round(
+        col("prior") + coalesce(col("s"), lit(0.0)) -
+          col("n_tokens").cast("double") * col("lntc"), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("cls").asc)
+    val top = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cls").as("pred"),
+        col("score").as("_ps"))
+    val own = scored
+      .join(docs.select(col(idCol), col("cls")), Seq(idCol, "cls"))
+      .select(col(idCol), col("cls").as("label"), col("score").as("_ls"))
+    top.join(own, Seq(idCol))
+      .filter(col("pred") =!= col("label"))
+      .select(col(idCol), col("label"), col("pred"),
+        round(col("_ps") - col("_ls"), 6).as("margin"))
+      .orderBy(col("margin").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Driver-held NB classifier model: vocabulary, per-token log-odds
     * weights (same formula as [[nbQualityScore]]), class-prior log-odds.
     * The serving twin of the distributed scorer — see [[nbScoreWith]]. */

@@ -907,6 +907,27 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(sk.getAs[Double]("entropy") < 0.2, "hot key → low entropy")
   }
 
+  // ---- nbLabelIssues -----------------------------------------------------
+
+  test("nbLabelIssues surfaces the planted mislabel with the largest margin") {
+    // 'en'-vocabulary docs labeled en, 'fr'-vocabulary docs labeled fr,
+    // plus one en-vocabulary doc mislabeled fr
+    val en = (1L to 5L).map(i => (i, "the cat sat on the mat", "en"))
+    val fr = (6L to 10L).map(i => (i, "le chat dort sur le tapis", "fr"))
+    val bad = Seq((99L, "the cat sat on the mat", "fr"))
+    val df = (en ++ fr ++ bad).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis
+      .nbLabelIssues(df, "doc_id", "text", "lang", topK = 5).collect()
+    assert(got.nonEmpty)
+    assert(got.head.getAs[Long]("doc_id") == 99L,
+      "the planted mislabel tops the audit queue")
+    assert(got.head.getAs[String]("pred") == "en" &&
+      got.head.getAs[String]("label") == "fr")
+    assert(got.head.getAs[Double]("margin") > 0)
+    // margins are positive by construction (pred is the argmax)
+    assert(got.forall(_.getAs[Double]("margin") >= 0))
+  }
+
   // ---- mutualInfo --------------------------------------------------------
 
   test("mutualInfo: identical signals hit nmi 1, independent grids near 0, constants NULL") {
