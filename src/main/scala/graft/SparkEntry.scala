@@ -1940,6 +1940,16 @@ object SparkEntry {
       ext.TextAnalysis.nbLabelIssues(
         Tables.load(s, dir, "documents"), "doc_id", "text", "lang")),
 
+    // ext: per-source bootstrap CI on mean quality — q165 sliced by
+    // source; "are these two sources' qualities really different?"
+    "q174_bootstrap_by_source" -> ((s, dir) => {
+      val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+      ext.Eval.bootstrapCIBy(scored, "source", "doc_id", "q")
+        .orderBy("source")
+    }),
+
     // ext: second principal component — power iteration deflated by
     // per-round Gram–Schmidt against q161's direction; with q161/q167
     // this is the 2-D cluster-map / whitening basis
@@ -5401,6 +5411,43 @@ object SparkEntry {
          FROM top JOIN own ON own.doc_id = top.doc_id
          WHERE top.pred <> own.label
          ORDER BY margin DESC, top.doc_id LIMIT 20""",
+
+    // the q165 machinery with every stage keyed on source
+    "q174_bootstrap_by_source" -> {
+      val th = ext.Eval.PoissonThresholds
+      val bucket =
+        """CAST(CAST(concat('0x', substr(md5(concat('boot:',
+           CAST(rep AS VARCHAR), ':', CAST(doc_id AS VARCHAR))), 1, 15))
+           AS UBIGINT) AS BIGINT)"""
+      val caseW = th.zipWithIndex
+        .map { case (t, k) => s"WHEN $bucket < $t THEN $k" }
+        .mkString("CASE ", " ", s" ELSE ${th.size} END")
+      s"""$QualityCtesSql,
+         sc AS (SELECT doc_id, source, $QualityValSql AS x FROM s),
+         ex AS (SELECT doc_id, source, x,
+                  unnest(generate_series(0, 39)) AS rep
+                FROM sc),
+         wb AS (SELECT source, rep, x, $caseW AS w FROM ex),
+         pr AS (SELECT source, rep,
+                  CASE WHEN sum(w) > 0
+                    THEN sum(w * x) / CAST(sum(w) AS DOUBLE) END AS m
+                FROM wb GROUP BY source, rep),
+         rk AS (SELECT source, m,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY m ASC) AS rn
+                FROM pr WHERE m IS NOT NULL),
+         ci AS (SELECT source,
+                  min(CASE WHEN rn = 1 THEN m END) AS lo,
+                  min(CASE WHEN rn = 39 THEN m END) AS hi
+                FROM rk GROUP BY source),
+         mg AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                  avg(x) AS mean_raw
+                FROM sc GROUP BY source)
+         SELECT mg.source, mg.n, round(mg.mean_raw, 6) AS mean,
+           round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi
+         FROM mg JOIN ci ON ci.source = mg.source
+         ORDER BY mg.source"""
+    },
 
   )
 }

@@ -651,6 +651,49 @@ object Eval {
         round(col("_lo"), 6).as("ci_lo"), round(col("_hi"), 6).as("ci_hi"))
   }
 
+  /** [[bootstrapCI]] PER GROUP — error bars on each slice's mean ("is
+    * src3's quality really below src5's, or noise?" — the question a
+    * point estimate per source cannot answer). Same deterministic
+    * Poisson weights and fixed order-statistic convention; every stage
+    * keys on the group so parallelism grows with slice count.
+    * Returns one row per group: (groupCol, n, mean, ci_lo, ci_hi). */
+  def bootstrapCIBy(df: DataFrame, groupCol: String, idCol: String,
+      valCol: String, reps: Int = 40, salt: String = "boot"): DataFrame = {
+    require(reps >= 4, s"reps $reps")
+    val base = df.select(col(groupCol).as("_g"), col(idCol).as("_id"),
+        col(valCol).cast("double").as("_x"))
+      .filter(col("_x").isNotNull)
+    val bucket = conv(substring(md5(concat(lit(salt + ":"),
+        col("_rep").cast("string"), lit(":"), col("_id").cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val w = PoissonThresholds.zipWithIndex.foldRight(
+        lit(PoissonThresholds.size): Column) { case ((t, k), acc) =>
+      when(bucket < t, lit(k)).otherwise(acc)
+    }
+    val perRep = base
+      .withColumn("_rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("_w", w)
+      .groupBy(col("_g"), col("_rep"))
+      .agg(sum(col("_w") * col("_x")).as("_swx"),
+        sum(col("_w")).cast("double").as("_sw"))
+      .select(col("_g"),
+        when(col("_sw") > 0, col("_swx") / col("_sw")).as("_m"))
+      .filter(col("_m").isNotNull)
+    val idxLo = math.max(1, math.floor(0.025 * reps).toInt)
+    val idxHi = math.ceil(0.975 * reps).toInt
+    val ranked = perRep.withColumn("_rn", row_number().over(
+      Window.partitionBy(col("_g")).orderBy(col("_m").asc)))
+    val ci = ranked.groupBy(col("_g")).agg(
+      min(when(col("_rn") === idxLo, col("_m"))).as("_lo"),
+      min(when(col("_rn") === idxHi, col("_m"))).as("_hi"))
+    base.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), avg(col("_x")).as("_mean"))
+      .join(ci, Seq("_g"))
+      .select(col("_g").as(groupCol), col("n"),
+        round(col("_mean"), 6).as("mean"),
+        round(col("_lo"), 6).as("ci_lo"), round(col("_hi"), 6).as("ci_hi"))
+  }
+
   /** KEY-SKEW REPORT: the pre-join diagnostic that decides between a
     * plain shuffle join, a broadcast, and [[graft.operators.SkewJoin]] —
     * per-key distribution summarized as max key share, Shannon entropy

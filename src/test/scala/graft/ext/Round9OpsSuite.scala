@@ -875,6 +875,18 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(c.getAs[Double]("ci_lo") == 7.0 && c.getAs[Double]("ci_hi") == 7.0)
   }
 
+  test("bootstrapCIBy slices agree with per-slice bootstrapCI") {
+    val df = (1L to 120L).map(i => (s"g${i % 2}", i, (i % 7).toDouble))
+      .toDF("g", "id", "x")
+    val sliced = Eval.bootstrapCIBy(df, "g", "id", "x")
+      .collect().map(r => r.getAs[String]("g") -> r.toSeq.drop(1)).toMap
+    for (g <- Seq("g0", "g1")) {
+      val solo = Eval.bootstrapCI(df.filter(col("g") === g), "id", "x")
+        .head().toSeq
+      assert(sliced(g) == solo, s"slice $g must equal the solo CI")
+    }
+  }
+
   test("PoissonThresholds: weights average ~1 over the bucket space") {
     val th = Eval.PoissonThresholds
     assert(th.size == 8 && th.sameElements(th.sorted))
