@@ -115,6 +115,10 @@ object GraftFunctions {
       require(exprs.length == 1, "token_entropy(t)")
       columnFn(exprs.head)(graft.ext.TextAnalysis.tokenEntropyCol)
     }, "built-in")
+    registry.createOrReplaceTempFunction("deflate_ratio", exprs => {
+      require(exprs.length == 1, "deflate_ratio(t)")
+      columnFn(exprs.head)(graft.functions.DeflateRatio.column)
+    }, "built-in")
     registry.createOrReplaceTempFunction("fingerprint", exprs => {
       require(exprs.length == 1 || exprs.length == 2, "fingerprint(t[, n])")
       val n =

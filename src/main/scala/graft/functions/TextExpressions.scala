@@ -636,3 +636,54 @@ object TokenWeightSum {
       sorted.map(_._1).toSeq, sorted.map(_._2).toSeq))
   }
 }
+
+/** Kernel for [[DeflateRatio]]: one-shot zlib DEFLATE (level 6) of the
+  * UTF-8 bytes, counting output without keeping it. A fresh Deflater per
+  * call — Deflaters are not thread-safe and rows evaluate on 32 codegen
+  * threads; `end()` releases the native zlib state eagerly instead of
+  * waiting on finalization. Deterministic: zlib's DEFLATE output for a
+  * fixed input/level/strategy is stable across JDK releases (the
+  * algorithm is pinned by RFC 1951 greedy matching at each level). */
+object CompressKernel {
+  def deflateRatio(t: UTF8String): Double = {
+    val bytes = t.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](4096)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length.toDouble
+    } finally d.end()
+  }
+}
+
+/** `deflate_ratio(text)`: zlib-compressed size over raw UTF-8 size — the
+  * classic compressibility quality signal (Gopher/RefinedWeb family):
+  * boilerplate and template spam compress far below natural prose, random
+  * noise compresses above 1. Empty text reports 1.0 (incompressible by
+  * convention). No SQL-expressible oracle exists (zlib is not a DuckDB
+  * builtin) — the kernel is suite-pinned against known-entropy inputs
+  * instead. */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "deflate_ratio"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullSafeEval(t: Any): Any =
+    CompressKernel.deflateRatio(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CompressKernel.deflateRatio($t);")
+
+  override protected def withNewChildInternal(c: Expression): DeflateRatio =
+    copy(child = c)
+}
+
+object DeflateRatio {
+  def column(text: Column): Column =
+    ExpressionUtils.column(DeflateRatio(ExpressionUtils.expression(text)))
+}

@@ -919,6 +919,29 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(sk.getAs[Double]("entropy") < 0.2, "hot key → low entropy")
   }
 
+  // ---- deflateRatio ------------------------------------------------------
+
+  test("deflate_ratio: templates compress far below prose, noise above; empty = 1; deterministic") {
+    val template = "buy now click here " * 100
+    val rnd = new scala.util.Random(42)
+    val noise = (1 to 400).map(_ => (rnd.nextInt(93) + 33).toChar).mkString
+    val df = Seq((1L, template), (2L, noise), (3L, "")).toDF("id", "t")
+      .select(col("id"),
+        graft.functions.DeflateRatio.column(col("t")).as("r"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) < 0.05, s"template ratio ${got(1L)}")
+    assert(got(2L) > 0.5, s"noise ratio ${got(2L)}")
+    assert(got(3L) == 1.0)
+    // stable across evaluations (fresh Deflater per call, fixed level)
+    assert(df.collect().map(_.getDouble(1)).toSeq ==
+      df.collect().map(_.getDouble(1)).toSeq)
+    // SQL surface
+    graft.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT deflate_ratio('${"ab " * 50}') AS r").head().getDouble(0)
+    assert(viaSql < 0.3)
+  }
+
   // ---- nbLabelIssues -----------------------------------------------------
 
   test("nbLabelIssues surfaces the planted mislabel with the largest margin") {
