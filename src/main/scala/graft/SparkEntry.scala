@@ -1940,6 +1940,26 @@ object SparkEntry {
       ext.TextAnalysis.nbLabelIssues(
         Tables.load(s, dir, "documents"), "doc_id", "text", "lang")),
 
+    // ext: per-source duplication rate — the fraction each source would
+    // lose to min-id component dedup (which feeds need ingest dedup)
+    "q175_dup_rate_by_source" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = ext.Dedup.minhashLsh(docs, "text", "doc_id",
+        numHashes = 16, bands = 4, minJaccard = 0.3)
+      ext.Dedup.dupRateBySlice(docs, "doc_id", "source", pairs)
+        .orderBy("source")
+    }),
+
+    // ext: cross-source duplication matrix — who duplicates whom
+    // (mirrors/syndication); pair-volume cost, ≤ S² output rows
+    "q176_cross_dup_matrix" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = ext.Dedup.minhashLsh(docs, "text", "doc_id",
+        numHashes = 16, bands = 4, minJaccard = 0.3)
+      ext.Dedup.crossSliceDupMatrix(docs, "doc_id", "source", pairs)
+        .orderBy("slice_a", "slice_b")
+    }),
+
     // ext: per-source bootstrap CI on mean quality — q165 sliced by
     // source; "are these two sources' qualities really different?"
     "q174_bootstrap_by_source" -> ((s, dir) => {
@@ -5448,6 +5468,37 @@ object SparkEntry {
          FROM mg JOIN ci ON ci.source = mg.source
          ORDER BY mg.source"""
     },
+
+    // q43's closure; a duplicate = a non-canonical component member
+    "q175_dup_rate_by_source" ->
+      s"""WITH RECURSIVE pairs AS (
+           $MinhashPairsSql
+           SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+         e AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         r(a, b) AS (SELECT a, b FROM e
+                     UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         can AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+                 FROM r GROUP BY a)
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN can.canonical_id IS NOT NULL
+               AND can.canonical_id <> d.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dup,
+           CAST(sum(CASE WHEN can.canonical_id IS NOT NULL
+               AND can.canonical_id <> d.doc_id THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+         FROM documents d LEFT JOIN can USING (doc_id)
+         GROUP BY d.source ORDER BY d.source""",
+
+    "q176_cross_dup_matrix" ->
+      s"""$MinhashPairsSql,
+         und AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+         m AS (SELECT least(da.source, db.source) AS slice_a,
+                 greatest(da.source, db.source) AS slice_b
+               FROM und JOIN documents da ON da.doc_id = und.id_a
+                 JOIN documents db ON db.doc_id = und.id_b)
+         SELECT slice_a, slice_b, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM m GROUP BY slice_a, slice_b ORDER BY slice_a, slice_b""",
 
   )
 }

@@ -394,6 +394,54 @@ object Dedup {
           .as("keep"))
   }
 
+  /** PER-SLICE DUPLICATION RATE: for each slice (source, domain, crawl
+    * snapshot) the fraction of its documents a min-id component dedup
+    * would DROP — the per-provider duplication accounting that decides
+    * which feeds deserve ingest-time dedup and which are already clean.
+    * `n_dup` counts non-canonical component members; `dup_rate` is the
+    * exact integer ratio (unrounded — engine-identical).
+    *
+    * Shape at 100 TB: the component solve touches only the pair list;
+    * the corpus pays one left join against it and one slice-keyed
+    * collapse. Returns (sliceCol, n_docs, n_dup, dup_rate). */
+  def dupRateBySlice(df: DataFrame, idCol: String, sliceCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("doc_id").as(idCol), col("canonical_id"))
+    df.select(col(idCol), col(sliceCol))
+      .join(comp, Seq(idCol), "left")
+      .groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("canonical_id").isNotNull &&
+            col("canonical_id") =!= col(idCol).cast("long"), 1L)
+          .otherwise(0L)).as("n_dup"))
+      .withColumn("dup_rate",
+        col("n_dup").cast("double") / col("n_docs").cast("double"))
+  }
+
+  /** CROSS-SLICE DUPLICATION MATRIX: verified near-dup pair counts per
+    * unordered slice pair — WHO duplicates WHOM (mirror sites, syndicated
+    * feeds, re-crawled domains). The diagonal is within-slice
+    * duplication; heavy off-diagonal cells say two providers ship the
+    * same content and one of them can be dropped from the mix.
+    *
+    * One pair-list join against the slice map per endpoint, then a
+    * ≤ S²-row collapse — pair-volume cost, never corpus. Returns
+    * (slice_a, slice_b, n_pairs) with slice_a ≤ slice_b. */
+  def crossSliceDupMatrix(df: DataFrame, idCol: String, sliceCol: String,
+      pairs: DataFrame): DataFrame = {
+    val s = df.select(col(idCol), col(sliceCol))
+    pairs
+      .join(s.select(col(idCol).as("id_a"), col(sliceCol).as("_sa")),
+        "id_a")
+      .join(s.select(col(idCol).as("id_b"), col(sliceCol).as("_sb")),
+        "id_b")
+      .select(least(col("_sa"), col("_sb")).as("slice_a"),
+        greatest(col("_sa"), col("_sb")).as("slice_b"))
+      .groupBy(col("slice_a"), col("slice_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   private def unpersistCheckpoint(ds: DataFrame): Unit =
     graft.util.Checkpoints.release(ds)
 

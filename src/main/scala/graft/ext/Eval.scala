@@ -704,7 +704,10 @@ object Eval {
     * max_share and gini are exact integer ratios (unrounded); entropy
     * rounds at 6 dp (order-dependent sum over keys). NULL keys count as
     * a key (they hash-partition together — exactly the skew that
-    * matters). Returns one row:
+    * matters). Overflow posture: the Gini numerator's `Σ (2i−1)·c_i` and
+    * `K·n` stay in int64 while `K·n < 9·10¹⁸` — beyond ~10⁹ keys on a
+    * ~10⁹-row-per-key corpus ANSI faults loudly; pre-aggregate keys or
+    * switch the Gini terms to doubles there. Returns one row:
     * (n_rows, n_keys, top_key, max_share, entropy, gini). */
   def skewReport(df: DataFrame, keyCol: String): DataFrame = {
     val per = df.groupBy(col(keyCol).cast("string").as("_k"))
@@ -746,8 +749,12 @@ object Eval {
     *
     * Shape at 100 TB: two per-score rank tables joined back (one
     * materialized scan of the pair projection), then everything runs on
-    * the ≤ nBins² joint-count table. Returns one row:
-    * (n, mi, h_a, h_b, nmi), mi/entropies rounded 6 dp. */
+    * the ≤ nBins² joint-count table. Overflow posture (the cohenKappa
+    * discipline): the exact integer products `c·n` / `ca·cb` in the MI
+    * log argument exceed int64 past ~3·10⁹ rows — ANSI mode faults
+    * loudly there; switch those two products to doubles at that scale
+    * (costs exactness of the log argument, not of the counts). Returns
+    * one row: (n, mi, h_a, h_b, nmi), mi/entropies rounded 6 dp. */
   def mutualInfo(df: DataFrame, aCol: String, bCol: String,
       nBins: Int = 10): DataFrame = {
     require(nBins > 1, s"nBins $nBins")

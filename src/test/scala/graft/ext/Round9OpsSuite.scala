@@ -598,6 +598,24 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(rows(4L)._2 == plain)
   }
 
+  test("dupRateBySlice and crossSliceDupMatrix replay a hand-built two-source graph") {
+    // srcA: docs 1,2,3 with 1-2 dup; srcB: docs 4,5 with 4-5 dup and 2-4
+    // crossing sources
+    val docs = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"))
+      .toDF("doc_id", "src")
+    val pairs = Seq((1L, 2L), (4L, 5L), (2L, 4L)).toDF("id_a", "id_b")
+    val rates = Dedup.dupRateBySlice(docs, "doc_id", "src", pairs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // component {1,2,4,5} canonical 1: dups are 2 (in A) and 4,5 (in B)
+    assert(rates("A") == ((3L, 1L, 1.0 / 3)))
+    assert(rates("B") == ((2L, 2L, 1.0)))
+    val m = Dedup.crossSliceDupMatrix(docs, "doc_id", "src", pairs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(m == Map(("A", "A") -> 1L, ("B", "B") -> 1L, ("A", "B") -> 1L))
+  }
+
   // ---- canonicalByScore --------------------------------------------------
 
   test("canonicalByScore keeps the max-score member per component, id tiebreak, singletons survive") {
