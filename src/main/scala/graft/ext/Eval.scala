@@ -536,7 +536,9 @@ object Eval {
     * data values cannot).
     *
     * Shape at 100 TB: both sides collapse to per-score tables (bounded
-    * by score granularity, not corpus size); the inverse lookup is a
+    * by score GRANULARITY — feed scores at a rounded grain; raw
+    * continuous doubles make the "per-score table" corpus-sized and the
+    * broadcast global table unboundable); the inverse lookup is a
     * range join of the per-group table against the broadcast global
     * table; the corpus pays one groupBy and one join back on
     * (group, value). Output: input + `outCol`. */
@@ -587,7 +589,8 @@ object Eval {
     * signal) give NULL, the [[cohenKappa]] undefined convention.
     *
     * Shape at 100 TB: two per-score rank tables (score-granularity
-    * bounded) joined back by value, one 6-number moment reduce.
+    * bounded — feed ROUNDED scores, like every rank/percentile op here)
+    * joined back by value, one 6-number moment reduce.
     * Returns one row: (n, rho). */
   /** Poisson(1) CDF cut points in the md5-bucket space `[0, 2^60)` —
     * weight k is assigned when the bucket falls in `[t_{k−1}, t_k)`.

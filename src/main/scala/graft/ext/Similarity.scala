@@ -790,12 +790,15 @@ object Similarity {
     * Returns the `k` highest-scoring rows: (idCol, score desc, id asc). */
   def embeddingOutliers(df: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", k: Int = 20): DataFrame = {
-    val mu = embeddingMean(df, vecCol)
-    val m2 = df.select(col(vecCol).cast("array<double>").as("x"))
+    // stats and count over the SAME non-null subset: VectorMeanAgg skips
+    // null vectors, so counting them in n would skew the ddof factor
+    val nn = df.filter(col(vecCol).isNotNull)
+    val mu = embeddingMean(nn, vecCol)
+    val m2 = nn.select(col(vecCol).cast("array<double>").as("x"))
       .select(transform(col("x"), xi => xi * xi).as("x2"))
       .agg(graft.agg.VectorMeanAgg.column(col("x2")).as("m"))
       .head().getSeq[Double](0).toArray
-    val n = df.count()
+    val n = nn.count()
     require(n > 1, "embeddingOutliers: need at least 2 vectors")
     val factor = n.toDouble / (n - 1).toDouble
     val sig = m2.zip(mu).map { case (s2, m) =>
