@@ -1960,6 +1960,24 @@ object SparkEntry {
         .orderBy("slice_a", "slice_b")
     }),
 
+    // ext: near-dup component-SIZE histogram — the duplication-depth
+    // curve (many pairs vs few mega-clusters need different dedup
+    // strategies); size-1 row = documents outside any pair
+    "q177_component_sizes" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = ext.Dedup.minhashLsh(docs, "text", "doc_id",
+        numHashes = 16, bands = 4, minJaccard = 0.3)
+      val comp = ext.Dedup.connectedComponents(pairs)
+      val multi = comp.groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
+      val singles = docs
+        .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_components"))
+        .select(lit(1L).as("sz"), col("n_components"))
+      singles.unionByName(multi).orderBy("sz")
+    }),
+
     // ext: per-source bootstrap CI on mean quality — q165 sliced by
     // source; "are these two sources' qualities really different?"
     "q174_bootstrap_by_source" -> ((s, dir) => {
@@ -5499,6 +5517,29 @@ object SparkEntry {
                  JOIN documents db ON db.doc_id = und.id_b)
          SELECT slice_a, slice_b, CAST(count(*) AS BIGINT) AS n_pairs
          FROM m GROUP BY slice_a, slice_b ORDER BY slice_a, slice_b""",
+
+    "q177_component_sizes" ->
+      s"""WITH RECURSIVE pairs AS (
+           $MinhashPairsSql
+           SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+         e AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         r(a, b) AS (SELECT a, b FROM e
+                     UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         can AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+                 FROM r GROUP BY a),
+         ms AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz
+                FROM can GROUP BY canonical_id),
+         hist AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_components
+                  FROM ms GROUP BY sz),
+         singles AS (SELECT CAST(1 AS BIGINT) AS sz,
+             CAST(count(*) AS BIGINT) AS n_components
+           FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM can
+                             WHERE can.doc_id = d.doc_id))
+         SELECT sz, n_components FROM singles
+         UNION ALL SELECT sz, n_components FROM hist
+         ORDER BY sz""",
 
   )
 }
