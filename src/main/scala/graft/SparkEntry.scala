@@ -1978,6 +1978,19 @@ object SparkEntry {
       singles.unionByName(multi).orderBy("sz")
     }),
 
+    // ext: REAL PCM WAV decode — id-derived RIFF/WAVE blobs parsed back
+    // (pure-JDK chunk walk); the oracle recomputes the analytic waveform
+    "q178_audio_decode" -> ((s, dir) => {
+      val media = ext.Multimodal.synthesizeAudio(
+        Tables.load(s, dir, "documents"), "doc_id")
+      ext.Multimodal.audioFeatures(media)
+        .select(col("id"), col("sampleRate").as("sample_rate"),
+          col("channels"), col("nSamples").as("n_samples"),
+          col("durationMs").as("duration_ms"),
+          round(col("rms"), 6).as("rms"))
+        .orderBy("id")
+    }),
+
     // ext: per-source bootstrap CI on mean quality — q165 sliced by
     // source; "are these two sources' qualities really different?"
     "q174_bootstrap_by_source" -> ((s, dir) => {
@@ -5540,6 +5553,24 @@ object SparkEntry {
          SELECT sz, n_components FROM singles
          UNION ALL SELECT sz, n_components FROM hist
          ORDER BY sz""",
+
+    // analytic waveform replay: s(t) = (id·31 + t·7) mod 2048 − 1024,
+    // exact integers — the sum of squares is order-free in doubles
+    "q178_audio_decode" ->
+      """WITH p AS (SELECT doc_id AS id,
+             ((doc_id % 5) + 1) * 80 AS n
+           FROM documents),
+         s AS (SELECT id, n,
+             sqrt(list_sum(list_transform(generate_series(0, n - 1),
+                 t -> CAST((id * 31 + t * 7) % 2048 - 1024 AS DOUBLE)
+                   * CAST((id * 31 + t * 7) % 2048 - 1024 AS DOUBLE)))
+               / CAST(n AS DOUBLE)) AS rms
+           FROM p)
+         SELECT id, 8000 AS sample_rate, CAST(1 AS INT) AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n AS DOUBLE) / 8000.0 * 1000.0 AS duration_ms,
+           round(rms, 6) AS rms
+         FROM s ORDER BY id""",
 
   )
 }

@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed batch-wise per partition.
   *
   * IMAGE rows decode FOR REAL (JDK ImageIO — PNG bytes → true dimensions +
-  * mean luminance); audio/video decode remains a clearly-marked
-  * deterministic STUB (this container has no audio/video codecs).
-  * Everything Spark-side — the schema, the typed Dataset, the
-  * partition-batched iteration shape (mirroring an Arrow-batch UDF), frame
-  * sampling, metadata rewrite — is real and tested. A production
-  * deployment swaps [[stubDecode]] for codec calls with the same
-  * signature, exactly as [[decodeImage]] already does for PNG.
+  * mean luminance), and so does UNCOMPRESSED AUDIO ([[decodeAudio]] — a
+  * pure-JDK RIFF/WAVE PCM chunk walk → sample rate, duration, RMS);
+  * compressed audio and video decode remain a clearly-marked
+  * deterministic STUB (those genuinely need codec libraries this
+  * container has none of). Everything Spark-side — the schema, the typed
+  * Dataset, the partition-batched iteration shape (mirroring an
+  * Arrow-batch UDF), frame sampling, metadata rewrite — is real and
+  * tested. A production deployment swaps [[stubDecode]] for codec calls
+  * with the same signature, exactly as [[decodeImage]] and
+  * [[decodeAudio]] already do for PNG and PCM WAV.
   */
 object Multimodal {
 
@@ -127,10 +130,116 @@ object Multimodal {
       s.toDouble / nSamples)
   }
 
+  final case class AudioFeatures(id: Long, nBytes: Int, digest: String,
+      sampleRate: Int, channels: Int, nSamples: Long, durationMs: Double,
+      rms: Double)
+
+  /** Deterministic REAL audio corpus: per row an id-derived PCM WAV
+    * (RIFF/WAVE, 16-bit mono, 8 kHz) whose sample
+    * `s(t) = ((id·31 + t·7) mod 2048) − 1024` — analytic integer
+    * content, so an oracle can verify the DECODED features (sample
+    * count, RMS) in plain SQL, the [[synthesizeImages]] discipline
+    * applied to audio. Encoding runs per partition on executors. */
+  def synthesizeAudio(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    val ids0 = df.select(col(idCol).cast("long")).as[Long]
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val ids = if (ids0.rdd.getNumPartitions * 4 <= target)
+      ids0.repartition(target) else ids0
+    ids.mapPartitions(_.map { id =>
+      val n = ((id % 5) + 1).toInt * 80
+      val sr = 8000
+      val dataSize = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sr).putInt(sr * 2).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataSize)
+      var t = 0
+      while (t < n) {
+        bb.putShort((((id * 31 + t.toLong * 7) % 2048) - 1024).toShort)
+        t += 1
+      }
+      MediaRow(id, bb.array(), MediaMeta("wav", 0, 0, 1))
+    })
+  }
+
+  /** REAL PCM WAV decode — pure JDK RIFF chunk walk (no codec library
+    * needed for uncompressed audio): validates RIFF/WAVE magic, reads the
+    * fmt chunk (PCM only), and computes sample count, duration and RMS
+    * amplitude from the data payload. Compressed audio (mp3/ogg/aac) and
+    * video stay behind [[stubDecode]] — those genuinely need codecs this
+    * container doesn't ship. Unknown chunks are skipped per the RIFF
+    * spec (real-world WAVs carry LIST/INFO chunks). */
+  def decodeAudio(m: MediaRow): AudioFeatures = {
+    val b = java.nio.ByteBuffer.wrap(m.media)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii4(): String = {
+      val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
+    }
+    require(ascii4() == "RIFF", s"row ${m.id}: not a RIFF stream")
+    b.getInt // riff size
+    require(ascii4() == "WAVE", s"row ${m.id}: not a WAVE stream")
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var nSamples = 0L
+    var sumSq = 0.0
+    var seenFmt = false
+    while (b.remaining() >= 8) {
+      val id4 = ascii4()
+      val size = b.getInt
+      id4 match {
+        case "fmt " =>
+          val fmt = b.getShort
+          require(fmt == 1, s"row ${m.id}: non-PCM WAV (format $fmt)")
+          channels = b.getShort.toInt
+          sampleRate = b.getInt
+          b.getInt; b.getShort // byteRate, blockAlign
+          bits = b.getShort.toInt
+          require(bits == 16, s"row ${m.id}: only 16-bit PCM supported")
+          if (size > 16) b.position(b.position() + (size - 16))
+          seenFmt = true
+        case "data" =>
+          require(seenFmt, s"row ${m.id}: data chunk before fmt")
+          val n = size / 2
+          var i = 0
+          while (i < n) {
+            val s = b.getShort.toDouble
+            sumSq += s * s
+            i += 1
+          }
+          nSamples += n / channels
+        case _ =>
+          // skip unknown chunk (+ pad byte for odd sizes per RIFF)
+          b.position(b.position() + size + (size & 1))
+      }
+    }
+    require(sampleRate > 0 && nSamples > 0,
+      s"row ${m.id}: no fmt/data chunks found")
+    AudioFeatures(m.id, m.media.length, md5hex(m.media), sampleRate,
+      channels, nSamples,
+      nSamples.toDouble / sampleRate.toDouble * 1000.0,
+      math.sqrt(sumSq / (nSamples.toDouble * channels)))
+  }
+
+  /** Batched typed audio-decode path (the [[decodeFeatures]] shape). */
+  def audioFeatures(ds: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeAudio)))
+  }
+
   /** ==== STUB ==== "decode" one audio/video blob: a real implementation
     * calls a codec here (not present in this container); the stub derives
     * deterministic features (brightness := mean byte value, dimensions
-    * from metadata). Signature and batch shape are the production ones. */
+    * from metadata). Signature and batch shape are the production ones.
+    * NOTE: uncompressed PCM WAV now decodes for REAL via
+    * [[decodeAudio]]/[[audioFeatures]]; this stub remains only for
+    * compressed audio and video formats. */
   def stubDecode(m: MediaRow): MediaFeatures = {
     var s = 0L
     var i = 0

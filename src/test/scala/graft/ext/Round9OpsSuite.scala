@@ -937,6 +937,46 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(sk.getAs[Double]("entropy") < 0.2, "hot key → low entropy")
   }
 
+  // ---- decodeAudio -------------------------------------------------------
+
+  test("decodeAudio round-trips synthesized PCM WAVs and matches a hand-computed RMS") {
+    val docs = Seq((0L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val feats = Multimodal.audioFeatures(
+        Multimodal.synthesizeAudio(docs, "doc_id"))
+      .collect().map(f => f.id -> f).toMap
+    assert(feats(0L).sampleRate == 8000 && feats(0L).channels == 1)
+    assert(feats(0L).nSamples == 80L && feats(3L).nSamples == 320L)
+    assert(feats(0L).durationMs == 10.0)
+    // id 0: s(t) = (7t mod 2048) - 1024 for t < 80 → 7t - 1024 exactly
+    val rms0 = math.sqrt((0 until 80)
+      .map(t => math.pow(7.0 * t - 1024, 2)).sum / 80.0)
+    assert(math.abs(feats(0L).rms - rms0) < 1e-9)
+  }
+
+  test("decodeAudio skips unknown RIFF chunks and rejects non-PCM loudly") {
+    // hand-build a WAV with a LIST chunk between fmt and data
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+      .put("data".getBytes).putInt(4).putShort(3).putShort(-4)
+    val f = Multimodal.decodeAudio(
+      Multimodal.MediaRow(1L, bb.array(),
+        Multimodal.MediaMeta("wav", 0, 0, 1)))
+    assert(f.nSamples == 2L)
+    assert(f.rms == math.sqrt((9.0 + 16.0) / 2))
+    val bad = bb.array().clone()
+    bad(20) = 85 // audioFormat short LE low byte → non-PCM
+    val err = intercept[IllegalArgumentException] {
+      Multimodal.decodeAudio(Multimodal.MediaRow(2L, bad,
+        Multimodal.MediaMeta("wav", 0, 0, 1)))
+    }
+    assert(err.getMessage.contains("non-PCM"))
+  }
+
   // ---- deflateRatio ------------------------------------------------------
 
   test("deflate_ratio: templates compress far below prose, noise above; empty = 1; deterministic") {
