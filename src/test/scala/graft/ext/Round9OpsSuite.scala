@@ -824,6 +824,19 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(got.forall(r => !r.getDouble(1).isNaN))
   }
 
+  test("pcaProject plans shuffle-free; embeddingOutliers cuts via TakeOrderedAndProject") {
+    val df = (1L to 8L).map(i => (i, Array(i.toFloat, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val p1 = Similarity.pcaProject(df, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"),
+      s"projection must be a narrow codegen map:\n$p1")
+    val p2 = Similarity.embeddingOutliers(df, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort:\n$p2")
+  }
+
   test("pcaProject emits the centered dominant-axis coordinate per row") {
     val df = Seq(
       (1L, Array(3.0f, 0.0f)), (2L, Array(-3.0f, 0.0f)),
