@@ -1991,6 +1991,19 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ext: REAL MP4 container-metadata parse — pure-JDK box walk (ftyp
+    // brand, mvhd duration/timescale, trak count): the pre-decode filter
+    // a video pipeline runs; frame decode stays the documented stub
+    "q179_video_meta" -> ((s, dir) => {
+      val media = ext.Multimodal.synthesizeVideo(
+        Tables.load(s, dir, "documents"), "doc_id")
+      ext.Multimodal.videoMeta(media)
+        .select(col("id"), col("brand"), col("timescale"),
+          col("duration"), col("durationMs").as("duration_ms"),
+          col("nTracks").as("n_tracks"))
+        .orderBy("id")
+    }),
+
     // ext: per-source bootstrap CI on mean quality — q165 sliced by
     // source; "are these two sources' qualities really different?"
     "q174_bootstrap_by_source" -> ((s, dir) => {
@@ -5571,6 +5584,16 @@ object SparkEntry {
            CAST(n AS DOUBLE) / 8000.0 * 1000.0 AS duration_ms,
            round(rms, 6) AS rms
          FROM s ORDER BY id""",
+
+    // analytic container replay: the parser must recover exactly the
+    // id-derived mvhd/trak structure the synthesizer wrote
+    "q179_video_meta" ->
+      """SELECT doc_id AS id, 'isom' AS brand, 600 AS timescale,
+         CAST(((doc_id % 10) + 1) * 600 AS BIGINT) AS duration,
+         CAST(((doc_id % 10) + 1) * 600 AS DOUBLE) / 600.0 * 1000.0
+           AS duration_ms,
+         CAST((doc_id % 3) + 1 AS INT) AS n_tracks
+         FROM documents ORDER BY doc_id""",
 
   )
 }

@@ -233,6 +233,101 @@ object Multimodal {
     ds.mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeAudio)))
   }
 
+  final case class VideoMeta(id: Long, nBytes: Int, digest: String,
+      brand: String, timescale: Int, duration: Long, durationMs: Double,
+      nTracks: Int)
+
+  /** Deterministic REAL MP4 container corpus: per row an id-derived
+    * minimal ISO-BMFF stream — `ftyp` (brand isom) + `moov` holding an
+    * mvhd (timescale 600, duration = (id mod 10 + 1)·600 units = 1–10 s)
+    * and (id mod 3 + 1) empty `trak` boxes. Analytic structure, so an
+    * oracle verifies the PARSED metadata in SQL. */
+  def synthesizeVideo(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val nTrak = (id % 3 + 1).toInt
+      val duration = ((id % 10) + 1) * 600L
+      val mvhdSize = 8 + 100 // full box v0 payload is 100 bytes
+      val moovSize = 8 + mvhdSize + nTrak * 8
+      val bb = java.nio.ByteBuffer.allocate(16 + moovSize)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("isom".getBytes("US-ASCII")).putInt(0x200)
+      bb.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+      bb.putInt(mvhdSize).put("mvhd".getBytes("US-ASCII"))
+        .putInt(0) // version 0 + flags
+        .putInt(0).putInt(0) // creation, modification
+        .putInt(600).putInt(duration.toInt)
+      bb.position(bb.position() + 100 - 20) // rest of mvhd payload zeroed
+      var t = 0
+      while (t < nTrak) {
+        bb.putInt(8).put("trak".getBytes("US-ASCII"))
+        t += 1
+      }
+      MediaRow(id, bb.array(), MediaMeta("mp4", 0, 0, nTrak))
+    }
+  }
+
+  /** REAL MP4/ISO-BMFF METADATA parse — a pure-JDK box walk (no codec
+    * needed for container metadata): top-level boxes → `ftyp` brand,
+    * `moov`→`mvhd` timescale/duration (v0 and v1), `trak` count. This is
+    * what a corpus-curation pipeline filters on (duration caps, track
+    * sanity) BEFORE paying for any frame decode; the frame-decode step
+    * itself remains [[stubDecode]] (that genuinely needs codecs). */
+  def parseVideoMeta(m: MediaRow): VideoMeta = {
+    val b = java.nio.ByteBuffer.wrap(m.media)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    var brand = ""
+    var timescale = 0
+    var duration = 0L
+    var nTracks = 0
+    def boxType(): String = {
+      val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
+    }
+    def walk(end: Int, depth: Int): Unit = {
+      while (b.position() + 8 <= end) {
+        val start = b.position()
+        val size = b.getInt
+        val tp = boxType()
+        require(size >= 8 && start + size <= end,
+          s"row ${m.id}: malformed box '$tp' size $size at $start")
+        tp match {
+          case "ftyp" =>
+            brand = boxType()
+          case "moov" =>
+            walk(start + size, depth + 1)
+          case "mvhd" =>
+            val version = b.get() & 0xFF
+            b.position(b.position() + 3) // flags
+            if (version == 1) {
+              b.getLong; b.getLong // creation, modification (64-bit)
+              timescale = b.getInt
+              duration = b.getLong
+            } else {
+              b.getInt; b.getInt
+              timescale = b.getInt
+              duration = b.getInt.toLong & 0xFFFFFFFFL
+            }
+          case "trak" if depth == 1 =>
+            nTracks += 1
+          case _ => ()
+        }
+        b.position(start + size)
+      }
+    }
+    walk(m.media.length, 0)
+    require(timescale > 0, s"row ${m.id}: no mvhd box found")
+    VideoMeta(m.id, m.media.length, md5hex(m.media), brand, timescale,
+      duration, duration.toDouble / timescale.toDouble * 1000.0, nTracks)
+  }
+
+  /** Batched typed video-metadata path (the [[decodeFeatures]] shape). */
+  def videoMeta(ds: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[VideoMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map(parseVideoMeta)))
+  }
+
   /** ==== STUB ==== "decode" one audio/video blob: a real implementation
     * calls a codec here (not present in this container); the stub derives
     * deterministic features (brightness := mean byte value, dimensions

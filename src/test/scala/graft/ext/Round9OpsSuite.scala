@@ -990,6 +990,39 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(err.getMessage.contains("non-PCM"))
   }
 
+  // ---- parseVideoMeta ----------------------------------------------------
+
+  test("parseVideoMeta round-trips synthesized MP4s, reads v1 mvhd, rejects malformed boxes") {
+    val docs = Seq((2L, "x"), (7L, "y")).toDF("doc_id", "text")
+    val got = Multimodal.videoMeta(
+        Multimodal.synthesizeVideo(docs, "doc_id"))
+      .collect().map(v => v.id -> v).toMap
+    assert(got(2L).brand == "isom" && got(2L).timescale == 600)
+    assert(got(2L).duration == 1800L && got(2L).durationMs == 3000.0)
+    assert(got(2L).nTracks == 3 && got(7L).nTracks == 2)
+    assert(got(7L).duration == 4800L)
+    // 64-bit (version 1) mvhd parses too
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 + 4 + 3 + 16 + 4 + 8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    val total = bb.capacity
+    bb.putInt(total).put("moov".getBytes)
+      .putInt(total - 8).put("mvhd".getBytes)
+      .put(1.toByte).put(Array[Byte](0, 0, 0))
+      .putLong(0L).putLong(0L).putInt(90000).putLong(123456L)
+    val v1 = Multimodal.parseVideoMeta(Multimodal.MediaRow(9L,
+      bb.array(), Multimodal.MediaMeta("mp4", 0, 0, 1)))
+    assert(v1.timescale == 90000 && v1.duration == 123456L)
+    // a box whose size overruns the stream fails loudly
+    val bad = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bad.putInt(9999).put("moov".getBytes)
+    val err = intercept[IllegalArgumentException] {
+      Multimodal.parseVideoMeta(Multimodal.MediaRow(10L, bad.array(),
+        Multimodal.MediaMeta("mp4", 0, 0, 1)))
+    }
+    assert(err.getMessage.contains("malformed box"))
+  }
+
   // ---- deflateRatio ------------------------------------------------------
 
   test("deflate_ratio: templates compress far below prose, noise above; empty = 1; deterministic") {
