@@ -67,6 +67,28 @@ object CorpusCuration {
       .filter(col("quality") >= minQuality)
   }
 
+  /** [[curate]] with QUALITY-AWARE representative choice: each near-dup
+    * cluster keeps its HIGHEST-QUALITY member
+    * ([[Dedup.canonicalByScore]], ties → min id) instead of the min-id
+    * one — the same dedup volume before the gate, with surviving quality
+    * ≥ min-id's by construction (the kept member's quality dominates its
+    * cluster, so the quality gate passes at least as many survivors —
+    * suite-pinned). Costs one extra quality projection over the corpus
+    * and a per-cluster top-1 window next to [[curate]]'s plain min. */
+  def curateKeepBest(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minJaccard: Double = 0.3,
+      minQuality: Double = 0.55, maxBandBucket: Int = 10000): DataFrame = {
+    val pairs = Dedup.minhashLsh(df, textCol, idCol, numHashes = 16,
+      bands = 4, minJaccard = minJaccard, maxBandBucket = maxBandBucket)
+    val scored = df.select(col(idCol),
+      round(TextAnalysis.qualityScore(textCol), 6).as("_q"))
+    val keepIds = Dedup.canonicalByScore(scored, idCol, pairs, "_q")
+      .filter(col("keep") === 1).select(col(idCol))
+    curationFeatures(df.join(keepIds, Seq(idCol), "left_semi"),
+        textCol, idCol)
+      .filter(col("quality") >= minQuality)
+  }
+
   /** The per-document (row-local) feature projection every curation path
     * shares: language-ID, 6-dp quality score, token count. Row-local is
     * what makes it safe to carry forward through

@@ -648,6 +648,31 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(got(1L)._2 == 0.5)
   }
 
+  test("timeDecayedValue composes incrementally: decay the old total, add the delta") {
+    import java.sql.Timestamp
+    def t(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val old = Seq((1L, 1L, t(1, 3), 4.0), (1L, 2L, t(3, 6), 2.0),
+      (2L, 3L, t(2, 9), 8.0), (2L, 4L, t(4, 0), 1.0))
+    val fresh = Seq((1L, 5L, t(8, 0), 6.0), (2L, 6L, t(9, 12), 3.0))
+    def run(rows: Seq[(Long, Long, Timestamp, Double)]) =
+      graft.streaming.EventStream
+        .timeDecayedValue(rows.toDF("user_id", "event_id", "ts", "value"), 7.0)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val full = run(old ++ fresh)
+    val oldV = run(old)
+    val newV = run(fresh) // fresh contains the global max ts
+    // carry factor: old totals decay by the old→new max-ts gap
+    val tmaxOld = old.map(_._3.getTime).max
+    val tmaxAll = (old ++ fresh).map(_._3.getTime).max
+    val k = math.exp(-Eval.Ln2 *
+      ((tmaxAll - tmaxOld) / 86400000.0) / 7.0)
+    for (u <- Seq(1L, 2L)) {
+      val expected = oldV(u) * k + newV(u)
+      assert(math.abs(full(u) - expected) < 5e-6,
+        s"user $u: full ${full(u)} vs incremental $expected")
+    }
+  }
+
   // ---- lengthBudgetReport ------------------------------------------------
 
   test("lengthBudgetReport replays hand-computed truncation cost per budget") {
@@ -988,6 +1013,31 @@ class Round9OpsSuite extends AnyFunSuite {
         Multimodal.MediaMeta("wav", 0, 0, 1)))
     }
     assert(err.getMessage.contains("non-PCM"))
+  }
+
+  // ---- curateKeepBest ----------------------------------------------------
+
+  test("curateKeepBest survives at least as many docs as curate, at >= quality, picking the better twin") {
+    // near-dup pair: long high-quality doc 5 vs its clipped twin doc 2
+    // (shared shingles => same LSH bucket); min-id keeps 2, keepBest 5
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet green field toward the distant hills"
+    val docs = Seq(
+      (2L, base + " !!! ### $$$ %%% ^^^ &&&"), // symbol-spam twin
+      (5L, base),
+      (9L, "completely unrelated text about spark query planning today")
+    ).toDF("doc_id", "text")
+    val plain = graft.pipeline.CorpusCuration
+      .curate(docs, minQuality = 0.0).collect().map(_.getLong(0)).toSet
+    val best = graft.pipeline.CorpusCuration
+      .curateKeepBest(docs, minQuality = 0.0).collect()
+      .map(_.getLong(0)).toSet
+    assert(plain == Set(2L, 9L), s"min-id keeps the clipped twin: $plain")
+    assert(best == Set(5L, 9L), s"keepBest keeps the better twin: $best")
+    // with the gate on, keepBest never keeps fewer rows than curate
+    val cnt = graft.pipeline.CorpusCuration.curate(docs).count()
+    val cntBest = graft.pipeline.CorpusCuration.curateKeepBest(docs).count()
+    assert(cntBest >= cnt)
   }
 
   // ---- parseVideoMeta ----------------------------------------------------
