@@ -211,6 +211,60 @@ object Outliers {
       .select(col("ws"), col("tw").as("n"), col("psi"))
   }
 
+  /** STREAMING-SHAPED [[psiOverTime]]: drift per event-time window as ONE
+    * windowed aggregation carrying nBuckets conditional counters — the
+    * plan Structured Streaming runs as-is (single stateful operator,
+    * complete or append mode; no dense-grid join, no second aggregation)
+    * against a DRIVER-HELD baseline histogram — the standing reference a
+    * deployed drift monitor ships with, refreshed only when the baseline
+    * re-snapshots. Batch output equals [[psiOverTime]] on the same
+    * baseline slice up to float summation order (suite-pinned at 1e-9;
+    * the k-term reduce here is a fixed left fold, the grid sum there is
+    * an aggregate).
+    *
+    * State per window = nBuckets longs — bounded regardless of corpus
+    * rate, the watermark expires old windows. */
+  def psiWindowed(df: DataFrame, tsCol: String, valCol: String,
+      baseCounts: Map[Int, Long], baseTotal: Long, nBuckets: Int = 10,
+      lo: Double = 0.0, hi: Double = 1.0,
+      windowDur: String = "1 day"): DataFrame = {
+    require(nBuckets > 0 && hi > lo && baseTotal > 0)
+    val b = least(greatest(
+      floor((col(valCol) - lit(lo)) / lit(hi - lo) * lit(nBuckets)),
+      lit(0.0)), lit((nBuckets - 1).toDouble)).cast("int")
+    val aggs = (0 until nBuckets).map(k =>
+      sum(when(col("_b") === k, 1L).otherwise(0L)).as(s"_c$k"))
+    val agged = df
+      .select(window(col(tsCol), windowDur).as("_w"), b.as("_b"))
+      .groupBy(col("_w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val twRaw = (0 until nBuckets).map(k => col(s"_c$k")).reduce(_ + _)
+    val denomL = lit(0.5 * nBuckets)
+    val pDen = lit(baseTotal + 0.5 * nBuckets)
+    val terms = (0 until nBuckets).map { k =>
+      val p = (lit(baseCounts.getOrElse(k, 0L)) + lit(0.5)) / pDen
+      val q = (col(s"_c$k") + lit(0.5)) /
+        (twRaw.cast("double") + denomL)
+      (q - p) * log(q / p)
+    }
+    agged.select(col("_w").getField("start").as("ws"),
+      twRaw.as("n"),
+      round(terms.reduce(_ + _), 6).as("psi"))
+  }
+
+  /** [[psiWindowed]]'s baseline inputs from a slice: (bucket → count,
+    * total) — run once against the reference snapshot, hold on the
+    * driver / in the job config. */
+  def psiBaseline(df: DataFrame, valCol: String, nBuckets: Int = 10,
+      lo: Double = 0.0, hi: Double = 1.0): (Map[Int, Long], Long) = {
+    val b = least(greatest(
+      floor((col(valCol) - lit(lo)) / lit(hi - lo) * lit(nBuckets)),
+      lit(0.0)), lit((nBuckets - 1).toDouble)).cast("int")
+    val rows = df.select(b.as("bucket")).groupBy("bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (rows, rows.values.sum)
+  }
+
   /** THEIL–SEN TREND: median of pairwise slopes per group — the robust
     * "is this metric drifting, and how fast per day" estimator (up to
     * ~29% corrupted points before the slope moves; an OLS slope chases

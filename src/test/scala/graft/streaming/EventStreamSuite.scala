@@ -62,6 +62,52 @@ class EventStreamSuite extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("psiWindowed: batch equals psiOverTime against the same baseline, and stream equals batch") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rows = (0 until 40).map { i =>
+      // days 1-2 low values (baseline = day 1), days 3-4 shifted high
+      val day = i / 10 + 1
+      val v = if (day <= 2) (i % 5) * 0.1 else 0.8 + (i % 2) * 0.1
+      (i.toLong, new Timestamp(
+        Timestamp.valueOf(f"2024-01-0$day 00:00:00").getTime + i * 60000L), v)
+    }
+    val df = rows.toDF("event_id", "ts", "value")
+    val baselinePred = col("ts") < lit("2024-01-02").cast("timestamp")
+    val viaGrid = graft.ext.Outliers
+      .psiOverTime(df, "ts", "value", baselinePred, 10, 0.0, 1.0)
+      .collect().map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getAs[Double]("psi"))).toMap
+    val (bc, bt) = graft.ext.Outliers
+      .psiBaseline(df.filter(baselinePred), "value", 10, 0.0, 1.0)
+    val viaWin = graft.ext.Outliers
+      .psiWindowed(df, "ts", "value", bc, bt, 10, 0.0, 1.0)
+      .collect().map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getAs[Double]("psi"))).toMap
+    assert(viaWin.keySet == viaGrid.keySet)
+    for ((k, (n, psi)) <- viaGrid) {
+      assert(viaWin(k)._1 == n)
+      assert(math.abs(viaWin(k)._2 - psi) < 1e-9,
+        s"window $k: grid $psi vs windowed ${viaWin(k)._2}")
+    }
+    // drift actually registers: shifted days score far above baseline days
+    assert(viaGrid.values.map(_._2).max > 1.0)
+    // streaming twin: same plan under Structured Streaming
+    val dir = Files.createTempDirectory("graft_psi_stream").toString
+    df.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(df.schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+    val q = graft.ext.Outliers
+      .psiWindowed(stream, "ts", "value", bc, bt, 10, 0.0, 1.0)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("psi_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("psi_out")
+      .collect().map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getAs[Double]("psi"))).toMap
+    assert(streamed == viaWin, "stream must equal the batch run exactly")
+  }
+
   test("streaming image dedup: hammingDedupSurvivors batch == stream over a file source") {
     // synthesized images hashed for real, then the windowed Hamming
     // survivor plan runs identically batch and streaming (append mode,
