@@ -218,6 +218,61 @@ object EventStream {
         round(sum(col("_w")), 6).as("decayed_count"))
   }
 
+  final case class DecayState(lastMs: Long, value: Double, count: Double,
+      n: Long)
+  final case class DecayOut(user_id: Long, n: Long, decayed_value: Double,
+      decayed_count: Double, as_of: Timestamp)
+
+  /** ONLINE per-user decayed engagement — the SERVING twin of
+    * [[timeDecayedValue]]: `mapGroupsWithState` holds (lastTs, decayed
+    * value, decayed count) per user and each event decays the running
+    * state by its time gap before adding itself — exactly the
+    * incremental identity the batch op documents, run continuously.
+    * LATE events (event-time ≤ the state's clock) are added at their
+    * correctly-decayed weight `2^(−(last−t)/h)` WITHOUT rewinding the
+    * clock, so replays and out-of-order arrivals converge to the same
+    * state as an in-order feed (suite-pinned across micro-batches).
+    *
+    * State is 3 doubles + 2 longs per user — bounded by user
+    * cardinality, not event rate. Emits the updated state per user per
+    * micro-batch (Update mode); the state decays to each user's OWN
+    * last event (`as_of`) — a reader aligning users to one instant
+    * applies `2^(−(t−as_of)/halfLife)`, pure arithmetic. */
+  def decayStream(ds: Dataset[Event], halfLifeDays: Double,
+      watermark: String = "10 minutes"): Dataset[DecayOut] = {
+    import ds.sparkSession.implicits._
+    require(halfLifeDays > 0, s"halfLifeDays $halfLifeDays")
+    def w(deltaMs: Long): Double = math.exp(-graft.ext.Eval.Ln2 *
+      (deltaMs.toDouble / 86400000.0) / halfLifeDays)
+    ds.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[DecayState, DecayOut](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, events: Iterator[Event],
+            state: GroupState[DecayState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption
+            .getOrElse(DecayState(Long.MinValue, 0.0, 0.0, 0L))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            s = if (s.n == 0L)
+              DecayState(t, e.value, 1.0, 1L)
+            else if (t <= s.lastMs) {
+              // late arrival: weight it as of the state's clock
+              val k = w(s.lastMs - t)
+              DecayState(s.lastMs, s.value + e.value * k, s.count + k,
+                s.n + 1)
+            } else {
+              val k = w(t - s.lastMs)
+              DecayState(t, s.value * k + e.value, s.count * k + 1.0,
+                s.n + 1)
+            }
+          }
+          state.update(s)
+          DecayOut(userId, s.n, s.value, s.count, new Timestamp(s.lastMs))
+      }
+  }
+
   /** First-order Markov TRANSITION MATRIX over per-user event sequences:
     * for every ordered (from_type → to_type) adjacency, the transition
     * count and the row-conditional probability P(to | from). The standard

@@ -108,6 +108,56 @@ class EventStreamSuite extends AnyFunSuite {
     assert(streamed == viaWin, "stream must equal the batch run exactly")
   }
 
+  test("decayStream: online state matches the batch decay aligned to each user's clock, late events converge") {
+    import org.apache.spark.sql.functions.{col, exp, lit, unix_micros, max => smax}
+    val rows = Seq(
+      EventStream.Event(1, ts(0), 1, "view", 8.0),
+      EventStream.Event(2, ts(60 * 24 * 7), 1, "view", 2.0), // +7d: one half-life
+      EventStream.Event(3, ts(30), 2, "view", 4.0),
+      // user 2's second event lands in BATCH 2 but is EARLIER than a
+      // batch-2 event for user 1 — exercises ordinary cross-user order
+      EventStream.Event(4, ts(60 * 24 * 14), 2, "view", 1.0),
+      // late arrival for user 1 in batch 2: older than event 2
+      EventStream.Event(5, ts(60 * 24 * 3), 1, "view", 16.0))
+    val dirA = Files.createTempDirectory("graft_decay").toString
+    rows.take(3).toDF().write.parquet(dirA + "/b=000")
+    rows.drop(3).toDF().write.parquet(dirA + "/b=001")
+    val stream = spark.readStream.schema(rows.toDF().schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dirA + "/b=*")
+      .as[EventStream.Event]
+    val q = EventStream.decayStream(stream, 7.0)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("decay_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // last update per user wins
+    val got = spark.table("decay_out").collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) =>
+        u -> rs.maxBy(_.getLong(1))
+      }
+    // expected: batch decay computed per user against the user's OWN
+    // last event time (realign timeDecayedValue's global-tmax output)
+    val df = rows.toDF()
+    val batch = EventStream.timeDecayedValue(df, 7.0)
+    val tmaxAll = df.agg(smax(unix_micros(col("ts")))).head().getLong(0)
+    val lastPerUser = df.groupBy(col("user_id"))
+      .agg(smax(unix_micros(col("ts"))).as("lu"))
+    val aligned = batch.join(lastPerUser, "user_id")
+      .select(col("user_id"),
+        (col("decayed_value") *
+          exp(lit(graft.ext.Eval.Ln2) *
+            ((lit(tmaxAll) - col("lu")).cast("double") /
+              lit(86400000000.0)) / lit(7.0))).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (u <- Seq(1L, 2L)) {
+      val sv = got(u).getDouble(2)
+      assert(math.abs(sv - aligned(u)) < 2e-5,
+        s"user $u: stream $sv vs aligned batch ${aligned(u)}")
+    }
+    assert(got(1L).getLong(1) == 3L && got(2L).getLong(1) == 2L)
+  }
+
   test("streaming image dedup: hammingDedupSurvivors batch == stream over a file source") {
     // synthesized images hashed for real, then the windowed Hamming
     // survivor plan runs identically batch and streaming (append mode,
