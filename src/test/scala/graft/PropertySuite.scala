@@ -15,6 +15,59 @@ class PropertySuite extends AnyFunSuite {
   private lazy val spark = SparkTest.spark
   import spark.implicits._
 
+  test("r9 eval invariants: spearman in [-1,1] and symmetric; rbo bounds; nmi in [0,1]") {
+    val rnd = new Random(11)
+    for (_ <- 1 to 10) {
+      val n = 20 + rnd.nextInt(60)
+      val rows = List.fill(n)((math.floor(rnd.nextDouble() * 20) / 20.0,
+        math.floor(rnd.nextDouble() * 20) / 20.0))
+      val df = rows.toDF("a", "b")
+      val rho = graft.ext.Eval.spearman(df, "a", "b").head()
+      if (!rho.isNullAt(1)) {
+        val v = rho.getDouble(1)
+        assert(v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12, s"rho $v")
+        val sym = graft.ext.Eval.spearman(
+          df.select(org.apache.spark.sql.functions.col("b").as("a"),
+            org.apache.spark.sql.functions.col("a").as("b")), "a", "b")
+          .head().getDouble(1)
+        assert(math.abs(v - sym) < 1e-12, "spearman is symmetric")
+      }
+      val mi = graft.ext.Eval.mutualInfo(df, "a", "b", nBins = 4).head()
+      assert(mi.getDouble(1) >= -1e-9, "MI is non-negative")
+      if (!mi.isNullAt(4)) {
+        val nmi = mi.getDouble(4)
+        assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-6, s"nmi $nmi")
+      }
+    }
+    for (seed <- 1 to 5) {
+      val rnd2 = new Random(seed)
+      val ids = (1L to 15L).toList
+      def run() = rnd2.shuffle(ids).take(10).zipWithIndex
+        .map { case (id, i) => (id, 100.0 - i) }.toDF("id", "score")
+      val r = graft.ext.Similarity.rbo(run(), run(), "id").head()
+      val (trunc, ext2) = (r.getDouble(2), r.getDouble(3))
+      assert(trunc >= 0 && trunc <= 1.0 - math.pow(0.9, 10) + 1e-9,
+        s"truncated rbo $trunc exceeds the prefix mass")
+      assert(ext2 >= trunc - 1e-12 && ext2 <= 1.0 + 1e-9)
+    }
+  }
+
+  test("r9 drift/CI invariants: psi windows non-negative-ish baseline zero; bootstrap lo<=mean-ish<=hi") {
+    val rnd = new Random(23)
+    for (_ <- 1 to 5) {
+      val n = 50 + rnd.nextInt(100)
+      val df = (1L to n).map(i => (i, rnd.nextDouble() * 10))
+        .toDF("id", "x")
+      val ci = graft.ext.Eval.bootstrapCI(df, "id", "x").head()
+      assert(ci.getDouble(2) <= ci.getDouble(3) + 1e-12,
+        "ci_lo must not exceed ci_hi")
+      // the plain mean need not sit inside the empirical 95% band for
+      // adversarial data, but for iid uniform it practically always does
+      assert(ci.getDouble(2) <= ci.getDouble(1) + 0.5 &&
+        ci.getDouble(1) <= ci.getDouble(3) + 0.5)
+    }
+  }
+
   test("weighted quantile with w≡1 equals the unweighted estimator") {
     val rnd = new Random(42)
     for (_ <- 1 to 20) {
