@@ -2011,6 +2011,31 @@ object SparkEntry {
         Tables.load(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // ext: the harness audits its own retrieval stack — hit/MRR/nDCG of
+    // the sparse, dense and RRF-fused runs against one judgment set
+    "q181_fusion_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val docs = Tables.load(s, dir, "documents")
+      val sparse = ext.TextAnalysis.bm25(docs, "doc_id", "text",
+        "hash join filter")
+      val dense = ext.Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 10)
+        .select(col("corpus_id").as("doc_id"), col("cos").as("score"))
+      val fused = ext.Similarity.rrfFuse(sparse, dense, "doc_id")
+        .select(col("doc_id"), col("rrf").as("score"))
+      val qrels = emb.as("q").filter(col("q.vec_id") === 0)
+        .join(emb.as("c"),
+          col("q.label") === col("c.label") && col("c.vec_id") =!= 0)
+        .select(col("c.vec_id").as("doc_id"), lit(0L).as("qid"))
+      def audit(run: org.apache.spark.sql.DataFrame, name: String) =
+        ext.Eval.retrievalMetrics(run.withColumn("qid", lit(0L)),
+            qrels, "qid", "doc_id", "score", 10)
+          .select(lit(name).as("run"), col("n_rel"), col("hit_k"),
+            col("mrr"), col("ndcg"))
+      audit(sparse, "sparse").unionByName(audit(dense, "dense"))
+        .unionByName(audit(fused, "fused")).orderBy("run")
+    }),
+
     // ext: per-source bootstrap CI on mean quality — q165 sliced by
     // source; "are these two sources' qualities really different?"
     "q174_bootstrap_by_source" -> ((s, dir) => {
@@ -5643,6 +5668,79 @@ object SparkEntry {
                FROM s2)
          SELECT doc_id, lang_id, quality, tok_cnt FROM f
          WHERE quality >= 0.55 ORDER BY doc_id""",
+
+    // q133's three runs + q149's metric arithmetic over one judgment set
+    "q181_fusion_audit" -> {
+      val (k1, b) = (1.2, 0.75)
+      val ln2 = ext.Eval.Ln2
+      def metric(rel: String, name: String) =
+        s"""SELECT '$name' AS run, nr.n_rel,
+           CAST(max(j.rel) AS INT) AS hit_k,
+           round(coalesce(1.0 / CAST(min(CASE WHEN j.rel = 1
+               THEN j.rank END) AS DOUBLE), 0.0), 6) AS mrr,
+           round(sum(CAST(j.rel AS DOUBLE)
+               / (ln(CAST(j.rank AS DOUBLE) + 1.0) / $ln2))
+             / list_sum(list_transform(generate_series(1,
+                 least(10, CAST(greatest(nr.n_rel, 1) AS INT))),
+               i -> 1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / $ln2))), 6)
+             AS ndcg
+         FROM (SELECT r.rank,
+                 CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+               FROM $rel r LEFT JOIN qr ON qr.doc_id = r.doc_id) j, nr
+         GROUP BY nr.n_rel"""
+      s"""WITH d AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+         dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks
+                FROM d),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+                FROM dd),
+         h AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
+         hits AS (SELECT doc_id, dl, tok FROM h
+                  WHERE tok IN ('hash', 'join', 'filter')),
+         tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+                FROM hits GROUP BY doc_id, dl, tok),
+         dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                 FROM hits GROUP BY tok),
+         sc AS (SELECT tf.doc_id,
+                  round(sum(ln(1.0 + (st.n - dft.df + 0.5)
+                      / (dft.df + 0.5)) *
+                    (tf.tf * ${k1 + 1.0}) /
+                    (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl
+                      / st.avgdl))), 6) AS score
+                FROM tf JOIN dft USING (tok), st GROUP BY tf.doc_id),
+         bmtop AS (SELECT doc_id, score FROM sc
+                   ORDER BY score DESC, doc_id LIMIT 10),
+         ra AS (SELECT doc_id, CAST(row_number() OVER
+                    (ORDER BY score DESC, doc_id) AS INT) AS rank
+                FROM bmtop),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         dn AS (SELECT a.vec_id AS doc_id, round($CosSql, 6) AS cos
+                FROM e a, e b WHERE b.vec_id = 0 AND a.vec_id <> 0),
+         dntop AS (SELECT doc_id, cos FROM dn
+                   ORDER BY cos DESC, doc_id LIMIT 10),
+         rb AS (SELECT doc_id, CAST(row_number() OVER
+                    (ORDER BY cos DESC, doc_id) AS INT) AS rank
+                FROM dntop),
+         f AS (SELECT doc_id,
+                 round(coalesce(1.0 / (60 + ra.rank), 0.0) +
+                       coalesce(1.0 / (60 + rb.rank), 0.0), 6) AS rrf
+               FROM ra FULL OUTER JOIN rb USING (doc_id)),
+         ftop AS (SELECT doc_id, rrf FROM f
+                  ORDER BY rrf DESC, doc_id LIMIT 10),
+         fr AS (SELECT doc_id, CAST(row_number() OVER
+                    (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+                FROM ftop),
+         qr AS (SELECT c.vec_id AS doc_id
+                FROM embeddings q JOIN embeddings c
+                  ON q.label = c.label AND c.vec_id <> 0
+                WHERE q.vec_id = 0),
+         nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM qr)
+         SELECT * FROM (
+           ${metric("ra", "sparse")}
+           UNION ALL ${metric("rb", "dense")}
+           UNION ALL ${metric("fr", "fused")})
+         ORDER BY run"""
+    },
 
   )
 }
