@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver captures a bounded stdout TAIL of `sbt "runMain
+// graft.Bench"` and parses the last JSON line it finds. Two sbt defaults
+// break that: LoggedOutput wraps every forked-process line in an
+// "[info] " prefix (not valid JSON), and "[success] Total time" prints
+// after the bench line. Pass forked stdout through verbatim and drop the
+// success banner so the compact bench JSON line is the last bare line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
