@@ -349,7 +349,10 @@ object Eval {
     * `min(k, |qrels(q)|)` over ALL judged docs, not just retrieved ones,
     * so missing a relevant doc costs score. A query with no qrels rows
     * gets NULL ndcg (undefined, not 0 — the [[cohenKappa]] convention);
-    * a query that retrieved no relevant doc gets mrr = 0.
+    * a query that retrieved no relevant doc gets mrr = 0. The output is
+    * the UNION of run queries and judged queries: a judged query the run
+    * returned nothing for scores (hit=0, mrr=0, ndcg=0) rather than
+    * vanishing, so partial runs cannot overstate aggregate quality.
     *
     * Shape at 100 TB: everything keys on the query — one rank window
     * partitioned by query over the top-k run (bounded at k rows per
@@ -388,10 +391,16 @@ object Eval {
       sequence(lit(1), least(lit(k), greatest(col("n_rel"), lit(1L)).cast("int"))),
       lit(0.0),
       (acc, i) => acc + lit(1.0) / (log(i.cast("double") + lit(1.0)) / lit(Ln2)))
-    per.join(nRel, Seq(queryCol), "left")
+    // FULL outer: a judged query for which the run returned ZERO rows
+    // must still emit (hit=0, mrr=0, ndcg=0) — a left join driven by the
+    // run would silently drop it and overstate aggregate quality on
+    // partial runs (ADVICE r9).
+    per.join(nRel, Seq(queryCol), "full_outer")
       .select(col(queryCol), coalesce(col("n_rel"), lit(0L)).as("n_rel"),
-        col("hit_k"), round(col("_mrr"), 6).as("mrr"),
-        when(col("n_rel") > 0, round(col("_dcg") / idcg, 6)).as("ndcg"))
+        coalesce(col("hit_k"), lit(0)).as("hit_k"),
+        round(coalesce(col("_mrr"), lit(0.0)), 6).as("mrr"),
+        when(col("n_rel") > 0,
+          round(coalesce(col("_dcg"), lit(0.0)) / idcg, 6)).as("ndcg"))
   }
 
   /** FLEISS' KAPPA — chance-corrected agreement among MANY raters
@@ -575,23 +584,6 @@ object Eval {
     df.join(mapped, Seq(groupCol, valCol), "left")
   }
 
-  /** SPEARMAN RANK CORRELATION between two score columns — "do these
-    * quality signals agree in ORDER?", the monotone-association audit
-    * run before blending signals or replacing an expensive scorer with a
-    * cheap one (Pearson on raw scores answers a different, scale-bound
-    * question). Mid-rank ties (the [[aucRoc]] convention), pairwise
-    * complete rows only.
-    *
-    * Every rank is an exact 0.5-multiple, so all five moment sums are
-    * exact quarter-multiples (order-independent below ~2·10¹⁵ — fine to
-    * ~10⁷ rows; past that, round the output) and the unrounded rho is
-    * bit-identical cross-engine. Zero-variance inputs (an all-tied
-    * signal) give NULL, the [[cohenKappa]] undefined convention.
-    *
-    * Shape at 100 TB: two per-score rank tables (score-granularity
-    * bounded — feed ROUNDED scores, like every rank/percentile op here)
-    * joined back by value, one 6-number moment reduce.
-    * Returns one row: (n, rho). */
   /** Poisson(1) CDF cut points in the md5-bucket space `[0, 2^60)` —
     * weight k is assigned when the bucket falls in `[t_{k−1}, t_k)`.
     * Public single source of truth for [[bootstrapCI]]'s SQL replicas. */
@@ -796,6 +788,23 @@ object Eval {
           col("_mi") / sqrt(hA * hB)), 6).as("nmi"))
   }
 
+  /** SPEARMAN RANK CORRELATION between two score columns — "do these
+    * quality signals agree in ORDER?", the monotone-association audit
+    * run before blending signals or replacing an expensive scorer with a
+    * cheap one (Pearson on raw scores answers a different, scale-bound
+    * question). Mid-rank ties (the [[aucRoc]] convention), pairwise
+    * complete rows only.
+    *
+    * Every rank is an exact 0.5-multiple, so all five moment sums are
+    * exact quarter-multiples (order-independent below ~2·10¹⁵ — fine to
+    * ~10⁷ rows; past that, round the output) and the unrounded rho is
+    * bit-identical cross-engine. Zero-variance inputs (an all-tied
+    * signal) give NULL, the [[cohenKappa]] undefined convention.
+    *
+    * Shape at 100 TB: two per-score rank tables (score-granularity
+    * bounded — feed ROUNDED scores, like every rank/percentile op here)
+    * joined back by value, one 6-number moment reduce.
+    * Returns one row: (n, rho). */
   def spearman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     // the (a, b) projection has THREE consumers (the pair join + both
     // rank tables) — materialize it once (16 bytes/row at any scale) or

@@ -213,6 +213,12 @@ object Multimodal {
             i += 1
           }
           nSamples += n / channels
+          // RIFF pads odd-size chunks with one byte; a data chunk with an
+          // odd byte size (legal, if unusual) must skip it too or every
+          // later chunk reads misaligned. The integer division above
+          // already drops the dangling half-sample byte; step past it
+          // plus the pad.
+          if ((size & 1) == 1) b.position(b.position() + math.min(2, b.remaining()))
         case _ =>
           // skip unknown chunk (+ pad byte for odd sizes per RIFF)
           b.position(b.position() + size + (size & 1))

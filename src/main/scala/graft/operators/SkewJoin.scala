@@ -22,8 +22,13 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int, bigIdCol: String): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    // NULL ids must still salt deterministically: md5(NULL) is NULL, and a
+    // NULL salt would silently drop big-side rows a plain join on `key`
+    // alone would have matched. Coalesce to a sentinel no real cast
+    // produces (a NUL-prefixed tag) so NULL-id rows land in one bucket.
+    val idStr = coalesce(col(bigIdCol).cast("string"), lit("\u0000null"))
     val b = big.withColumn("_salt",
-      pmod(conv(substring(md5(col(bigIdCol).cast("string")), 1, 15), 16, 10)
+      pmod(conv(substring(md5(idStr), 1, 15), 16, 10)
         .cast("long"), lit(salts.toLong)).cast("int"))
     val sm = small.withColumn("_salt",
       explode(array((0 until salts).map(lit(_)): _*)))

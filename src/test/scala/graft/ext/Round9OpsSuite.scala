@@ -284,6 +284,20 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(nSalts > 4, s"expected the hot key spread across salts, got $nSalts")
   }
 
+  test("saltedJoin keeps big-side rows whose id column is NULL") {
+    // md5(NULL) would yield a NULL salt and silently drop the row; the
+    // sentinel coalesce must keep it matching like a plain join does
+    val bigDf = Seq((Some(42L), Option(1L), 1.0), (Some(42L), None, 2.0))
+      .toDF("k", "rid", "v")
+    val smallDf = Seq((42L, "hot")).toDF("k", "tag")
+    val salted = graft.operators.SkewJoin
+      .saltedJoin(bigDf, smallDf, "k", 4, "rid")
+    val plain = bigDf.join(smallDf, "k")
+    assert(salted.count() == 2L)
+    assert(salted.select("k", "rid", "v", "tag").collect().toSet ==
+      plain.select("k", "rid", "v", "tag").collect().toSet)
+  }
+
   // ---- labelPropagation --------------------------------------------------
 
   test("labelPropagation spreads a seed down a chain one hop per round, seeds clamped") {
@@ -466,7 +480,9 @@ class Round9OpsSuite extends AnyFunSuite {
       // q3: no qrels at all
       (3L, 10L, 0.9)
     ).toDF("q", "d", "score")
-    val qrels = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 98L))
+    val qrels = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 98L),
+      // q4: judged but the run returned NOTHING — must still emit a row
+      (4L, 97L))
       .toDF("q", "d")
     val got = Eval.retrievalMetrics(runs, qrels, "q", "d", "score", 3)
       .orderBy("q").collect()
@@ -486,6 +502,13 @@ class Round9OpsSuite extends AnyFunSuite {
     // q3: no judgments → nDCG undefined (NULL), not 0
     assert(got(2).getAs[Long]("n_rel") == 0L)
     assert(got(2).isNullAt(got(2).fieldIndex("ndcg")))
+    // q4: judged, zero rows retrieved → scores 0 instead of vanishing
+    assert(got.length == 4)
+    assert(got(3).getAs[Long]("q") == 4L)
+    assert(got(3).getAs[Long]("n_rel") == 1L)
+    assert(got(3).getAs[Int]("hit_k") == 0)
+    assert(got(3).getAs[Double]("mrr") == 0.0)
+    assert(got(3).getAs[Double]("ndcg") == 0.0)
   }
 
   test("retrievalMetrics ranks by score desc with doc-id tiebreak and caps idcg at k") {
@@ -1013,6 +1036,25 @@ class Round9OpsSuite extends AnyFunSuite {
         Multimodal.MediaMeta("wav", 0, 0, 1)))
     }
     assert(err.getMessage.contains("non-PCM"))
+  }
+
+  test("decodeAudio stays aligned past an odd-size data chunk (RIFF pad byte)") {
+    // data chunk of 5 bytes (2 samples + dangling byte) padded to 6, then
+    // a trailing LIST chunk the walker must still parse without faulting
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(54).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes).putInt(5).putShort(3).putShort(-4)
+      .put(9.toByte).put(0.toByte) // dangling payload byte + pad byte
+      .put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+    val f = Multimodal.decodeAudio(
+      Multimodal.MediaRow(7L, bb.array(),
+        Multimodal.MediaMeta("wav", 0, 0, 1)))
+    assert(f.nSamples == 2L)
+    assert(f.rms == math.sqrt((9.0 + 16.0) / 2))
   }
 
   // ---- curateKeepBest ----------------------------------------------------
