@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.util.Checkpoints.PinOps
 import graft.functions.SetSimilarity
 
 /** Deduplication operators for training-data pipelines. Each is designed
@@ -257,7 +258,7 @@ object Dedup {
     * member (every node takes the minimum id reachable from it). Small
     * edge sets solve on the driver (union-find); larger ones run
     * min-label propagation with path halving — O(log diameter) rounds,
-    * one job barrier per round, `localCheckpoint` truncating the growing
+    * one job barrier per round, [[graft.util.Checkpoints.pin]] truncating the growing
     * lineage. Output: (doc_id, canonical_id) for every id in a pair. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIters: Int = 50,
@@ -268,7 +269,7 @@ object Dedup {
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
       .union(pairs
         .select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().pin()
     // every localCheckpoint in this function gets an explicit release below
     // (edges once consumed; each propagation round when the next round has
     // materialized) — block-manager usage stays bounded by TWO rounds of
@@ -338,7 +339,7 @@ object Dedup {
         .select(col("x.doc_id").as("doc_id"), col("x.old").as("old"),
           least(col("x.canonical_id"),
             coalesce(col("_lc"), col("x.canonical_id"))).as("canonical_id"))
-        .localCheckpoint(false)
+        .pin(eager = false)
       changed = next.filter(col("canonical_id") =!= col("old")).count()
       // the count materialized `next` with truncated lineage — the prior
       // round's blocks are unreachable from here on; release them now

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Checkpoints.PinOps
 
 /** Iterative graph analytics over plain edge DataFrames — the category the
   * rest of the engine reaches with [[Dedup.connectedComponents]] (label
@@ -25,10 +26,12 @@ object Graph {
     * partitioned by the join key; the edge side's exchange is reused
     * across rounds), a map-side-combined contribution sum, and a 1-double
     * dangling-mass pull — the driver never sees a node table. Each
-    * round's rank table is eagerly truncated (`localCheckpoint`; swap for
-    * `checkpoint` on a real cluster) so the lineage — and the work — stays
-    * LINEAR in `iters` instead of re-deriving round t−1 under both of
-    * round t's consumers.
+    * round's rank table is eagerly truncated ([[graft.util.Checkpoints.pin]]:
+    * `localCheckpoint` by default, a RELIABLE `checkpoint` when the
+    * session sets `graft.checkpoint.dir` — the cluster-safe mode, since
+    * executor loss makes local checkpoints non-recomputable) so the
+    * lineage — and the work — stays LINEAR in `iters` instead of
+    * re-deriving round t−1 under both of round t's consumers.
     *
     * Determinism: contribution sums are the only order-dependent doubles
     * and the damping factor contracts their divergence every round; the
@@ -40,19 +43,19 @@ object Graph {
     // mining pipeline (LSH pair extraction) that must not re-run inside
     // every round's contribution join
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
+      .pin()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .pin()
     val n = nodes.count().toDouble
     // empty-graph guard: n = 0 would constant-fold 1/0 at ANALYSIS time
     // (ANSI) — fail loudly instead of with an optimizer-phase fault
     require(n > 0, "pageRank: empty edge set")
     val resid = 1.0 - damping
     val deg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+      .agg(count(lit(1)).as("outdeg")).pin()
     var pr = nodes.select(col("node"), (lit(1.0) / lit(n)).as("pr"))
-      .localCheckpoint(true)
+      .pin()
     for (_ <- 1 to iters) {
       // dangling mass as a broadcast 1-row frame, NOT a driver pull —
       // pr is checkpointed, so its two consumers (dangling sum and the
@@ -71,7 +74,7 @@ object Graph {
           (lit(resid) / lit(n) + lit(damping) *
             (coalesce(col("s"), lit(0.0)) + col("_dang") / lit(n)))
             .as("pr"))
-        .localCheckpoint(true)
+        .pin()
     }
     pr
   }
@@ -97,7 +100,7 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))
-      .distinct().localCheckpoint(true)
+      .distinct().pin()
     val nodes = und.select(col("lo").as("node"))
       .union(und.select(col("hi").as("node"))).distinct()
     val wedges = und.as("e1").join(und.as("e2"),
@@ -126,7 +129,7 @@ object Graph {
     *
     * Shape at 100 TB: each round is one edges⋈labels hash join, one
     * (node, label) count collapse (map-side combined) and one
-    * WindowGroupLimit-able top-1 per node; rounds localCheckpoint like
+    * WindowGroupLimit-able top-1 per node; rounds pin (localCheckpoint / reliable checkpoint) like
     * [[pageRank]] so lineage stays linear. All-integer arithmetic — the
     * operator is exactly replayable cross-engine with no float grain. */
   def labelPropagation(edges: DataFrame, seeds: DataFrame, srcCol: String,
@@ -135,13 +138,13 @@ object Graph {
     // same edge-list materialization as pageRank — rounds must join a
     // table, not re-run the caller's mining pipeline
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
+      .pin()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .pin()
     val sd = seeds.select(col(nodeCol).as("node"), col(labelCol).as("seed"))
     var lab = nodes.join(sd, Seq("node"), "left")
-      .select(col("node"), col("seed").as("label")).localCheckpoint(true)
+      .select(col("node"), col("seed").as("label")).pin()
     for (_ <- 1 to iters) {
       val votes = e.join(lab.withColumnRenamed("node", "src"), "src")
         .filter(col("label").isNotNull)
@@ -154,7 +157,7 @@ object Graph {
       lab = nodes.join(sd, Seq("node"), "left")
         .join(top, Seq("node"), "left")
         .select(col("node"), coalesce(col("seed"), col("vote")).as("label"))
-        .localCheckpoint(true)
+        .pin()
     }
     lab
   }
@@ -172,7 +175,7 @@ object Graph {
     * shuffle is proportional to the frontier's edge neighbourhood — on
     * a high-diameter graph far cheaper than re-propagating every
     * settled distance (and identical in result: BFS settles each node
-    * the first time it is reached). Rounds localCheckpoint like
+    * the first time it is reached). Rounds pin (localCheckpoint / reliable checkpoint) like
     * [[pageRank]] so lineage stays linear; all-integer, exactly
     * replayable cross-engine.
     *
@@ -183,13 +186,13 @@ object Graph {
       dstCol: String, nodeCol: String, maxHops: Int = 5): DataFrame = {
     require(maxHops >= 0, s"maxHops $maxHops")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
+      .pin()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(seeds.select(col(nodeCol).cast("long").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().pin()
     var frontier = seeds.select(col(nodeCol).cast("long").as("node"))
-      .distinct().withColumn("hops", lit(0)).localCheckpoint(true)
+      .distinct().withColumn("hops", lit(0)).pin()
     var dist = frontier
     for (i <- 1 to maxHops) {
       frontier = e
@@ -197,8 +200,8 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hops", lit(i))
-        .localCheckpoint(true)
-      dist = dist.union(frontier).localCheckpoint(true)
+        .pin()
+      dist = dist.union(frontier).pin()
     }
     nodes.join(dist, Seq("node"), "left")
   }

@@ -1225,4 +1225,32 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(got.getAs[Double]("gini") == 0.4)
     assert(got.getAs[String]("top_key") == "big")
   }
+
+  // ---- reliable checkpoint switch ----------------------------------------
+
+  test("pageRank and bfsHops are identical under localCheckpoint and reliable checkpoint") {
+    // graft.checkpoint.dir flips every iterative round from executor-local
+    // to reliable storage — the cluster-survival mode. Same fixpoint.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    def run() = (
+      Graph.pageRank(edges, "src", "dst", 4)
+        .withColumn("pr", round(col("pr"), 9))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet,
+      Graph.bfsHops(edges, seeds, "src", "dst", "node", 4)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1 else r.getInt(1))).toSet)
+    val local = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      .toString
+    spark.conf.set(graft.util.Checkpoints.DirConf, dir)
+    try {
+      val reliable = run()
+      assert(reliable == local,
+        "reliable-checkpoint rounds must reproduce the local fixpoint")
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .count() > 0, "reliable mode must actually write checkpoint files")
+    } finally spark.conf.unset(graft.util.Checkpoints.DirConf)
+  }
 }
