@@ -946,9 +946,17 @@ object TextAnalysis {
     * fails LOUDLY rather than silently truncating (a clipped vocabulary
     * would silently shift every score). */
   def nbTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      posCol: Column, maxVocab: Int = 2000000): NbModel =
+    nbTrainTokens(df, wordTokens(textCol), posCol, maxVocab)
+
+  /** [[nbTrain]] over a PRE-TOKENIZED column — for callers that already
+    * materialized `wordTokens` once (a shared-scan pipeline computing
+    * several signals from the same token array pays the regex exactly
+    * once; the q150/q157 agreement audits' shape). */
+  def nbTrainTokens(df: org.apache.spark.sql.DataFrame, toksCol: Column,
       posCol: Column, maxVocab: Int = 2000000): NbModel = {
     val docs = df.select(posCol.cast("boolean").as("pos"),
-      wordTokens(textCol).as("toks"))
+      toksCol.as("toks"))
     val toks = docs.select(col("pos"), explode(col("toks")).as("tok"))
     val counts = toks.groupBy(col("tok")).agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
@@ -991,8 +999,13 @@ object TextAnalysis {
     * [[nbScoreWith]]'s `score`) — for inline narrow gates in composed
     * pipelines, batch or streaming. */
   def nbScore(model: NbModel, textCol: String): Column =
+    nbScoreTokens(model, wordTokens(textCol))
+
+  /** [[nbScore]] over a PRE-TOKENIZED column (same 6 dp-rounded value) —
+    * the serving half of the [[nbTrainTokens]] shared-scan shape. */
+  def nbScoreTokens(model: NbModel, toksCol: Column): Column =
     round(lit(model.prior) + graft.functions.TokenWeightSum.column(
-      wordTokens(textCol), model.vocab.zip(model.weights)), 6)
+      toksCol, model.vocab.zip(model.weights)), 6)
 
   def nbScoreWith(data: org.apache.spark.sql.DataFrame, model: NbModel,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
