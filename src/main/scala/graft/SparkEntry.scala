@@ -2061,6 +2061,36 @@ object SparkEntry {
         .unionByName(audit(fused, "fused")).orderBy("run")
     }),
 
+    // ext: MULTI-QUERY retrieval eval — q181 generalized from one
+    // judgment set to a qrels TABLE over 8 queries: the full-dim cosine
+    // run fused per-query (rrfFuseBy) with a truncated-32-dim run (the
+    // Matryoshka-style cheap first-pass ranking), then per-query hit/MRR/
+    // nDCG plus one macro-average row. Every stage keys on the query id;
+    // parallelism grows with query count, the corpus appears only in the
+    // two bounded top-k runs
+    "q182_retrieval_multiquery" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      def run(frame: org.apache.spark.sql.DataFrame) =
+        ext.Similarity.bruteForceTopK(frame,
+            frame.filter(col("vec_id") < 8), 10)
+          .select(col("query_id"), col("corpus_id"), col("cos").as("score"))
+      val full = run(emb)
+      val trunc = run(emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 32).as("embedding")))
+      val fused = ext.Similarity
+        .rrfFuseBy(full, trunc, "query_id", "corpus_id", "score")
+        .select(col("query_id"), col("corpus_id"), col("rrf").as("score"))
+      val qrels = queries.as("q")
+        .join(emb.as("c"), col("q.label") === col("c.label") &&
+          col("c.vec_id") =!= col("q.vec_id"))
+        .select(col("q.vec_id").as("query_id"),
+          col("c.vec_id").as("corpus_id"))
+      ext.Eval.retrievalMetricsMacro(fused, qrels, "query_id",
+          "corpus_id", "score", 10)
+        .orderBy(col("scope"), col("query_id"))
+    }),
+
     // ext: per-source bootstrap CI on mean quality — q165 sliced by
     // source; "are these two sources' qualities really different?"
     "q174_bootstrap_by_source" -> ((s, dir) => {
@@ -5765,6 +5795,77 @@ object SparkEntry {
            UNION ALL ${metric("rb", "dense")}
            UNION ALL ${metric("fr", "fused")})
          ORDER BY run"""
+    },
+
+    // q181 generalized to 8 judged queries: full-dim and truncated-32-dim
+    // cosine runs fused per query, then per-query metrics + a macro row
+    "q182_retrieval_multiquery" -> {
+      val ln2 = ext.Eval.Ln2
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, label,
+               CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         et AS (SELECT vec_id, v[1:32] AS v FROM e),
+         runa AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                    CAST(row_number() OVER (PARTITION BY b.vec_id
+                      ORDER BY round($CosSql, 6) DESC, a.vec_id) AS INT)
+                      AS rank
+                  FROM e a, e b
+                  WHERE b.vec_id < 8 AND a.vec_id <> b.vec_id
+                  QUALIFY rank <= 10),
+         runb AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
+                    CAST(row_number() OVER (PARTITION BY b.vec_id
+                      ORDER BY round($CosSql, 6) DESC, a.vec_id) AS INT)
+                      AS rank
+                  FROM et a, et b
+                  WHERE b.vec_id < 8 AND a.vec_id <> b.vec_id
+                  QUALIFY rank <= 10),
+         fused AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+                     coalesce(a.corpus_id, b.corpus_id) AS corpus_id,
+                     round(coalesce(1.0 / (60 + a.rank), 0.0) +
+                           coalesce(1.0 / (60 + b.rank), 0.0), 6) AS rrf
+                   FROM runa a FULL OUTER JOIN runb b
+                     ON a.query_id = b.query_id
+                     AND a.corpus_id = b.corpus_id),
+         fr AS (SELECT query_id, corpus_id, rrf,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf DESC, corpus_id) AS INT) AS rank
+                FROM fused QUALIFY rank <= 10),
+         qr AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id
+                FROM embeddings q JOIN embeddings c ON q.label = c.label
+                  AND c.vec_id <> q.vec_id
+                WHERE q.vec_id < 8),
+         nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+                FROM qr GROUP BY query_id),
+         j AS (SELECT fr.query_id, fr.rank,
+                 CASE WHEN qr.corpus_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS rel
+               FROM fr LEFT JOIN qr ON qr.query_id = fr.query_id
+                 AND qr.corpus_id = fr.corpus_id),
+         per AS (SELECT query_id, CAST(max(rel) AS INT) AS hit,
+                   coalesce(1.0 / CAST(min(CASE WHEN rel = 1 THEN rank END)
+                     AS DOUBLE), 0.0) AS mrr_raw,
+                   sum(CAST(rel AS DOUBLE) /
+                     (ln(CAST(rank AS DOUBLE) + 1.0) / $ln2)) AS dcg
+                 FROM j GROUP BY query_id),
+         perq AS MATERIALIZED (
+           SELECT query_id, coalesce(nr.n_rel, 0) AS n_rel,
+             CAST(coalesce(per.hit, 0) AS DOUBLE) AS hit_k,
+             round(coalesce(per.mrr_raw, 0.0), 6) AS mrr,
+             CASE WHEN nr.n_rel > 0 THEN
+               round(coalesce(per.dcg, 0.0) / list_sum(list_transform(
+                 generate_series(1,
+                   least(10, CAST(greatest(nr.n_rel, 1) AS INT))),
+                 i -> 1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / $ln2))), 6)
+             END AS ndcg
+           FROM per FULL OUTER JOIN nr USING (query_id))
+         SELECT 'query' AS scope, query_id, n_rel, hit_k, mrr, ndcg
+         FROM perq
+         UNION ALL
+         SELECT 'macro' AS scope, CAST(NULL AS BIGINT) AS query_id,
+           CAST(count(*) AS BIGINT) AS n_rel,
+           round(avg(hit_k), 6) AS hit_k, round(avg(mrr), 6) AS mrr,
+           round(avg(ndcg), 6) AS ndcg
+         FROM perq WHERE n_rel > 0
+         ORDER BY scope, query_id"""
     },
 
   )

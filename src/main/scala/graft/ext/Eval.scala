@@ -403,6 +403,40 @@ object Eval {
           round(coalesce(col("_dcg"), lit(0.0)) / idcg, 6)).as("ndcg"))
   }
 
+  /** [[retrievalMetrics]] plus MACRO averages — the standard multi-query
+    * benchmark readout: per-query rows for drill-down and one macro row
+    * for the headline number, in one frame.
+    *
+    * Per-query rows carry scope='query' and the [[retrievalMetrics]]
+    * columns (hit_k widened to double so the schema matches the macro
+    * hit RATE). The macro row carries scope='macro', a NULL query id,
+    * n_rel = the number of JUDGED queries averaged, and the 6 dp-rounded
+    * means of hit_k / mrr / ndcg over judged queries ONLY (n_rel > 0 —
+    * an unjudged query has undefined quality and must not dilute the
+    * average; judged-but-unretrieved queries DO count, as zeros).
+    *
+    * The per-query table is checkpointed before the two consumers read
+    * it (it is bounded by query count; without the pin the whole run
+    * pipeline would execute twice). */
+  def retrievalMetricsMacro(runs: DataFrame, qrels: DataFrame,
+      queryCol: String, docCol: String, scoreCol: String,
+      k: Int = 10): DataFrame = {
+    val per = retrievalMetrics(runs, qrels, queryCol, docCol, scoreCol, k)
+      .localCheckpoint(true)
+    val perRows = per.select(lit("query").as("scope"), col(queryCol),
+      col("n_rel"), col("hit_k").cast("double").as("hit_k"),
+      col("mrr"), col("ndcg"))
+    val macroRow = per.filter(col("n_rel") > 0)
+      .agg(count(lit(1)).cast("long").as("n_rel"),
+        round(avg(col("hit_k").cast("double")), 6).as("hit_k"),
+        round(avg(col("mrr")), 6).as("mrr"),
+        round(avg(col("ndcg")), 6).as("ndcg"))
+      .select(lit("macro").as("scope"),
+        lit(null).cast(per.schema(queryCol).dataType).as(queryCol),
+        col("n_rel"), col("hit_k"), col("mrr"), col("ndcg"))
+    perRows.unionByName(macroRow)
+  }
+
   /** FLEISS' KAPPA — chance-corrected agreement among MANY raters
     * (Fleiss 1971), the n-rater generalization of [[cohenKappa]]: three
     * quality gates, k annotation passes, model-ensemble votes. Input is

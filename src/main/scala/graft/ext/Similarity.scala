@@ -586,6 +586,36 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Per-query [[rrfFuse]] — the MULTI-QUERY serving shape of the hybrid
+    * retrieval step: fuse two runs of (queryCol, idCol, scoreCol) rows,
+    * ranking within each query (window partitioned by query, 6 dp-rounded
+    * score desc, id tiebreak), full-outer-merging on (query, id), and
+    * keeping the top `topN` fused rows PER QUERY.
+    *
+    * Shape at 100 TB: both inputs are per-query top-N retrieval results,
+    * so every stage is bounded by queries × N rows hash-partitioned on
+    * the query key — parallelism grows with query count, the corpus
+    * never appears. Output: (queryCol, idCol, rank_a, rank_b, rrf). */
+  def rrfFuseBy(runA: DataFrame, runB: DataFrame, queryCol: String,
+      idCol: String, scoreCol: String = "score", k: Int = 60,
+      topN: Int = 10): DataFrame = {
+    def ranked(df: DataFrame, rn: String) =
+      df.select(col(queryCol), col(idCol), round(col(scoreCol), 6).as("_s"))
+        .withColumn(rn, row_number().over(
+          Window.partitionBy(col(queryCol))
+            .orderBy(col("_s").desc, col(idCol))))
+        .select(col(queryCol), col(idCol), col(rn))
+    ranked(runA, "rank_a")
+      .join(ranked(runB, "rank_b"), Seq(queryCol, idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k) + col("rank_a")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(k) + col("rank_b")), lit(0.0)), 6))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(queryCol))
+          .orderBy(col("rrf").desc, col(idCol))))
+      .filter(col("_rn") <= topN).drop("_rn")
+  }
+
   /** [[rbo]]'s per-rank suffix weights `w(m) = Σ_{k=m..depth} p^(k−1)/k`,
     * computed ONCE in fixed order on the driver — public so an external
     * SQL checker interpolates the IDENTICAL doubles instead of re-deriving

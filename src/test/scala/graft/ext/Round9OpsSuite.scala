@@ -521,6 +521,50 @@ class Round9OpsSuite extends AnyFunSuite {
     assert(got.getAs[Double]("ndcg") == 1.0) // both slots rel, idcg = k slots
   }
 
+  // ---- rrfFuseBy / retrievalMetricsMacro ----------------------------------
+
+  test("rrfFuseBy fuses per query and matches single-query rrfFuse scores") {
+    val runA = Seq((1L, 10L, 0.9), (1L, 11L, 0.8),
+      (2L, 20L, 0.9), (2L, 21L, 0.8)).toDF("q", "d", "score")
+    val runB = Seq((1L, 11L, 0.9), (1L, 12L, 0.8),
+      (2L, 21L, 0.9)).toDF("q", "d", "score")
+    val fused = Similarity.rrfFuseBy(runA, runB, "q", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Double]("rrf")).toMap
+    // doc 11 in both runs for q1: 1/(60+2) + 1/(60+1)
+    assert(fused((1L, 11L)) ==
+      BigDecimal(1.0 / 62 + 1.0 / 61)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // one-run docs get only that run's term
+    assert(fused((1L, 10L)) ==
+      BigDecimal(1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    // per-query isolation: q2's ranks never see q1's rows
+    val single = Similarity.rrfFuse(runA.filter($"q" === 2L),
+      runB.filter($"q" === 2L), "d")
+      .collect().map(r => r.getAs[Long]("d") -> r.getAs[Double]("rrf")).toMap
+    assert(fused((2L, 21L)) == single(21L) && fused((2L, 20L)) == single(20L))
+  }
+
+  test("retrievalMetricsMacro appends a macro row over judged queries only") {
+    val runs = Seq((1L, 10L, 0.9), (1L, 11L, 0.8),
+      (2L, 10L, 0.9), (3L, 10L, 0.9)).toDF("q", "d", "score")
+    // q1 hits at rank 1; q2 judged but misses; q3 unjudged (excluded
+    // from the macro denominator); q4 judged, retrieved nothing → zeros
+    val qrels = Seq((1L, 10L), (2L, 99L), (4L, 98L)).toDF("q", "d")
+    val got = Eval.retrievalMetricsMacro(runs, qrels, "q", "d", "score", 2)
+      .collect()
+    val macroRows = got.filter(_.getString(0) == "macro")
+    assert(macroRows.length == 1 && macroRows.head.isNullAt(1))
+    assert(macroRows.head.getAs[Long]("n_rel") == 3L, "q1, q2, q4 judged")
+    assert(macroRows.head.getAs[Double]("hit_k") == 0.333333)
+    assert(macroRows.head.getAs[Double]("mrr") == 0.333333)
+    val per = got.filter(_.getString(0) == "query")
+    assert(per.length == 4)
+    assert(per.forall(r => r.getAs[Double]("hit_k") == 0.0 ||
+      r.getAs[Double]("hit_k") == 1.0))
+  }
+
   // ---- fleissKappa -------------------------------------------------------
 
   test("fleissKappa replays the hand-computed 2-rater 2-item case") {
