@@ -408,6 +408,75 @@ object Bench {
         System.err.println(s"text9_scale_probe failed: ${e.getMessage}")
     }
 
+    // BPE kernel probe (full runs only): q75_bpe_train drifted 1.17→2.22 s
+    // r9→r10 with zero commits touching the kernel (VERDICT r10 #1, r9
+    // task 7). This cell times bpeTrain and bpeEncode ALONE — fixed
+    // numMerges=8, the q75/q83 workload — in a JVM state untouched by the
+    // 180-query passes, two interleaved passes with per-cell min. Kernel
+    // flat here while the in-suite number drifts ⇒ suite-JVM pressure
+    // (codegen-cache/block-manager accumulation), not a kernel
+    // regression; kernel slow here too ⇒ a real regression to fix.
+    if (probeOn("bpe")) try {
+      dropCaches()
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+        .localCheckpoint(true) // time the kernel, not the parquet scan
+      // discard first use: the merge loop's codegen/classload
+      ext.TextAnalysis.bpeTrain(docs, "text", 8).count()
+      val cells = Seq[(String, () => Long)](
+        "bpe_train" ->
+          (() => { ext.TextAnalysis.bpeTrain(docs, "text", 8).count(); 0L }),
+        "bpe_encode" -> (() => { ext.TextAnalysis
+          .bpeEncode(docs, "doc_id", "text", 8)
+          .foreach((_: org.apache.spark.sql.Row) => ()); 0L }),
+        "lm_score" -> (() => { ext.TextAnalysis
+          .lmScore(docs, "doc_id", "text")
+          .foreach((_: org.apache.spark.sql.Row) => ()); 0L }))
+      val (times, _) = interleavedTimes(cells)
+      val lines = cells.map { case (name, _) =>
+        s"\"$name\":${times(name)}"
+      }.mkString("{", ",", "}")
+      val l = s"""{"metric":"bpe_kernel_probe","probes_isolated":true,"num_merges":8,"warmup":true,"interleaved_passes":2,"ops":$lines}"""
+      println(l); extraLines += l
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"bpe_kernel_probe failed: ${e.getMessage}")
+    }
+
+    // Graph DEPTH probe (full runs only): the text9 cell certifies node
+    // scaling at 3 rounds; this one certifies ROUND scaling — sec/round at
+    // iters=20 vs iters=5 on the same synthetic graph must stay ~flat
+    // (within ~1.5×), the empirical proof that the materialize-and-rotate
+    // checkpoint discipline (Checkpoints.pin + release per round) holds at
+    // depth: a leaking loop shows super-linear growth as plans/blocks
+    // accumulate (VERDICT r10 #4, r9 task 6).
+    if (probeOn("graphdepth")) try {
+      dropCaches()
+      import org.apache.spark.sql.functions.col
+      val n = 20000L
+      val ids = spark.range(n).select(col("id"))
+      val e = ids.select(col("id").as("src"), ((col("id") + 1L) % n).as("dst"))
+        .union(ids.select(col("id").as("src"), ((col("id") + n - 1L) % n).as("dst")))
+        .union(ids.select(col("id").as("src"), ((col("id") + 7L) % n).as("dst")))
+        .localCheckpoint(true)
+      ext.Graph.pageRank(e, "src", "dst", 2).count() // codegen warmup
+      val cells = Seq[(Int, () => Long)](
+        5 -> (() => { ext.Graph.pageRank(e, "src", "dst", 5).count(); 0L }),
+        20 -> (() => { ext.Graph.pageRank(e, "src", "dst", 20).count(); 0L }))
+      val (times, _) = interleavedTimes(cells)
+      val (p5, p20) = (times(5) / 5.0, times(20) / 20.0)
+      val l = s"""{"metric":"graph_depth_probe","probes_isolated":true,"nodes":$n,"warmup":true,"interleaved_passes":2,""" +
+        s""""sec_iters5":${times(5)},"sec_iters20":${times(20)},""" +
+        s""""sec_per_round_5":$p5,"sec_per_round_20":$p20,""" +
+        s""""per_round_ratio":${p20 / math.max(p5, 1e-9)},""" +
+        s""""note":"per_round_ratio ~<= 1.5 certifies the per-round pin+release discipline holds at depth"}"""
+      println(l); extraLines += l
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"graph_depth_probe failed: ${e.getMessage}")
+    }
+
     // 100×-row window/join probe (full runs only): q32's per-key running
     // window and q42's interval-join attribution with keys replicated
     // disjointly. Certification is PER-ROW cost (like the geometry probe):
@@ -603,20 +672,22 @@ object Bench {
     // full-precision twin is "total_full"), so a consumer scanning all
     // lines cannot double-count (ADVICE r5); bench_out.json remains the
     // canonical full-precision artifact.
-    // centisecond precision AND slowest-50-only: at 155+ queries even
-    // centisecond entries overflow the driver's ~2000-char stdout tail,
-    // so the compact map carries the 50 most expensive queries (the ones
-    // a perf reader acts on); the complete per-query map lives in the
-    // full-precision line and bench_out.json
-    val slowest = results.sortBy(-_._2).take(50).sortBy(_._1)
-    val compactQs = slowest.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 100) / 100.0
+    // COMPLETE per-query map in the bare line (VERDICT r10 #6): r10
+    // carried only the slowest 50 because centisecond "qNN":x.xx entries
+    // overflow the ~2000-char tail at 180+ queries. Integer CENTISECOND
+    // values ("q75":222 = 2.22 s, declared by queries_unit) cut the
+    // per-entry cost to ~10 chars, so all queries fit the tail window
+    // whole and a per-query regression is visible from BENCH_rN.json
+    // alone; bench_out.json / the total_full line remain the
+    // full-precision artifacts.
+    val compactQs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + math.round(v * 100)
     }.mkString("{", ",", "}")
     val compactLine =
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},""" +
         s""""unit":"sec","n_queries":${results.size},""" +
-        s""""queries_note":"slowest 50 of ${results.size}; full map in bench_out.json",""" +
-        s""""queries":$compactQs,"sf":"$sfDir"}"""
+        s""""queries_unit":"centisec","queries_key":"qNN sans q",""" +
+        s""""queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}"}"""
     if (compactLine.length > 1900)
       System.err.println(s"[bench] compact line ${compactLine.length} chars — tail window may clip it")
     println(compactLine)

@@ -178,9 +178,31 @@ object SparkEntry {
 
   /** NB model trained from [[raterBase]]'s materialized token column —
     * same weights as `nbTrain(docs, "text", ...)` (the tokenizer is the
-    * same expression), no second tokenize pass. */
+    * same expression), no second tokenize pass.
+    *
+    * NB-vote parity note (ADVICE r10): the vote compares the 6 dp-rounded
+    * score against 0 on BOTH sides ([[ext.TextAnalysis.nbScoreTokens]]
+    * rounds, and the SQL oracle rounds the same sum), but the two engines
+    * accumulate the token-weight sum in different IEEE orders, so a doc
+    * whose true score sat exactly on the 6 dp boundary around 0 could in
+    * principle vote differently. That is a data-dependent invariant, not
+    * a structural one — it is pinned empirically by the driver's per-round
+    * sf0.01 oracle compare of q150/q157 and by Round8OpsSuite's
+    * nbScoreWith ≡ nbQualityScore equivalence case. */
   private def nbModelOnTokens(base: DataFrame): ext.TextAnalysis.NbModel =
     ext.TextAnalysis.nbTrainTokens(base, col("toks"), col("pos"))
+
+  /** Eagerly materialize a BOUNDED result (the agreement statistics are
+    * one-row frames), then release `base`'s corpus-sized checkpoint
+    * blocks — without this the q150/q157 shared scan (full token arrays
+    * per doc) stays resident in the block manager for the session
+    * (ADVICE r10). The returned frame is backed by the tiny pinned
+    * result, so callers can read it any number of times. */
+  private def materializedWithout(result: DataFrame, base: DataFrame): DataFrame = {
+    val out = result.localCheckpoint(true)
+    graft.util.Checkpoints.release(base)
+    out
+  }
 
   def dedupProbe(s: SparkSession, dir: String, factor: Int)
       : (Map[String, DataFrame], Map[String, DataFrame]) = {
@@ -1733,7 +1755,8 @@ object SparkEntry {
         when(col("n_chars") >= 300, 1).otherwise(0).as("len"))
       val long = wide.unpivot(Array(col("doc_id")),
         Array(col("nb"), col("gate"), col("len")), "rater", "vote")
-      ext.Eval.fleissKappa(long, "doc_id", "rater", "vote")
+      materializedWithout(
+        ext.Eval.fleissKappa(long, "doc_id", "rater", "vote"), base)
     }),
 
     // ext: Brier score + Murphy decomposition of the q99 NB gate — the
@@ -1818,7 +1841,8 @@ object SparkEntry {
       val long = wide.unpivot(Array(col("doc_id")),
         Array(col("nb"), col("gate"), col("len")), "rater", "vote")
         .filter(col("vote").isNotNull)
-      ext.Eval.krippendorffAlpha(long, "doc_id", "rater", "vote")
+      materializedWithout(
+        ext.Eval.krippendorffAlpha(long, "doc_id", "rater", "vote"), base)
     }),
 
     // ext: cross-source quantile normalization — each doc's quality maps

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Checkpoints.PinOps
 
 /** Classifier-evaluation operators — the audit side of every model gate in
   * the curation pipelines ([[TextAnalysis.nbQualityScore]], the
@@ -422,7 +423,7 @@ object Eval {
       queryCol: String, docCol: String, scoreCol: String,
       k: Int = 10): DataFrame = {
     val per = retrievalMetrics(runs, qrels, queryCol, docCol, scoreCol, k)
-      .localCheckpoint(true)
+      .pin()
     val perRows = per.select(lit("query").as("scope"), col(queryCol),
       col("n_rel"), col("hit_k").cast("double").as("hit_k"),
       col("mrr"), col("ndcg"))
@@ -789,7 +790,7 @@ object Eval {
     require(nBins > 1, s"nBins $nBins")
     val base = df.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
-      .localCheckpoint(true)
+      .pin()
     def binned(c: String, out: String) =
       ecdfTable(base, c, "_p" + c)
         .withColumn(out,
@@ -846,7 +847,7 @@ object Eval {
     // ecdfTable lesson; measured 2.9 s → ~1 s on the q160 signals)
     val base = df.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
-      .localCheckpoint(true)
+      .pin()
     def rankTable(c: String, out: String) = {
       val per = base.groupBy(col(c)).agg(count(lit(1)).as("_n"))
       val w = Window.orderBy(col(c).asc)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{NearestCentroid, PqAdc}
+import graft.util.Checkpoints.PinOps
 
 /** Product quantization for embedding compression + two-stage ANN — the
   * FAISS-style IVFPQ construction from public literature (Jégou et al.,
@@ -46,7 +47,7 @@ object Pq {
           slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub)
         }: _*)))
       .withColumnRenamed("pos", "s").withColumnRenamed("col", "v")
-      .localCheckpoint(true) // explode once, not once per iteration
+      .pin() // explode once, not once per iteration
     def recompute(assigned: DataFrame,
         prev: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
       val got = assigned.groupBy(col("s"), col("b"))

@@ -713,6 +713,60 @@ object Similarity {
         round(col("_c"), 6).as("mean_cos"), round(col("_l"), 6).as("mean_l2"))
   }
 
+  /** [[embeddingDriftWindowed]]'s baseline inputs from the reference
+    * slice (the store's training corpus): (mean vector, row count) — run
+    * once against the snapshot, hold on the driver / in the job config,
+    * the [[Outliers.psiBaseline]] convention. */
+  def embeddingDriftBaseline(df: DataFrame,
+      vecCol: String = "embedding"): (Array[Double], Long) =
+    (embeddingMean(df, vecCol), df.count())
+
+  /** STREAMING-SHAPED [[embeddingDrift]]: the live slice's mean vector
+    * per EVENT-TIME window, compared against a DRIVER-HELD baseline mean
+    * (from [[embeddingDriftBaseline]] on the store's training corpus) —
+    * the alarm that tells an incrementally-appended ANN store its
+    * centroids have gone stale, as a standing monitor instead of a batch
+    * audit. ONE stateful windowed aggregation whose per-window state is
+    * d+1 doubles ([[graft.agg.VectorMeanAgg]]'s buffer — bounded
+    * regardless of event rate; the watermark expires old windows), then
+    * a narrow per-window projection computing cosine/L2 against the
+    * baseline literal. The same plan runs batch or streaming (add
+    * `withWatermark` upstream); batch ≡ stream and per-window batch ≡
+    * [[embeddingDrift]] on the window's slice are suite-pinned.
+    *
+    * Returns (ws, n_live, mean_cos, mean_l2) per window, 6 dp-rounded;
+    * cos is NULL if either mean is the zero vector. */
+  def embeddingDriftWindowed(df: DataFrame, tsCol: String,
+      vecCol: String, baseMean: Array[Double],
+      windowDur: String = "1 day"): DataFrame = {
+    require(baseMean.nonEmpty, "embeddingDriftWindowed: empty baseline")
+    val agged = df
+      .select(window(col(tsCol), windowDur).as("_w"),
+        col(vecCol).cast("array<double>").as("_x"))
+      .groupBy(col("_w"))
+      .agg(count(lit(1)).as("n_live"),
+        graft.agg.VectorMeanAgg.column(col("_x")).as("_m"))
+    val mb = array(baseMean.map(lit(_)).toIndexedSeq: _*)
+    val nb = math.sqrt(baseMean.map(z => z * z).sum)
+    // a live dim that disagrees with the baseline fails LOUDLY (the
+    // VectorMeanAgg convention) instead of zip_with null-padding its way
+    // to silent NULL metrics; an all-null-vector window stays NULL
+    val m = when(col("_m").isNull || size(col("_m")) === baseMean.length,
+        col("_m"))
+      .otherwise(raise_error(concat(
+        lit("embeddingDriftWindowed: live dim "),
+        size(col("_m")).cast("string"),
+        lit(s" != baseline dim ${baseMean.length}"))))
+    def fold(c: Column) = aggregate(c, lit(0.0), (acc, x) => acc + x)
+    val dotAb = fold(zip_with(m, mb, (a, b) => a * b))
+    val nl = sqrt(fold(transform(m, a => a * a)))
+    val l2 = sqrt(fold(zip_with(m, mb, (a, b) => (a - b) * (a - b))))
+    agged.select(col("_w").getField("start").as("ws"), col("n_live"),
+      round(when(nl > 0 && lit(nb) > 0, dotAb / (nl * lit(nb))), 6)
+        .as("mean_cos"),
+      round(l2, 6).as("mean_l2"))
+  }
+
   /** TOP PRINCIPAL COMPONENT of the embedding corpus by POWER ITERATION
     * (von Mises iteration over the centered covariance, never
     * materializing the d×d matrix): per round one scan computing

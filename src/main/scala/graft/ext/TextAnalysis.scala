@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Checkpoints.PinOps
 
 /** Text-analysis operators for large-scale training-data pipelines — all
   * pure Catalyst expressions (no UDFs): whole-stage-codegen'd, shuffle-free
@@ -249,7 +250,7 @@ object TextAnalysis {
     // materialize-and-rotate: each cut releases the previous checkpoint's
     // blocks (the new one is eager, so the old lineage is never re-read)
     def cut(): Unit = {
-      val cp = vocab.localCheckpoint(true)
+      val cp = vocab.pin()
       prev.foreach(graft.util.Checkpoints.release)
       prev = Some(cp); vocab = cp
     }

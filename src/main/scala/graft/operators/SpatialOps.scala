@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.{GridSchema, TriMesh}
+import graft.util.Checkpoints.PinOps
 
 /** Grid generation + per-cell geometry columns.
   *
@@ -111,7 +112,7 @@ object GridOps {
     val in = df.filter(col(valueCol) >= lo && col(valueCol) < hi)
       .select(col("i").cast("int"), col("j").cast("int"), col("k").cast("int"))
       .distinct()
-      .localCheckpoint(true) // candidate explode + anti-join reuse it
+      .pin() // candidate explode + anti-join reuse it
     // (di, dj, dk) → the face of the cell toward that neighbor
     val dirs = Seq((-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
       (0, 0, -1), (0, 0, 1))

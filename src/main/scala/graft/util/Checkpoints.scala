@@ -37,7 +37,19 @@ object Checkpoints {
     spark.conf.getOption(DirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        // `setCheckpointDir(root)` materializes rounds under a fresh
+        // UUID subdir of `root`, so "wired to THIS conf value" means the
+        // current checkpoint dir's PARENT is the conf root. Re-wire when
+        // they differ — a changed graft.checkpoint.dir mid-session must
+        // not silently keep writing to the stale location.
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(sc.hadoopConfiguration)
+        val want = fs.makeQualified(root)
+        val wired = sc.getCheckpointDir.exists { cur =>
+          val p = new org.apache.hadoop.fs.Path(cur).getParent
+          p != null && fs.makeQualified(p) == want
+        }
+        if (!wired) sc.setCheckpointDir(dir)
         ds.checkpoint(eager = eager)
       case None => ds.localCheckpoint(eager = eager)
     }
@@ -49,15 +61,29 @@ object Checkpoints {
     def pin(eager: Boolean = true): Dataset[T] = Checkpoints.pin(ds, eager)
   }
 
-  /** Drop the blocks behind every checkpointed leaf of `ds`'s plan. Safe
+  /** Drop the storage behind every checkpointed leaf of `ds`'s plan. Safe
     * ONLY once nothing will read the frame again: checkpoint lineage is
-    * truncated, so released blocks cannot be recomputed. (For reliable
-    * checkpoints this releases the block-manager copy; the files under
-    * `graft.checkpoint.dir` are reclaimed by the context cleaner or the
-    * job's dir cleanup, not here.) */
-  def release(ds: Dataset[_]): Unit =
+    * truncated, so released state cannot be recomputed. For reliable
+    * checkpoints this DELETES the round's files under
+    * `graft.checkpoint.dir` as well as unpersisting blocks — Spark's
+    * ContextCleaner does not reclaim reliable checkpoint files unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is set (default
+    * false), so without this a long PageRank keeps one full rank table
+    * per round on shared storage for the job's lifetime. The
+    * materialize-and-rotate loops (Graph rounds, the BPE cut) therefore
+    * bound reliable-dir residency to ~2 rounds' worth. */
+  def release(ds: Dataset[_]): Unit = {
+    val hconf = ds.sparkSession.sparkContext.hadoopConfiguration
     ds.queryExecution.analyzed.collectLeaves().foreach {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case l: LogicalRDD =>
+        l.rdd.getCheckpointFile.foreach { f =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(hconf).delete(p, true)
+          } catch { case _: Throwable => () }
+        }
+        l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+  }
 }

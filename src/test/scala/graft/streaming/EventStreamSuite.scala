@@ -532,4 +532,63 @@ class EventStreamSuite extends AnyFunSuite {
       Long.MinValue).select("ts").first().getTimestamp(0)
     assert(again.ts == first)
   }
+
+  test("embeddingDriftWindowed: batch equals embeddingDrift per window, stream equals batch, drift registers") {
+    import org.apache.spark.sql.functions.col
+    // baseline ~ axis e0; window 1 (day 1) drawn from the same direction,
+    // window 2 (day 2) rotated toward e1 — a two-window synthetic drift
+    def vec(axis: Int, i: Int): Array[Float] = {
+      val v = new Array[Float](4)
+      v(axis) = 1.0f
+      v((axis + 1) % 4) = 0.1f * (i % 3)
+      v
+    }
+    val base = (0 until 30).map(i => (i.toLong, vec(0, i)))
+      .toDF("vec_id", "embedding")
+    val live = (0 until 40).map { i =>
+      val day = i / 20 + 1
+      (i.toLong, new Timestamp(
+        Timestamp.valueOf(f"2024-01-0$day 00:00:00").getTime + i * 60000L),
+        vec(if (day == 1) 0 else 1, i))
+    }.toDF("vec_id", "ts", "embedding")
+    val (bm, bn) = graft.ext.Similarity.embeddingDriftBaseline(base)
+    assert(bn == 30L)
+    val batch = graft.ext.Similarity
+      .embeddingDriftWindowed(live, "ts", "embedding", bm)
+      .collect().map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getAs[Double]("mean_cos"), r.getAs[Double]("mean_l2")))
+      .toMap
+    assert(batch.size == 2)
+    // per-window batch twin: embeddingDrift(base, windowSlice) agrees
+    for ((ws, (n, cosW, l2W)) <- batch) {
+      val dayEnd = new Timestamp(ws.getTime + 86400000L)
+      val slice = live.filter(col("ts") >= ws && col("ts") < dayEnd)
+      val ref = graft.ext.Similarity.embeddingDrift(base, slice).head()
+      assert(ref.getLong(1) == n)
+      assert(math.abs(ref.getAs[Double]("mean_cos") - cosW) < 1e-9,
+        s"window $ws: batch-audit cos vs windowed cos")
+      assert(math.abs(ref.getAs[Double]("mean_l2") - l2W) < 1e-9)
+    }
+    // drift actually registers: day 2's rotated slice scores far worse
+    val byTime = batch.toSeq.sortBy(_._1.getTime).map(_._2)
+    assert(byTime.head._2 > 0.9, "aligned window should cos~1 vs baseline")
+    assert(byTime.last._2 < 0.5, "rotated window must drop the cosine")
+    assert(byTime.last._3 > byTime.head._3, "rotated window must raise L2")
+    // streaming twin: same plan under Structured Streaming
+    val dir = Files.createTempDirectory("graft_embdrift_stream").toString
+    live.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(live.schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+    val q = graft.ext.Similarity
+      .embeddingDriftWindowed(stream, "ts", "embedding", bm)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("embdrift_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("embdrift_out")
+      .collect().map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getAs[Double]("mean_cos"), r.getAs[Double]("mean_l2")))
+      .toMap
+    assert(streamed == batch, "stream must equal the batch run exactly")
+  }
 }
