@@ -233,6 +233,15 @@ object TextAnalysis {
   private def bpeSyms: Column = call_function("regexp_extract_all",
     col("seq"), lit("\\[([^\\]]*)\\]"), lit(1))
 
+  /** Distinct-word ceiling for [[bpeMerge]]'s driver fast-path — ~2²⁰
+    * rows of (cnt, bracketed-seq) ≈ tens of MB collected, the
+    * [[Dedup]] union-find threshold posture. Overridable per session via
+    * `graft.bpe.driver.max` (0 forces the distributed rounds — how the
+    * suite pins path equivalence). */
+  private def bpeDriverVocabMax(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.bpe.driver.max").map(_.toLong)
+      .getOrElse(1L << 20)
+
   /** Shared BPE merge loop: (rules, final vocabulary (cnt, seq), the live
     * lineage checkpoint backing the vocabulary — always present; callers
     * that do not return the vocabulary must release it). */
@@ -242,10 +251,19 @@ object TextAnalysis {
       Option[org.apache.spark.sql.DataFrame]) = {
     val chars = call_function("regexp_extract_all",
       col("word"), lit("."), lit(0))
+    // The vocabulary is DISTINCT WORDS — bounded by language (millions of
+    // rows at any corpus size), not by the corpus. Narrow-coalesce it
+    // under the checkpoint so the N merge rounds don't each schedule a
+    // full shuffle-partition-count of near-empty tasks: at bench scale
+    // (~10⁴ words) the rounds' cost is task latency, not compute; at
+    // vocabulary ceiling (~10⁶-10⁷ rows) a few hundred thousand rows per
+    // task of narrow regex/replace work is still right-sized.
+    val roundSlots = math.max(4, df.sparkSession.sparkContext.defaultParallelism / 4)
     var vocab = df.select(explode(wordTokens(textCol)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), concat(lit("["),
         array_join(chars, "]["), lit("]")).as("seq"))
+      .coalesce(roundSlots)
     var prev: Option[org.apache.spark.sql.DataFrame] = None
     // materialize-and-rotate: each cut releases the previous checkpoint's
     // blocks (the new one is eager, so the old lineage is never re-read)
@@ -258,6 +276,52 @@ object TextAnalysis {
     // would re-scan the corpus through the groupBy lineage — N corpus
     // passes instead of one, which at 100 TB is the whole cost
     cut()
+    // Small vocabularies (≤ BpeDriverVocabMax distinct words — the common
+    // case even at 100 TB: the table is bounded by language, and natural
+    // corpora sit well under 2²⁰ distinct [a-z0-9]+ tokens) run the merge
+    // loop ON THE DRIVER: pair counting over the collected word table is
+    // microseconds per round, where the distributed loop pays a full
+    // job round of fixed scheduling latency per merge (the Dedup
+    // union-find threshold pattern, Dedup.connectedComponents). Same
+    // rules and same final vocabulary either way — identical tie-break
+    // (count desc, then lhs/rhs ASCII-lexicographic: tokens are
+    // [a-z0-9]+, so Java string order ≡ Spark's binary UTF-8 order) and
+    // the SAME left-to-right non-overlapping literal replace
+    // (java.lang.String.replace ≡ Spark's `replace`). Past the threshold
+    // the distributed rounds below own it.
+    if (vocab.count() <= bpeDriverVocabMax(df.sparkSession)) {
+      var seqs = vocab.collect().map(r => (r.getLong(0), r.getString(1)))
+      prev.foreach(graft.util.Checkpoints.release)
+      val rules = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      var exhausted = false
+      for (r <- 1 to numMerges if !exhausted) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        seqs.foreach { case (cnt, seq) =>
+          val syms = seq.substring(1, seq.length - 1).split("\\]\\[", -1)
+          var i = 0
+          while (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            counts(k) = counts.getOrElse(k, 0L) + cnt
+            i += 1
+          }
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          var bl: String = null; var br: String = null; var bn = -1L
+          counts.foreach { case ((l, rr), n) =>
+            if (n > bn || (n == bn && (l < bl || (l == bl && rr < br)))) {
+              bn = n; bl = l; br = rr
+            }
+          }
+          rules += ((r.toLong, bl, br, bn))
+          val target = s"[$bl][$br]"; val repl = s"[$bl$br]"
+          seqs = seqs.map { case (cnt, s) => (cnt, s.replace(target, repl)) }
+        }
+      }
+      val spark = df.sparkSession
+      import spark.implicits._
+      return (rules.toSeq, seqs.toSeq.toDF("cnt", "seq"), None)
+    }
     val rules = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var exhausted = false
     for (r <- 1 to numMerges if !exhausted) {

@@ -82,4 +82,32 @@ class Round11OpsSuite extends AnyFunSuite {
         "a changed graft.checkpoint.dir must re-wire the checkpoint root")
     } finally spark.conf.unset(graft.util.Checkpoints.DirConf)
   }
+
+  // ---- BPE driver fast-path == distributed rounds ------------------------
+
+  test("bpeTrain/bpeSubwords: driver fast-path equals the distributed merge rounds") {
+    // The driver loop (vocab <= graft.bpe.driver.max) must replay the
+    // distributed rounds exactly: same tie-break (count desc, lhs/rhs
+    // ASCII), same left-to-right non-overlapping literal replace. The
+    // corpus has a deliberate count TIE (ab vs bc) and a self-overlap
+    // word (ababab) to exercise both.
+    val docs = Seq(
+      "abab abc", "ababab cab", "abc bcbc", "cab abab").toDF("text")
+    def run(): (Seq[(Long, String, String, Long)], Set[(String, Long)]) = (
+      TextAnalysis.bpeTrain(docs, "text", 5)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2), r.getLong(3))).toSeq,
+      TextAnalysis.bpeSubwords(docs, "text", 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    val viaDriver = run()
+    spark.conf.set("graft.bpe.driver.max", "0")
+    try {
+      val viaRounds = run()
+      assert(viaDriver._1 == viaRounds._1,
+        "merge schedules must be identical across paths")
+      assert(viaDriver._2 == viaRounds._2,
+        "final subword vocabularies must be identical across paths")
+    } finally spark.conf.unset("graft.bpe.driver.max")
+    assert(viaDriver._1.nonEmpty)
+  }
 }
