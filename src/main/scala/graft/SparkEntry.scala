@@ -2115,6 +2115,21 @@ object SparkEntry {
         .orderBy(col("scope"), col("query_id"))
     }),
 
+    // ext: REAL FLAC decode — pure-JDK lossless-audio codec (RFC 9639:
+    // fixed-predictor frames, Rice residuals, CRC-8/16 + PCM-MD5
+    // verified): the q178 waveform encoded for real and decoded back;
+    // the oracle replays the analytic features from the id
+    "q183_flac_decode" -> ((s, dir) => {
+      val media = ext.Flac.synthesizeFlacAudio(
+        Tables.load(s, dir, "documents"), "doc_id")
+      ext.Flac.flacFeatures(media)
+        .select(col("id"), col("sampleRate").as("sample_rate"),
+          col("channels"), col("nSamples").as("n_samples"),
+          col("durationMs").as("duration_ms"),
+          round(col("rms"), 6).as("rms"))
+        .orderBy("id")
+    }),
+
     // ext: per-source bootstrap CI on mean quality — q165 sliced by
     // source; "are these two sources' qualities really different?"
     "q174_bootstrap_by_source" -> ((s, dir) => {
@@ -2234,6 +2249,27 @@ object SparkEntry {
   /** DuckDB replica of [[ext.TextAnalysis.nbQualityScore]] on the
     * src0/src1 slice label — shared by q99 (the classifier itself) and
     * the q113/q114 eval operators that sweep/rank its scores. */
+  /** Shared analytic-waveform replay for the audio-codec oracles (q178
+    * WAV, q183 FLAC): both synthesizers write s(t) = (id*31 + t*7) mod
+    * 2048 - 1024, n = ((id mod 5)+1)*80 mono samples at 8 kHz, so the
+    * expected features derive from the id alone — exact integers, the
+    * sum of squares is order-free in doubles. */
+  private lazy val oracleSqlAudioAnalytic: String =
+    """WITH p AS (SELECT doc_id AS id,
+           ((doc_id % 5) + 1) * 80 AS n
+         FROM documents),
+       s AS (SELECT id, n,
+           sqrt(list_sum(list_transform(generate_series(0, n - 1),
+               t -> CAST((id * 31 + t * 7) % 2048 - 1024 AS DOUBLE)
+                 * CAST((id * 31 + t * 7) % 2048 - 1024 AS DOUBLE)))
+             / CAST(n AS DOUBLE)) AS rms
+         FROM p)
+       SELECT id, 8000 AS sample_rate, CAST(1 AS INT) AS channels,
+         CAST(n AS BIGINT) AS n_samples,
+         CAST(n AS DOUBLE) / 8000.0 * 1000.0 AS duration_ms,
+         round(rms, 6) AS rms
+       FROM s ORDER BY id"""
+
   private lazy val NbScoredSql: String =
     s"""WITH d AS (SELECT doc_id,
              CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS pos,
@@ -5679,22 +5715,12 @@ object SparkEntry {
          ORDER BY sz""",
 
     // analytic waveform replay: s(t) = (id·31 + t·7) mod 2048 − 1024,
-    // exact integers — the sum of squares is order-free in doubles
-    "q178_audio_decode" ->
-      """WITH p AS (SELECT doc_id AS id,
-             ((doc_id % 5) + 1) * 80 AS n
-           FROM documents),
-         s AS (SELECT id, n,
-             sqrt(list_sum(list_transform(generate_series(0, n - 1),
-                 t -> CAST((id * 31 + t * 7) % 2048 - 1024 AS DOUBLE)
-                   * CAST((id * 31 + t * 7) % 2048 - 1024 AS DOUBLE)))
-               / CAST(n AS DOUBLE)) AS rms
-           FROM p)
-         SELECT id, 8000 AS sample_rate, CAST(1 AS INT) AS channels,
-           CAST(n AS BIGINT) AS n_samples,
-           CAST(n AS DOUBLE) / 8000.0 * 1000.0 AS duration_ms,
-           round(rms, 6) AS rms
-         FROM s ORDER BY id""",
+    // exact integers — the sum of squares is order-free in doubles.
+    // q183 decodes the SAME waveform from a real FLAC encoding (vs q178's
+    // WAV), so both map to one analytic replay (AudioAnalyticSql below).
+    "q178_audio_decode" -> oracleSqlAudioAnalytic,
+
+    "q183_flac_decode" -> oracleSqlAudioAnalytic,
 
     // analytic container replay: the parser must recover exactly the
     // id-derived mvhd/trak structure the synthesizer wrote

@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed batch-wise per partition.
   *
   * IMAGE rows decode FOR REAL (JDK ImageIO — PNG bytes → true dimensions +
-  * mean luminance), and so does UNCOMPRESSED AUDIO ([[decodeAudio]] — a
-  * pure-JDK RIFF/WAVE PCM chunk walk → sample rate, duration, RMS);
-  * compressed audio and video decode remain a clearly-marked
-  * deterministic STUB (those genuinely need codec libraries this
-  * container has none of). Everything Spark-side — the schema, the typed
+  * mean luminance), and so do UNCOMPRESSED AUDIO ([[decodeAudio]] — a
+  * pure-JDK RIFF/WAVE PCM chunk walk → sample rate, duration, RMS) and
+  * LOSSLESS COMPRESSED AUDIO ([[Flac]] — a pure-JDK FLAC decoder, CRC +
+  * MD5 verified); perceptual codecs (MP3/AAC/video frames) remain a
+  * clearly-marked deterministic STUB — a PERMANENT boundary, see
+  * DEVIATIONS.md "Compressed-media decode boundary" for the rationale.
+  * Everything Spark-side — the schema, the typed
   * Dataset, the partition-batched iteration shape (mirroring an
   * Arrow-batch UDF), frame sampling, metadata rewrite — is real and
   * tested. A production deployment swaps [[stubDecode]] for codec calls
@@ -338,9 +340,12 @@ object Multimodal {
     * calls a codec here (not present in this container); the stub derives
     * deterministic features (brightness := mean byte value, dimensions
     * from metadata). Signature and batch shape are the production ones.
-    * NOTE: uncompressed PCM WAV now decodes for REAL via
-    * [[decodeAudio]]/[[audioFeatures]]; this stub remains only for
-    * compressed audio and video formats. */
+    * NOTE: uncompressed PCM WAV decodes for REAL via
+    * [[decodeAudio]]/[[audioFeatures]], and lossless compressed audio
+    * via [[Flac.decode]]/[[Flac.flacFeatures]]; this stub remains only
+    * for PERCEPTUAL codecs (MP3/AAC/video frames) — a permanent,
+    * documented boundary (DEVIATIONS.md: no analytic oracle exists for
+    * a psychoacoustic decode, only a reference decoder would do). */
   def stubDecode(m: MediaRow): MediaFeatures = {
     var s = 0L
     var i = 0
