@@ -132,7 +132,11 @@ object TextAnalysis {
       .select(col(idCol), col("b.w1h").as("w1h"), col("b.bh").as("bh"))
     val c2 = bg.groupBy(col("bh"))
       .agg(count(lit(1)).as("c2"), first(col("w1h")).as("w1h"))
-    val c1 = bg.groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
+    // context counts DERIVE from the bigram table: c(w1) = Σ c(w1w2) over
+    // w2 — identical integers to counting the stream again, minus one
+    // corpus-scale scan + shuffle (the bigram kernel re-ran per consumer;
+    // c2 is distinct-bigram-sized, so this aggregate is a side-table op)
+    val c1 = c2.groupBy(col("w1h")).agg(sum(col("c2")).as("c1"))
     val rates = c2.join(c1, "w1h").select("bh", "c2", "c1")
     val v = df.select(wordTokens(textCol).as("toks"))
       .filter(size(col("toks")) >= 2)
