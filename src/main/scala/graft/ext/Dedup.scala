@@ -1059,12 +1059,17 @@ object Dedup {
     val sh = df.select(col(idCol).as("doc_id"),
       TextAnalysis.hashedShingles(textCol).as("sh"))
     val cand = containmentCandidatesFrom(sh, sampleK, maxPosting)
-    val sides = cand.select(col("id_a"), col("id_b"),
-      explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-    sides.join(sh, "doc_id")
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(when(col("doc_id") === col("id_a"), col("sh"))).as("sh_a"),
-        max(when(col("doc_id") === col("id_b"), col("sh"))).as("sh_b"))
+    // verify by joining the shingle table once per pair SIDE: on a
+    // duplication-heavy corpus candidate pairs P ≫ documents, so the
+    // dominant shuffle is the array-carrying pair rows — this shape moves
+    // P of them (sh_a attaches, then sh_b), where the explode-and-regroup
+    // alternative moves 2P into a hash agg whose max(when) compares
+    // array<long> values row by row. The shingle kernel re-evaluates per
+    // join side (corpus-linear, no shuffle) — cheaper than pinning a
+    // corpus-scale array column at 100 TB.
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter",
         graft.functions.SetSimilarity.sortedIntersectSize(
           col("sh_a"), col("sh_b")).cast("long"))
@@ -1090,7 +1095,9 @@ object Dedup {
 
   // one construction site for the shingled frame; note the posts/probes/
   // verify subtrees still evaluate it independently (lazy, no persist —
-  // house style), so the kernel runs ~3x per job by design
+  // house style), so the kernel runs ~4x per job by design (probes,
+  // posts, and once per verify join side) — corpus-linear CPU, cheaper
+  // than materializing a corpus-scale array column
   private def containmentCandidatesFrom(sh: DataFrame, sampleK: Int,
       maxPosting: Int): DataFrame = {
     val posts0 = sh.select(col("doc_id"), explode(col("sh")).as("h"))
