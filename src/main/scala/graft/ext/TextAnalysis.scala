@@ -903,15 +903,38 @@ object TextAnalysis {
     * regroup carries k rows per document; the class table (k rows) is a
     * broadcast. */
   def nbMulticlass(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, labelCol: String): org.apache.spark.sql.DataFrame = {
-    val docs = df.select(col(idCol), col(labelCol).as("cls"),
-      wordTokens(textCol).as("toks"))
+      textCol: String, labelCol: String): org.apache.spark.sql.DataFrame =
+    nbMulticlassTokens(df.select(col(idCol), col(labelCol).as("cls"),
+      wordTokens(textCol).as("toks")), idCol)
+
+  /** [[nbMulticlass]] over a PRE-TOKENIZED `(idCol, cls, toks)` frame —
+    * for callers that materialized `wordTokens` once (the score frame has
+    * several consumers of the token column, so a shared-scan caller that
+    * pins the projection pays the regex exactly once; the [[nbTrainTokens]]
+    * shape). `cls`/`toks` are positional contract column names. */
+  def nbMulticlassTokens(docs: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("cls").asc)
+    nbClassScored(docs, idCol)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("n_tokens"), col("cls").as("pred"),
+        col("score"))
+  }
+
+  /** The per-(document, class) score frame [[nbMulticlass]] and
+    * [[nbLabelIssues]] share: input is the `(idCol, cls, toks)`
+    * projection, output is `(idCol, n_tokens, cls, score)` with the 6 dp
+    * rounding both consumers cut on. V and N stay DISTRIBUTED (1-row
+    * frames cross-joined into the k-row class table) — no eager driver
+    * action inside the operator, so the whole classifier is one lazy
+    * DAG. */
+  private def nbClassScored(docs: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol), explode(col("toks")).as("tok"))
     val counts = docs.select(col("cls"), explode(col("toks")).as("tok"))
       .groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("cnt"))
-    // V and N stay DISTRIBUTED (1-row frames cross-joined into the k-row
-    // class table) — no eager driver action inside the operator, so the
-    // whole classifier is one lazy DAG
     val vdf = counts.select(col("tok")).distinct()
       .agg(count(lit(1)).as("_v"))
     val ndf = docs.agg(count(lit(1)).as("_nt"))
@@ -929,17 +952,11 @@ object TextAnalysis {
       .agg(sum(log((col("cnt") + lit(1L)).cast("double"))).as("s"))
     val perDoc = docs.select(col(idCol),
       size(col("toks")).cast("long").as("n_tokens"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score").desc, col("cls").asc)
     perDoc.crossJoin(broadcast(classes))
       .join(s, Seq(idCol, "cls"), "left")
       .withColumn("score", round(
         col("prior") + coalesce(col("s"), lit(0.0)) -
           col("n_tokens").cast("double") * col("lntc"), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("n_tokens"), col("cls").as("pred"),
-        col("score"))
   }
 
   /** LABEL-ISSUE MINING (confident-learning shape, Northcutt et al.):
@@ -957,34 +974,15 @@ object TextAnalysis {
     * (idCol, label, pred, margin) — top `topK` by (margin desc, id). */
   def nbLabelIssues(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, labelCol: String,
-      topK: Int = 20): org.apache.spark.sql.DataFrame = {
-    val docs = df.select(col(idCol), col(labelCol).as("cls"),
-      wordTokens(textCol).as("toks"))
-    val toks = docs.select(col(idCol), explode(col("toks")).as("tok"))
-    val counts = docs.select(col("cls"), explode(col("toks")).as("tok"))
-      .groupBy(col("cls"), col("tok")).agg(count(lit(1)).as("cnt"))
-    val vdf = counts.select(col("tok")).distinct()
-      .agg(count(lit(1)).as("_v"))
-    val ndf = docs.agg(count(lit(1)).as("_nt"))
-    val classes = docs.groupBy(col("cls")).agg(count(lit(1)).as("ndc"))
-      .join(counts.groupBy(col("cls")).agg(sum(col("cnt")).as("tc")),
-        Seq("cls"), "left")
-      .crossJoin(broadcast(vdf)).crossJoin(broadcast(ndf))
-      .select(col("cls"),
-        log(col("ndc").cast("double") / col("_nt").cast("double"))
-          .as("prior"),
-        log((coalesce(col("tc"), lit(0L)) + col("_v")).cast("double"))
-          .as("lntc"))
-    val s = toks.join(counts, Seq("tok"))
-      .groupBy(col(idCol), col("cls"))
-      .agg(sum(log((col("cnt") + lit(1L)).cast("double"))).as("s"))
-    val perDoc = docs.select(col(idCol),
-      size(col("toks")).cast("long").as("n_tokens"))
-    val scored = perDoc.crossJoin(broadcast(classes))
-      .join(s, Seq(idCol, "cls"), "left")
-      .withColumn("score", round(
-        col("prior") + coalesce(col("s"), lit(0.0)) -
-          col("n_tokens").cast("double") * col("lntc"), 6))
+      topK: Int = 20): org.apache.spark.sql.DataFrame =
+    nbLabelIssuesTokens(df.select(col(idCol), col(labelCol).as("cls"),
+      wordTokens(textCol).as("toks")), idCol, topK)
+
+  /** [[nbLabelIssues]] over a PRE-TOKENIZED `(idCol, cls, toks)` frame —
+    * same shared-scan contract as [[nbMulticlassTokens]]. */
+  def nbLabelIssuesTokens(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    val scored = nbClassScored(docs, idCol)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("cls").asc)
     val top = scored.withColumn("rn", row_number().over(w))
