@@ -162,12 +162,15 @@ object SparkEntry {
     (docs, bench)
   }
 
-  /** Shared base for the q150/q157 multi-rater agreement audits: ONE
-    * corpus scan paying the regex tokenizer and quality scorer exactly
-    * once, checkpointed because it has three consumers (NB token counts,
-    * NB doc totals, the vote projection) — without the pin each consumer
-    * would re-run both regexes (the spearman lesson; r9 timed the
-    * per-rater-scan shape at 2.2–3.1 s, VERDICT r9 #3). */
+  /** Shared base for the NB-gate query family (q99/q113/q114/q120/q121/
+    * q122/q151 via [[ext.TextAnalysis.nbQualityScoreTokens]]) and the
+    * q150/q157 multi-rater agreement audits: ONE corpus scan paying the
+    * regex tokenizer and quality scorer exactly once, checkpointed
+    * because every consumer re-reads the token column several times
+    * (the classifier alone evaluates it 3×) — without the pin each
+    * consumer would re-run both regexes (the spearman lesson; r9 timed
+    * the per-rater-scan shape at 2.2–3.1 s, VERDICT r9 #3). Released per
+    * query via [[materializedWithout]]. */
   private def raterBase(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents").select(
         col("doc_id"), col("n_chars"),
@@ -1229,12 +1232,16 @@ object SparkEntry {
         .orderBy("cluster")),
 
     // ext: GPT-3-style supervised quality filter — NB log-odds of the
-    // "curated slice" label (src0/src1), trained on the corpus itself
-    "q99_quality_classifier" -> ((s, dir) =>
-      ext.TextAnalysis.nbQualityScore(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
-        col("source").isin("src0", "src1"))
-        .orderBy("doc_id")),
+    // "curated slice" label (src0/src1), trained on the corpus itself.
+    // The classifier reads the token column three times, so the q99
+    // family (q113/q114/q120/q121/q122/q151 too) runs on the pinned
+    // raterBase projection — one tokenizer pass, released per query.
+    "q99_quality_classifier" -> ((s, dir) => {
+      val base = raterBase(s, dir)
+      materializedWithout(
+        ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
+          .orderBy("doc_id"), base)
+    }),
 
     // ext: JL random projection — 64-dim embeddings compressed to 8
     // deterministic hyperplane components (unrounded doubles: exact
@@ -1395,14 +1402,15 @@ object SparkEntry {
     // ext: Cohen's kappa between the q99 NB gate and the quality>=0.5
     // gate — chance-corrected rater agreement, exact integer p_e
     "q120_kappa" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val nb = ext.TextAnalysis.nbQualityScore(docs, "doc_id", "text",
-          col("source").isin("src0", "src1"))
+      // both raters ride the pinned raterBase scan: the NB gate reads its
+      // token column, the quality gate its pre-rounded qs column
+      val base = raterBase(s, dir)
+      val nb = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
         .select(col("doc_id"), col("pred"))
-      val gate = docs.select(col("doc_id"),
-        when(round(ext.TextAnalysis.qualityScore("text"), 6) >= 0.5, 1)
-          .otherwise(0).as("gate"))
-      ext.Eval.cohenKappa(nb.join(gate, "doc_id"), "pred", "gate")
+      val gate = base.select(col("doc_id"),
+        when(col("qs") >= 0.5, 1).otherwise(0).as("gate"))
+      materializedWithout(
+        ext.Eval.cohenKappa(nb.join(gate, "doc_id"), "pred", "gate"), base)
     }),
 
     // ext: BM25 keyword retrieval — the sparse complement to the ANN
@@ -1441,25 +1449,28 @@ object SparkEntry {
     // ext: calibration bins of the q99 gate — observed positive rate vs
     // stated sigmoid confidence per rounded-probability decile
     "q122_calibration" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val lbl = col("source").isin("src0", "src1")
-      val scored = ext.TextAnalysis
-        .nbQualityScore(docs, "doc_id", "text", lbl)
-        .join(docs.select(col("doc_id"),
-          when(lbl, 1).otherwise(0).as("label")), "doc_id")
-      ext.Eval.calibrationBins(scored, "score", "label").orderBy("bin")
+      val base = raterBase(s, dir)
+      val scored = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
+        .join(base.select(col("doc_id"),
+          when(col("pos"), 1).otherwise(0).as("label")), "doc_id")
+      materializedWithout(ext.Eval.calibrationBins(scored, "score", "label")
+        .orderBy("bin"), base)
     }),
 
     // ext: per-language AUC of the q99 gate — the sliced fairness view
     // a single corpus-level AUC hides; every stage keys on the slice
     "q121_auc_by_lang" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val lbl = col("source").isin("src0", "src1")
-      val scored = ext.TextAnalysis
-        .nbQualityScore(docs, "doc_id", "text", lbl)
-        .join(docs.select(col("doc_id"), col("lang"),
-          when(lbl, 1).otherwise(0).as("label")), "doc_id")
-      ext.Eval.aucRocBy(scored, "lang", "score", "label").orderBy("lang")
+      val base = raterBase(s, dir)
+      // lang is not on the pinned base — a narrow (doc_id, lang) parquet
+      // scan joins it in (no regex kernel on that branch)
+      val scored = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
+        .join(base.select(col("doc_id"),
+          when(col("pos"), 1).otherwise(0).as("label")), "doc_id")
+        .join(Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang")), "doc_id")
+      materializedWithout(
+        ext.Eval.aucRocBy(scored, "lang", "score", "label")
+          .orderBy("lang"), base)
     }),
 
     // ext: composite quality ranking — three heterogeneous signals
@@ -1507,26 +1518,22 @@ object SparkEntry {
 
     // ext: precision/recall threshold sweep of the q99 classifier gate
     "q113_pr_curve" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val lbl = col("source").isin("src0", "src1")
-      val scored = ext.TextAnalysis
-        .nbQualityScore(docs, "doc_id", "text", lbl)
-        .join(docs.select(col("doc_id"),
-          when(lbl, 1).otherwise(0).as("label")), "doc_id")
-      ext.Eval.prCurve(scored, "score", "label")
-        .orderBy(col("threshold").desc)
+      val base = raterBase(s, dir)
+      val scored = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
+        .join(base.select(col("doc_id"),
+          when(col("pos"), 1).otherwise(0).as("label")), "doc_id")
+      materializedWithout(ext.Eval.prCurve(scored, "score", "label")
+        .orderBy(col("threshold").desc), base)
     }),
 
     // ext: exact Mann-Whitney ROC-AUC of the same gate (ties at half
     // credit via average ranks; all arithmetic exact in doubles)
     "q114_auc" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val lbl = col("source").isin("src0", "src1")
-      val scored = ext.TextAnalysis
-        .nbQualityScore(docs, "doc_id", "text", lbl)
-        .join(docs.select(col("doc_id"),
-          when(lbl, 1).otherwise(0).as("label")), "doc_id")
-      ext.Eval.aucRoc(scored, "score", "label")
+      val base = raterBase(s, dir)
+      val scored = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
+        .join(base.select(col("doc_id"),
+          when(col("pos"), 1).otherwise(0).as("label")), "doc_id")
+      materializedWithout(ext.Eval.aucRoc(scored, "score", "label"), base)
     }),
 
     // ext: MMR diverse top-k — greedy relevance-vs-redundancy selection
@@ -1783,13 +1790,12 @@ object SparkEntry {
     // ext: Brier score + Murphy decomposition of the q99 NB gate — the
     // scalar probability audit next to q122's per-bin reliability view
     "q151_brier" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val lbl = col("source").isin("src0", "src1")
-      val scored = ext.TextAnalysis
-        .nbQualityScore(docs, "doc_id", "text", lbl)
-        .join(docs.select(col("doc_id"),
-          when(lbl, 1).otherwise(0).as("label")), "doc_id")
-      ext.Eval.brierDecomposition(scored, "score", "label")
+      val base = raterBase(s, dir)
+      val scored = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
+        .join(base.select(col("doc_id"),
+          when(col("pos"), 1).otherwise(0).as("label")), "doc_id")
+      materializedWithout(
+        ext.Eval.brierDecomposition(scored, "score", "label"), base)
     }),
 
     // ext: multi-source BFS over the near-dup graph — hop distance from

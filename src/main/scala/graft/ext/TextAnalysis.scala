@@ -856,9 +856,18 @@ object TextAnalysis {
     * is not driver-sized — AQE broadcasts iff the smoothed table fits);
     * everything else is narrow. Output: (idCol, n_tokens, score, pred). */
   def nbQualityScore(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, posCol: Column): org.apache.spark.sql.DataFrame = {
-    val docs = df.select(col(idCol), posCol.cast("boolean").as("pos"),
-      wordTokens(textCol).as("toks"))
+      textCol: String, posCol: Column): org.apache.spark.sql.DataFrame =
+    nbQualityScoreTokens(df.select(col(idCol),
+      posCol.cast("boolean").as("pos"), wordTokens(textCol).as("toks")),
+      idCol)
+
+  /** [[nbQualityScore]] over a PRE-TOKENIZED `(idCol, pos, toks)` frame —
+    * the classifier evaluates the token column three times (the count
+    * pull, then both sides of the weight join), so a caller that pins the
+    * tokenized projection pays the regex once; the
+    * [[nbMulticlassTokens]] contract for the binary gate. */
+  def nbQualityScoreTokens(docs: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col(idCol), col("pos"),
       explode(col("toks")).as("tok"))
     val counts = toks.groupBy(col("tok")).agg(
