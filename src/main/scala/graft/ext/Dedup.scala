@@ -63,7 +63,14 @@ object Dedup {
     * every call. Shuffle shape: candidates are pair-volume (AQE broadcasts
     * them when small, making the shingle side a narrow streamed scan); the
     * regroup shuffles shingle arrays for candidate MEMBERS only, never the
-    * corpus. */
+    * corpus.
+    *
+    * Regime note: this shape is right when candidate pairs P ≪ corpus
+    * (banded LSH after the skew guard — the 16× probe sees ~10³–10⁴
+    * pairs). When P ≫ documents, the 2P array rows through the regroup
+    * dominate and [[containmentPairs]]'s per-side join shape wins — its
+    * probe corpus produces ~10× more pairs than docs by construction.
+    * Pick by the operator's expected pair regime, not by habit. */
   private def verifyPairs(cand: DataFrame, sh: DataFrame,
       minJaccard: Double): DataFrame = {
     val sides = cand.select(col("id_a"), col("id_b"),
