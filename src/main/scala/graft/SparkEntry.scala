@@ -1280,12 +1280,17 @@ object SparkEntry {
     // ext: PSI drift monitor — src9's quality distribution vs everyone
     // else's, 10 fixed bins on the ROUNDED score (engine-stable edges)
     "q103_psi_drift" -> ((s, dir) => {
+      // psiDrift evaluates each side twice (row count + bucket counts)
+      // and both sides filter the SAME scored projection — pin it so the
+      // quality regex runs once, not four times
       val docs = Tables.load(s, dir, "documents").select(col("source"),
-        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
-      ext.Outliers.psiDrift(
-        docs.filter(col("source") =!= "src9"),
-        docs.filter(col("source") === "src9"), "q", 10, 0.0, 1.0)
-        .orderBy("bucket")
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Outliers.psiDrift(
+          docs.filter(col("source") =!= "src9"),
+          docs.filter(col("source") === "src9"), "q", 10, 0.0, 1.0)
+          .orderBy("bucket"), docs)
     }),
 
     // ext: REAL image resize — decode → stride-2 nearest-neighbor →
@@ -1490,10 +1495,14 @@ object SparkEntry {
     // ext: ECDF percentile-rank transform of the quality score (mid-rank
     // ties; exact 0.5-multiples over an exact total — unrounded)
     "q117_ecdf" -> ((s, dir) => {
+      // ecdf reads its input twice (row side + rank table side); pin the
+      // regex-scored projection (16 bytes/row) so the scorer runs once
       val scored = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
-      ext.Eval.ecdf(scored, "q").orderBy("doc_id")
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Eval.ecdf(scored, "q").orderBy("doc_id"), scored)
     }),
 
     // ext: leakage-safe split — hashSplit 80/20, then train docs
@@ -1876,12 +1885,16 @@ object SparkEntry {
     // to the GLOBAL value at its within-source percentile (exact data
     // values, no interpolated cuts)
     "q158_quantile_norm" -> ((s, dir) => {
+      // quantileNormalize reads its input three times (per-group ranks,
+      // global ranks, final join) — pin the regex-scored projection
       val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
-        col("source"),
-        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
-      ext.Eval.quantileNormalize(scored, "source", "q")
-        .select(col("doc_id"), col("source"), col("q"), col("norm"))
-        .orderBy("doc_id")
+          col("source"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Eval.quantileNormalize(scored, "source", "q")
+          .select(col("doc_id"), col("source"), col("q"), col("norm"))
+          .orderBy("doc_id"), scored)
     }),
 
     // ext: rank-biased overlap of the q133 sparse/dense runs — the
@@ -1954,9 +1967,13 @@ object SparkEntry {
     // ext: deterministic Poisson-bootstrap CI on the mean quality score —
     // error bars without resampling passes, one scan ×40 hash weights
     "q165_bootstrap_ci" -> ((s, dir) => {
+      // bootstrapCI reads its input twice (replicate branch + the n/mean
+      // aggregate) — pin the regex-scored projection
       val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
-        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
-      ext.Eval.bootstrapCI(scored, "doc_id", "q")
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Eval.bootstrapCI(scored, "doc_id", "q"), scored)
     }),
 
     // ext: key-skew report on the events user key — the pre-join
@@ -2163,10 +2180,12 @@ object SparkEntry {
     // source; "are these two sources' qualities really different?"
     "q174_bootstrap_by_source" -> ((s, dir) => {
       val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
-        col("source"),
-        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
-      ext.Eval.bootstrapCIBy(scored, "source", "doc_id", "q")
-        .orderBy("source")
+          col("source"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Eval.bootstrapCIBy(scored, "source", "doc_id", "q")
+          .orderBy("source"), scored)
     }),
 
     // ext: second principal component — power iteration deflated by
