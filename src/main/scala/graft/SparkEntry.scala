@@ -1483,12 +1483,16 @@ object SparkEntry {
     // blendKeyed = the shared-scan shape: the regex-heavy scoring
     // projection evaluates once, not once per signal table (r8 verdict)
     "q118_quality_blend" -> ((s, dir) => {
+      // blendKeyed reads its exploded signal frame twice (rank table +
+      // join-back) — pin the three-regex projection so each regex runs
+      // once, not twice
       val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
-        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"),
-        round(ext.TextAnalysis.meanWordLength(col("text")), 6).as("mwl"),
-        round(ext.TextAnalysis.alphaWordFraction(col("text")), 6).as("awf"))
-      ext.Eval.blendKeyed(scored, "doc_id",
-        Seq("q" -> 0.5, "mwl" -> 0.2, "awf" -> 0.3))
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"),
+          round(ext.TextAnalysis.meanWordLength(col("text")), 6).as("mwl"),
+          round(ext.TextAnalysis.alphaWordFraction(col("text")), 6).as("awf"))
+        .localCheckpoint(true)
+      materializedWithout(ext.Eval.blendKeyed(scored, "doc_id",
+        Seq("q" -> 0.5, "mwl" -> 0.2, "awf" -> 0.3)), scored)
         .orderBy("doc_id")
     }),
 
@@ -2111,24 +2115,32 @@ object SparkEntry {
     "q181_fusion_audit" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val docs = Tables.load(s, dir, "documents")
+      // the sparse run feeds its own audit AND the fusion (whose audit
+      // reads it again) — without a pin the corpus-scale BM25 scan runs
+      // three times; dense/qrels are bounded but re-read the same way
       val sparse = ext.TextAnalysis.bm25(docs, "doc_id", "text",
-        "hash join filter")
+        "hash join filter").localCheckpoint(true)
       val dense = ext.Similarity
         .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 10)
         .select(col("corpus_id").as("doc_id"), col("cos").as("score"))
+        .localCheckpoint(true)
       val fused = ext.Similarity.rrfFuse(sparse, dense, "doc_id")
         .select(col("doc_id"), col("rrf").as("score"))
       val qrels = emb.as("q").filter(col("q.vec_id") === 0)
         .join(emb.as("c"),
           col("q.label") === col("c.label") && col("c.vec_id") =!= 0)
         .select(col("c.vec_id").as("doc_id"), lit(0L).as("qid"))
+        .localCheckpoint(true)
       def audit(run: org.apache.spark.sql.DataFrame, name: String) =
         ext.Eval.retrievalMetrics(run.withColumn("qid", lit(0L)),
             qrels, "qid", "doc_id", "score", 10)
           .select(lit(name).as("run"), col("n_rel"), col("hit_k"),
             col("mrr"), col("ndcg"))
-      audit(sparse, "sparse").unionByName(audit(dense, "dense"))
+      val out = audit(sparse, "sparse").unionByName(audit(dense, "dense"))
         .unionByName(audit(fused, "fused")).orderBy("run")
+        .localCheckpoint(true)
+      Seq(sparse, dense, qrels).foreach(graft.util.Checkpoints.release(_))
+      out
     }),
 
     // ext: MULTI-QUERY retrieval eval — q181 generalized from one
