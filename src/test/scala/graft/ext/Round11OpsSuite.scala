@@ -110,4 +110,40 @@ class Round11OpsSuite extends AnyFunSuite {
     } finally spark.conf.unset("graft.bpe.driver.max")
     assert(viaDriver._1.nonEmpty)
   }
+
+  // ---- pre-tokenized NB variants == the raw-text operators ----------------
+
+  test("nbMulticlassTokens / nbLabelIssuesTokens / nbQualityScoreTokens equal the raw-text paths") {
+    // The shared-scan variants take a (id, cls|pos, toks) frame a caller
+    // pinned; on an UNPINNED frame built with the same wordTokens
+    // expression they must be bit-identical to the raw-text operators —
+    // the refactor moved the tokenize site, not the math.
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "a quick brown dog naps in the sun all day"),
+      (3L, "de", "der schnelle braune fuchs springt sehr hoch"),
+      (4L, "de", "ein brauner hund schlaeft in der warmen sonne"),
+      (5L, "en", "der quick fox und the dog"), // mixed: a likely issue row
+      (6L, "fr", "le renard brun rapide saute par dessus le chien"))
+      .toDF("doc_id", "lang", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq.map(_.toSeq)
+
+    val mcTok = docs.select(col("doc_id"), col("lang").as("cls"),
+      TextAnalysis.wordTokens("text").as("toks"))
+    assert(rows(TextAnalysis.nbMulticlassTokens(mcTok, "doc_id")) ==
+      rows(TextAnalysis.nbMulticlass(docs, "doc_id", "text", "lang")))
+    assert(
+      TextAnalysis.nbLabelIssuesTokens(mcTok, "doc_id", 3)
+        .collect().toSeq.map(_.toSeq) ==
+      TextAnalysis.nbLabelIssues(docs, "doc_id", "text", "lang", 3)
+        .collect().toSeq.map(_.toSeq))
+
+    val posTok = docs.select(col("doc_id"),
+      (col("lang") === "en").as("pos"),
+      TextAnalysis.wordTokens("text").as("toks"))
+    assert(rows(TextAnalysis.nbQualityScoreTokens(posTok, "doc_id")) ==
+      rows(TextAnalysis.nbQualityScore(docs, "doc_id", "text",
+        col("lang") === "en")))
+  }
 }
