@@ -700,10 +700,18 @@ object SparkEntry {
 
     // ext: hamming-space LSH — pigeonhole chunk banding over the 60-bit
     // simhash, exact popcount verify
-    "q44_simhash_pairs" -> ((s, dir) =>
-      ext.Dedup.simhashNearDups(Tables.load(s, dir, "documents"),
-        "text", "doc_id", maxHamming = 2)
-        .orderBy("id_a", "id_b")),
+    "q44_simhash_pairs" -> ((s, dir) => {
+      // hammingNearDups reads its sketch frame three times (banding +
+      // both verify sides) — pre-sketch through the decoupled API (the
+      // aHash pattern) and pin the 16-byte/row frame so the SimHash
+      // kernel runs once
+      val sk = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), ext.Dedup.simhash("text").as("sk"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Dedup.hammingNearDups(sk, "sk", "doc_id", maxHamming = 2)
+          .orderBy("id_a", "id_b"), sk)
+    }),
 
     // ext: characteristic terms per document (rational idf — see
     // TextAnalysis.tfidfTopTerms for the cross-engine rationale)
@@ -1438,9 +1446,13 @@ object SparkEntry {
     "q124_image_neardup" -> ((s, dir) => {
       val media = ext.Multimodal.synthesizeImages(
         Tables.load(s, dir, "documents"), "doc_id")
-      ext.Dedup.hammingNearDups(
-        ext.Multimodal.aHash(media), "ahash", "id", maxHamming = 2)
-        .orderBy("id_a", "id_b")
+      // hammingNearDups reads its sketch frame three times — pin the
+      // aHash table (16 bytes/row) so the PNG decode + hash pipeline
+      // runs once, not per consumer
+      val hashed = ext.Multimodal.aHash(media).localCheckpoint(true)
+      materializedWithout(
+        ext.Dedup.hammingNearDups(hashed, "ahash", "id", maxHamming = 2)
+          .orderBy("id_a", "id_b"), hashed)
     }),
 
     // ext: Kaplan-Meier conversion curve — time from first event to
