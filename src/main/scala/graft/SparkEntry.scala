@@ -1301,6 +1301,19 @@ object SparkEntry {
           .orderBy("bucket"), docs)
     }),
 
+    // ext: two-sample Kolmogorov–Smirnov drift test — src9's quality
+    // distribution vs everyone else's, the unbinned twin of q103's PSI
+    // monitor (integer-exact ECDF gaps; asymptotic 5% critical value)
+    "q184_ks_drift" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("source"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Eval.ksTest(
+          docs.filter(col("source") =!= "src9"),
+          docs.filter(col("source") === "src9"), "q"), docs)
+    }),
+
     // ext: REAL image resize — decode → stride-2 nearest-neighbor →
     // re-encode PNG → decode again; the oracle recomputes the subsampled
     // synthetic raster analytically
@@ -3929,6 +3942,38 @@ object SparkEntry {
 
     // same smoothing arithmetic ORDER as the Spark side: (cnt + 0.5) /
     // (total + 0.5 * n); psi rounds at 6 dp over the ln
+    // integer-exact ECDF gaps: D's argmax runs on |cna·n_b − cnb·n_a|
+    // (pure int64); only the final d / d_crit ratios touch doubles, with
+    // the SAME arithmetic shape as Eval.ksTest
+    "q184_ks_drift" ->
+      s"""$QualityCtesSql,
+         sc AS (SELECT CASE WHEN source = 'src9' THEN 1 ELSE 0 END AS is_b,
+                  $QualityValSql AS q FROM s),
+         per AS (SELECT q,
+                  CAST(sum(CASE WHEN is_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                  CAST(sum(is_b) AS BIGINT) AS cb
+                 FROM sc GROUP BY q),
+         cum AS (SELECT
+                  CAST(sum(ca) OVER (ORDER BY q ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cna,
+                  CAST(sum(cb) OVER (ORDER BY q ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnb
+                 FROM per),
+         tot AS (SELECT max(cna) AS n_a, max(cnb) AS n_b FROM cum),
+         dn AS (SELECT max(abs(CAST(cna * n_b AS BIGINT) -
+                  CAST(cnb * n_a AS BIGINT))) AS dnum FROM cum, tot)
+         SELECT n_a, n_b,
+           CAST(dnum AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d,
+           1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS d_crit,
+           CASE WHEN CAST(dnum AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) >
+             1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+             THEN 1 ELSE 0 END AS drifted
+         FROM tot, dn""",
+
     "q103_psi_drift" ->
       s"""$QualityCtesSql,
          sc AS (SELECT source, $QualityValSql AS q FROM s),

@@ -767,6 +767,55 @@ object Eval {
           (col("_keys") * col("_n")).cast("double")).as("gini"))
   }
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV drift test — the distribution-level
+    * twin of [[graft.ext.Outliers.psiDrift]]'s binned monitor: D = max
+    * |F_a(x) − F_b(x)| over the step ECDFs, sensitive to ANY
+    * distributional change (location, scale, shape) without choosing
+    * bins. `d_crit` is the asymptotic 5% cut 1.358·√((n_a+n_b)/(n_a·n_b))
+    * (Smirnov); `drifted` = 1 iff d > d_crit.
+    *
+    * Engine-stable by construction: at each distinct value the ECDF gap
+    * is |cna·n_b − cnb·n_a| / (n_a·n_b) — an exact INTEGER numerator, so
+    * the max is decided on integers and only the final two ratios touch
+    * doubles (both emitted with one fixed shape; overflow posture as
+    * [[cohenKappa]]: the cross-products exceed int64 past ~3·10⁹ rows per
+    * side — switch them to doubles at that scale, costing exactness of
+    * the argmax among near-ties, not of the counts).
+    *
+    * Shape at 100 TB: one pass collapses both sides to the distinct-value
+    * count table (granularity-bounded — feed ROUNDED scores, the rank-op
+    * discipline); the cumulative window runs on that bounded table
+    * (pinned — two consumers), everything after is scalar. Returns one
+    * row: (n_a, n_b, d, d_crit, drifted). */
+  def ksTest(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
+    val tagged = a.select(col(valCol).as("_v"),
+        lit(1L).as("_ia"), lit(0L).as("_ib"))
+      .unionAll(b.select(col(valCol).as("_v"),
+        lit(0L).as("_ia"), lit(1L).as("_ib")))
+      .filter(col("_v").isNotNull)
+    val per = tagged.groupBy(col("_v"))
+      .agg(sum(col("_ia")).as("ca"), sum(col("_ib")).as("cb"))
+    val w = Window.orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per
+      .withColumn("cna", sum(col("ca")).over(w))
+      .withColumn("cnb", sum(col("cb")).over(w))
+      .select(col("cna"), col("cnb"))
+      .pin()
+    // the final cumulative IS the side total — no second corpus pass
+    val tot = cum.agg(max(col("cna")).as("n_a"), max(col("cnb")).as("n_b"))
+    val dnum = cum.crossJoin(broadcast(tot))
+      .agg(max(abs(col("cna") * col("n_b") - col("cnb") * col("n_a")))
+        .as("_dnum"))
+    val nProd = col("n_a").cast("double") * col("n_b").cast("double")
+    val d = col("_dnum").cast("double") / nProd
+    val dCrit = lit(1.358) *
+      sqrt((col("n_a") + col("n_b")).cast("double") / nProd)
+    tot.crossJoin(dnum).select(col("n_a"), col("n_b"),
+      d.as("d"), dCrit.as("d_crit"),
+      when(d > dCrit, 1).otherwise(0).as("drifted"))
+  }
+
   /** MUTUAL INFORMATION between two score columns over ECDF-decile bins
     * — the NONLINEAR dependence audit next to [[spearman]]'s monotone
     * one (two signals can be rank-uncorrelated yet share most of their
