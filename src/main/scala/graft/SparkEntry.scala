@@ -1314,6 +1314,17 @@ object SparkEntry {
           docs.filter(col("source") === "src9"), "q"), docs)
     }),
 
+    // ext: per-source KS drift — every source's quality distribution vs
+    // the rest of the corpus, the sliced view of q184 ("which source
+    // drifted?"); one corpus pass, grids bounded by score granularity
+    "q185_ks_by_source" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("source"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Eval.ksTestBy(docs, "source", "q").orderBy("source"), docs)
+    }),
+
     // ext: REAL image resize — decode → stride-2 nearest-neighbor →
     // re-encode PNG → decode again; the oracle recomputes the subsampled
     // synthetic raster analytically
@@ -3973,6 +3984,46 @@ object SparkEntry {
                (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
              THEN 1 ELSE 0 END AS drifted
          FROM tot, dn""",
+
+    // the q184 integer-gap machinery sliced per source: the dense
+    // (source × value) grid evaluates every group's ECDF at every global
+    // jump point; rest-side cumulatives derive as (global − own)
+    "q185_ks_by_source" ->
+      s"""$QualityCtesSql,
+         sc AS (SELECT source, $QualityValSql AS q FROM s),
+         pg AS MATERIALIZED (SELECT source, q,
+                  CAST(count(*) AS BIGINT) AS c
+                 FROM sc GROUP BY source, q),
+         gcum AS (SELECT q, CAST(sum(cv) OVER (ORDER BY q ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumg
+                  FROM (SELECT q, CAST(sum(c) AS BIGINT) AS cv
+                        FROM pg GROUP BY q) gv),
+         grp AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_a
+                 FROM pg GROUP BY source),
+         tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS n FROM grp),
+         dense AS (SELECT g.source, g.n_a, v.cumg,
+                  CAST(sum(coalesce(pg.c, 0)) OVER (PARTITION BY g.source
+                    ORDER BY v.q ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cuma
+                 FROM gcum v CROSS JOIN grp g
+                   LEFT JOIN pg ON pg.source = g.source AND pg.q = v.q),
+         perg AS (SELECT source, n_a, n,
+                  max(abs(CAST(cuma * (n - n_a) AS BIGINT) -
+                    CAST((cumg - cuma) * n_a AS BIGINT))) AS dnum
+                 FROM dense, tot GROUP BY source, n_a, n)
+         SELECT source, n_a, CAST(n - n_a AS BIGINT) AS n_b,
+           CAST(dnum AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)) AS d,
+           1.358 * sqrt(CAST(n_a + (n - n_a) AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE))) AS d_crit,
+           CASE WHEN CAST(dnum AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)) >
+             1.358 * sqrt(CAST(n_a + (n - n_a) AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)))
+             THEN 1 ELSE 0 END AS drifted
+         FROM perg ORDER BY source""",
 
     "q103_psi_drift" ->
       s"""$QualityCtesSql,

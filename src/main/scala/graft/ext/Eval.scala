@@ -816,6 +816,55 @@ object Eval {
       when(d > dCrit, 1).otherwise(0).as("drifted"))
   }
 
+  /** [[ksTest]] PER GROUP — each slice's value distribution against the
+    * REST of the corpus ("which source drifted?"), the sliced drift view
+    * next to [[aucRocBy]]/[[bootstrapCIBy]]. Same integer-exact gap
+    * arithmetic; the rest-side ECDF of group g derives from the global
+    * cumulative minus g's own (one corpus pass total).
+    *
+    * Shape at 100 TB: ONE corpus aggregation to the (group, value) count
+    * table (pinned — three consumers), then everything runs on the
+    * granularity-bounded grids: the dense per-(group, value) cumulative
+    * is |groups| × |distinct values| rows (feed ROUNDED scores), the
+    * group list broadcasts. Degenerate input with a single group yields
+    * n_b = 0 and a NaN d (no rest distribution to compare against).
+    * Returns one row per group: (groupCol, n_a, n_b, d, d_crit,
+    * drifted). */
+  def ksTestBy(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("_g"), col(valCol).as("_v"))
+      .filter(col("_v").isNotNull && col("_g").isNotNull)
+    val pg = base.groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("c")).pin()
+    val wv = Window.orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gv = pg.groupBy(col("_v")).agg(sum(col("c")).as("cv"))
+      .withColumn("cumg", sum(col("cv")).over(wv))
+      .select(col("_v"), col("cumg"))
+    val groups = pg.groupBy(col("_g")).agg(sum(col("c")).as("n_a"))
+    val tot = groups.agg(sum(col("n_a")).as("n"))
+    // dense (group × value) grid so the max is evaluated at EVERY global
+    // jump point — a gap can peak at a value the group never takes
+    val wgv = Window.partitionBy(col("_g")).orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dense = gv.crossJoin(broadcast(groups))
+      .join(pg, Seq("_g", "_v"), "left")
+      .withColumn("cuma", sum(coalesce(col("c"), lit(0L))).over(wgv))
+    val perG = dense.crossJoin(broadcast(tot))
+      .withColumn("_gap", abs(col("cuma") * (col("n") - col("n_a")) -
+        (col("cumg") - col("cuma")) * col("n_a")))
+      .groupBy(col("_g"), col("n_a"), col("n"))
+      .agg(max(col("_gap")).as("_dnum"))
+    val nbCol = col("n") - col("n_a")
+    val nProd = col("n_a").cast("double") * nbCol.cast("double")
+    val d = col("_dnum").cast("double") / nProd
+    val dCrit = lit(1.358) *
+      sqrt((col("n_a") + nbCol).cast("double") / nProd)
+    perG.select(col("_g").as(groupCol), col("n_a"), nbCol.as("n_b"),
+      d.as("d"), dCrit.as("d_crit"),
+      when(d > dCrit, 1).otherwise(0).as("drifted"))
+  }
+
   /** MUTUAL INFORMATION between two score columns over ECDF-decile bins
     * — the NONLINEAR dependence audit next to [[spearman]]'s monotone
     * one (two signals can be rank-uncorrelated yet share most of their

@@ -127,6 +127,23 @@ class Round11OpsSuite extends AnyFunSuite {
     assert(same.getDouble(2) == 0.0 && same.getInt(4) == 0)
   }
 
+  test("ksTestBy: each group-vs-rest row equals the two-sample ksTest of the split") {
+    // with exactly two groups, "rest of A" IS B — every output field must
+    // match the pairwise test bit-for-bit (same integer gaps, same ratio
+    // shapes). The values are chosen so A's max gap sits at v=4, a value
+    // A never takes (the dense-grid property).
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0),
+      ("b", 2.0), ("b", 4.0), ("b", 4.0), ("b", 5.0)).toDF("g", "v")
+    val by = Eval.ksTestBy(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val aVsB = Eval.ksTest(df.filter($"g" === "a"), df.filter($"g" === "b"),
+      "v").collect().head.toSeq
+    val bVsA = Eval.ksTest(df.filter($"g" === "b"), df.filter($"g" === "a"),
+      "v").collect().head.toSeq
+    assert(by("a") == aVsB, "group a vs rest must equal ksTest(a, b)")
+    assert(by("b") == bVsA, "group b vs rest must equal ksTest(b, a)")
+  }
+
   // ---- pre-tokenized NB variants == the raw-text operators ----------------
 
   test("nbMulticlassTokens / nbLabelIssuesTokens / nbQualityScoreTokens equal the raw-text paths") {
