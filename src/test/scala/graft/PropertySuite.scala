@@ -376,6 +376,30 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("ksTest equals a local reference KS on random samples") {
+    import graft.ext.Eval
+    val rnd = new Random(47)
+    for (trial <- 1 to 4) {
+      // shifted second sample on later trials so drift goes both ways
+      val xs = (0 until 30 + rnd.nextInt(40)).map(_ => rnd.nextInt(12).toDouble)
+      val ys = (0 until 30 + rnd.nextInt(40)).map(_ =>
+        (rnd.nextInt(12) + (if (trial % 2 == 0) 3 else 0)).toDouble)
+      val (na, nb) = (xs.length.toLong, ys.length.toLong)
+      val values = (xs ++ ys).distinct.sorted
+      val dExp = values.map { v =>
+        val ca = xs.count(_ <= v).toLong
+        val cb = ys.count(_ <= v).toLong
+        math.abs(ca * nb - cb * na)
+      }.max.toDouble / (na.toDouble * nb.toDouble)
+      val r = Eval.ksTest(xs.toDF("v"), ys.toDF("v"), "v").collect().head
+      assert(r.getLong(0) == na && r.getLong(1) == nb)
+      assert(r.getDouble(2) == dExp, s"trial $trial: D mismatch")
+      val dCritExp = 1.358 * math.sqrt((na + nb).toDouble / (na.toDouble * nb.toDouble))
+      assert(r.getDouble(3) == dCritExp)
+      assert(r.getInt(4) == (if (dExp > dCritExp) 1 else 0))
+    }
+  }
+
   test("pplBuckets terciles are consistent with lmScore and exact percentiles") {
     import graft.ext.TextAnalysis
     val rnd = new Random(37)
