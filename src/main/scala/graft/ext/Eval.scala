@@ -580,14 +580,18 @@ object Eval {
     * data values cannot).
     *
     * Shape at 100 TB: both sides collapse to per-score tables (bounded
-    * by score GRANULARITY — feed scores at a rounded grain; raw
-    * continuous doubles make the "per-score table" corpus-sized and the
-    * broadcast global table unboundable); the inverse lookup is a
+    * by score GRANULARITY — feed scores at a rounded grain, enforced by
+    * [[graft.util.GridGuard]]; raw continuous doubles make the
+    * "per-score table" corpus-sized and the broadcast global table
+    * unboundable); the inverse lookup is a
     * range join of the per-group table against the broadcast global
     * table; the corpus pays one groupBy and one join back on
     * (group, value). Output: input + `outCol`. */
   def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
       outCol: String = "norm"): DataFrame = {
+    // grid discipline: the broadcast global table and the per-group
+    // cumulative are bounded by VALUE granularity only
+    graft.util.GridGuard.check(df, "quantileNormalize", valCol)
     val perG = df.filter(col(valCol).isNotNull)
       .groupBy(col(groupCol), col(valCol)).agg(count(lit(1)).as("_n"))
     val wg = Window.partitionBy(col(groupCol)).orderBy(col(valCol).asc)
@@ -784,7 +788,9 @@ object Eval {
     *
     * Shape at 100 TB: one pass collapses both sides to the distinct-value
     * count table (granularity-bounded — feed ROUNDED scores, the rank-op
-    * discipline); the cumulative window runs on that bounded table
+    * discipline, ENFORCED at runtime by [[graft.util.GridGuard]]'s
+    * default-on distinct-count pre-check); the cumulative window runs on
+    * that bounded table
     * (pinned — two consumers), everything after is scalar. Returns one
     * row: (n_a, n_b, d, d_crit, drifted). */
   def ksTest(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
@@ -793,6 +799,9 @@ object Eval {
       .unionAll(b.select(col(valCol).as("_v"),
         lit(0L).as("_ia"), lit(1L).as("_ib")))
       .filter(col("_v").isNotNull)
+    // runtime grid discipline (ON by default): fail before building a
+    // corpus-sized per-value table out of unrounded scores
+    graft.util.GridGuard.check(tagged, "ksTest", "_v")
     val per = tagged.groupBy(col("_v"))
       .agg(sum(col("_ia")).as("ca"), sum(col("_ib")).as("cb"))
     val w = Window.orderBy(col("_v").asc)
@@ -811,9 +820,14 @@ object Eval {
     val d = col("_dnum").cast("double") / nProd
     val dCrit = lit(1.358) *
       sqrt((col("n_a") + col("n_b")).cast("double") / nProd)
-    tot.crossJoin(dnum).select(col("n_a"), col("n_b"),
+    // materialize the one-row result, then release the internal pin —
+    // without this every reliable-mode call leaked one cumulative table
+    // onto graft.checkpoint.dir for the session lifetime (ADVICE r11)
+    val out = tot.crossJoin(dnum).select(col("n_a"), col("n_b"),
       d.as("d"), dCrit.as("d_crit"),
-      when(d > dCrit, 1).otherwise(0).as("drifted"))
+      when(d > dCrit, 1).otherwise(0).as("drifted")).pin()
+    graft.util.Checkpoints.release(cum)
+    out
   }
 
   /** [[ksTest]] PER GROUP — each slice's value distribution against the
@@ -825,8 +839,9 @@ object Eval {
     * Shape at 100 TB: ONE corpus aggregation to the (group, value) count
     * table (pinned — three consumers), then everything runs on the
     * granularity-bounded grids: the dense per-(group, value) cumulative
-    * is |groups| × |distinct values| rows (feed ROUNDED scores), the
-    * group list broadcasts. Degenerate input with a single group yields
+    * is |groups| × |distinct values| rows (feed ROUNDED scores —
+    * [[graft.util.GridGuard]] enforces both axes), the group list
+    * broadcasts. Degenerate input with a single group yields
     * n_b = 0 and a NaN d (no rest distribution to compare against).
     * Returns one row per group: (groupCol, n_a, n_b, d, d_crit,
     * drifted). */
@@ -834,6 +849,9 @@ object Eval {
       valCol: String): DataFrame = {
     val base = df.select(col(groupCol).as("_g"), col(valCol).as("_v"))
       .filter(col("_v").isNotNull && col("_g").isNotNull)
+    // grid discipline: the dense grid is |groups| × |values| — both sides
+    // must be bounded (rounded scores; slice keys, not row ids)
+    graft.util.GridGuard.check(base, "ksTestBy", "_v", "_g")
     val pg = base.groupBy(col("_g"), col("_v"))
       .agg(count(lit(1)).as("c")).pin()
     val wv = Window.orderBy(col("_v").asc)
@@ -860,9 +878,13 @@ object Eval {
     val d = col("_dnum").cast("double") / nProd
     val dCrit = lit(1.358) *
       sqrt((col("n_a") + nbCol).cast("double") / nProd)
-    perG.select(col("_g").as(groupCol), col("n_a"), nbCol.as("n_b"),
-      d.as("d"), dCrit.as("d_crit"),
-      when(d > dCrit, 1).otherwise(0).as("drifted"))
+    // |groups|-row result pinned, internal pin released (the ksTest
+    // reliable-checkpoint-leak fix applied per-slice)
+    val out = perG.select(col("_g").as(groupCol), col("n_a"),
+      nbCol.as("n_b"), d.as("d"), dCrit.as("d_crit"),
+      when(d > dCrit, 1).otherwise(0).as("drifted")).pin()
+    graft.util.Checkpoints.release(pg)
+    out
   }
 
   /** MUTUAL INFORMATION between two score columns over ECDF-decile bins
@@ -889,6 +911,9 @@ object Eval {
     val base = df.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
       .pin()
+    // grid discipline — checked on the PINNED pair projection, so the
+    // pre-check scans 16 bytes/row, never the caller's scoring kernels
+    graft.util.GridGuard.check(base, "mutualInfo", "a", "b")
     def binned(c: String, out: String) =
       ecdfTable(base, c, "_p" + c)
         .withColumn(out,
@@ -914,11 +939,13 @@ object Eval {
     val sb = mb.agg(clogc(col("cb")).as("_sb"))
     val hA = log(nD) - col("_sa") / nD
     val hB = log(nD) - col("_sb") / nD
-    tot.crossJoin(stats).crossJoin(sa).crossJoin(sb)
+    val out = tot.crossJoin(stats).crossJoin(sa).crossJoin(sb)
       .select(col("n"), round(col("_mi"), 6).as("mi"),
         round(hA, 6).as("h_a"), round(hB, 6).as("h_b"),
         round(when(hA > 0 && hB > 0,
-          col("_mi") / sqrt(hA * hB)), 6).as("nmi"))
+          col("_mi") / sqrt(hA * hB)), 6).as("nmi")).pin()
+    graft.util.Checkpoints.release(base)
+    out
   }
 
   /** SPEARMAN RANK CORRELATION between two score columns — "do these
@@ -935,7 +962,8 @@ object Eval {
     * signal) give NULL, the [[cohenKappa]] undefined convention.
     *
     * Shape at 100 TB: two per-score rank tables (score-granularity
-    * bounded — feed ROUNDED scores, like every rank/percentile op here)
+    * bounded — feed ROUNDED scores, like every rank/percentile op here;
+    * [[graft.util.GridGuard]] enforces it)
     * joined back by value, one 6-number moment reduce.
     * Returns one row: (n, rho). */
   def spearman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
@@ -946,6 +974,8 @@ object Eval {
     val base = df.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
       .pin()
+    // grid discipline on the pinned pair projection (the mutualInfo note)
+    graft.util.GridGuard.check(base, "spearman", "a", "b")
     def rankTable(c: String, out: String) = {
       val per = base.groupBy(col(c)).agg(count(lit(1)).as("_n"))
       val w = Window.orderBy(col(c).asc)
@@ -962,7 +992,7 @@ object Eval {
     val num = n * col("sab") - col("sa") * col("sb")
     val da = n * col("saa") - col("sa") * col("sa")
     val db = n * col("sbb") - col("sb") * col("sb")
-    ranked.agg(count(lit(1)).as("n"),
+    val out = ranked.agg(count(lit(1)).as("n"),
         sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
         sum(col("ra") * col("ra")).as("saa"),
         sum(col("rb") * col("rb")).as("sbb"),
@@ -971,6 +1001,8 @@ object Eval {
         // single sqrt of the exact product: perfect correlation lands on
         // EXACTLY ±1 (num² = da·db), where sqrt(da)·sqrt(db) is off by
         // an ulp
-        when(da > 0 && db > 0, num / sqrt(da * db)).as("rho"))
+        when(da > 0 && db > 0, num / sqrt(da * db)).as("rho")).pin()
+    graft.util.Checkpoints.release(base)
+    out
   }
 }

@@ -167,6 +167,12 @@ object Flac {
       "flac encode: decorrelation is a 2-channel mode")
     val nSamples = channels(0).length
     require(nSamples > 0, "flac encode: empty input")
+    // out-of-range samples would be silently masked to 16 bits by the
+    // bit writer AND by pcmMd5, so the STREAMINFO MD5 would still
+    // validate on values different from what the caller passed — fail at
+    // the boundary instead (the module's fail-loudly posture)
+    channels.foreach(_.foreach(s => require(s >= -32768 && s <= 32767,
+      s"flac encode: sample $s outside 16-bit PCM range")))
     val out = new java.io.ByteArrayOutputStream()
     out.write("fLaC".getBytes("US-ASCII"))
     // STREAMINFO: last-metadata-block flag set, type 0, length 34

@@ -135,7 +135,12 @@ object TextAnalysis {
     // context counts DERIVE from the bigram table: c(w1) = Σ c(w1w2) over
     // w2 — identical integers to counting the stream again, minus one
     // corpus-scale scan + shuffle (the bigram kernel re-ran per consumer;
-    // c2 is distinct-bigram-sized, so this aggregate is a side-table op)
+    // c2 is distinct-bigram-sized, so this aggregate is a side-table op).
+    // Caveat: the equivalence conditions on no 64-bit bh collision —
+    // colliding bigrams fold into one row whose first(w1h) credits all
+    // their counts to one arbitrary context, where the direct
+    // groupBy(w1h) counted each w1 exactly (probability ~n²/2⁶⁵,
+    // negligible at any realistic distinct-bigram count)
     val c1 = c2.groupBy(col("w1h")).agg(sum(col("c2")).as("c1"))
     val rates = c2.join(c1, "w1h").select("bh", "c2", "c1")
     val v = df.select(wordTokens(textCol).as("toks"))
@@ -184,9 +189,11 @@ object TextAnalysis {
     * artifact a real pipeline ships next to the merge rules). Same round
     * structure as the trainer; the final vocabulary's symbols explode
     * weighted by word frequency. Output: (subword, n).
-    * The returned frame is backed by the loop's last lineage checkpoint,
+    * On the distributed path (vocab > `graft.bpe.driver.max`) the
+    * returned frame is backed by the loop's last lineage checkpoint,
     * which lives until the session drops it — materialize and release
-    * promptly in long-lived sessions. */
+    * promptly in long-lived sessions; on the driver fast-path the
+    * vocabulary is a local frame with no checkpoint behind it. */
   def bpeSubwords(df: org.apache.spark.sql.DataFrame, textCol: String,
       numMerges: Int): org.apache.spark.sql.DataFrame = {
     val (_, vocab, _) = bpeMerge(df, textCol, numMerges)
@@ -247,8 +254,11 @@ object TextAnalysis {
       .getOrElse(1L << 20)
 
   /** Shared BPE merge loop: (rules, final vocabulary (cnt, seq), the live
-    * lineage checkpoint backing the vocabulary — always present; callers
-    * that do not return the vocabulary must release it). */
+    * lineage checkpoint backing the vocabulary — present only on the
+    * DISTRIBUTED path (vocab > `graft.bpe.driver.max`); the driver
+    * fast-path releases its corpus-pass checkpoint before the loop and
+    * returns None with a driver-local vocabulary. Callers that do not
+    * return the vocabulary must release the checkpoint when present). */
   private def bpeMerge(df: org.apache.spark.sql.DataFrame, textCol: String,
       numMerges: Int): (Seq[(Long, String, String, Long)],
       org.apache.spark.sql.DataFrame,

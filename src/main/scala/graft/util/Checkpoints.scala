@@ -80,7 +80,14 @@ object Checkpoints {
           try {
             val p = new org.apache.hadoop.fs.Path(f)
             p.getFileSystem(hconf).delete(p, true)
-          } catch { case _: Throwable => () }
+          } catch {
+            // NonFatal only: a swallowed InterruptedException/OOM would
+            // absorb a genuine fault, and a silent IO failure would leave
+            // the files this function promises to reclaim — log the path
+            case scala.util.control.NonFatal(e) =>
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"checkpoint file delete failed, storage leaked: $f", e)
+          }
         }
         l.rdd.unpersist(blocking = false)
       case _ => ()
