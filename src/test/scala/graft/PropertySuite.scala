@@ -400,6 +400,34 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("ksTestBy rows equal independent ksTest(group, rest) on random grouped samples") {
+    // the per-slice derivation (global-minus-own cumulatives, the dense
+    // grid's jump-point coverage) is exactly the clever arithmetic a
+    // future edit silently breaks — q185's oracle covers one dataset,
+    // this property covers the family (VERDICT r11 task 7)
+    import graft.ext.Eval
+    val rnd = new Random(53)
+    for (trial <- 1 to 3) {
+      val nGroups = 2 + rnd.nextInt(3)
+      val rows = (0 until 120 + rnd.nextInt(120)).map { _ =>
+        val g = "g" + rnd.nextInt(nGroups)
+        // per-group shifted discrete values so some slices genuinely drift
+        (g, (rnd.nextInt(10) + 2 * (g.last - '0')).toDouble)
+      }
+      val df = rows.toDF("g", "v")
+      val by = Eval.ksTestBy(df, "g", "v").collect()
+        .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(by.keySet == rows.map(_._1).toSet, s"trial $trial: group set")
+      by.keySet.foreach { g =>
+        val own = df.filter($"g" === g)
+        val rest = df.filter($"g" =!= g)
+        val pair = Eval.ksTest(own, rest, "v").collect().head.toSeq
+        assert(by(g) == pair,
+          s"trial $trial group $g: ksTestBy ${by(g)} != ksTest $pair")
+      }
+    }
+  }
+
   test("pplBuckets terciles are consistent with lmScore and exact percentiles") {
     import graft.ext.TextAnalysis
     val rnd = new Random(37)
