@@ -1325,6 +1325,18 @@ object SparkEntry {
         ext.Eval.ksTestBy(docs, "source", "q").orderBy("source"), docs)
     }),
 
+    // ext: WINDOWED KS drift — q184's statistic as a per-day monitor
+    // against the first-week baseline (the drift family's serving twin:
+    // one stateful windowed aggregation, granularity-capped state; the
+    // same plan runs under Structured Streaming, suite-pinned)
+    "q186_ks_drift_windowed" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("ts"), round(col("value"), 2).as("v"))
+      val (bv, bc) = ext.Eval.ksBaseline(
+        ev.filter(col("ts") < lit("2024-01-08").cast("timestamp")), "v")
+      ext.Eval.ksDriftWindowed(ev, "ts", "v", bv, bc).orderBy("ws")
+    }),
+
     // ext: REAL image resize — decode → stride-2 nearest-neighbor →
     // re-encode PNG → decode again; the oracle recomputes the subsampled
     // synthetic raster analytically
@@ -4024,6 +4036,52 @@ object SparkEntry {
                (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)))
              THEN 1 ELSE 0 END AS drifted
          FROM perg ORDER BY source""",
+
+    // the q184 integer-gap machinery per day against the first-week
+    // baseline: the dense (window × value) grid evaluates each window's
+    // ECDF at every jump point of either side
+    "q186_ks_drift_windowed" ->
+      """WITH e AS (SELECT date_trunc('day', ts) AS ws,
+                  round(value, 2) AS v FROM events),
+         b AS (SELECT round(value, 2) AS v FROM events
+               WHERE ts < TIMESTAMP '2024-01-08'),
+         bc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM b),
+         lc AS (SELECT ws, v, CAST(count(*) AS BIGINT) AS c
+                FROM e GROUP BY ws, v),
+         nl AS (SELECT ws, CAST(count(*) AS BIGINT) AS n_live
+                FROM e GROUP BY ws),
+         vals AS (SELECT DISTINCT v FROM
+                  (SELECT v FROM bc UNION ALL SELECT v FROM lc) u),
+         grid AS (SELECT w.ws, x.v
+                  FROM (SELECT DISTINCT ws FROM e) w CROSS JOIN vals x),
+         cums AS (SELECT g.ws, g.v,
+             CAST(sum(coalesce(bc.c, 0)) OVER (PARTITION BY g.ws
+               ORDER BY g.v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cna,
+             CAST(sum(coalesce(lc.c, 0)) OVER (PARTITION BY g.ws
+               ORDER BY g.v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cnb
+           FROM grid g LEFT JOIN bc ON bc.v = g.v
+             LEFT JOIN lc ON lc.ws = g.ws AND lc.v = g.v),
+         per AS (SELECT c.ws, nl.n_live,
+             max(abs(CAST(c.cna * nl.n_live AS BIGINT) -
+               CAST(c.cnb * nb.n_a AS BIGINT))) AS dnum
+           FROM cums c JOIN nl ON nl.ws = c.ws, nb
+           GROUP BY c.ws, nl.n_live)
+         SELECT per.ws, per.n_live,
+           CAST(dnum AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)) AS d,
+           1.358 * sqrt(CAST(n_a + n_live AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE))) AS d_crit,
+           CASE WHEN CAST(dnum AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)) >
+             1.358 * sqrt(CAST(n_a + n_live AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)))
+             THEN 1 ELSE 0 END AS drifted
+         FROM per, nb ORDER BY ws""",
 
     "q103_psi_drift" ->
       s"""$QualityCtesSql,

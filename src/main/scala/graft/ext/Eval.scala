@@ -887,6 +887,63 @@ object Eval {
     out
   }
 
+  /** [[ksDriftWindowed]]'s baseline inputs from the reference slice:
+    * sorted distinct values with CUMULATIVE counts — run once against the
+    * snapshot, hold on the driver / in the job config (the
+    * [[Outliers.psiBaseline]] convention). Granularity-guarded before
+    * collecting: the table must be bounded by score grain, it ships
+    * inside the streaming plan. */
+  def ksBaseline(df: DataFrame, valCol: String): (Array[Double], Array[Long]) = {
+    val vals = df.select(col(valCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+    graft.util.GridGuard.check(vals, "ksBaseline", "_v")
+    val rows = vals.groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_v").asc).collect()
+    val cum = new Array[Long](rows.length)
+    var acc = 0L
+    rows.zipWithIndex.foreach { case (r, i) => acc += r.getLong(1); cum(i) = acc }
+    (rows.map(_.getDouble(0)), cum)
+  }
+
+  /** STREAMING-SHAPED [[ksTest]]: the KS drift statistic per EVENT-TIME
+    * window against a DRIVER-HELD baseline distribution (from
+    * [[ksBaseline]]) — the unbinned serving twin the drift family's
+    * completeness invariant demands next to [[Outliers.psiWindowed]] and
+    * [[Similarity.embeddingDriftWindowed]]. ONE stateful windowed
+    * aggregation ([[graft.agg.KsDriftAgg]]) whose per-window state is the
+    * window's per-distinct-value counts — bounded by score granularity
+    * and hard-capped at the [[graft.util.GridGuard]] ceiling, so an
+    * unrounded score column fails loudly instead of growing state without
+    * bound; the watermark expires old windows. The same plan runs batch
+    * or streaming (add `withWatermark` upstream); batch ≡ stream and
+    * per-window batch ≡ `ksTest(baseline, windowSlice)` are suite-pinned
+    * bit-for-bit (identical integer-gap arithmetic inside the aggregate).
+    *
+    * Returns (ws, n_live, d, d_crit, drifted) per window. */
+  def ksDriftWindowed(df: DataFrame, tsCol: String, valCol: String,
+      baseVals: Array[Double], baseCum: Array[Long],
+      windowDur: String = "1 day"): DataFrame = {
+    require(baseVals.length == baseCum.length && baseVals.nonEmpty,
+      "ksDriftWindowed: empty or misaligned baseline")
+    val conf = df.sparkSession.conf
+    val cap =
+      if (!conf.getOption(graft.util.GridGuard.EnabledConf)
+        .forall(_.toBoolean)) Long.MaxValue
+      else conf.getOption(graft.util.GridGuard.MaxDistinctConf)
+        .map(_.toLong).getOrElse(graft.util.GridGuard.DefaultMaxDistinct)
+    val agged = df
+      .select(window(col(tsCol), windowDur).as("_w"),
+        col(valCol).cast("double").as("_v"))
+      .groupBy(col("_w"))
+      .agg(graft.agg.KsDriftAgg.column(col("_v"), baseVals, baseCum, cap)
+        .as("_ks"))
+    agged.select(col("_w").getField("start").as("ws"),
+      col("_ks").getField("n_live").as("n_live"),
+      col("_ks").getField("d").as("d"),
+      col("_ks").getField("d_crit").as("d_crit"),
+      col("_ks").getField("drifted").as("drifted"))
+  }
+
   /** MUTUAL INFORMATION between two score columns over ECDF-decile bins
     * — the NONLINEAR dependence audit next to [[spearman]]'s monotone
     * one (two signals can be rank-uncorrelated yet share most of their

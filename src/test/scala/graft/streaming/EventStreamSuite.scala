@@ -533,6 +533,53 @@ class EventStreamSuite extends AnyFunSuite {
     assert(again.ts == first)
   }
 
+  test("ksDriftWindowed: per-window batch equals ksTest bit-for-bit, stream equals batch, drift registers") {
+    import org.apache.spark.sql.functions.col
+    // baseline values 0..9 uniform; day 1 drawn from the same support,
+    // day 2 shifted by +5 — a two-window synthetic drift
+    val base = (0 until 50).map(i => (i % 10).toDouble).toDF("v")
+    val live = (0 until 60).map { i =>
+      val day = i / 30 + 1
+      (i.toLong, new Timestamp(
+        Timestamp.valueOf(f"2024-01-0$day 00:00:00").getTime + i * 60000L),
+        ((i % 10) + (if (day == 2) 5 else 0)).toDouble)
+    }.toDF("id", "ts", "v")
+    val (bv, bc) = graft.ext.Eval.ksBaseline(base, "v")
+    assert(bv.length == 10 && bc.last == 50L)
+    val batch = graft.ext.Eval
+      .ksDriftWindowed(live, "ts", "v", bv, bc)
+      .collect().map(r => r.getTimestamp(0) -> r.toSeq.drop(1)).toMap
+    assert(batch.size == 2)
+    // per-window twin: ksTest(baseline, slice) agrees BIT-FOR-BIT —
+    // n_b/n_live, d, d_crit, drifted all identical
+    for ((ws, got) <- batch) {
+      val dayEnd = new Timestamp(ws.getTime + 86400000L)
+      val slice = live.filter(col("ts") >= ws && col("ts") < dayEnd)
+      val ref = graft.ext.Eval.ksTest(base, slice, "v").collect().head
+      assert(got == ref.toSeq.drop(1),
+        s"window $ws: windowed $got != ksTest ${ref.toSeq.drop(1)}")
+    }
+    // drift actually registers: the shifted day trips the 5% cut, the
+    // aligned day does not
+    val byTime = batch.toSeq.sortBy(_._1.getTime).map(_._2)
+    assert(byTime.head(3) == 0, "aligned window must not flag drift")
+    assert(byTime.last(3) == 1, "shifted window must flag drift")
+    // streaming twin: same plan under Structured Streaming
+    val dir = Files.createTempDirectory("graft_ksdrift_stream").toString
+    live.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(live.schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+    val q = graft.ext.Eval
+      .ksDriftWindowed(stream, "ts", "v", bv, bc)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ksdrift_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("ksdrift_out")
+      .collect().map(r => r.getTimestamp(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed == batch, "stream must equal the batch run exactly")
+  }
+
   test("embeddingDriftWindowed: batch equals embeddingDrift per window, stream equals batch, drift registers") {
     import org.apache.spark.sql.functions.col
     // baseline ~ axis e0; window 1 (day 1) drawn from the same direction,
