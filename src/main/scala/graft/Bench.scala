@@ -17,7 +17,9 @@ import org.apache.spark.sql.SparkSession
   *     the next query runs (snapshot + delta-unpersist), so one query's
   *     leftovers cannot tax its successors;
   *   - the whole suite runs twice INTERLEAVED with per-query min across
-  *     passes (contention windows span adjacent runs, rarely both passes);
+  *     passes (contention windows span adjacent runs, rarely both passes),
+  *     plus a third targeted pass over the >1 s tail — three windows
+  *     minutes apart must ALL inflate for a phantom regression to record;
   *   - a fixed-work calibration is timed before the probes, between every
   *     phase, and after the last pass — an inflated sample flags a
   *     contention-polluted window post-hoc. The FULL array is written to
@@ -444,6 +446,46 @@ object Bench {
         System.err.println(s"bpe_kernel_probe failed: ${e.getMessage}")
     }
 
+    // keep-best kernel probe: q154_keep_best drifted 1.18→2.32 s r10→r11
+    // with its plan (minhashLsh → qualityScore → canonicalByScore)
+    // unchanged (VERDICT r11 "What's wrong" #2 — one-round watch item).
+    // This cell times canonicalByScore ALONE: the pair list and the scored
+    // frame are pre-built and checkpointed OUTSIDE the timed window at
+    // 1×/16×, so the number is the component-solve + top-1-window kernel,
+    // attributable separately from the LSH and scorer stages. Kernel flat
+    // here while the in-suite number drifts ⇒ suite-JVM/calibration noise;
+    // slow here too ⇒ a real regression.
+    if (probeOn("keepbest")) try {
+      dropCaches()
+      import org.apache.spark.sql.functions.{col, round => sround}
+      val built = Seq(1, 16).map { f =>
+        val (docs, _) = SparkEntry.probeCorpus(spark, sfDir, f)
+        val pairs = ext.Dedup.minhashLsh(docs, "text", "doc_id",
+          numHashes = 16, bands = 4, minJaccard = 0.3).localCheckpoint(true)
+        val scored = docs.select(col("doc_id"),
+            sround(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+          .localCheckpoint(true)
+        f -> ((pairs, scored))
+      }
+      // discard first use: the component solve + window codegen/classload
+      locally { val (p, sc0) = built.head._2
+        ext.Dedup.canonicalByScore(sc0, "doc_id", p, "q").count() }
+      val cells = for ((f, (p, sc0)) <- built) yield
+        ((f, "canonical_by_score"),
+          () => { ext.Dedup.canonicalByScore(sc0, "doc_id", p, "q").count(); 0L })
+      val (times, _) = interleavedTimes(cells)
+      val pairCounts = built.map { case (f, (p, _)) => f -> p.count() }.toMap
+      val (t1, t16) = (times((1, "canonical_by_score")), times((16, "canonical_by_score")))
+      val l = s"""{"metric":"keepbest_kernel_probe","probes_isolated":true,"factor":16,"warmup":true,"interleaved_passes":2,""" +
+        s""""sec_1x":$t1,"sec_16x":$t16,"ratio_16x":${t16 / math.max(t1, 1e-9)},""" +
+        s""""pairs_1x":${pairCounts(1)},"pairs_16x":${pairCounts(16)},""" +
+        s""""note":"canonicalByScore alone on the q154 pair set; pairs grow ~16x by construction (replicated corpus)"}"""
+      println(l); extraLines += l
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"keepbest_kernel_probe failed: ${e.getMessage}")
+    }
+
     // Graph DEPTH probe (full runs only): the text9 cell certifies node
     // scaling at 3 rounds; this one certifies ROUND scaling — sec/round at
     // iters=20 vs iters=5 on the same synthetic graph must stay ~flat
@@ -598,10 +640,22 @@ object Bench {
         // nprobe = k isolates the residual codebooks from IVF pruning loss
         val rResFull = recall(pairs(ext.Pq.topKResidual(emb, queries, 10,
           coarse, cbr, rerank = 100, nprobe = 8)))
+        // recall-vs-nprobe CURVE (VERDICT r11 task 5): the single budget
+        // point above can't ground a serving default — sweep the probe
+        // budget at fixed k for the raw-IVF and residual-IVFPQ paths so
+        // the knee of the curve is visible per corpus shape
+        val curve = Seq(1, 2, 4, 8).map { np =>
+          val ri = recall(pairs(ext.Ivf.topK(emb, queries, 10, coarse,
+            nprobe = np)))
+          val rr = recall(pairs(ext.Pq.topKResidual(emb, queries, 10,
+            coarse, cbr, rerank = 100, nprobe = np)))
+          s""""$np":{"ivf":$ri,"ivfpq_residual":$rr}"""
+        }.mkString("{", ",", "}")
         emb.unpersist()
         s"""{"unexplained_var":$unexplained,"recall_at_10":""" +
           s"""{"ivf":$rIvf,"pq":$rPq,"ivfpq_residual":$rRes,""" +
-          s""""ivfpq_residual_fullprobe":$rResFull}}"""
+          s""""ivfpq_residual_fullprobe":$rResFull},""" +
+          s""""recall_vs_nprobe":$curve}"""
       }
       val bench = recallLine(Tables.load(spark, sfDir, "embeddings"))
       // 10 Gaussian clusters, centers ‖·‖≈8, within-cluster σ=0.5: plain
@@ -643,8 +697,25 @@ object Bench {
       else wanted.map { case (name, fn) => name -> time(fn) }
     calibrations += calibrate()
     // min across passes; a -1 (failure) only wins if both passes failed
-    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
+    val twoPass = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
       name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+    }
+    // Third targeted pass for the slow tail (min-of-2 > 1 s): two samples
+    // proved too few to separate noise from regression on multi-second
+    // queries — q04 swung 1.93→1.43→2.36 s over three rounds with zero
+    // code changes on its path (VERDICT r11 "What's wrong" #1). One more
+    // sample, minutes after the first two, makes a recorded regression
+    // require the same inflation in three separate contention windows.
+    // Cheap by construction: only the handful of >1 s queries re-run.
+    val slowSet = twoPass.filter(_._2 > 1.0).map(_._1).toSet
+    val pass3 =
+      if (slowSet.isEmpty || wanted.isEmpty) Map.empty[String, Double]
+      else wanted.filter(w => slowSet(w._1))
+        .map { case (name, fn) => name -> time(fn) }.toMap
+    calibrations += calibrate()
+    val results = twoPass.map { case (name, t) =>
+      val t3 = pass3.getOrElse(name, -1.0)
+      name -> (if (t < 0) t3 else if (t3 < 0) t else math.min(t, t3))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -683,10 +754,17 @@ object Bench {
     val compactQs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + math.round(v * 100)
     }.mkString("{", ",", "}")
+    // calibration INSIDE the parsed line (VERDICT r11 task 2): without it
+    // a round-over-round per-query comparison can't tell machine drift
+    // from regression (r11's probes ran 21% slower than r10's and silently
+    // inflated every number). Centisecond ints, same grain as queries.
+    val calCs = calibrations.map(c => math.round(c * 100))
+      .mkString("[", ",", "]")
     val compactLine =
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},""" +
         s""""unit":"sec","n_queries":${results.size},""" +
         s""""queries_unit":"centisec","queries_key":"qNN sans q",""" +
+        s""""cal_cs":$calCs,"min_of":"2+1(>1s)",""" +
         s""""queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}"}"""
     if (compactLine.length > 1900)
       System.err.println(s"[bench] compact line ${compactLine.length} chars — tail window may clip it")
