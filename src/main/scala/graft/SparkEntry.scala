@@ -7,6 +7,7 @@ import graft.agg.Breakdown
 import graft.model.{GridSchema, TriMesh}
 import graft.operators.{Elevation, Factorize, FlagRegions, GridOps, MineDepletion, Tridist}
 import graft.sources.Ingest
+import graft.QueryShared._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,65 +17,6 @@ import graft.sources.Ingest
   * hash compare is immune to floating-point accumulation order.
   */
 object SparkEntry {
-
-  private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
-  private def ord(s: SparkSession, dir: String) = Tables.load(s, dir, "orders")
-
-  // ---- fixed spatial fixtures (mirrored analytically in the oracles) -----
-  // 30×20×20 grid, 10 m cells, origin (1000, 2000, 100) — the reference
-  // sample grid's shape (FIXTURES.md §1) at a shifted origin.
-  private val G = GridSchema(1000, 2000, 100, 10, 10, 10, 30, 20, 20)
-  // region solids: axis-aligned boxes offset so no cell center lies on a face
-  private val Region2 = TriMesh.box("region2", 1097.3, 1203.7, 2051.3, 2148.8, 141.2, 198.9)
-  private val Region3 = TriMesh.box("region3", 1151.2, 1248.8, 2101.1, 2199.9, 151.3, 249.7)
-  // mine surfaces: topo plane (include) + pit plane over a sub-footprint
-  private val Topo = TriMesh.quad("topo", Array(
-    900, 1900, 152.3, 1350, 1900, 152.3, 1350, 2350, 152.3, 900, 2350, 152.3))
-  private val Pit = TriMesh.quad("pit", Array(
-    1100.3, 2050.1, 173.456, 1300.7, 2050.1, 173.456,
-    1300.7, 2250.9, 173.456, 1100.3, 2250.9, 173.456))
-  // sloped elevation surface z = 50 + 0.01x + 0.02y over x∈[1001,1289.5]
-  private val Slope = TriMesh.quad("slope", Array(
-    1001, 1900, 50 + 0.01 * 1001 + 0.02 * 1900,
-    1289.5, 1900, 50 + 0.01 * 1289.5 + 0.02 * 1900,
-    1289.5, 2350, 50 + 0.01 * 1289.5 + 0.02 * 2350,
-    1001, 2350, 50 + 0.01 * 1001 + 0.02 * 2350))
-  // shared oracle CTE: the generated grid in DuckDB arithmetic
-  private val GridSql =
-    """g AS (SELECT range AS id,
-         CAST(range % 30 AS INT) AS i,
-         CAST((range // 30) % 20 AS INT) AS j,
-         CAST(range // 600 AS INT) AS k,
-         1000 + ((range % 30) + 0.5) * 10 AS x,
-         2000 + (((range // 30) % 20) + 0.5) * 10 AS y,
-         100 + ((range // 600) + 0.5) * 10 AS z
-       FROM range(12000))"""
-
-  /** q62's standing-store setup (IVF train → residual-PQ codebooks →
-    * partitioned store write), memoized per (application, sf dir): a
-    * serving deployment builds its index ONCE and answers queries from
-    * it, so the serve path is the operator q62's timed body exercises.
-    * Bench's ann_store_phase_probe times the phases separately. */
-  private val annStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      (Array[Array[Double]], ext.Pq.Codebooks, String, Int)]()
-  def annStoreSetup(s: SparkSession, dir: String)
-      : (Array[Array[Double]], ext.Pq.Codebooks, String, Int) =
-    annStoreCache.computeIfAbsent(s.sparkContext.applicationId + "|" + dir,
-      _ => {
-        val emb = Tables.load(s, dir, "embeddings")
-        val n = emb.count().toInt
-        val coarse = ext.Ivf.train(emb, k = 8, iters = 2)
-        val cb = ext.Pq.trainResidual(emb, coarse, m = 8, ksub = 16,
-          iters = 2)
-        // per-application path + SaveMode.Overwrite: concurrent harness
-        // processes (bench + verify on one machine) write distinct
-        // directories instead of racing on Overwrite
-        val path = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_q62_store_${s.sparkContext.applicationId}").toString
-        ext.Pq.writeStore(emb, path, cb, Some(coarse), residual = true)
-        (coarse, cb, path, n)
-      })
 
   /** Flagship: the full reserves pipeline — grid synthesis → region flag
     * (broadcast point-in-solid) → mine depletion (broadcast surface rays) →
@@ -160,63 +102,6 @@ object SparkEntry {
     val bench = copy(0).filter(col("doc_id") % 100 === 0)
       .localCheckpoint(true)
     (docs, bench)
-  }
-
-  /** Shared base for the NB-gate query family (q99/q113/q114/q120/q121/
-    * q122/q151 via [[ext.TextAnalysis.nbQualityScoreTokens]]) and the
-    * q150/q157 multi-rater agreement audits: ONE corpus scan paying the
-    * regex tokenizer and quality scorer exactly once, checkpointed
-    * because every consumer re-reads the token column several times
-    * (the classifier alone evaluates it 3×) — without the pin each
-    * consumer would re-run both regexes (the spearman lesson; r9 timed
-    * the per-rater-scan shape at 2.2–3.1 s, VERDICT r9 #3). Released per
-    * query via [[materializedWithout]]. */
-  private def raterBase(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents").select(
-        col("doc_id"), col("n_chars"),
-        col("source").isin("src0", "src1").as("pos"),
-        round(ext.TextAnalysis.qualityScore("text"), 6).as("qs"),
-        ext.TextAnalysis.wordTokens("text").as("toks"))
-      .localCheckpoint(true)
-
-  /** Pinned `(doc_id, cls=lang, toks)` projection for the k-way NB
-    * queries (q112/q119/q173): the multiclass score frame reads the
-    * token column ~5 times (token stream, class counts, doc counts,
-    * class totals, lengths), so one eager checkpoint pays the tokenizer
-    * regex exactly once — the [[raterBase]] lesson. Released via
-    * [[materializedWithout]] behind each query's narrow result. */
-  private def nbLangBase(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents").select(col("doc_id"),
-        col("lang").as("cls"),
-        ext.TextAnalysis.wordTokens("text").as("toks"))
-      .localCheckpoint(true)
-
-  /** NB model trained from [[raterBase]]'s materialized token column —
-    * same weights as `nbTrain(docs, "text", ...)` (the tokenizer is the
-    * same expression), no second tokenize pass.
-    *
-    * NB-vote parity note (ADVICE r10): the vote compares the 6 dp-rounded
-    * score against 0 on BOTH sides ([[ext.TextAnalysis.nbScoreTokens]]
-    * rounds, and the SQL oracle rounds the same sum), but the two engines
-    * accumulate the token-weight sum in different IEEE orders, so a doc
-    * whose true score sat exactly on the 6 dp boundary around 0 could in
-    * principle vote differently. That is a data-dependent invariant, not
-    * a structural one — it is pinned empirically by the driver's per-round
-    * sf0.01 oracle compare of q150/q157 and by Round8OpsSuite's
-    * nbScoreWith ≡ nbQualityScore equivalence case. */
-  private def nbModelOnTokens(base: DataFrame): ext.TextAnalysis.NbModel =
-    ext.TextAnalysis.nbTrainTokens(base, col("toks"), col("pos"))
-
-  /** Eagerly materialize a BOUNDED result (the agreement statistics are
-    * one-row frames), then release `base`'s corpus-sized checkpoint
-    * blocks — without this the q150/q157 shared scan (full token arrays
-    * per doc) stays resident in the block manager for the session
-    * (ADVICE r10). The returned frame is backed by the tiny pinned
-    * result, so callers can read it any number of times. */
-  private def materializedWithout(result: DataFrame, base: DataFrame): DataFrame = {
-    val out = result.localCheckpoint(true)
-    graft.util.Checkpoints.release(base)
-    out
   }
 
   def dedupProbe(s: SparkSession, dir: String, factor: Int)
@@ -321,5828 +206,54 @@ object SparkEntry {
       "attribution" -> streaming.EventStream.attribution(ev, "view", "purchase", 86400L))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.4 breakdown engine: group keys + count/sum/mean/min/max
-    "q01_breakdown_basic" -> ((s, dir) =>
-      Util.roundDoubles(
-        Breakdown(li(s, dir),
-          "l_returnflag;l_linestatus;l_quantity=sum_qty,sum;" +
-          "l_extendedprice=avg_price,mean;l_discount=cnt_disc,count;" +
-          "l_quantity=min_qty,min;l_quantity=max_qty,max"), 4)),
-
-    // §2.4 weighted mean / weighted sum (weight product semantics)
-    "q02_breakdown_weighted" -> ((s, dir) =>
-      Util.roundCols(
-        Breakdown(li(s, dir),
-          "l_returnflag;l_quantity=wavg_qty,mean,l_discount;" +
-          "l_extendedprice=wsum_rev,sum,l_discount"),
-        "wavg_qty" -> 6, "wsum_rev" -> 4)),
-
-    // §2.4 var/std/sem (sample, ddof=1)
-    "q03_breakdown_stats" -> ((s, dir) =>
-      Util.roundDoubles(
-        Breakdown(li(s, dir),
-          "l_returnflag;l_quantity=var_qty,var;l_quantity=std_qty,std;" +
-          "l_quantity=sem_qty,sem;l_quantity=cnt_qty,count"), 6)),
-
-    // §2.4 unweighted quantiles q1/q2/q3 + percentiles p10/p90
-    "q04_breakdown_quantiles" -> ((s, dir) =>
-      Util.roundDoubles(
-        Breakdown(li(s, dir),
-          "l_returnflag;l_extendedprice=q1_price,q1;" +
-          "l_extendedprice=q2_price,q2;l_extendedprice=q3_price,q3;" +
-          "l_extendedprice=p10_price,p10;l_extendedprice=p90_price,p90"), 4)),
-
-    // §2.4 major (deterministic mode) + list (sorted distinct join)
-    "q05_breakdown_major_list" -> ((s, dir) =>
-      Breakdown(ord(s, dir),
-        "o_orderstatus;o_orderpriority=major_prio,major;" +
-        "o_orderpriority=prio_list,list;o_orderkey=cnt,count")),
-
-    // §2.4 weighted quantiles — custom TypedImperativeAggregate implementing
-    // the reference estimator (integer weights keep the oracle exact)
-    "q06_breakdown_wquantile" -> ((s, dir) =>
-      Util.roundDoubles(
-        Breakdown(li(s, dir),
-          "l_returnflag;l_quantity=wq1_qty,q1,l_linenumber;" +
-          "l_quantity=wq2_qty,q2,l_linenumber;" +
-          "l_quantity=wq3_qty,q3,l_linenumber"), 6)),
-
-    // §2.3/§2.4 null group keys rendered as -99 (fillna(-99) semantics)
-    "q07_breakdown_nullkeys" -> ((s, dir) =>
-      Util.roundDoubles(
-        Breakdown(
-          li(s, dir).withColumn("rf_masked",
-            when(col("l_returnflag") === "N", lit(null)).otherwise(col("l_returnflag"))),
-          "rf_masked;l_quantity=sum_qty,sum"), 4)),
-
-    // §2.3 −99 sentinel masking at ingest + global (no-keys) breakdown
-    "q08_sentinel_mask" -> ((s, dir) => {
-      val withSentinel = li(s, dir).select(
-        col("l_orderkey"),
-        when(col("l_quantity") <= 2, lit(-99.0)).otherwise(col("l_quantity")).as("q99"))
-      Util.roundDoubles(
-        Breakdown(Ingest.maskSentinel(withSentinel),
-          "q99=n_notnull,count;q99=sum_q,sum;l_orderkey=n_rows,count"), 4)
-    }),
-
-    // §2.3 condition filter (expression pushdown to the scan)
-    "q09_condition_filter" -> ((s, dir) =>
-      Util.roundCols(
-        Breakdown(
-          Ingest.filterCondition(li(s, dir),
-            "l_discount > 0.05 AND l_returnflag = 'R'"),
-          "l_linestatus;l_extendedprice=sum_price,sum;l_orderkey=cnt,count"),
-        "sum_price" -> 4)),
-
-    // §2.3 string factorize (broadcast dim join, sorted code order)
-    "q10_factorize" -> ((s, dir) =>
-      Factorize(li(s, dir), "l_returnflag", "rf_idx")
-        .groupBy(col("l_returnflag"), col("rf_idx"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("l_returnflag"))),
-
-    // §2.5 grid synthesis from schema + per-cell volume (pure arithmetic,
-    // shuffle-free)
-    "q11_grid_generate" -> ((s, _) =>
-      GridOps.cellsVolume(GridOps.generate(s, G), G)
-        .select("id", "i", "j", "k", "x", "y", "z", "volume")
-        .orderBy("id")),
-
-    // §2.5 point-in-solid region flagging (broadcast BVH ray-parity kernel,
-    // last mesh wins, '' default)
-    "q12_flag_regions" -> ((s, _) =>
-      FlagRegions(s, GridOps.generate(s, G), Seq(Region2, Region3))
-        .select("id", "region").orderBy("id")),
-
-    // §2.5 mine-up/mine-down depletion fractions (vertical-ray surface
-    // elevation vs analytic plane algebra)
-    "q13_mine_deplete" -> ((s, _) =>
-      MineDepletion(s, GridOps.generate(s, G), Seq(Topo), Seq(Pit), G.sz)
-        .select(col("id"), round(col("mine"), 6).as("mine"))
-        .orderBy("id")),
-
-    // §2.5 nearest-cell assignment: arbitrary points → ijk by floor
-    // arithmetic, −1 outside the grid
-    "q14_nearest_cell" -> ((s, _) => {
-      val pts = s.range(500)
-        .withColumn("x", lit(995.0) + (col("id") * 7.3) % 310.0)
-        .withColumn("y", lit(1995.0) + (col("id") * 11.7) % 210.0)
-        .withColumn("z", lit(95.0) + (col("id") * 3.9) % 210.0)
-      GridOps.nearestCell(pts, G).select("id", "i", "j", "k").orderBy("id")
-    }),
-
-    // §2.5 heatmap2d: reduce the grid along the z axis
-    "q15_heatmap2d" -> ((s, _) =>
-      GridOps.heatmap2d(
-        GridOps.generate(s, G)
-          .withColumn("v", (col("i") * 7 + col("j") * 13 + col("k") * 17) % 97),
-        "k", "v", "mean")
-        .withColumnRenamed("v mean", "v_mean")
-        .orderBy("i", "j")),
-
-    // §2.5 surface elevation (get_elevation): sloped plane, null off-footprint
-    "q16_elevation" -> ((s, _) =>
-      Elevation(GridOps.generate(s, G), Slope)
-        .select(col("id"), round(col("elevation"), 6).as("elev"))
-        .orderBy("id")),
-
-    // ext: token counting (whitespace tokenizer)
-    "q17_token_count" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          ext.TextAnalysis.tokenCount("text").cast("long").as("tok_cnt"))
-        .orderBy("doc_id")),
-
-    // ext: language-ID heuristic + quality scoring (pure expressions)
-    "q18_langid_quality" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          ext.TextAnalysis.langId("text").as("lang_id"),
-          round(ext.TextAnalysis.qualityScore("text"), 6).as("quality"))
-        .orderBy("doc_id")),
-
-    // ext: rolling-hash document fingerprint (min md5 over char 8-grams)
-    "q19_fingerprint" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), ext.TextAnalysis.fingerprint("text").as("fp"))
-        .orderBy("doc_id")),
-
-    // ext: exact dedup by content digest (hash-groupBy); prefix-20 as the
-    // content key because the synthetic corpus has no full-text dups
-    "q20_dedup_exact" -> ((s, dir) =>
-      ext.Dedup.exact(
-        Tables.load(s, dir, "documents").withColumn("pfx", expr("substr(text, 1, 20)")),
-        "pfx", "doc_id")
-        .orderBy("content_hash")),
-
-    // ext: MinHash + LSH banding near-dup pairs, verified by shingle Jaccard
-    "q21_minhash_lsh" -> ((s, dir) =>
-      ext.Dedup.minhashLsh(Tables.load(s, dir, "documents"), "text", "doc_id",
-        numHashes = 16, bands = 4, minJaccard = 0.3)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("id_a", "id_b")),
-
-    // ext: windowed LSH dedup survivors (the streaming filter's batch twin;
-    // EventStreamSuite proves the same plan emits identically under a
-    // watermark). ts is synthesized from doc_id identically in both engines.
-    "q53_lsh_dedup_win" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-        .withColumn("ts", col("doc_id").cast("timestamp"))
-      ext.Dedup.lshDedupSurvivors(docs, "text", "doc_id", "ts", "100 seconds")
-        .select(col("ws").cast("long").as("ws"), col("doc_id"))
-        .orderBy("ws", "doc_id")
-    }),
-
-    // ext: 60-bit SimHash sketch per document (expression-only bit fold)
-    "q22_simhash" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), ext.Dedup.simhash("text").as("sketch"))
-        .orderBy("doc_id")),
-
-    // ext: n-gram Jaccard pairs within (lang, source) blocks via the
-    // prefix-filtered AllPairs join — lossless vs the block cross-product
-    // (ExtSuite proves output-identical) and the shape that survives
-    // blocks of millions of documents; cross-block recall is q21's LSH job
-    "q23_ngram_jaccard" -> ((s, dir) =>
-      ext.Dedup.ngramJaccardPairsPrefix(Tables.load(s, dir, "documents"),
-        "text", "doc_id", Seq("lang", "source"), 0.3)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("id_a", "id_b")),
-
-    // ext: embedding-cosine similar pairs within label buckets
-    "q24_embed_pairs" -> ((s, dir) =>
-      ext.Similarity.embeddingNearDups(
-        Tables.load(s, dir, "embeddings"), 0.3, "label")
-        .orderBy("id_a", "id_b")),
-
-    // ext: brute-force cosine top-k (ANN baseline) for 3 query vectors
-    "q25_ann_topk" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      ext.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 10)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ext: multimodal binary-column plumbing — typed Dataset through the
-    // batched mapPartitions decode path (stub codec, real plumbing)
-    "q26_multimodal" -> ((s, dir) => {
-      import s.implicits._
-      val media = ext.Multimodal
-        .synthesizeFromText(Tables.load(s, dir, "documents"), "text", "doc_id")
-        .as[ext.Multimodal.MediaRow]
-      ext.Multimodal.decodeFeatures(media).toDF()
-        .select(col("id"), col("nBytes"), col("digest"),
-          round(col("brightness"), 6).as("brightness"))
-        .orderBy("id")
-    }),
-
-    // streaming twin: tumbling-window aggregation (batch plan == stream plan)
-    "q27_event_windows" -> ((s, dir) =>
-      streaming.EventStream.windowedCounts(Tables.load(s, dir, "events"))
-        .select(col("ws"), col("event_type"), col("n"), round(col("v"), 4).as("v"))
-        .orderBy("ws", "event_type")),
-
-    // streaming twin: gap-based sessionization (window-function batch form)
-    "q28_sessionize" -> ((s, dir) =>
-      streaming.EventStream.sessionizeBatch(Tables.load(s, dir, "events"), 1800)
-        .orderBy("user_id", "session_idx")),
-
-    // relational: 3-table join with broadcast dim, revenue per segment
-    "q29_join_enrich" -> ((s, dir) => {
-      val o = ord(s, dir)
-      val c = Tables.load(s, dir, "customer")
-      li(s, dir)
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
-          count(lit(1)).as("n"))
-        .orderBy("c_mktsegment")
-    }),
-
-    // relational: top-k with deterministic tiebreak
-    "q30_topk" -> ((s, dir) =>
-      ord(s, dir).select("o_orderkey", "o_totalprice")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)),
-
-    // relational: set operations (intersect / except / union-distinct)
-    "q31_setops" -> ((s, dir) => {
-      val o = ord(s, dir)
-      def ck(status: String) =
-        o.filter(col("o_orderstatus") === status).select("o_custkey").distinct()
-      val f = ck("F"); val p = ck("O")
-      f.intersect(p).agg(count(lit(1)).as("n")).withColumn("tag", lit("both"))
-        .union(f.except(p).agg(count(lit(1)).as("n")).withColumn("tag", lit("only_f")))
-        .union(f.union(p).distinct().agg(count(lit(1)).as("n")).withColumn("tag", lit("either")))
-        .select("tag", "n").orderBy("tag")
-    }),
-
-    // relational: window functions — running revenue + row numbers
-    "q32_window_running" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-      li(s, dir).filter(col("l_suppkey") < 20)
-        .withColumn("rn", row_number().over(w))
-        .withColumn("running", round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)), 4))
-        .select("l_suppkey", "rn", "running")
-        .orderBy("l_suppkey", "rn")
-    }),
-
-    // relational: rollup with grouping indicators
-    "q33_rollup" -> ((s, dir) =>
-      li(s, dir).rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(grouping(col("l_returnflag")).as("g_rf"),
-          grouping(col("l_linestatus")).as("g_ls"),
-          count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
-        .select(
-          when(col("g_rf") === 1, "ALL").otherwise(col("l_returnflag")).as("rf"),
-          when(col("g_ls") === 1, "ALL").otherwise(col("l_linestatus")).as("ls"),
-          col("n"), col("sum_qty"))
-        .orderBy("rf", "ls")),
-
-    // relational: JSON scalar extraction over the events props column
-    "q34_json_events" -> ((s, dir) =>
-      Tables.load(s, dir, "events")
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
-        .groupBy(col("event_type"))
-        .agg(count(col("k")).as("n"), round(avg(col("k")), 6).as("avg_k"),
-          max(col("k")).as("max_k"))
-        .orderBy("event_type")),
-
-    // relational: time bucketing (date_trunc) over event timestamps
-    "q35_time_buckets" -> ((s, dir) =>
-      Tables.load(s, dir, "events")
-        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
-        .orderBy("day", "event_type")),
-
-    // §2.5 vertical-footprint (2D) region flagging
-    "q36_flag2d" -> ((s, _) =>
-      FlagRegions(s, GridOps.generate(s, G), Seq(Slope), flagVar = "flag2d",
-        footprint2d = true)
-        .select("id", "flag2d").orderBy("id")),
-
-    // §2.5 grade shells: threshold the grid into value bands
-    "q37_grade_shells" -> ((s, _) =>
-      GridOps.generate(s, G)
-        .withColumn("grade", (col("i") * 7 + col("j") * 13 + col("k") * 17) % 97)
-        .withColumn("band", floor(col("grade") / 20).cast("int"))
-        .groupBy("band")
-        .agg(count(lit(1)).as("n"), min("grade").as("lo"), max("grade").as("hi"))
-        .orderBy("band")),
-
-    // §2.5 flat ijk key encoding (vtk_grid_flag_ijk)
-    "q38_ijk_key" -> ((s, _) =>
-      GridOps.generate(s, G)
-        .select(col("id"),
-          (col("i").cast("long") * 1000000L + col("j").cast("long") * 1000L +
-            col("k").cast("long")).as("ijk"))
-        .orderBy("id")),
-
-    // §2.5 rotated grid (bearing ≠ 90): lattice stays integer, world xyz
-    // materialized through the z-rotation
-    "q39_rotated_grid" -> ((s, _) =>
-      GridOps.generate(s, G.copy(bearing = 45.0, rotX = 1000.0, rotY = 2000.0))
-        .select(col("id"), round(col("x"), 6).as("x"), round(col("y"), 6).as("y"),
-          col("z"))
-        .orderBy("id")),
-
-    // ext: backward as-of join (events enriched with each user's latest
-    // order at event time) — union-tag-window formulation, one shuffle
-    "q40_asof_join" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events")
-      // dedupe right to one row per (key, time) for deterministic ties
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_custkey"), col("o_orderdate"))
-        .orderBy(col("o_orderkey").desc)
-      val ord1 = ord(s, dir)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-      graft.operators.AsOfJoin
-        .backward(ev, ord1.withColumnRenamed("o_custkey", "user_id"),
-          "user_id", "ts", "o_orderdate", Seq("o_orderkey", "o_totalprice"))
-        .groupBy(col("event_type"))
-        .agg(count(col("o_orderkey")).as("n_matched"),
-          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_unmatched"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"))
-        .orderBy("event_type")
-    }),
-
-    // ext: IVF ANN — k-means coarse quantizer, nprobe = k (all cells) so
-    // the result is exactly brute-force top-k and the oracle can check it;
-    // the IvfSuite covers the pruned nprobe < k path
-    "q41_ivf_topk" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val centroids = ext.Ivf.train(emb, k = 8, iters = 2)
-      ext.Ivf.topK(emb, emb.filter(col("vec_id") < 3), 10, centroids, nprobe = 8)
-        .orderBy("query_id", "rank")
-    }),
-
-    // streaming twin: view→purchase attribution (stream-stream interval
-    // join in attributionStreaming; identical plan here in batch form).
-    // Timestamps leave as epoch micros — both engines compare in µs.
-    "q42_attribution" -> ((s, dir) =>
-      streaming.EventStream.attribution(
-        Tables.load(s, dir, "events"), "view", "purchase", 86400L)
-        .select(col("user_id"), col("from_id"), col("to_id"),
-          unix_micros(col("from_ts")).as("from_us"),
-          unix_micros(col("to_ts")).as("to_us"))
-        .orderBy("user_id", "from_id", "to_id")),
-
-    // ext: near-dup clusters → canonical id (min-label propagation over the
-    // verified LSH pairs; the checkable form of "keep one copy per cluster")
-    "q43_dup_components" -> ((s, dir) => {
-      val pairs = ext.Dedup.minhashLsh(Tables.load(s, dir, "documents"),
-        "text", "doc_id", numHashes = 16, bands = 4, minJaccard = 0.3)
-      ext.Dedup.connectedComponents(pairs).orderBy("doc_id")
-    }),
-
-    // ext: hamming-space LSH — pigeonhole chunk banding over the 60-bit
-    // simhash, exact popcount verify
-    "q44_simhash_pairs" -> ((s, dir) => {
-      // hammingNearDups reads its sketch frame three times (banding +
-      // both verify sides) — pre-sketch through the decoupled API (the
-      // aHash pattern) and pin the 16-byte/row frame so the SimHash
-      // kernel runs once
-      val sk = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), ext.Dedup.simhash("text").as("sk"))
-        .localCheckpoint(true)
-      materializedWithout(
-        ext.Dedup.hammingNearDups(sk, "sk", "doc_id", maxHamming = 2)
-          .orderBy("id_a", "id_b"), sk)
-    }),
-
-    // ext: characteristic terms per document (rational idf — see
-    // TextAnalysis.tfidfTopTerms for the cross-engine rationale)
-    "q45_tfidf" -> ((s, dir) =>
-      ext.TextAnalysis.tfidfTopTerms(
-        Tables.load(s, dir, "documents"), "text", "doc_id", 3)
-        .orderBy("doc_id", "rank")),
-
-    // pipeline: end-to-end corpus curation (near-dup canonical filter →
-    // langid/quality/token features → quality gate)
-    "q46_corpus_curate" -> ((s, dir) =>
-      pipeline.CorpusCuration.curate(Tables.load(s, dir, "documents"))
-        .orderBy("doc_id")),
-
-    // operators: range join as a broadcast band lookup — the join node
-    // disappears into one binary search per row (BandJoin.bandOf)
-    "q47_range_band" -> ((s, dir) =>
-      li(s, dir)
-        .withColumn("qty_band", coalesce(
-          operators.BandJoin.bandOf(col("l_quantity"),
-            Seq(("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 45.0))),
-          lit("other")))
-        .groupBy("qty_band")
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))
-        .orderBy("qty_band")),
-
-    // §2.4 bounded-state list: smallest-N distinct + overflow marker —
-    // the 100 TB-safe variant of `list` (BoundedListAgg)
-    "q48_list_capped" -> ((s, dir) =>
-      Breakdown(ord(s, dir),
-        "o_orderstatus;o_orderpriority=prio_l,list3;o_custkey=cust_l,list2")),
-
-    // ext: deterministic train/val/test split — pure hash of (salt, id),
-    // so the oracle reproduces the exact assignment from the same md5
-    "q55_hash_split" -> ((s, dir) =>
-      ext.Sampling.hashSplit(Tables.load(s, dir, "documents"),
-          "doc_id", Seq(0.8, 0.1, 0.1), "v0")
-        .select(col("doc_id"), col("split"))
-        .orderBy("doc_id")),
-
-    // ext: stratified deterministic sample — smallest (bucket, id) per
-    // stratum; WindowGroupLimit makes the cut a partial top-n
-    "q56_stratified_sample" -> ((s, dir) =>
-      ext.Sampling.stratifiedSampleN(Tables.load(s, dir, "documents"),
-          Seq("lang"), 5, "doc_id", "s")
-        .select(col("lang"), col("doc_id"))
-        .orderBy("lang", "doc_id")),
-
-    // ext: deterministic weighted corpus mixture — rates sized from the
-    // per-source counts, cut by the same md5 bucket as q55/q56
-    "q57_mixture" -> ((s, dir) =>
-      ext.Sampling.mixture(Tables.load(s, dir, "documents"), "source",
-          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 60L, "doc_id", "m1")
-        .select(col("doc_id"), col("source"))
-        .orderBy("doc_id")),
-
-    // §2.4 beyond-reference: exact distinct count per group (the HLL
-    // `anunique` twin is suite-checked — sketch estimates aren't
-    // oracle-comparable across engines)
-    "q54_nunique" -> ((s, dir) =>
-      Breakdown(ord(s, dir),
-        "o_orderstatus;o_custkey=nuniq_cust,nunique;" +
-        "o_orderpriority=nuniq_prio,nunique")),
-
-    // ext: sliding token-window chunking (training/RAG prep) — pure
-    // codegen narrow ops, no shuffle
-    "q49_chunk" -> ((s, dir) =>
-      ext.TextAnalysis.chunk(Tables.load(s, dir, "documents"),
-          "text", "doc_id", 32, 8)
-        .withColumn("chunk_id", col("chunk_id").cast("long"))
-        .withColumn("n_tokens", col("n_tokens").cast("long"))
-        .orderBy("doc_id", "chunk_id")),
-
-    // ext: product quantization with a full re-rank budget — the PQ
-    // analog of q41's nprobe=k trick: whatever the trained codebooks,
-    // rerank >= |corpus| makes the two-stage search provably exact, so
-    // the brute-force SQL oracle checks the whole PQ path
-    // (train → encode → ADC candidates → exact re-rank)
-    "q51_pq_topk" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val cb = ext.Pq.train(emb, m = 8, ksub = 16, iters = 2)
-      ext.Pq.topK(emb, emb.filter(col("vec_id") < 3), 10, cb, rerank = 10000)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ext: residual IVFPQ (IVFADC) — codes quantize v − coarse_centroid.
-    // Same exactness trick at full budgets: nprobe = k_coarse probes every
-    // cell and rerank >= |corpus| keeps all ADC candidates, so the oracle
-    // checks the whole residual path (coarse train → residual train →
-    // residual encode → per-cell query residual ADC → exact re-rank)
-    "q52_ivfpq_residual" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val coarse = ext.Ivf.train(emb, k = 4, iters = 2)
-      val cb = ext.Pq.trainResidual(emb, coarse, m = 8, ksub = 16, iters = 2)
-      ext.Pq.topKResidual(emb, emb.filter(col("vec_id") < 3), 10,
-          coarse, cb, rerank = 1000000, nprobe = 4)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ext: PII redaction over deterministically-synthesized addresses
-    // (the corpus is PII-free, so both engines inject the same patterns)
-    "q50_redact" -> ((s, dir) => {
-      val doc = Tables.load(s, dir, "documents")
-        .withColumn("aug", concat(substring(col("text"), 1, 80),
-          lit(" mail user"), col("doc_id").cast("string"),
-          lit("@ex.org or 555-123-4567 bye")))
-      doc.select(col("doc_id"),
-          ext.TextAnalysis.redactPii("aug").as("red"),
-          ext.TextAnalysis.piiCounts("aug")._1.cast("long").as("n_email"),
-          ext.TextAnalysis.piiCounts("aug")._2.cast("long").as("n_phone"))
-        .orderBy("doc_id")
-    }),
-
-    // ext: vocabulary building — per-token corpus frequency and document
-    // frequency, top 50 by tf. The tokenizer-training / stopword-mining
-    // prep step: explode → one groupBy on the token (the vocabulary
-    // shuffle AQE also drives in q45), deterministic (tf desc, term) cut
-    "q58_vocab" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(ext.TextAnalysis.wordTokens("text")).as("term"))
-        .groupBy("term")
-        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
-        .orderBy(col("tf").desc, col("term"))
-        .limit(50)),
-
-    // ext: text normalization — the canonical lowercase/alnum form fed to
-    // tokenizers and hashers; escape-free regex, pure narrow op
-    "q59_normalize" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          ext.TextAnalysis.normalize("text").as("norm"),
-          length(ext.TextAnalysis.normalize("text")).cast("long").as("n_chars"))
-        .orderBy("doc_id")),
-
-    // ext: benchmark decontamination — every 97th document plays the eval
-    // set; survivors share no word 3-gram with it (test-set leakage guard)
-    "q60_decontam" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      ext.Dedup.decontaminate(
-        docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0),
-        "text", "doc_id")
-        .select("doc_id").orderBy("doc_id")
-    }),
-
-    // ext: REAL image decode (JDK ImageIO) — id-derived grayscale PNGs with
-    // analytic pixel content, so the oracle verifies the DECODED width /
-    // height / mean luminance in plain SQL (the stub path covers only
-    // audio/video, q26)
-    "q61_image_decode" -> ((s, dir) => {
-      val media = ext.Multimodal.synthesizeImages(
-        Tables.load(s, dir, "documents"), "doc_id")
-      ext.Multimodal.decodeFeatures(media).toDF()
-        .select(col("id"), col("width"), col("height"),
-          round(col("brightness"), 6).as("brightness"))
-        .orderBy("id")
-    }),
-
-    // ext: the ANN SERVING path — answer queries FROM a standing
-    // partitioned residual-PQ store (probe = Parquet partition pruning,
-    // ADC over m ints/vector, exact re-rank). The store SETUP (IVF train +
-    // residual codebooks + write) is memoized per (application, sf) via
-    // annStoreSetup — a serving deployment builds its index once; folding
-    // training into every timed pass measured four phases under one
-    // number (r8 verdict). Bench's ann_store_phase_probe reports
-    // train/write/serve separately. At exactness budgets (nprobe = k
-    // cells, rerank >= corpus) the result is exactly brute-force top-k,
-    // so the oracle can hash-check it; IvfSuite covers the pruned
-    // nprobe < k path and asserts PartitionFilters.
-    "q62_ann_store" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val (coarse, cb, path, n) = annStoreSetup(s, dir)
-      ext.Pq.topKFromStore(s, path, emb, emb.filter(col("vec_id") < 3), 10,
-        cb, rerank = n, coarse = Some(coarse), nprobe = 8, residual = true)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ext: corpus-level line dedup (RefinedWeb recipe) — multi-line docs
-    // synthesized deterministically (own text + the 5-group leader's
-    // text), so leader lines occur 6× and are dropped everywhere while
-    // singleton lines survive; leaders reassemble to ''
-    "q63_line_dedup" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val multi = docs
-        .withColumn("lid", col("doc_id") - col("doc_id") % 5)
-        .join(docs.select(col("doc_id").as("lid"), col("text").as("ltext")),
-          "lid")
-        .select(col("doc_id"),
-          concat_ws("\n", col("text"), col("ltext")).as("text"))
-      ext.Dedup.dedupLines(multi, "text", "doc_id", maxOccurrences = 2)
-        .orderBy("doc_id")
-    }),
-
-    // ext: boilerplate audit on the same synthesized corpus — the hot
-    // lines q63 strips, with their occurrence counts
-    "q72_boilerplate" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val multi = docs
-        .withColumn("lid", col("doc_id") - col("doc_id") % 5)
-        .join(docs.select(col("doc_id").as("lid"), col("text").as("ltext")),
-          "lid")
-        .select(col("doc_id"),
-          concat_ws("\n", col("text"), col("ltext")).as("text"))
-      ext.Dedup.boilerplateReport(multi, "text", maxOccurrences = 2)
-        .orderBy("line")
-    }),
-
-    // ext: exact substring-duplication spans (Lee et al. 2022 shape) on
-    // the synthesized corpus — every group-of-5 shares its leader's text
-    // as a suffix block, so each doc carries a corpus-duplicated span
-    "q73_dup_spans" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val multi = docs
-        .withColumn("lid", col("doc_id") - col("doc_id") % 5)
-        .join(docs.select(col("doc_id").as("lid"), col("text").as("ltext")),
-          "lid")
-        .select(col("doc_id"),
-          concat_ws("\n", col("text"), col("ltext")).as("text"))
-      ext.Dedup.duplicatedSpans(multi, "doc_id", "text")
-        .orderBy("doc_id", "span_start")
-    }),
-
-    // ext: span removal on the same corpus — group leaders (text = own
-    // block twice) strip to empty; members keep only their unique block
-    "q77_strip_spans" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val multi = docs
-        .withColumn("lid", col("doc_id") - col("doc_id") % 5)
-        .join(docs.select(col("doc_id").as("lid"), col("text").as("ltext")),
-          "lid")
-        .select(col("doc_id"),
-          concat_ws("\n", col("text"), col("ltext")).as("text"))
-      ext.Dedup.stripDuplicatedSpans(multi, "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // ext: corpus-trained bigram LM scoring (CCNet-style perplexity
-    // filter) — per-doc length-normalized negative log likelihood under
-    // add-1-smoothed corpus transition counts
-    "q74_lm_score" -> ((s, dir) =>
-      ext.TextAnalysis.lmScore(
-        Tables.load(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // ext: distributed BPE merge learning — the 8 highest-frequency
-    // symbol-pair merges over the corpus vocabulary, from characters
-    "q75_bpe_train" -> ((s, dir) =>
-      ext.TextAnalysis.bpeTrain(
-        Tables.load(s, dir, "documents"), "text", 8)
-        .orderBy("rank")),
-
-    // ext: the learned tokenizer's vocabulary — corpus subword
-    // frequencies after the q75 merge schedule
-    "q76_bpe_vocab" -> ((s, dir) =>
-      ext.TextAnalysis.bpeSubwords(
-        Tables.load(s, dir, "documents"), "text", 8)
-        .orderBy("subword")),
-
-    // ext: cross-source shingle containment — the dataset-overlap audit
-    // run before mixing corpora
-    "q78_source_overlap" -> ((s, dir) =>
-      ext.Dedup.sourceOverlap(
-        Tables.load(s, dir, "documents"), "source", "text")
-        .orderBy("src_a", "src_b")),
-
-    // ext: feature-hashing document embedding (hashing trick) — signed
-    // token counts in 16 hashed slots, long format
-    "q79_feature_hash" -> ((s, dir) =>
-      ext.TextAnalysis.featureHash(
-        Tables.load(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id", "slot")),
-
-    // ext: CCNet perplexity bucketing — head/middle/tail terciles of the
-    // corpus-trained bigram-LM nll, thresholds broadcast (no global rank)
-    "q80_ppl_buckets" -> ((s, dir) =>
-      ext.TextAnalysis.pplBuckets(
-        Tables.load(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // ext: DSIR importance weights — hashed unigram+bigram log
-    // target/raw likelihood ratio, target = src0+src1
-    "q81_dsir" -> ((s, dir) =>
-      ext.TextAnalysis.dsirWeights(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
-        org.apache.spark.sql.functions.col("source").isin("src0", "src1"))
-        .orderBy("doc_id")),
-
-    // ext: corpus datasheet — per-source volume, dup ratio, length
-    // percentiles, language spread in one aggregation pass
-    "q82_corpus_report" -> ((s, dir) =>
-      ext.TextAnalysis.corpusReport(
-        Tables.load(s, dir, "documents"))
-        .orderBy("source")),
-
-    // ext: real token counts under the corpus-trained BPE tokenizer —
-    // the 8-merge schedule folded as literal replaces over distinct words
-    "q83_bpe_encode" -> ((s, dir) =>
-      ext.TextAnalysis.bpeEncode(
-        Tables.load(s, dir, "documents"), "doc_id", "text", 8)
-        .orderBy("doc_id")),
-
-    // ext: DSIR Gumbel top-k — reproducible importance draw of the 200
-    // most target-like candidates, noise keyed on (salt, doc_id)
-    "q84_dsir_select" -> ((s, dir) =>
-      ext.TextAnalysis.dsirSelect(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
-        org.apache.spark.sql.functions.col("source").isin("src0", "src1"),
-        200)
-        .orderBy(org.apache.spark.sql.functions.col("key").desc,
-          org.apache.spark.sql.functions.col("doc_id"))),
-
-    // ext: GPT-style sequence packing — concatenate per source shard, cut
-    // every 512 tokens, one row per (doc, overlapped training sequence)
-    "q64_seq_pack" -> ((s, dir) =>
-      ext.TextAnalysis.packSequences(
-        Tables.load(s, dir, "documents"), "text", "doc_id", 512)
-        .orderBy("source", "seq_id", "doc_id")),
-
-    // ext: Gopher-style quality signals (mean word length, symbol/word,
-    // alpha-word fraction, duplicate-3-gram repetition) — the mechanical
-    // per-document filters production pipelines threshold on
-    "q65_quality_signals" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          round(ext.TextAnalysis.meanWordLength(col("text")), 6).as("mean_wlen"),
-          round(ext.TextAnalysis.symbolWordRatio(col("text")), 6).as("sym_ratio"),
-          round(ext.TextAnalysis.alphaWordFraction(col("text")), 6).as("alpha_frac"),
-          round(ext.TextAnalysis.dupShingleFraction(col("text")), 6).as("dup3_frac"))
-        .orderBy("doc_id")),
-
-    // ext: SemDeDup — within-bucket cosine pairs → duplicate groups →
-    // min-id canonical survives; singletons untouched
-    "q67_semantic_dedup" -> ((s, dir) =>
-      ext.Similarity.semanticDedup(
-        Tables.load(s, dir, "embeddings"), 0.3, "label")
-        .select("vec_id").orderBy("vec_id")),
-
-    // ext: broadcast decontamination — same semantics as q60 through the
-    // driver-collected sorted-set kernel (shuffle-free narrow filter,
-    // streaming-safe); oracle is q60's verbatim
-    "q66_decontam_bcast" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      ext.Dedup.decontaminateBroadcast(
-        docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0),
-        "text", "doc_id")
-        .select("doc_id").orderBy("doc_id")
-    }),
-
-    // ext: decontamination audit — per-document distinct-shingle hit
-    // counts against the benchmark set (q60's split), the report run
-    // before anything is dropped
-    "q71_contamination_report" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      ext.Dedup.contaminationReport(
-        docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0),
-        "text", "doc_id")
-        .orderBy("doc_id")
-    }),
-
-    // ext: deterministic output sharding — md5-bucket shard + independent
-    // second-hash within-shard order, the reproducible "global shuffle"
-    // a training-data writer repartitions/sorts by; both columns narrow
-    "q68_shuffle_shards" -> ((s, dir) =>
-      ext.Sampling.shuffleShards(
-        Tables.load(s, dir, "documents").select("doc_id"),
-        "doc_id", 8, salt = "s7")
-        .orderBy("doc_id")),
-
-    // ext: token-budget corpus selection — per-source quality-ranked
-    // greedy cut under a 2000-token budget; the oracle replays the q18
-    // quality formula and the running window sum (CAST to BIGINT — the
-    // q64 HUGEINT lesson)
-    "q69_token_budget" -> ((s, dir) =>
-      ext.TextAnalysis.selectByTokenBudget(
-        Tables.load(s, dir, "documents"), "text", "doc_id", 2000L)
-        .orderBy("source", "doc_id")),
-
-    // ext: Gopher repetition signals over deterministically-synthesized
-    // structure (corpus docs are single-line, so both engines inject the
-    // same duplicate lines/paragraphs before measuring)
-    "q70_repetition" -> ((s, dir) => {
-      val a = substring(col("text"), 1, 30)
-      val b = substring(col("text"), 31, 30)
-      val c = substring(col("text"), 61, 30)
-      val aug = concat(a, lit("\n"), a, lit("\n\n"), b, lit("\n\n"), b,
-        lit("\n\n"), c)
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          round(ext.TextAnalysis.dupLineFraction(aug), 6).as("dup_line"),
-          round(ext.TextAnalysis.dupParaFraction(aug), 6).as("dup_para"))
-        .orderBy("doc_id")
-    }),
-
-    // ext: per-domain cap — keep the 10 best (longest) docs per source;
-    // the rank-limit window compiles to WindowGroupLimit partial top-N
-    "q85_domain_cap" -> ((s, dir) =>
-      ext.Sampling.capPerGroupByScore(
-        Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
-        "source", "n_chars", "doc_id", 10)
-        .orderBy("source", "doc_id")),
-
-    // ext: exact top-20 tokens without a vocabulary shuffle — Misra-Gries
-    // candidate sketch + exact recount of the retained set
-    "q86_heavy_hitters" -> ((s, dir) =>
-      ext.TextAnalysis.heavyHitters(
-        Tables.load(s, dir, "documents"), "text", 20)),
-
-    // ext: Bloom-prefiltered decontamination — q60's semantics (and
-    // oracle, verbatim) through a bloom prune + exact confirm join
-    "q87_decontam_bloom" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      ext.Dedup.decontaminateBloom(
-        docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0),
-        "text", "doc_id")
-        .select("doc_id").orderBy("doc_id")
-    }),
-
-    // ext: incremental snapshot diff — old/new corpus versions synthesized
-    // deterministically from md5 buckets (5% added since old, 3% removed,
-    // 10% edited via an appended marker), classified by content digest
-    "q88_snapshot_diff" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      def bucket(salt: String) = ext.Sampling.hashBucket(col("doc_id"), salt)
-      def cut(f: Double) = lit((f * ext.Sampling.Space).toLong)
-      val oldSnap = docs.filter(bucket("add") >= cut(0.05))
-        .withColumn("text", when(bucket("ed") < cut(0.10),
-          concat(col("text"), lit(" v2"))).otherwise(col("text")))
-      val newSnap = docs.filter(bucket("rm") >= cut(0.03))
-      ext.Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // ext: weighted sampling without replacement (Efraimidis-Spirakis),
-    // weight = n_chars — reproducible k-row draw, TakeOrdered plan
-    "q89_weighted_sample" -> ((s, dir) =>
-      ext.Sampling.weightedSampleK(
-        Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
-        "doc_id", "n_chars", 100, salt = "ws")
-        .orderBy("doc_id")),
-
-    // ext: robust outlier flags — modified z-score against per-type
-    // median/MAD, |M| > 3.5; the mean-free gate outliers can't drag
-    "q90_robust_outliers" -> ((s, dir) =>
-      ext.Outliers.robustFlags(
-        Tables.load(s, dir, "events"), "event_type", "event_id", "value")
-        .orderBy("event_type", "event_id")),
-
-    // streaming-twin family: ordered funnel (view → click → purchase
-    // within 7 days) — earliest chain per user, k−1 min-agg joins
-    "q91_funnel" -> ((s, dir) =>
-      streaming.EventStream.funnel(
-        Tables.load(s, dir, "events"),
-        Seq("view", "click", "purchase"), 7L * 86400L)
-        .orderBy("user_id")),
-
-    // weekly cohort retention — integer epoch weeks, no calendar math
-    "q92_retention" -> ((s, dir) =>
-      streaming.EventStream.cohortRetention(Tables.load(s, dir, "events"))
-        .orderBy("cohort_week", "week_offset")),
-
-    // ext: document novelty — fraction of a doc's distinct shingles that
-    // are corpus-unique; digest-only shuffle, the aggregate complement
-    // of pairwise dedup
-    "q94_novelty" -> ((s, dir) =>
-      ext.TextAnalysis.noveltyScore(
-        Tables.load(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // ext: cross-corpus near-dedup — a synthetic "new crawl" (hash half
-    // of the corpus) LSH-matched AGAINST the standing half; candidate
-    // pairs only ever span the two sides (incremental-ingest shape)
-    "q95_cross_dedup" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val isNew = ext.Sampling.hashBucket(col("doc_id"), "xd") <
-        lit(ext.Sampling.Space / 2)
-      ext.Dedup.minhashLshCross(
-        docs.filter(isNew), docs.filter(!isNew), "text", "doc_id",
-        minJaccard = 0.3)
-        .withColumn("jaccard", round(col("jaccard"), 6))
-        .orderBy("id_new", "id_ref")
-    }),
-
-    // ext: store-served cross-dedup — the standing half's LSH index is
-    // WRITTEN once (banded keys + shingle hashes) and the incoming half
-    // is matched FROM it; same answer as q95, but the reference corpus's
-    // kernels never re-run per batch (steady-state incremental ingest)
-    "q100_cross_store" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val isNew = ext.Sampling.hashBucket(col("doc_id"), "xd") <
-        lit(ext.Sampling.Space / 2)
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q100_store_${s.sparkContext.applicationId}").toString
-      ext.Dedup.writeLshStore(docs.filter(!isNew), "text", "doc_id", path)
-      ext.Dedup.minhashLshCrossFromStore(docs.filter(isNew), s, path,
-        "text", "doc_id", minJaccard = 0.3)
-        .withColumn("jaccard", round(col("jaccard"), 6))
-        .orderBy("id_new", "id_ref")
-    }),
-
-    // ext: lexical diversity per source — cross-document distinct-shingle
-    // ratio; slice-level companion of the q94 per-document novelty
-    "q96_diversity" -> ((s, dir) =>
-      ext.TextAnalysis.diversityReport(
-        Tables.load(s, dir, "documents"), "source", "text")
-        .orderBy("source")),
-
-    // ext: tokenizer fertility by language under the corpus-trained
-    // 8-merge BPE schedule — chars per token, the tokenizer-fit audit
-    "q97_fertility" -> ((s, dir) =>
-      ext.TextAnalysis.tokenizerFertility(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
-        "lang", "n_chars", 8)
-        .orderBy("lang")),
-
-    // ext: embedding cluster map — 8 seed centroids (lowest vec_ids),
-    // shuffle-free nearest-centroid assignment, per-cluster population +
-    // coherence; the balance audit behind cluster-aware pruning
-    "q98_cluster_map" -> ((s, dir) =>
-      ext.Similarity.clusterMap(
-        Tables.load(s, dir, "embeddings"), 8)
-        .orderBy("cluster")),
-
-    // ext: GPT-3-style supervised quality filter — NB log-odds of the
-    // "curated slice" label (src0/src1), trained on the corpus itself.
-    // The classifier reads the token column three times, so the q99
-    // family (q113/q114/q120/q121/q122/q151 too) runs on the pinned
-    // raterBase projection — one tokenizer pass, released per query.
-    "q99_quality_classifier" -> ((s, dir) => {
-      val base = raterBase(s, dir)
-      materializedWithout(
-        ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
-          .orderBy("doc_id"), base)
-    }),
-
-    // ext: JL random projection — 64-dim embeddings compressed to 8
-    // deterministic hyperplane components (unrounded doubles: exact
-    // half-integer weights + fixed accumulation order are bit-identical
-    // across engines)
-    "q101_jl_projection" -> ((s, dir) =>
-      ext.Similarity.randomProjection(
-        Tables.load(s, dir, "embeddings"), 8)
-        .orderBy("vec_id")),
-
-    // ext: JL-shortlisted ANN — rank in the 8-dim projected space, keep
-    // 50 candidates, exact-rerank only those (project→shortlist→rerank)
-    "q102_jl_topk" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      ext.Similarity.projectedTopK(emb, emb.filter(col("vec_id") < 3),
-        10, 8, 50)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ext: paragraph-level corpus dedup — q63's recipe one unit up:
-    // docs synthesized as (own text ¶ leader text), the shared leader
-    // paragraph crosses the occurrence cap and is stripped everywhere
-    "q104_para_dedup" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val multi = docs
-        .withColumn("lid", col("doc_id") - col("doc_id") % 5)
-        .join(docs.select(col("doc_id").as("lid"), col("text").as("ltext")),
-          "lid")
-        .select(col("doc_id"),
-          concat_ws("\n\n", col("text"), col("ltext")).as("text"))
-      ext.Dedup.dedupParagraphs(multi, "text", "doc_id",
-        maxOccurrences = 2)
-        .orderBy("doc_id")
-    }),
-
-    // ext: PSI drift monitor — src9's quality distribution vs everyone
-    // else's, 10 fixed bins on the ROUNDED score (engine-stable edges)
-    "q103_psi_drift" -> ((s, dir) => {
-      // psiDrift evaluates each side twice (row count + bucket counts)
-      // and both sides filter the SAME scored projection — pin it so the
-      // quality regex runs once, not four times
-      val docs = Tables.load(s, dir, "documents").select(col("source"),
-          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
-        .localCheckpoint(true)
-      materializedWithout(
-        ext.Outliers.psiDrift(
-          docs.filter(col("source") =!= "src9"),
-          docs.filter(col("source") === "src9"), "q", 10, 0.0, 1.0)
-          .orderBy("bucket"), docs)
-    }),
-
-    // ext: two-sample Kolmogorov–Smirnov drift test — src9's quality
-    // distribution vs everyone else's, the unbinned twin of q103's PSI
-    // monitor (integer-exact ECDF gaps; asymptotic 5% critical value)
-    "q184_ks_drift" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents").select(col("source"),
-          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
-        .localCheckpoint(true)
-      materializedWithout(
-        ext.Eval.ksTest(
-          docs.filter(col("source") =!= "src9"),
-          docs.filter(col("source") === "src9"), "q"), docs)
-    }),
-
-    // ext: per-source KS drift — every source's quality distribution vs
-    // the rest of the corpus, the sliced view of q184 ("which source
-    // drifted?"); one corpus pass, grids bounded by score granularity
-    "q185_ks_by_source" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents").select(col("source"),
-          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
-        .localCheckpoint(true)
-      materializedWithout(
-        ext.Eval.ksTestBy(docs, "source", "q").orderBy("source"), docs)
-    }),
-
-    // ext: WINDOWED KS drift — q184's statistic as a per-day monitor
-    // against the first-week baseline (the drift family's serving twin:
-    // one stateful windowed aggregation, granularity-capped state; the
-    // same plan runs under Structured Streaming, suite-pinned)
-    "q186_ks_drift_windowed" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events")
-        .select(col("ts"), round(col("value"), 2).as("v"))
-      val (bv, bc) = ext.Eval.ksBaseline(
-        ev.filter(col("ts") < lit("2024-01-08").cast("timestamp")), "v")
-      ext.Eval.ksDriftWindowed(ev, "ts", "v", bv, bc).orderBy("ws")
-    }),
-
-    // ext: REAL image resize — decode → stride-2 nearest-neighbor →
-    // re-encode PNG → decode again; the oracle recomputes the subsampled
-    // synthetic raster analytically
-    "q93_image_resize" -> ((s, dir) => {
-      val media = ext.Multimodal.synthesizeImages(
-        Tables.load(s, dir, "documents"), "doc_id")
-      ext.Multimodal.decodeFeatures(
-        ext.Multimodal.resizeNearest(media, 2, 2)).toDF()
-        .select(col("id"), col("width"), col("height"),
-          round(col("brightness"), 6).as("brightness"))
-        .orderBy("id")
-    }),
-
-    // ext: hard-negative mining — per anchor (vec_id < 5), the 10 most
-    // similar vectors with a DIFFERENT label; label filter applied
-    // before the JL shortlist so the candidate budget is all cross-label
-    "q105_hard_negatives" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      ext.Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
-        10, 8, 50)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ext: D4 prototypicality — cosine to the assigned seed centroid,
-    // within-cluster rank, top-25% drop flag (the diversify cut)
-    "q106_prototypicality" -> ((s, dir) =>
-      ext.Similarity.prototypicality(
-        Tables.load(s, dir, "embeddings"), 8, 0.25)
-        .orderBy("vec_id")),
-
-    // ext: containment pairs — docs synthesized as (own ⧺ group-leader
-    // text): every member CONTAINS the leader's shingles while Jaccard
-    // stays low; bottom-k sampled-membership candidates + exact verify
-    "q107_containment" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val multi = docs
-        .withColumn("lid", col("doc_id") - col("doc_id") % 10)
-        .join(docs.select(col("doc_id").as("lid"), col("text").as("ltext")),
-          "lid")
-        .select(col("doc_id"),
-          concat_ws(" ", col("text"), col("ltext")).as("text"))
-      ext.Dedup.containmentPairs(multi, "text", "doc_id",
-        minContainment = 0.5)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ext: PMI collocations — adjacent-bigram phrase mining over the
-    // corpus (c12 >= 5), PMI from exact-integer probability ratios
-    "q108_pmi_collocations" -> ((s, dir) =>
-      ext.TextAnalysis.pmiCollocations(
-        Tables.load(s, dir, "documents"), "text", 5L)
-        .orderBy("w1", "w2")),
-
-    // ext: first-order Markov transition matrix over per-user event
-    // sequences ((ts, event_id) order; unrounded integer-ratio P(to|from))
-    "q109_transitions" -> ((s, dir) =>
-      streaming.EventStream.transitionMatrix(
-        Tables.load(s, dir, "events"))
-        .orderBy("from_type", "to_type")),
-
-    // ext: temperature (alpha-)sampling at tau=0.5 — per-source keep rate
-    // k/sqrt(n): small sources survive, the hot crawl shrinks; sqrt is
-    // IEEE-exact in both engines so the cut replays bit-identically
-    "q111_temperature_mix" -> ((s, dir) =>
-      ext.Sampling.temperatureMixture(Tables.load(s, dir, "documents"),
-          "source", 0.5, 3.0, "doc_id", "tm")
-        .select(col("doc_id"), col("source"))
-        .orderBy("doc_id")),
-
-    // ext: robust scaling — every event's modified z-score vs its type's
-    // median/MAD (NULL for zero-MAD keys); unrounded order statistics
-    "q125_robust_scale" -> ((s, dir) =>
-      ext.Outliers.robustScale(
-        Tables.load(s, dir, "events")
-          .select(col("event_id"), col("event_type"), col("value")),
-        "event_type", "event_id", "value")
-        .orderBy("event_id")),
-
-    // ext: equal-frequency discretization — event values into 8
-    // value-threshold bins at exact k/8 percentiles
-    "q126_discretize" -> ((s, dir) =>
-      ext.Outliers.discretize(
-        Tables.load(s, dir, "events").select(col("event_id"), col("value")),
-        "value", 8)
-        .orderBy("event_id")),
-
-    // ext: per-type winsorization — event values clamped into the exact
-    // [p05, p95] percentile band (unrounded: clamps are data values or
-    // exact interpolations, the q90 order-statistic discipline)
-    "q116_winsorize" -> ((s, dir) =>
-      ext.Outliers.winsorize(
-        Tables.load(s, dir, "events")
-          .select(col("event_id"), col("event_type"), col("value")),
-        "event_type", "value")
-        .orderBy("event_id")),
-
-    // ext: per-class precision/recall/F1 of the q112 language classifier
-    // (never-predicted classes carry NULL precision/F1, not zero)
-    "q119_class_metrics" -> ((s, dir) => {
-      // shares ONE pinned tokenized scan between the classifier and the
-      // label side of the metrics join (the label column rides the same
-      // pinned frame — no second corpus scan)
-      val base = nbLangBase(s, dir)
-      val preds = ext.TextAnalysis
-        .nbMulticlassTokens(base, "doc_id")
-        .select(col("doc_id"), col("pred"))
-        .join(base.select(col("doc_id"), col("cls").as("lang")), "doc_id")
-      materializedWithout(
-        ext.Eval.classMetrics(preds, "lang", "pred").orderBy("cls"), base)
-    }),
-
-    // ext: Cohen's kappa between the q99 NB gate and the quality>=0.5
-    // gate — chance-corrected rater agreement, exact integer p_e
-    "q120_kappa" -> ((s, dir) => {
-      // both raters ride the pinned raterBase scan: the NB gate reads its
-      // token column, the quality gate its pre-rounded qs column
-      val base = raterBase(s, dir)
-      val nb = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
-        .select(col("doc_id"), col("pred"))
-      val gate = base.select(col("doc_id"),
-        when(col("qs") >= 0.5, 1).otherwise(0).as("gate"))
-      materializedWithout(
-        ext.Eval.cohenKappa(nb.join(gate, "doc_id"), "pred", "gate"), base)
-    }),
-
-    // ext: BM25 keyword retrieval — the sparse complement to the ANN
-    // stack; top-10 docs for a three-term query
-    "q127_bm25" -> ((s, dir) =>
-      ext.TextAnalysis.bm25(Tables.load(s, dir, "documents"),
-        "doc_id", "text", "hash join filter")
-        .orderBy(col("score").desc, col("doc_id"))),
-
-    // §2.5 Raytracer tridist: |z − surface| along the vertical ray over
-    // the sloped plane, null off-footprint (pd_vtk.py:1205-1218)
-    "q128_tridist" -> ((s, _) =>
-      Tridist(GridOps.generate(s, G), Slope)
-        .select(col("id"), round(col("tridist"), 6).as("tridist"))
-        .orderBy("id")),
-
-    // ext: perceptual image near-dups — REAL decode → 60-bit aHash →
-    // pigeonhole Hamming banding; the oracle recomputes the hash from
-    // the analytic synthetic raster
-    "q124_image_neardup" -> ((s, dir) => {
-      val media = ext.Multimodal.synthesizeImages(
-        Tables.load(s, dir, "documents"), "doc_id")
-      // hammingNearDups reads its sketch frame three times — pin the
-      // aHash table (16 bytes/row) so the PNG decode + hash pipeline
-      // runs once, not per consumer
-      val hashed = ext.Multimodal.aHash(media).localCheckpoint(true)
-      materializedWithout(
-        ext.Dedup.hammingNearDups(hashed, "ahash", "id", maxHamming = 2)
-          .orderBy("id_a", "id_b"), hashed)
-    }),
-
-    // ext: Kaplan-Meier conversion curve — time from first event to
-    // first purchase, right-censored at last observation; product-limit
-    // survival replayed as exp(sum ln) down the duration window
-    "q123_kaplan_meier" -> ((s, dir) =>
-      streaming.EventStream.kaplanMeier(
-        Tables.load(s, dir, "events"), "purchase")
-        .orderBy("dur")),
-
-    // ext: calibration bins of the q99 gate — observed positive rate vs
-    // stated sigmoid confidence per rounded-probability decile
-    "q122_calibration" -> ((s, dir) => {
-      val base = raterBase(s, dir)
-      val scored = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
-        .join(base.select(col("doc_id"),
-          when(col("pos"), 1).otherwise(0).as("label")), "doc_id")
-      materializedWithout(ext.Eval.calibrationBins(scored, "score", "label")
-        .orderBy("bin"), base)
-    }),
-
-    // ext: per-language AUC of the q99 gate — the sliced fairness view
-    // a single corpus-level AUC hides; every stage keys on the slice
-    "q121_auc_by_lang" -> ((s, dir) => {
-      val base = raterBase(s, dir)
-      // lang is not on the pinned base — a narrow (doc_id, lang) parquet
-      // scan joins it in (no regex kernel on that branch)
-      val scored = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
-        .join(base.select(col("doc_id"),
-          when(col("pos"), 1).otherwise(0).as("label")), "doc_id")
-        .join(Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("lang")), "doc_id")
-      materializedWithout(
-        ext.Eval.aucRocBy(scored, "lang", "score", "label")
-          .orderBy("lang"), base)
-    }),
-
-    // ext: composite quality ranking — three heterogeneous signals
-    // rank-normalized (ecdf) and blended 0.5/0.2/0.3; unit-free scoring.
-    // blendKeyed = the shared-scan shape: the regex-heavy scoring
-    // projection evaluates once, not once per signal table (r8 verdict)
-    "q118_quality_blend" -> ((s, dir) => {
-      // blendKeyed reads its exploded signal frame twice (rank table +
-      // join-back) — pin the three-regex projection so each regex runs
-      // once, not twice
-      val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
-          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"),
-          round(ext.TextAnalysis.meanWordLength(col("text")), 6).as("mwl"),
-          round(ext.TextAnalysis.alphaWordFraction(col("text")), 6).as("awf"))
-        .localCheckpoint(true)
-      materializedWithout(ext.Eval.blendKeyed(scored, "doc_id",
-        Seq("q" -> 0.5, "mwl" -> 0.2, "awf" -> 0.3)), scored)
-        .orderBy("doc_id")
-    }),
-
-    // ext: ECDF percentile-rank transform of the quality score (mid-rank
-    // ties; exact 0.5-multiples over an exact total — unrounded)
-    "q117_ecdf" -> ((s, dir) => {
-      // ecdf reads its input twice (row side + rank table side); pin the
-      // regex-scored projection (16 bytes/row) so the scorer runs once
-      val scored = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
-        .localCheckpoint(true)
-      materializedWithout(
-        ext.Eval.ecdf(scored, "q").orderBy("doc_id"), scored)
-    }),
-
-    // ext: leakage-safe split — hashSplit 80/20, then train docs
-    // near-duplicating any test doc (cross-LSH at 0.3) are dropped
-    "q115_decontam_split" -> ((s, dir) =>
-      pipeline.CorpusCuration.decontaminatedSplit(
-        Tables.load(s, dir, "documents"), "text", "doc_id",
-        testFrac = 0.2, minJaccard = 0.3, salt = "ds")
-        .orderBy("doc_id")),
-
-    // ext: multiclass NB — the k-way nbQualityScore (supervised language
-    // classifier trained on the lang labels; argmax on rounded scores).
-    // The tokenized projection is pinned once (the score frame reads the
-    // token column ~5x — the raterBase lesson), then released behind the
-    // narrow per-doc result.
-    "q112_nb_multiclass" -> ((s, dir) => {
-      val base = nbLangBase(s, dir)
-      materializedWithout(
-        ext.TextAnalysis.nbMulticlassTokens(base, "doc_id")
-          .orderBy("doc_id"), base)
-    }),
-
-    // ext: precision/recall threshold sweep of the q99 classifier gate
-    "q113_pr_curve" -> ((s, dir) => {
-      val base = raterBase(s, dir)
-      val scored = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
-        .join(base.select(col("doc_id"),
-          when(col("pos"), 1).otherwise(0).as("label")), "doc_id")
-      materializedWithout(ext.Eval.prCurve(scored, "score", "label")
-        .orderBy(col("threshold").desc), base)
-    }),
-
-    // ext: exact Mann-Whitney ROC-AUC of the same gate (ties at half
-    // credit via average ranks; all arithmetic exact in doubles)
-    "q114_auc" -> ((s, dir) => {
-      val base = raterBase(s, dir)
-      val scored = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
-        .join(base.select(col("doc_id"),
-          when(col("pos"), 1).otherwise(0).as("label")), "doc_id")
-      materializedWithout(ext.Eval.aucRoc(scored, "score", "label"), base)
-    }),
-
-    // ext: MMR diverse top-k — greedy relevance-vs-redundancy selection
-    // over a 20-candidate shortlist; oracle replays all 8 greedy steps
-    "q110_mmr" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      ext.Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 3),
-        8, 0.7, 20)
-        .orderBy("query_id", "mmr_rank")
-    }),
-
-    // ext: corpus vocabulary drift — KL/JS divergence between the English
-    // and non-English token distributions (the PSI analogue for text)
-    "q129_vocab_divergence" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      ext.TextAnalysis.vocabDivergence(
-        docs.filter(col("lang") === "en"),
-        docs.filter(col("lang") =!= "en"), "text")
-    }),
-
-    // ext: per-doc token Shannon entropy — repetition/diversity signal;
-    // the whole histogram lives in one per-row HOF chain (no shuffle)
-    "q130_token_entropy" -> ((s, dir) =>
-      ext.TextAnalysis.tokenEntropy(
-        Tables.load(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")),
-
-    // ext: Zipf rank-frequency OLS over the top-200 tokens — corpus-health
-    // slope/r² (natural text ≈ −1); top-N via TakeOrderedAndProject
-    "q131_zipf" -> ((s, dir) =>
-      ext.TextAnalysis.zipfFit(
-        Tables.load(s, dir, "documents"), "text", 200)),
-
-    // ext: simplified-silhouette cluster quality over the label clusters —
-    // O(n·k) centroid form, broadcast k×d centroid table
-    "q132_cluster_quality" -> ((s, dir) =>
-      ext.Similarity.clusterQuality(
-        Tables.load(s, dir, "embeddings"), "label")
-        .orderBy("cluster")),
-
-    // ext: per-node triangle counts over the near-dup graph — dense
-    // duplication cliques vs bridging hubs; oriented-wedge join (i<j<k)
-    "q148_triangles" -> ((s, dir) => {
-      val pairs = ext.Dedup.minhashLsh(Tables.load(s, dir, "documents"),
-        "text", "doc_id", numHashes = 16, bands = 4, minJaccard = 0.3)
-      ext.Graph.triangleCount(pairs, "id_a", "id_b")
-        .select(col("node").as("doc_id"), col("triangles"))
-        .orderBy("doc_id")
-    }),
-
-    // ext: SFT chat-turn validation gate — per-conversation structural
-    // flags (starts-user / alternates / ends-assistant / >=2 turns)
-    "q146_chat_validate" -> ((s, dir) =>
-      ext.Chat.validateTurns(chatTurns(
-          Tables.load(s, dir, "events").filter(col("user_id") < 50)),
-        "conv_id", "turn_idx", "role")
-        .orderBy("conv_id")),
-
-    // ext: chat-template flatten — ordered <|role|>content training
-    // string per conversation (packSequences takes it from here)
-    "q147_chat_flatten" -> ((s, dir) =>
-      ext.Chat.flatten(chatTurns(
-          Tables.load(s, dir, "events").filter(col("user_id") < 50)),
-        "conv_id", "turn_idx", "role", "content")
-        .orderBy("conv_id")),
-
-    // §2.6 pivot: status columns per priority (sum-CASE oracle; absent
-    // combos are NULL in both engines)
-    "q143_pivot" -> ((s, dir) =>
-      Tables.load(s, dir, "orders")
-        .groupBy(col("o_orderpriority"))
-        .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(sum(lit(1L)))
-        .orderBy("o_orderpriority")),
-
-    // §2.6 unpivot/melt: wide part attributes to (attr, val) rows
-    "q144_unpivot" -> ((s, dir) =>
-      Tables.load(s, dir, "part")
-        .filter(col("p_partkey") <= 50)
-        .unpivot(Array(col("p_partkey")),
-          Array(col("p_size").cast("double").as("p_size"),
-            col("p_retailprice").cast("double").as("p_retailprice")),
-          "attr", "val")
-        .orderBy("p_partkey", "attr")),
-
-    // ext: per-user daily resample with forward fill — irregular events
-    // to a dense model-ready state table; fill is an exact data value
-    "q145_resample_fill" -> ((s, dir) =>
-      streaming.EventStream.resampleFill(
-        Tables.load(s, dir, "events").filter(col("user_id") < 10))
-        .orderBy("user_id", "bucket")),
-
-    // ext: label propagation over the near-dup graph — every 5th doc
-    // seeds its lang; plurality vote per round, seeds clamped; exact
-    // integer arithmetic (no float grain at all)
-    "q142_label_prop" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val pairs = ext.Dedup.minhashLsh(docs, "text", "doc_id",
-        numHashes = 16, bands = 4, minJaccard = 0.3)
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      val seeds = docs.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), col("lang"))
-      ext.Graph.labelPropagation(edges, seeds, "src", "dst",
-        "doc_id", "lang", 5)
-        .select(col("node").as("doc_id"), col("label"))
-        .orderBy("doc_id")
-    }),
-
-    // §2.6 salted skew-join: explicit (key, salt) split of hot keys for
-    // the joins AQE can't re-plan; result ≡ the plain join (the oracle
-    // IS the plain join)
-    "q141_salted_join" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-      val ords = Tables.load(s, dir, "orders")
-        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      operators.SkewJoin.saltedJoin(li, ords, "l_orderkey", 4, "l_partkey")
-        .groupBy(col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
-          count(lit(1)).as("n"))
-        .orderBy("o_orderpriority")
-    }),
-
-    // ext: int8 scalar quantization of the embedding store — per-dim
-    // min/max affine map + per-vector reconstruction MSE (the recall
-    // audit before a 4× store compression ships)
-    "q140_int8_quant" -> ((s, dir) =>
-      ext.Similarity.scalarQuantize(Tables.load(s, dir, "embeddings"))
-        .select(col("vec_id"), col("mse")).orderBy("vec_id")),
-
-    // ext: PageRank over the symmetrized q21 near-dup graph — template
-    // hubs rank high; 5 damped power-iteration rounds, each one
-    // edges⋈rank join + map-side contribution sum
-    "q139_pagerank" -> ((s, dir) => {
-      val pairs = ext.Dedup.minhashLsh(Tables.load(s, dir, "documents"),
-        "text", "doc_id", numHashes = 16, bands = 4, minJaccard = 0.3)
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      ext.Graph.pageRank(edges, "src", "dst", 5)
-        .select(col("node").as("doc_id"), round(col("pr"), 6).as("pr"))
-        .orderBy("doc_id")
-    }),
-
-    // ext: LSH candidates → exact Levenshtein verify — the "≤ k edits"
-    // dedup policy (threshold form band-limits the DP; length prefilter)
-    "q136_edit_verify" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      ext.Dedup.editDistanceVerify(
-        ext.Dedup.minhashCandidates(docs, "text", "doc_id"),
-        docs, "doc_id", "text", 50)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ext: count-min sketch point estimates — the cell table collapses
-    // map-side to ≤ d·w rows; probes broadcast-join it (absent key → 0
-    // + collisions). 'zzznope' exercises the absent-key path
-    "q137_cms_counts" -> ((s, dir) => {
-      import s.implicits._
-      val toks = Tables.load(s, dir, "documents")
-        .select(explode(ext.TextAnalysis.wordTokens("text")).as("tok"))
-      val probes = Seq("hash", "join", "filter", "data", "the", "zzznope")
-        .toDF("tok")
-      ext.Cms.estimates(ext.Cms.cells(toks, "tok"), probes, "tok")
-        .orderBy("tok")
-    }),
-
-    // ext: CMS inner product — equi-join cardinality estimated from two
-    // d·w cell tables without scanning either side (the planner's
-    // pre-join sizing pass at 100 TB)
-    "q138_cms_join_size" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      def toks(p: org.apache.spark.sql.Column) = docs.filter(p)
-        .select(explode(ext.TextAnalysis.wordTokens("text")).as("tok"))
-      ext.Cms.innerProduct(
-        ext.Cms.cells(toks(col("source").isin("src0", "src1")), "tok"),
-        ext.Cms.cells(toks(col("lang") === "zh"), "tok"))
-    }),
-
-    // ext: logistic-regression quality gate — 5 rounds of full-batch GD
-    // (one scan + one VectorMeanAgg gradient reduce per round, d+1-double
-    // driver update); the convex complement to the q99 NB gate
-    "q134_logistic_train" -> ((s, dir) => {
-      import s.implicits._
-      val w = ext.TextAnalysis.logisticTrain(
-        logitFeatures(Tables.load(s, dir, "documents")),
-        Seq("x1", "x2"), "y")
-      w.toIndexedSeq.zipWithIndex.map { case (wi, j) => (j, wi) }
-        .toDF("j", "w")
-        .select(col("j"), round(col("w"), 6).as("weight"))
-        .orderBy("j")
-    }),
-
-    // ext: per-doc sigmoid scores + 0.5-gate under the q134 model — the
-    // scoring pass is a pure codegen map over the scan
-    "q135_logistic_scores" -> ((s, dir) => {
-      val f = logitFeatures(Tables.load(s, dir, "documents"))
-      val w = ext.TextAnalysis.logisticTrain(f, Seq("x1", "x2"), "y")
-      ext.TextAnalysis.logisticScoreWith(f, "doc_id", Seq("x1", "x2"), w)
-        .orderBy("doc_id")
-    }),
-
-    // ext: hybrid retrieval — reciprocal rank fusion of the q127 BM25 run
-    // with a dense cosine top-10 (RAG's standard sparse+dense merge)
-    "q133_hybrid_rrf" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val sparse = ext.TextAnalysis.bm25(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
-        "hash join filter")
-      val dense = ext.Similarity
-        .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 10)
-        .select(col("corpus_id").as("doc_id"), col("cos").as("score"))
-      ext.Similarity.rrfFuse(sparse, dense, "doc_id")
-    }),
-
-    // ext: retrieval-quality audit — hit@10 / MRR / nDCG@10 of the brute
-    // cosine run against label-match relevance judgments; every stage
-    // keys on the query, the corpus never appears downstream of the run
-    "q149_retrieval_metrics" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val runs = ext.Similarity.bruteForceTopK(
-        emb, emb.filter(col("vec_id") < 10), 10)
-      val qrels = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("label"))
-        .join(emb.select(col("vec_id").as("corpus_id"), col("label")),
-          "label")
-        .filter(col("corpus_id") =!= col("query_id"))
-        .select("query_id", "corpus_id")
-      ext.Eval.retrievalMetrics(runs, qrels, "query_id", "corpus_id",
-          "cos", 10)
-        .orderBy("query_id")
-    }),
-
-    // ext: Fleiss' kappa across THREE quality raters (NB gate, heuristic
-    // quality gate, length gate) — the n-rater agreement audit; ratings
-    // collapse map-side to per-item counts. One NB training pass, then
-    // ONE shared corpus scan emits all three votes as columns (the NB
-    // score is a narrow codegen lookup against the driver model —
-    // nbScore ≡ nbQualityScore on the training corpus, suite-pinned),
-    // unpivoted to long form: r9 paid three independent scans plus the
-    // NB join shape for the same ratings (judge note, VERDICT r9 #3)
-    "q150_fleiss_kappa" -> ((s, dir) => {
-      val base = raterBase(s, dir)
-      val wide = base.select(col("doc_id"),
-        when(ext.TextAnalysis.nbScoreTokens(
-          nbModelOnTokens(base), col("toks")) > 0, 1).otherwise(0).as("nb"),
-        when(col("qs") >= 0.5, 1).otherwise(0).as("gate"),
-        when(col("n_chars") >= 300, 1).otherwise(0).as("len"))
-      val long = wide.unpivot(Array(col("doc_id")),
-        Array(col("nb"), col("gate"), col("len")), "rater", "vote")
-      materializedWithout(
-        ext.Eval.fleissKappa(long, "doc_id", "rater", "vote"), base)
-    }),
-
-    // ext: Brier score + Murphy decomposition of the q99 NB gate — the
-    // scalar probability audit next to q122's per-bin reliability view
-    "q151_brier" -> ((s, dir) => {
-      val base = raterBase(s, dir)
-      val scored = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
-        .join(base.select(col("doc_id"),
-          when(col("pos"), 1).otherwise(0).as("label")), "doc_id")
-      materializedWithout(
-        ext.Eval.brierDecomposition(scored, "score", "label"), base)
-    }),
-
-    // ext: multi-source BFS over the near-dup graph — hop distance from
-    // every 50th doc as the trusted seed set ("k hops from known-good");
-    // frontier rounds, NULL = unreached within 5
-    "q152_bfs_hops" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val pairs = ext.Dedup.minhashLsh(docs, "text", "doc_id",
-        numHashes = 16, bands = 4, minJaccard = 0.3)
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      val seeds = docs.filter(col("doc_id") % 50 === 0).select(col("doc_id"))
-      ext.Graph.bfsHops(edges, seeds, "src", "dst", "doc_id", 5)
-        .select(col("node").as("doc_id"), col("hops"))
-        .orderBy("doc_id")
-    }),
-
-    // ext: leakage-safe split — q55's hash split keyed by near-dup
-    // COMPONENT, so a duplication cluster never straddles train/test
-    "q153_leakage_split" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val pairs = ext.Dedup.minhashLsh(docs, "text", "doc_id",
-        numHashes = 16, bands = 4, minJaccard = 0.3)
-      ext.Sampling.leakageSafeSplit(docs, "doc_id", pairs,
-          Seq(0.8, 0.1, 0.1), "lk")
-        .select(col("doc_id"), col("group_id"), col("split"))
-        .orderBy("doc_id")
-    }),
-
-    // ext: quality-aware canonicalization — keep the BEST copy per
-    // near-dup cluster (max quality, id tiebreak), not the min-id one
-    "q154_keep_best" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val pairs = ext.Dedup.minhashLsh(docs, "text", "doc_id",
-        numHashes = 16, bands = 4, minJaccard = 0.3)
-      val scored = docs.select(col("doc_id"),
-        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
-      ext.Dedup.canonicalByScore(scored, "doc_id", pairs, "q")
-        .select(col("doc_id"), col("group_id"), col("rep_id"), col("keep"))
-        .orderBy("doc_id")
-    }),
-
-    // ext: recency-weighted engagement — half-life-decayed value/count
-    // per user (decay is a shuffle-free projection + one combine)
-    "q155_time_decay" -> ((s, dir) =>
-      streaming.EventStream.timeDecayedValue(
-        Tables.load(s, dir, "events"), 7.0)
-        .orderBy("user_id")),
-
-    // ext: context-length sizing study — truncation cost at candidate
-    // token budgets; kept_frac is an exact integer ratio
-    "q156_length_budget" -> ((s, dir) =>
-      ext.TextAnalysis.lengthBudgetReport(
-        Tables.load(s, dir, "documents"), "text", Seq(16, 32, 64, 128))),
-
-    // ext: Krippendorff's alpha with an ABSTAINING rater (the length
-    // gate only votes outside n_chars [250,350]) — agreement that
-    // tolerates missing ratings, unlike q150's Fleiss
-    "q157_krippendorff" -> ((s, dir) => {
-      // q150's shared-scan shape; the abstaining len rater emits NULL
-      // inside [250,350] and the unpivoted row is dropped (abstention =
-      // absent rating)
-      val base = raterBase(s, dir)
-      val wide = base.select(col("doc_id"),
-        when(ext.TextAnalysis.nbScoreTokens(
-          nbModelOnTokens(base), col("toks")) > 0, 1).otherwise(0).as("nb"),
-        when(col("qs") >= 0.5, 1).otherwise(0).as("gate"),
-        when(col("n_chars") < 250 || col("n_chars") > 350,
-          when(col("n_chars") >= 300, 1).otherwise(0)).as("len"))
-      val long = wide.unpivot(Array(col("doc_id")),
-        Array(col("nb"), col("gate"), col("len")), "rater", "vote")
-        .filter(col("vote").isNotNull)
-      materializedWithout(
-        ext.Eval.krippendorffAlpha(long, "doc_id", "rater", "vote"), base)
-    }),
-
-    // ext: cross-source quantile normalization — each doc's quality maps
-    // to the GLOBAL value at its within-source percentile (exact data
-    // values, no interpolated cuts)
-    "q158_quantile_norm" -> ((s, dir) => {
-      // quantileNormalize reads its input three times (per-group ranks,
-      // global ranks, final join) — pin the regex-scored projection
-      val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
-          col("source"),
-          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
-        .localCheckpoint(true)
-      materializedWithout(
-        ext.Eval.quantileNormalize(scored, "source", "q")
-          .select(col("doc_id"), col("source"), col("q"), col("norm"))
-          .orderBy("doc_id"), scored)
-    }),
-
-    // ext: rank-biased overlap of the q133 sparse/dense runs — the
-    // run-COMPARISON audit next to RRF's run-merge; bounded inputs
-    "q159_rbo" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val sparse = ext.TextAnalysis.bm25(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
-        "hash join filter")
-      val dense = ext.Similarity
-        .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 10)
-        .select(col("corpus_id").as("doc_id"), col("cos").as("score"))
-      ext.Similarity.rbo(sparse, dense, "doc_id")
-    }),
-
-    // ext: Spearman rank correlation between the quality and
-    // mean-word-length signals — the monotone-agreement audit before
-    // blending; exact 0.5-multiple ranks, unrounded rho
-    "q160_spearman" -> ((s, dir) => {
-      val scored = Tables.load(s, dir, "documents").select(
-        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"),
-        round(ext.TextAnalysis.meanWordLength(col("text")), 6).as("mwl"))
-      ext.Eval.spearman(scored, "q", "mwl")
-    }),
-
-    // ext: top principal component of the embedding store — 5 power-
-    // iteration rounds, each one scan + one VectorMeanAgg reduce + a
-    // d-double driver normalize (the logisticTrain shape, spectral)
-    "q161_pca_loadings" -> ((s, dir) => {
-      import s.implicits._
-      val v = ext.Similarity.pcaTopComponent(
-        Tables.load(s, dir, "embeddings"))
-      v.toIndexedSeq.zipWithIndex.map { case (vj, j) => (j + 1, vj) }
-        .toDF("dim", "loading")
-        .select(col("dim"), round(col("loading"), 6).as("loading"))
-        .orderBy("dim")
-    }),
-
-    // ext: the variance account of q161's direction — Rayleigh quotient
-    // vs total variance: "is this store anisotropic enough that PCA
-    // projection beats JL?" quantified
-    "q162_pca_variance" -> ((s, dir) =>
-      ext.Similarity.pcaVarianceReport(Tables.load(s, dir, "embeddings"))),
-
-    // ext: nightly-append IVF store — build from the even half, APPEND
-    // the odd half against the same centroids, serve the union; at
-    // nprobe = k the search is exact, so the oracle is brute force
-    "q163_store_append" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val coarse = ext.Ivf.train(emb, k = 8, iters = 2)
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q163_store_${s.sparkContext.applicationId}").toString
-      ext.Ivf.writeStore(emb.filter(col("vec_id") % 2 === 0), path, coarse)
-      ext.Ivf.appendToStore(emb.filter(col("vec_id") % 2 === 1), path,
-        coarse)
-      ext.Ivf.topKFromStore(s, path, emb.filter(col("vec_id") < 3), 10,
-        coarse, nprobe = 8)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ext: embedding drift between the even/odd halves — the alarm that
-    // tells the appended store its centroids went stale
-    "q164_embedding_drift" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      ext.Similarity.embeddingDrift(
-        emb.filter(col("vec_id") % 2 === 0),
-        emb.filter(col("vec_id") % 2 === 1))
-    }),
-
-    // ext: deterministic Poisson-bootstrap CI on the mean quality score —
-    // error bars without resampling passes, one scan ×40 hash weights
-    "q165_bootstrap_ci" -> ((s, dir) => {
-      // bootstrapCI reads its input twice (replicate branch + the n/mean
-      // aggregate) — pin the regex-scored projection
-      val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
-          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
-        .localCheckpoint(true)
-      materializedWithout(
-        ext.Eval.bootstrapCI(scored, "doc_id", "q"), scored)
-    }),
-
-    // ext: key-skew report on the events user key — the pre-join
-    // diagnostic that picks plain vs broadcast vs salted (q141) joins
-    "q166_skew_report" -> ((s, dir) =>
-      ext.Eval.skewReport(Tables.load(s, dir, "events"), "user_id")),
-
-    // ext: per-row projection onto the q161 component — the dominant-
-    // axis coordinate as a scalar feature (shuffle-free scoring map)
-    "q167_pca_project" -> ((s, dir) =>
-      ext.Similarity.pcaProject(Tables.load(s, dir, "embeddings"))
-        .orderBy("vec_id")),
-
-    // ext: daily PSI sweep of the event value vs the first-week baseline
-    // — the drift monitor form of q103 ("when did it drift, how fast")
-    "q168_psi_over_time" -> ((s, dir) =>
-      ext.Outliers.psiOverTime(Tables.load(s, dir, "events"), "ts",
-          "value", col("ts") < lit("2024-01-08").cast("timestamp"),
-          nBuckets = 10, lo = 0.0, hi = 500.0)
-        .orderBy("ws")),
-
-    // ext: Theil–Sen robust trend of the daily mean value per event type
-    // — median of pairwise slopes over the (tiny) pre-aggregated series
-    "q169_theil_sen" -> ((s, dir) => {
-      val daily = Tables.load(s, dir, "events")
-        .groupBy(col("event_type"),
-          window(col("ts"), "1 day").getField("start").as("d"))
-        .agg(round(avg(col("value")), 6).as("y"))
-        .select(col("event_type"),
-          (unix_micros(col("d")) / lit(86400000000L)).cast("double")
-            .as("x"),
-          col("y"))
-      ext.Outliers.trendTheilSen(daily, "event_type", "x", "y")
-        .orderBy("event_type")
-    }),
-
-    // ext: mutual information between the quality and mean-word-length
-    // signals over ECDF-decile bins — the nonlinear-redundancy audit
-    // next to q160's monotone one
-    "q170_mutual_info" -> ((s, dir) => {
-      val scored = Tables.load(s, dir, "documents").select(
-        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"),
-        round(ext.TextAnalysis.meanWordLength(col("text")), 6).as("mwl"))
-      ext.Eval.mutualInfo(scored, "q", "mwl")
-    }),
-
-    // ext: diagonal-Mahalanobis embedding outliers — top-20 z² scores
-    // (mis-embedded / adversarial rows); shuffle-free scoring map +
-    // TakeOrderedAndProject cut
-    "q172_embedding_outliers" -> ((s, dir) =>
-      ext.Similarity.embeddingOutliers(
-        Tables.load(s, dir, "embeddings"))),
-
-    // ext: label-issue mining — the 20 docs whose lang label the q112
-    // NB margins reject most confidently (the human-audit queue)
-    "q173_label_issues" -> ((s, dir) => {
-      val base = nbLangBase(s, dir)
-      materializedWithout(
-        ext.TextAnalysis.nbLabelIssuesTokens(base, "doc_id"), base)
-    }),
-
-    // ext: per-source duplication rate — the fraction each source would
-    // lose to min-id component dedup (which feeds need ingest dedup)
-    "q175_dup_rate_by_source" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val pairs = ext.Dedup.minhashLsh(docs, "text", "doc_id",
-        numHashes = 16, bands = 4, minJaccard = 0.3)
-      ext.Dedup.dupRateBySlice(docs, "doc_id", "source", pairs)
-        .orderBy("source")
-    }),
-
-    // ext: cross-source duplication matrix — who duplicates whom
-    // (mirrors/syndication); pair-volume cost, ≤ S² output rows
-    "q176_cross_dup_matrix" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val pairs = ext.Dedup.minhashLsh(docs, "text", "doc_id",
-        numHashes = 16, bands = 4, minJaccard = 0.3)
-      ext.Dedup.crossSliceDupMatrix(docs, "doc_id", "source", pairs)
-        .orderBy("slice_a", "slice_b")
-    }),
-
-    // ext: near-dup component-SIZE histogram — the duplication-depth
-    // curve (many pairs vs few mega-clusters need different dedup
-    // strategies); size-1 row = documents outside any pair
-    "q177_component_sizes" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val pairs = ext.Dedup.minhashLsh(docs, "text", "doc_id",
-        numHashes = 16, bands = 4, minJaccard = 0.3)
-      val comp = ext.Dedup.connectedComponents(pairs)
-      val multi = comp.groupBy(col("canonical_id"))
-        .agg(count(lit(1)).as("sz"))
-        .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
-      val singles = docs
-        .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .agg(count(lit(1)).as("n_components"))
-        .select(lit(1L).as("sz"), col("n_components"))
-      singles.unionByName(multi).orderBy("sz")
-    }),
-
-    // ext: REAL PCM WAV decode — id-derived RIFF/WAVE blobs parsed back
-    // (pure-JDK chunk walk); the oracle recomputes the analytic waveform
-    "q178_audio_decode" -> ((s, dir) => {
-      val media = ext.Multimodal.synthesizeAudio(
-        Tables.load(s, dir, "documents"), "doc_id")
-      ext.Multimodal.audioFeatures(media)
-        .select(col("id"), col("sampleRate").as("sample_rate"),
-          col("channels"), col("nSamples").as("n_samples"),
-          col("durationMs").as("duration_ms"),
-          round(col("rms"), 6).as("rms"))
-        .orderBy("id")
-    }),
-
-    // ext: REAL MP4 container-metadata parse — pure-JDK box walk (ftyp
-    // brand, mvhd duration/timescale, trak count): the pre-decode filter
-    // a video pipeline runs; frame decode stays the documented stub
-    "q179_video_meta" -> ((s, dir) => {
-      val media = ext.Multimodal.synthesizeVideo(
-        Tables.load(s, dir, "documents"), "doc_id")
-      ext.Multimodal.videoMeta(media)
-        .select(col("id"), col("brand"), col("timescale"),
-          col("duration"), col("durationMs").as("duration_ms"),
-          col("nTracks").as("n_tracks"))
-        .orderBy("id")
-    }),
-
-    // pipeline: quality-aware curation — q46's pipeline keeping the BEST
-    // member per near-dup cluster instead of the min-id one
-    "q180_curate_keep_best" -> ((s, dir) =>
-      pipeline.CorpusCuration.curateKeepBest(
-        Tables.load(s, dir, "documents"))
-        .orderBy("doc_id")),
-
-    // ext: the harness audits its own retrieval stack — hit/MRR/nDCG of
-    // the sparse, dense and RRF-fused runs against one judgment set
-    "q181_fusion_audit" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val docs = Tables.load(s, dir, "documents")
-      // the sparse run feeds its own audit AND the fusion (whose audit
-      // reads it again) — without a pin the corpus-scale BM25 scan runs
-      // three times; dense/qrels are bounded but re-read the same way
-      val sparse = ext.TextAnalysis.bm25(docs, "doc_id", "text",
-        "hash join filter").localCheckpoint(true)
-      val dense = ext.Similarity
-        .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 10)
-        .select(col("corpus_id").as("doc_id"), col("cos").as("score"))
-        .localCheckpoint(true)
-      val fused = ext.Similarity.rrfFuse(sparse, dense, "doc_id")
-        .select(col("doc_id"), col("rrf").as("score"))
-      val qrels = emb.as("q").filter(col("q.vec_id") === 0)
-        .join(emb.as("c"),
-          col("q.label") === col("c.label") && col("c.vec_id") =!= 0)
-        .select(col("c.vec_id").as("doc_id"), lit(0L).as("qid"))
-        .localCheckpoint(true)
-      def audit(run: org.apache.spark.sql.DataFrame, name: String) =
-        ext.Eval.retrievalMetrics(run.withColumn("qid", lit(0L)),
-            qrels, "qid", "doc_id", "score", 10)
-          .select(lit(name).as("run"), col("n_rel"), col("hit_k"),
-            col("mrr"), col("ndcg"))
-      val out = audit(sparse, "sparse").unionByName(audit(dense, "dense"))
-        .unionByName(audit(fused, "fused")).orderBy("run")
-        .localCheckpoint(true)
-      Seq(sparse, dense, qrels).foreach(graft.util.Checkpoints.release(_))
-      out
-    }),
-
-    // ext: MULTI-QUERY retrieval eval — q181 generalized from one
-    // judgment set to a qrels TABLE over 8 queries: the full-dim cosine
-    // run fused per-query (rrfFuseBy) with a truncated-32-dim run (the
-    // Matryoshka-style cheap first-pass ranking), then per-query hit/MRR/
-    // nDCG plus one macro-average row. Every stage keys on the query id;
-    // parallelism grows with query count, the corpus appears only in the
-    // two bounded top-k runs
-    "q182_retrieval_multiquery" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 8)
-      def run(frame: org.apache.spark.sql.DataFrame) =
-        ext.Similarity.bruteForceTopK(frame,
-            frame.filter(col("vec_id") < 8), 10)
-          .select(col("query_id"), col("corpus_id"), col("cos").as("score"))
-      val full = run(emb)
-      val trunc = run(emb.select(col("vec_id"),
-        slice(col("embedding"), 1, 32).as("embedding")))
-      val fused = ext.Similarity
-        .rrfFuseBy(full, trunc, "query_id", "corpus_id", "score")
-        .select(col("query_id"), col("corpus_id"), col("rrf").as("score"))
-      val qrels = queries.as("q")
-        .join(emb.as("c"), col("q.label") === col("c.label") &&
-          col("c.vec_id") =!= col("q.vec_id"))
-        .select(col("q.vec_id").as("query_id"),
-          col("c.vec_id").as("corpus_id"))
-      ext.Eval.retrievalMetricsMacro(fused, qrels, "query_id",
-          "corpus_id", "score", 10)
-        .orderBy(col("scope"), col("query_id"))
-    }),
-
-    // ext: REAL FLAC decode — pure-JDK lossless-audio codec (RFC 9639:
-    // fixed-predictor frames, Rice residuals, CRC-8/16 + PCM-MD5
-    // verified): the q178 waveform encoded for real and decoded back;
-    // the oracle replays the analytic features from the id
-    "q183_flac_decode" -> ((s, dir) => {
-      val media = ext.Flac.synthesizeFlacAudio(
-        Tables.load(s, dir, "documents"), "doc_id")
-      ext.Flac.flacFeatures(media)
-        .select(col("id"), col("sampleRate").as("sample_rate"),
-          col("channels"), col("nSamples").as("n_samples"),
-          col("durationMs").as("duration_ms"),
-          round(col("rms"), 6).as("rms"))
-        .orderBy("id")
-    }),
-
-    // ext: per-source bootstrap CI on mean quality — q165 sliced by
-    // source; "are these two sources' qualities really different?"
-    "q174_bootstrap_by_source" -> ((s, dir) => {
-      val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
-          col("source"),
-          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
-        .localCheckpoint(true)
-      materializedWithout(
-        ext.Eval.bootstrapCIBy(scored, "source", "doc_id", "q")
-          .orderBy("source"), scored)
-    }),
-
-    // ext: second principal component — power iteration deflated by
-    // per-round Gram–Schmidt against q161's direction; with q161/q167
-    // this is the 2-D cluster-map / whitening basis
-    "q171_pca_loadings2" -> ((s, dir) => {
-      import s.implicits._
-      val v = ext.Similarity.pcaSecondComponent(
-        Tables.load(s, dir, "embeddings"))
-      v.toIndexedSeq.zipWithIndex.map { case (vj, j) => (j + 1, vj) }
-        .toDF("dim", "loading2")
-        .select(col("dim"), round(col("loading2"), 6).as("loading2"))
-        .orderBy("dim")
-    }),
-  )
-
-  // ---- DuckDB oracle fragments shared by the ext queries (single source
-  // of truth with the Scala implementations' constants) ------------------
-  private val ToksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-  private val ShinglesSql =
-    s"""list_distinct(CASE WHEN len($ToksSql) < 3
-       THEN [array_to_string($ToksSql, ' ')]
-       ELSE list_transform(generate_series(1, len($ToksSql) - 2),
-              g -> concat($ToksSql[g], ' ', $ToksSql[g+1], ' ', $ToksSql[g+2]))
-       END)"""
-  /** DuckDB replica of [[ext.TextAnalysis.bpeTrain]] (q75): `n` generated
-    * merge rounds. Each round recounts weighted adjacent pairs from the
-    * previous vocabulary, picks the (count desc, lhs, rhs) argmax, and
-    * applies the merge as a literal `[lhs][rhs]` → `[lhs rhs]` replace —
-    * DuckDB's replace and Spark's share left-to-right non-overlapping
-    * no-rescan semantics, so the greedy merge is byte-identical. */
-  private def BpeChainSql(n: Int): String = {
-    val rounds = (1 to n).map { i =>
-      s"""p$i AS (SELECT s[g-1] AS lhs, s[g] AS rhs,
-               CAST(sum(cnt) AS BIGINT) AS n
-             FROM (SELECT cnt, s, unnest(generate_series(2, len(s))) AS g
-                   FROM (SELECT cnt,
-                           regexp_extract_all(seq, '\\[([^\\]]*)\\]', 1) AS s
-                         FROM v${i - 1}))
-             GROUP BY lhs, rhs),
-         b$i AS (SELECT lhs, rhs, n FROM p$i
-                 ORDER BY n DESC, lhs, rhs LIMIT 1),
-         v$i AS (SELECT cnt,
-                   replace(seq, '[' || b.lhs || '][' || b.rhs || ']',
-                     '[' || b.lhs || b.rhs || ']') AS seq
-                 FROM v${i - 1}, b$i b)"""
-    }.mkString(",\n         ")
-    s"""v0 AS (
-         SELECT cnt, '[' || array_to_string(
-             regexp_extract_all(word, '.'), '][') || ']' AS seq
-         FROM (SELECT word, count(*) AS cnt
-               FROM (SELECT unnest($ToksSql) AS word FROM documents)
-               GROUP BY word)),
-         $rounds"""
+  /** Dispatcher over the per-family registries (r12 split): each
+    * family file owns its query lambdas AND their oracle SQL side by
+    * side; this concatenation is the single driver-facing surface.
+    * Key disjointness is asserted — a duplicated qNN across families
+    * would otherwise silently shadow. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val fams = Seq(
+      QueriesBreakdown.queries,
+      QueriesSpatial.queries,
+      QueriesRelational.queries,
+      QueriesDedup.queries,
+      QueriesText.queries,
+      QueriesSimilarity.queries,
+      QueriesEval.queries,
+      QueriesDrift.queries,
+      QueriesSampling.queries,
+      QueriesSketch.queries,
+      QueriesGraph.queries,
+      QueriesMultimodal.queries,
+      QueriesStreaming.queries,
+      QueriesPipeline.queries)
+    val all = fams.reduce(_ ++ _)
+    require(all.size == fams.map(_.size).sum,
+      "duplicate query name across family registries")
+    all
   }
 
-  private def BpeTrainSql(n: Int): String = {
-    val union = (1 to n).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, n FROM b$i")
-      .mkString(" UNION ALL ")
-    s"""WITH ${BpeChainSql(n)}
-         SELECT * FROM ($union) ORDER BY rank"""
+
+  def oracleSql: Map[String, String] = {
+    val fams = Seq(
+      QueriesBreakdown.oracleSql,
+      QueriesSpatial.oracleSql,
+      QueriesRelational.oracleSql,
+      QueriesDedup.oracleSql,
+      QueriesText.oracleSql,
+      QueriesSimilarity.oracleSql,
+      QueriesEval.oracleSql,
+      QueriesDrift.oracleSql,
+      QueriesSampling.oracleSql,
+      QueriesSketch.oracleSql,
+      QueriesGraph.oracleSql,
+      QueriesMultimodal.oracleSql,
+      QueriesStreaming.oracleSql,
+      QueriesPipeline.oracleSql)
+    val all = fams.reduce(_ ++ _)
+    require(all.size == fams.map(_.size).sum,
+      "duplicate oracle name across family registries")
+    all
   }
 
-  /** DuckDB replica of [[ext.TextAnalysis.bpeSubwords]] (q76): the final
-    * vocabulary's symbols, frequency-weighted. */
-  private def BpeSubwordsSql(n: Int): String =
-    s"""WITH ${BpeChainSql(n)}
-       SELECT sym AS subword, CAST(sum(cnt) AS BIGINT) AS n
-       FROM (SELECT cnt,
-               unnest(regexp_extract_all(seq, '\\[([^\\]]*)\\]', 1)) AS sym
-             FROM v$n)
-       GROUP BY sym ORDER BY subword"""
-
-  /** DuckDB replica of [[ext.TextAnalysis.bpeEncode]] (q83, q97): the
-    * trained schedule's b_i rules folded over the distinct-word table
-    * (same `[lhs][rhs]` replace semantics), joined back onto document
-    * words — WITH-chain up to per-document relation `enc`; callers
-    * append their SELECT. */
-  private def BpeDocTokensSql(n: Int): String = {
-    val encRounds = (1 to n).map { i =>
-      s"""e$i AS (SELECT word,
-               replace(seq, '[' || b.lhs || '][' || b.rhs || ']',
-                 '[' || b.lhs || b.rhs || ']') AS seq
-             FROM e${i - 1}, b$i b)"""
-    }.mkString(",\n         ")
-    s"""WITH ${BpeChainSql(n)},
-         e0 AS (SELECT word, '[' || array_to_string(
-                  regexp_extract_all(word, '.'), '][') || ']' AS seq
-                FROM (SELECT DISTINCT word FROM
-                  (SELECT unnest($ToksSql) AS word FROM documents))),
-         $encRounds,
-         wt AS (SELECT word,
-                  len(regexp_extract_all(seq, '\\[([^\\]]*)\\]', 1)) AS ntok
-                FROM e$n),
-         w AS (SELECT doc_id, unnest($ToksSql) AS word FROM documents),
-         enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-                   CAST(sum(ntok) AS BIGINT) AS n_tokens
-                 FROM w JOIN wt USING (word) GROUP BY doc_id)"""
-  }
-
-  private def BpeEncodeSql(n: Int): String =
-    s"""${BpeDocTokensSql(n)}
-       SELECT doc_id, n_words, n_tokens FROM enc ORDER BY doc_id"""
-
-  private def baseHashSql(s: String): String =
-    s"CAST(CAST(concat('0x', substr(md5($s), 1, 15)) AS UBIGINT) % ${ext.Dedup.Prime} AS BIGINT)"
-
-  /** DuckDB replica of [[ext.TextAnalysis.nbQualityScore]] on the
-    * src0/src1 slice label — shared by q99 (the classifier itself) and
-    * the q113/q114 eval operators that sweep/rank its scores. */
-  /** Shared analytic-waveform replay for the audio-codec oracles (q178
-    * WAV, q183 FLAC): both synthesizers write s(t) = (id*31 + t*7) mod
-    * 2048 - 1024, n = ((id mod 5)+1)*80 mono samples at 8 kHz, so the
-    * expected features derive from the id alone — exact integers, the
-    * sum of squares is order-free in doubles. */
-  private lazy val oracleSqlAudioAnalytic: String =
-    """WITH p AS (SELECT doc_id AS id,
-           ((doc_id % 5) + 1) * 80 AS n
-         FROM documents),
-       s AS (SELECT id, n,
-           sqrt(list_sum(list_transform(generate_series(0, n - 1),
-               t -> CAST((id * 31 + t * 7) % 2048 - 1024 AS DOUBLE)
-                 * CAST((id * 31 + t * 7) % 2048 - 1024 AS DOUBLE)))
-             / CAST(n AS DOUBLE)) AS rms
-         FROM p)
-       SELECT id, 8000 AS sample_rate, CAST(1 AS INT) AS channels,
-         CAST(n AS BIGINT) AS n_samples,
-         CAST(n AS DOUBLE) / 8000.0 * 1000.0 AS duration_ms,
-         round(rms, 6) AS rms
-       FROM s ORDER BY id"""
-
-  private lazy val NbScoredSql: String =
-    s"""WITH d AS (SELECT doc_id,
-             CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS pos,
-             $ToksSql AS toks
-           FROM documents),
-         t AS (SELECT doc_id, pos, unnest(toks) AS tok FROM d),
-         c AS (SELECT tok,
-                 sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS cp,
-                 sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS cn
-               FROM t GROUP BY tok),
-         g AS (SELECT CAST(sum(cp) AS BIGINT) AS tp,
-                 CAST(sum(cn) AS BIGINT) AS tn,
-                 CAST(count(*) AS BIGINT) AS v FROM c),
-         nd AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
-                  CAST(count(*) - sum(pos) AS BIGINT) AS nn FROM d),
-         w AS (SELECT tok,
-                 ln(CAST(cp + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE)) -
-                 ln(CAST(cn + 1 AS DOUBLE) / CAST(tn + v AS DOUBLE)) AS w
-               FROM c, g),
-         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                  sum(w) AS sw
-                FROM t JOIN w USING (tok) GROUP BY doc_id)
-         SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens, d.pos,
-           round(ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) +
-             coalesce(sc.sw, 0), 6) AS score,
-           CASE WHEN round(ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) +
-             coalesce(sc.sw, 0), 6) > 0 THEN 1 ELSE 0 END AS pred
-         FROM d LEFT JOIN sc USING (doc_id), nd"""
-
-  /** DuckDB replica of [[ext.TextAnalysis.nbMulticlass]] on the lang
-    * label (no ORDER BY) - shared by q112 and the q119 eval. */
-  /** [[NbMulticlassSql]]'s CTE prefix through `sc` (per-(doc, class)
-    * scores) — shared with the q173 label-issue oracle. */
-  private lazy val NbMulticlassCtesSql: String =
-    s"""WITH d AS (SELECT doc_id, lang AS cls, $ToksSql AS toks
-             FROM documents),
-         t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-         tc AS (SELECT cls, unnest(toks) AS tok FROM d),
-         c AS (SELECT cls, tok, CAST(count(*) AS BIGINT) AS cnt
-               FROM tc GROUP BY cls, tok),
-         vt AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM c),
-         nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
-         cl AS (SELECT dd.cls,
-                  ln(CAST(dd.ndc AS DOUBLE) / CAST(nt.n AS DOUBLE))
-                    AS prior,
-                  ln(CAST(coalesce(cs.tc2, 0) + vt.v AS DOUBLE)) AS lntc
-                FROM (SELECT cls, CAST(count(*) AS BIGINT) AS ndc
-                      FROM d GROUP BY cls) dd
-                LEFT JOIN (SELECT cls, CAST(sum(cnt) AS BIGINT) AS tc2
-                           FROM c GROUP BY cls) cs ON cs.cls = dd.cls,
-                  vt, nt),
-         s AS (SELECT t.doc_id, c.cls,
-                 sum(ln(CAST(c.cnt + 1 AS DOUBLE))) AS s
-               FROM t JOIN c ON c.tok = t.tok GROUP BY t.doc_id, c.cls),
-         pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
-                FROM d),
-         sc AS (SELECT pd.doc_id, pd.n_tokens, cl.cls,
-                  round(cl.prior + coalesce(s.s, 0.0) -
-                    CAST(pd.n_tokens AS DOUBLE) * cl.lntc, 6) AS score
-                FROM pd CROSS JOIN cl
-                LEFT JOIN s ON s.doc_id = pd.doc_id AND s.cls = cl.cls)"""
-
-  private lazy val NbMulticlassSql: String =
-    s"""$NbMulticlassCtesSql,
-         r AS (SELECT doc_id, n_tokens, cls, score,
-                 row_number() OVER (PARTITION BY doc_id
-                   ORDER BY score DESC, cls) AS rn
-               FROM sc)
-         SELECT doc_id, n_tokens, cls AS pred, score FROM r WHERE rn = 1"""
-
-  /** DuckDB replica of [[ext.Similarity.mmrTopK]] (q110): `k` generated
-    * greedy steps. Step 1 picks peak relevance; step i ≥ 2 scores every
-    * unselected candidate as `λ·rel − (1−λ)·max sim to the selected set`
-    * (the λ and 1−λ literals interpolate from the SAME doubles the Scala
-    * greedy uses, so the score arithmetic is bit-identical) and picks the
-    * (score desc, corpus_id) argmax per query. Every CTE is MATERIALIZED:
-    * each step references the previous selection three times, and inlined
-    * CTEs would re-evaluate the chain exponentially (3^k). */
-  private def MmrChainSql(k: Int, lambda: Double, candidates: Int,
-      nQueries: Int): String = {
-    val L = lambda.toString
-    val M = (1.0 - lambda).toString
-    def cos(a: String, b: String) =
-      s"""list_dot_product($a, $b) /
-         (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"""
-    val steps = (2 to k).map { i =>
-      s"""pick$i AS MATERIALIZED (SELECT query_id, corpus_id, rel, $i AS mmr_rank FROM (
-             SELECT m.query_id, m.corpus_id, m.rel,
-               row_number() OVER (PARTITION BY m.query_id
-                 ORDER BY ($L * m.rel - $M * m.maxsim) DESC, m.corpus_id)
-                 AS rn
-             FROM (SELECT c.query_id, c.corpus_id, c.rel,
-                     max(ps.sim) AS maxsim
-                   FROM cands c
-                   JOIN ps ON ps.query_id = c.query_id
-                     AND ps.id_a = c.corpus_id
-                   JOIN sel${i - 1} s ON s.query_id = ps.query_id
-                     AND s.corpus_id = ps.id_b
-                   WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
-                     WHERE x.query_id = c.query_id
-                       AND x.corpus_id = c.corpus_id)
-                   GROUP BY c.query_id, c.corpus_id, c.rel) m) t
-           WHERE rn = 1),
-         sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1}
-           UNION ALL SELECT * FROM pick$i)"""
-    }.mkString(",\n         ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-             FROM embeddings),
-       cand0 AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-                   ${cos("c.v", "q.v")} AS rel
-                 FROM e c, e q
-                 WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
-       cands AS MATERIALIZED (SELECT query_id, corpus_id, rel FROM (
-                   SELECT query_id, corpus_id, rel,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY round(rel, 6) DESC, corpus_id) AS rn
-                   FROM cand0) t WHERE rn <= $candidates),
-       ps AS MATERIALIZED (SELECT a.query_id, a.corpus_id AS id_a, b.corpus_id AS id_b,
-                ${cos("va.v", "vb.v")} AS sim
-              FROM cands a JOIN cands b ON a.query_id = b.query_id
-                AND a.corpus_id <> b.corpus_id
-              JOIN e va ON va.vec_id = a.corpus_id
-              JOIN e vb ON vb.vec_id = b.corpus_id),
-       sel1 AS MATERIALIZED (SELECT query_id, corpus_id, rel, 1 AS mmr_rank FROM (
-                  SELECT query_id, corpus_id, rel,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY rel DESC, corpus_id) AS rn
-                  FROM cands) t WHERE rn = 1),
-       $steps
-       SELECT query_id, CAST(mmr_rank AS INT) AS mmr_rank, corpus_id,
-         round(rel, 6) AS rel
-       FROM sel$k ORDER BY query_id, mmr_rank"""
-  }
-  /** DuckDB replica of [[ext.Sampling.hashBucket]] (q55/q56). */
-  private def BucketSql(salt: String, idCol: String): String =
-    s"CAST(CAST(concat('0x', substr(md5(concat('$salt', CAST($idCol AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT)"
-  private val LangScoreSql = ext.TextAnalysis.stopwords.map { case (lang, ws) =>
-    s"len(list_intersect(toks, [${ws.map(w => s"'$w'").mkString(",")}])) AS s_$lang"
-  }.mkString(", ")
-  private val LangCaseSql = {
-    val names = ext.TextAnalysis.stopwords.map(_._1)
-    val best = s"greatest(${names.map("s_" + _).mkString(",")})"
-    names.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'")
-      .mkString("CASE ", " ", " ELSE 'und' END")
-  }
-  private val SigSql = ext.Dedup.hashParams(16).map { case (a, b) =>
-    s"list_min(list_transform(hv, h -> ($a * h + $b) % ${ext.Dedup.Prime}))"
-  }.mkString("[", ", ", "]")
-  /** DuckDB replica of [[ext.TextAnalysis.qualityScore]] (q18, q103):
-    * CTE prefix producing relation `s` (doc_id, source, text, tok_cnt,
-    * s_* language hits) and the rounded score expression over it. */
-  private lazy val QualityCtesSql =
-    s"""WITH t AS (
-           SELECT doc_id, source, text, $ToksSql AS toks,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok_cnt
-           FROM documents),
-         s AS (SELECT doc_id, source, text, tok_cnt, $LangScoreSql FROM t)"""
-  private val QualityValSql =
-    s"""round(0.3 * least(tok_cnt / 100.0, 1.0)
-             + 0.4 * (1.0 - CASE WHEN len(text) > 0
-                 THEN (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)) / len(text)
-                 ELSE 0.0 END)
-             + 0.3 * least(CASE WHEN tok_cnt > 0
-                 THEN (CAST(s_en AS DOUBLE) / tok_cnt) ELSE 0.0 END * 5.0, 1.0), 6)"""
-  /** Shared turn table for the q146/q147 chat operators: per user, events
-    * in (ts, event_id) order become numbered turns; view/click/signup map
-    * to 'user', purchase/error to 'assistant'; content = event_type (a
-    * deterministic string — `value` would drag double formatting into the
-    * cross-engine compare). */
-  private def chatTurns(events: org.apache.spark.sql.DataFrame):
-      org.apache.spark.sql.DataFrame =
-    events.select(col("user_id").as("conv_id"),
-      row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
-        .as("turn_idx"),
-      when(col("event_type").isin("view", "click", "signup"), "user")
-        .otherwise("assistant").as("role"),
-      col("event_type").as("content"))
-
-  /** Shared feature projection for the q134/q135 logistic gate: bounded
-    * [0,1]-ish features whose per-row arithmetic replays identically in
-    * DuckDB (ln of an exact integer argument, exact integer ratios); the
-    * ln-scale constant interpolates from the SAME Scala double. */
-  private val LogitLnScale: Double = math.log(1001.0)
-  private def logitFeatures(docs: org.apache.spark.sql.DataFrame):
-      org.apache.spark.sql.DataFrame = {
-    val toks = ext.TextAnalysis.wordTokens("text")
-    docs.select(col("doc_id"),
-      (log(lit(1.0) + size(toks).cast("double")) / lit(LogitLnScale))
-        .as("x1"),
-      (size(array_distinct(toks)).cast("double") /
-        (lit(1.0) + size(toks).cast("double"))).as("x2"),
-      when(col("source").isin("src0", "src1"), 1.0).otherwise(0.0).as("y"))
-  }
-
-  /** DuckDB replica of the q134/q135 GD chain: 5 generated MATERIALIZED
-    * rounds, each re-scoring `f` under the previous round's weights. The
-    * dot product is written with the same leading-zero left association
-    * as the Spark zip_with fold. */
-  private lazy val LogitChainSql: String = {
-    val lr = 0.5
-    val feat =
-      s"""f AS MATERIALIZED (SELECT doc_id,
-           ln(1.0 + CAST(len($ToksSql) AS DOUBLE)) / $LogitLnScale AS x1,
-           CAST(len(list_distinct($ToksSql)) AS DOUBLE) /
-             (1.0 + CAST(len($ToksSql) AS DOUBLE)) AS x2,
-           CASE WHEN source IN ('src0', 'src1') THEN 1.0 ELSE 0.0 END AS y
-         FROM documents),
-         it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
-    val rounds = (1 to 5).map { i =>
-      def g(x: String) =
-        s"(y - 1.0 / (1.0 + exp(-(0.0 + w0 * 1.0 + w1 * x1 + w2 * x2)))) * $x"
-      s"""it$i AS MATERIALIZED (SELECT
-           w0 + $lr * avg(${g("1.0")}) AS w0,
-           w1 + $lr * avg(${g("x1")}) AS w1,
-           w2 + $lr * avg(${g("x2")}) AS w2
-         FROM f, it${i - 1} GROUP BY w0, w1, w2)"""
-    }
-    (feat +: rounds).mkString("WITH ", ",\n", "")
-  }
-  private val LogitDotSql = "(0.0 + w0 * 1.0 + w1 * x1 + w2 * x2)"
-
-  /** DuckDB replica of [[chatTurns]]: the shared turn CTE for q146/q147. */
-  private val ChatTurnsSql =
-    """turns AS (SELECT user_id AS conv_id,
-         CAST(row_number() OVER (PARTITION BY user_id
-           ORDER BY ts, event_id) AS INT) AS turn_idx,
-         CASE WHEN event_type IN ('view', 'click', 'signup') THEN 'user'
-           ELSE 'assistant' END AS role,
-         event_type AS content
-       FROM events WHERE user_id < 50)"""
-
-  /** DuckDB replica of [[ext.Cms.bucket]] at width 1024: the md5-prefix
-    * 60-bit hash of "j:key", expecting `j` in scope. */
-  private def CmsBucketSql(keyExpr: String): String =
-    s"""CAST(CAST(concat('0x', substr(md5(concat(j, ':', $keyExpr)), 1, 15))
-       AS UBIGINT) % 1024 AS BIGINT)"""
-
-  private val CosSql =
-    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
-
-  /** 60-bit SimHash sketch over a `toks` list column (q22, q44). */
-  private val SimhashSketchSql =
-    """CAST(coalesce(list_sum(list_transform(generate_series(0, 59), b ->
-       CASE WHEN 2 * len(list_filter(toks, tok ->
-           ((CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) >> b) & 1) = 1))
-         - len(toks) > 0
-       THEN (CAST(1 AS BIGINT) << (59 - b)) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)"""
-
-  /** DuckDB replica of [[ext.Similarity.pcaTopComponent]] at iters = 5,
-    * d = 64 (q161/q162): CTE chain `e` (vectors), `mu` (mean list),
-    * `v0..v5` (power-iteration rounds, MATERIALIZED — each feeds the
-    * next). Shapes replay the Spark arithmetic exactly: dot = sequential
-    * list fold, per-dim mean = sum/n, normalize = w_j/‖w‖. */
-  private lazy val PcaRoundsSql: String = {
-    val d = 64
-    val rounds = (1 to 5).map { i =>
-      s"""v$i AS MATERIALIZED (
-           SELECT list_transform(w, wi -> wi / nrm) AS v FROM (
-             SELECT w, sqrt(list_sum(list_transform(w, wi -> wi * wi)))
-               AS nrm
-             FROM (
-               SELECT list(wj ORDER BY j) AS w FROM (
-                 SELECT g.j AS j,
-                   avg(sc.s * (sc.x[g.j] - sc.mu[g.j])) AS wj
-                 FROM (SELECT e.x AS x, mu.mu AS mu,
-                         list_sum(list_transform(generate_series(1, $d),
-                           j2 -> (e.x[j2] - mu.mu[j2]) * vp.v[j2])) AS s
-                       FROM e, mu, v${i - 1} vp) sc,
-                   generate_series(1, $d) AS g(j)
-                 GROUP BY g.j))))"""
-    }.mkString(",\n")
-    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
-           FROM embeddings),
-       mu AS MATERIALIZED (SELECT list(m ORDER BY j) AS mu FROM (
-         SELECT g.j AS j, avg(e.x[g.j]) AS m
-         FROM e, generate_series(1, $d) AS g(j) GROUP BY g.j)),
-       v0 AS (SELECT list_transform(generate_series(1, $d),
-         j -> ${1.0 / math.sqrt(d.toDouble)}) AS v),
-       $rounds"""
-  }
-
-  /** DuckDB replica of [[ext.Similarity.pcaSecondComponent]] (q171):
-    * appends to [[PcaRoundsSql]] (whose v5 is the first component) the
-    * Gram–Schmidt-deflated rounds u0..u5 — matvec `w$i` then
-    * orthogonalize-and-normalize, the exact Spark driver arithmetic. */
-  private lazy val Pca2RoundsSql: String = {
-    val d = 64
-    def ortho(src: String, out: String) =
-      s"""$out AS MATERIALIZED (
-           SELECT list_transform(o, oi -> oi / nrm) AS v FROM (
-             SELECT o, sqrt(list_sum(list_transform(o, oi -> oi * oi)))
-               AS nrm
-             FROM (
-               SELECT list_transform(generate_series(1, $d),
-                 j -> ww[j] - proj * v1l[j]) AS o
-               FROM (SELECT $src.w AS ww, v5.v AS v1l,
-                       list_sum(list_transform(generate_series(1, $d),
-                         j -> $src.w[j] * v5.v[j])) AS proj
-                     FROM $src, v5))))"""
-    def matvec(i: Int) =
-      s"""w$i AS (SELECT list(wj ORDER BY j) AS w FROM (
-           SELECT g.j AS j, avg(sc.s * (sc.x[g.j] - sc.mu[g.j])) AS wj
-           FROM (SELECT e.x AS x, mu.mu AS mu,
-                   list_sum(list_transform(generate_series(1, $d),
-                     j2 -> (e.x[j2] - mu.mu[j2]) * up.v[j2])) AS s
-                 FROM e, mu, u${i - 1} up) sc,
-             generate_series(1, $d) AS g(j)
-           GROUP BY g.j))"""
-    val rounds = (1 to 5).map(i => s"${matvec(i)},\n${ortho(s"w$i", s"u$i")}")
-      .mkString(",\n")
-    s"""$PcaRoundsSql,
-       w0 AS (SELECT list_transform(generate_series(1, $d),
-         j -> ${1.0 / math.sqrt(d.toDouble)}) AS w),
-       ${ortho("w0", "u0")},
-       $rounds"""
-  }
-
-  /** Shared minhash-LSH candidate/verify CTEs (q21, q43): WITH-prefix up to
-    * the verified-pairs relation `j`; the caller appends its SELECT. */
-  private lazy val MinhashPairsSql =
-    s"""WITH d AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
-       h AS (SELECT doc_id, sh, list_transform(sh, s -> ${baseHashSql("s")}) AS hv FROM d),
-       g AS (SELECT doc_id, $SigSql AS sig FROM h),
-       b AS (SELECT doc_id, t2.b AS band,
-               array_to_string(sig[(t2.b * 4 + 1):(t2.b * 4 + 4)], ',') AS band_key
-             FROM g, generate_series(0, 3) AS t2(b)),
-       cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-                FROM b l JOIN b r ON l.band = r.band AND l.band_key = r.band_key
-                  AND l.doc_id < r.doc_id),
-       j AS (SELECT c.id_a, c.id_b,
-               (CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE))
-                 / CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE) AS jaccard
-             FROM cand c JOIN d da ON da.doc_id = c.id_a JOIN d db ON db.doc_id = c.id_b)"""
-
-  /** DuckDB-equivalent SQL per query (same column names, same rounding). */
-  def oracleSql: Map[String, String] = Map(
-    "q01_breakdown_basic" ->
-      """SELECT l_returnflag, l_linestatus,
-         round(coalesce(sum(l_quantity),0),4) AS sum_qty,
-         round(avg(l_extendedprice),4) AS avg_price,
-         count(l_discount) AS cnt_disc,
-         round(min(l_quantity),4) AS min_qty,
-         round(max(l_quantity),4) AS max_qty
-         FROM lineitem GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
-
-    "q02_breakdown_weighted" ->
-      """SELECT l_returnflag,
-         round(CASE WHEN sum(CASE WHEN l_quantity IS NOT NULL THEN coalesce(l_discount,0) ELSE 0 END) <> 0
-           THEN sum(CASE WHEN l_quantity IS NOT NULL THEN l_quantity*coalesce(l_discount,0) ELSE 0 END)
-              / sum(CASE WHEN l_quantity IS NOT NULL THEN coalesce(l_discount,0) ELSE 0 END)
-           END, 6) AS wavg_qty,
-         round(coalesce(sum(l_extendedprice*l_discount),0),4) AS wsum_rev
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    "q03_breakdown_stats" ->
-      """SELECT l_returnflag,
-         round(var_samp(l_quantity),6) AS var_qty,
-         round(stddev_samp(l_quantity),6) AS std_qty,
-         round(stddev_samp(l_quantity)/sqrt(count(l_quantity)),6) AS sem_qty,
-         count(l_quantity) AS cnt_qty
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    "q04_breakdown_quantiles" ->
-      """SELECT l_returnflag,
-         round(quantile_cont(l_extendedprice, 0.25),4) AS q1_price,
-         round(quantile_cont(l_extendedprice, 0.50),4) AS q2_price,
-         round(quantile_cont(l_extendedprice, 0.75),4) AS q3_price,
-         round(quantile_cont(l_extendedprice, 0.10),4) AS p10_price,
-         round(quantile_cont(l_extendedprice, 0.90),4) AS p90_price
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    "q05_breakdown_major_list" ->
-      """WITH base AS (
-           SELECT o_orderstatus,
-             string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prio_list,
-             count(o_orderkey) AS cnt
-           FROM orders GROUP BY o_orderstatus),
-         c AS (
-           SELECT o_orderstatus, o_orderpriority, count(*) AS n
-           FROM orders WHERE o_orderpriority IS NOT NULL
-           GROUP BY o_orderstatus, o_orderpriority),
-         r AS (
-           SELECT o_orderstatus, o_orderpriority,
-             row_number() OVER (PARTITION BY o_orderstatus
-                                ORDER BY n DESC, o_orderpriority ASC) AS rn
-           FROM c)
-         SELECT base.o_orderstatus, r.o_orderpriority AS major_prio,
-                base.prio_list, base.cnt
-         FROM base JOIN r ON base.o_orderstatus = r.o_orderstatus AND r.rn = 1
-         ORDER BY base.o_orderstatus""",
-
-    "q06_breakdown_wquantile" ->
-      """WITH v AS (
-           SELECT l_returnflag AS k, l_quantity AS a,
-                  CAST(l_linenumber AS DOUBLE) AS w
-           FROM lineitem
-           WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL),
-         agg AS (SELECT k, sum(w) AS S, count(*) AS n FROM v GROUP BY k),
-         s AS (
-           SELECT k, a,
-             sum(w) OVER (PARTITION BY k ORDER BY a
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ecdf,
-             row_number() OVER (PARTITION BY k ORDER BY a) AS rn
-           FROM v),
-         j AS (SELECT s.k, s.a, s.ecdf, s.rn, agg.S, agg.n
-               FROM s JOIN agg ON s.k = agg.k),
-         idx AS (
-           SELECT k, any_value(S) AS S, any_value(n) AS n,
-             least(sum(CASE WHEN ecdf <= 0.25*(S-1) THEN 1 ELSE 0 END), any_value(n)-1) AS lo1,
-             least(sum(CASE WHEN ecdf <= 0.25*(S-1)+1 THEN 1 ELSE 0 END), any_value(n)-1) AS hi1,
-             least(sum(CASE WHEN ecdf <= 0.50*(S-1) THEN 1 ELSE 0 END), any_value(n)-1) AS lo2,
-             least(sum(CASE WHEN ecdf <= 0.50*(S-1)+1 THEN 1 ELSE 0 END), any_value(n)-1) AS hi2,
-             least(sum(CASE WHEN ecdf <= 0.75*(S-1) THEN 1 ELSE 0 END), any_value(n)-1) AS lo3,
-             least(sum(CASE WHEN ecdf <= 0.75*(S-1)+1 THEN 1 ELSE 0 END), any_value(n)-1) AS hi3
-           FROM j GROUP BY k)
-         SELECT i.k AS l_returnflag,
-           round(jl1.a*(1-(0.25*(i.S-1)-floor(0.25*(i.S-1)))) + jh1.a*(0.25*(i.S-1)-floor(0.25*(i.S-1))),6) AS wq1_qty,
-           round(jl2.a*(1-(0.50*(i.S-1)-floor(0.50*(i.S-1)))) + jh2.a*(0.50*(i.S-1)-floor(0.50*(i.S-1))),6) AS wq2_qty,
-           round(jl3.a*(1-(0.75*(i.S-1)-floor(0.75*(i.S-1)))) + jh3.a*(0.75*(i.S-1)-floor(0.75*(i.S-1))),6) AS wq3_qty
-         FROM idx i
-         JOIN j jl1 ON jl1.k=i.k AND jl1.rn=i.lo1+1
-         JOIN j jh1 ON jh1.k=i.k AND jh1.rn=i.hi1+1
-         JOIN j jl2 ON jl2.k=i.k AND jl2.rn=i.lo2+1
-         JOIN j jh2 ON jh2.k=i.k AND jh2.rn=i.hi2+1
-         JOIN j jl3 ON jl3.k=i.k AND jl3.rn=i.lo3+1
-         JOIN j jh3 ON jh3.k=i.k AND jh3.rn=i.hi3+1
-         ORDER BY i.k""",
-
-    "q07_breakdown_nullkeys" ->
-      """SELECT coalesce(nullif(l_returnflag,'N'),'-99') AS rf_masked,
-         round(coalesce(sum(l_quantity),0),4) AS sum_qty
-         FROM lineitem GROUP BY 1 ORDER BY 1""",
-
-    "q08_sentinel_mask" ->
-      """WITH m AS (
-           SELECT l_orderkey,
-             nullif(CASE WHEN l_quantity <= 2 THEN -99.0 ELSE l_quantity END, -99.0) AS q99
-           FROM lineitem)
-         SELECT count(q99) AS n_notnull,
-                round(coalesce(sum(q99),0),4) AS sum_q,
-                count(l_orderkey) AS n_rows
-         FROM m""",
-
-    "q09_condition_filter" ->
-      """SELECT l_linestatus,
-         round(coalesce(sum(l_extendedprice),0),4) AS sum_price,
-         count(l_orderkey) AS cnt
-         FROM lineitem
-         WHERE l_discount > 0.05 AND l_returnflag = 'R'
-         GROUP BY l_linestatus ORDER BY l_linestatus""",
-
-    "q10_factorize" ->
-      """WITH g AS (
-           SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag)
-         SELECT l_returnflag,
-                CAST(dense_rank() OVER (ORDER BY l_returnflag) - 1 AS BIGINT) AS rf_idx,
-                cnt
-         FROM g ORDER BY l_returnflag""",
-
-    "q11_grid_generate" ->
-      s"""WITH $GridSql
-         SELECT id, i, j, k, x, y, z, 1000.0 AS volume FROM g ORDER BY id""",
-
-    "q12_flag_regions" ->
-      s"""WITH $GridSql
-         SELECT id,
-           CASE WHEN x BETWEEN 1151.2 AND 1248.8 AND y BETWEEN 2101.1 AND 2199.9
-                     AND z BETWEEN 151.3 AND 249.7 THEN 'region3'
-                WHEN x BETWEEN 1097.3 AND 1203.7 AND y BETWEEN 2051.3 AND 2148.8
-                     AND z BETWEEN 141.2 AND 198.9 THEN 'region2'
-                ELSE '' END AS region
-         FROM g ORDER BY id""",
-
-    "q13_mine_deplete" ->
-      s"""WITH $GridSql
-         SELECT id,
-           round(least(1, greatest(0, (152.3 - (z - 5)) / 10)) *
-             (CASE WHEN x BETWEEN 1100.3 AND 1300.7 AND y BETWEEN 2050.1 AND 2250.9
-                   THEN 1 - least(1, greatest(0, (173.456 - (z - 5)) / 10))
-                   ELSE 1 END), 6) AS mine
-         FROM g ORDER BY id""",
-
-    "q14_nearest_cell" ->
-      """WITH p AS (
-           SELECT range AS id,
-             995.0 + (range * CAST(7.3 AS DOUBLE)) % 310.0 AS x,
-             1995.0 + (range * CAST(11.7 AS DOUBLE)) % 210.0 AS y,
-             95.0 + (range * CAST(3.9 AS DOUBLE)) % 210.0 AS z
-           FROM range(500)),
-         c AS (
-           SELECT id,
-             CAST(floor((x - 1000) / 10) AS BIGINT) AS ci,
-             CAST(floor((y - 2000) / 10) AS BIGINT) AS cj,
-             CAST(floor((z - 100) / 10) AS BIGINT) AS ck
-           FROM p)
-         SELECT id,
-           CAST(CASE WHEN ci BETWEEN 0 AND 29 AND cj BETWEEN 0 AND 19 AND ck BETWEEN 0 AND 19 THEN ci ELSE -1 END AS INT) AS i,
-           CAST(CASE WHEN ci BETWEEN 0 AND 29 AND cj BETWEEN 0 AND 19 AND ck BETWEEN 0 AND 19 THEN cj ELSE -1 END AS INT) AS j,
-           CAST(CASE WHEN ci BETWEEN 0 AND 29 AND cj BETWEEN 0 AND 19 AND ck BETWEEN 0 AND 19 THEN ck ELSE -1 END AS INT) AS k
-         FROM c ORDER BY id""",
-
-    "q15_heatmap2d" ->
-      s"""WITH $GridSql
-         SELECT i, j, avg((i * 7 + j * 13 + k * 17) % 97) AS v_mean
-         FROM g GROUP BY i, j ORDER BY i, j""",
-
-    "q16_elevation" ->
-      s"""WITH $GridSql
-         SELECT id,
-           CASE WHEN x BETWEEN 1001 AND 1289.5 AND y BETWEEN 1900 AND 2350
-                THEN round(50 + 0.01 * x + 0.02 * y, 6) END AS elev
-         FROM g ORDER BY id""",
-
-    "q17_token_count" ->
-      """SELECT doc_id,
-         CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tok_cnt
-         FROM documents ORDER BY doc_id""",
-
-    "q18_langid_quality" ->
-      s"""$QualityCtesSql
-         SELECT doc_id,
-           $LangCaseSql AS lang_id,
-           $QualityValSql AS quality
-         FROM s ORDER BY doc_id""",
-
-    "q19_fingerprint" ->
-      """SELECT doc_id,
-         list_min(list_transform(generate_series(1, greatest(len(text) - 7, 1)),
-           i -> md5(substr(text, i, 8)))) AS fp
-         FROM documents ORDER BY doc_id""",
-
-    "q20_dedup_exact" ->
-      """WITH m AS (SELECT md5(substr(text, 1, 20)) AS content_hash, doc_id FROM documents)
-         SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
-         FROM m GROUP BY content_hash HAVING count(*) > 1
-         ORDER BY content_hash""",
-
-    "q21_minhash_lsh" ->
-      s"""$MinhashPairsSql
-         SELECT id_a, id_b, round(jaccard, 6) AS jaccard
-         FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
-
-    // windowed LSH dedup survivors: min-id wins each (window, band, bucket);
-    // a doc survives iff it wins all `bands` of its buckets
-    "q53_lsh_dedup_win" ->
-      s"""WITH d AS (SELECT doc_id, $ShinglesSql AS sh FROM documents),
-         h AS (SELECT doc_id, list_transform(sh, s -> ${baseHashSql("s")}) AS hv FROM d),
-         g AS (SELECT doc_id, $SigSql AS sig FROM h),
-         b AS (SELECT doc_id, (doc_id // 100) * 100 AS ws, t2.b AS band,
-                 array_to_string(sig[(t2.b * 4 + 1):(t2.b * 4 + 4)], ',') AS band_key
-               FROM g, generate_series(0, 3) AS t2(b)),
-         w AS (SELECT ws, band, band_key, min(doc_id) AS doc_id
-               FROM b GROUP BY ws, band, band_key),
-         s AS (SELECT ws, doc_id, count(*) AS n FROM w GROUP BY ws, doc_id)
-         SELECT CAST(ws AS BIGINT) AS ws, doc_id FROM s WHERE n = 4
-         ORDER BY ws, doc_id""",
-
-    "q22_simhash" ->
-      s"""WITH t AS (SELECT doc_id, list_distinct($ToksSql) AS toks FROM documents)
-         SELECT doc_id, $SimhashSketchSql AS sketch
-         FROM t ORDER BY doc_id""",
-
-    "q23_ngram_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, concat(lang, source) AS blk, $ShinglesSql AS sh FROM documents),
-         j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 (CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))
-                   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-               FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id)
-         SELECT id_a, id_b, round(jaccard, 6) AS jaccard
-         FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""",
-
-    "q24_embed_pairs" ->
-      s"""WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($CosSql, 6) AS cos
-               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3 ORDER BY id_a, id_b""",
-
-    "q25_ann_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         scored AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
-                      round($CosSql, 6) AS cos
-                    FROM e a, e b WHERE b.vec_id < 3 AND a.vec_id <> b.vec_id),
-         r AS (SELECT query_id, corpus_id, cos,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos DESC, corpus_id) AS INT) AS rank
-               FROM scored)
-         SELECT query_id, rank, corpus_id, cos FROM r
-         WHERE rank <= 10 ORDER BY query_id, rank""",
-
-    "q51_pq_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         scored AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
-                      round($CosSql, 6) AS cos
-                    FROM e a, e b WHERE b.vec_id < 3 AND a.vec_id <> b.vec_id),
-         r AS (SELECT query_id, corpus_id, cos,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos DESC, corpus_id) AS INT) AS rank
-               FROM scored)
-         SELECT query_id, rank, corpus_id, cos FROM r
-         WHERE rank <= 10 ORDER BY query_id, rank""",
-
-    // residual IVFPQ at nprobe = k_coarse and rerank >= |corpus| is exact,
-    // so the oracle is the same brute-force top-k as q25/q51
-    "q52_ivfpq_residual" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         scored AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
-                      round($CosSql, 6) AS cos
-                    FROM e a, e b WHERE b.vec_id < 3 AND a.vec_id <> b.vec_id),
-         r AS (SELECT query_id, corpus_id, cos,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos DESC, corpus_id) AS INT) AS rank
-               FROM scored)
-         SELECT query_id, rank, corpus_id, cos FROM r
-         WHERE rank <= 10 ORDER BY query_id, rank""",
-
-    "q26_multimodal" ->
-      """SELECT doc_id AS id,
-         CAST(len(text) AS INT) AS nBytes,
-         md5(text) AS digest,
-         round(CAST(list_sum(list_transform(generate_series(1, len(text)),
-           i -> ascii(substr(text, i, 1)))) AS DOUBLE) / len(text), 6) AS brightness
-         FROM documents ORDER BY doc_id""",
-
-    "q27_event_windows" ->
-      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
-         count(*) AS n, round(sum(value), 4) AS v
-         FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
-
-    "q28_sessionize" ->
-      """WITH o AS (
-           SELECT user_id, ts, event_id,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
-                  THEN 1 ELSE 0 END AS new_s
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         s AS (
-           SELECT user_id, ts,
-             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-           FROM o)
-         SELECT user_id, session_idx, count(*) AS n_events,
-           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
-         FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
-
-    "q29_join_enrich" ->
-      """SELECT c_mktsegment,
-         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-         count(*) AS n
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
-
-    "q30_topk" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
-
-    "q31_setops" ->
-      """SELECT 'both' AS tag, count(*) AS n FROM (
-           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
-           INTERSECT
-           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
-         UNION ALL
-         SELECT 'either', count(*) FROM (
-           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
-           UNION
-           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
-         UNION ALL
-         SELECT 'only_f', count(*) FROM (
-           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
-           EXCEPT
-           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
-         ORDER BY tag""",
-
-    "q32_window_running" ->
-      """SELECT l_suppkey,
-         CAST(row_number() OVER w AS INT) AS rn,
-         round(sum(l_extendedprice * (1 - l_discount)) OVER (PARTITION BY l_suppkey
-           ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING), 4) AS running
-         FROM lineitem WHERE l_suppkey < 20
-         WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
-         ORDER BY l_suppkey, rn""",
-
-    "q33_rollup" ->
-      """SELECT
-         CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
-         CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
-         count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
-         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-         ORDER BY rf, ls""",
-
-    "q34_json_events" ->
-      """WITH t AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
-         SELECT event_type, count(k) AS n, round(avg(k), 6) AS avg_k, max(k) AS max_k
-         FROM t GROUP BY event_type ORDER BY event_type""",
-
-    "q35_time_buckets" ->
-      """SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
-         count(*) AS n, round(sum(value), 4) AS v
-         FROM events GROUP BY day, event_type ORDER BY day, event_type""",
-
-    "q36_flag2d" ->
-      s"""WITH $GridSql
-         SELECT id,
-           CASE WHEN x BETWEEN 1001 AND 1289.5 AND y BETWEEN 1900 AND 2350
-                THEN 'slope' ELSE '' END AS flag2d
-         FROM g ORDER BY id""",
-
-    "q37_grade_shells" ->
-      s"""WITH $GridSql
-         SELECT CAST(floor(((i * 7 + j * 13 + k * 17) % 97) / 20) AS INT) AS band,
-           count(*) AS n,
-           min((i * 7 + j * 13 + k * 17) % 97) AS lo,
-           max((i * 7 + j * 13 + k * 17) % 97) AS hi
-         FROM g GROUP BY band ORDER BY band""",
-
-    "q38_ijk_key" ->
-      s"""WITH $GridSql
-         SELECT id, CAST(i AS BIGINT) * 1000000 + CAST(j AS BIGINT) * 1000 + CAST(k AS BIGINT) AS ijk
-         FROM g ORDER BY id""",
-
-    "q39_rotated_grid" -> {
-      // embed the exact rotation constants the Scala side uses
-      val a = math.toRadians(-(45.0 - 90.0))
-      val c = math.cos(a); val sn = math.sin(a)
-      s"""WITH $GridSql
-         SELECT id,
-           round(1000.0 + ($c) * (x - 1000.0) - ($sn) * (y - 2000.0), 6) AS x,
-           round(2000.0 + ($sn) * (x - 1000.0) + ($c) * (y - 2000.0), 6) AS y,
-           z
-         FROM g ORDER BY id"""
-    },
-
-    "q40_asof_join" ->
-      """WITH o1 AS (
-           SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey, o_orderdate
-               ORDER BY o_orderkey DESC) AS rn
-           FROM orders),
-         o2 AS (SELECT * FROM o1 WHERE rn = 1),
-         m AS (
-           SELECT e.event_type, o2.o_orderkey, o2.o_totalprice
-           FROM events e ASOF LEFT JOIN o2
-           ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate)
-         SELECT event_type, count(o_orderkey) AS n_matched,
-           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
-           round(sum(o_totalprice), 2) AS sum_price
-         FROM m GROUP BY event_type ORDER BY event_type""",
-
-    // nprobe == k scans every IVF cell → exact brute-force top-k,
-    // independent of where k-means put the centroids
-    "q41_ivf_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         scored AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
-                      round($CosSql, 6) AS cos
-                    FROM e a, e b WHERE b.vec_id < 3 AND a.vec_id <> b.vec_id),
-         r AS (SELECT query_id, corpus_id, cos,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos DESC, corpus_id) AS INT) AS rank
-               FROM scored)
-         SELECT query_id, rank, corpus_id, cos FROM r
-         WHERE rank <= 10 ORDER BY query_id, rank""",
-
-    "q42_attribution" ->
-      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
-         SELECT a.user_id AS user_id, a.event_id AS from_id, b.event_id AS to_id,
-           a.us AS from_us, b.us AS to_us
-         FROM e a JOIN e b ON a.user_id = b.user_id
-           AND a.event_type = 'view' AND b.event_type = 'purchase'
-           AND b.us > a.us AND b.us <= a.us + CAST(86400 AS BIGINT) * 1000000
-         ORDER BY a.user_id, from_id, to_id""",
-
-    // transitive closure over the verified pair list (undirected), then
-    // min reachable id per member — DuckDB's recursive CTE as the oracle
-    // for the label-propagation connected components
-    "q43_dup_components" ->
-      s"""WITH RECURSIVE pairs AS (
-           $MinhashPairsSql
-           SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
-         e AS (SELECT id_a AS a, id_b AS b FROM pairs
-               UNION SELECT id_b, id_a FROM pairs),
-         r(a, b) AS (SELECT a, b FROM e
-                     UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
-         SELECT a AS doc_id, least(a, min(b)) AS canonical_id
-         FROM r GROUP BY a ORDER BY doc_id""",
-
-    // pigeonhole banding: 3 chunks of 20 bits; hamming ≤ 2 ⇒ some chunk equal
-    "q44_simhash_pairs" ->
-      s"""WITH tk AS (SELECT doc_id, list_distinct($ToksSql) AS toks FROM documents),
-         t AS (SELECT doc_id, $SimhashSketchSql AS sk FROM tk),
-         b AS (SELECT doc_id, g.c AS chunk, (sk >> (g.c * 20)) & 1048575 AS cv
-               FROM t, generate_series(0, 2) AS g(c)),
-         cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-                  FROM b l JOIN b r ON l.chunk = r.chunk AND l.cv = r.cv
-                    AND l.doc_id < r.doc_id)
-         SELECT c.id_a, c.id_b, CAST(bit_count(xor(a.sk, b.sk)) AS BIGINT) AS hamming
-         FROM cand c JOIN t a ON a.doc_id = c.id_a JOIN t b ON b.doc_id = c.id_b
-         WHERE bit_count(xor(a.sk, b.sk)) <= 2 ORDER BY id_a, id_b""",
-
-    // identical rational-idf arithmetic: tf * ((N+1)/(df+1)), both exact
-    // IEEE ops, rounded at 6dp on both sides
-    "q45_tfidf" ->
-      s"""WITH n AS (SELECT count(*) AS n FROM documents),
-         tt AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY doc_id, term),
-         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         sc AS (SELECT tf.doc_id, tf.term,
-                  round(CAST(tf.tf AS DOUBLE) *
-                    (CAST(n.n + 1 AS DOUBLE) / CAST(dfq.df + 1 AS DOUBLE)), 6) AS score
-                FROM tf JOIN dfq ON tf.term = dfq.term, n),
-         r AS (SELECT doc_id, term, score,
-                 CAST(row_number() OVER (PARTITION BY doc_id
-                   ORDER BY score DESC, term) AS INT) AS rank
-               FROM sc)
-         SELECT doc_id, rank, term, score FROM r
-         WHERE rank <= 3 ORDER BY doc_id, rank""",
-
-    // composed from the tested q21/q43/q17/q18 fragments: near-dup
-    // canonical filter (recursive closure), then features + quality gate
-    "q46_corpus_curate" ->
-      s"""WITH RECURSIVE pairs AS (
-           $MinhashPairsSql
-           SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
-         e AS (SELECT id_a AS a, id_b AS b FROM pairs
-               UNION SELECT id_b, id_a FROM pairs),
-         rr(a, b) AS (SELECT a, b FROM e
-                      UNION SELECT rr.a, e.b FROM rr JOIN e ON rr.b = e.a),
-         dupes AS (SELECT a AS doc_id FROM rr GROUP BY a
-                   HAVING least(a, min(b)) <> a),
-         keep AS (SELECT * FROM documents
-                  WHERE doc_id NOT IN (SELECT doc_id FROM dupes)),
-         t AS (SELECT doc_id, text, $ToksSql AS toks,
-                 CASE WHEN len(trim(text)) = 0 THEN 0
-                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok_cnt
-               FROM keep),
-         s AS (SELECT doc_id, text, tok_cnt, $LangScoreSql FROM t),
-         f AS (SELECT doc_id,
-                 $LangCaseSql AS lang_id,
-                 round(0.3 * least(tok_cnt / 100.0, 1.0)
-                   + 0.4 * (1.0 - CASE WHEN len(text) > 0
-                       THEN (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)) / len(text)
-                       ELSE 0.0 END)
-                   + 0.3 * least(CASE WHEN tok_cnt > 0
-                       THEN (CAST(s_en AS DOUBLE) / tok_cnt) ELSE 0.0 END * 5.0, 1.0), 6) AS quality,
-                 CAST(tok_cnt AS BIGINT) AS tok_cnt
-               FROM s)
-         SELECT doc_id, lang_id, quality, tok_cnt FROM f
-         WHERE quality >= 0.55 ORDER BY doc_id""",
-
-    // range join spelled relationally: LEFT JOIN on the interval condition
-    "q47_range_band" ->
-      """WITH bands(name, lo, hi) AS (VALUES
-           ('low', 0.0, 10.0), ('mid', 10.0, 25.0), ('high', 25.0, 45.0)),
-         j AS (SELECT coalesce(b.name, 'other') AS qty_band, l.l_extendedprice
-               FROM lineitem l LEFT JOIN bands b
-                 ON l.l_quantity >= b.lo AND l.l_quantity < b.hi)
-         SELECT qty_band, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
-         FROM j GROUP BY qty_band ORDER BY qty_band""",
-
-    "q48_list_capped" ->
-      """SELECT o_orderstatus,
-           array_to_string(list_slice(
-             list_sort(list(DISTINCT o_orderpriority)
-               FILTER (o_orderpriority IS NOT NULL)), 1, 3), ',')
-           || CASE WHEN count(DISTINCT o_orderpriority) > 3
-              THEN ',…' ELSE '' END AS prio_l,
-           array_to_string(list_slice(
-             list_sort(list(DISTINCT CAST(o_custkey AS VARCHAR))
-               FILTER (o_custkey IS NOT NULL)), 1, 2), ',')
-           || CASE WHEN count(DISTINCT o_custkey) > 2
-              THEN ',…' ELSE '' END AS cust_l
-         FROM orders GROUP BY o_orderstatus""",
-
-    "q54_nunique" ->
-      """SELECT o_orderstatus,
-           count(DISTINCT o_custkey) AS nuniq_cust,
-           count(DISTINCT o_orderpriority) AS nuniq_prio
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-
-    "q55_hash_split" -> {
-      val th = ext.Sampling.thresholds(Seq(0.8, 0.1, 0.1))
-      s"""SELECT doc_id,
-           CASE WHEN ${BucketSql("v0", "doc_id")} < ${th(0)} THEN 0
-                WHEN ${BucketSql("v0", "doc_id")} < ${th(1)} THEN 1
-                ELSE 2 END AS split
-         FROM documents ORDER BY doc_id"""
-    },
-
-    "q56_stratified_sample" ->
-      s"""SELECT lang, doc_id FROM documents
-         QUALIFY row_number() OVER (PARTITION BY lang
-           ORDER BY ${BucketSql("s", "doc_id")}, doc_id) <= 5
-         ORDER BY lang, doc_id""",
-
-    // mixture: the rate formula replays Sampling.mixture's IEEE-double
-    // steps exactly — (w/Σw interpolated) * totalRows / count, floor into
-    // the bucket space
-    "q57_mixture" -> {
-      val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
-      val wtot = weights.values.sum
-      val caseF = weights.toSeq.sortBy(_._1).map { case (src, w) =>
-        s"WHEN '$src' THEN CAST(${w / wtot} AS DOUBLE)"
-      }.mkString("CASE source ", " ", " END")
-      s"""WITH c AS (SELECT source, count(*) AS cnt FROM documents
-             WHERE source IN ('src0', 'src1', 'src2') GROUP BY source),
-         r AS (SELECT source,
-                 CAST(floor(least($caseF * 60 / cnt, CAST(1.0 AS DOUBLE))
-                   * CAST(${ext.Sampling.Space} AS DOUBLE)) AS BIGINT) AS cut
-               FROM c)
-         SELECT d.doc_id, d.source FROM documents d
-         JOIN r ON d.source = r.source
-         WHERE ${BucketSql("m1", "d.doc_id")} < r.cut
-         ORDER BY d.doc_id"""
-    },
-
-    "q49_chunk" ->
-      """WITH t AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-           FROM documents
-           WHERE length(array_to_string(
-             regexp_split_to_array(trim(text), '\s+'), '')) > 0),
-         u AS (
-           SELECT doc_id, unnest(list_transform(
-             generate_series(0, (greatest(len(toks) - 8, 1) - 1) // 24),
-             g -> struct_pack(chunk_id := g,
-               n_tokens := len(list_slice(toks, g*24 + 1, g*24 + 32)),
-               chunk := array_to_string(
-                 list_slice(toks, g*24 + 1, g*24 + 32), ' ')))) AS c
-           FROM t)
-         SELECT doc_id, c.chunk_id AS chunk_id, c.n_tokens AS n_tokens,
-                c.chunk AS chunk
-         FROM u ORDER BY doc_id, chunk_id""",
-
-    "q50_redact" ->
-      """WITH a AS (
-           SELECT doc_id, substr(text, 1, 80) || ' mail user' ||
-             CAST(doc_id AS VARCHAR) || '@ex.org or 555-123-4567 bye' AS aug
-           FROM documents)
-         SELECT doc_id,
-           regexp_replace(regexp_replace(aug,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
-             '<EMAIL>', 'g'),
-             '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS red,
-           len(regexp_extract_all(aug,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS n_email,
-           len(regexp_extract_all(aug,
-             '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS n_phone
-         FROM a ORDER BY doc_id""",
-
-    "q58_vocab" ->
-      s"""WITH tt AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents)
-         SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
-         FROM tt GROUP BY term
-         ORDER BY tf DESC, term LIMIT 50""",
-
-    "q59_normalize" ->
-      """SELECT doc_id,
-           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm,
-           CAST(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS BIGINT) AS n_chars
-         FROM documents ORDER BY doc_id""",
-
-    "q60_decontam" ->
-      s"""WITH b AS (SELECT DISTINCT unnest($ShinglesSql) AS sh
-             FROM documents WHERE doc_id % 97 = 0),
-         ce AS (SELECT doc_id, unnest($ShinglesSql) AS sh
-             FROM documents WHERE doc_id % 97 <> 0),
-         bad AS (SELECT DISTINCT doc_id FROM ce WHERE sh IN (SELECT sh FROM b))
-         SELECT doc_id FROM documents
-         WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
-         ORDER BY doc_id""",
-
-    // decoded-image features: the synthesized PNG's pixel (x, y) is
-    // (id*31 + x*7 + y*13) mod 256 over a (id%13+3) x (id%7+2) raster, so
-    // the decoded mean luminance is this exact double-precision average
-    "q61_image_decode" ->
-      """SELECT doc_id AS id,
-           CAST(doc_id % 13 + 3 AS INT) AS width,
-           CAST(doc_id % 7 + 2 AS INT) AS height,
-           round(list_avg(flatten(list_transform(
-             generate_series(0, CAST(doc_id % 7 + 2 AS INT) - 1),
-             y -> list_transform(generate_series(0, CAST(doc_id % 13 + 3 AS INT) - 1),
-               x -> CAST((doc_id * 31 + x * 7 + y * 13) % 256 AS DOUBLE))))), 6) AS brightness
-         FROM documents ORDER BY doc_id""",
-
-    // store-served ANN at exactness budgets (nprobe = every cell, rerank =
-    // whole corpus) == exact brute-force top-k, independent of k-means —
-    // same oracle as q41
-    "q62_ann_store" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         scored AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
-                      round($CosSql, 6) AS cos
-                    FROM e a, e b WHERE b.vec_id < 3 AND a.vec_id <> b.vec_id),
-         r AS (SELECT query_id, corpus_id, cos,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos DESC, corpus_id) AS INT) AS rank
-               FROM scored)
-         SELECT query_id, rank, corpus_id, cos FROM r
-         WHERE rank <= 10 ORDER BY query_id, rank""",
-
-    // corpus-level line dedup on the synthesized 2-line docs: lines
-    // occurring more than twice across the corpus are dropped everywhere,
-    // remaining lines reassemble in order (docs may empty to '')
-    "q63_line_dedup" ->
-      """WITH multi AS (
-           SELECT a.doc_id AS doc_id,
-                  concat(a.text, chr(10), b.text) AS text
-           FROM documents a
-           JOIN documents b ON b.doc_id = a.doc_id - a.doc_id % 5),
-         lines AS (
-           SELECT doc_id,
-                  unnest(string_split(text, chr(10))) AS line,
-                  unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
-           FROM multi),
-         hot AS (SELECT line FROM lines GROUP BY line HAVING count(*) > 2),
-         kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot))
-         SELECT m.doc_id,
-                coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
-         FROM multi m LEFT JOIN kept k ON k.doc_id = m.doc_id
-         GROUP BY m.doc_id ORDER BY m.doc_id""",
-
-    // packing replay: whitespace token counts (q17 semantics), per-source
-    // running offset, one row per ctx=512 sequence a doc overlaps
-    "q64_seq_pack" ->
-      """WITH t AS (SELECT source, doc_id,
-             CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ntok
-           FROM documents),
-         w AS (SELECT source, doc_id, ntok,
-             CAST(coalesce(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
-           FROM t WHERE ntok > 0)
-         SELECT source,
-                unnest(generate_series(CAST(start_tok // 512 AS BIGINT),
-                                       CAST((start_tok + ntok - 1) // 512 AS BIGINT))) AS seq_id,
-                doc_id, start_tok, ntok
-         FROM w ORDER BY source, seq_id, doc_id""",
-
-    // Gopher signals replayed in rational arithmetic: alnum-char totals /
-    // token counts, symbol counts per whitespace word, letter-bearing word
-    // fraction, 1 - distinct/total word 3-grams
-    "q65_quality_signals" ->
-      s"""WITH t AS (SELECT doc_id, text,
-             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS words
-           FROM documents)
-         SELECT doc_id,
-           round(CASE WHEN len(toks) > 0 THEN
-             CAST(len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS DOUBLE)
-               / len(toks) ELSE 0 END, 6) AS mean_wlen,
-           round(CASE WHEN words > 0 THEN
-             CAST(len(text) - len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-               / words ELSE 0 END, 6) AS sym_ratio,
-           round(CASE WHEN words > 0 THEN
-             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-               x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / words
-             ELSE 0 END, 6) AS alpha_frac,
-           round(CASE WHEN len(toks) >= 3 THEN
-             1 - CAST(len($ShinglesSql) AS DOUBLE) / (len(toks) - 2)
-             ELSE 0 END, 6) AS dup3_frac
-         FROM t ORDER BY doc_id""",
-
-    // identical semantics to q60 — the broadcast kernel must agree with
-    // the join shape exactly
-    "q66_decontam_bcast" ->
-      s"""WITH b AS (SELECT DISTINCT unnest($ShinglesSql) AS sh
-             FROM documents WHERE doc_id % 97 = 0),
-         ce AS (SELECT doc_id, unnest($ShinglesSql) AS sh
-             FROM documents WHERE doc_id % 97 <> 0),
-         bad AS (SELECT DISTINCT doc_id FROM ce WHERE sh IN (SELECT sh FROM b))
-         SELECT doc_id FROM documents
-         WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
-         ORDER BY doc_id""",
-
-    // SemDeDup replay: label-bucket cosine pairs (q24 shape) → recursive
-    // closure (q43 shape) → drop non-canonical members
-    "q67_semantic_dedup" ->
-      s"""WITH RECURSIVE
-         e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($CosSql, 6) AS cos
-               FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
-         pairs AS (SELECT id_a, id_b FROM p WHERE cos >= 0.3),
-         ed AS (SELECT id_a AS a, id_b AS b FROM pairs
-                UNION SELECT id_b, id_a FROM pairs),
-         r(a, b) AS (SELECT a, b FROM ed
-                     UNION SELECT r.a, ed.b FROM r JOIN ed ON r.b = ed.a),
-         drops AS (SELECT a AS vec_id FROM r GROUP BY a
-                   HAVING a <> least(a, min(b)))
-         SELECT vec_id FROM embeddings
-         WHERE vec_id NOT IN (SELECT vec_id FROM drops) ORDER BY vec_id""",
-
-    // boilerplate audit: q63's synthesized corpus, hot lines + counts
-    "q72_boilerplate" ->
-      """WITH multi AS (
-           SELECT a.doc_id AS doc_id,
-                  concat(a.text, chr(10), b.text) AS text
-           FROM documents a
-           JOIN documents b ON b.doc_id = a.doc_id - a.doc_id % 5),
-         lines AS (SELECT unnest(string_split(text, chr(10))) AS line
-                   FROM multi)
-         SELECT line, CAST(count(*) AS BIGINT) AS n FROM lines
-         GROUP BY line HAVING count(*) > 2 ORDER BY line""",
-
-    // substring-duplication spans: q72's synthesized corpus; duplicated
-    // 8-token windows counted corpus-wide, consecutive starts merged into
-    // maximal spans (islands by pos - row_number)
-    "q73_dup_spans" ->
-      """WITH multi AS (
-           SELECT a.doc_id AS doc_id,
-                  concat(a.text, chr(10), b.text) AS text
-           FROM documents a
-           JOIN documents b ON b.doc_id = a.doc_id - a.doc_id % 5),
-         toks AS (SELECT doc_id,
-                         regexp_split_to_array(trim(text), '\s+') AS t
-                  FROM multi
-                  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 8),
-         gs AS (SELECT doc_id, t,
-                       unnest(generate_series(1, len(t) - 7)) AS g
-                FROM toks),
-         grams AS (SELECT doc_id, g - 1 AS pos,
-                          array_to_string(t[g:g+7], ' ') AS gram
-                   FROM gs),
-         hot AS (SELECT gram FROM grams
-                 GROUP BY gram HAVING count(*) >= 2),
-         isl AS (SELECT doc_id, pos,
-                        pos - row_number()
-                          OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-                 FROM grams WHERE gram IN (SELECT gram FROM hot))
-         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-                CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
-         FROM isl GROUP BY doc_id, grp
-         ORDER BY doc_id, span_start""",
-
-    // span removal: q73's spans anti-applied to the token stream; rows
-    // preserved (fully-duplicated docs rebuild to '')
-    "q77_strip_spans" ->
-      """WITH multi AS (
-           SELECT a.doc_id AS doc_id,
-                  concat(a.text, chr(10), b.text) AS text
-           FROM documents a
-           JOIN documents b ON b.doc_id = a.doc_id - a.doc_id % 5),
-         toks AS (SELECT doc_id,
-                         regexp_split_to_array(trim(text), '\s+') AS t
-                  FROM multi),
-         gs AS (SELECT doc_id, t,
-                       unnest(generate_series(1, len(t) - 7)) AS g
-                FROM toks WHERE len(t) >= 8),
-         grams AS (SELECT doc_id, g - 1 AS pos,
-                          array_to_string(t[g:g+7], ' ') AS gram
-                   FROM gs),
-         hot AS (SELECT gram FROM grams
-                 GROUP BY gram HAVING count(*) >= 2),
-         isl AS (SELECT doc_id, pos,
-                        pos - row_number()
-                          OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-                 FROM grams WHERE gram IN (SELECT gram FROM hot)),
-         spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
-                   FROM isl GROUP BY doc_id, grp),
-         tok2 AS (SELECT doc_id, unnest(t) AS tok,
-                         unnest(generate_series(0, len(t) - 1)) AS pos
-                  FROM toks),
-         keep AS (SELECT k.doc_id, k.pos, k.tok FROM tok2 k
-                  WHERE NOT EXISTS (SELECT 1 FROM spans s
-                    WHERE s.doc_id = k.doc_id
-                      AND k.pos >= s.s AND k.pos < s.e)),
-         rebuilt AS (SELECT doc_id,
-                            string_agg(tok, ' ' ORDER BY pos) AS text
-                     FROM keep GROUP BY doc_id)
-         SELECT m.doc_id, coalesce(r.text, '') AS text
-         FROM multi m LEFT JOIN rebuilt r USING (doc_id)
-         ORDER BY m.doc_id""",
-
-    // bigram LM scoring: add-1-smoothed corpus transition counts, context
-    // count = occurrences as bigram head, V = corpus vocabulary
-    "q74_lm_score" ->
-      s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents
-             WHERE len($ToksSql) >= 2),
-         gs AS (SELECT doc_id, t, unnest(generate_series(2, len(t))) AS g
-                FROM toks),
-         bg AS (SELECT doc_id, t[g-1] AS w1, t[g] AS w2 FROM gs),
-         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
-         c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-         v AS (SELECT count(DISTINCT w) AS v
-               FROM (SELECT unnest(t) AS w FROM toks))
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                round(-avg(ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v))), 6)
-                  AS nll
-         FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-         GROUP BY doc_id ORDER BY doc_id""",
-
-    // BPE merge learning: 8 generated rounds — pair counts over the
-    // previous round's vocab, 1-row argmax (count desc, lhs, rhs), then a
-    // literal [lhs][rhs] replace (greedy left-to-right, both engines)
-    "q75_bpe_train" -> BpeTrainSql(8),
-
-    // BPE vocabulary: final-round subword frequencies (same CTE chain)
-    "q76_bpe_vocab" -> BpeSubwordsSql(8),
-
-    // cross-source containment: per-source distinct shingle sets, shared
-    // shingles joined, containment = n_common / |sh(src_a)|
-    "q78_source_overlap" ->
-      s"""WITH s AS (SELECT DISTINCT src, sh FROM
-             (SELECT source AS src, unnest($ShinglesSql) AS sh
-              FROM documents)),
-         t AS (SELECT src, count(*) AS n_sh FROM s GROUP BY src),
-         c AS (SELECT a.src AS src_a, b.src AS src_b,
-                      CAST(count(*) AS BIGINT) AS n_common
-               FROM s a JOIN s b ON a.sh = b.sh AND a.src <> b.src
-               GROUP BY 1, 2)
-         SELECT src_a, src_b, n_common,
-                round(n_common / CAST(t.n_sh AS DOUBLE), 6) AS containment
-         FROM c JOIN t ON t.src = c.src_a ORDER BY src_a, src_b""",
-
-    // feature hashing: 60-bit md5-prefix token hash, slot = h mod 16,
-    // sign = bit 8; signed counts per (doc, slot)
-    "q79_feature_hash" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($ToksSql) AS t FROM documents),
-         h AS (SELECT doc_id,
-                 CAST(CAST(concat('0x', substr(md5(t), 1, 15))
-                   AS UBIGINT) AS BIGINT) AS h
-               FROM tok)
-         SELECT doc_id, CAST(h % 16 AS BIGINT) AS slot,
-                CAST(sum(((h // 256) % 2) * 2 - 1) AS BIGINT) AS val
-         FROM h GROUP BY doc_id, slot ORDER BY doc_id, slot""",
-
-    // CCNet perplexity buckets: q74's scoring CTE + exact tercile value
-    // thresholds (quantile_cont ≡ Spark percentile, pos = (n−1)·q)
-    "q80_ppl_buckets" ->
-      s"""WITH toks AS (SELECT doc_id, $ToksSql AS t FROM documents
-             WHERE len($ToksSql) >= 2),
-         gs AS (SELECT doc_id, t, unnest(generate_series(2, len(t))) AS g
-                FROM toks),
-         bg AS (SELECT doc_id, t[g-1] AS w1, t[g] AS w2 FROM gs),
-         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
-         c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
-         v AS (SELECT count(DISTINCT w) AS v
-               FROM (SELECT unnest(t) AS w FROM toks)),
-         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                  round(-avg(ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v))), 6)
-                    AS nll
-                FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
-                  CROSS JOIN v
-                GROUP BY doc_id),
-         thr AS (SELECT quantile_cont(nll, 1.0/3) AS t1,
-                        quantile_cont(nll, 2.0/3) AS t2 FROM sc)
-         SELECT doc_id, n_bigrams, nll,
-           CASE WHEN nll <= t1 THEN 'head'
-                WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket
-         FROM sc CROSS JOIN thr ORDER BY doc_id""",
-
-    // DSIR importance weights: hashed unigram+bigram features (60-bit md5
-    // prefix, 64 slots), add-1-smoothed log target/raw rate ratio
-    "q81_dsir" ->
-      s"""WITH toks AS (SELECT doc_id, source IN ('src0', 'src1') AS tgt,
-             $ToksSql AS t FROM documents),
-         uni AS (SELECT doc_id, tgt, unnest(t) AS f FROM toks),
-         bi AS (SELECT doc_id, tgt, t[g-1] || ' ' || t[g] AS f
-                FROM (SELECT doc_id, tgt, t,
-                        unnest(generate_series(2, len(t))) AS g
-                      FROM toks WHERE len(t) >= 2)),
-         fe AS (SELECT doc_id, tgt,
-                  CAST(CAST(concat('0x', substr(md5(f), 1, 15))
-                    AS UBIGINT) AS BIGINT) % 64 AS slot
-                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-         rates AS (SELECT slot,
-                     sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
-                     sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
-                   FROM fe GROUP BY slot),
-         tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM rates),
-         lr AS (SELECT slot, ln(ct + 1.0) - ln(nt + 64.0)
-                  - ln(cr + 1.0) + ln(nr + 64.0) AS lr
-                FROM rates CROSS JOIN tot),
-         dc AS (SELECT doc_id, slot, count(*) AS n FROM fe
-                WHERE NOT tgt GROUP BY doc_id, slot)
-         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
-                round(sum(n * lr), 6) AS logw
-         FROM dc JOIN lr USING (slot) GROUP BY doc_id ORDER BY doc_id""",
-
-    // corpus datasheet: per-source volume, exact-dup ratio via md5
-    // digests, length percentiles, language spread
-    "q82_corpus_report" ->
-      s"""WITH t AS (SELECT source, lang, text,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok
-           FROM documents)
-         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(tok) AS BIGINT) AS n_tokens,
-           round(avg(tok), 6) AS mean_tokens,
-           round(1.0 - count(DISTINCT md5(text))
-             / CAST(count(*) AS DOUBLE), 6) AS dup_ratio,
-           quantile_cont(CAST(len(text) AS DOUBLE), 0.5) AS p50_chars,
-           quantile_cont(CAST(len(text) AS DOUBLE), 0.9) AS p90_chars,
-           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-         FROM t GROUP BY source ORDER BY source""",
-
-    // BPE encoding: the generated training chain + rule fold over the
-    // distinct-word table, joined back per document
-    "q83_bpe_encode" -> BpeEncodeSql(8),
-
-    // DSIR Gumbel top-k: q81's weight CTE + deterministic (salt, id)-keyed
-    // Gumbel perturbation, top 200 by perturbed weight
-    "q84_dsir_select" ->
-      s"""WITH toks AS (SELECT doc_id, source IN ('src0', 'src1') AS tgt,
-             $ToksSql AS t FROM documents),
-         uni AS (SELECT doc_id, tgt, unnest(t) AS f FROM toks),
-         bi AS (SELECT doc_id, tgt, t[g-1] || ' ' || t[g] AS f
-                FROM (SELECT doc_id, tgt, t,
-                        unnest(generate_series(2, len(t))) AS g
-                      FROM toks WHERE len(t) >= 2)),
-         fe AS (SELECT doc_id, tgt,
-                  CAST(CAST(concat('0x', substr(md5(f), 1, 15))
-                    AS UBIGINT) AS BIGINT) % 64 AS slot
-                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-         rates AS (SELECT slot,
-                     sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
-                     sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
-                   FROM fe GROUP BY slot),
-         tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM rates),
-         lr AS (SELECT slot, ln(ct + 1.0) - ln(nt + 64.0)
-                  - ln(cr + 1.0) + ln(nr + 64.0) AS lr
-                FROM rates CROSS JOIN tot),
-         dc AS (SELECT doc_id, slot, count(*) AS n FROM fe
-                WHERE NOT tgt GROUP BY doc_id, slot),
-         dw AS (SELECT doc_id, round(sum(n * lr), 6) AS logw
-                FROM dc JOIN lr USING (slot) GROUP BY doc_id),
-         g AS (SELECT doc_id, logw,
-                 (CAST(CAST(concat('0x', substr(md5(concat('dsir',
-                     CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT)
-                   AS BIGINT) % 1048576 + 0.5) / 1048576.0 AS u
-               FROM dw)
-         SELECT doc_id, logw, round(logw - ln(-ln(u)), 6) AS key
-         FROM g ORDER BY key DESC, doc_id LIMIT 200""",
-
-    // decontamination audit: q60's corpus/bench split with the hit count
-    // kept instead of collapsed into the anti-join
-    "q71_contamination_report" ->
-      s"""WITH b AS (SELECT DISTINCT unnest($ShinglesSql) AS sh
-             FROM documents WHERE doc_id % 97 = 0),
-         ce AS (SELECT doc_id, unnest($ShinglesSql) AS sh
-             FROM documents WHERE doc_id % 97 <> 0)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
-         FROM ce WHERE sh IN (SELECT sh FROM b)
-         GROUP BY doc_id ORDER BY doc_id""",
-
-    // deterministic sharding: bucket mod n + an independent second bucket
-    "q68_shuffle_shards" ->
-      s"""SELECT doc_id,
-           CAST(${BucketSql("s7", "doc_id")} % 8 AS INT) AS shard,
-           ${BucketSql("s7#o", "doc_id")} AS shard_order
-         FROM documents ORDER BY doc_id""",
-
-    // q18's quality replay ranked per source, running token sum under a
-    // 2000-token budget; windowed sum CAST — DuckDB returns HUGEINT
-    "q69_token_budget" ->
-      s"""WITH t AS (SELECT source, doc_id, text, $ToksSql AS toks,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok_cnt
-           FROM documents),
-         s AS (SELECT source, doc_id, text, tok_cnt, $LangScoreSql FROM t),
-         q AS (SELECT source, doc_id, CAST(tok_cnt AS BIGINT) AS ntok,
-             round(0.3 * least(tok_cnt / 100.0, 1.0)
-               + 0.4 * (1.0 - CASE WHEN len(text) > 0
-                   THEN (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)) / len(text)
-                   ELSE 0.0 END)
-               + 0.3 * least(CASE WHEN tok_cnt > 0
-                   THEN (CAST(s_en AS DOUBLE) / tok_cnt) ELSE 0.0 END * 5.0, 1.0), 6) AS quality
-           FROM s WHERE tok_cnt > 0),
-         w AS (SELECT source, doc_id, ntok, quality,
-             CAST(sum(ntok) OVER (PARTITION BY source
-               ORDER BY quality DESC, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
-           FROM q)
-         SELECT source, doc_id, ntok, quality, cum_tok FROM w
-         WHERE cum_tok <= 2000 ORDER BY source, doc_id""",
-
-    // repetition signals over the same synthesized line/paragraph layout
-    "q70_repetition" ->
-      s"""WITH t AS (SELECT doc_id,
-             concat(substr(text, 1, 30), chr(10), substr(text, 1, 30),
-               chr(10), chr(10), substr(text, 31, 30),
-               chr(10), chr(10), substr(text, 31, 30),
-               chr(10), chr(10), substr(text, 61, 30)) AS aug
-           FROM documents),
-         l AS (SELECT doc_id,
-             list_filter(list_transform(string_split(aug, chr(10)),
-               x -> trim(x)), x -> len(x) > 0) AS ls,
-             list_filter(list_transform(string_split_regex(aug, '\\n{2,}'),
-               x -> trim(x)), x -> len(x) > 0) AS ps
-           FROM t)
-         SELECT doc_id,
-           round(CASE WHEN len(ls) > 0
-             THEN 1 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
-             ELSE 0 END, 6) AS dup_line,
-           round(CASE WHEN len(ps) > 0
-             THEN 1 - CAST(len(list_distinct(ps)) AS DOUBLE) / len(ps)
-             ELSE 0 END, 6) AS dup_para
-         FROM l ORDER BY doc_id""",
-
-    "q85_domain_cap" ->
-      """SELECT doc_id, source, n_chars FROM documents
-         QUALIFY row_number() OVER (PARTITION BY source
-           ORDER BY n_chars DESC, doc_id) <= 10
-         ORDER BY source, doc_id""",
-
-    "q86_heavy_hitters" ->
-      s"""SELECT word AS token, CAST(count(*) AS BIGINT) AS cnt
-         FROM (SELECT unnest($ToksSql) AS word FROM documents)
-         GROUP BY word ORDER BY cnt DESC, token LIMIT 20""",
-
-    // same semantics (and SQL) as q60 — the bloom prune is an internal
-    // optimization the exact confirm join erases
-    "q87_decontam_bloom" ->
-      s"""WITH b AS (SELECT DISTINCT unnest($ShinglesSql) AS sh
-             FROM documents WHERE doc_id % 97 = 0),
-         ce AS (SELECT doc_id, unnest($ShinglesSql) AS sh
-             FROM documents WHERE doc_id % 97 <> 0),
-         bad AS (SELECT DISTINCT doc_id FROM ce WHERE sh IN (SELECT sh FROM b))
-         SELECT doc_id FROM documents
-         WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
-         ORDER BY doc_id""",
-
-    "q88_snapshot_diff" -> {
-      val cut05 = (0.05 * ext.Sampling.Space).toLong
-      val cut10 = (0.10 * ext.Sampling.Space).toLong
-      val cut03 = (0.03 * ext.Sampling.Space).toLong
-      s"""WITH o AS (SELECT doc_id,
-               md5(CASE WHEN ${BucketSql("ed", "doc_id")} < $cut10
-                 THEN concat(text, ' v2') ELSE text END) AS dig_old
-             FROM documents WHERE ${BucketSql("add", "doc_id")} >= $cut05),
-         n AS (SELECT doc_id, md5(text) AS dig_new
-             FROM documents WHERE ${BucketSql("rm", "doc_id")} >= $cut03)
-         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-           CASE WHEN o.doc_id IS NULL THEN 'added'
-                WHEN n.doc_id IS NULL THEN 'removed'
-                WHEN dig_old = dig_new THEN 'unchanged'
-                ELSE 'changed' END AS status
-         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-         ORDER BY doc_id"""
-    },
-
-    // the A-ES key replays weightedSampleK's IEEE steps exactly:
-    // u = (bucket + 0.5) / 2^60, key = -ln(u) / weight
-    "q89_weighted_sample" ->
-      s"""SELECT doc_id, source, n_chars FROM documents
-         ORDER BY -ln((CAST(${BucketSql("ws", "doc_id")} AS DOUBLE) + 0.5)
-             / CAST(${ext.Sampling.Space} AS DOUBLE))
-           / CAST(n_chars AS DOUBLE), doc_id
-         LIMIT 100""",
-
-    "q90_robust_outliers" ->
-      """WITH s AS (SELECT event_type, quantile_cont(value, 0.5) AS med
-             FROM events GROUP BY event_type),
-         m AS (SELECT e.event_type,
-               quantile_cont(abs(e.value - s.med), 0.5) AS mad
-             FROM events e JOIN s USING (event_type) GROUP BY e.event_type)
-         SELECT e.event_type, e.event_id, e.value,
-           0.6745 * (e.value - s.med) / m.mad AS mz
-         FROM events e JOIN s USING (event_type) JOIN m USING (event_type)
-         WHERE m.mad > 0 AND abs(0.6745 * (e.value - s.med) / m.mad) > 3.5
-         ORDER BY event_type, event_id""",
-
-    // greedy earliest chain per user — each step is a min over events
-    // strictly after the previous step's timestamp
-    "q91_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-         s1 AS (SELECT user_id, min(us) AS t1_us FROM e
-             WHERE event_type = 'view' GROUP BY user_id),
-         s2 AS (SELECT e.user_id, t1_us, min(us) AS t2_us
-             FROM e JOIN s1 USING (user_id)
-             WHERE event_type = 'click' AND us > t1_us
-             GROUP BY e.user_id, t1_us),
-         s3 AS (SELECT e.user_id, t1_us, t2_us, min(us) AS t3_us
-             FROM e JOIN s2 USING (user_id)
-             WHERE event_type = 'purchase' AND us > t2_us
-             GROUP BY e.user_id, t1_us, t2_us)
-         SELECT user_id, t1_us, t2_us, t3_us FROM s3
-         WHERE t3_us <= t1_us + CAST(604800 AS BIGINT) * 1000000
-         ORDER BY user_id""",
-
-    "q92_retention" ->
-      """WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week
-             FROM events),
-         c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id),
-         d AS (SELECT DISTINCT user_id, week FROM w)
-         SELECT cohort_week, week - cohort_week AS week_offset,
-           CAST(count(*) AS BIGINT) AS n_users
-         FROM d JOIN c USING (user_id)
-         GROUP BY cohort_week, week_offset
-         ORDER BY cohort_week, week_offset""",
-
-    // novelty over the same 60-bit shingle-hash convention the dedup
-    // stack uses (first 15 md5 hex digits)
-    "q94_novelty" ->
-      s"""WITH d AS (SELECT doc_id, unnest(list_transform($ShinglesSql,
-               s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT)
-                 AS BIGINT))) AS sh
-             FROM documents),
-         c AS (SELECT sh, count(*) AS c FROM d GROUP BY sh)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
-           round(sum(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END) / count(*), 6)
-             AS novelty
-         FROM d JOIN c USING (sh)
-         GROUP BY doc_id ORDER BY doc_id""",
-
-    // q21's minhash machinery with a side column: candidates pair only
-    // across the hash-half split (side 0 = "new crawl", side 1 = corpus)
-    "q95_cross_dedup" -> CrossDedupSql,
-
-    // the store-served path is pinned to the SAME oracle: serving the
-    // reference side from its persisted index must not change one pair
-    "q100_cross_store" -> CrossDedupSql,
-
-    // stride-2 nearest-neighbor subsample of the q61 synthetic raster:
-    // output pixel (x, y) = source pixel (2x, 2y)
-    "q93_image_resize" ->
-      """SELECT doc_id AS id,
-           CAST(greatest((doc_id % 13 + 3) // 2, 1) AS INT) AS width,
-           CAST(greatest((doc_id % 7 + 2) // 2, 1) AS INT) AS height,
-           round(list_avg(flatten(list_transform(
-             generate_series(0, CAST(greatest((doc_id % 7 + 2) // 2, 1) AS INT) - 1),
-             y -> list_transform(
-               generate_series(0, CAST(greatest((doc_id % 13 + 3) // 2, 1) AS INT) - 1),
-               x -> CAST((doc_id * 31 + 2 * x * 7 + 2 * y * 13) % 256 AS DOUBLE))))), 6)
-             AS brightness
-         FROM documents ORDER BY doc_id""",
-  ) ++ oracleSqlExt
-
-  // shared by q95 (inline sides) and q100 (store-served reference side):
-  // the two shapes are pinned to pair-identical output
-  private lazy val CrossDedupSql =
-      s"""WITH dd AS (SELECT doc_id, text,
-             CASE WHEN ${BucketSql("xd", "doc_id")} <
-               ${ext.Sampling.Space / 2} THEN 0 ELSE 1 END AS side
-           FROM documents),
-         d AS (SELECT doc_id, side, $ShinglesSql AS sh FROM dd),
-         h AS (SELECT doc_id, side, sh,
-                 list_transform(sh, s -> ${baseHashSql("s")}) AS hv FROM d),
-         g AS (SELECT doc_id, side, $SigSql AS sig FROM h),
-         b AS (SELECT doc_id, side, t2.b AS band,
-                 array_to_string(sig[(t2.b * 4 + 1):(t2.b * 4 + 4)], ',')
-                   AS band_key
-               FROM g, generate_series(0, 3) AS t2(b)),
-         cand AS (SELECT DISTINCT l.doc_id AS id_new, r.doc_id AS id_ref
-                  FROM b l JOIN b r ON l.band = r.band
-                    AND l.band_key = r.band_key
-                  WHERE l.side = 0 AND r.side = 1),
-         j AS (SELECT c.id_new, c.id_ref,
-                 (CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE))
-                   / CAST(len(list_distinct(list_concat(da.sh, db.sh)))
-                       AS DOUBLE) AS jaccard
-               FROM cand c JOIN d da ON da.doc_id = c.id_new
-                 JOIN d db ON db.doc_id = c.id_ref)
-         SELECT id_new, id_ref, round(jaccard, 6) AS jaccard
-         FROM j WHERE jaccard >= 0.3 ORDER BY id_new, id_ref"""
-
-  /** Continuation of [[oracleSql]] (the map literal splits around
-    * [[CrossDedupSql]]). */
-  private lazy val oracleSqlExt: Map[String, String] = Map(
-    // q63's CTE shape with the paragraph splitter and joiner
-    "q104_para_dedup" ->
-      """WITH multi AS (
-           SELECT a.doc_id AS doc_id,
-                  concat(a.text, chr(10), chr(10), b.text) AS text
-           FROM documents a
-           JOIN documents b ON b.doc_id = a.doc_id - a.doc_id % 5),
-         paras AS (
-           SELECT doc_id,
-                  unnest(string_split_regex(text, '\n{2,}')) AS para,
-                  unnest(generate_series(1,
-                    len(string_split_regex(text, '\n{2,}')))) AS pos
-           FROM multi),
-         hot AS (SELECT para FROM paras GROUP BY para HAVING count(*) > 2),
-         kept AS (SELECT * FROM paras
-                  WHERE para NOT IN (SELECT para FROM hot))
-         SELECT m.doc_id,
-                coalesce(string_agg(k.para, chr(10) || chr(10)
-                  ORDER BY k.pos), '') AS text
-         FROM multi m LEFT JOIN kept k ON k.doc_id = m.doc_id
-         GROUP BY m.doc_id ORDER BY m.doc_id""",
-
-    // same smoothing arithmetic ORDER as the Spark side: (cnt + 0.5) /
-    // (total + 0.5 * n); psi rounds at 6 dp over the ln
-    // integer-exact ECDF gaps: D's argmax runs on |cna·n_b − cnb·n_a|
-    // (pure int64); only the final d / d_crit ratios touch doubles, with
-    // the SAME arithmetic shape as Eval.ksTest
-    "q184_ks_drift" ->
-      s"""$QualityCtesSql,
-         sc AS (SELECT CASE WHEN source = 'src9' THEN 1 ELSE 0 END AS is_b,
-                  $QualityValSql AS q FROM s),
-         per AS (SELECT q,
-                  CAST(sum(CASE WHEN is_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-                  CAST(sum(is_b) AS BIGINT) AS cb
-                 FROM sc GROUP BY q),
-         cum AS (SELECT
-                  CAST(sum(ca) OVER (ORDER BY q ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cna,
-                  CAST(sum(cb) OVER (ORDER BY q ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnb
-                 FROM per),
-         tot AS (SELECT max(cna) AS n_a, max(cnb) AS n_b FROM cum),
-         dn AS (SELECT max(abs(CAST(cna * n_b AS BIGINT) -
-                  CAST(cnb * n_a AS BIGINT))) AS dnum FROM cum, tot)
-         SELECT n_a, n_b,
-           CAST(dnum AS DOUBLE) /
-             (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d,
-           1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) /
-             (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS d_crit,
-           CASE WHEN CAST(dnum AS DOUBLE) /
-               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) >
-             1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) /
-               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
-             THEN 1 ELSE 0 END AS drifted
-         FROM tot, dn""",
-
-    // the q184 integer-gap machinery sliced per source: the dense
-    // (source × value) grid evaluates every group's ECDF at every global
-    // jump point; rest-side cumulatives derive as (global − own)
-    "q185_ks_by_source" ->
-      s"""$QualityCtesSql,
-         sc AS (SELECT source, $QualityValSql AS q FROM s),
-         pg AS MATERIALIZED (SELECT source, q,
-                  CAST(count(*) AS BIGINT) AS c
-                 FROM sc GROUP BY source, q),
-         gcum AS (SELECT q, CAST(sum(cv) OVER (ORDER BY q ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cumg
-                  FROM (SELECT q, CAST(sum(c) AS BIGINT) AS cv
-                        FROM pg GROUP BY q) gv),
-         grp AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_a
-                 FROM pg GROUP BY source),
-         tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS n FROM grp),
-         dense AS (SELECT g.source, g.n_a, v.cumg,
-                  CAST(sum(coalesce(pg.c, 0)) OVER (PARTITION BY g.source
-                    ORDER BY v.q ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cuma
-                 FROM gcum v CROSS JOIN grp g
-                   LEFT JOIN pg ON pg.source = g.source AND pg.q = v.q),
-         perg AS (SELECT source, n_a, n,
-                  max(abs(CAST(cuma * (n - n_a) AS BIGINT) -
-                    CAST((cumg - cuma) * n_a AS BIGINT))) AS dnum
-                 FROM dense, tot GROUP BY source, n_a, n)
-         SELECT source, n_a, CAST(n - n_a AS BIGINT) AS n_b,
-           CAST(dnum AS DOUBLE) /
-             (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)) AS d,
-           1.358 * sqrt(CAST(n_a + (n - n_a) AS DOUBLE) /
-             (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE))) AS d_crit,
-           CASE WHEN CAST(dnum AS DOUBLE) /
-               (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)) >
-             1.358 * sqrt(CAST(n_a + (n - n_a) AS DOUBLE) /
-               (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)))
-             THEN 1 ELSE 0 END AS drifted
-         FROM perg ORDER BY source""",
-
-    // the q184 integer-gap machinery per day against the first-week
-    // baseline: the dense (window × value) grid evaluates each window's
-    // ECDF at every jump point of either side
-    "q186_ks_drift_windowed" ->
-      """WITH e AS (SELECT date_trunc('day', ts) AS ws,
-                  round(value, 2) AS v FROM events),
-         b AS (SELECT round(value, 2) AS v FROM events
-               WHERE ts < TIMESTAMP '2024-01-08'),
-         bc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
-         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM b),
-         lc AS (SELECT ws, v, CAST(count(*) AS BIGINT) AS c
-                FROM e GROUP BY ws, v),
-         nl AS (SELECT ws, CAST(count(*) AS BIGINT) AS n_live
-                FROM e GROUP BY ws),
-         vals AS (SELECT DISTINCT v FROM
-                  (SELECT v FROM bc UNION ALL SELECT v FROM lc) u),
-         grid AS (SELECT w.ws, x.v
-                  FROM (SELECT DISTINCT ws FROM e) w CROSS JOIN vals x),
-         cums AS (SELECT g.ws, g.v,
-             CAST(sum(coalesce(bc.c, 0)) OVER (PARTITION BY g.ws
-               ORDER BY g.v ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cna,
-             CAST(sum(coalesce(lc.c, 0)) OVER (PARTITION BY g.ws
-               ORDER BY g.v ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cnb
-           FROM grid g LEFT JOIN bc ON bc.v = g.v
-             LEFT JOIN lc ON lc.ws = g.ws AND lc.v = g.v),
-         per AS (SELECT c.ws, nl.n_live,
-             max(abs(CAST(c.cna * nl.n_live AS BIGINT) -
-               CAST(c.cnb * nb.n_a AS BIGINT))) AS dnum
-           FROM cums c JOIN nl ON nl.ws = c.ws, nb
-           GROUP BY c.ws, nl.n_live)
-         SELECT per.ws, per.n_live,
-           CAST(dnum AS DOUBLE) /
-             (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)) AS d,
-           1.358 * sqrt(CAST(n_a + n_live AS DOUBLE) /
-             (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE))) AS d_crit,
-           CASE WHEN CAST(dnum AS DOUBLE) /
-               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)) >
-             1.358 * sqrt(CAST(n_a + n_live AS DOUBLE) /
-               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)))
-             THEN 1 ELSE 0 END AS drifted
-         FROM per, nb ORDER BY ws""",
-
-    "q103_psi_drift" ->
-      s"""$QualityCtesSql,
-         sc AS (SELECT source, $QualityValSql AS q FROM s),
-         bb AS (SELECT CAST(least(greatest(floor((q - 0.0) / 1.0 * 10),
-                  0.0), 9.0) AS INT) AS bucket
-                FROM sc WHERE source <> 'src9'),
-         bl AS (SELECT CAST(least(greatest(floor((q - 0.0) / 1.0 * 10),
-                  0.0), 9.0) AS INT) AS bucket
-                FROM sc WHERE source = 'src9'),
-         cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
-                FROM bb GROUP BY bucket),
-         cl AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_live
-                FROM bl GROUP BY bucket),
-         r AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
-         j AS (SELECT r.bucket, coalesce(cb.n_base, 0) AS n_base,
-                 coalesce(cl.n_live, 0) AS n_live
-               FROM r LEFT JOIN cb ON cb.bucket = r.bucket
-                 LEFT JOIN cl ON cl.bucket = r.bucket),
-         tt AS (SELECT (SELECT count(*) FROM bb) + 0.5 * 10 AS tb,
-                 (SELECT count(*) FROM bl) + 0.5 * 10 AS tl)
-         SELECT bucket, n_base, n_live,
-           (n_base + 0.5) / tb AS p_base,
-           (n_live + 0.5) / tl AS p_live,
-           round(((n_live + 0.5) / tl - (n_base + 0.5) / tb) *
-             ln(((n_live + 0.5) / tl) / ((n_base + 0.5) / tb)), 6) AS psi
-         FROM j, tt ORDER BY bucket""",
-
-    // same projections as q101; shortlist ranked on the UNROUNDED pcos
-    // (bit-identical both engines), exact stage ranked on the rounded cos
-    "q102_jl_topk" -> {
-      val comps = (0 until 8).map { i =>
-        val h = ext.Similarity.jlPlane(i, 64).mkString("[", ", ", "]")
-        s"list_dot_product(v, $h) * (1.0 / sqrt(8))"
-      }.mkString("[", ",\n             ", "]")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-         p AS (SELECT vec_id, $comps AS pv FROM e),
-         s AS (SELECT pq.vec_id AS query_id, pc.vec_id AS corpus_id,
-                 list_dot_product(pc.pv, pq.pv) /
-                   (sqrt(list_dot_product(pc.pv, pc.pv)) *
-                    sqrt(list_dot_product(pq.pv, pq.pv))) AS pcos
-               FROM p pc, p pq
-               WHERE pq.vec_id < 3 AND pc.vec_id <> pq.vec_id),
-         sh AS (SELECT query_id, corpus_id,
-                  row_number() OVER (PARTITION BY query_id
-                    ORDER BY pcos DESC, corpus_id) AS prank
-                FROM s),
-         x AS (SELECT sh.query_id, sh.corpus_id,
-                 round(list_dot_product(a.v, b.v) /
-                   (sqrt(list_dot_product(a.v, a.v)) *
-                    sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-               FROM sh JOIN e a ON a.vec_id = sh.corpus_id
-                 JOIN e b ON b.vec_id = sh.query_id
-               WHERE sh.prank <= 50),
-         r AS (SELECT query_id, corpus_id, cos,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos DESC, corpus_id) AS INT) AS rank
-               FROM x)
-         SELECT query_id, rank, corpus_id, cos FROM r
-         WHERE rank <= 10 ORDER BY query_id, rank""" },
-
-    // the hyperplane literals interpolate from Similarity.jlPlane — ONE
-    // source of truth for the weights in both engines
-    "q101_jl_projection" -> {
-      val planes = (0 until 8).map { i =>
-        val h = ext.Similarity.jlPlane(i, 64).mkString("[", ", ", "]")
-        // * (1/sqrt) like the Spark side — x*(1/s) and x/s differ in IEEE
-        s"list_dot_product(CAST(embedding AS DOUBLE[]), $h) * (1.0 / sqrt(8)) AS proj$i"
-      }.mkString(",\n           ")
-      s"""SELECT vec_id,
-           $planes
-         FROM embeddings ORDER BY vec_id"""
-    },
-
-    // hashed shingles mirror the Spark side exactly, so even a 60-bit
-    // collision changes both engines' distinct counts identically
-    "q96_diversity" ->
-      s"""WITH d AS (SELECT source, $ShinglesSql AS sh FROM documents),
-         u AS (SELECT source, unnest(list_transform(sh,
-                 s -> ${baseHashSql("s")})) AS h FROM d),
-         a AS (SELECT source, CAST(count(*) AS BIGINT) AS sh_total,
-                 CAST(count(DISTINCT h) AS BIGINT) AS sh_distinct
-               FROM u GROUP BY source),
-         n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-               FROM documents GROUP BY source)
-         SELECT source, n_docs, sh_total, sh_distinct,
-           CAST(sh_distinct AS DOUBLE) / CAST(sh_total AS DOUBLE)
-             AS diversity
-         FROM n JOIN a USING (source) ORDER BY source""",
-
-    "q97_fertility" ->
-      s"""${BpeDocTokensSql(8)}
-         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS n_chars,
-           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-           CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
-             AS fertility
-         FROM documents JOIN enc USING (doc_id)
-         GROUP BY lang ORDER BY lang""",
-
-    // seed centroids = the 8 lowest vec_ids; assignment replicated as an
-    // argmin over the cross join (L2 ties toward the lower cluster index)
-    "q98_cluster_map" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-         s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
-                 AS cluster, v AS c
-               FROM e ORDER BY vec_id LIMIT 8),
-         a AS (SELECT vec_id, v, cluster, c,
-                 row_number() OVER (PARTITION BY vec_id
-                   ORDER BY list_distance(v, c), cluster) AS rn
-               FROM e, s),
-         b AS (SELECT * FROM a WHERE rn = 1)
-         SELECT cluster, CAST(count(*) AS BIGINT) AS n,
-           round(avg(CASE WHEN list_dot_product(v, v) > 0
-               AND list_dot_product(c, c) > 0
-             THEN list_dot_product(v, c) /
-               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c)))
-             END), 6) AS mean_cos
-         FROM b GROUP BY cluster ORDER BY cluster""",
-
-    // multinomial NB with add-one smoothing; pred compares the ROUNDED
-    // score so both engines decide the boundary on the same double
-    "q99_quality_classifier" ->
-      s"""SELECT doc_id, n_tokens, score, pred FROM ($NbScoredSql)
-         ORDER BY doc_id""",
-
-    // q102's two-stage replay with the label predicate pushed under the
-    // shortlist (hyperplane literals again interpolate from jlPlane)
-    "q105_hard_negatives" -> {
-      val comps = (0 until 8).map { i =>
-        val h = ext.Similarity.jlPlane(i, 64).mkString("[", ", ", "]")
-        s"list_dot_product(v, $h) * (1.0 / sqrt(8))"
-      }.mkString("[", ",\n             ", "]")
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-         p AS (SELECT vec_id, label, $comps AS pv FROM e),
-         s AS (SELECT pq.vec_id AS query_id, pc.vec_id AS corpus_id,
-                 pc.label AS neg_label,
-                 list_dot_product(pc.pv, pq.pv) /
-                   (sqrt(list_dot_product(pc.pv, pc.pv)) *
-                    sqrt(list_dot_product(pq.pv, pq.pv))) AS pcos
-               FROM p pc, p pq
-               WHERE pq.vec_id < 5 AND pc.label <> pq.label),
-         sh AS (SELECT query_id, corpus_id, neg_label,
-                  row_number() OVER (PARTITION BY query_id
-                    ORDER BY pcos DESC, corpus_id) AS prank
-                FROM s),
-         x AS (SELECT sh.query_id, sh.corpus_id, sh.neg_label,
-                 round(list_dot_product(a.v, b.v) /
-                   (sqrt(list_dot_product(a.v, a.v)) *
-                    sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-               FROM sh JOIN e a ON a.vec_id = sh.corpus_id
-                 JOIN e b ON b.vec_id = sh.query_id
-               WHERE sh.prank <= 50),
-         r AS (SELECT query_id, corpus_id, neg_label, cos,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos DESC, corpus_id) AS INT) AS rank
-               FROM x)
-         SELECT query_id, rank, corpus_id, neg_label, cos FROM r
-         WHERE rank <= 10 ORDER BY query_id, rank""" },
-
-    // q98's seed-centroid assignment + within-cluster prototype rank;
-    // NULL cosines (zero vectors) rank last via the -2 sentinel
-    "q106_prototypicality" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-         s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
-                 AS cluster, v AS c
-               FROM e ORDER BY vec_id LIMIT 8),
-         a AS (SELECT vec_id, v, cluster, c,
-                 row_number() OVER (PARTITION BY vec_id
-                   ORDER BY list_distance(v, c), cluster) AS rn
-               FROM e, s),
-         b AS (SELECT vec_id, cluster,
-                 CASE WHEN list_dot_product(v, v) > 0
-                     AND list_dot_product(c, c) > 0
-                   THEN round(list_dot_product(v, c) /
-                     (sqrt(list_dot_product(v, v)) *
-                      sqrt(list_dot_product(c, c))), 6)
-                 END AS cos
-               FROM a WHERE rn = 1),
-         r AS (SELECT vec_id, cluster, cos,
-                 CAST(row_number() OVER (PARTITION BY cluster
-                   ORDER BY coalesce(cos, -2.0) DESC, vec_id) AS INT)
-                   AS rnk,
-                 count(*) OVER (PARTITION BY cluster) AS n
-               FROM b)
-         SELECT vec_id, cluster, cos, rnk, CAST(n AS BIGINT) AS n,
-           CASE WHEN rnk <= ceil(0.25 * n) THEN 1 ELSE 0 END AS drop_flag
-         FROM r ORDER BY vec_id""",
-
-    // bottom-k sampled-membership candidates (the 8 smallest shingle
-    // hashes probe the full inverted index) + exact containment verify;
-    // integer-ratio containments stay unrounded (exact divisions)
-    "q107_containment" ->
-      s"""WITH m AS (SELECT d.doc_id,
-               concat_ws(' ', d.text, l.text) AS text
-             FROM documents d
-             JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 10),
-         d AS (SELECT doc_id, list_sort(list_transform($ShinglesSql,
-                 s -> ${baseHashSql("s")})) AS sh FROM m),
-         posts AS (SELECT doc_id, unnest(sh) AS h FROM d),
-         probes AS (SELECT doc_id AS probe_id, unnest(sh[1:8]) AS h FROM d),
-         cand AS (SELECT DISTINCT least(pr.probe_id, p.doc_id) AS id_a,
-                    greatest(pr.probe_id, p.doc_id) AS id_b
-                  FROM probes pr JOIN posts p USING (h)
-                  WHERE pr.probe_id <> p.doc_id),
-         x AS (SELECT c.id_a, c.id_b,
-                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
-                 CAST(len(a.sh) AS BIGINT) AS n_a,
-                 CAST(len(b.sh) AS BIGINT) AS n_b
-               FROM cand c JOIN d a ON a.doc_id = c.id_a
-                 JOIN d b ON b.doc_id = c.id_b)
-         SELECT id_a, id_b, n_a, n_b, inter,
-           CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS cont_a,
-           CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS cont_b
-         FROM x
-         WHERE greatest(CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE),
-                        CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE)) >= 0.5
-         ORDER BY id_a, id_b""",
-
-    // PMI argument formed as the same left-assoc double product in both
-    // engines (exact below 2^53); ln output rounds at 6 dp
-    "q108_pmi_collocations" ->
-      s"""WITH tk AS (SELECT $ToksSql AS toks FROM documents),
-         u AS (SELECT unnest(toks) AS w FROM tk),
-         uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
-         bg AS (SELECT toks[g] AS w1, toks[g + 1] AS w2
-               FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1))
-                       AS g
-                     FROM tk WHERE len(toks) >= 2)),
-         bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-                FROM bg GROUP BY w1, w2),
-         tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS t1,
-                   (SELECT CAST(sum(c12) AS DOUBLE) FROM bi) AS t2)
-         SELECT w1, w2, c12, ua.c AS c1, ub.c AS c2,
-           round(ln((CAST(c12 AS DOUBLE) * t1 * t1) /
-             (t2 * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 6) AS pmi
-         FROM bi JOIN uni ua ON ua.w = bi.w1
-           JOIN uni ub ON ub.w = bi.w2, tot
-         WHERE c12 >= 5 ORDER BY w1, w2""",
-
-    "q109_transitions" ->
-      s"""WITH a AS (SELECT event_type AS from_type,
-                 lead(event_type) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id) AS to_type
-               FROM events),
-         c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
-               FROM a WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
-         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
-               FROM c GROUP BY from_type)
-         SELECT from_type, to_type, n, n_from,
-           CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
-         FROM c JOIN t USING (from_type)
-         ORDER BY from_type, to_type""",
-
-    "q110_mmr" -> MmrChainSql(8, 0.7, 20, 3),
-
-    // rate = least(3.0 * (1.0 / sqrt(cnt)), 1.0) — the exact form the
-    // Scala side evaluates (x * (1/s), not x/s; sqrt is IEEE-exact)
-    "q111_temperature_mix" ->
-      s"""WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS cnt
-             FROM documents GROUP BY source),
-         r AS (SELECT source,
-                 CAST(floor(least(3.0 * (1.0 / sqrt(cnt)),
-                     CAST(1.0 AS DOUBLE))
-                   * CAST(${ext.Sampling.Space} AS DOUBLE)) AS BIGINT)
-                   AS cut
-               FROM c)
-         SELECT d.doc_id, d.source FROM documents d
-         JOIN r ON d.source = r.source
-         WHERE ${BucketSql("tm", "d.doc_id")} < r.cut
-         ORDER BY d.doc_id""",
-
-    // q90's med/MAD machinery without the cut; same left-assoc mz form
-    "q125_robust_scale" ->
-      s"""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
-             FROM events GROUP BY event_type),
-         d AS (SELECT e.event_type, e.event_id, e.value, m.med
-               FROM events e JOIN m USING (event_type)),
-         s AS (SELECT event_type,
-                 quantile_cont(abs(value - med), 0.5) AS mad
-               FROM d GROUP BY event_type)
-         SELECT d.event_type, d.event_id, d.value,
-           CASE WHEN s.mad > 0
-             THEN 0.6745 * (d.value - d.med) / s.mad END AS mz
-         FROM d JOIN s USING (event_type) ORDER BY d.event_id""",
-
-    // mid-rank ecdf bins — exact 0.5-multiple arithmetic, NO interpolated
-    // thresholds (those flip tie-groups on 1-ulp cut divergence)
-    "q126_discretize" ->
-      s"""WITH per AS (SELECT value AS v, CAST(count(*) AS BIGINT) AS n
-             FROM events GROUP BY value),
-         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM per),
-         cum AS (SELECT v, n,
-                   CAST(sum(n) OVER (ORDER BY v ASC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS BIGINT) AS cum
-                 FROM per),
-         pct AS (SELECT v,
-                   (CAST(cum - n AS DOUBLE) + CAST(n AS DOUBLE) / 2.0)
-                     / CAST(tot AS DOUBLE) AS p
-                 FROM cum, tot)
-         SELECT e.event_id, e.value,
-           least(CAST(floor(p * 8) AS INT), 7) AS bin
-         FROM events e JOIN pct ON pct.v = e.value
-         ORDER BY e.event_id""",
-
-    "q116_winsorize" ->
-      s"""WITH c AS (SELECT event_type,
-             quantile_cont(value, 0.05) AS lo,
-             quantile_cont(value, 0.95) AS hi
-           FROM events GROUP BY event_type)
-         SELECT e.event_type, e.event_id, e.value,
-           least(greatest(e.value, c.lo), c.hi) AS winsorized
-         FROM events e JOIN c USING (event_type)
-         ORDER BY e.event_id""",
-
-    // three generated ecdf chains + the same left-assoc weighted sum
-    "q118_quality_blend" -> {
-      def ecdfCte(valCol: String, i: Int) =
-        s"""per$i AS (SELECT $valCol AS v$i, CAST(count(*) AS BIGINT) AS n
-               FROM base GROUP BY $valCol),
-           tot$i AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM per$i),
-           cum$i AS (SELECT v$i, n,
-                   CAST(sum(n) OVER (ORDER BY v$i ASC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS BIGINT) AS cum
-                 FROM per$i),
-           pct$i AS (SELECT v$i,
-                   (CAST(cum - n AS DOUBLE) + CAST(n AS DOUBLE) / 2.0)
-                     / CAST(tot AS DOUBLE) AS p$i
-                 FROM cum$i, tot$i)"""
-      s"""WITH t AS (
-           SELECT doc_id, source, text, $ToksSql AS toks,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END
-                  AS tok_cnt
-           FROM documents),
-         s AS (SELECT doc_id, source, text, toks, tok_cnt, $LangScoreSql
-               FROM t),
-         base AS (SELECT doc_id, $QualityValSql AS q,
-             round(CASE WHEN len(toks) > 0 THEN
-               CAST(len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
-                 AS DOUBLE) / len(toks) ELSE 0 END, 6) AS mwl,
-             round(CASE WHEN tok_cnt > 0 THEN
-               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / tok_cnt
-               ELSE 0 END, 6) AS awf
-           FROM s),
-         ${ecdfCte("q", 0)},
-         ${ecdfCte("mwl", 1)},
-         ${ecdfCte("awf", 2)}
-         SELECT b.doc_id, b.q, b.mwl, b.awf,
-           0.5 * p0 + 0.2 * p1 + 0.3 * p2 AS blended
-         FROM base b JOIN pct0 ON pct0.v0 = b.q
-           JOIN pct1 ON pct1.v1 = b.mwl
-           JOIN pct2 ON pct2.v2 = b.awf
-         ORDER BY b.doc_id"""
-    },
-
-    "q117_ecdf" ->
-      s"""$QualityCtesSql,
-         qd AS (SELECT doc_id, $QualityValSql AS q FROM s),
-         per AS (SELECT q, CAST(count(*) AS BIGINT) AS n
-                 FROM qd GROUP BY q),
-         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM per),
-         cum AS (SELECT q, n,
-                   CAST(sum(n) OVER (ORDER BY q ASC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS BIGINT) AS cum
-                 FROM per)
-         SELECT d.doc_id, d.q,
-           (CAST(cum - n AS DOUBLE) + CAST(n AS DOUBLE) / 2.0)
-             / CAST(tot AS DOUBLE) AS pct
-         FROM qd d JOIN cum USING (q), tot ORDER BY d.doc_id""",
-
-    // q95's cross-LSH machinery pointed at the split boundary (side =
-    // hashSplit bucket vs the interpolated 80% threshold); leaky train
-    // docs anti-join away, test survives intact
-    "q115_decontam_split" -> {
-      val th = ext.Sampling.thresholds(Seq(0.8, 0.2)).head
-      s"""WITH dd AS (SELECT doc_id, text,
-             CASE WHEN ${BucketSql("ds", "doc_id")} < $th
-               THEN 0 ELSE 1 END AS side
-           FROM documents),
-         d AS (SELECT doc_id, side, $ShinglesSql AS sh FROM dd),
-         h AS (SELECT doc_id, side, sh,
-                 list_transform(sh, s -> ${baseHashSql("s")}) AS hv FROM d),
-         g AS (SELECT doc_id, side, $SigSql AS sig FROM h),
-         b AS (SELECT doc_id, side, t2.b AS band,
-                 array_to_string(sig[(t2.b * 4 + 1):(t2.b * 4 + 4)], ',')
-                   AS band_key
-               FROM g, generate_series(0, 3) AS t2(b)),
-         cand AS (SELECT DISTINCT l.doc_id AS id_new, r.doc_id AS id_ref
-                  FROM b l JOIN b r ON l.band = r.band
-                    AND l.band_key = r.band_key
-                  WHERE l.side = 0 AND r.side = 1),
-         j AS (SELECT c.id_new,
-                 (CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE))
-                   / CAST(len(list_distinct(list_concat(da.sh, db.sh)))
-                       AS DOUBLE) AS jaccard
-               FROM cand c JOIN d da ON da.doc_id = c.id_new
-                 JOIN d db ON db.doc_id = c.id_ref),
-         leaky AS (SELECT DISTINCT id_new AS doc_id FROM j
-                   WHERE jaccard >= 0.3)
-         SELECT doc_id, 'train' AS split FROM dd
-         WHERE side = 0 AND doc_id NOT IN (SELECT doc_id FROM leaky)
-         UNION ALL
-         SELECT doc_id, 'test' AS split FROM dd WHERE side = 1
-         ORDER BY doc_id"""
-    },
-
-    // k-way NB: score_c = prior_c + Σ ln(cnt+1) − n_doc·ln(T_c+V) — only
-    // OBSERVED (token, class) rows join (unseen tokens add ln(1) = 0)
-    "q112_nb_multiclass" -> s"$NbMulticlassSql ORDER BY doc_id",
-
-    // per-class P/R/F1 over the q112 confusion matrix; never-predicted
-    // classes carry NULL precision/F1 (undefined, not zero)
-    "q119_class_metrics" ->
-      s"""WITH prd AS ($NbMulticlassSql),
-         j AS (SELECT d.lang AS label, prd.pred
-               FROM prd JOIN documents d USING (doc_id)),
-         cm AS (SELECT label, pred, CAST(count(*) AS BIGINT) AS n
-                FROM j GROUP BY label, pred),
-         bl AS (SELECT label AS cls, CAST(sum(n) AS BIGINT) AS n_label
-                FROM cm GROUP BY label),
-         bp AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS n_pred
-                FROM cm GROUP BY pred),
-         tps AS (SELECT label AS cls, n AS tp FROM cm WHERE label = pred),
-         m AS (SELECT bl.cls, bl.n_label,
-                 coalesce(bp.n_pred, 0) AS n_pred,
-                 coalesce(tps.tp, 0) AS tp
-               FROM bl LEFT JOIN bp ON bp.cls = bl.cls
-                 LEFT JOIN tps ON tps.cls = bl.cls),
-         pr AS (SELECT cls, n_label, n_pred, tp,
-                 CASE WHEN n_pred > 0
-                   THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END
-                   AS precision,
-                 CAST(tp AS DOUBLE) / CAST(n_label AS DOUBLE) AS recall
-               FROM m)
-         SELECT cls, n_label, n_pred, tp, precision, recall,
-           CASE WHEN n_pred > 0 AND (precision + recall) > 0
-             THEN 2.0 * precision * recall / (precision + recall) END AS f1
-         FROM pr ORDER BY cls""",
-
-    // kappa between the q99 NB pred and the quality>=0.5 gate; p_e from
-    // the EXACT integer marginal product sum over N^2
-    "q120_kappa" ->
-      s"""$QualityCtesSql,
-         gt AS (SELECT doc_id,
-                  CASE WHEN $QualityValSql >= 0.5 THEN 1 ELSE 0 END
-                    AS gate
-                FROM s),
-         scored AS ($NbScoredSql),
-         j AS (SELECT scored.pred AS a, gt.gate AS b
-               FROM scored JOIN gt USING (doc_id)),
-         cm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
-                FROM j GROUP BY a, b),
-         ma AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM cm GROUP BY a),
-         mb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM cm GROUP BY b),
-         prd AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS prod
-                 FROM ma JOIN mb ON ma.a = mb.b),
-         ag AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_agree
-                FROM cm WHERE a = b),
-         tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cm)
-         SELECT n_total AS n,
-           CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_o,
-           CAST(prod AS DOUBLE)
-             / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)) AS p_e,
-           (CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE)
-             - CAST(prod AS DOUBLE)
-               / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)))
-           / (1.0 - CAST(prod AS DOUBLE)
-               / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)))
-             AS kappa
-         FROM ag, tt, prd""",
-
-
-    // threshold sweep over the per-score aggregate (never the corpus);
-    // window sums CAST to BIGINT (DuckDB windowed sum is HUGEINT)
-    "q113_pr_curve" ->
-      s"""WITH scored AS ($NbScoredSql),
-         per AS (SELECT score AS threshold,
-                   CAST(sum(pos) AS BIGINT) AS npos,
-                   CAST(count(*) AS BIGINT) AS n
-                 FROM scored GROUP BY score),
-         tot AS (SELECT CAST(sum(npos) AS BIGINT) AS p_total FROM per),
-         cum AS (SELECT threshold,
-                   CAST(sum(npos) OVER (ORDER BY threshold DESC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS BIGINT) AS tp,
-                   CAST(sum(n - npos) OVER (ORDER BY threshold DESC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS BIGINT) AS fp
-                 FROM per)
-         SELECT threshold, tp, fp,
-           CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
-           CAST(tp AS DOUBLE) / CAST(p_total AS DOUBLE) AS recall
-         FROM cum, tot ORDER BY threshold DESC""",
-
-    // Lucene-form BM25; k1/b-derived literals interpolate from the SAME
-    // Scala doubles so the score arithmetic replays bit-for-bit
-    "q127_bm25" -> {
-      val (k1, b) = (1.2, 0.75)
-      s"""WITH d AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-         dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks
-                FROM d),
-         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
-                FROM dd),
-         h AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
-         hits AS (SELECT doc_id, dl, tok FROM h
-                  WHERE tok IN ('hash', 'join', 'filter')),
-         tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
-                FROM hits GROUP BY doc_id, dl, tok),
-         dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-                 FROM hits GROUP BY tok),
-         sc AS (SELECT tf.doc_id,
-                  round(sum(ln(1.0 + (st.n - dft.df + 0.5)
-                      / (dft.df + 0.5)) *
-                    (tf.tf * ${k1 + 1.0}) /
-                    (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl
-                      / st.avgdl))), 6) AS score
-                FROM tf JOIN dft USING (tok), st GROUP BY tf.doc_id)
-         SELECT doc_id, score FROM sc
-         ORDER BY score DESC, doc_id LIMIT 10"""
-    },
-
-    // tridist = |z − (analytic slope plane)| inside the footprint; the
-    // ray-trace surfaceZ diverges from the plane algebra only in the last
-    // ulps, absorbed by the shared 6 dp grain (the q16 discipline)
-    "q128_tridist" ->
-      s"""WITH $GridSql
-         SELECT id,
-           CASE WHEN x BETWEEN 1001 AND 1289.5 AND y BETWEEN 1900 AND 2350
-                THEN round(abs(z - (50 + 0.01 * x + 0.02 * y)), 6) END AS tridist
-         FROM g ORDER BY id""",
-
-    // analytic raster → 10x6 nearest samples → integer-exact mean
-    // threshold → 60-bit hash → 3-chunk pigeonhole at maxHamming 2
-    "q124_image_neardup" ->
-      s"""WITH g AS (SELECT doc_id, CAST(doc_id % 13 + 3 AS BIGINT) AS w,
-             CAST(doc_id % 7 + 2 AS BIGINT) AS h FROM documents),
-         px AS (SELECT doc_id, k,
-                 (doc_id * 31 + ((k % 10) * w // 10) * 7 +
-                  ((k // 10) * h // 6) * 13) % 256 AS p
-               FROM (SELECT doc_id, w, h,
-                       unnest(generate_series(0, 59)) AS k FROM g)),
-         tot AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS total
-                 FROM px GROUP BY doc_id),
-         hs AS (SELECT px.doc_id,
-                 CAST(sum(CASE WHEN p * 60 > total
-                   THEN CAST(1 AS BIGINT) << k
-                   ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash
-               FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id),
-         b AS (SELECT doc_id, ahash, c,
-                 (ahash >> (c * 20)) & 1048575 AS cv
-               FROM hs, generate_series(0, 2) AS t(c)),
-         cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-                  FROM b l JOIN b r ON l.c = r.c AND l.cv = r.cv
-                    AND l.doc_id < r.doc_id)
-         SELECT id_a, id_b,
-           CAST(bit_count(xor(a.ahash, b2.ahash)) AS BIGINT) AS hamming
-         FROM cand JOIN hs a ON a.doc_id = cand.id_a
-           JOIN hs b2 ON b2.doc_id = cand.id_b
-         WHERE bit_count(xor(a.ahash, b2.ahash)) <= 2
-         ORDER BY id_a, id_b""",
-
-    // product-limit estimator; the fully-converting terminal row (d =
-    // n_risk) pins survival 0 explicitly — ln(0) faults in DuckDB
-    "q123_kaplan_meier" ->
-      s"""WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS t0,
-             max(epoch_us(ts)) AS tmax,
-             min(CASE WHEN event_type = 'purchase'
-               THEN epoch_us(ts) END) AS tev
-           FROM events GROUP BY user_id),
-         du AS (SELECT (coalesce(tev, tmax) - t0) // 1000000 AS dur,
-                  CASE WHEN tev IS NOT NULL THEN 1 ELSE 0 END AS ev
-                FROM pu),
-         bd AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
-                  CAST(count(*) - sum(ev) AS BIGINT) AS c
-                FROM du GROUP BY dur),
-         tt AS (SELECT CAST(sum(d + c) AS BIGINT) AS nn FROM bd),
-         k AS (SELECT dur, d, c,
-                 CAST(sum(d + c) OVER (ORDER BY dur ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS BIGINT) AS cum_all
-               FROM bd),
-         r AS (SELECT dur, d, c,
-                 nn - (cum_all - (d + c)) AS n_risk FROM k, tt),
-         f AS (SELECT dur, d, c, n_risk,
-                 CASE WHEN d < n_risk
-                   THEN ln(1.0 - CAST(d AS DOUBLE)
-                     / CAST(n_risk AS DOUBLE))
-                   ELSE 0.0 END AS lnf,
-                 max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
-                   OVER (ORDER BY dur ASC ROWS BETWEEN UNBOUNDED
-                     PRECEDING AND CURRENT ROW) AS dead
-               FROM r)
-         SELECT dur, CAST(n_risk AS BIGINT) AS n_risk, d, c,
-           CASE WHEN dead = 1 THEN 0.0
-             ELSE round(exp(sum(lnf) OVER (ORDER BY dur ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
-             END AS survival
-         FROM f ORDER BY dur""",
-
-    // sigmoid probs bin on the ROUNDED value (engine-stable edges);
-    // pos_rate stays an exact unrounded integer ratio
-    "q122_calibration" ->
-      s"""WITH scored AS ($NbScoredSql),
-         pb AS (SELECT round(1.0 / (1.0 + exp(-score)), 6) AS p,
-                  pos AS y
-                FROM scored),
-         b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, y
-               FROM pb)
-         SELECT bin, CAST(count(*) AS BIGINT) AS n,
-           round(avg(p), 6) AS mean_conf,
-           CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
-         FROM b GROUP BY bin ORDER BY bin""",
-
-    // q114's rank arithmetic with every window/agg PARTITIONED BY lang;
-    // the label joins back from documents
-    "q121_auc_by_lang" ->
-      s"""WITH scored AS ($NbScoredSql),
-         lb AS (SELECT scored.doc_id, scored.score, scored.pos AS label,
-                  d.lang
-                FROM scored JOIN documents d USING (doc_id)),
-         per AS (SELECT lang AS g, score AS s,
-                   CAST(sum(label) AS BIGINT) AS npos,
-                   CAST(count(*) AS BIGINT) AS n
-                 FROM lb GROUP BY lang, score),
-         rk AS (SELECT g, npos, n,
-                  CAST(sum(n) OVER (PARTITION BY g ORDER BY s ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cum
-                FROM per),
-         ag AS (SELECT g, sum(CAST(npos AS DOUBLE) *
-                    (CAST(cum - n AS DOUBLE) +
-                     CAST(n + 1 AS DOUBLE) / 2.0)) AS prs,
-                  CAST(sum(npos) AS BIGINT) AS n_pos,
-                  CAST(sum(n - npos) AS BIGINT) AS n_neg
-                FROM rk GROUP BY g)
-         SELECT g AS lang,
-           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-             (prs - (CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE))
-               / 2.0) /
-             (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc,
-           n_pos, n_neg
-         FROM ag ORDER BY lang""",
-
-    // Mann-Whitney rank form: every npos·avgRank term is an exact
-    // multiple of 0.5, so the sums are order-independent and unrounded
-    "q114_auc" ->
-      s"""WITH scored AS ($NbScoredSql),
-         per AS (SELECT score AS s, CAST(sum(pos) AS BIGINT) AS npos,
-                   CAST(count(*) AS BIGINT) AS n
-                 FROM scored GROUP BY score),
-         rk AS (SELECT npos, n,
-                  CAST(sum(n) OVER (ORDER BY s ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cum
-                FROM per),
-         ag AS (SELECT sum(CAST(npos AS DOUBLE) *
-                    (CAST(cum - n AS DOUBLE) +
-                     CAST(n + 1 AS DOUBLE) / 2.0)) AS prs,
-                  CAST(sum(npos) AS BIGINT) AS n_pos,
-                  CAST(sum(n - npos) AS BIGINT) AS n_neg
-                FROM rk)
-         SELECT (prs - (CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE))
-               / 2.0) /
-             (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
-           n_pos, n_neg
-         FROM ag""",
-
-    // Laplace-smoothed KL/JS over the union vocabulary; the smoothed
-    // probabilities replay the same double arithmetic in both engines and
-    // the order-dependent sums are absorbed by the 6 dp grain
-    "q129_vocab_divergence" ->
-      s"""WITH ta AS (SELECT unnest($ToksSql) AS tok FROM documents
-                WHERE lang = 'en'),
-         tb AS (SELECT unnest($ToksSql) AS tok FROM documents
-                WHERE lang <> 'en'),
-         ca AS (SELECT tok, count(*) AS ca FROM ta GROUP BY tok),
-         cb AS (SELECT tok, count(*) AS cb FROM tb GROUP BY tok),
-         m AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
-               FROM ca FULL OUTER JOIN cb USING (tok)),
-         t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
-                 CAST(sum(cb) AS BIGINT) AS n_b,
-                 CAST(count(*) AS BIGINT) AS vocab FROM m),
-         p AS (SELECT n_a, n_b, vocab,
-                 (CAST(ca AS DOUBLE) + 0.5)
-                   / (CAST(n_a AS DOUBLE) + 0.5 * CAST(vocab AS DOUBLE)) AS pa,
-                 (CAST(cb AS DOUBLE) + 0.5)
-                   / (CAST(n_b AS DOUBLE) + 0.5 * CAST(vocab AS DOUBLE)) AS pb
-               FROM m, t)
-         SELECT n_a, n_b, vocab,
-           round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
-           round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
-           round(sum(pa * ln(pa * 2.0 / (pa + pb)) / 2.0 +
-                     pb * ln(pb * 2.0 / (pa + pb)) / 2.0), 6) AS js
-         FROM p GROUP BY n_a, n_b, vocab""",
-
-    // per-doc histogram entropy: -(c/n)·ln(c/n) summed over distinct
-    // tokens; empty docs NULL, single-token docs 0 with NULL norm
-    "q130_token_entropy" ->
-      s"""WITH d AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-         base AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
-                    CAST(len(list_distinct(toks)) AS INT) AS n_distinct
-                  FROM d),
-         h AS (SELECT doc_id, unnest(toks) AS tok FROM d),
-         cnt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
-                 FROM h GROUP BY doc_id, tok),
-         ent AS (SELECT cnt.doc_id,
-                   sum(-(c / n_tokens) * ln(c / n_tokens)) AS hh
-                 FROM cnt JOIN base USING (doc_id) GROUP BY cnt.doc_id)
-         SELECT doc_id, n_tokens, n_distinct,
-           CASE WHEN n_tokens > 0 THEN round(coalesce(hh, 0.0), 6)
-             END AS entropy,
-           CASE WHEN n_distinct > 1
-             THEN round(hh / ln(CAST(n_distinct AS DOUBLE)), 6)
-             END AS norm_entropy
-         FROM base LEFT JOIN ent USING (doc_id) ORDER BY doc_id""",
-
-    // OLS of ln(freq) on ln(rank) over the deterministic (count desc,
-    // token) top-200; the 5 sums fold on <=200 rows so the 6 dp grain
-    // absorbs order effects
-    "q131_zipf" ->
-      s"""WITH h AS (SELECT unnest($ToksSql) AS tok FROM documents),
-         c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM h
-               GROUP BY tok ORDER BY c DESC, tok LIMIT 200),
-         r AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok)
-                    AS DOUBLE)) AS x,
-                 ln(CAST(c AS DOUBLE)) AS y FROM c),
-         sums AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
-                    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
-                    sum(y * y) AS syy, sum(x * y) AS sxy FROM r)
-         SELECT n_terms, round(m, 6) AS slope,
-           round((sy - m * sx) / n_terms, 6) AS intercept,
-           round(pow(sxy - sx * sy / n_terms, 2) /
-             ((sxx - sx * sx / n_terms) * (syy - sy * sy / n_terms)), 6)
-             AS r2
-         FROM (SELECT *, (sxy - sx * sy / n_terms)
-                 / (sxx - sx * sx / n_terms) AS m FROM sums)""",
-
-    // simplified silhouette vs per-(cluster,dim) centroid means; the
-    // point-centroid distances round at 6 dp BEFORE the a/b compare so
-    // both engines pick the same argmin
-    "q132_cluster_quality" ->
-      """WITH e AS (SELECT vec_id, label AS cluster,
-                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         x AS (SELECT vec_id, cluster, unnest(v) AS xv,
-                 unnest(generate_series(1, len(v))) AS d FROM e),
-         cent AS (SELECT cluster AS ccl, d, avg(xv) AS m
-                  FROM x GROUP BY cluster, d),
-         dd AS (SELECT x.vec_id, x.cluster, cent.ccl,
-                  round(sqrt(sum((x.xv - cent.m) * (x.xv - cent.m))), 6)
-                    AS dd
-                FROM x JOIN cent USING (d)
-                GROUP BY x.vec_id, x.cluster, cent.ccl),
-         a AS (SELECT vec_id, cluster, dd AS a FROM dd
-               WHERE cluster = ccl),
-         b AS (SELECT vec_id, cluster, min(dd) AS b FROM dd
-               WHERE cluster <> ccl GROUP BY vec_id, cluster),
-         s AS (SELECT a.cluster, a.a,
-                 CASE WHEN greatest(a.a, b.b) > 0
-                   THEN (b.b - a.a) / greatest(a.a, b.b)
-                   ELSE 0.0 END AS s
-               FROM a JOIN b USING (vec_id, cluster))
-         SELECT cluster, CAST(count(*) AS BIGINT) AS n,
-           round(avg(a), 6) AS mean_a,
-           round(avg(s), 6) AS mean_silhouette
-         FROM s GROUP BY cluster ORDER BY cluster""",
-
-    // oriented-wedge triangle count over the q21 pairs (already lo<hi
-    // and distinct); all-integer
-    "q148_triangles" ->
-      s"""$MinhashPairsSql,
-         und AS MATERIALIZED (SELECT id_a AS lo, id_b AS hi FROM j
-           WHERE jaccard >= 0.3),
-         nd AS (SELECT DISTINCT node FROM
-           (SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)),
-         w AS (SELECT e1.lo AS i, e1.hi AS j, e2.hi AS k
-               FROM und e1 JOIN und e2
-                 ON e1.lo = e2.lo AND e1.hi < e2.hi),
-         tri AS (SELECT w.i, w.j, w.k FROM w
-                 WHERE EXISTS (SELECT 1 FROM und
-                   WHERE und.lo = w.j AND und.hi = w.k)),
-         pn AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM
-                  (SELECT unnest([i, j, k]) AS node FROM tri)
-                GROUP BY node)
-         SELECT nd.node AS doc_id, coalesce(pn.t, 0) AS triangles
-         FROM nd LEFT JOIN pn ON pn.node = nd.node
-         ORDER BY doc_id""",
-
-    // all-integer structural flags over the shared turn CTE
-    "q146_chat_validate" ->
-      s"""WITH $ChatTurnsSql
-         SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
-           CASE WHEN min_by(role, turn_idx) = 'user' THEN 1 ELSE 0 END
-             AS starts_user,
-           CASE WHEN sum(CASE WHEN prev = role THEN 1 ELSE 0 END) = 0
-             THEN 1 ELSE 0 END AS alternates,
-           CASE WHEN max_by(role, turn_idx) = 'assistant' THEN 1 ELSE 0 END
-             AS ends_assistant,
-           CASE WHEN min_by(role, turn_idx) = 'user'
-                 AND sum(CASE WHEN prev = role THEN 1 ELSE 0 END) = 0
-                 AND max_by(role, turn_idx) = 'assistant'
-                 AND count(*) >= 2 THEN 1 ELSE 0 END AS valid
-         FROM (SELECT conv_id, turn_idx, role,
-                 lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
-                   AS prev
-               FROM turns)
-         GROUP BY conv_id ORDER BY conv_id""",
-
-    "q147_chat_flatten" ->
-      s"""WITH $ChatTurnsSql
-         SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
-           string_agg(concat('<|', role, '|>', content), ''
-             ORDER BY turn_idx) AS text
-         FROM turns GROUP BY conv_id ORDER BY conv_id""",
-
-    // sum-CASE pivot: absent (priority, status) combos are NULL under
-    // sum in both engines (count would give 0 in SQL but NULL in pivot)
-    "q143_pivot" ->
-      """SELECT o_orderpriority,
-         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
-         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
-         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
-         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-
-    "q144_unpivot" ->
-      """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
-         FROM part WHERE p_partkey <= 50
-         UNION ALL
-         SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
-         FROM part WHERE p_partkey <= 50
-         ORDER BY p_partkey, attr""",
-
-    // dense per-user daily grid + forward fill; the filled value is the
-    // day's LAST observation by (ts, event_id) — exact, no rounding
-    "q145_resample_fill" ->
-      """WITH f AS (SELECT * FROM events WHERE user_id < 10),
-         daily AS (SELECT user_id, date_trunc('day', ts) AS bucket, value
-                   FROM (SELECT user_id, ts, event_id, value,
-                           row_number() OVER (
-                             PARTITION BY user_id, date_trunc('day', ts)
-                             ORDER BY ts DESC, event_id DESC) AS rn
-                         FROM f) WHERE rn = 1),
-         span AS (SELECT user_id, date_trunc('day', min(ts)) AS d0,
-                    date_trunc('day', max(ts)) AS d1
-                  FROM f GROUP BY user_id),
-         grid AS (SELECT user_id,
-                    unnest(generate_series(d0, d1, INTERVAL 1 DAY))
-                      AS bucket
-                  FROM span)
-         SELECT g.user_id AS user_id, g.bucket AS bucket,
-           last_value(d.value IGNORE NULLS) OVER (
-             PARTITION BY g.user_id ORDER BY g.bucket
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill
-         FROM grid g LEFT JOIN daily d
-           ON d.user_id = g.user_id AND d.bucket = g.bucket
-         ORDER BY g.user_id, g.bucket""",
-
-    // 5 generated MATERIALIZED plurality-vote rounds over the q21 pair
-    // CTEs; all-integer — no rounding grain anywhere
-    "q142_label_prop" -> {
-      val iters = 5
-      val rounds = (1 to iters).map { i =>
-        s"""v$i AS MATERIALIZED (SELECT e.dst AS node, l.label,
-               CAST(count(*) AS BIGINT) AS c
-             FROM ed e JOIN lb${i - 1} l ON l.node = e.src
-             WHERE l.label IS NOT NULL GROUP BY e.dst, l.label),
-           t$i AS MATERIALIZED (SELECT node, label AS vote FROM (
-             SELECT node, label, row_number() OVER (PARTITION BY node
-               ORDER BY c DESC, label) AS rn FROM v$i) WHERE rn = 1),
-           lb$i AS MATERIALIZED (SELECT nd.node,
-               coalesce(sd.seed, t.vote) AS label
-             FROM nd LEFT JOIN sd ON sd.node = nd.node
-                     LEFT JOIN t$i t ON t.node = nd.node)"""
-      }.mkString(",\n")
-      s"""$MinhashPairsSql,
-         ed AS MATERIALIZED (
-           SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard >= 0.3
-           UNION ALL
-           SELECT id_b AS src, id_a AS dst FROM j WHERE jaccard >= 0.3),
-         nd AS MATERIALIZED (SELECT DISTINCT node FROM
-           (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
-         sd AS MATERIALIZED (SELECT doc_id AS node, lang AS seed
-           FROM documents WHERE doc_id % 5 = 0),
-         lb0 AS MATERIALIZED (SELECT nd.node, sd.seed AS label
-           FROM nd LEFT JOIN sd ON sd.node = nd.node),
-         $rounds
-         SELECT node AS doc_id, label FROM lb$iters ORDER BY doc_id"""
-    },
-
-    // the salted join is semantically the plain join — 2 dp money grain
-    // (summands on the 0.01 grid never land on a .005 tie)
-    "q141_salted_join" ->
-      """SELECT o_orderpriority,
-         round(sum(l_extendedprice), 2) AS revenue,
-         count(*) AS n
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-
-    // same affine form left-associated; round() sees only non-negative
-    // arguments so HALF_UP and half-away agree; (qv+128) == round(...)
-    // exactly on integers, so the reconstruction skips the offset
-    "q140_int8_quant" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-         x AS (SELECT vec_id, unnest(v) AS x,
-                 unnest(generate_series(1, len(v))) AS d FROM e),
-         st AS (SELECT d, min(x) AS lo, max(x) AS hi FROM x GROUP BY d),
-         r AS (SELECT vec_id, x.x,
-                 CASE WHEN st.hi > st.lo
-                 THEN st.lo + round((x.x - st.lo) * 255.0 / (st.hi - st.lo))
-                   * (st.hi - st.lo) / 255.0
-                 ELSE st.lo END AS xr
-               FROM x JOIN st USING (d))
-         SELECT vec_id, round(avg((x - xr) * (x - xr)), 6) AS mse
-         FROM r GROUP BY vec_id ORDER BY vec_id""",
-
-    // 5 generated MATERIALIZED power-iteration rounds over the q21 pair
-    // CTEs; per-round: dangling-mass scalar (left-join null test = the
-    // anti-join), contribution sum, rank refresh — the damping factor
-    // contracts the sum-order float divergence every round
-    "q139_pagerank" -> {
-      val (damping, iters) = (0.85, 5)
-      val resid = 1.0 - damping
-      val rounds = (1 to iters).map { i =>
-        s"""d$i AS MATERIALIZED (SELECT coalesce(sum(pr), 0.0) AS dang
-             FROM pr${i - 1} p LEFT JOIN dg ON dg.node = p.node
-             WHERE dg.outdeg IS NULL),
-           c$i AS MATERIALIZED (SELECT e.dst AS node,
-               sum(p.pr / dg.outdeg) AS s
-             FROM ed e JOIN pr${i - 1} p ON p.node = e.src
-                       JOIN dg ON dg.node = e.src
-             GROUP BY e.dst),
-           pr$i AS MATERIALIZED (SELECT nd.node,
-               $resid / n + $damping * (coalesce(c.s, 0.0) + d.dang / n)
-                 AS pr
-             FROM nd LEFT JOIN c$i c ON c.node = nd.node, nn, d$i d)"""
-      }.mkString(",\n")
-      s"""$MinhashPairsSql,
-         ed AS MATERIALIZED (
-           SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard >= 0.3
-           UNION ALL
-           SELECT id_b AS src, id_a AS dst FROM j WHERE jaccard >= 0.3),
-         nd AS MATERIALIZED (SELECT DISTINCT node FROM
-           (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
-         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
-         dg AS MATERIALIZED (SELECT src AS node,
-             CAST(count(*) AS BIGINT) AS outdeg FROM ed GROUP BY src),
-         pr0 AS MATERIALIZED (SELECT node, 1.0 / n AS pr FROM nd, nn),
-         $rounds
-         SELECT node AS doc_id, round(pr, 6) AS pr FROM pr$iters
-         ORDER BY doc_id"""
-    },
-
-    // candidate CTEs shared with q21; byte-level DuckDB levenshtein ==
-    // codepoint-level Spark levenshtein on the ASCII test corpus
-    "q136_edit_verify" ->
-      s"""$MinhashPairsSql
-         SELECT c.id_a, c.id_b,
-           CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_dist
-         FROM cand c JOIN documents ta ON ta.doc_id = c.id_a
-                     JOIN documents tb ON tb.doc_id = c.id_b
-         WHERE levenshtein(ta.text, tb.text) <= 50
-         ORDER BY id_a, id_b""",
-
-    // same md5-prefix hash family; min over the 4 rows' cells, absent
-    // cell = 0
-    "q137_cms_counts" ->
-      s"""WITH h AS (SELECT unnest($ToksSql) AS tok FROM documents),
-         cells AS (SELECT j, ${CmsBucketSql("tok")} AS b,
-                     CAST(count(*) AS BIGINT) AS cell
-                   FROM h, generate_series(0, 3) g(j) GROUP BY j, b),
-         probes AS (SELECT unnest(['hash', 'join', 'filter', 'data',
-                      'the', 'zzznope']) AS tok),
-         pb AS (SELECT tok, j, ${CmsBucketSql("tok")} AS b
-                FROM probes, generate_series(0, 3) g(j))
-         SELECT pb.tok, min(coalesce(cell, 0)) AS est
-         FROM pb LEFT JOIN cells USING (j, b)
-         GROUP BY pb.tok ORDER BY tok""",
-
-    // CMS inner product: min over j of sum_b cellA*cellB
-    "q138_cms_join_size" ->
-      s"""WITH ha AS (SELECT unnest($ToksSql) AS tok FROM documents
-                WHERE source IN ('src0', 'src1')),
-         hb AS (SELECT unnest($ToksSql) AS tok FROM documents
-                WHERE lang = 'zh'),
-         ca AS (SELECT j, ${CmsBucketSql("tok")} AS b,
-                  CAST(count(*) AS BIGINT) AS cell
-                FROM ha, generate_series(0, 3) g(j) GROUP BY j, b),
-         cb AS (SELECT j, ${CmsBucketSql("tok")} AS b,
-                  CAST(count(*) AS BIGINT) AS cell
-                FROM hb, generate_series(0, 3) g(j) GROUP BY j, b),
-         dots AS (SELECT ca.j, CAST(sum(ca.cell * cb.cell) AS BIGINT) AS dot
-                  FROM ca JOIN cb ON ca.j = cb.j AND ca.b = cb.b
-                  GROUP BY ca.j)
-         SELECT min(dot) AS est_join_size FROM dots""",
-
-    // 5 generated GD rounds (MATERIALIZED — the chain is re-referenced);
-    // the only cross-engine divergence is gradient-avg summation order,
-    // ~1e-13 after amplification vs the 6 dp grain
-    "q134_logistic_train" ->
-      s"""$LogitChainSql
-         SELECT j, round(w, 6) AS weight
-         FROM (SELECT unnest([w0, w1, w2]) AS w, unnest([0, 1, 2]) AS j
-               FROM it5)
-         ORDER BY j""",
-
-    // sigmoid scores under the it5 weights; pred gates on the ROUNDED
-    // score so both engines compare the same double against 0.5
-    "q135_logistic_scores" ->
-      s"""$LogitChainSql
-         SELECT doc_id,
-           round(1.0 / (1.0 + exp(-$LogitDotSql)), 6) AS score,
-           CASE WHEN round(1.0 / (1.0 + exp(-$LogitDotSql)), 6) >= 0.5
-             THEN 1 ELSE 0 END AS pred
-         FROM f, it5 ORDER BY doc_id""",
-
-    // RRF = 1/(60+rank_sparse) + 1/(60+rank_dense) over the q127 BM25
-    // top-10 and the dense cosine top-10 for query vector 0; both ranks
-    // order by (6 dp score desc, id) so the fusion is engine-portable
-    "q133_hybrid_rrf" -> {
-      val (k1, b) = (1.2, 0.75)
-      s"""WITH d AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-         dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks
-                FROM d),
-         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
-                FROM dd),
-         h AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
-         hits AS (SELECT doc_id, dl, tok FROM h
-                  WHERE tok IN ('hash', 'join', 'filter')),
-         tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
-                FROM hits GROUP BY doc_id, dl, tok),
-         dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-                 FROM hits GROUP BY tok),
-         sc AS (SELECT tf.doc_id,
-                  round(sum(ln(1.0 + (st.n - dft.df + 0.5)
-                      / (dft.df + 0.5)) *
-                    (tf.tf * ${k1 + 1.0}) /
-                    (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl
-                      / st.avgdl))), 6) AS score
-                FROM tf JOIN dft USING (tok), st GROUP BY tf.doc_id),
-         bmtop AS (SELECT doc_id, score FROM sc
-                   ORDER BY score DESC, doc_id LIMIT 10),
-         ra AS (SELECT doc_id, CAST(row_number() OVER
-                    (ORDER BY score DESC, doc_id) AS INT) AS rank_a
-                FROM bmtop),
-         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-         dn AS (SELECT a.vec_id AS doc_id, round($CosSql, 6) AS cos
-                FROM e a, e b WHERE b.vec_id = 0 AND a.vec_id <> 0),
-         dntop AS (SELECT doc_id, cos FROM dn
-                   ORDER BY cos DESC, doc_id LIMIT 10),
-         rb AS (SELECT doc_id, CAST(row_number() OVER
-                    (ORDER BY cos DESC, doc_id) AS INT) AS rank_b
-                FROM dntop),
-         f AS (SELECT doc_id, rank_a, rank_b
-               FROM ra FULL OUTER JOIN rb USING (doc_id))
-         SELECT doc_id, rank_a, rank_b,
-           round(coalesce(1.0 / (60 + rank_a), 0.0) +
-                 coalesce(1.0 / (60 + rank_b), 0.0), 6) AS rrf
-         FROM f ORDER BY rrf DESC, doc_id LIMIT 10"""
-    },
-
-    // ln-ratio discount (ln(r+1)/ln 2) interpolated from the SAME Scala
-    // Ln2 double the Spark side uses — library log2's differ in the last
-    // ulp between engines, a fixed ln-ratio does not
-    "q149_retrieval_metrics" -> {
-      val ln2 = ext.Eval.Ln2
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-             FROM embeddings),
-         scored AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
-                      round($CosSql, 6) AS cos
-                    FROM e a, e b
-                    WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id),
-         run AS (SELECT query_id, corpus_id,
-                   CAST(row_number() OVER (PARTITION BY query_id
-                     ORDER BY cos DESC, corpus_id) AS INT) AS rank
-                 FROM scored QUALIFY rank <= 10),
-         qr AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id
-                FROM embeddings q JOIN embeddings c ON q.label = c.label
-                  AND c.vec_id <> q.vec_id
-                WHERE q.vec_id < 10),
-         nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
-                FROM qr GROUP BY query_id),
-         j AS (SELECT run.query_id, run.rank,
-                 CASE WHEN qr.corpus_id IS NOT NULL THEN 1 ELSE 0 END
-                   AS rel
-               FROM run LEFT JOIN qr ON qr.query_id = run.query_id
-                 AND qr.corpus_id = run.corpus_id),
-         per AS (SELECT query_id, CAST(max(rel) AS INT) AS hit_k,
-                   coalesce(1.0 / CAST(min(CASE WHEN rel = 1 THEN rank END)
-                     AS DOUBLE), 0.0) AS mrr_raw,
-                   sum(CAST(rel AS DOUBLE) /
-                     (ln(CAST(rank AS DOUBLE) + 1.0) / $ln2)) AS dcg
-                 FROM j GROUP BY query_id)
-         SELECT per.query_id, nr.n_rel, per.hit_k,
-           round(per.mrr_raw, 6) AS mrr,
-           round(per.dcg / list_sum(list_transform(
-             generate_series(1,
-               least(10, CAST(greatest(nr.n_rel, 1) AS INT))),
-             i -> 1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / $ln2))), 6)
-             AS ndcg
-         FROM per JOIN nr USING (query_id) ORDER BY query_id"""
-    },
-
-    // Fleiss over three deterministic raters: the q99 NB pred, the q120
-    // quality gate, and an n_chars >= 300 length gate; all-integer
-    // counts into the final ratios
-    "q150_fleiss_kappa" ->
-      s"""$QualityCtesSql,
-         nb AS ($NbScoredSql),
-         votes AS (
-           SELECT doc_id, 'nb' AS rater, pred AS vote FROM nb
-           UNION ALL
-           SELECT doc_id, 'gate' AS rater,
-             CASE WHEN $QualityValSql >= 0.5 THEN 1 ELSE 0 END AS vote
-           FROM s
-           UNION ALL
-           SELECT doc_id, 'len' AS rater,
-             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS vote
-           FROM documents),
-         nij AS (SELECT doc_id AS item, vote AS cat,
-                   CAST(count(*) AS BIGINT) AS nij
-                 FROM votes GROUP BY doc_id, vote),
-         pi AS (SELECT item, CAST(sum(nij) AS BIGINT) AS r,
-                  CAST(sum(nij * nij) AS BIGINT) AS ss
-                FROM nij GROUP BY item),
-         pib AS (SELECT item, r,
-                   CASE WHEN r > 1 THEN CAST(ss - r AS DOUBLE)
-                     / CAST(r * (r - 1) AS DOUBLE) END AS p_i
-                 FROM pi),
-         g AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
-                 CAST(sum(r) AS BIGINT) AS n_ratings,
-                 avg(p_i) AS p_bar
-               FROM pib),
-         pj AS (SELECT cat, CAST(sum(nij) AS BIGINT) AS cj
-                FROM nij GROUP BY cat),
-         pe AS (SELECT sum((CAST(cj AS DOUBLE) / CAST(n_ratings AS DOUBLE))
-                  * (CAST(cj AS DOUBLE) / CAST(n_ratings AS DOUBLE)))
-                  AS p_e
-                FROM pj, g)
-         SELECT n_items, n_ratings, round(p_bar, 6) AS p_bar,
-           round(p_e, 6) AS p_e,
-           round(CASE WHEN p_e < 1.0
-             THEN (p_bar - p_e) / (1.0 - p_e) END, 6) AS kappa
-         FROM g, pe""",
-
-    // Murphy decomposition over the q122 sigmoid bins; every divisor is
-    // a bin count >= 1, the global ratios replay Spark's exact shapes
-    "q151_brier" ->
-      s"""WITH scored AS ($NbScoredSql),
-         pb AS (SELECT round(1.0 / (1.0 + exp(-score)), 6) AS p,
-                  CAST(pos AS DOUBLE) AS y
-                FROM scored),
-         b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, y
-               FROM pb),
-         per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
-                   sum(p) AS sp, sum(y) AS sy,
-                   sum((p - y) * (p - y)) AS sq
-                 FROM b GROUP BY bin),
-         t AS (SELECT CAST(sum(n_b) AS BIGINT) AS n,
-                 sum(sy) / CAST(sum(n_b) AS DOUBLE) AS ybar
-               FROM per),
-         dec AS (SELECT t.n, t.ybar,
-                   sum(per.sq) AS tsq,
-                   sum(CAST(per.n_b AS DOUBLE)
-                     * (per.sp / CAST(per.n_b AS DOUBLE)
-                        - per.sy / CAST(per.n_b AS DOUBLE))
-                     * (per.sp / CAST(per.n_b AS DOUBLE)
-                        - per.sy / CAST(per.n_b AS DOUBLE))) AS trel,
-                   sum(CAST(per.n_b AS DOUBLE)
-                     * (per.sy / CAST(per.n_b AS DOUBLE) - t.ybar)
-                     * (per.sy / CAST(per.n_b AS DOUBLE) - t.ybar)) AS tres
-                 FROM per, t GROUP BY t.n, t.ybar)
-         SELECT n, round(tsq / CAST(n AS DOUBLE), 6) AS brier,
-           round(trel / CAST(n AS DOUBLE), 6) AS reliability,
-           round(tres / CAST(n AS DOUBLE), 6) AS resolution,
-           round(ybar * (1.0 - ybar), 6) AS uncertainty
-         FROM dec""",
-
-    // 5 generated MATERIALIZED min-propagation rounds ≡ BFS settled set
-    // after 5 frontiers; all-integer
-    "q152_bfs_hops" -> {
-      val rounds = (1 to 5).map { i =>
-        s"""d$i AS MATERIALIZED (SELECT node, min(d) AS d FROM (
-             SELECT node, d FROM d${i - 1}
-             UNION ALL
-             SELECT e.dst AS node, d${i - 1}.d + 1 AS d
-             FROM e JOIN d${i - 1} ON e.src = d${i - 1}.node)
-           GROUP BY node)"""
-      }.mkString(",\n")
-      s"""$MinhashPairsSql,
-         und AS MATERIALIZED (SELECT id_a, id_b FROM j
-           WHERE jaccard >= 0.3),
-         e AS (SELECT id_a AS src, id_b AS dst FROM und
-               UNION ALL SELECT id_b, id_a FROM und),
-         sd AS (SELECT doc_id AS node FROM documents
-                WHERE doc_id % 50 = 0),
-         nd AS (SELECT DISTINCT node FROM
-           (SELECT src AS node FROM e UNION ALL SELECT dst FROM e
-            UNION ALL SELECT node FROM sd)),
-         d0 AS MATERIALIZED (SELECT node, 0 AS d FROM sd),
-         $rounds
-         SELECT nd.node AS doc_id, CAST(d5.d AS INT) AS hops
-         FROM nd LEFT JOIN d5 ON d5.node = nd.node
-         ORDER BY doc_id"""
-    },
-
-    // q43's recursive component closure + q55's bucket CASE, keyed on
-    // the component canonical (singletons group as themselves)
-    "q153_leakage_split" -> {
-      val th = ext.Sampling.thresholds(Seq(0.8, 0.1, 0.1))
-      s"""WITH RECURSIVE pairs AS (
-           $MinhashPairsSql
-           SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
-         e AS (SELECT id_a AS a, id_b AS b FROM pairs
-               UNION SELECT id_b, id_a FROM pairs),
-         r(a, b) AS (SELECT a, b FROM e
-                     UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
-         can AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id
-                 FROM r GROUP BY a),
-         g AS (SELECT d.doc_id,
-                 coalesce(can.canonical_id, d.doc_id) AS group_id
-               FROM documents d LEFT JOIN can USING (doc_id))
-         SELECT doc_id, group_id,
-           CASE WHEN ${BucketSql("lk", "group_id")} < ${th(0)} THEN 0
-                WHEN ${BucketSql("lk", "group_id")} < ${th(1)} THEN 1
-                ELSE 2 END AS split
-         FROM g ORDER BY doc_id"""
-    },
-
-    // q43's closure + quality argmax per component (score desc, id asc —
-    // scores rounded 6 dp on both sides so the tie set is identical)
-    "q154_keep_best" ->
-      s"""WITH RECURSIVE pairs AS (
-           $MinhashPairsSql
-           SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
-         e AS (SELECT id_a AS a, id_b AS b FROM pairs
-               UNION SELECT id_b, id_a FROM pairs),
-         r(a, b) AS (SELECT a, b FROM e
-                     UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
-         can AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id
-                 FROM r GROUP BY a),
-         sq AS ($QualityCtesSql
-                SELECT doc_id, $QualityValSql AS q FROM s),
-         g AS (SELECT d.doc_id,
-                 coalesce(can.canonical_id, d.doc_id) AS group_id, sq.q
-               FROM documents d LEFT JOIN can USING (doc_id)
-                 JOIN sq USING (doc_id)),
-         rep AS (SELECT group_id, doc_id AS rep_id FROM g
-                 QUALIFY row_number() OVER (PARTITION BY group_id
-                   ORDER BY q DESC, doc_id) = 1)
-         SELECT g.doc_id, g.group_id, rep.rep_id,
-           CASE WHEN g.doc_id = rep.rep_id THEN 1 ELSE 0 END AS keep
-         FROM g JOIN rep USING (group_id) ORDER BY g.doc_id""",
-
-    // decay weight interpolates the SAME Ln2 double the Spark side uses;
-    // identical (-ln2 * days / halflife) shape both engines
-    "q155_time_decay" -> {
-      val ln2 = ext.Eval.Ln2
-      s"""WITH tm AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
-         w AS (SELECT user_id, value,
-                 exp(-$ln2 * (CAST(tm.tmax - epoch_us(ts) AS DOUBLE)
-                   / 86400000000.0) / 7.0) AS w
-               FROM events, tm)
-         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-           round(sum(value * w), 6) AS decayed_value,
-           round(sum(w), 6) AS decayed_count
-         FROM w GROUP BY user_id ORDER BY user_id"""
-    },
-
-    "q156_length_budget" ->
-      s"""WITH tk AS (SELECT CAST(len($ToksSql) AS BIGINT) AS t
-             FROM documents),
-         x AS (SELECT t, unnest([16, 32, 64, 128]) AS budget FROM tk)
-         SELECT budget, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(t) AS BIGINT) AS total_tokens,
-           CAST(sum(CASE WHEN t > budget THEN 1 ELSE 0 END) AS BIGINT)
-             AS docs_over,
-           CAST(sum(greatest(t - budget, 0)) AS BIGINT) AS tokens_lost,
-           CAST(sum(least(t, budget)) AS DOUBLE)
-             / CAST(sum(t) AS DOUBLE) AS kept_frac
-         FROM x GROUP BY budget ORDER BY budget""",
-
-    // nominal-metric alpha over pairable items only (HAVING r > 1);
-    // canonical D_o/D_e normalization, shapes replayed exactly
-    "q157_krippendorff" ->
-      s"""$QualityCtesSql,
-         nb AS ($NbScoredSql),
-         votes AS (
-           SELECT doc_id, 'nb' AS rater, pred AS vote FROM nb
-           UNION ALL
-           SELECT doc_id, 'gate' AS rater,
-             CASE WHEN $QualityValSql >= 0.5 THEN 1 ELSE 0 END AS vote
-           FROM s
-           UNION ALL
-           SELECT doc_id, 'len' AS rater,
-             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS vote
-           FROM documents WHERE n_chars < 250 OR n_chars > 350),
-         nij AS (SELECT doc_id AS item, vote AS cat,
-                   CAST(count(*) AS BIGINT) AS nij
-                 FROM votes GROUP BY doc_id, vote),
-         pi AS (SELECT item, CAST(sum(nij) AS BIGINT) AS r,
-                  CAST(sum(nij * nij) AS BIGINT) AS ss
-                FROM nij GROUP BY item
-                HAVING sum(nij) > 1),
-         g AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
-                 CAST(sum(r) AS BIGINT) AS n_ratings,
-                 sum(CAST(r * r - ss AS DOUBLE)
-                   / CAST(r - 1 AS DOUBLE)) AS do_sum
-               FROM pi),
-         nc AS (SELECT cat, CAST(sum(nij) AS BIGINT) AS cj
-                FROM nij JOIN pi USING (item) GROUP BY cat),
-         sqc AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS sumsq FROM nc),
-         fin AS (SELECT n_items, n_ratings,
-                   do_sum / CAST(n_ratings AS DOUBLE) AS d_o_raw,
-                   (CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE)
-                     - CAST(sumsq AS DOUBLE))
-                   / (CAST(n_ratings AS DOUBLE)
-                      * (CAST(n_ratings AS DOUBLE) - 1.0)) AS d_e_raw
-                 FROM g, sqc)
-         SELECT n_items, n_ratings,
-           round(d_o_raw, 6) AS d_o, round(d_e_raw, 6) AS d_e,
-           round(CASE WHEN d_e_raw > 0
-             THEN 1.0 - d_o_raw / d_e_raw END, 6) AS alpha
-         FROM fin""",
-
-    // mid-rank per-source percentile → min global value covering it;
-    // every float is an identical integer division or a data value
-    "q158_quantile_norm" ->
-      s"""$QualityCtesSql,
-         sc AS (SELECT doc_id, source, $QualityValSql AS q FROM s),
-         pg AS (SELECT source, q, CAST(count(*) AS BIGINT) AS n
-                FROM sc GROUP BY source, q),
-         gp AS (SELECT source, q,
-                  (CAST(sum(n) OVER (PARTITION BY source ORDER BY q ASC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     - n AS DOUBLE)
-                   + CAST(n AS DOUBLE) / 2.0)
-                  / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE)
-                    AS pct
-                FROM pg),
-         gl AS (SELECT q AS gv, CAST(count(*) AS BIGINT) AS gn
-                FROM sc GROUP BY q),
-         gc AS (SELECT gv,
-                  CAST(sum(gn) OVER (ORDER BY gv ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS DOUBLE)
-                  / CAST(sum(gn) OVER () AS DOUBLE) AS gcf
-                FROM gl),
-         mp AS (SELECT gp.source, gp.q, min(gc.gv) AS norm
-                FROM gp JOIN gc ON gp.pct <= gc.gcf
-                GROUP BY gp.source, gp.q)
-         SELECT sc.doc_id, sc.source, sc.q, mp.norm
-         FROM sc JOIN mp USING (source, q)
-         ORDER BY sc.doc_id""",
-
-    // q133's bm25 + dense rank CTEs, then the per-doc suffix-weight
-    // regrouping; the weights interpolate rboWeights' exact doubles
-    "q159_rbo" -> {
-      val (k1, b) = (1.2, 0.75)
-      val w = ext.Similarity.rboWeights(0.9, 10)
-      val caseW = (1 to 10).map(m => s"WHEN $m THEN ${w(m - 1)}")
-        .mkString("CASE greatest(ra.rank_a, rb.rank_b) ", " ", " END")
-      s"""WITH d AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-         dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks
-                FROM d),
-         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
-                FROM dd),
-         h AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
-         hits AS (SELECT doc_id, dl, tok FROM h
-                  WHERE tok IN ('hash', 'join', 'filter')),
-         tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
-                FROM hits GROUP BY doc_id, dl, tok),
-         dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-                 FROM hits GROUP BY tok),
-         sc AS (SELECT tf.doc_id,
-                  round(sum(ln(1.0 + (st.n - dft.df + 0.5)
-                      / (dft.df + 0.5)) *
-                    (tf.tf * ${k1 + 1.0}) /
-                    (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl
-                      / st.avgdl))), 6) AS score
-                FROM tf JOIN dft USING (tok), st GROUP BY tf.doc_id),
-         bmtop AS (SELECT doc_id, score FROM sc
-                   ORDER BY score DESC, doc_id LIMIT 10),
-         ra AS (SELECT doc_id, CAST(row_number() OVER
-                    (ORDER BY score DESC, doc_id) AS INT) AS rank_a
-                FROM bmtop),
-         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-         dn AS (SELECT a.vec_id AS doc_id, round($CosSql, 6) AS cos
-                FROM e a, e b WHERE b.vec_id = 0 AND a.vec_id <> 0),
-         dntop AS (SELECT doc_id, cos FROM dn
-                   ORDER BY cos DESC, doc_id LIMIT 10),
-         rb AS (SELECT doc_id, CAST(row_number() OVER
-                    (ORDER BY cos DESC, doc_id) AS INT) AS rank_b
-                FROM dntop),
-         j AS (SELECT ra.doc_id, $caseW AS w
-               FROM ra JOIN rb USING (doc_id))
-         SELECT 10 AS depth, CAST(count(*) AS BIGINT) AS overlap,
-           round(${1.0 - 0.9} * coalesce(sum(w), 0.0), 6) AS rbo,
-           round(${1.0 - 0.9} * coalesce(sum(w), 0.0)
-             + ${math.pow(0.9, 10)} * CAST(count(*) AS DOUBLE) / 10.0, 6)
-             AS rbo_ext
-         FROM j"""
-    },
-
-    // mid-rank tables per signal, exact quarter-multiple moment sums —
-    // rho crosses engines unrounded
-    "q160_spearman" ->
-      s"""WITH t AS (
-           SELECT doc_id, source, text, $ToksSql AS toks,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END
-                  AS tok_cnt
-           FROM documents),
-         s AS (SELECT doc_id, source, text, toks, tok_cnt, $LangScoreSql
-               FROM t),
-         base AS (SELECT $QualityValSql AS a,
-             round(CASE WHEN len(toks) > 0 THEN
-               CAST(len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
-                 AS DOUBLE) / len(toks) ELSE 0 END, 6) AS b
-           FROM s),
-         pa AS (SELECT a, CAST(count(*) AS BIGINT) AS n
-                FROM base GROUP BY a),
-         rra AS (SELECT a,
-                  CAST(CAST(sum(n) OVER (ORDER BY a ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) - n AS DOUBLE)
-                  + CAST(n + 1 AS DOUBLE) / 2.0 AS ra
-                FROM pa),
-         pb AS (SELECT b, CAST(count(*) AS BIGINT) AS n
-                FROM base GROUP BY b),
-         rrb AS (SELECT b,
-                  CAST(CAST(sum(n) OVER (ORDER BY b ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) - n AS DOUBLE)
-                  + CAST(n + 1 AS DOUBLE) / 2.0 AS rb
-                FROM pb),
-         r AS (SELECT rra.ra, rrb.rb FROM base
-               JOIN rra USING (a) JOIN rrb USING (b)),
-         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                 sum(ra) AS sa, sum(rb) AS sb,
-                 sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
-                 sum(ra * rb) AS sab
-               FROM r)
-         SELECT n,
-           CASE WHEN CAST(n AS DOUBLE) * saa - sa * sa > 0
-                 AND CAST(n AS DOUBLE) * sbb - sb * sb > 0
-           THEN (CAST(n AS DOUBLE) * sab - sa * sb)
-             / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
-                * (CAST(n AS DOUBLE) * sbb - sb * sb)) END AS rho
-         FROM m""",
-
-    "q161_pca_loadings" ->
-      s"""WITH $PcaRoundsSql
-         SELECT CAST(g.j AS INT) AS dim, round(v5.v[g.j], 6) AS loading
-         FROM v5, generate_series(1, 64) AS g(j)
-         ORDER BY dim""",
-
-    "q162_pca_variance" ->
-      s"""WITH $PcaRoundsSql,
-         sc5 AS (SELECT list_sum(list_transform(generate_series(1, 64),
-                  j2 -> (e.x[j2] - mu.mu[j2]) * v5.v[j2])) AS s,
-                 list_sum(list_transform(generate_series(1, 64),
-                  j2 -> (e.x[j2] - mu.mu[j2]) * (e.x[j2] - mu.mu[j2])))
-                  AS cc
-               FROM e, mu, v5)
-         SELECT CAST(count(*) AS BIGINT) AS n,
-           round(avg(s * s), 6) AS lambda,
-           round(avg(cc), 6) AS total_var,
-           round(avg(s * s) / avg(cc), 6) AS explained
-         FROM sc5""",
-
-    // nprobe = k ⇒ exact: the same brute-force oracle as q25/q41 —
-    // centroid quality affects only the partitioning, never the result
-    "q163_store_append" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-             FROM embeddings),
-         scored AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
-                      round($CosSql, 6) AS cos
-                    FROM e a, e b
-                    WHERE b.vec_id < 3 AND a.vec_id <> b.vec_id),
-         r AS (SELECT query_id, corpus_id, cos,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY cos DESC, corpus_id) AS INT) AS rank
-               FROM scored)
-         SELECT query_id, rank, corpus_id, cos FROM r
-         WHERE rank <= 10 ORDER BY query_id, rank""",
-
-    "q164_embedding_drift" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
-             FROM embeddings),
-         na AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM e
-                WHERE vec_id % 2 = 0),
-         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_live FROM e
-                WHERE vec_id % 2 = 1),
-         ma AS (SELECT list(m ORDER BY j) AS m FROM (
-           SELECT g.j AS j, avg(x[g.j]) AS m
-           FROM e, generate_series(1, 64) AS g(j)
-           WHERE vec_id % 2 = 0 GROUP BY g.j)),
-         mb AS (SELECT list(m ORDER BY j) AS m FROM (
-           SELECT g.j AS j, avg(x[g.j]) AS m
-           FROM e, generate_series(1, 64) AS g(j)
-           WHERE vec_id % 2 = 1 GROUP BY g.j)),
-         c AS (SELECT
-             list_sum(list_transform(generate_series(1, 64),
-               j -> ma.m[j] * mb.m[j])) AS ab,
-             sqrt(list_sum(list_transform(generate_series(1, 64),
-               j -> ma.m[j] * ma.m[j]))) AS nrm_a,
-             sqrt(list_sum(list_transform(generate_series(1, 64),
-               j -> mb.m[j] * mb.m[j]))) AS nrm_b,
-             sqrt(list_sum(list_transform(generate_series(1, 64),
-               j -> (ma.m[j] - mb.m[j]) * (ma.m[j] - mb.m[j])))) AS l2
-           FROM ma, mb)
-         SELECT n_base, n_live,
-           round(CASE WHEN nrm_a > 0 AND nrm_b > 0
-             THEN ab / (nrm_a * nrm_b) END, 6) AS mean_cos,
-           round(l2, 6) AS mean_l2
-         FROM na, nb, c""",
-
-    // Poisson(1) weights from the same md5 bucket space + thresholds the
-    // Spark side interpolates; fixed order-statistic CI convention
-    "q165_bootstrap_ci" -> {
-      val th = ext.Eval.PoissonThresholds
-      val bucket =
-        """CAST(CAST(concat('0x', substr(md5(concat('boot:',
-           CAST(rep AS VARCHAR), ':', CAST(doc_id AS VARCHAR))), 1, 15))
-           AS UBIGINT) AS BIGINT)"""
-      val caseW = th.zipWithIndex
-        .map { case (t, k) => s"WHEN $bucket < $t THEN $k" }
-        .mkString("CASE ", " ", s" ELSE ${th.size} END")
-      s"""$QualityCtesSql,
-         sc AS (SELECT doc_id, $QualityValSql AS x FROM s),
-         ex AS (SELECT doc_id, x, unnest(generate_series(0, 39)) AS rep
-                FROM sc),
-         wb AS (SELECT rep, x, $caseW AS w FROM ex),
-         pr AS (SELECT rep,
-                  CASE WHEN sum(w) > 0
-                    THEN sum(w * x) / CAST(sum(w) AS DOUBLE) END AS m
-                FROM wb GROUP BY rep),
-         rk AS (SELECT m, row_number() OVER (ORDER BY m ASC) AS rn
-                FROM pr WHERE m IS NOT NULL),
-         ci AS (SELECT min(CASE WHEN rn = 1 THEN m END) AS lo,
-                  min(CASE WHEN rn = 39 THEN m END) AS hi FROM rk)
-         SELECT (SELECT CAST(count(*) AS BIGINT) FROM sc) AS n,
-           round((SELECT avg(x) FROM sc), 6) AS mean,
-           round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
-         FROM ci"""
-    },
-
-    // exact integer max-share/gini ratios, ln-shape entropy (see
-    // Eval.skewReport); keys sort by (count, key) for the Gini rank
-    "q166_skew_report" ->
-      """WITH per AS (SELECT CAST(user_id AS VARCHAR) AS k,
-             CAST(count(*) AS BIGINT) AS c
-           FROM events GROUP BY 1),
-         rk AS (SELECT k, c,
-             CAST(row_number() OVER (ORDER BY c ASC, k ASC) AS BIGINT)
-               AS i,
-             row_number() OVER (ORDER BY c DESC, k ASC) AS j
-           FROM per),
-         ag AS (SELECT CAST(sum(c) AS BIGINT) AS n,
-             CAST(count(*) AS BIGINT) AS keys,
-             CAST(max(c) AS BIGINT) AS mx,
-             min(CASE WHEN j = 1 THEN k END) AS topk,
-             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc,
-             CAST(sum((2 * i - 1) * c) AS BIGINT) AS gsum
-           FROM rk)
-         SELECT n AS n_rows, keys AS n_keys, topk AS top_key,
-           CAST(mx AS DOUBLE) / CAST(n AS DOUBLE) AS max_share,
-           round(ln(CAST(n AS DOUBLE)) - clogc / CAST(n AS DOUBLE), 6)
-             AS entropy,
-           CAST(gsum - keys * n AS DOUBLE) / CAST(keys * n AS DOUBLE)
-             AS gini
-         FROM ag""",
-
-    "q167_pca_project" ->
-      s"""WITH $PcaRoundsSql
-         SELECT e.vec_id,
-           round(list_sum(list_transform(generate_series(1, 64),
-             j2 -> (e.x[j2] - mu.mu[j2]) * v5.v[j2])), 6) AS pc1
-         FROM e, mu, v5 ORDER BY vec_id""",
-
-    // same fixed-range bucketing + 0.5 smoothing as q103's psi; per-day
-    // totals replace the single live total
-    "q168_psi_over_time" ->
-      """WITH bb AS (SELECT ts,
-             CAST(least(greatest(
-               floor((value - 0.0) / 500.0 * 10), 0.0), 9.0) AS INT)
-               AS bucket
-           FROM events),
-         base AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
-                  FROM bb WHERE ts < TIMESTAMP '2024-01-08'
-                  GROUP BY bucket),
-         tbl AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM bb
-                 WHERE ts < TIMESTAMP '2024-01-08'),
-         live AS (SELECT date_trunc('day', ts) AS ws, bucket,
-                    CAST(count(*) AS BIGINT) AS n_live
-                  FROM bb GROUP BY ws, bucket),
-         tw AS (SELECT ws, CAST(sum(n_live) AS BIGINT) AS tw
-                FROM live GROUP BY ws),
-         grid AS (SELECT tw.ws, tw.tw, g.b AS bucket
-                  FROM tw, generate_series(0, 9) AS g(b)),
-         terms AS (SELECT grid.ws, grid.tw,
-             ((coalesce(l.n_live, 0) + 0.5)
-                / (CAST(grid.tw AS DOUBLE) + 5.0)
-              - (coalesce(base.n_base, 0) + 0.5)
-                / (CAST(tbl.tb AS DOUBLE) + 5.0))
-             * ln(((coalesce(l.n_live, 0) + 0.5)
-                  / (CAST(grid.tw AS DOUBLE) + 5.0))
-                / ((coalesce(base.n_base, 0) + 0.5)
-                  / (CAST(tbl.tb AS DOUBLE) + 5.0))) AS term
-           FROM grid
-           LEFT JOIN base ON base.bucket = grid.bucket
-           LEFT JOIN live l ON l.ws = grid.ws AND l.bucket = grid.bucket,
-             tbl)
-         SELECT ws, tw AS n, round(sum(term), 6) AS psi
-         FROM terms GROUP BY ws, tw ORDER BY ws""",
-
-    // slopes are ratios of rounded daily means (identical doubles both
-    // engines); quantile_cont ≡ Spark percentile bit-for-bit (q116 pin)
-    "q169_theil_sen" ->
-      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
-             round(avg(value), 6) AS y
-           FROM events GROUP BY event_type, d),
-         pts AS (SELECT event_type,
-             CAST(epoch_us(d) // 86400000000 AS DOUBLE) AS x, y
-           FROM daily),
-         pr AS (SELECT a.event_type,
-             (b.y - a.y) / (b.x - a.x) AS slope
-           FROM pts a JOIN pts b
-             ON a.event_type = b.event_type AND a.x < b.x)
-         SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
-           quantile_cont(slope, 0.5) AS slope
-         FROM pr GROUP BY event_type ORDER BY event_type""",
-
-    // ECDF-decile joint/marginal counts; one fixed MI/entropy shape
-    "q170_mutual_info" ->
-      s"""WITH t AS (
-           SELECT doc_id, source, text, $ToksSql AS toks,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END
-                  AS tok_cnt
-           FROM documents),
-         s AS (SELECT doc_id, source, text, toks, tok_cnt, $LangScoreSql
-               FROM t),
-         base AS MATERIALIZED (SELECT $QualityValSql AS a,
-             round(CASE WHEN len(toks) > 0 THEN
-               CAST(len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
-                 AS DOUBLE) / len(toks) ELSE 0 END, 6) AS b
-           FROM s),
-         pa AS (SELECT a, CAST(count(*) AS BIGINT) AS n
-                FROM base GROUP BY a),
-         ta AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM pa),
-         cca AS (SELECT a, n,
-             CAST(sum(n) OVER (ORDER BY a ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cum
-           FROM pa),
-         bina AS (SELECT a, least(CAST(floor(
-             ((CAST(cum - n AS DOUBLE) + CAST(n AS DOUBLE) / 2.0)
-              / CAST(tot AS DOUBLE)) * 10) AS INT), 9) AS ba
-           FROM cca, ta),
-         pb AS (SELECT b, CAST(count(*) AS BIGINT) AS n
-                FROM base GROUP BY b),
-         tb2 AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM pb),
-         ccb AS (SELECT b, n,
-             CAST(sum(n) OVER (ORDER BY b ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cum
-           FROM pb),
-         binb AS (SELECT b, least(CAST(floor(
-             ((CAST(cum - n AS DOUBLE) + CAST(n AS DOUBLE) / 2.0)
-              / CAST(tot AS DOUBLE)) * 10) AS INT), 9) AS bb
-           FROM ccb, tb2),
-         wb AS (SELECT bina.ba, binb.bb FROM base
-                JOIN bina USING (a) JOIN binb USING (b)),
-         joint AS (SELECT ba, bb, CAST(count(*) AS BIGINT) AS c
-                   FROM wb GROUP BY ba, bb),
-         mga AS (SELECT ba, CAST(sum(c) AS BIGINT) AS ca
-                 FROM joint GROUP BY ba),
-         mgb AS (SELECT bb, CAST(sum(c) AS BIGINT) AS cb
-                 FROM joint GROUP BY bb),
-         nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM joint),
-         mi AS (SELECT sum((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-                  * ln(CAST(c * n AS DOUBLE)
-                       / CAST(ca * cb AS DOUBLE))) AS mi
-                FROM joint JOIN mga USING (ba) JOIN mgb USING (bb), nn),
-         sa2 AS (SELECT sum(CAST(ca AS DOUBLE) * ln(CAST(ca AS DOUBLE)))
-                   AS sa FROM mga),
-         sb2 AS (SELECT sum(CAST(cb AS DOUBLE) * ln(CAST(cb AS DOUBLE)))
-                   AS sb FROM mgb)
-         SELECT n, round(mi, 6) AS mi,
-           round(ln(CAST(n AS DOUBLE)) - sa / CAST(n AS DOUBLE), 6)
-             AS h_a,
-           round(ln(CAST(n AS DOUBLE)) - sb / CAST(n AS DOUBLE), 6)
-             AS h_b,
-           round(CASE WHEN ln(CAST(n AS DOUBLE)) - sa / CAST(n AS DOUBLE)
-                   > 0
-                  AND ln(CAST(n AS DOUBLE)) - sb / CAST(n AS DOUBLE) > 0
-             THEN mi / sqrt((ln(CAST(n AS DOUBLE))
-                 - sa / CAST(n AS DOUBLE))
-               * (ln(CAST(n AS DOUBLE)) - sb / CAST(n AS DOUBLE))) END,
-             6) AS nmi
-         FROM nn, mi, sa2, sb2""",
-
-    "q171_pca_loadings2" ->
-      s"""WITH $Pca2RoundsSql
-         SELECT CAST(g.j AS INT) AS dim, round(u5.v[g.j], 6) AS loading2
-         FROM u5, generate_series(1, 64) AS g(j)
-         ORDER BY dim""",
-
-    // per-dim mean/std as driver-shape arithmetic ((E[x²]−μ²)·n/(n−1));
-    // zero-variance dims contribute 0 via a 0-multiplier
-    "q172_embedding_outliers" ->
-      """WITH e AS MATERIALIZED (SELECT vec_id,
-             CAST(embedding AS DOUBLE[]) AS x
-           FROM embeddings),
-         nct AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
-         st AS (SELECT list(m ORDER BY j) AS mu,
-             list(m2 ORDER BY j) AS m2
-           FROM (SELECT g.j AS j, avg(x[g.j]) AS m,
-                   avg(x[g.j] * x[g.j]) AS m2
-                 FROM e, generate_series(1, 64) AS g(j) GROUP BY g.j)),
-         iv AS (SELECT mu, list_transform(generate_series(1, 64), j ->
-             CASE WHEN sqrt((m2[j] - mu[j] * mu[j])
-                 * (CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))) > 0
-               THEN 1.0 / sqrt((m2[j] - mu[j] * mu[j])
-                 * (CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)))
-               ELSE 0.0 END) AS inv
-           FROM st, nct),
-         sc AS (SELECT vec_id,
-             round(list_sum(list_transform(
-               list_transform(generate_series(1, 64),
-                 j -> (e.x[j] - iv.mu[j]) * iv.inv[j]),
-               zi -> zi * zi)), 6) AS score
-           FROM e, iv)
-         SELECT vec_id, score FROM sc
-         ORDER BY score DESC, vec_id LIMIT 20""",
-
-    // per-(doc, class) NB scores shared with q112; margin = difference
-    // of the two 6 dp-rounded scores
-    "q173_label_issues" ->
-      s"""$NbMulticlassCtesSql,
-         r AS (SELECT doc_id, cls, score,
-                 row_number() OVER (PARTITION BY doc_id
-                   ORDER BY score DESC, cls) AS rn
-               FROM sc),
-         top AS (SELECT doc_id, cls AS pred, score AS ps
-                 FROM r WHERE rn = 1),
-         own AS (SELECT sc.doc_id, sc.cls AS label, sc.score AS ls
-                 FROM sc JOIN d ON d.doc_id = sc.doc_id
-                   AND d.cls = sc.cls)
-         SELECT top.doc_id, own.label, top.pred,
-           round(top.ps - own.ls, 6) AS margin
-         FROM top JOIN own ON own.doc_id = top.doc_id
-         WHERE top.pred <> own.label
-         ORDER BY margin DESC, top.doc_id LIMIT 20""",
-
-    // the q165 machinery with every stage keyed on source
-    "q174_bootstrap_by_source" -> {
-      val th = ext.Eval.PoissonThresholds
-      val bucket =
-        """CAST(CAST(concat('0x', substr(md5(concat('boot:',
-           CAST(rep AS VARCHAR), ':', CAST(doc_id AS VARCHAR))), 1, 15))
-           AS UBIGINT) AS BIGINT)"""
-      val caseW = th.zipWithIndex
-        .map { case (t, k) => s"WHEN $bucket < $t THEN $k" }
-        .mkString("CASE ", " ", s" ELSE ${th.size} END")
-      s"""$QualityCtesSql,
-         sc AS (SELECT doc_id, source, $QualityValSql AS x FROM s),
-         ex AS (SELECT doc_id, source, x,
-                  unnest(generate_series(0, 39)) AS rep
-                FROM sc),
-         wb AS (SELECT source, rep, x, $caseW AS w FROM ex),
-         pr AS (SELECT source, rep,
-                  CASE WHEN sum(w) > 0
-                    THEN sum(w * x) / CAST(sum(w) AS DOUBLE) END AS m
-                FROM wb GROUP BY source, rep),
-         rk AS (SELECT source, m,
-                  row_number() OVER (PARTITION BY source
-                    ORDER BY m ASC) AS rn
-                FROM pr WHERE m IS NOT NULL),
-         ci AS (SELECT source,
-                  min(CASE WHEN rn = 1 THEN m END) AS lo,
-                  min(CASE WHEN rn = 39 THEN m END) AS hi
-                FROM rk GROUP BY source),
-         mg AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-                  avg(x) AS mean_raw
-                FROM sc GROUP BY source)
-         SELECT mg.source, mg.n, round(mg.mean_raw, 6) AS mean,
-           round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi
-         FROM mg JOIN ci ON ci.source = mg.source
-         ORDER BY mg.source"""
-    },
-
-    // q43's closure; a duplicate = a non-canonical component member
-    "q175_dup_rate_by_source" ->
-      s"""WITH RECURSIVE pairs AS (
-           $MinhashPairsSql
-           SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
-         e AS (SELECT id_a AS a, id_b AS b FROM pairs
-               UNION SELECT id_b, id_a FROM pairs),
-         r(a, b) AS (SELECT a, b FROM e
-                     UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
-         can AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id
-                 FROM r GROUP BY a)
-         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN can.canonical_id IS NOT NULL
-               AND can.canonical_id <> d.doc_id THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_dup,
-           CAST(sum(CASE WHEN can.canonical_id IS NOT NULL
-               AND can.canonical_id <> d.doc_id THEN 1 ELSE 0 END)
-             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
-         FROM documents d LEFT JOIN can USING (doc_id)
-         GROUP BY d.source ORDER BY d.source""",
-
-    "q176_cross_dup_matrix" ->
-      s"""$MinhashPairsSql,
-         und AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
-         m AS (SELECT least(da.source, db.source) AS slice_a,
-                 greatest(da.source, db.source) AS slice_b
-               FROM und JOIN documents da ON da.doc_id = und.id_a
-                 JOIN documents db ON db.doc_id = und.id_b)
-         SELECT slice_a, slice_b, CAST(count(*) AS BIGINT) AS n_pairs
-         FROM m GROUP BY slice_a, slice_b ORDER BY slice_a, slice_b""",
-
-    "q177_component_sizes" ->
-      s"""WITH RECURSIVE pairs AS (
-           $MinhashPairsSql
-           SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
-         e AS (SELECT id_a AS a, id_b AS b FROM pairs
-               UNION SELECT id_b, id_a FROM pairs),
-         r(a, b) AS (SELECT a, b FROM e
-                     UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
-         can AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id
-                 FROM r GROUP BY a),
-         ms AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz
-                FROM can GROUP BY canonical_id),
-         hist AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_components
-                  FROM ms GROUP BY sz),
-         singles AS (SELECT CAST(1 AS BIGINT) AS sz,
-             CAST(count(*) AS BIGINT) AS n_components
-           FROM documents d
-           WHERE NOT EXISTS (SELECT 1 FROM can
-                             WHERE can.doc_id = d.doc_id))
-         SELECT sz, n_components FROM singles
-         UNION ALL SELECT sz, n_components FROM hist
-         ORDER BY sz""",
-
-    // analytic waveform replay: s(t) = (id·31 + t·7) mod 2048 − 1024,
-    // exact integers — the sum of squares is order-free in doubles.
-    // q183 decodes the SAME waveform from a real FLAC encoding (vs q178's
-    // WAV), so both map to one analytic replay (AudioAnalyticSql below).
-    "q178_audio_decode" -> oracleSqlAudioAnalytic,
-
-    "q183_flac_decode" -> oracleSqlAudioAnalytic,
-
-    // analytic container replay: the parser must recover exactly the
-    // id-derived mvhd/trak structure the synthesizer wrote
-    "q179_video_meta" ->
-      """SELECT doc_id AS id, 'isom' AS brand, 600 AS timescale,
-         CAST(((doc_id % 10) + 1) * 600 AS BIGINT) AS duration,
-         CAST(((doc_id % 10) + 1) * 600 AS DOUBLE) / 600.0 * 1000.0
-           AS duration_ms,
-         CAST((doc_id % 3) + 1 AS INT) AS n_tracks
-         FROM documents ORDER BY doc_id""",
-
-    // q46's composed chain with the q154 argmax replacing min-id
-    "q180_curate_keep_best" ->
-      s"""WITH RECURSIVE pairs AS (
-           $MinhashPairsSql
-           SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
-         e AS (SELECT id_a AS a, id_b AS b FROM pairs
-               UNION SELECT id_b, id_a FROM pairs),
-         rr(a, b) AS (SELECT a, b FROM e
-                      UNION SELECT rr.a, e.b FROM rr JOIN e ON rr.b = e.a),
-         can AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id
-                 FROM rr GROUP BY a),
-         sq AS ($QualityCtesSql
-                SELECT doc_id, $QualityValSql AS q FROM s),
-         g AS (SELECT d.doc_id,
-                 coalesce(can.canonical_id, d.doc_id) AS group_id, sq.q
-               FROM documents d LEFT JOIN can USING (doc_id)
-                 JOIN sq USING (doc_id)),
-         rep AS (SELECT doc_id FROM g
-                 QUALIFY row_number() OVER (PARTITION BY group_id
-                   ORDER BY q DESC, doc_id) = 1),
-         kept AS (SELECT * FROM documents
-                  WHERE doc_id IN (SELECT doc_id FROM rep)),
-         t2 AS (SELECT doc_id, text, $ToksSql AS toks,
-                 CASE WHEN len(trim(text)) = 0 THEN 0
-                      ELSE len(string_split_regex(trim(text), '\\s+')) END
-                      AS tok_cnt
-               FROM kept),
-         s2 AS (SELECT doc_id, text, tok_cnt, $LangScoreSql FROM t2),
-         f AS (SELECT doc_id,
-                 $LangCaseSql AS lang_id,
-                 round(0.3 * least(tok_cnt / 100.0, 1.0)
-                   + 0.4 * (1.0 - CASE WHEN len(text) > 0
-                       THEN (CAST(len(text) AS DOUBLE) - CAST(len(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)) / len(text)
-                       ELSE 0.0 END)
-                   + 0.3 * least(CASE WHEN tok_cnt > 0
-                       THEN (CAST(s_en AS DOUBLE) / tok_cnt) ELSE 0.0 END
-                       * 5.0, 1.0), 6) AS quality,
-                 CAST(tok_cnt AS BIGINT) AS tok_cnt
-               FROM s2)
-         SELECT doc_id, lang_id, quality, tok_cnt FROM f
-         WHERE quality >= 0.55 ORDER BY doc_id""",
-
-    // q133's three runs + q149's metric arithmetic over one judgment set
-    "q181_fusion_audit" -> {
-      val (k1, b) = (1.2, 0.75)
-      val ln2 = ext.Eval.Ln2
-      def metric(rel: String, name: String) =
-        s"""SELECT '$name' AS run, nr.n_rel,
-           CAST(max(j.rel) AS INT) AS hit_k,
-           round(coalesce(1.0 / CAST(min(CASE WHEN j.rel = 1
-               THEN j.rank END) AS DOUBLE), 0.0), 6) AS mrr,
-           round(sum(CAST(j.rel AS DOUBLE)
-               / (ln(CAST(j.rank AS DOUBLE) + 1.0) / $ln2))
-             / list_sum(list_transform(generate_series(1,
-                 least(10, CAST(greatest(nr.n_rel, 1) AS INT))),
-               i -> 1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / $ln2))), 6)
-             AS ndcg
-         FROM (SELECT r.rank,
-                 CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
-               FROM $rel r LEFT JOIN qr ON qr.doc_id = r.doc_id) j, nr
-         GROUP BY nr.n_rel"""
-      s"""WITH d AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-         dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks
-                FROM d),
-         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
-                FROM dd),
-         h AS (SELECT doc_id, dl, unnest(toks) AS tok FROM dd),
-         hits AS (SELECT doc_id, dl, tok FROM h
-                  WHERE tok IN ('hash', 'join', 'filter')),
-         tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
-                FROM hits GROUP BY doc_id, dl, tok),
-         dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-                 FROM hits GROUP BY tok),
-         sc AS (SELECT tf.doc_id,
-                  round(sum(ln(1.0 + (st.n - dft.df + 0.5)
-                      / (dft.df + 0.5)) *
-                    (tf.tf * ${k1 + 1.0}) /
-                    (tf.tf + $k1 * (${1.0 - b} + $b * tf.dl
-                      / st.avgdl))), 6) AS score
-                FROM tf JOIN dft USING (tok), st GROUP BY tf.doc_id),
-         bmtop AS (SELECT doc_id, score FROM sc
-                   ORDER BY score DESC, doc_id LIMIT 10),
-         ra AS (SELECT doc_id, CAST(row_number() OVER
-                    (ORDER BY score DESC, doc_id) AS INT) AS rank
-                FROM bmtop),
-         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings),
-         dn AS (SELECT a.vec_id AS doc_id, round($CosSql, 6) AS cos
-                FROM e a, e b WHERE b.vec_id = 0 AND a.vec_id <> 0),
-         dntop AS (SELECT doc_id, cos FROM dn
-                   ORDER BY cos DESC, doc_id LIMIT 10),
-         rb AS (SELECT doc_id, CAST(row_number() OVER
-                    (ORDER BY cos DESC, doc_id) AS INT) AS rank
-                FROM dntop),
-         f AS (SELECT doc_id,
-                 round(coalesce(1.0 / (60 + ra.rank), 0.0) +
-                       coalesce(1.0 / (60 + rb.rank), 0.0), 6) AS rrf
-               FROM ra FULL OUTER JOIN rb USING (doc_id)),
-         ftop AS (SELECT doc_id, rrf FROM f
-                  ORDER BY rrf DESC, doc_id LIMIT 10),
-         fr AS (SELECT doc_id, CAST(row_number() OVER
-                    (ORDER BY rrf DESC, doc_id) AS INT) AS rank
-                FROM ftop),
-         qr AS (SELECT c.vec_id AS doc_id
-                FROM embeddings q JOIN embeddings c
-                  ON q.label = c.label AND c.vec_id <> 0
-                WHERE q.vec_id = 0),
-         nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM qr)
-         SELECT * FROM (
-           ${metric("ra", "sparse")}
-           UNION ALL ${metric("rb", "dense")}
-           UNION ALL ${metric("fr", "fused")})
-         ORDER BY run"""
-    },
-
-    // q181 generalized to 8 judged queries: full-dim and truncated-32-dim
-    // cosine runs fused per query, then per-query metrics + a macro row
-    "q182_retrieval_multiquery" -> {
-      val ln2 = ext.Eval.Ln2
-      s"""WITH e AS MATERIALIZED (SELECT vec_id, label,
-               CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         et AS (SELECT vec_id, v[1:32] AS v FROM e),
-         runa AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
-                    CAST(row_number() OVER (PARTITION BY b.vec_id
-                      ORDER BY round($CosSql, 6) DESC, a.vec_id) AS INT)
-                      AS rank
-                  FROM e a, e b
-                  WHERE b.vec_id < 8 AND a.vec_id <> b.vec_id
-                  QUALIFY rank <= 10),
-         runb AS (SELECT b.vec_id AS query_id, a.vec_id AS corpus_id,
-                    CAST(row_number() OVER (PARTITION BY b.vec_id
-                      ORDER BY round($CosSql, 6) DESC, a.vec_id) AS INT)
-                      AS rank
-                  FROM et a, et b
-                  WHERE b.vec_id < 8 AND a.vec_id <> b.vec_id
-                  QUALIFY rank <= 10),
-         fused AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
-                     coalesce(a.corpus_id, b.corpus_id) AS corpus_id,
-                     round(coalesce(1.0 / (60 + a.rank), 0.0) +
-                           coalesce(1.0 / (60 + b.rank), 0.0), 6) AS rrf
-                   FROM runa a FULL OUTER JOIN runb b
-                     ON a.query_id = b.query_id
-                     AND a.corpus_id = b.corpus_id),
-         fr AS (SELECT query_id, corpus_id, rrf,
-                  CAST(row_number() OVER (PARTITION BY query_id
-                    ORDER BY rrf DESC, corpus_id) AS INT) AS rank
-                FROM fused QUALIFY rank <= 10),
-         qr AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id
-                FROM embeddings q JOIN embeddings c ON q.label = c.label
-                  AND c.vec_id <> q.vec_id
-                WHERE q.vec_id < 8),
-         nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
-                FROM qr GROUP BY query_id),
-         j AS (SELECT fr.query_id, fr.rank,
-                 CASE WHEN qr.corpus_id IS NOT NULL THEN 1 ELSE 0 END
-                   AS rel
-               FROM fr LEFT JOIN qr ON qr.query_id = fr.query_id
-                 AND qr.corpus_id = fr.corpus_id),
-         per AS (SELECT query_id, CAST(max(rel) AS INT) AS hit,
-                   coalesce(1.0 / CAST(min(CASE WHEN rel = 1 THEN rank END)
-                     AS DOUBLE), 0.0) AS mrr_raw,
-                   sum(CAST(rel AS DOUBLE) /
-                     (ln(CAST(rank AS DOUBLE) + 1.0) / $ln2)) AS dcg
-                 FROM j GROUP BY query_id),
-         perq AS MATERIALIZED (
-           SELECT query_id, coalesce(nr.n_rel, 0) AS n_rel,
-             CAST(coalesce(per.hit, 0) AS DOUBLE) AS hit_k,
-             round(coalesce(per.mrr_raw, 0.0), 6) AS mrr,
-             CASE WHEN nr.n_rel > 0 THEN
-               round(coalesce(per.dcg, 0.0) / list_sum(list_transform(
-                 generate_series(1,
-                   least(10, CAST(greatest(nr.n_rel, 1) AS INT))),
-                 i -> 1.0 / (ln(CAST(i AS DOUBLE) + 1.0) / $ln2))), 6)
-             END AS ndcg
-           FROM per FULL OUTER JOIN nr USING (query_id))
-         SELECT 'query' AS scope, query_id, n_rel, hit_k, mrr, ndcg
-         FROM perq
-         UNION ALL
-         SELECT 'macro' AS scope, CAST(NULL AS BIGINT) AS query_id,
-           CAST(count(*) AS BIGINT) AS n_rel,
-           round(avg(hit_k), 6) AS hit_k, round(avg(mrr), 6) AS mrr,
-           round(avg(ndcg), 6) AS ndcg
-         FROM perq WHERE n_rel > 0
-         ORDER BY scope, query_id"""
-    },
-
-  )
 }

@@ -1,0 +1,352 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.Breakdown
+import graft.model.{GridSchema, TriMesh}
+import graft.operators.{Elevation, Factorize, FlagRegions, GridOps, MineDepletion, Tridist}
+import graft.sources.Ingest
+import graft.QueryShared._
+
+/** Query registry — LLM pipeline: PSI/KS/embedding drift monitors and their windowed forms.
+  *
+  * Entries (and their DuckDB oracle SQL beside them) moved verbatim from
+  * SparkEntry in the r12 per-family split; [[SparkEntry.queries]] is the
+  * dispatcher that concatenates the families. Shared fixtures/helpers and
+  * oracle SQL fragments live in [[QueryShared]]. */
+object QueriesDrift {
+
+  private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ext: PSI drift monitor — src9's quality distribution vs everyone
+    // else's, 10 fixed bins on the ROUNDED score (engine-stable edges)
+    "q103_psi_drift" -> ((s, dir) => {
+      // psiDrift evaluates each side twice (row count + bucket counts)
+      // and both sides filter the SAME scored projection — pin it so the
+      // quality regex runs once, not four times
+      val docs = Tables.load(s, dir, "documents").select(col("source"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Outliers.psiDrift(
+          docs.filter(col("source") =!= "src9"),
+          docs.filter(col("source") === "src9"), "q", 10, 0.0, 1.0)
+          .orderBy("bucket"), docs)
+    }),
+
+
+    // ext: embedding drift between the even/odd halves — the alarm that
+    // tells the appended store its centroids went stale
+    "q164_embedding_drift" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      ext.Similarity.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1))
+    }),
+
+
+    // ext: daily PSI sweep of the event value vs the first-week baseline
+    // — the drift monitor form of q103 ("when did it drift, how fast")
+    "q168_psi_over_time" -> ((s, dir) =>
+      ext.Outliers.psiOverTime(Tables.load(s, dir, "events"), "ts",
+          "value", col("ts") < lit("2024-01-08").cast("timestamp"),
+          nBuckets = 10, lo = 0.0, hi = 500.0)
+        .orderBy("ws")),
+
+
+    // ext: Theil–Sen robust trend of the daily mean value per event type
+    // — median of pairwise slopes over the (tiny) pre-aggregated series
+    "q169_theil_sen" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          window(col("ts"), "1 day").getField("start").as("d"))
+        .agg(round(avg(col("value")), 6).as("y"))
+        .select(col("event_type"),
+          (unix_micros(col("d")) / lit(86400000000L)).cast("double")
+            .as("x"),
+          col("y"))
+      ext.Outliers.trendTheilSen(daily, "event_type", "x", "y")
+        .orderBy("event_type")
+    }),
+
+
+    // ext: two-sample Kolmogorov–Smirnov drift test — src9's quality
+    // distribution vs everyone else's, the unbinned twin of q103's PSI
+    // monitor (integer-exact ECDF gaps; asymptotic 5% critical value)
+    "q184_ks_drift" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("source"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Eval.ksTest(
+          docs.filter(col("source") =!= "src9"),
+          docs.filter(col("source") === "src9"), "q"), docs)
+    }),
+
+
+    // ext: per-source KS drift — every source's quality distribution vs
+    // the rest of the corpus, the sliced view of q184 ("which source
+    // drifted?"); one corpus pass, grids bounded by score granularity
+    "q185_ks_by_source" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("source"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Eval.ksTestBy(docs, "source", "q").orderBy("source"), docs)
+    }),
+
+
+    // ext: WINDOWED KS drift — q184's statistic as a per-day monitor
+    // against the first-week baseline (the drift family's serving twin:
+    // one stateful windowed aggregation, granularity-capped state; the
+    // same plan runs under Structured Streaming, suite-pinned)
+    "q186_ks_drift_windowed" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("ts"), round(col("value"), 2).as("v"))
+      val (bv, bc) = ext.Eval.ksBaseline(
+        ev.filter(col("ts") < lit("2024-01-08").cast("timestamp")), "v")
+      ext.Eval.ksDriftWindowed(ev, "ts", "v", bv, bc).orderBy("ws")
+    }),
+  )
+
+  private[graft] val oracleSql: Map[String, String] = Map(
+
+    "q103_psi_drift" ->
+      s"""$QualityCtesSql,
+         sc AS (SELECT source, $QualityValSql AS q FROM s),
+         bb AS (SELECT CAST(least(greatest(floor((q - 0.0) / 1.0 * 10),
+                  0.0), 9.0) AS INT) AS bucket
+                FROM sc WHERE source <> 'src9'),
+         bl AS (SELECT CAST(least(greatest(floor((q - 0.0) / 1.0 * 10),
+                  0.0), 9.0) AS INT) AS bucket
+                FROM sc WHERE source = 'src9'),
+         cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
+                FROM bb GROUP BY bucket),
+         cl AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_live
+                FROM bl GROUP BY bucket),
+         r AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
+         j AS (SELECT r.bucket, coalesce(cb.n_base, 0) AS n_base,
+                 coalesce(cl.n_live, 0) AS n_live
+               FROM r LEFT JOIN cb ON cb.bucket = r.bucket
+                 LEFT JOIN cl ON cl.bucket = r.bucket),
+         tt AS (SELECT (SELECT count(*) FROM bb) + 0.5 * 10 AS tb,
+                 (SELECT count(*) FROM bl) + 0.5 * 10 AS tl)
+         SELECT bucket, n_base, n_live,
+           (n_base + 0.5) / tb AS p_base,
+           (n_live + 0.5) / tl AS p_live,
+           round(((n_live + 0.5) / tl - (n_base + 0.5) / tb) *
+             ln(((n_live + 0.5) / tl) / ((n_base + 0.5) / tb)), 6) AS psi
+         FROM j, tt ORDER BY bucket""",
+
+
+    "q164_embedding_drift" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+             FROM embeddings),
+         na AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM e
+                WHERE vec_id % 2 = 0),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_live FROM e
+                WHERE vec_id % 2 = 1),
+         ma AS (SELECT list(m ORDER BY j) AS m FROM (
+           SELECT g.j AS j, avg(x[g.j]) AS m
+           FROM e, generate_series(1, 64) AS g(j)
+           WHERE vec_id % 2 = 0 GROUP BY g.j)),
+         mb AS (SELECT list(m ORDER BY j) AS m FROM (
+           SELECT g.j AS j, avg(x[g.j]) AS m
+           FROM e, generate_series(1, 64) AS g(j)
+           WHERE vec_id % 2 = 1 GROUP BY g.j)),
+         c AS (SELECT
+             list_sum(list_transform(generate_series(1, 64),
+               j -> ma.m[j] * mb.m[j])) AS ab,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+               j -> ma.m[j] * ma.m[j]))) AS nrm_a,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+               j -> mb.m[j] * mb.m[j]))) AS nrm_b,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+               j -> (ma.m[j] - mb.m[j]) * (ma.m[j] - mb.m[j])))) AS l2
+           FROM ma, mb)
+         SELECT n_base, n_live,
+           round(CASE WHEN nrm_a > 0 AND nrm_b > 0
+             THEN ab / (nrm_a * nrm_b) END, 6) AS mean_cos,
+           round(l2, 6) AS mean_l2
+         FROM na, nb, c""",
+
+
+    // same fixed-range bucketing + 0.5 smoothing as q103's psi; per-day
+    // totals replace the single live total
+    "q168_psi_over_time" ->
+      """WITH bb AS (SELECT ts,
+             CAST(least(greatest(
+               floor((value - 0.0) / 500.0 * 10), 0.0), 9.0) AS INT)
+               AS bucket
+           FROM events),
+         base AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
+                  FROM bb WHERE ts < TIMESTAMP '2024-01-08'
+                  GROUP BY bucket),
+         tbl AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM bb
+                 WHERE ts < TIMESTAMP '2024-01-08'),
+         live AS (SELECT date_trunc('day', ts) AS ws, bucket,
+                    CAST(count(*) AS BIGINT) AS n_live
+                  FROM bb GROUP BY ws, bucket),
+         tw AS (SELECT ws, CAST(sum(n_live) AS BIGINT) AS tw
+                FROM live GROUP BY ws),
+         grid AS (SELECT tw.ws, tw.tw, g.b AS bucket
+                  FROM tw, generate_series(0, 9) AS g(b)),
+         terms AS (SELECT grid.ws, grid.tw,
+             ((coalesce(l.n_live, 0) + 0.5)
+                / (CAST(grid.tw AS DOUBLE) + 5.0)
+              - (coalesce(base.n_base, 0) + 0.5)
+                / (CAST(tbl.tb AS DOUBLE) + 5.0))
+             * ln(((coalesce(l.n_live, 0) + 0.5)
+                  / (CAST(grid.tw AS DOUBLE) + 5.0))
+                / ((coalesce(base.n_base, 0) + 0.5)
+                  / (CAST(tbl.tb AS DOUBLE) + 5.0))) AS term
+           FROM grid
+           LEFT JOIN base ON base.bucket = grid.bucket
+           LEFT JOIN live l ON l.ws = grid.ws AND l.bucket = grid.bucket,
+             tbl)
+         SELECT ws, tw AS n, round(sum(term), 6) AS psi
+         FROM terms GROUP BY ws, tw ORDER BY ws""",
+
+
+    // slopes are ratios of rounded daily means (identical doubles both
+    // engines); quantile_cont ≡ Spark percentile bit-for-bit (q116 pin)
+    "q169_theil_sen" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d,
+             round(avg(value), 6) AS y
+           FROM events GROUP BY event_type, d),
+         pts AS (SELECT event_type,
+             CAST(epoch_us(d) // 86400000000 AS DOUBLE) AS x, y
+           FROM daily),
+         pr AS (SELECT a.event_type,
+             (b.y - a.y) / (b.x - a.x) AS slope
+           FROM pts a JOIN pts b
+             ON a.event_type = b.event_type AND a.x < b.x)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           quantile_cont(slope, 0.5) AS slope
+         FROM pr GROUP BY event_type ORDER BY event_type""",
+
+
+    // same smoothing arithmetic ORDER as the Spark side: (cnt + 0.5) /
+    // (total + 0.5 * n); psi rounds at 6 dp over the ln
+    // integer-exact ECDF gaps: D's argmax runs on |cna·n_b − cnb·n_a|
+    // (pure int64); only the final d / d_crit ratios touch doubles, with
+    // the SAME arithmetic shape as Eval.ksTest
+    "q184_ks_drift" ->
+      s"""$QualityCtesSql,
+         sc AS (SELECT CASE WHEN source = 'src9' THEN 1 ELSE 0 END AS is_b,
+                  $QualityValSql AS q FROM s),
+         per AS (SELECT q,
+                  CAST(sum(CASE WHEN is_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                  CAST(sum(is_b) AS BIGINT) AS cb
+                 FROM sc GROUP BY q),
+         cum AS (SELECT
+                  CAST(sum(ca) OVER (ORDER BY q ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cna,
+                  CAST(sum(cb) OVER (ORDER BY q ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnb
+                 FROM per),
+         tot AS (SELECT max(cna) AS n_a, max(cnb) AS n_b FROM cum),
+         dn AS (SELECT max(abs(CAST(cna * n_b AS BIGINT) -
+                  CAST(cnb * n_a AS BIGINT))) AS dnum FROM cum, tot)
+         SELECT n_a, n_b,
+           CAST(dnum AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d,
+           1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS d_crit,
+           CASE WHEN CAST(dnum AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) >
+             1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+             THEN 1 ELSE 0 END AS drifted
+         FROM tot, dn""",
+
+
+    // the q184 integer-gap machinery sliced per source: the dense
+    // (source × value) grid evaluates every group's ECDF at every global
+    // jump point; rest-side cumulatives derive as (global − own)
+    "q185_ks_by_source" ->
+      s"""$QualityCtesSql,
+         sc AS (SELECT source, $QualityValSql AS q FROM s),
+         pg AS MATERIALIZED (SELECT source, q,
+                  CAST(count(*) AS BIGINT) AS c
+                 FROM sc GROUP BY source, q),
+         gcum AS (SELECT q, CAST(sum(cv) OVER (ORDER BY q ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumg
+                  FROM (SELECT q, CAST(sum(c) AS BIGINT) AS cv
+                        FROM pg GROUP BY q) gv),
+         grp AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_a
+                 FROM pg GROUP BY source),
+         tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS n FROM grp),
+         dense AS (SELECT g.source, g.n_a, v.cumg,
+                  CAST(sum(coalesce(pg.c, 0)) OVER (PARTITION BY g.source
+                    ORDER BY v.q ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cuma
+                 FROM gcum v CROSS JOIN grp g
+                   LEFT JOIN pg ON pg.source = g.source AND pg.q = v.q),
+         perg AS (SELECT source, n_a, n,
+                  max(abs(CAST(cuma * (n - n_a) AS BIGINT) -
+                    CAST((cumg - cuma) * n_a AS BIGINT))) AS dnum
+                 FROM dense, tot GROUP BY source, n_a, n)
+         SELECT source, n_a, CAST(n - n_a AS BIGINT) AS n_b,
+           CAST(dnum AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)) AS d,
+           1.358 * sqrt(CAST(n_a + (n - n_a) AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE))) AS d_crit,
+           CASE WHEN CAST(dnum AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)) >
+             1.358 * sqrt(CAST(n_a + (n - n_a) AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)))
+             THEN 1 ELSE 0 END AS drifted
+         FROM perg ORDER BY source""",
+
+
+    // the q184 integer-gap machinery per day against the first-week
+    // baseline: the dense (window × value) grid evaluates each window's
+    // ECDF at every jump point of either side
+    "q186_ks_drift_windowed" ->
+      """WITH e AS (SELECT date_trunc('day', ts) AS ws,
+                  round(value, 2) AS v FROM events),
+         b AS (SELECT round(value, 2) AS v FROM events
+               WHERE ts < TIMESTAMP '2024-01-08'),
+         bc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM b),
+         lc AS (SELECT ws, v, CAST(count(*) AS BIGINT) AS c
+                FROM e GROUP BY ws, v),
+         nl AS (SELECT ws, CAST(count(*) AS BIGINT) AS n_live
+                FROM e GROUP BY ws),
+         vals AS (SELECT DISTINCT v FROM
+                  (SELECT v FROM bc UNION ALL SELECT v FROM lc) u),
+         grid AS (SELECT w.ws, x.v
+                  FROM (SELECT DISTINCT ws FROM e) w CROSS JOIN vals x),
+         cums AS (SELECT g.ws, g.v,
+             CAST(sum(coalesce(bc.c, 0)) OVER (PARTITION BY g.ws
+               ORDER BY g.v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cna,
+             CAST(sum(coalesce(lc.c, 0)) OVER (PARTITION BY g.ws
+               ORDER BY g.v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cnb
+           FROM grid g LEFT JOIN bc ON bc.v = g.v
+             LEFT JOIN lc ON lc.ws = g.ws AND lc.v = g.v),
+         per AS (SELECT c.ws, nl.n_live,
+             max(abs(CAST(c.cna * nl.n_live AS BIGINT) -
+               CAST(c.cnb * nb.n_a AS BIGINT))) AS dnum
+           FROM cums c JOIN nl ON nl.ws = c.ws, nb
+           GROUP BY c.ws, nl.n_live)
+         SELECT per.ws, per.n_live,
+           CAST(dnum AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)) AS d,
+           1.358 * sqrt(CAST(n_a + n_live AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE))) AS d_crit,
+           CASE WHEN CAST(dnum AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)) >
+             1.358 * sqrt(CAST(n_a + n_live AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)))
+             THEN 1 ELSE 0 END AS drifted
+         FROM per, nb ORDER BY ws""",
+  )
+}

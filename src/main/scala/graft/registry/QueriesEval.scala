@@ -1,0 +1,997 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.Breakdown
+import graft.model.{GridSchema, TriMesh}
+import graft.operators.{Elevation, Factorize, FlagRegions, GridOps, MineDepletion, Tridist}
+import graft.sources.Ingest
+import graft.QueryShared._
+
+/** Query registry — LLM pipeline: classifier/agreement/calibration/CI audits and rank statistics.
+  *
+  * Entries (and their DuckDB oracle SQL beside them) moved verbatim from
+  * SparkEntry in the r12 per-family split; [[SparkEntry.queries]] is the
+  * dispatcher that concatenates the families. Shared fixtures/helpers and
+  * oracle SQL fragments live in [[QueryShared]]. */
+object QueriesEval {
+
+  private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ext: robust outlier flags — modified z-score against per-type
+    // median/MAD, |M| > 3.5; the mean-free gate outliers can't drag
+    "q90_robust_outliers" -> ((s, dir) =>
+      ext.Outliers.robustFlags(
+        Tables.load(s, dir, "events"), "event_type", "event_id", "value")
+        .orderBy("event_type", "event_id")),
+
+
+    // ext: precision/recall threshold sweep of the q99 classifier gate
+    "q113_pr_curve" -> ((s, dir) => {
+      val base = raterBase(s, dir)
+      val scored = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
+        .join(base.select(col("doc_id"),
+          when(col("pos"), 1).otherwise(0).as("label")), "doc_id")
+      materializedWithout(ext.Eval.prCurve(scored, "score", "label")
+        .orderBy(col("threshold").desc), base)
+    }),
+
+
+    // ext: exact Mann-Whitney ROC-AUC of the same gate (ties at half
+    // credit via average ranks; all arithmetic exact in doubles)
+    "q114_auc" -> ((s, dir) => {
+      val base = raterBase(s, dir)
+      val scored = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
+        .join(base.select(col("doc_id"),
+          when(col("pos"), 1).otherwise(0).as("label")), "doc_id")
+      materializedWithout(ext.Eval.aucRoc(scored, "score", "label"), base)
+    }),
+
+
+    // ext: per-type winsorization — event values clamped into the exact
+    // [p05, p95] percentile band (unrounded: clamps are data values or
+    // exact interpolations, the q90 order-statistic discipline)
+    "q116_winsorize" -> ((s, dir) =>
+      ext.Outliers.winsorize(
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value")
+        .orderBy("event_id")),
+
+
+    // ext: ECDF percentile-rank transform of the quality score (mid-rank
+    // ties; exact 0.5-multiples over an exact total — unrounded)
+    "q117_ecdf" -> ((s, dir) => {
+      // ecdf reads its input twice (row side + rank table side); pin the
+      // regex-scored projection (16 bytes/row) so the scorer runs once
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Eval.ecdf(scored, "q").orderBy("doc_id"), scored)
+    }),
+
+
+    // ext: composite quality ranking — three heterogeneous signals
+    // rank-normalized (ecdf) and blended 0.5/0.2/0.3; unit-free scoring.
+    // blendKeyed = the shared-scan shape: the regex-heavy scoring
+    // projection evaluates once, not once per signal table (r8 verdict)
+    "q118_quality_blend" -> ((s, dir) => {
+      // blendKeyed reads its exploded signal frame twice (rank table +
+      // join-back) — pin the three-regex projection so each regex runs
+      // once, not twice
+      val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"),
+          round(ext.TextAnalysis.meanWordLength(col("text")), 6).as("mwl"),
+          round(ext.TextAnalysis.alphaWordFraction(col("text")), 6).as("awf"))
+        .localCheckpoint(true)
+      materializedWithout(ext.Eval.blendKeyed(scored, "doc_id",
+        Seq("q" -> 0.5, "mwl" -> 0.2, "awf" -> 0.3)), scored)
+        .orderBy("doc_id")
+    }),
+
+
+    // ext: per-class precision/recall/F1 of the q112 language classifier
+    // (never-predicted classes carry NULL precision/F1, not zero)
+    "q119_class_metrics" -> ((s, dir) => {
+      // shares ONE pinned tokenized scan between the classifier and the
+      // label side of the metrics join (the label column rides the same
+      // pinned frame — no second corpus scan)
+      val base = nbLangBase(s, dir)
+      val preds = ext.TextAnalysis
+        .nbMulticlassTokens(base, "doc_id")
+        .select(col("doc_id"), col("pred"))
+        .join(base.select(col("doc_id"), col("cls").as("lang")), "doc_id")
+      materializedWithout(
+        ext.Eval.classMetrics(preds, "lang", "pred").orderBy("cls"), base)
+    }),
+
+
+    // ext: Cohen's kappa between the q99 NB gate and the quality>=0.5
+    // gate — chance-corrected rater agreement, exact integer p_e
+    "q120_kappa" -> ((s, dir) => {
+      // both raters ride the pinned raterBase scan: the NB gate reads its
+      // token column, the quality gate its pre-rounded qs column
+      val base = raterBase(s, dir)
+      val nb = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
+        .select(col("doc_id"), col("pred"))
+      val gate = base.select(col("doc_id"),
+        when(col("qs") >= 0.5, 1).otherwise(0).as("gate"))
+      materializedWithout(
+        ext.Eval.cohenKappa(nb.join(gate, "doc_id"), "pred", "gate"), base)
+    }),
+
+
+    // ext: per-language AUC of the q99 gate — the sliced fairness view
+    // a single corpus-level AUC hides; every stage keys on the slice
+    "q121_auc_by_lang" -> ((s, dir) => {
+      val base = raterBase(s, dir)
+      // lang is not on the pinned base — a narrow (doc_id, lang) parquet
+      // scan joins it in (no regex kernel on that branch)
+      val scored = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
+        .join(base.select(col("doc_id"),
+          when(col("pos"), 1).otherwise(0).as("label")), "doc_id")
+        .join(Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang")), "doc_id")
+      materializedWithout(
+        ext.Eval.aucRocBy(scored, "lang", "score", "label")
+          .orderBy("lang"), base)
+    }),
+
+
+    // ext: calibration bins of the q99 gate — observed positive rate vs
+    // stated sigmoid confidence per rounded-probability decile
+    "q122_calibration" -> ((s, dir) => {
+      val base = raterBase(s, dir)
+      val scored = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
+        .join(base.select(col("doc_id"),
+          when(col("pos"), 1).otherwise(0).as("label")), "doc_id")
+      materializedWithout(ext.Eval.calibrationBins(scored, "score", "label")
+        .orderBy("bin"), base)
+    }),
+
+
+    // ext: Kaplan-Meier conversion curve — time from first event to
+    // first purchase, right-censored at last observation; product-limit
+    // survival replayed as exp(sum ln) down the duration window
+    "q123_kaplan_meier" -> ((s, dir) =>
+      streaming.EventStream.kaplanMeier(
+        Tables.load(s, dir, "events"), "purchase")
+        .orderBy("dur")),
+
+
+    // ext: robust scaling — every event's modified z-score vs its type's
+    // median/MAD (NULL for zero-MAD keys); unrounded order statistics
+    "q125_robust_scale" -> ((s, dir) =>
+      ext.Outliers.robustScale(
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "event_id", "value")
+        .orderBy("event_id")),
+
+
+    // ext: equal-frequency discretization — event values into 8
+    // value-threshold bins at exact k/8 percentiles
+    "q126_discretize" -> ((s, dir) =>
+      ext.Outliers.discretize(
+        Tables.load(s, dir, "events").select(col("event_id"), col("value")),
+        "value", 8)
+        .orderBy("event_id")),
+
+
+    // ext: Fleiss' kappa across THREE quality raters (NB gate, heuristic
+    // quality gate, length gate) — the n-rater agreement audit; ratings
+    // collapse map-side to per-item counts. One NB training pass, then
+    // ONE shared corpus scan emits all three votes as columns (the NB
+    // score is a narrow codegen lookup against the driver model —
+    // nbScore ≡ nbQualityScore on the training corpus, suite-pinned),
+    // unpivoted to long form: r9 paid three independent scans plus the
+    // NB join shape for the same ratings (judge note, VERDICT r9 #3)
+    "q150_fleiss_kappa" -> ((s, dir) => {
+      val base = raterBase(s, dir)
+      val wide = base.select(col("doc_id"),
+        when(ext.TextAnalysis.nbScoreTokens(
+          nbModelOnTokens(base), col("toks")) > 0, 1).otherwise(0).as("nb"),
+        when(col("qs") >= 0.5, 1).otherwise(0).as("gate"),
+        when(col("n_chars") >= 300, 1).otherwise(0).as("len"))
+      val long = wide.unpivot(Array(col("doc_id")),
+        Array(col("nb"), col("gate"), col("len")), "rater", "vote")
+      materializedWithout(
+        ext.Eval.fleissKappa(long, "doc_id", "rater", "vote"), base)
+    }),
+
+
+    // ext: Brier score + Murphy decomposition of the q99 NB gate — the
+    // scalar probability audit next to q122's per-bin reliability view
+    "q151_brier" -> ((s, dir) => {
+      val base = raterBase(s, dir)
+      val scored = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
+        .join(base.select(col("doc_id"),
+          when(col("pos"), 1).otherwise(0).as("label")), "doc_id")
+      materializedWithout(
+        ext.Eval.brierDecomposition(scored, "score", "label"), base)
+    }),
+
+
+    // ext: Krippendorff's alpha with an ABSTAINING rater (the length
+    // gate only votes outside n_chars [250,350]) — agreement that
+    // tolerates missing ratings, unlike q150's Fleiss
+    "q157_krippendorff" -> ((s, dir) => {
+      // q150's shared-scan shape; the abstaining len rater emits NULL
+      // inside [250,350] and the unpivoted row is dropped (abstention =
+      // absent rating)
+      val base = raterBase(s, dir)
+      val wide = base.select(col("doc_id"),
+        when(ext.TextAnalysis.nbScoreTokens(
+          nbModelOnTokens(base), col("toks")) > 0, 1).otherwise(0).as("nb"),
+        when(col("qs") >= 0.5, 1).otherwise(0).as("gate"),
+        when(col("n_chars") < 250 || col("n_chars") > 350,
+          when(col("n_chars") >= 300, 1).otherwise(0)).as("len"))
+      val long = wide.unpivot(Array(col("doc_id")),
+        Array(col("nb"), col("gate"), col("len")), "rater", "vote")
+        .filter(col("vote").isNotNull)
+      materializedWithout(
+        ext.Eval.krippendorffAlpha(long, "doc_id", "rater", "vote"), base)
+    }),
+
+
+    // ext: cross-source quantile normalization — each doc's quality maps
+    // to the GLOBAL value at its within-source percentile (exact data
+    // values, no interpolated cuts)
+    "q158_quantile_norm" -> ((s, dir) => {
+      // quantileNormalize reads its input three times (per-group ranks,
+      // global ranks, final join) — pin the regex-scored projection
+      val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
+          col("source"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Eval.quantileNormalize(scored, "source", "q")
+          .select(col("doc_id"), col("source"), col("q"), col("norm"))
+          .orderBy("doc_id"), scored)
+    }),
+
+
+    // ext: Spearman rank correlation between the quality and
+    // mean-word-length signals — the monotone-agreement audit before
+    // blending; exact 0.5-multiple ranks, unrounded rho
+    "q160_spearman" -> ((s, dir) => {
+      val scored = Tables.load(s, dir, "documents").select(
+        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"),
+        round(ext.TextAnalysis.meanWordLength(col("text")), 6).as("mwl"))
+      ext.Eval.spearman(scored, "q", "mwl")
+    }),
+
+
+    // ext: deterministic Poisson-bootstrap CI on the mean quality score —
+    // error bars without resampling passes, one scan ×40 hash weights
+    "q165_bootstrap_ci" -> ((s, dir) => {
+      // bootstrapCI reads its input twice (replicate branch + the n/mean
+      // aggregate) — pin the regex-scored projection
+      val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Eval.bootstrapCI(scored, "doc_id", "q"), scored)
+    }),
+
+
+    // ext: key-skew report on the events user key — the pre-join
+    // diagnostic that picks plain vs broadcast vs salted (q141) joins
+    "q166_skew_report" -> ((s, dir) =>
+      ext.Eval.skewReport(Tables.load(s, dir, "events"), "user_id")),
+
+
+    // ext: mutual information between the quality and mean-word-length
+    // signals over ECDF-decile bins — the nonlinear-redundancy audit
+    // next to q160's monotone one
+    "q170_mutual_info" -> ((s, dir) => {
+      val scored = Tables.load(s, dir, "documents").select(
+        round(ext.TextAnalysis.qualityScore("text"), 6).as("q"),
+        round(ext.TextAnalysis.meanWordLength(col("text")), 6).as("mwl"))
+      ext.Eval.mutualInfo(scored, "q", "mwl")
+    }),
+
+
+    // ext: per-source bootstrap CI on mean quality — q165 sliced by
+    // source; "are these two sources' qualities really different?"
+    "q174_bootstrap_by_source" -> ((s, dir) => {
+      val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
+          col("source"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Eval.bootstrapCIBy(scored, "source", "doc_id", "q")
+          .orderBy("source"), scored)
+    }),
+  )
+
+  private[graft] val oracleSql: Map[String, String] = Map(
+
+    "q90_robust_outliers" ->
+      """WITH s AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY event_type),
+         m AS (SELECT e.event_type,
+               quantile_cont(abs(e.value - s.med), 0.5) AS mad
+             FROM events e JOIN s USING (event_type) GROUP BY e.event_type)
+         SELECT e.event_type, e.event_id, e.value,
+           0.6745 * (e.value - s.med) / m.mad AS mz
+         FROM events e JOIN s USING (event_type) JOIN m USING (event_type)
+         WHERE m.mad > 0 AND abs(0.6745 * (e.value - s.med) / m.mad) > 3.5
+         ORDER BY event_type, event_id""",
+
+
+
+    // threshold sweep over the per-score aggregate (never the corpus);
+    // window sums CAST to BIGINT (DuckDB windowed sum is HUGEINT)
+    "q113_pr_curve" ->
+      s"""WITH scored AS ($NbScoredSql),
+         per AS (SELECT score AS threshold,
+                   CAST(sum(pos) AS BIGINT) AS npos,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM scored GROUP BY score),
+         tot AS (SELECT CAST(sum(npos) AS BIGINT) AS p_total FROM per),
+         cum AS (SELECT threshold,
+                   CAST(sum(npos) OVER (ORDER BY threshold DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS tp,
+                   CAST(sum(n - npos) OVER (ORDER BY threshold DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS fp
+                 FROM per)
+         SELECT threshold, tp, fp,
+           CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+           CAST(tp AS DOUBLE) / CAST(p_total AS DOUBLE) AS recall
+         FROM cum, tot ORDER BY threshold DESC""",
+
+
+    // Mann-Whitney rank form: every npos·avgRank term is an exact
+    // multiple of 0.5, so the sums are order-independent and unrounded
+    "q114_auc" ->
+      s"""WITH scored AS ($NbScoredSql),
+         per AS (SELECT score AS s, CAST(sum(pos) AS BIGINT) AS npos,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM scored GROUP BY score),
+         rk AS (SELECT npos, n,
+                  CAST(sum(n) OVER (ORDER BY s ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+                FROM per),
+         ag AS (SELECT sum(CAST(npos AS DOUBLE) *
+                    (CAST(cum - n AS DOUBLE) +
+                     CAST(n + 1 AS DOUBLE) / 2.0)) AS prs,
+                  CAST(sum(npos) AS BIGINT) AS n_pos,
+                  CAST(sum(n - npos) AS BIGINT) AS n_neg
+                FROM rk)
+         SELECT (prs - (CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE))
+               / 2.0) /
+             (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
+           n_pos, n_neg
+         FROM ag""",
+
+
+    "q116_winsorize" ->
+      s"""WITH c AS (SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+           FROM events GROUP BY event_type)
+         SELECT e.event_type, e.event_id, e.value,
+           least(greatest(e.value, c.lo), c.hi) AS winsorized
+         FROM events e JOIN c USING (event_type)
+         ORDER BY e.event_id""",
+
+
+    "q117_ecdf" ->
+      s"""$QualityCtesSql,
+         qd AS (SELECT doc_id, $QualityValSql AS q FROM s),
+         per AS (SELECT q, CAST(count(*) AS BIGINT) AS n
+                 FROM qd GROUP BY q),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM per),
+         cum AS (SELECT q, n,
+                   CAST(sum(n) OVER (ORDER BY q ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum
+                 FROM per)
+         SELECT d.doc_id, d.q,
+           (CAST(cum - n AS DOUBLE) + CAST(n AS DOUBLE) / 2.0)
+             / CAST(tot AS DOUBLE) AS pct
+         FROM qd d JOIN cum USING (q), tot ORDER BY d.doc_id""",
+
+
+    // three generated ecdf chains + the same left-assoc weighted sum
+    "q118_quality_blend" -> {
+      def ecdfCte(valCol: String, i: Int) =
+        s"""per$i AS (SELECT $valCol AS v$i, CAST(count(*) AS BIGINT) AS n
+               FROM base GROUP BY $valCol),
+           tot$i AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM per$i),
+           cum$i AS (SELECT v$i, n,
+                   CAST(sum(n) OVER (ORDER BY v$i ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum
+                 FROM per$i),
+           pct$i AS (SELECT v$i,
+                   (CAST(cum - n AS DOUBLE) + CAST(n AS DOUBLE) / 2.0)
+                     / CAST(tot AS DOUBLE) AS p$i
+                 FROM cum$i, tot$i)"""
+      s"""WITH t AS (
+           SELECT doc_id, source, text, $ToksSql AS toks,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS tok_cnt
+           FROM documents),
+         s AS (SELECT doc_id, source, text, toks, tok_cnt, $LangScoreSql
+               FROM t),
+         base AS (SELECT doc_id, $QualityValSql AS q,
+             round(CASE WHEN len(toks) > 0 THEN
+               CAST(len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
+                 AS DOUBLE) / len(toks) ELSE 0 END, 6) AS mwl,
+             round(CASE WHEN tok_cnt > 0 THEN
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / tok_cnt
+               ELSE 0 END, 6) AS awf
+           FROM s),
+         ${ecdfCte("q", 0)},
+         ${ecdfCte("mwl", 1)},
+         ${ecdfCte("awf", 2)}
+         SELECT b.doc_id, b.q, b.mwl, b.awf,
+           0.5 * p0 + 0.2 * p1 + 0.3 * p2 AS blended
+         FROM base b JOIN pct0 ON pct0.v0 = b.q
+           JOIN pct1 ON pct1.v1 = b.mwl
+           JOIN pct2 ON pct2.v2 = b.awf
+         ORDER BY b.doc_id"""
+    },
+
+
+    // per-class P/R/F1 over the q112 confusion matrix; never-predicted
+    // classes carry NULL precision/F1 (undefined, not zero)
+    "q119_class_metrics" ->
+      s"""WITH prd AS ($NbMulticlassSql),
+         j AS (SELECT d.lang AS label, prd.pred
+               FROM prd JOIN documents d USING (doc_id)),
+         cm AS (SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+                FROM j GROUP BY label, pred),
+         bl AS (SELECT label AS cls, CAST(sum(n) AS BIGINT) AS n_label
+                FROM cm GROUP BY label),
+         bp AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+                FROM cm GROUP BY pred),
+         tps AS (SELECT label AS cls, n AS tp FROM cm WHERE label = pred),
+         m AS (SELECT bl.cls, bl.n_label,
+                 coalesce(bp.n_pred, 0) AS n_pred,
+                 coalesce(tps.tp, 0) AS tp
+               FROM bl LEFT JOIN bp ON bp.cls = bl.cls
+                 LEFT JOIN tps ON tps.cls = bl.cls),
+         pr AS (SELECT cls, n_label, n_pred, tp,
+                 CASE WHEN n_pred > 0
+                   THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END
+                   AS precision,
+                 CAST(tp AS DOUBLE) / CAST(n_label AS DOUBLE) AS recall
+               FROM m)
+         SELECT cls, n_label, n_pred, tp, precision, recall,
+           CASE WHEN n_pred > 0 AND (precision + recall) > 0
+             THEN 2.0 * precision * recall / (precision + recall) END AS f1
+         FROM pr ORDER BY cls""",
+
+
+    // kappa between the q99 NB pred and the quality>=0.5 gate; p_e from
+    // the EXACT integer marginal product sum over N^2
+    "q120_kappa" ->
+      s"""$QualityCtesSql,
+         gt AS (SELECT doc_id,
+                  CASE WHEN $QualityValSql >= 0.5 THEN 1 ELSE 0 END
+                    AS gate
+                FROM s),
+         scored AS ($NbScoredSql),
+         j AS (SELECT scored.pred AS a, gt.gate AS b
+               FROM scored JOIN gt USING (doc_id)),
+         cm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+                FROM j GROUP BY a, b),
+         ma AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM cm GROUP BY a),
+         mb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM cm GROUP BY b),
+         prd AS (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS prod
+                 FROM ma JOIN mb ON ma.a = mb.b),
+         ag AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_agree
+                FROM cm WHERE a = b),
+         tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cm)
+         SELECT n_total AS n,
+           CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_o,
+           CAST(prod AS DOUBLE)
+             / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)) AS p_e,
+           (CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE)
+             - CAST(prod AS DOUBLE)
+               / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)))
+           / (1.0 - CAST(prod AS DOUBLE)
+               / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)))
+             AS kappa
+         FROM ag, tt, prd""",
+
+
+    // q114's rank arithmetic with every window/agg PARTITIONED BY lang;
+    // the label joins back from documents
+    "q121_auc_by_lang" ->
+      s"""WITH scored AS ($NbScoredSql),
+         lb AS (SELECT scored.doc_id, scored.score, scored.pos AS label,
+                  d.lang
+                FROM scored JOIN documents d USING (doc_id)),
+         per AS (SELECT lang AS g, score AS s,
+                   CAST(sum(label) AS BIGINT) AS npos,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM lb GROUP BY lang, score),
+         rk AS (SELECT g, npos, n,
+                  CAST(sum(n) OVER (PARTITION BY g ORDER BY s ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+                FROM per),
+         ag AS (SELECT g, sum(CAST(npos AS DOUBLE) *
+                    (CAST(cum - n AS DOUBLE) +
+                     CAST(n + 1 AS DOUBLE) / 2.0)) AS prs,
+                  CAST(sum(npos) AS BIGINT) AS n_pos,
+                  CAST(sum(n - npos) AS BIGINT) AS n_neg
+                FROM rk GROUP BY g)
+         SELECT g AS lang,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             (prs - (CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE))
+               / 2.0) /
+             (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc,
+           n_pos, n_neg
+         FROM ag ORDER BY lang""",
+
+
+    // sigmoid probs bin on the ROUNDED value (engine-stable edges);
+    // pos_rate stays an exact unrounded integer ratio
+    "q122_calibration" ->
+      s"""WITH scored AS ($NbScoredSql),
+         pb AS (SELECT round(1.0 / (1.0 + exp(-score)), 6) AS p,
+                  pos AS y
+                FROM scored),
+         b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, y
+               FROM pb)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           round(avg(p), 6) AS mean_conf,
+           CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+         FROM b GROUP BY bin ORDER BY bin""",
+
+
+    // product-limit estimator; the fully-converting terminal row (d =
+    // n_risk) pins survival 0 explicitly — ln(0) faults in DuckDB
+    "q123_kaplan_meier" ->
+      s"""WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+             max(epoch_us(ts)) AS tmax,
+             min(CASE WHEN event_type = 'purchase'
+               THEN epoch_us(ts) END) AS tev
+           FROM events GROUP BY user_id),
+         du AS (SELECT (coalesce(tev, tmax) - t0) // 1000000 AS dur,
+                  CASE WHEN tev IS NOT NULL THEN 1 ELSE 0 END AS ev
+                FROM pu),
+         bd AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+                  CAST(count(*) - sum(ev) AS BIGINT) AS c
+                FROM du GROUP BY dur),
+         tt AS (SELECT CAST(sum(d + c) AS BIGINT) AS nn FROM bd),
+         k AS (SELECT dur, d, c,
+                 CAST(sum(d + c) OVER (ORDER BY dur ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_all
+               FROM bd),
+         r AS (SELECT dur, d, c,
+                 nn - (cum_all - (d + c)) AS n_risk FROM k, tt),
+         f AS (SELECT dur, d, c, n_risk,
+                 CASE WHEN d < n_risk
+                   THEN ln(1.0 - CAST(d AS DOUBLE)
+                     / CAST(n_risk AS DOUBLE))
+                   ELSE 0.0 END AS lnf,
+                 max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY dur ASC ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS dead
+               FROM r)
+         SELECT dur, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+           CASE WHEN dead = 1 THEN 0.0
+             ELSE round(exp(sum(lnf) OVER (ORDER BY dur ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+             END AS survival
+         FROM f ORDER BY dur""",
+
+
+    // q90's med/MAD machinery without the cut; same left-assoc mz form
+    "q125_robust_scale" ->
+      s"""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY event_type),
+         d AS (SELECT e.event_type, e.event_id, e.value, m.med
+               FROM events e JOIN m USING (event_type)),
+         s AS (SELECT event_type,
+                 quantile_cont(abs(value - med), 0.5) AS mad
+               FROM d GROUP BY event_type)
+         SELECT d.event_type, d.event_id, d.value,
+           CASE WHEN s.mad > 0
+             THEN 0.6745 * (d.value - d.med) / s.mad END AS mz
+         FROM d JOIN s USING (event_type) ORDER BY d.event_id""",
+
+
+    // mid-rank ecdf bins — exact 0.5-multiple arithmetic, NO interpolated
+    // thresholds (those flip tie-groups on 1-ulp cut divergence)
+    "q126_discretize" ->
+      s"""WITH per AS (SELECT value AS v, CAST(count(*) AS BIGINT) AS n
+             FROM events GROUP BY value),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM per),
+         cum AS (SELECT v, n,
+                   CAST(sum(n) OVER (ORDER BY v ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum
+                 FROM per),
+         pct AS (SELECT v,
+                   (CAST(cum - n AS DOUBLE) + CAST(n AS DOUBLE) / 2.0)
+                     / CAST(tot AS DOUBLE) AS p
+                 FROM cum, tot)
+         SELECT e.event_id, e.value,
+           least(CAST(floor(p * 8) AS INT), 7) AS bin
+         FROM events e JOIN pct ON pct.v = e.value
+         ORDER BY e.event_id""",
+
+
+    // Fleiss over three deterministic raters: the q99 NB pred, the q120
+    // quality gate, and an n_chars >= 300 length gate; all-integer
+    // counts into the final ratios
+    "q150_fleiss_kappa" ->
+      s"""$QualityCtesSql,
+         nb AS ($NbScoredSql),
+         votes AS (
+           SELECT doc_id, 'nb' AS rater, pred AS vote FROM nb
+           UNION ALL
+           SELECT doc_id, 'gate' AS rater,
+             CASE WHEN $QualityValSql >= 0.5 THEN 1 ELSE 0 END AS vote
+           FROM s
+           UNION ALL
+           SELECT doc_id, 'len' AS rater,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS vote
+           FROM documents),
+         nij AS (SELECT doc_id AS item, vote AS cat,
+                   CAST(count(*) AS BIGINT) AS nij
+                 FROM votes GROUP BY doc_id, vote),
+         pi AS (SELECT item, CAST(sum(nij) AS BIGINT) AS r,
+                  CAST(sum(nij * nij) AS BIGINT) AS ss
+                FROM nij GROUP BY item),
+         pib AS (SELECT item, r,
+                   CASE WHEN r > 1 THEN CAST(ss - r AS DOUBLE)
+                     / CAST(r * (r - 1) AS DOUBLE) END AS p_i
+                 FROM pi),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(r) AS BIGINT) AS n_ratings,
+                 avg(p_i) AS p_bar
+               FROM pib),
+         pj AS (SELECT cat, CAST(sum(nij) AS BIGINT) AS cj
+                FROM nij GROUP BY cat),
+         pe AS (SELECT sum((CAST(cj AS DOUBLE) / CAST(n_ratings AS DOUBLE))
+                  * (CAST(cj AS DOUBLE) / CAST(n_ratings AS DOUBLE)))
+                  AS p_e
+                FROM pj, g)
+         SELECT n_items, n_ratings, round(p_bar, 6) AS p_bar,
+           round(p_e, 6) AS p_e,
+           round(CASE WHEN p_e < 1.0
+             THEN (p_bar - p_e) / (1.0 - p_e) END, 6) AS kappa
+         FROM g, pe""",
+
+
+    // Murphy decomposition over the q122 sigmoid bins; every divisor is
+    // a bin count >= 1, the global ratios replay Spark's exact shapes
+    "q151_brier" ->
+      s"""WITH scored AS ($NbScoredSql),
+         pb AS (SELECT round(1.0 / (1.0 + exp(-score)), 6) AS p,
+                  CAST(pos AS DOUBLE) AS y
+                FROM scored),
+         b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, p, y
+               FROM pb),
+         per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+                   sum(p) AS sp, sum(y) AS sy,
+                   sum((p - y) * (p - y)) AS sq
+                 FROM b GROUP BY bin),
+         t AS (SELECT CAST(sum(n_b) AS BIGINT) AS n,
+                 sum(sy) / CAST(sum(n_b) AS DOUBLE) AS ybar
+               FROM per),
+         dec AS (SELECT t.n, t.ybar,
+                   sum(per.sq) AS tsq,
+                   sum(CAST(per.n_b AS DOUBLE)
+                     * (per.sp / CAST(per.n_b AS DOUBLE)
+                        - per.sy / CAST(per.n_b AS DOUBLE))
+                     * (per.sp / CAST(per.n_b AS DOUBLE)
+                        - per.sy / CAST(per.n_b AS DOUBLE))) AS trel,
+                   sum(CAST(per.n_b AS DOUBLE)
+                     * (per.sy / CAST(per.n_b AS DOUBLE) - t.ybar)
+                     * (per.sy / CAST(per.n_b AS DOUBLE) - t.ybar)) AS tres
+                 FROM per, t GROUP BY t.n, t.ybar)
+         SELECT n, round(tsq / CAST(n AS DOUBLE), 6) AS brier,
+           round(trel / CAST(n AS DOUBLE), 6) AS reliability,
+           round(tres / CAST(n AS DOUBLE), 6) AS resolution,
+           round(ybar * (1.0 - ybar), 6) AS uncertainty
+         FROM dec""",
+
+
+    // nominal-metric alpha over pairable items only (HAVING r > 1);
+    // canonical D_o/D_e normalization, shapes replayed exactly
+    "q157_krippendorff" ->
+      s"""$QualityCtesSql,
+         nb AS ($NbScoredSql),
+         votes AS (
+           SELECT doc_id, 'nb' AS rater, pred AS vote FROM nb
+           UNION ALL
+           SELECT doc_id, 'gate' AS rater,
+             CASE WHEN $QualityValSql >= 0.5 THEN 1 ELSE 0 END AS vote
+           FROM s
+           UNION ALL
+           SELECT doc_id, 'len' AS rater,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS vote
+           FROM documents WHERE n_chars < 250 OR n_chars > 350),
+         nij AS (SELECT doc_id AS item, vote AS cat,
+                   CAST(count(*) AS BIGINT) AS nij
+                 FROM votes GROUP BY doc_id, vote),
+         pi AS (SELECT item, CAST(sum(nij) AS BIGINT) AS r,
+                  CAST(sum(nij * nij) AS BIGINT) AS ss
+                FROM nij GROUP BY item
+                HAVING sum(nij) > 1),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(r) AS BIGINT) AS n_ratings,
+                 sum(CAST(r * r - ss AS DOUBLE)
+                   / CAST(r - 1 AS DOUBLE)) AS do_sum
+               FROM pi),
+         nc AS (SELECT cat, CAST(sum(nij) AS BIGINT) AS cj
+                FROM nij JOIN pi USING (item) GROUP BY cat),
+         sqc AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS sumsq FROM nc),
+         fin AS (SELECT n_items, n_ratings,
+                   do_sum / CAST(n_ratings AS DOUBLE) AS d_o_raw,
+                   (CAST(n_ratings AS DOUBLE) * CAST(n_ratings AS DOUBLE)
+                     - CAST(sumsq AS DOUBLE))
+                   / (CAST(n_ratings AS DOUBLE)
+                      * (CAST(n_ratings AS DOUBLE) - 1.0)) AS d_e_raw
+                 FROM g, sqc)
+         SELECT n_items, n_ratings,
+           round(d_o_raw, 6) AS d_o, round(d_e_raw, 6) AS d_e,
+           round(CASE WHEN d_e_raw > 0
+             THEN 1.0 - d_o_raw / d_e_raw END, 6) AS alpha
+         FROM fin""",
+
+
+    // mid-rank per-source percentile → min global value covering it;
+    // every float is an identical integer division or a data value
+    "q158_quantile_norm" ->
+      s"""$QualityCtesSql,
+         sc AS (SELECT doc_id, source, $QualityValSql AS q FROM s),
+         pg AS (SELECT source, q, CAST(count(*) AS BIGINT) AS n
+                FROM sc GROUP BY source, q),
+         gp AS (SELECT source, q,
+                  (CAST(sum(n) OVER (PARTITION BY source ORDER BY q ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n AS DOUBLE)
+                   + CAST(n AS DOUBLE) / 2.0)
+                  / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE)
+                    AS pct
+                FROM pg),
+         gl AS (SELECT q AS gv, CAST(count(*) AS BIGINT) AS gn
+                FROM sc GROUP BY q),
+         gc AS (SELECT gv,
+                  CAST(sum(gn) OVER (ORDER BY gv ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE)
+                  / CAST(sum(gn) OVER () AS DOUBLE) AS gcf
+                FROM gl),
+         mp AS (SELECT gp.source, gp.q, min(gc.gv) AS norm
+                FROM gp JOIN gc ON gp.pct <= gc.gcf
+                GROUP BY gp.source, gp.q)
+         SELECT sc.doc_id, sc.source, sc.q, mp.norm
+         FROM sc JOIN mp USING (source, q)
+         ORDER BY sc.doc_id""",
+
+
+    // mid-rank tables per signal, exact quarter-multiple moment sums —
+    // rho crosses engines unrounded
+    "q160_spearman" ->
+      s"""WITH t AS (
+           SELECT doc_id, source, text, $ToksSql AS toks,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS tok_cnt
+           FROM documents),
+         s AS (SELECT doc_id, source, text, toks, tok_cnt, $LangScoreSql
+               FROM t),
+         base AS (SELECT $QualityValSql AS a,
+             round(CASE WHEN len(toks) > 0 THEN
+               CAST(len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
+                 AS DOUBLE) / len(toks) ELSE 0 END, 6) AS b
+           FROM s),
+         pa AS (SELECT a, CAST(count(*) AS BIGINT) AS n
+                FROM base GROUP BY a),
+         rra AS (SELECT a,
+                  CAST(CAST(sum(n) OVER (ORDER BY a ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - n AS DOUBLE)
+                  + CAST(n + 1 AS DOUBLE) / 2.0 AS ra
+                FROM pa),
+         pb AS (SELECT b, CAST(count(*) AS BIGINT) AS n
+                FROM base GROUP BY b),
+         rrb AS (SELECT b,
+                  CAST(CAST(sum(n) OVER (ORDER BY b ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - n AS DOUBLE)
+                  + CAST(n + 1 AS DOUBLE) / 2.0 AS rb
+                FROM pb),
+         r AS (SELECT rra.ra, rrb.rb FROM base
+               JOIN rra USING (a) JOIN rrb USING (b)),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(ra) AS sa, sum(rb) AS sb,
+                 sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
+                 sum(ra * rb) AS sab
+               FROM r)
+         SELECT n,
+           CASE WHEN CAST(n AS DOUBLE) * saa - sa * sa > 0
+                 AND CAST(n AS DOUBLE) * sbb - sb * sb > 0
+           THEN (CAST(n AS DOUBLE) * sab - sa * sb)
+             / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+                * (CAST(n AS DOUBLE) * sbb - sb * sb)) END AS rho
+         FROM m""",
+
+
+    // Poisson(1) weights from the same md5 bucket space + thresholds the
+    // Spark side interpolates; fixed order-statistic CI convention
+    "q165_bootstrap_ci" -> {
+      val th = ext.Eval.PoissonThresholds
+      val bucket =
+        """CAST(CAST(concat('0x', substr(md5(concat('boot:',
+           CAST(rep AS VARCHAR), ':', CAST(doc_id AS VARCHAR))), 1, 15))
+           AS UBIGINT) AS BIGINT)"""
+      val caseW = th.zipWithIndex
+        .map { case (t, k) => s"WHEN $bucket < $t THEN $k" }
+        .mkString("CASE ", " ", s" ELSE ${th.size} END")
+      s"""$QualityCtesSql,
+         sc AS (SELECT doc_id, $QualityValSql AS x FROM s),
+         ex AS (SELECT doc_id, x, unnest(generate_series(0, 39)) AS rep
+                FROM sc),
+         wb AS (SELECT rep, x, $caseW AS w FROM ex),
+         pr AS (SELECT rep,
+                  CASE WHEN sum(w) > 0
+                    THEN sum(w * x) / CAST(sum(w) AS DOUBLE) END AS m
+                FROM wb GROUP BY rep),
+         rk AS (SELECT m, row_number() OVER (ORDER BY m ASC) AS rn
+                FROM pr WHERE m IS NOT NULL),
+         ci AS (SELECT min(CASE WHEN rn = 1 THEN m END) AS lo,
+                  min(CASE WHEN rn = 39 THEN m END) AS hi FROM rk)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM sc) AS n,
+           round((SELECT avg(x) FROM sc), 6) AS mean,
+           round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+         FROM ci"""
+    },
+
+
+    // exact integer max-share/gini ratios, ln-shape entropy (see
+    // Eval.skewReport); keys sort by (count, key) for the Gini rank
+    "q166_skew_report" ->
+      """WITH per AS (SELECT CAST(user_id AS VARCHAR) AS k,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         rk AS (SELECT k, c,
+             CAST(row_number() OVER (ORDER BY c ASC, k ASC) AS BIGINT)
+               AS i,
+             row_number() OVER (ORDER BY c DESC, k ASC) AS j
+           FROM per),
+         ag AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS keys,
+             CAST(max(c) AS BIGINT) AS mx,
+             min(CASE WHEN j = 1 THEN k END) AS topk,
+             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc,
+             CAST(sum((2 * i - 1) * c) AS BIGINT) AS gsum
+           FROM rk)
+         SELECT n AS n_rows, keys AS n_keys, topk AS top_key,
+           CAST(mx AS DOUBLE) / CAST(n AS DOUBLE) AS max_share,
+           round(ln(CAST(n AS DOUBLE)) - clogc / CAST(n AS DOUBLE), 6)
+             AS entropy,
+           CAST(gsum - keys * n AS DOUBLE) / CAST(keys * n AS DOUBLE)
+             AS gini
+         FROM ag""",
+
+
+    // ECDF-decile joint/marginal counts; one fixed MI/entropy shape
+    "q170_mutual_info" ->
+      s"""WITH t AS (
+           SELECT doc_id, source, text, $ToksSql AS toks,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS tok_cnt
+           FROM documents),
+         s AS (SELECT doc_id, source, text, toks, tok_cnt, $LangScoreSql
+               FROM t),
+         base AS MATERIALIZED (SELECT $QualityValSql AS a,
+             round(CASE WHEN len(toks) > 0 THEN
+               CAST(len(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
+                 AS DOUBLE) / len(toks) ELSE 0 END, 6) AS b
+           FROM s),
+         pa AS (SELECT a, CAST(count(*) AS BIGINT) AS n
+                FROM base GROUP BY a),
+         ta AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM pa),
+         cca AS (SELECT a, n,
+             CAST(sum(n) OVER (ORDER BY a ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM pa),
+         bina AS (SELECT a, least(CAST(floor(
+             ((CAST(cum - n AS DOUBLE) + CAST(n AS DOUBLE) / 2.0)
+              / CAST(tot AS DOUBLE)) * 10) AS INT), 9) AS ba
+           FROM cca, ta),
+         pb AS (SELECT b, CAST(count(*) AS BIGINT) AS n
+                FROM base GROUP BY b),
+         tb2 AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM pb),
+         ccb AS (SELECT b, n,
+             CAST(sum(n) OVER (ORDER BY b ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM pb),
+         binb AS (SELECT b, least(CAST(floor(
+             ((CAST(cum - n AS DOUBLE) + CAST(n AS DOUBLE) / 2.0)
+              / CAST(tot AS DOUBLE)) * 10) AS INT), 9) AS bb
+           FROM ccb, tb2),
+         wb AS (SELECT bina.ba, binb.bb FROM base
+                JOIN bina USING (a) JOIN binb USING (b)),
+         joint AS (SELECT ba, bb, CAST(count(*) AS BIGINT) AS c
+                   FROM wb GROUP BY ba, bb),
+         mga AS (SELECT ba, CAST(sum(c) AS BIGINT) AS ca
+                 FROM joint GROUP BY ba),
+         mgb AS (SELECT bb, CAST(sum(c) AS BIGINT) AS cb
+                 FROM joint GROUP BY bb),
+         nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM joint),
+         mi AS (SELECT sum((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                  * ln(CAST(c * n AS DOUBLE)
+                       / CAST(ca * cb AS DOUBLE))) AS mi
+                FROM joint JOIN mga USING (ba) JOIN mgb USING (bb), nn),
+         sa2 AS (SELECT sum(CAST(ca AS DOUBLE) * ln(CAST(ca AS DOUBLE)))
+                   AS sa FROM mga),
+         sb2 AS (SELECT sum(CAST(cb AS DOUBLE) * ln(CAST(cb AS DOUBLE)))
+                   AS sb FROM mgb)
+         SELECT n, round(mi, 6) AS mi,
+           round(ln(CAST(n AS DOUBLE)) - sa / CAST(n AS DOUBLE), 6)
+             AS h_a,
+           round(ln(CAST(n AS DOUBLE)) - sb / CAST(n AS DOUBLE), 6)
+             AS h_b,
+           round(CASE WHEN ln(CAST(n AS DOUBLE)) - sa / CAST(n AS DOUBLE)
+                   > 0
+                  AND ln(CAST(n AS DOUBLE)) - sb / CAST(n AS DOUBLE) > 0
+             THEN mi / sqrt((ln(CAST(n AS DOUBLE))
+                 - sa / CAST(n AS DOUBLE))
+               * (ln(CAST(n AS DOUBLE)) - sb / CAST(n AS DOUBLE))) END,
+             6) AS nmi
+         FROM nn, mi, sa2, sb2""",
+
+
+    // the q165 machinery with every stage keyed on source
+    "q174_bootstrap_by_source" -> {
+      val th = ext.Eval.PoissonThresholds
+      val bucket =
+        """CAST(CAST(concat('0x', substr(md5(concat('boot:',
+           CAST(rep AS VARCHAR), ':', CAST(doc_id AS VARCHAR))), 1, 15))
+           AS UBIGINT) AS BIGINT)"""
+      val caseW = th.zipWithIndex
+        .map { case (t, k) => s"WHEN $bucket < $t THEN $k" }
+        .mkString("CASE ", " ", s" ELSE ${th.size} END")
+      s"""$QualityCtesSql,
+         sc AS (SELECT doc_id, source, $QualityValSql AS x FROM s),
+         ex AS (SELECT doc_id, source, x,
+                  unnest(generate_series(0, 39)) AS rep
+                FROM sc),
+         wb AS (SELECT source, rep, x, $caseW AS w FROM ex),
+         pr AS (SELECT source, rep,
+                  CASE WHEN sum(w) > 0
+                    THEN sum(w * x) / CAST(sum(w) AS DOUBLE) END AS m
+                FROM wb GROUP BY source, rep),
+         rk AS (SELECT source, m,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY m ASC) AS rn
+                FROM pr WHERE m IS NOT NULL),
+         ci AS (SELECT source,
+                  min(CASE WHEN rn = 1 THEN m END) AS lo,
+                  min(CASE WHEN rn = 39 THEN m END) AS hi
+                FROM rk GROUP BY source),
+         mg AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                  avg(x) AS mean_raw
+                FROM sc GROUP BY source)
+         SELECT mg.source, mg.n, round(mg.mean_raw, 6) AS mean,
+           round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi
+         FROM mg JOIN ci ON ci.source = mg.source
+         ORDER BY mg.source"""
+    },
+  )
+}
