@@ -944,6 +944,70 @@ object Eval {
       col("_ks").getField("drifted").as("drifted"))
   }
 
+  /** MANN–WHITNEY / WILCOXON RANK-SUM drift test — the LOCATION-shift
+    * member of the drift family ([[Outliers.psiDrift]] = binned shape,
+    * [[ksTest]] = any-shape, [[Outliers.chiSquareDrift]] = categorical;
+    * this one asks specifically "did the live slice's values move up or
+    * down?", with full robustness to outliers because only ranks enter).
+    * Mid-rank ties (the [[aucRoc]] convention) over the combined sample;
+    * normal approximation with the standard tie correction:
+    * `z = (U − n_a·n_b/2) / σ`,
+    * `σ² = (n_a·n_b/12)·((N+1) − Σ(t³−t)/(N(N−1)))`, drifted at the
+    * two-sided 5% cut |z| > 1.96 (fixed literal, the 1.358 discipline).
+    * z > 0 means side b's values rank HIGHER than side a's.
+    *
+    * Engine-stable: every rank is an exact 0.5-multiple so U is exact in
+    * doubles (order-independent below 2⁵³); the tie term Σ(t³−t) is an
+    * exact integer sum (overflow posture as [[cohenKappa]]: t³ exceeds
+    * int64 past ~2·10⁶ rows tied on ONE value — switch the term to
+    * doubles at that scale); z and the flag are one fixed expression
+    * shape. All-tied input gives σ = 0 → NULL z (undefined, the
+    * [[cohenKappa]] convention).
+    *
+    * Shape at 100 TB: one pass collapses both sides to the per-distinct-
+    * value count table (granularity-bounded, [[graft.util.GridGuard]]
+    * enforced); the rank window runs on that bounded table (pinned — two
+    * consumers), everything after is scalar.
+    * Returns one row: (n_a, n_b, u, z, drifted). */
+  def rankSumTest(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
+    val tagged = a.select(col(valCol).as("_v"),
+        lit(1L).as("_ia"), lit(0L).as("_ib"))
+      .unionAll(b.select(col(valCol).as("_v"),
+        lit(0L).as("_ia"), lit(1L).as("_ib")))
+      .filter(col("_v").isNotNull)
+    graft.util.GridGuard.check(tagged, "rankSumTest", "_v")
+    val per = tagged.groupBy(col("_v"))
+      .agg(sum(col("_ia")).as("ca"), sum(col("_ib")).as("cb"))
+    val w = Window.orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nv = col("ca") + col("cb")
+    val ranked = per
+      .withColumn("_nv", nv)
+      .withColumn("_cum", sum(nv).over(w))
+      .withColumn("_avgrank",
+        (col("_cum") - col("_nv")).cast("double") +
+          (col("_nv") + lit(1L)).cast("double") / lit(2.0))
+      .pin()
+    val agg = ranked.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum(col("cb").cast("double") * col("_avgrank")).as("_rb"),
+      sum(col("_nv") * col("_nv") * col("_nv") - col("_nv")).as("_ties"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val nT = nA + nB
+    val u = col("_rb") - nB * (nB + lit(1.0)) / lit(2.0)
+    val sigma2 = nA * nB / lit(12.0) *
+      ((nT + lit(1.0)) - col("_ties").cast("double") /
+        (nT * (nT - lit(1.0))))
+    val z = (u - nA * nB / lit(2.0)) / sqrt(sigma2)
+    val out = agg.select(col("n_a"), col("n_b"), u.as("u"),
+      when(sigma2 > 0, z).as("z"),
+      when(sigma2 > 0 && abs(z) > 1.96, 1).otherwise(0).as("drifted"))
+      .pin()
+    graft.util.Checkpoints.release(ranked)
+    out
+  }
+
   /** MUTUAL INFORMATION between two score columns over ECDF-decile bins
     * — the NONLINEAR dependence audit next to [[spearman]]'s monotone
     * one (two signals can be rank-uncorrelated yet share most of their

@@ -143,6 +143,71 @@ object Outliers {
         log(col("p_live") / col("p_base")), 6))
   }
 
+  /** CHI-SQUARED CATEGORICAL drift test — the drift family's member for
+    * CATEGORY columns (lang, source, event type, license class), where
+    * [[psiDrift]]'s fixed numeric range and [[Eval.ksTest]]'s ordering
+    * don't apply: Pearson's χ² over the 2×k contingency table of
+    * (slice, category) counts, `χ² = Σ (O − E)² / E` with
+    * `E = rowTotal·catTotal / N` — all inputs exact integer counts, one
+    * fixed expression shape, so the unrounded statistic is
+    * engine-identical (overflow posture as [[Eval.cohenKappa]]: the
+    * rowTotal·catTotal product exceeds int64 past ~3·10⁹ rows — compute
+    * E in doubles from the start, which this does). The 5% critical
+    * value uses the Wilson–Hilferty closed form
+    * `dof·(1 − 2/(9·dof) + 1.6449·√(2/(9·dof)))³` (no inverse-CDF table
+    * to ship; accurate to ~0.1% for dof ≥ 3, documented approximation —
+    * the 1.358 discipline). Categories seen in either slice count;
+    * dof = k − 1; k = 1 (single category) → NULL χ²/crit, drifted 0.
+    *
+    * Shape at 100 TB: both slices collapse map-side to category counts;
+    * the category table is cardinality-bounded
+    * ([[graft.util.GridGuard]]-enforced — a free-text column is not a
+    * category); everything after runs on k rows. Returns one row:
+    * (n_base, n_live, k, chi2, chi2_crit, drifted). */
+  def chiSquareDrift(base: DataFrame, live: DataFrame,
+      catCol: String): DataFrame = {
+    val tagged = base.select(col(catCol).as("_c"),
+        lit(1L).as("_ib"), lit(0L).as("_il"))
+      .unionAll(live.select(col(catCol).as("_c"),
+        lit(0L).as("_ib"), lit(1L).as("_il")))
+      .filter(col("_c").isNotNull)
+    graft.util.GridGuard.check(tagged, "chiSquareDrift", "_c")
+    val per = tagged.groupBy(col("_c"))
+      .agg(sum(col("_ib")).as("cb"), sum(col("_il")).as("cl"))
+    val agg = per.agg(
+      sum(col("cb")).as("n_base"), sum(col("cl")).as("n_live"),
+      count(lit(1)).as("k"))
+    val nB = col("n_base").cast("double")
+    val nL = col("n_live").cast("double")
+    val nT = nB + nL
+    val cat = (col("cb") + col("cl")).cast("double")
+    def term(o: Column, rowTot: Column) = {
+      val e = rowTot * cat / nT
+      (o.cast("double") - e) * (o.cast("double") - e) / e
+    }
+    val chi2 = per.crossJoin(broadcast(agg))
+      .agg(sum(term(col("cb"), nB) + term(col("cl"), nL)).as("_chi2"))
+    val dof = (col("k") - lit(1L)).cast("double")
+    // divisor floored at 1: the k = 1 output is gated to NULL below, but
+    // codegen subexpression elimination evaluates this shared expression
+    // EAGERLY (outside the when), so dof = 0 must not fault under ANSI;
+    // for every emitted case (k > 1) the floor is inert
+    val dofSafe = greatest(dof, lit(1.0))
+    val wh = dof * pow(lit(1.0) - lit(2.0) / (lit(9.0) * dofSafe) +
+      lit(1.6449) * sqrt(lit(2.0) / (lit(9.0) * dofSafe)), 3)
+    // χ² rounds at 6 dp (the psi/mi convention — the k-term sum is
+    // accumulation-order dependent across engines); the flag compares the
+    // ROUNDED values so it is a pure function of the emitted columns
+    val chi2R = round(col("_chi2"), 6)
+    val whR = round(wh, 6)
+    agg.crossJoin(chi2).select(
+      col("n_base"), col("n_live"), col("k"),
+      when(col("k") > 1, chi2R).as("chi2"),
+      when(col("k") > 1, whR).as("chi2_crit"),
+      when(col("k") > 1 && chi2R > whR, 1).otherwise(0)
+        .as("drifted"))
+  }
+
   /** WINSORIZE: clamp `valCol` into its per-key exact-percentile
     * [pLo, pHi] band — heavy-tail taming for numeric features where
     * dropping outliers ([[robustFlags]]) loses the rows: extremes survive

@@ -108,6 +108,31 @@ object QueriesDrift {
         ev.filter(col("ts") < lit("2024-01-08").cast("timestamp")), "v")
       ext.Eval.ksDriftWindowed(ev, "ts", "v", bv, bc).orderBy("ws")
     }),
+
+    // ext: chi-squared CATEGORICAL drift — src9's language mix vs the
+    // rest of the corpus (the drift member for category columns, where
+    // PSI's numeric bins and KS's ordering don't apply)
+    "q187_chi2_drift" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("source"), col("lang"))
+      ext.Outliers.chiSquareDrift(
+        docs.filter(col("source") =!= "src9"),
+        docs.filter(col("source") === "src9"), "lang")
+    }),
+
+    // ext: Mann–Whitney rank-sum drift — src9's quality vs the rest, the
+    // LOCATION-shift member beside q184's any-shape KS (same slice, so
+    // the two statistics read together: KS fires on any change, rank-sum
+    // says specifically "moved up/down")
+    "q188_rank_sum" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("source"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Eval.rankSumTest(
+          docs.filter(col("source") =!= "src9"),
+          docs.filter(col("source") === "src9"), "q"), docs)
+    }),
   )
 
   private[graft] val oracleSql: Map[String, String] = Map(
@@ -348,5 +373,94 @@ object QueriesDrift {
                (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)))
              THEN 1 ELSE 0 END AS drifted
          FROM per, nb ORDER BY ws""",
+
+    // Pearson chi2 over the 2×k (slice, lang) table; expected counts in
+    // doubles with the exact same multiply-then-divide shape; chi2/crit
+    // rounded 6 dp (k-term sum order), flag compares the rounded values
+    "q187_chi2_drift" ->
+      """WITH t AS (SELECT lang AS c,
+             CASE WHEN source <> 'src9' THEN 1 ELSE 0 END AS ib,
+             CASE WHEN source = 'src9' THEN 1 ELSE 0 END AS il
+           FROM documents WHERE lang IS NOT NULL),
+         per AS (SELECT c, CAST(sum(ib) AS BIGINT) AS cb,
+                  CAST(sum(il) AS BIGINT) AS cl
+                 FROM t GROUP BY c),
+         ag AS (SELECT CAST(sum(cb) AS BIGINT) AS n_base,
+                  CAST(sum(cl) AS BIGINT) AS n_live,
+                  CAST(count(*) AS BIGINT) AS k
+                FROM per),
+         terms AS (SELECT
+             (CAST(cb AS DOUBLE) - eb) * (CAST(cb AS DOUBLE) - eb) / eb +
+             (CAST(cl AS DOUBLE) - el) * (CAST(cl AS DOUBLE) - el) / el
+               AS term
+           FROM (SELECT cb, cl,
+                   CAST(n_base AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
+                     (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS eb,
+                   CAST(n_live AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
+                     (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS el
+                 FROM per, ag)),
+         x AS (SELECT round(sum(term), 6) AS chi2 FROM terms),
+         crit AS (SELECT round(CAST(k - 1 AS DOUBLE) *
+             power(1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE)) +
+               1.6449 * sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))), 3), 6)
+             AS chi2_crit FROM ag)
+         SELECT n_base, n_live, k,
+           CASE WHEN k > 1 THEN chi2 END AS chi2,
+           CASE WHEN k > 1 THEN chi2_crit END AS chi2_crit,
+           CASE WHEN k > 1 AND chi2 > chi2_crit THEN 1 ELSE 0 END
+             AS drifted
+         FROM ag, x, crit""",
+
+    // mid-rank machinery over the per-value table (the q184 shape); U
+    // and the tie term are exact (0.5-multiples / integer sums), z is
+    // one fixed expression both engines replay
+    "q188_rank_sum" ->
+      s"""$QualityCtesSql,
+         sc AS (SELECT CASE WHEN source = 'src9' THEN 1 ELSE 0 END AS is_b,
+                  $QualityValSql AS q FROM s),
+         per AS (SELECT q,
+                  CAST(sum(CASE WHEN is_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS ca,
+                  CAST(sum(is_b) AS BIGINT) AS cb
+                 FROM sc GROUP BY q),
+         rk AS (SELECT ca, cb, ca + cb AS nv,
+                  CAST(sum(ca + cb) OVER (ORDER BY q ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+                FROM per),
+         ag AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cb) AS BIGINT) AS n_b,
+                  sum(CAST(cb AS DOUBLE) * (CAST(cum - nv AS DOUBLE) +
+                    CAST(nv + 1 AS DOUBLE) / 2.0)) AS rb,
+                  CAST(sum(nv * nv * nv - nv) AS BIGINT) AS ties
+                FROM rk)
+         SELECT n_a, n_b,
+           rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0) / 2.0
+             AS u,
+           CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+               ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                CAST(ties AS DOUBLE) /
+                  ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                   (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))) > 0
+             THEN (rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0)
+                     / 2.0
+                   - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                 ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                  CAST(ties AS DOUBLE) /
+                    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
+           END AS z,
+           CASE WHEN abs((rb - CAST(n_b AS DOUBLE) *
+                 (CAST(n_b AS DOUBLE) + 1.0) / 2.0
+               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                 ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                  CAST(ties AS DOUBLE) /
+                    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))))
+               > 1.96
+             THEN 1 ELSE 0 END AS drifted
+         FROM ag""",
   )
 }

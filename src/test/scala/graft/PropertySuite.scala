@@ -428,6 +428,37 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("rankSumTest equals a local reference Mann-Whitney on random samples") {
+    import graft.ext.Eval
+    val rnd = new Random(61)
+    for (trial <- 1 to 4) {
+      val xs = (0 until 25 + rnd.nextInt(40)).map(_ => rnd.nextInt(9).toDouble)
+      val ys = (0 until 25 + rnd.nextInt(40)).map(_ =>
+        (rnd.nextInt(9) + (if (trial % 2 == 0) 2 else 0)).toDouble)
+      val (na, nb) = (xs.length.toDouble, ys.length.toDouble)
+      val all = xs ++ ys
+      // mid-ranks over the combined sample, exact 0.5-multiples
+      val byV = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val vals = byV.keys.toSeq.sorted
+      var cum = 0L
+      val rank = vals.map { v =>
+        val t = byV(v); cum += t
+        v -> ((cum - t).toDouble + (t + 1L).toDouble / 2.0)
+      }.toMap
+      val rb = ys.map(rank).sum // integer+halves: order-free exact
+      val ties = vals.map(v => { val t = byV(v); t * t * t - t }).sum
+      val n = na + nb
+      val u = rb - nb * (nb + 1.0) / 2.0
+      val sigma2 = na * nb / 12.0 * ((n + 1.0) - ties.toDouble / (n * (n - 1.0)))
+      val zExp = (u - na * nb / 2.0) / math.sqrt(sigma2)
+      val r = Eval.rankSumTest(xs.toDF("v"), ys.toDF("v"), "v").collect().head
+      assert(r.getLong(0) == xs.length && r.getLong(1) == ys.length)
+      assert(r.getDouble(2) == u, s"trial $trial: U mismatch")
+      assert(r.getDouble(3) == zExp, s"trial $trial: z mismatch")
+      assert(r.getInt(4) == (if (math.abs(zExp) > 1.96) 1 else 0))
+    }
+  }
+
   test("pplBuckets terciles are consistent with lmScore and exact percentiles") {
     import graft.ext.TextAnalysis
     val rnd = new Random(37)
