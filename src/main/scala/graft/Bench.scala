@@ -287,10 +287,19 @@ object Bench {
           "ecdf" -> (() => ext.Eval.ecdf(scored(docs), "score")),
           "class_metrics" -> (() => ext.Eval.classMetrics(
             docs.select(col("lang").as("label"), col("source").as("pred")),
-            "label", "pred")))
+            "label", "pred")),
+          // r12 drift additions: same per-distinct-value collapse, plus
+          // the GridGuard pre-check pass — certified at 16× like the rest
+          "ks_test" -> (() => ext.Eval.ksTest(
+            scored(docs).filter(col("label") === 1),
+            scored(docs).filter(col("label") === 0), "score")),
+          "rank_sum" -> (() => ext.Eval.rankSumTest(
+            scored(docs).filter(col("label") === 1),
+            scored(docs).filter(col("label") === 0), "score")))
       } yield ((f, name), () => { mk().count(); 0L })
       val (times, _) = interleavedTimes(cells)
-      val names = Seq("pr_curve", "auc_roc", "ecdf", "class_metrics")
+      val names = Seq("pr_curve", "auc_roc", "ecdf", "class_metrics",
+        "ks_test", "rank_sum")
       val lines = names.map { name =>
         val t1 = times((1, name)); val t16 = times((16, name))
         s"\"$name\":{\"sec_1x\":$t1,\"sec_16x\":$t16," +
