@@ -12,56 +12,35 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
 import org.apache.spark.sql.types._
 
-/** Two-sample Kolmogorov–Smirnov statistic of a group's values against a
-  * DRIVER-HELD baseline distribution — the stateful kernel behind
-  * [[graft.ext.Eval.ksDriftWindowed]]'s streaming drift monitor (the
-  * [[VectorMeanAgg]] pattern: one aggregate whose buffer Structured
-  * Streaming can carry per window).
+/** Shared stateful kernel of the WINDOWED drift monitors
+  * ([[graft.ext.Eval.ksDriftWindowed]],
+  * [[graft.ext.Eval.rankSumDriftWindowed]]) — the [[VectorMeanAgg]]
+  * pattern: one aggregate whose buffer Structured Streaming can carry per
+  * window.
   *
   * Buffer = the group's per-distinct-value counts — bounded by score
   * GRANULARITY, not event rate, and HARD-CAPPED at `cap` (the
   * [[graft.util.GridGuard]] ceiling carried into streaming state: an
   * unrounded score column fails loudly at the first over-cap update
   * instead of growing per-window state without bound). The baseline is a
-  * sorted (value, cumulative count) table baked into the expression —
-  * granularity-bounded, so it ships to executors once per task like any
-  * broadcast literal.
-  *
-  * eval walks the merged jump points of both step ECDFs with the same
-  * integer-exact gap arithmetic as [[graft.ext.Eval.ksTest]]
-  * (max |cna·n_b − cnb·n_a|, doubles only in the final two ratios), so the
-  * per-window result is bit-identical to `ksTest(baseline, windowSlice)` —
-  * suite-pinned. Null inputs are skipped; an all-null group returns a null
-  * struct. Output: (n_live, d, d_crit, drifted). */
-case class KsDriftAgg(
-    child: Expression,
-    baseVals: Array[Double],
-    baseCum: Array[Long],
-    cap: Long,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+  * driver-held table baked into the expression — granularity-bounded, so
+  * it ships to executors like any broadcast literal. Null inputs are
+  * skipped; an all-null group returns a null struct. */
+abstract class ValueCountsDriftAgg
   extends TypedImperativeAggregate[mutable.HashMap[Double, Long]]
   with UnaryLike[Expression] {
 
-  require(baseVals.length == baseCum.length && baseVals.nonEmpty,
-    "ks_drift: empty or misaligned baseline")
-
-  override def prettyName: String = "ks_drift"
+  def cap: Long
   override def nullable: Boolean = true
-  override def dataType: DataType = StructType(Seq(
-    StructField("n_live", LongType, nullable = false),
-    StructField("d", DoubleType, nullable = false),
-    StructField("d_crit", DoubleType, nullable = false),
-    StructField("drifted", IntegerType, nullable = false)))
 
   override def createAggregationBuffer(): mutable.HashMap[Double, Long] =
     mutable.HashMap.empty
 
   private def guard(m: mutable.HashMap[Double, Long]): Unit =
     require(m.size <= cap,
-      s"ks_drift: over $cap distinct live values — feed ROUNDED scores " +
-        "(the graft.grid.maxDistinct discipline); unbounded granularity " +
-        "means unbounded per-window state")
+      s"$prettyName: over $cap distinct live values — feed ROUNDED " +
+        "scores (the graft.grid.maxDistinct discipline); unbounded " +
+        "granularity means unbounded per-window state")
 
   override def update(buf: mutable.HashMap[Double, Long],
       input: InternalRow): mutable.HashMap[Double, Long] = {
@@ -80,6 +59,51 @@ case class KsDriftAgg(
     guard(a)
     a
   }
+
+  override def serialize(buf: mutable.HashMap[Double, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (v, c) => out.writeDouble(v); out.writeLong(c) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Double, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[Double, Long]
+    var i = 0
+    while (i < n) { buf.update(in.readDouble(), in.readLong()); i += 1 }
+    buf
+  }
+}
+
+/** Two-sample Kolmogorov–Smirnov statistic of a group's values against a
+  * DRIVER-HELD baseline distribution (sorted values + CUMULATIVE counts).
+  *
+  * eval walks the merged jump points of both step ECDFs with the same
+  * integer-exact gap arithmetic as [[graft.ext.Eval.ksTest]]
+  * (max |cna·n_b − cnb·n_a|, doubles only in the final two ratios), so the
+  * per-window result is bit-identical to `ksTest(baseline, windowSlice)` —
+  * suite-pinned. Output: (n_live, d, d_crit, drifted). */
+case class KsDriftAgg(
+    child: Expression,
+    baseVals: Array[Double],
+    baseCum: Array[Long],
+    cap: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends ValueCountsDriftAgg {
+
+  require(baseVals.length == baseCum.length && baseVals.nonEmpty,
+    "ks_drift: empty or misaligned baseline")
+
+  override def prettyName: String = "ks_drift"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_live", LongType, nullable = false),
+    StructField("d", DoubleType, nullable = false),
+    StructField("d_crit", DoubleType, nullable = false),
+    StructField("drifted", IntegerType, nullable = false)))
 
   override def eval(buf: mutable.HashMap[Double, Long]): Any = {
     if (buf.isEmpty) return null
@@ -110,23 +134,6 @@ case class KsDriftAgg(
     InternalRow(nB, d, dCrit, if (d > dCrit) 1 else 0)
   }
 
-  override def serialize(buf: mutable.HashMap[Double, Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (v, c) => out.writeDouble(v); out.writeLong(c) }
-    out.flush(); bos.toByteArray
-  }
-
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Double, Long] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = mutable.HashMap.empty[Double, Long]
-    var i = 0
-    while (i < n) { buf.update(in.readDouble(), in.readLong()); i += 1 }
-    buf
-  }
-
   override def withNewMutableAggBufferOffset(o: Int): KsDriftAgg =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): KsDriftAgg =
@@ -141,5 +148,207 @@ object KsDriftAgg {
       cap: Long): Column =
     ExpressionUtils.column(
       KsDriftAgg(ExpressionUtils.expression(v), baseVals, baseCum, cap)
+        .toAggregateExpression())
+}
+
+/** Mann–Whitney rank-sum statistic of a group's values against a
+  * DRIVER-HELD baseline distribution (sorted values + CUMULATIVE counts —
+  * the same [[graft.ext.Eval.ksBaseline]] artifact the KS twin takes, so
+  * one snapshot pass serves both monitors).
+  *
+  * eval walks the merged per-value counts in sorted order accumulating
+  * the live side's mid-rank sum and the tie term with the exact same
+  * arithmetic shapes as [[graft.ext.Eval.rankSumTest]] (rank sums are
+  * exact 0.5-multiples, the tie term an exact integer sum, z one fixed
+  * expression) — per-window result bit-identical to
+  * `rankSumTest(baseline, windowSlice)`, suite-pinned.
+  * Output: (n_live, u, z, drifted); z NULL when all values tie. */
+case class RankSumDriftAgg(
+    child: Expression,
+    baseVals: Array[Double],
+    baseCum: Array[Long],
+    cap: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends ValueCountsDriftAgg {
+
+  require(baseVals.length == baseCum.length && baseVals.nonEmpty,
+    "rank_sum_drift: empty or misaligned baseline")
+
+  override def prettyName: String = "rank_sum_drift"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_live", LongType, nullable = false),
+    StructField("u", DoubleType, nullable = false),
+    StructField("z", DoubleType, nullable = true),
+    StructField("drifted", IntegerType, nullable = false)))
+
+  override def eval(buf: mutable.HashMap[Double, Long]): Any = {
+    if (buf.isEmpty) return null
+    val nA = baseCum(baseCum.length - 1)
+    val liveVals = buf.keysIterator.toArray
+    java.util.Arrays.sort(liveVals)
+    var nB = 0L
+    buf.valuesIterator.foreach(nB += _)
+    var i = 0; var j = 0; var cum = 0L; var rb = 0.0; var ties = 0L
+    while (i < baseVals.length || j < liveVals.length) {
+      val takeBase = j >= liveVals.length ||
+        (i < baseVals.length && baseVals(i) <= liveVals(j))
+      val takeLive = i >= baseVals.length ||
+        (j < liveVals.length && liveVals(j) <= baseVals(i))
+      var nv = 0L; var cb = 0L
+      if (takeBase) {
+        nv += baseCum(i) - (if (i == 0) 0L else baseCum(i - 1)); i += 1
+      }
+      if (takeLive) { cb = buf(liveVals(j)); nv += cb; j += 1 }
+      // batch shape: avgrank = (cum_through_v − nv) + (nv + 1)/2, an
+      // exact 0.5-multiple; rb accumulates exact halves (order-free)
+      val avgrank = cum.toDouble + (nv + 1L).toDouble / 2.0
+      rb += cb.toDouble * avgrank
+      ties += nv * nv * nv - nv
+      cum += nv
+    }
+    val (na, nb) = (nA.toDouble, nB.toDouble)
+    val n = na + nb
+    val u = rb - nb * (nb + 1.0) / 2.0
+    val sigma2 = na * nb / 12.0 * ((n + 1.0) - ties.toDouble / (n * (n - 1.0)))
+    if (sigma2 > 0) {
+      val z = (u - na * nb / 2.0) / math.sqrt(sigma2)
+      InternalRow(nB, u, z, if (math.abs(z) > 1.96) 1 else 0)
+    } else InternalRow(nB, u, null, 0)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): RankSumDriftAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): RankSumDriftAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): RankSumDriftAgg =
+    copy(child = c)
+}
+
+object RankSumDriftAgg {
+  /** Column-level API: rank-sum-vs-baseline struct of a double column. */
+  def column(v: Column, baseVals: Array[Double], baseCum: Array[Long],
+      cap: Long): Column =
+    ExpressionUtils.column(
+      RankSumDriftAgg(ExpressionUtils.expression(v), baseVals, baseCum, cap)
+        .toAggregateExpression())
+}
+
+/** Pearson chi-squared statistic of a group's CATEGORY mix against a
+  * DRIVER-HELD baseline count table — [[graft.ext.Outliers
+  * .chiSquareDriftWindowed]]'s kernel. Buffer = per-category counts,
+  * capped like the numeric twins (a free-text column is not a category).
+  * eval sums the per-category terms in SORTED category order (a
+  * deterministic driver-side order; the batch aggregate's partition
+  * order differs, so batch ≡ windowed holds to float summation order —
+  * both sides round at 6 dp, suite-pinned at that grain) with the exact
+  * same expression shapes as [[graft.ext.Outliers.chiSquareDrift]].
+  * Output: (n_live, k, chi2, chi2_crit, drifted); k counts categories
+  * seen in either side, statistic NULL at k = 1. */
+case class ChiSquareDriftAgg(
+    child: Expression,
+    baseCounts: Map[String, Long],
+    cap: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+  with UnaryLike[Expression] {
+
+  require(baseCounts.nonEmpty, "chi2_drift: empty baseline")
+
+  override def prettyName: String = "chi2_drift"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_live", LongType, nullable = false),
+    StructField("k", LongType, nullable = false),
+    StructField("chi2", DoubleType, nullable = true),
+    StructField("chi2_crit", DoubleType, nullable = true),
+    StructField("drifted", IntegerType, nullable = false)))
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  private def guard(m: mutable.HashMap[String, Long]): Unit =
+    require(m.size <= cap,
+      s"chi2_drift: over $cap distinct live categories — a free-text " +
+        "column is not a category (the graft.grid.maxDistinct discipline)")
+
+  override def update(buf: mutable.HashMap[String, Long],
+      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val c = v.toString
+      buf.update(c, buf.getOrElse(c, 0L) + 1L)
+      guard(buf)
+    }
+    buf
+  }
+
+  override def merge(a: mutable.HashMap[String, Long],
+      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (v, c) => a.update(v, a.getOrElse(v, 0L) + c) }
+    guard(a)
+    a
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    if (buf.isEmpty) return null
+    val cats = (baseCounts.keySet ++ buf.keySet).toArray.sorted
+    val nB = baseCounts.valuesIterator.sum.toDouble
+    var nL0 = 0L
+    buf.valuesIterator.foreach(nL0 += _)
+    val nL = nL0.toDouble
+    val nT = nB + nL
+    val k = cats.length.toLong
+    if (k <= 1) return InternalRow(nL0, k, null, null, 0)
+    var chi2 = 0.0
+    cats.foreach { c =>
+      val ob = baseCounts.getOrElse(c, 0L).toDouble
+      val ol = buf.getOrElse(c, 0L).toDouble
+      val cat = (baseCounts.getOrElse(c, 0L) + buf.getOrElse(c, 0L)).toDouble
+      val eb = nB * cat / nT
+      val el = nL * cat / nT
+      chi2 += (ob - eb) * (ob - eb) / eb + (ol - el) * (ol - el) / el
+    }
+    val dof = (k - 1L).toDouble
+    val wh = dof * math.pow(1.0 - 2.0 / (9.0 * dof) +
+      1.6449 * math.sqrt(2.0 / (9.0 * dof)), 3)
+    // the batch op's 6 dp rounding (Spark round = HALF_UP via BigDecimal)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (c6, w6) = (r6(chi2), r6(wh))
+    InternalRow(nL0, k, c6, w6, if (c6 > w6) 1 else 0)
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (v, c) => out.writeUTF(v); out.writeLong(c) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ChiSquareDriftAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ChiSquareDriftAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ChiSquareDriftAgg =
+    copy(child = c)
+}
+
+object ChiSquareDriftAgg {
+  /** Column-level API: chi2-vs-baseline struct of a string column. */
+  def column(v: Column, baseCounts: Map[String, Long], cap: Long): Column =
+    ExpressionUtils.column(
+      ChiSquareDriftAgg(ExpressionUtils.expression(v), baseCounts, cap)
         .toAggregateExpression())
 }

@@ -925,23 +925,43 @@ object Eval {
       windowDur: String = "1 day"): DataFrame = {
     require(baseVals.length == baseCum.length && baseVals.nonEmpty,
       "ksDriftWindowed: empty or misaligned baseline")
-    val conf = df.sparkSession.conf
-    val cap =
-      if (!conf.getOption(graft.util.GridGuard.EnabledConf)
-        .forall(_.toBoolean)) Long.MaxValue
-      else conf.getOption(graft.util.GridGuard.MaxDistinctConf)
-        .map(_.toLong).getOrElse(graft.util.GridGuard.DefaultMaxDistinct)
     val agged = df
       .select(window(col(tsCol), windowDur).as("_w"),
         col(valCol).cast("double").as("_v"))
       .groupBy(col("_w"))
-      .agg(graft.agg.KsDriftAgg.column(col("_v"), baseVals, baseCum, cap)
-        .as("_ks"))
+      .agg(graft.agg.KsDriftAgg.column(col("_v"), baseVals, baseCum,
+        graft.util.GridGuard.streamStateCap(df.sparkSession)).as("_ks"))
     agged.select(col("_w").getField("start").as("ws"),
       col("_ks").getField("n_live").as("n_live"),
       col("_ks").getField("d").as("d"),
       col("_ks").getField("d_crit").as("d_crit"),
       col("_ks").getField("drifted").as("drifted"))
+  }
+
+  /** STREAMING-SHAPED [[rankSumTest]]: the location-drift statistic per
+    * EVENT-TIME window against the SAME driver-held [[ksBaseline]]
+    * artifact the KS twin takes (one snapshot pass serves both monitors).
+    * Identical state/plan shape to [[ksDriftWindowed]]
+    * ([[graft.agg.RankSumDriftAgg]] — per-distinct-value counts,
+    * GridGuard-capped, watermark-expired); per-window batch ≡
+    * `rankSumTest(baseline, windowSlice)` bit-for-bit and stream ≡ batch
+    * are suite-pinned. Returns (ws, n_live, u, z, drifted) per window. */
+  def rankSumDriftWindowed(df: DataFrame, tsCol: String, valCol: String,
+      baseVals: Array[Double], baseCum: Array[Long],
+      windowDur: String = "1 day"): DataFrame = {
+    require(baseVals.length == baseCum.length && baseVals.nonEmpty,
+      "rankSumDriftWindowed: empty or misaligned baseline")
+    val agged = df
+      .select(window(col(tsCol), windowDur).as("_w"),
+        col(valCol).cast("double").as("_v"))
+      .groupBy(col("_w"))
+      .agg(graft.agg.RankSumDriftAgg.column(col("_v"), baseVals, baseCum,
+        graft.util.GridGuard.streamStateCap(df.sparkSession)).as("_rs"))
+    agged.select(col("_w").getField("start").as("ws"),
+      col("_rs").getField("n_live").as("n_live"),
+      col("_rs").getField("u").as("u"),
+      col("_rs").getField("z").as("z"),
+      col("_rs").getField("drifted").as("drifted"))
   }
 
   /** MANN–WHITNEY / WILCOXON RANK-SUM drift test — the LOCATION-shift

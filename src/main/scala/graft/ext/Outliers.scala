@@ -208,6 +208,51 @@ object Outliers {
         .as("drifted"))
   }
 
+  /** [[chiSquareDriftWindowed]]'s baseline inputs from the reference
+    * slice: (category → count, total) — run once against the snapshot,
+    * hold on the driver / in the job config (the [[psiBaseline]]
+    * convention; guarded — a free-text column is not a category). */
+  def chiSquareBaseline(df: DataFrame,
+      catCol: String): (Map[String, Long], Long) = {
+    val cats = df.select(col(catCol).cast("string").as("_c"))
+      .filter(col("_c").isNotNull)
+    graft.util.GridGuard.check(cats, "chiSquareBaseline", "_c")
+    val rows = cats.groupBy(col("_c")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (rows, rows.values.sum)
+  }
+
+  /** STREAMING-SHAPED [[chiSquareDrift]]: the categorical-mix drift
+    * statistic per EVENT-TIME window against a DRIVER-HELD baseline
+    * count table (from [[chiSquareBaseline]]) — the [[psiWindowed]] /
+    * [[Eval.ksDriftWindowed]] shape for category columns. ONE stateful
+    * windowed aggregation ([[graft.agg.ChiSquareDriftAgg]]) whose
+    * per-window state is the window's per-category counts,
+    * GridGuard-capped; the watermark expires old windows. Per-window
+    * batch ≡ [[chiSquareDrift]] on the window's slice up to float
+    * summation order (the aggregate sums the k terms in sorted category
+    * order, the batch plan in partition order; both round at 6 dp —
+    * suite-pinned at that grain, the [[psiWindowed]] convention); stream
+    * ≡ batch exactly. Returns (ws, n_live, k, chi2, chi2_crit, drifted)
+    * per window. */
+  def chiSquareDriftWindowed(df: DataFrame, tsCol: String, catCol: String,
+      baseCounts: Map[String, Long],
+      windowDur: String = "1 day"): DataFrame = {
+    require(baseCounts.nonEmpty, "chiSquareDriftWindowed: empty baseline")
+    val agged = df
+      .select(window(col(tsCol), windowDur).as("_w"),
+        col(catCol).cast("string").as("_c"))
+      .groupBy(col("_w"))
+      .agg(graft.agg.ChiSquareDriftAgg.column(col("_c"), baseCounts,
+        graft.util.GridGuard.streamStateCap(df.sparkSession)).as("_x"))
+    agged.select(col("_w").getField("start").as("ws"),
+      col("_x").getField("n_live").as("n_live"),
+      col("_x").getField("k").as("k"),
+      col("_x").getField("chi2").as("chi2"),
+      col("_x").getField("chi2_crit").as("chi2_crit"),
+      col("_x").getField("drifted").as("drifted"))
+  }
+
   /** WINSORIZE: clamp `valCol` into its per-key exact-percentile
     * [pLo, pHi] band — heavy-tail taming for numeric features where
     * dropping outliers ([[robustFlags]]) loses the rows: extremes survive

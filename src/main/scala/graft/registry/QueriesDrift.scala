@@ -133,6 +133,29 @@ object QueriesDrift {
           docs.filter(col("source") =!= "src9"),
           docs.filter(col("source") === "src9"), "q"), docs)
     }),
+
+    // ext: WINDOWED chi-squared drift — each day's event-type mix vs the
+    // first-week baseline (q187's statistic as a serving monitor; one
+    // stateful windowed aggregation, category-capped state)
+    "q189_chi2_windowed" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val (bcnt, _) = ext.Outliers.chiSquareBaseline(
+        ev.filter(col("ts") < lit("2024-01-08").cast("timestamp")),
+        "event_type")
+      ext.Outliers.chiSquareDriftWindowed(ev, "ts", "event_type", bcnt)
+        .orderBy("ws")
+    }),
+
+    // ext: WINDOWED rank-sum drift — each day's value location vs the
+    // first-week baseline, sharing q186's ksBaseline artifact (one
+    // snapshot pass serves both unbinned monitors)
+    "q190_rank_sum_windowed" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("ts"), round(col("value"), 2).as("v"))
+      val (bv, bc) = ext.Eval.ksBaseline(
+        ev.filter(col("ts") < lit("2024-01-08").cast("timestamp")), "v")
+      ext.Eval.rankSumDriftWindowed(ev, "ts", "v", bv, bc).orderBy("ws")
+    }),
   )
 
   private[graft] val oracleSql: Map[String, String] = Map(
@@ -462,5 +485,115 @@ object QueriesDrift {
                > 1.96
              THEN 1 ELSE 0 END AS drifted
          FROM ag""",
+
+    // q187's chi2 per day vs the first-week baseline; cells with a count
+    // on either side only (an absent category is not part of that
+    // window's 2xk table); chi2/crit rounded 6 dp like the batch op
+    "q189_chi2_windowed" ->
+      """WITH e AS (SELECT date_trunc('day', ts) AS ws, event_type AS c
+                    FROM events),
+         b AS (SELECT event_type AS c FROM events
+               WHERE ts < TIMESTAMP '2024-01-08'),
+         bc AS (SELECT c, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY c),
+         lc AS (SELECT ws, c, CAST(count(*) AS BIGINT) AS cl
+                FROM e GROUP BY ws, c),
+         cats AS (SELECT DISTINCT c FROM
+                  (SELECT c FROM bc UNION ALL SELECT c FROM lc) u),
+         cell AS (SELECT g.ws, g.c,
+                    coalesce(bc.cb, 0) AS cb, coalesce(lc.cl, 0) AS cl
+                  FROM (SELECT w.ws, x.c
+                        FROM (SELECT DISTINCT ws FROM e) w
+                        CROSS JOIN cats x) g
+                    LEFT JOIN bc ON bc.c = g.c
+                    LEFT JOIN lc ON lc.ws = g.ws AND lc.c = g.c
+                  WHERE coalesce(bc.cb, 0) > 0 OR coalesce(lc.cl, 0) > 0),
+         ag AS (SELECT ws, CAST(sum(cb) AS BIGINT) AS n_base,
+                  CAST(sum(cl) AS BIGINT) AS n_live,
+                  CAST(count(*) AS BIGINT) AS k
+                FROM cell GROUP BY ws),
+         terms AS (SELECT t.ws,
+             (CAST(cb AS DOUBLE) - eb) * (CAST(cb AS DOUBLE) - eb) / eb +
+             (CAST(cl AS DOUBLE) - el) * (CAST(cl AS DOUBLE) - el) / el
+               AS term
+           FROM (SELECT cell.ws, cb, cl,
+                   CAST(n_base AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
+                     (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS eb,
+                   CAST(n_live AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
+                     (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS el
+                 FROM cell JOIN ag ON ag.ws = cell.ws) t),
+         x AS (SELECT ws, round(sum(term), 6) AS chi2
+               FROM terms GROUP BY ws),
+         crit AS (SELECT ws, round(CAST(k - 1 AS DOUBLE) *
+             power(1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE)) +
+               1.6449 * sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))), 3), 6)
+             AS chi2_crit FROM ag WHERE k > 1)
+         SELECT ag.ws, n_live, k,
+           CASE WHEN k > 1 THEN chi2 END AS chi2,
+           CASE WHEN k > 1 THEN crit.chi2_crit END AS chi2_crit,
+           CASE WHEN k > 1 AND chi2 > crit.chi2_crit THEN 1 ELSE 0 END
+             AS drifted
+         FROM ag JOIN x ON x.ws = ag.ws
+           LEFT JOIN crit ON crit.ws = ag.ws
+         ORDER BY ag.ws""",
+
+    // q188's rank machinery per day against the first-week baseline on
+    // the dense (window x value) grid; zero-count grid cells contribute
+    // nothing to rb/ties so the per-window sums equal the merged walk
+    "q190_rank_sum_windowed" ->
+      """WITH e AS (SELECT date_trunc('day', ts) AS ws,
+                  round(value, 2) AS v FROM events),
+         b AS (SELECT round(value, 2) AS v FROM events
+               WHERE ts < TIMESTAMP '2024-01-08'),
+         bc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
+         lc AS (SELECT ws, v, CAST(count(*) AS BIGINT) AS c
+                FROM e GROUP BY ws, v),
+         vals AS (SELECT DISTINCT v FROM
+                  (SELECT v FROM bc UNION ALL SELECT v FROM lc) u),
+         rk AS (SELECT g.ws, g.v,
+             coalesce(bc.c, 0) + coalesce(lc.c, 0) AS nv,
+             coalesce(lc.c, 0) AS cb,
+             CAST(sum(coalesce(bc.c, 0) + coalesce(lc.c, 0))
+               OVER (PARTITION BY g.ws ORDER BY g.v ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM (SELECT w.ws, x.v
+                 FROM (SELECT DISTINCT ws FROM e) w CROSS JOIN vals x) g
+             LEFT JOIN bc ON bc.v = g.v
+             LEFT JOIN lc ON lc.ws = g.ws AND lc.v = g.v),
+         ag AS (SELECT ws,
+             CAST(sum(nv) - sum(cb) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             sum(CAST(cb AS DOUBLE) * (CAST(cum - nv AS DOUBLE) +
+               CAST(nv + 1 AS DOUBLE) / 2.0)) AS rb,
+             CAST(sum(nv * nv * nv - nv) AS BIGINT) AS ties
+           FROM rk GROUP BY ws)
+         SELECT ws, n_b AS n_live,
+           rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0) / 2.0
+             AS u,
+           CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+               ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                CAST(ties AS DOUBLE) /
+                  ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                   (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))) > 0
+             THEN (rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0)
+                     / 2.0
+                   - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                 ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                  CAST(ties AS DOUBLE) /
+                    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
+           END AS z,
+           CASE WHEN abs((rb - CAST(n_b AS DOUBLE) *
+                 (CAST(n_b AS DOUBLE) + 1.0) / 2.0
+               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                 ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                  CAST(ties AS DOUBLE) /
+                    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))))
+               > 1.96
+             THEN 1 ELSE 0 END AS drifted
+         FROM ag ORDER BY ws""",
   )
 }

@@ -35,6 +35,16 @@ object GridGuard {
 
   val DefaultMaxDistinct = 1000000L
 
+  /** The ceiling as a HARD CAP for windowed-drift aggregate state
+    * ([[graft.agg.KsDriftAgg]] and siblings): unbounded when the guard is
+    * conf'd off, else the conf'd (or default) distinct-value ceiling. */
+  def streamStateCap(spark: org.apache.spark.sql.SparkSession): Long = {
+    val conf = spark.conf
+    if (!conf.getOption(EnabledConf).forall(_.toBoolean)) Long.MaxValue
+    else conf.getOption(MaxDistinctConf).map(_.toLong)
+      .getOrElse(DefaultMaxDistinct)
+  }
+
   /** Pre-check `cols`' approximate distinct counts on `df`; throws
     * `IllegalArgumentException` naming the operator, column, estimate and
     * remedy when any exceeds the ceiling. One aggregation pass covers all

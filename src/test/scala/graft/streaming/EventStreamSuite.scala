@@ -580,6 +580,98 @@ class EventStreamSuite extends AnyFunSuite {
     assert(streamed == batch, "stream must equal the batch run exactly")
   }
 
+  test("rankSumDriftWindowed: per-window batch equals rankSumTest bit-for-bit, stream equals batch, shift flags") {
+    import org.apache.spark.sql.functions.col
+    // baseline 0..9 uniform; day 1 same support, day 2 shifted up by 5
+    val base = (0 until 50).map(i => (i % 10).toDouble).toDF("v")
+    val live = (0 until 60).map { i =>
+      val day = i / 30 + 1
+      (i.toLong, new Timestamp(
+        Timestamp.valueOf(f"2024-01-0$day 00:00:00").getTime + i * 60000L),
+        ((i % 10) + (if (day == 2) 5 else 0)).toDouble)
+    }.toDF("id", "ts", "v")
+    val (bv, bc) = graft.ext.Eval.ksBaseline(base, "v")
+    val batch = graft.ext.Eval
+      .rankSumDriftWindowed(live, "ts", "v", bv, bc)
+      .collect().map(r => r.getTimestamp(0) -> r.toSeq.drop(1)).toMap
+    assert(batch.size == 2)
+    for ((ws, got) <- batch) {
+      val dayEnd = new Timestamp(ws.getTime + 86400000L)
+      val slice = live.filter(col("ts") >= ws && col("ts") < dayEnd)
+      val ref = graft.ext.Eval.rankSumTest(base, slice, "v").collect().head
+      // ref = (n_a, n_b, u, z, drifted); windowed = (n_live=n_b, u, z, drifted)
+      assert(got == ref.toSeq.drop(1),
+        s"window $ws: windowed $got != rankSumTest ${ref.toSeq.drop(1)}")
+    }
+    val byTime = batch.toSeq.sortBy(_._1.getTime).map(_._2)
+    assert(byTime.head(3) == 0, "aligned window must not flag")
+    assert(byTime.last(3) == 1 &&
+      byTime.last(2).asInstanceOf[Double] > 1.96,
+      "shifted-up window must flag with z > 0")
+    val dir = Files.createTempDirectory("graft_rs_stream").toString
+    live.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(live.schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+    val q = graft.ext.Eval
+      .rankSumDriftWindowed(stream, "ts", "v", bv, bc)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("rs_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("rs_out")
+      .collect().map(r => r.getTimestamp(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed == batch, "stream must equal the batch run exactly")
+  }
+
+  test("chiSquareDriftWindowed: per-window batch equals chiSquareDrift at the 6dp grain, stream equals batch") {
+    import org.apache.spark.sql.functions.col
+    // baseline mix x:30 y:20; day 1 similar, day 2 inverted hard
+    val base = (Seq.fill(30)("x") ++ Seq.fill(20)("y")).toDF("c")
+    val live = (0 until 60).map { i =>
+      val day = i / 30 + 1
+      val c = if (day == 1) (if (i % 5 < 3) "x" else "y")
+        else (if (i % 10 == 0) "x" else "y")
+      (i.toLong, new Timestamp(
+        Timestamp.valueOf(f"2024-01-0$day 00:00:00").getTime + i * 60000L), c)
+    }.toDF("id", "ts", "c")
+    val (bcounts, btot) = graft.ext.Outliers.chiSquareBaseline(base, "c")
+    assert(btot == 50L && bcounts("x") == 30L)
+    val batch = graft.ext.Outliers
+      .chiSquareDriftWindowed(live, "ts", "c", bcounts)
+      .collect().map(r => r.getTimestamp(0) -> r.toSeq.drop(1)).toMap
+    assert(batch.size == 2)
+    for ((ws, got) <- batch) {
+      val dayEnd = new Timestamp(ws.getTime + 86400000L)
+      val slice = live.filter(col("ts") >= ws && col("ts") < dayEnd)
+      val ref = graft.ext.Outliers.chiSquareDrift(base, slice, "c")
+        .collect().head
+      // ref = (n_base, n_live, k, chi2, crit, drifted); the aggregate
+      // sums the k terms in sorted category order, the batch plan in
+      // partition order — equal at the 6 dp emission grain (psiWindowed
+      // convention), so compare the rounded values within one ulp-flip
+      assert(got(0) == ref.getLong(1) && got(1) == ref.getLong(2))
+      assert(math.abs(got(2).asInstanceOf[Double] - ref.getDouble(3)) <= 1.1e-6)
+      assert(got(3).asInstanceOf[Double] == ref.getDouble(4))
+      assert(got(4) == ref.getInt(5))
+    }
+    val byTime = batch.toSeq.sortBy(_._1.getTime).map(_._2)
+    assert(byTime.head(4) == 0 && byTime.last(4) == 1,
+      "only the inverted-mix window should flag")
+    val dir = Files.createTempDirectory("graft_chi2_stream").toString
+    live.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(live.schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+    val q = graft.ext.Outliers
+      .chiSquareDriftWindowed(stream, "ts", "c", bcounts)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("chi2_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("chi2_out")
+      .collect().map(r => r.getTimestamp(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed == batch, "stream must equal the batch run exactly")
+  }
+
   test("embeddingDriftWindowed: batch equals embeddingDrift per window, stream equals batch, drift registers") {
     import org.apache.spark.sql.functions.col
     // baseline ~ axis e0; window 1 (day 1) drawn from the same direction,
