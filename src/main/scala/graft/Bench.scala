@@ -558,7 +558,7 @@ object Bench {
     }
 
     // ANN-store phase probe: q62's timed body serves from a MEMOIZED
-    // standing store (SparkEntry.annStoreSetup), so the bench's q62
+    // standing store (QueryShared.annStoreSetup), so the bench's q62
     // number means "serve". This probe is where the other phases live:
     // IVF+PQ training, the partitioned store write, and the serve path
     // each timed separately (serve interleaved min-of-2; train/write are

@@ -3,10 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.agg.Breakdown
 import graft.model.{GridSchema, TriMesh}
-import graft.operators.{Elevation, Factorize, FlagRegions, GridOps, MineDepletion, Tridist}
-import graft.sources.Ingest
+import graft.operators.{Elevation, FlagRegions, GridOps, MineDepletion}
 import graft.QueryShared._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.

@@ -25,6 +25,9 @@ object Eval {
     * unrounded integer-ratio doubles (exact divisions — bit-identical in
     * any engine). `labelCol` must be 0/1. */
   def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    // same grid discipline as ksTest: the sweep window is single-partition
+    // over the per-score table, so the score grain must be bounded
+    graft.util.GridGuard.check(df, "prCurve", scoreCol)
     val perScore = df.groupBy(col(scoreCol).as("threshold"))
       .agg(sum(col(labelCol)).cast("long").as("npos"),
         count(lit(1)).as("n"))
@@ -73,6 +76,9 @@ object Eval {
     * evaluation plus k column-pruned ones. */
   def ecdfTable(df: DataFrame, scoreCol: String,
       outCol: String = "pct"): DataFrame = {
+    // grid discipline (covers ecdf/blend/discretize/mutualInfo callers):
+    // one pruned pre-check pass; pinned callers pay a trivial scan
+    graft.util.GridGuard.check(df, "ecdfTable", scoreCol)
     // NULL scores are excluded from the ranking AND the total — they
     // can't equi-join back anyway, and counting them in N would skew
     // every surviving row's percentile
@@ -224,6 +230,8 @@ object Eval {
   def blend(df: DataFrame, weights: Seq[(String, Double)],
       outCol: String = "blended"): DataFrame = {
     require(weights.nonEmpty, "need at least one (scoreCol, weight)")
+    // grid discipline: each signal's ecdfTable call below pre-checks its
+    // own column, so every rank table here is granularity-guarded
     // every rank table derives from the ORIGINAL frame (not the running
     // join), so the scoring projection evaluates once full-width plus
     // one column-pruned pass per signal — never 2^k times (see
@@ -264,6 +272,8 @@ object Eval {
       weights: Seq[(String, Double)],
       outCol: String = "blended"): DataFrame = {
     require(weights.nonEmpty, "need at least one (scoreCol, weight)")
+    // one multi-column pre-check for every signal's grain (blend note)
+    graft.util.GridGuard.check(df, "blendKeyed", weights.map(_._1): _*)
     val sigs = weights.map(_._1)
     val exploded = df.select(col(idCol).as("_id"),
       posexplode(array(sigs.map(c => col(c).cast("double")): _*))
@@ -304,6 +314,9 @@ object Eval {
     * unrounded result bit-identical across engines.
     * Returns one row: (auc, n_pos, n_neg). */
   def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    // grid discipline: the rank window is single-partition over the
+    // per-score table (aucRocBy instead partitions by slice)
+    graft.util.GridGuard.check(df, "aucRoc", scoreCol)
     val perScore = df.groupBy(col(scoreCol).as("s"))
       .agg(sum(col(labelCol)).cast("long").as("npos"),
         count(lit(1)).as("n"))

@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions.{approx_count_distinct, col}
 /** Runtime enforcement of the rank/ECDF/KS GRID DISCIPLINE.
   *
   * The rank-statistic family ([[graft.ext.Eval.ksTest]], `ksTestBy`,
-  * `quantileNormalize`, `mutualInfo`, `spearman`) collapses the corpus to a
+  * `rankSumTest`, `quantileNormalize`, `mutualInfo`, `spearman`,
+  * `prCurve`, `aucRoc`, `ecdfTable` — and through the last, `ecdf`,
+  * `blend` and `Outliers.discretize`; `Outliers.chiSquareDrift` for
+  * categories) collapses the corpus to a
   * per-distinct-value table and runs an order-statistic window over it.
   * That shape is 100 TB-safe ONLY while the distinct-value table is bounded
   * by score GRANULARITY (rounded scores, counts) rather than corpus size:

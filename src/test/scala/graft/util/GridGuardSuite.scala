@@ -25,7 +25,7 @@ class GridGuardSuite extends AnyFunSuite {
     finally spark.conf.unset(GridGuard.MaxDistinctConf)
   }
 
-  test("guard fires on an unrounded random-double column in all five grid ops") {
+  test("guard fires on an unrounded random-double column across the grid family") {
     val df = rawDoubles(500)
     val half = df.filter($"g" === "g0")
     withCap(50) {
@@ -36,7 +36,13 @@ class GridGuardSuite extends AnyFunSuite {
         "mutualInfo" -> (() => Eval.mutualInfo(
           df.withColumn("v2", $"v" * 2), "v", "v2")),
         "spearman" -> (() => Eval.spearman(
-          df.withColumn("v2", $"v" * 2), "v", "v2")))
+          df.withColumn("v2", $"v" * 2), "v", "v2")),
+        "rankSumTest" -> (() => Eval.rankSumTest(half, df, "v")),
+        "ecdfTable" -> (() => Eval.ecdfTable(df, "v")),
+        "prCurve" -> (() => Eval.prCurve(
+          df.withColumn("y", lit(1)), "v", "y")),
+        "aucRoc" -> (() => Eval.aucRoc(
+          df.withColumn("y", ($"v" > 0.5).cast("int")), "v", "y")))
       hits.foreach { case (name, run) =>
         val e = intercept[IllegalArgumentException](run())
         assert(e.getMessage.contains(name) &&
