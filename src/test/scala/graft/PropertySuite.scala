@@ -459,6 +459,41 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("chiSquareDrift equals a local reference chi2 on random categorical mixes") {
+    import graft.ext.Outliers
+    val rnd = new Random(71)
+    val pool = Array("a", "b", "c", "d", "e", "f")
+    for (trial <- 1 to 4) {
+      val k = 2 + rnd.nextInt(4)
+      val base = (0 until 80 + rnd.nextInt(80)).map(_ => pool(rnd.nextInt(k)))
+      // live mix skewed toward the tail categories on even trials
+      val live = (0 until 80 + rnd.nextInt(80)).map(_ =>
+        pool(if (trial % 2 == 0) k - 1 - rnd.nextInt(1 + rnd.nextInt(k))
+             else rnd.nextInt(k)))
+      val cb = base.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cl = live.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cats = (cb.keySet ++ cl.keySet).toSeq.sorted
+      val (nB, nL) = (base.size.toDouble, live.size.toDouble)
+      val nT = nB + nL
+      val chi2Exp = cats.map { c =>
+        val (ob, ol) = (cb.getOrElse(c, 0L).toDouble, cl.getOrElse(c, 0L).toDouble)
+        val cat = ob + ol
+        val (eb, el) = (nB * cat / nT, nL * cat / nT)
+        (ob - eb) * (ob - eb) / eb + (ol - el) * (ol - el) / el
+      }.sum
+      val r = Outliers.chiSquareDrift(base.toDF("c"), live.toDF("c"), "c")
+        .collect().head
+      assert(r.getLong(0) == base.size && r.getLong(1) == live.size)
+      assert(r.getLong(2) == cats.size)
+      // Spark sums the k terms in partition order, the reference in sorted
+      // order — equal at the 6 dp emission grain plus an ulp of slack
+      assert(math.abs(r.getDouble(3) - chi2Exp) < 2e-6,
+        s"trial $trial: chi2 ${r.getDouble(3)} vs $chi2Exp")
+      // the flag must be the pure function of the emitted columns
+      assert(r.getInt(5) == (if (r.getDouble(3) > r.getDouble(4)) 1 else 0))
+    }
+  }
+
   test("pplBuckets terciles are consistent with lmScore and exact percentiles") {
     import graft.ext.TextAnalysis
     val rnd = new Random(37)
