@@ -1041,6 +1041,63 @@ object Eval {
     out
   }
 
+  /** [[rankSumTest]] PER GROUP — each slice's value LOCATION against the
+    * REST of the corpus ("which source moved up/down?"), the rank-sum
+    * sibling of [[ksTestBy]]. Structurally CHEAPER than the KS slice
+    * view: for group-vs-rest the combined sample is always the whole
+    * corpus, so ONE global mid-rank table serves every group (no dense
+    * group × value grid) — each group pays a weighted sum over its own
+    * per-value counts. Side convention: a = rest, b = the group, so
+    * z > 0 means the GROUP's values rank higher than the rest's; each
+    * output row is bit-identical to `rankSumTest(rest, own)`
+    * (property-pinned — same exact 0.5-multiple rank sums, same integer
+    * tie term, same fixed z shape).
+    *
+    * Shape at 100 TB: one corpus aggregation to the (group, value) count
+    * table (pinned — two consumers, released after the bounded result
+    * materializes), the rank window runs once on the granularity-bounded
+    * global value table ([[graft.util.GridGuard]] enforced), and the
+    * per-group collapse keys on the group. Returns one row per group:
+    * (groupCol, n_g, n_rest, u, z, drifted); z NULL when σ = 0. */
+  def rankSumTestBy(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("_g"), col(valCol).as("_v"))
+      .filter(col("_v").isNotNull && col("_g").isNotNull)
+    graft.util.GridGuard.check(base, "rankSumTestBy", "_v", "_g")
+    val pg = base.groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("c")).pin()
+    val gv = pg.groupBy(col("_v")).agg(sum(col("c")).as("nv"))
+    val w = Window.orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = gv
+      .withColumn("_cum", sum(col("nv")).over(w))
+      .withColumn("_avgrank",
+        (col("_cum") - col("nv")).cast("double") +
+          (col("nv") + lit(1L)).cast("double") / lit(2.0))
+    val glob = ranked.agg(sum(col("nv")).as("n"),
+      sum(col("nv") * col("nv") * col("nv") - col("nv")).as("_ties"))
+    val perG = pg.join(ranked.select(col("_v"), col("_avgrank")), Seq("_v"))
+      .groupBy(col("_g"))
+      .agg(sum(col("c")).as("n_g"),
+        sum(col("c").cast("double") * col("_avgrank")).as("_rg"))
+    val nB = col("n_g").cast("double")
+    val nA = (col("n") - col("n_g")).cast("double")
+    val nT = nA + nB
+    val u = col("_rg") - nB * (nB + lit(1.0)) / lit(2.0)
+    val sigma2 = nA * nB / lit(12.0) *
+      ((nT + lit(1.0)) - col("_ties").cast("double") /
+        (nT * (nT - lit(1.0))))
+    val z = (u - nA * nB / lit(2.0)) / sqrt(sigma2)
+    val out = perG.crossJoin(broadcast(glob)).select(
+      col("_g").as(groupCol), col("n_g"),
+      (col("n") - col("n_g")).as("n_rest"), u.as("u"),
+      when(sigma2 > 0, z).as("z"),
+      when(sigma2 > 0 && abs(z) > 1.96, 1).otherwise(0).as("drifted"))
+      .pin()
+    graft.util.Checkpoints.release(pg)
+    out
+  }
+
   /** MUTUAL INFORMATION between two score columns over ECDF-decile bins
     * — the NONLINEAR dependence audit next to [[spearman]]'s monotone
     * one (two signals can be rank-uncorrelated yet share most of their

@@ -156,6 +156,17 @@ object QueriesDrift {
         ev.filter(col("ts") < lit("2024-01-08").cast("timestamp")), "v")
       ext.Eval.rankSumDriftWindowed(ev, "ts", "v", bv, bc).orderBy("ws")
     }),
+    // ext: per-source rank-sum drift — every source's quality LOCATION vs
+    // the rest (q185's sliced view for the rank-sum statistic; one global
+    // mid-rank table serves every group, z > 0 = the source ranks higher)
+    "q191_rank_sum_by_source" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("source"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Eval.rankSumTestBy(docs, "source", "q").orderBy("source"),
+        docs)
+    }),
   )
 
   private[graft] val oracleSql: Map[String, String] = Map(
@@ -595,5 +606,56 @@ object QueriesDrift {
                > 1.96
              THEN 1 ELSE 0 END AS drifted
          FROM ag ORDER BY ws""",
+
+    // one global mid-rank table (the q188 machinery), per-source weighted
+    // sums; rest side = global minus own, same fixed u/z shapes
+    "q191_rank_sum_by_source" ->
+      s"""$QualityCtesSql,
+         sc AS (SELECT source, $QualityValSql AS q FROM s),
+         pg AS MATERIALIZED (SELECT source, q,
+                  CAST(count(*) AS BIGINT) AS c
+                 FROM sc GROUP BY source, q),
+         gv AS (SELECT q, CAST(sum(c) AS BIGINT) AS nv FROM pg GROUP BY q),
+         rk AS (SELECT q, nv,
+                  CAST(sum(nv) OVER (ORDER BY q ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+                FROM gv),
+         gstat AS (SELECT CAST(sum(nv) AS BIGINT) AS n,
+                  CAST(sum(nv * nv * nv - nv) AS BIGINT) AS ties
+                 FROM rk),
+         per AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_g,
+                  sum(CAST(c AS DOUBLE) * (CAST(cum - nv AS DOUBLE) +
+                    CAST(nv + 1 AS DOUBLE) / 2.0)) AS rg
+                 FROM pg JOIN rk USING (q) GROUP BY source)
+         SELECT source, n_g, CAST(n - n_g AS BIGINT) AS n_rest,
+           rg - CAST(n_g AS DOUBLE) * (CAST(n_g AS DOUBLE) + 1.0) / 2.0
+             AS u,
+           CASE WHEN CAST(n - n_g AS DOUBLE) * CAST(n_g AS DOUBLE) / 12.0 *
+               ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) + 1.0) -
+                CAST(ties AS DOUBLE) /
+                  ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE)) *
+                   (CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) - 1.0)))
+               > 0
+             THEN (rg - CAST(n_g AS DOUBLE) * (CAST(n_g AS DOUBLE) + 1.0)
+                     / 2.0
+                   - CAST(n - n_g AS DOUBLE) * CAST(n_g AS DOUBLE) / 2.0) /
+               sqrt(CAST(n - n_g AS DOUBLE) * CAST(n_g AS DOUBLE) / 12.0 *
+                 ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) + 1.0) -
+                  CAST(ties AS DOUBLE) /
+                    ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE)) *
+                     (CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) - 1.0))))
+           END AS z,
+           CASE WHEN abs((rg - CAST(n_g AS DOUBLE) *
+                 (CAST(n_g AS DOUBLE) + 1.0) / 2.0
+               - CAST(n - n_g AS DOUBLE) * CAST(n_g AS DOUBLE) / 2.0) /
+               sqrt(CAST(n - n_g AS DOUBLE) * CAST(n_g AS DOUBLE) / 12.0 *
+                 ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) + 1.0) -
+                  CAST(ties AS DOUBLE) /
+                    ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE)) *
+                     (CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) - 1.0)))))
+               > 1.96
+             THEN 1 ELSE 0 END AS drifted
+         FROM per, gstat ORDER BY source""",
   )
 }

@@ -459,6 +459,35 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("rankSumTestBy rows equal independent rankSumTest(rest, group) on random grouped samples") {
+    // the global-rank-table derivation (one combined ranking serves every
+    // group) is the cleverness a future edit could silently break —
+    // same pin discipline as the ksTestBy property
+    import graft.ext.Eval
+    val rnd = new Random(79)
+    for (trial <- 1 to 3) {
+      val nGroups = 2 + rnd.nextInt(3)
+      val rows = (0 until 100 + rnd.nextInt(120)).map { _ =>
+        val g = "g" + rnd.nextInt(nGroups)
+        (g, (rnd.nextInt(8) + 3 * (g.last - '0')).toDouble)
+      }
+      val df = rows.toDF("g", "v")
+      val by = Eval.rankSumTestBy(df, "g", "v").collect()
+        .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(by.keySet == rows.map(_._1).toSet)
+      by.keySet.foreach { g =>
+        val own = df.filter($"g" === g)
+        val rest = df.filter($"g" =!= g)
+        // ref = (n_a=rest, n_b=group, u, z, drifted); by row =
+        // (n_g, n_rest, u, z, drifted)
+        val ref = Eval.rankSumTest(rest, own, "v").collect().head.toSeq
+        val expect = Seq(ref(1), ref(0)) ++ ref.drop(2)
+        assert(by(g) == expect,
+          s"trial $trial group $g: ${by(g)} != $expect")
+      }
+    }
+  }
+
   test("chiSquareDrift equals a local reference chi2 on random categorical mixes") {
     import graft.ext.Outliers
     val rnd = new Random(71)
