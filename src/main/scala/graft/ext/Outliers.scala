@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Checkpoints.PinOps
 
 /** Robust outlier detection over a keyed numeric stream — the data-quality
   * gate an event/metric pipeline runs before training on or alerting over
@@ -206,6 +207,63 @@ object Outliers {
       when(col("k") > 1, whR).as("chi2_crit"),
       when(col("k") > 1 && chi2R > whR, 1).otherwise(0)
         .as("drifted"))
+  }
+
+  /** [[chiSquareDrift]] PER SLICE — each slice's category mix against the
+    * REST of the corpus ("which source's language mix shifted?"), the
+    * categorical member of the by-slice drift views
+    * ([[Eval.ksTestBy]] / [[Eval.rankSumTestBy]]). Rest-side counts
+    * derive as global − own, so the corpus pays ONE (slice, category)
+    * aggregation; the dense slice × category grid is bounded on both
+    * axes ([[graft.util.GridGuard]] enforced). Each row carries the same
+    * arithmetic shapes as the pairwise test (suite-pinned ≡
+    * `chiSquareDrift(rest, own)` at the 6 dp emission grain — the two
+    * sum the k terms in different orders). k counts categories with any
+    * corpus presence, so it is the same for every slice; a slice holding
+    * the whole corpus (single-slice input) has an empty rest side and
+    * yields NaN χ². Returns one row per slice:
+    * (groupCol, n_g, n_rest, k, chi2, chi2_crit, drifted). */
+  def chiSquareDriftBy(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("_g"),
+        col(catCol).cast("string").as("_c"))
+      .filter(col("_g").isNotNull && col("_c").isNotNull)
+    graft.util.GridGuard.check(base, "chiSquareDriftBy", "_c", "_g")
+    val pg = base.groupBy(col("_g"), col("_c"))
+      .agg(count(lit(1)).as("cnt")).pin()
+    val gc = pg.groupBy(col("_c")).agg(sum(col("cnt")).as("nc"))
+    val groups = pg.groupBy(col("_g")).agg(sum(col("cnt")).as("n_g"))
+    val kn = gc.agg(count(lit(1)).as("k"), sum(col("nc")).as("n"))
+    val dense = gc.crossJoin(broadcast(groups))
+      .join(pg, Seq("_g", "_c"), "left")
+      .crossJoin(broadcast(kn))
+      .withColumn("ol", coalesce(col("cnt"), lit(0L)))
+      .withColumn("ob", col("nc") - col("ol"))
+    val nL = col("n_g").cast("double")
+    val nB = (col("n") - col("n_g")).cast("double")
+    val nT = col("n").cast("double")
+    val cat = col("nc").cast("double")
+    def term(o: Column, rowTot: Column) = {
+      val e = rowTot * cat / nT
+      (o.cast("double") - e) * (o.cast("double") - e) / e
+    }
+    val perG = dense
+      .groupBy(col("_g"), col("n_g"), col("n"), col("k"))
+      .agg(sum(term(col("ob"), nB) + term(col("ol"), nL)).as("_chi2"))
+    val dof = (col("k") - lit(1L)).cast("double")
+    val dofSafe = greatest(dof, lit(1.0))
+    val wh = dof * pow(lit(1.0) - lit(2.0) / (lit(9.0) * dofSafe) +
+      lit(1.6449) * sqrt(lit(2.0) / (lit(9.0) * dofSafe)), 3)
+    val chi2R = round(col("_chi2"), 6)
+    val whR = round(wh, 6)
+    val out = perG.select(col("_g").as(groupCol), col("n_g"),
+      (col("n") - col("n_g")).as("n_rest"), col("k"),
+      when(col("k") > 1, chi2R).as("chi2"),
+      when(col("k") > 1, whR).as("chi2_crit"),
+      when(col("k") > 1 && chi2R > whR, 1).otherwise(0).as("drifted"))
+      .pin()
+    graft.util.Checkpoints.release(pg)
+    out
   }
 
   /** [[chiSquareDriftWindowed]]'s baseline inputs from the reference

@@ -167,6 +167,13 @@ object QueriesDrift {
         ext.Eval.rankSumTestBy(docs, "source", "q").orderBy("source"),
         docs)
     }),
+    // ext: per-source chi-squared drift — every source's LANGUAGE MIX vs
+    // the rest (the categorical by-slice view; rest = global minus own,
+    // one (source, lang) aggregation serves every slice)
+    "q192_chi2_by_source" -> ((s, dir) =>
+      ext.Outliers.chiSquareDriftBy(
+        Tables.load(s, dir, "documents").select(col("source"), col("lang")),
+        "source", "lang").orderBy("source")),
   )
 
   private[graft] val oracleSql: Map[String, String] = Map(
@@ -657,5 +664,46 @@ object QueriesDrift {
                > 1.96
              THEN 1 ELSE 0 END AS drifted
          FROM per, gstat ORDER BY source""",
+
+    // the q187 2xk machinery per slice: rest-side counts = global - own
+    // on the dense (source x lang) grid; chi2/crit rounded 6 dp
+    "q192_chi2_by_source" ->
+      """WITH base AS (SELECT source AS g, lang AS c FROM documents
+                       WHERE source IS NOT NULL AND lang IS NOT NULL),
+         pg AS (SELECT g, c, CAST(count(*) AS BIGINT) AS cnt
+                FROM base GROUP BY g, c),
+         gc AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS nc FROM pg GROUP BY c),
+         grp AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g
+                 FROM pg GROUP BY g),
+         kn AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(nc) AS BIGINT) AS n FROM gc),
+         dense AS (SELECT grp.g, grp.n_g, gc.nc,
+                     coalesce(pg.cnt, 0) AS ol,
+                     gc.nc - coalesce(pg.cnt, 0) AS ob
+                   FROM gc CROSS JOIN grp
+                     LEFT JOIN pg ON pg.g = grp.g AND pg.c = gc.c),
+         terms AS (SELECT g, n_g,
+             (CAST(ob AS DOUBLE) - eb) * (CAST(ob AS DOUBLE) - eb) / eb +
+             (CAST(ol AS DOUBLE) - el) * (CAST(ol AS DOUBLE) - el) / el
+               AS term
+           FROM (SELECT d.g, d.n_g, d.ob, d.ol,
+                   (CAST(n - n_g AS DOUBLE)) * CAST(nc AS DOUBLE) /
+                     CAST(n AS DOUBLE) AS eb,
+                   CAST(n_g AS DOUBLE) * CAST(nc AS DOUBLE) /
+                     CAST(n AS DOUBLE) AS el
+                 FROM dense d, kn) t),
+         x AS (SELECT g, n_g, round(sum(term), 6) AS chi2
+               FROM terms GROUP BY g, n_g),
+         crit AS (SELECT round(CAST(k - 1 AS DOUBLE) *
+             power(1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE)) +
+               1.6449 * sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))), 3), 6)
+             AS chi2_crit, k, n FROM kn)
+         SELECT x.g AS source, x.n_g, CAST(n - x.n_g AS BIGINT) AS n_rest,
+           k,
+           CASE WHEN k > 1 THEN chi2 END AS chi2,
+           CASE WHEN k > 1 THEN chi2_crit END AS chi2_crit,
+           CASE WHEN k > 1 AND chi2 > chi2_crit THEN 1 ELSE 0 END
+             AS drifted
+         FROM x, crit ORDER BY source""",
   )
 }

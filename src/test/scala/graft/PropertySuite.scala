@@ -488,6 +488,39 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("chiSquareDriftBy rows equal independent chiSquareDrift(rest, group) at the 6dp grain") {
+    import graft.ext.Outliers
+    val rnd = new Random(83)
+    for (trial <- 1 to 3) {
+      val pool = Array("a", "b", "c", "d")
+      val nGroups = 2 + rnd.nextInt(3)
+      val rows = (0 until 120 + rnd.nextInt(120)).map { _ =>
+        val g = "g" + rnd.nextInt(nGroups)
+        // per-group category skew so some slices genuinely drift
+        (g, pool((rnd.nextInt(4) + (g.last - '0')) % 4))
+      }
+      val df = rows.toDF("g", "c")
+      val by = Outliers.chiSquareDriftBy(df, "g", "c").collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(by.keySet == rows.map(_._1).toSet)
+      by.keySet.foreach { g =>
+        val own = df.filter($"g" === g).select("c")
+        val rest = df.filter($"g" =!= g).select("c")
+        val ref = Outliers.chiSquareDrift(rest, own, "c").collect().head
+        val r = by(g)
+        assert(r.getLong(1) == ref.getLong(1) && // n_g = pairwise n_live
+          r.getLong(2) == ref.getLong(0) &&      // n_rest = pairwise n_base
+          r.getLong(3) == ref.getLong(2), s"counts/k for $g")
+        // the two sum the k terms in different orders — equal at the 6 dp
+        // emission grain plus an ulp of rounding slack
+        assert(math.abs(r.getDouble(4) - ref.getDouble(3)) <= 1.1e-6,
+          s"trial $trial group $g: chi2 ${r.getDouble(4)} vs ${ref.getDouble(3)}")
+        assert(r.getDouble(5) == ref.getDouble(4), s"crit for $g")
+        assert(r.getInt(6) == ref.getInt(5), s"flag for $g")
+      }
+    }
+  }
+
   test("chiSquareDrift equals a local reference chi2 on random categorical mixes") {
     import graft.ext.Outliers
     val rnd = new Random(71)
