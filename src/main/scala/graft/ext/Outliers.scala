@@ -266,6 +266,40 @@ object Outliers {
     out
   }
 
+  /** ONE-CALL DRIFT REPORT: every corpus-level drift statistic between a
+    * baseline and a live slice in one labeled frame — the summary a
+    * nightly ingest gate actually reads ("did src9 drift, by every
+    * lens?"), composed from the family's verified members:
+    * [[psiDrift]] (binned shape; total PSI against the classic 0.25
+    * "significant shift" cut), [[Eval.ksTest]] (any-shape),
+    * [[Eval.rankSumTest]] (location; |z| against 1.96),
+    * [[chiSquareDrift]] (category mix on `catCol`). Each member keeps
+    * its own arithmetic and critical value; this just reshapes their
+    * one-row outputs into (stat, statistic, threshold, drifted) — so a
+    * report row is bit-identical to calling the member directly.
+    * Feed ROUNDED `valCol` scores in [lo, hi] (every member's grid
+    * discipline applies; the guards run per member). Returns 4 rows
+    * ordered by stat: chi2, ks, psi, rank_sum. */
+  def driftReport(base: DataFrame, live: DataFrame, valCol: String,
+      catCol: String, nBuckets: Int = 10, lo: Double = 0.0,
+      hi: Double = 1.0): DataFrame = {
+    val psi = psiDrift(base, live, valCol, nBuckets, lo, hi)
+      .agg(round(sum(col("psi")), 6).as("statistic"))
+      .select(lit("psi").as("stat"), col("statistic"),
+        lit(0.25).as("threshold"),
+        when(col("statistic") > 0.25, 1).otherwise(0).as("drifted"))
+    val ks = Eval.ksTest(base, live, valCol)
+      .select(lit("ks").as("stat"), col("d").as("statistic"),
+        col("d_crit").as("threshold"), col("drifted"))
+    val rs = Eval.rankSumTest(base, live, valCol)
+      .select(lit("rank_sum").as("stat"), abs(col("z")).as("statistic"),
+        lit(1.96).as("threshold"), col("drifted"))
+    val chi = chiSquareDrift(base, live, catCol)
+      .select(lit("chi2").as("stat"), col("chi2").as("statistic"),
+        col("chi2_crit").as("threshold"), col("drifted"))
+    psi.unionAll(ks).unionAll(rs).unionAll(chi).orderBy("stat")
+  }
+
   /** [[chiSquareDriftWindowed]]'s baseline inputs from the reference
     * slice: (category → count, total) — run once against the snapshot,
     * hold on the driver / in the job config (the [[psiBaseline]]

@@ -174,36 +174,172 @@ object QueriesDrift {
       ext.Outliers.chiSquareDriftBy(
         Tables.load(s, dir, "documents").select(col("source"), col("lang")),
         "source", "lang").orderBy("source")),
+
+    // ext: ONE-CALL drift report — src9 vs the rest through every lens
+    // (PSI / KS / rank-sum / chi2), each row bit-identical to the member
+    // statistic it reshapes
+    "q193_drift_report" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("source"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"),
+          col("lang"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Outliers.driftReport(
+          docs.filter(col("source") =!= "src9"),
+          docs.filter(col("source") === "src9"), "q", "lang"), docs)
+    }),
   )
+
+  // single source of truth: the q103_psi_drift map entry AND the q193 drift-
+  // report oracle (which composes it as a subquery) share this text
+  private val PsiDriftSql: String =
+    s"""$QualityCtesSql,
+           sc AS (SELECT source, $QualityValSql AS q FROM s),
+           bb AS (SELECT CAST(least(greatest(floor((q - 0.0) / 1.0 * 10),
+                    0.0), 9.0) AS INT) AS bucket
+                  FROM sc WHERE source <> 'src9'),
+           bl AS (SELECT CAST(least(greatest(floor((q - 0.0) / 1.0 * 10),
+                    0.0), 9.0) AS INT) AS bucket
+                  FROM sc WHERE source = 'src9'),
+           cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
+                  FROM bb GROUP BY bucket),
+           cl AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_live
+                  FROM bl GROUP BY bucket),
+           r AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
+           j AS (SELECT r.bucket, coalesce(cb.n_base, 0) AS n_base,
+                   coalesce(cl.n_live, 0) AS n_live
+                 FROM r LEFT JOIN cb ON cb.bucket = r.bucket
+                   LEFT JOIN cl ON cl.bucket = r.bucket),
+           tt AS (SELECT (SELECT count(*) FROM bb) + 0.5 * 10 AS tb,
+                   (SELECT count(*) FROM bl) + 0.5 * 10 AS tl)
+           SELECT bucket, n_base, n_live,
+             (n_base + 0.5) / tb AS p_base,
+             (n_live + 0.5) / tl AS p_live,
+             round(((n_live + 0.5) / tl - (n_base + 0.5) / tb) *
+               ln(((n_live + 0.5) / tl) / ((n_base + 0.5) / tb)), 6) AS psi
+           FROM j, tt ORDER BY bucket"""
+
+  // single source of truth: the q184_ks_drift map entry AND the q193 drift-
+  // report oracle (which composes it as a subquery) share this text
+  private val KsDriftSql: String =
+    s"""$QualityCtesSql,
+           sc AS (SELECT CASE WHEN source = 'src9' THEN 1 ELSE 0 END AS is_b,
+                    $QualityValSql AS q FROM s),
+           per AS (SELECT q,
+                    CAST(sum(CASE WHEN is_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                    CAST(sum(is_b) AS BIGINT) AS cb
+                   FROM sc GROUP BY q),
+           cum AS (SELECT
+                    CAST(sum(ca) OVER (ORDER BY q ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cna,
+                    CAST(sum(cb) OVER (ORDER BY q ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnb
+                   FROM per),
+           tot AS (SELECT max(cna) AS n_a, max(cnb) AS n_b FROM cum),
+           dn AS (SELECT max(abs(CAST(cna * n_b AS BIGINT) -
+                    CAST(cnb * n_a AS BIGINT))) AS dnum FROM cum, tot)
+           SELECT n_a, n_b,
+             CAST(dnum AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d,
+             1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS d_crit,
+             CASE WHEN CAST(dnum AS DOUBLE) /
+                 (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) >
+               1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) /
+                 (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+               THEN 1 ELSE 0 END AS drifted
+           FROM tot, dn"""
+
+  // single source of truth: the q187_chi2_drift map entry AND the q193 drift-
+  // report oracle (which composes it as a subquery) share this text
+  private val Chi2DriftSql: String =
+    """WITH t AS (SELECT lang AS c,
+               CASE WHEN source <> 'src9' THEN 1 ELSE 0 END AS ib,
+               CASE WHEN source = 'src9' THEN 1 ELSE 0 END AS il
+             FROM documents WHERE lang IS NOT NULL),
+           per AS (SELECT c, CAST(sum(ib) AS BIGINT) AS cb,
+                    CAST(sum(il) AS BIGINT) AS cl
+                   FROM t GROUP BY c),
+           ag AS (SELECT CAST(sum(cb) AS BIGINT) AS n_base,
+                    CAST(sum(cl) AS BIGINT) AS n_live,
+                    CAST(count(*) AS BIGINT) AS k
+                  FROM per),
+           terms AS (SELECT
+               (CAST(cb AS DOUBLE) - eb) * (CAST(cb AS DOUBLE) - eb) / eb +
+               (CAST(cl AS DOUBLE) - el) * (CAST(cl AS DOUBLE) - el) / el
+                 AS term
+             FROM (SELECT cb, cl,
+                     CAST(n_base AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
+                       (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS eb,
+                     CAST(n_live AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
+                       (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS el
+                   FROM per, ag)),
+           x AS (SELECT round(sum(term), 6) AS chi2 FROM terms),
+           crit AS (SELECT round(CAST(k - 1 AS DOUBLE) *
+               power(1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE)) +
+                 1.6449 * sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))), 3), 6)
+               AS chi2_crit FROM ag)
+           SELECT n_base, n_live, k,
+             CASE WHEN k > 1 THEN chi2 END AS chi2,
+             CASE WHEN k > 1 THEN chi2_crit END AS chi2_crit,
+             CASE WHEN k > 1 AND chi2 > chi2_crit THEN 1 ELSE 0 END
+               AS drifted
+           FROM ag, x, crit"""
+
+  // single source of truth: the q188_rank_sum map entry AND the q193 drift-
+  // report oracle (which composes it as a subquery) share this text
+  private val RankSumSql: String =
+    s"""$QualityCtesSql,
+           sc AS (SELECT CASE WHEN source = 'src9' THEN 1 ELSE 0 END AS is_b,
+                    $QualityValSql AS q FROM s),
+           per AS (SELECT q,
+                    CAST(sum(CASE WHEN is_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS ca,
+                    CAST(sum(is_b) AS BIGINT) AS cb
+                   FROM sc GROUP BY q),
+           rk AS (SELECT ca, cb, ca + cb AS nv,
+                    CAST(sum(ca + cb) OVER (ORDER BY q ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum
+                  FROM per),
+           ag AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                    CAST(sum(cb) AS BIGINT) AS n_b,
+                    sum(CAST(cb AS DOUBLE) * (CAST(cum - nv AS DOUBLE) +
+                      CAST(nv + 1 AS DOUBLE) / 2.0)) AS rb,
+                    CAST(sum(nv * nv * nv - nv) AS BIGINT) AS ties
+                  FROM rk)
+           SELECT n_a, n_b,
+             rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0) / 2.0
+               AS u,
+             CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                 ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                  CAST(ties AS DOUBLE) /
+                    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))) > 0
+               THEN (rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0)
+                       / 2.0
+                     - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+                 sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                   ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                    CAST(ties AS DOUBLE) /
+                      ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                       (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
+             END AS z,
+             CASE WHEN abs((rb - CAST(n_b AS DOUBLE) *
+                   (CAST(n_b AS DOUBLE) + 1.0) / 2.0
+                 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+                 sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                   ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                    CAST(ties AS DOUBLE) /
+                      ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                       (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))))
+                 > 1.96
+               THEN 1 ELSE 0 END AS drifted
+           FROM ag"""
 
   private[graft] val oracleSql: Map[String, String] = Map(
 
-    "q103_psi_drift" ->
-      s"""$QualityCtesSql,
-         sc AS (SELECT source, $QualityValSql AS q FROM s),
-         bb AS (SELECT CAST(least(greatest(floor((q - 0.0) / 1.0 * 10),
-                  0.0), 9.0) AS INT) AS bucket
-                FROM sc WHERE source <> 'src9'),
-         bl AS (SELECT CAST(least(greatest(floor((q - 0.0) / 1.0 * 10),
-                  0.0), 9.0) AS INT) AS bucket
-                FROM sc WHERE source = 'src9'),
-         cb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
-                FROM bb GROUP BY bucket),
-         cl AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_live
-                FROM bl GROUP BY bucket),
-         r AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
-         j AS (SELECT r.bucket, coalesce(cb.n_base, 0) AS n_base,
-                 coalesce(cl.n_live, 0) AS n_live
-               FROM r LEFT JOIN cb ON cb.bucket = r.bucket
-                 LEFT JOIN cl ON cl.bucket = r.bucket),
-         tt AS (SELECT (SELECT count(*) FROM bb) + 0.5 * 10 AS tb,
-                 (SELECT count(*) FROM bl) + 0.5 * 10 AS tl)
-         SELECT bucket, n_base, n_live,
-           (n_base + 0.5) / tb AS p_base,
-           (n_live + 0.5) / tl AS p_live,
-           round(((n_live + 0.5) / tl - (n_base + 0.5) / tb) *
-             ln(((n_live + 0.5) / tl) / ((n_base + 0.5) / tb)), 6) AS psi
-         FROM j, tt ORDER BY bucket""",
+    "q103_psi_drift" -> PsiDriftSql,
 
 
     "q164_embedding_drift" ->
@@ -298,34 +434,7 @@ object QueriesDrift {
     // integer-exact ECDF gaps: D's argmax runs on |cna·n_b − cnb·n_a|
     // (pure int64); only the final d / d_crit ratios touch doubles, with
     // the SAME arithmetic shape as Eval.ksTest
-    "q184_ks_drift" ->
-      s"""$QualityCtesSql,
-         sc AS (SELECT CASE WHEN source = 'src9' THEN 1 ELSE 0 END AS is_b,
-                  $QualityValSql AS q FROM s),
-         per AS (SELECT q,
-                  CAST(sum(CASE WHEN is_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-                  CAST(sum(is_b) AS BIGINT) AS cb
-                 FROM sc GROUP BY q),
-         cum AS (SELECT
-                  CAST(sum(ca) OVER (ORDER BY q ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cna,
-                  CAST(sum(cb) OVER (ORDER BY q ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnb
-                 FROM per),
-         tot AS (SELECT max(cna) AS n_a, max(cnb) AS n_b FROM cum),
-         dn AS (SELECT max(abs(CAST(cna * n_b AS BIGINT) -
-                  CAST(cnb * n_a AS BIGINT))) AS dnum FROM cum, tot)
-         SELECT n_a, n_b,
-           CAST(dnum AS DOUBLE) /
-             (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d,
-           1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) /
-             (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS d_crit,
-           CASE WHEN CAST(dnum AS DOUBLE) /
-               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) >
-             1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) /
-               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
-             THEN 1 ELSE 0 END AS drifted
-         FROM tot, dn""",
+    "q184_ks_drift" -> KsDriftSql,
 
 
     // the q184 integer-gap machinery sliced per source: the dense
@@ -418,91 +527,12 @@ object QueriesDrift {
     // Pearson chi2 over the 2×k (slice, lang) table; expected counts in
     // doubles with the exact same multiply-then-divide shape; chi2/crit
     // rounded 6 dp (k-term sum order), flag compares the rounded values
-    "q187_chi2_drift" ->
-      """WITH t AS (SELECT lang AS c,
-             CASE WHEN source <> 'src9' THEN 1 ELSE 0 END AS ib,
-             CASE WHEN source = 'src9' THEN 1 ELSE 0 END AS il
-           FROM documents WHERE lang IS NOT NULL),
-         per AS (SELECT c, CAST(sum(ib) AS BIGINT) AS cb,
-                  CAST(sum(il) AS BIGINT) AS cl
-                 FROM t GROUP BY c),
-         ag AS (SELECT CAST(sum(cb) AS BIGINT) AS n_base,
-                  CAST(sum(cl) AS BIGINT) AS n_live,
-                  CAST(count(*) AS BIGINT) AS k
-                FROM per),
-         terms AS (SELECT
-             (CAST(cb AS DOUBLE) - eb) * (CAST(cb AS DOUBLE) - eb) / eb +
-             (CAST(cl AS DOUBLE) - el) * (CAST(cl AS DOUBLE) - el) / el
-               AS term
-           FROM (SELECT cb, cl,
-                   CAST(n_base AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
-                     (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS eb,
-                   CAST(n_live AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
-                     (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS el
-                 FROM per, ag)),
-         x AS (SELECT round(sum(term), 6) AS chi2 FROM terms),
-         crit AS (SELECT round(CAST(k - 1 AS DOUBLE) *
-             power(1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE)) +
-               1.6449 * sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))), 3), 6)
-             AS chi2_crit FROM ag)
-         SELECT n_base, n_live, k,
-           CASE WHEN k > 1 THEN chi2 END AS chi2,
-           CASE WHEN k > 1 THEN chi2_crit END AS chi2_crit,
-           CASE WHEN k > 1 AND chi2 > chi2_crit THEN 1 ELSE 0 END
-             AS drifted
-         FROM ag, x, crit""",
+    "q187_chi2_drift" -> Chi2DriftSql,
 
     // mid-rank machinery over the per-value table (the q184 shape); U
     // and the tie term are exact (0.5-multiples / integer sums), z is
     // one fixed expression both engines replay
-    "q188_rank_sum" ->
-      s"""$QualityCtesSql,
-         sc AS (SELECT CASE WHEN source = 'src9' THEN 1 ELSE 0 END AS is_b,
-                  $QualityValSql AS q FROM s),
-         per AS (SELECT q,
-                  CAST(sum(CASE WHEN is_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                    AS ca,
-                  CAST(sum(is_b) AS BIGINT) AS cb
-                 FROM sc GROUP BY q),
-         rk AS (SELECT ca, cb, ca + cb AS nv,
-                  CAST(sum(ca + cb) OVER (ORDER BY q ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cum
-                FROM per),
-         ag AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
-                  CAST(sum(cb) AS BIGINT) AS n_b,
-                  sum(CAST(cb AS DOUBLE) * (CAST(cum - nv AS DOUBLE) +
-                    CAST(nv + 1 AS DOUBLE) / 2.0)) AS rb,
-                  CAST(sum(nv * nv * nv - nv) AS BIGINT) AS ties
-                FROM rk)
-         SELECT n_a, n_b,
-           rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0) / 2.0
-             AS u,
-           CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
-               ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
-                CAST(ties AS DOUBLE) /
-                  ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
-                   (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))) > 0
-             THEN (rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0)
-                     / 2.0
-                   - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
-               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
-                 ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
-                  CAST(ties AS DOUBLE) /
-                    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
-                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
-           END AS z,
-           CASE WHEN abs((rb - CAST(n_b AS DOUBLE) *
-                 (CAST(n_b AS DOUBLE) + 1.0) / 2.0
-               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
-               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
-                 ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
-                  CAST(ties AS DOUBLE) /
-                    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
-                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))))
-               > 1.96
-             THEN 1 ELSE 0 END AS drifted
-         FROM ag""",
+    "q188_rank_sum" -> RankSumSql,
 
     // q187's chi2 per day vs the first-week baseline; cells with a count
     // on either side only (an absent category is not part of that
@@ -705,5 +735,22 @@ object QueriesDrift {
            CASE WHEN k > 1 AND chi2 > chi2_crit THEN 1 ELSE 0 END
              AS drifted
          FROM x, crit ORDER BY source""",
+
+    // composes the four VERIFIED member oracles as subqueries — a report
+    // row is definitionally the member's own number reshaped
+    "q193_drift_report" ->
+      s"""SELECT 'psi' AS stat, round(sum(psi), 6) AS statistic,
+           CAST(0.25 AS DOUBLE) AS threshold,
+           CASE WHEN round(sum(psi), 6) > 0.25 THEN 1 ELSE 0 END
+             AS drifted
+         FROM ($PsiDriftSql)
+         UNION ALL
+         SELECT 'ks', d, d_crit, drifted FROM ($KsDriftSql)
+         UNION ALL
+         SELECT 'rank_sum', abs(z), CAST(1.96 AS DOUBLE), drifted
+         FROM ($RankSumSql)
+         UNION ALL
+         SELECT 'chi2', chi2, chi2_crit, drifted FROM ($Chi2DriftSql)
+         ORDER BY stat""",
   )
 }
