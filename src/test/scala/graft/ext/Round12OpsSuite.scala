@@ -54,6 +54,28 @@ class Round12OpsSuite extends AnyFunSuite {
     assert(one.isNullAt(3) && one.isNullAt(4) && one.getInt(5) == 0)
   }
 
+  test("driftReport rows equal the member statistics they reshape") {
+    val base = (1 to 60).map(i =>
+      ((i % 10).toDouble / 10.0, if (i % 3 == 0) "x" else "y")).toDF("v", "c")
+    val live = (1 to 60).map(i =>
+      (((i % 10) + 4).toDouble / 10.0 min 1.0, if (i % 4 == 0) "x" else "y"))
+      .toDF("v", "c")
+    val rep = Outliers.driftReport(base, live, "v", "c")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(rep.keySet == Set("psi", "ks", "rank_sum", "chi2"))
+    val ks = Eval.ksTest(base, live, "v").collect().head
+    assert(rep("ks") == Seq(ks.getDouble(2), ks.getDouble(3), ks.getInt(4)))
+    val rs = Eval.rankSumTest(base, live, "v").collect().head
+    assert(rep("rank_sum") ==
+      Seq(math.abs(rs.getDouble(3)), 1.96, rs.getInt(4)))
+    val chi = Outliers.chiSquareDrift(base.select("c"), live.select("c"), "c")
+      .collect().head
+    assert(rep("chi2") ==
+      Seq(chi.getDouble(3), chi.getDouble(4), chi.getInt(5)))
+    // the shifted value distribution must register on the value lenses
+    assert(rep("ks")(2) == 1 && rep("rank_sum")(2) == 1)
+  }
+
   test("chiSquareDrift respects the GridGuard category-cardinality ceiling") {
     spark.conf.set(graft.util.GridGuard.MaxDistinctConf, "50")
     try {
