@@ -13,9 +13,16 @@ import graft.util.Checkpoints.PinOps
   * Scale discipline: both operators first collapse the corpus to ONE row
   * per distinct score (map-side-combined groupBy — scores are rounded by
   * the scorer, so this table is bounded by score granularity, not corpus
-  * size), then run the order-statistic window over that aggregate. The
-  * single-partition window is over the per-score table only; the corpus
-  * itself never globally sorts.
+  * size, enforced by [[graft.util.GridGuard]]), then run the
+  * order-statistic window over that aggregate. The single-partition
+  * window is over the per-score table only; the corpus itself never
+  * globally sorts.
+  *
+  * Pin ownership: operators that checkpoint internally (ksTest family,
+  * mutualInfo, spearman) release their corpus-scale internal pins before
+  * returning and hand back a BOUNDED pinned frame (one row to |groups|
+  * rows) — a long-lived session that is done reading a result can
+  * reclaim even that via [[graft.util.Checkpoints.release]].
   */
 object Eval {
 
