@@ -52,6 +52,26 @@ class GridGuardSuite extends AnyFunSuite {
     }
   }
 
+  test("windowed drift aggregates hard-cap their per-window state at the ceiling") {
+    // the GridGuard ceiling carried INTO streaming state (KsDriftAgg and
+    // siblings): an unrounded score column must fail at the first
+    // over-cap update, not grow per-window state without bound
+    withCap(20) {
+      val base = (0 until 50).map(i => (i % 10).toDouble).toDF("v")
+      val (bv, bc) = Eval.ksBaseline(base, "v") // 10 distinct: under cap
+      val live = (0 until 200).map(i =>
+        (new java.sql.Timestamp(1700000000000L + i * 1000L),
+          i * math.Pi % 1.0)).toDF("ts", "v")
+      val e = intercept[Throwable](
+        Eval.ksDriftWindowed(live, "ts", "v", bv, bc).collect())
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(m => m.contains("ks_drift") &&
+        m.contains("ROUNDED")), s"unexpected failure: ${chain(e)}")
+    }
+  }
+
   test("guard passes rounded scores, and the opt-outs work") {
     val rounded = rawDoubles(500).select($"g", round($"v", 1).as("v"))
     withCap(50) {
