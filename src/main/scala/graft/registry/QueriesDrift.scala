@@ -9,12 +9,15 @@ import graft.operators.{Elevation, Factorize, FlagRegions, GridOps, MineDepletio
 import graft.sources.Ingest
 import graft.QueryShared._
 
-/** Query registry — LLM pipeline: PSI/KS/embedding drift monitors and their windowed forms.
+/** Query registry — LLM pipeline: the drift matrix, complete on both axes:
+  * {PSI, KS, rank-sum, chi², embedding} × {pairwise, by-slice, windowed
+  * streaming twin}, plus Theil–Sen trends and the one-call q193 report.
   *
-  * Entries (and their DuckDB oracle SQL beside them) moved verbatim from
-  * SparkEntry in the r12 per-family split; [[SparkEntry.queries]] is the
-  * dispatcher that concatenates the families. Shared fixtures/helpers and
-  * oracle SQL fragments live in [[QueryShared]]. */
+  * Pre-r12 entries (and their DuckDB oracle SQL beside them) moved
+  * verbatim from SparkEntry in the r12 per-family split; q186–q193 were
+  * born here. [[SparkEntry.queries]] is the dispatcher that concatenates
+  * the families; shared fixtures/helpers and oracle SQL fragments live in
+  * [[QueryShared]]. */
 object QueriesDrift {
 
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
