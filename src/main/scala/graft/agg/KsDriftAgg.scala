@@ -143,12 +143,16 @@ case class KsDriftAgg(
 }
 
 object KsDriftAgg {
-  /** Column-level API: KS-vs-baseline struct of a double column. */
+  /** Column-level API: KS-vs-baseline struct of a numeric column. The
+    * child is cast to double HERE (ADVICE r12): update() reads the
+    * evaluated value as Double, so a float/decimal/int column passed
+    * directly would otherwise fail with an opaque ClassCastException at
+    * execution time instead of casting at analysis time. */
   def column(v: Column, baseVals: Array[Double], baseCum: Array[Long],
       cap: Long): Column =
     ExpressionUtils.column(
-      KsDriftAgg(ExpressionUtils.expression(v), baseVals, baseCum, cap)
-        .toAggregateExpression())
+      KsDriftAgg(ExpressionUtils.expression(v.cast("double")),
+        baseVals, baseCum, cap).toAggregateExpression())
 }
 
 /** Mann–Whitney rank-sum statistic of a group's values against a
@@ -189,7 +193,10 @@ case class RankSumDriftAgg(
     java.util.Arrays.sort(liveVals)
     var nB = 0L
     buf.valuesIterator.foreach(nB += _)
-    var i = 0; var j = 0; var cum = 0L; var rb = 0.0; var ties = 0L
+    // tie term in DOUBLES (ADVICE r12, mirroring Eval.rankSumTest): t³
+    // in int64 silently wraps past ~2·10⁶ rows tied on one value; the
+    // double form is exact below 2⁵³ and degrades to rounding, not wrap
+    var i = 0; var j = 0; var cum = 0L; var rb = 0.0; var ties = 0.0
     while (i < baseVals.length || j < liveVals.length) {
       val takeBase = j >= liveVals.length ||
         (i < baseVals.length && baseVals(i) <= liveVals(j))
@@ -204,13 +211,13 @@ case class RankSumDriftAgg(
       // exact 0.5-multiple; rb accumulates exact halves (order-free)
       val avgrank = cum.toDouble + (nv + 1L).toDouble / 2.0
       rb += cb.toDouble * avgrank
-      ties += nv * nv * nv - nv
+      ties += nv.toDouble * nv * nv - nv
       cum += nv
     }
     val (na, nb) = (nA.toDouble, nB.toDouble)
     val n = na + nb
     val u = rb - nb * (nb + 1.0) / 2.0
-    val sigma2 = na * nb / 12.0 * ((n + 1.0) - ties.toDouble / (n * (n - 1.0)))
+    val sigma2 = na * nb / 12.0 * ((n + 1.0) - ties / (n * (n - 1.0)))
     if (sigma2 > 0) {
       val z = (u - na * nb / 2.0) / math.sqrt(sigma2)
       InternalRow(nB, u, z, if (math.abs(z) > 1.96) 1 else 0)
@@ -226,12 +233,13 @@ case class RankSumDriftAgg(
 }
 
 object RankSumDriftAgg {
-  /** Column-level API: rank-sum-vs-baseline struct of a double column. */
+  /** Column-level API: rank-sum-vs-baseline struct of a numeric column
+    * (child cast to double here — the KsDriftAgg.column note). */
   def column(v: Column, baseVals: Array[Double], baseCum: Array[Long],
       cap: Long): Column =
     ExpressionUtils.column(
-      RankSumDriftAgg(ExpressionUtils.expression(v), baseVals, baseCum, cap)
-        .toAggregateExpression())
+      RankSumDriftAgg(ExpressionUtils.expression(v.cast("double")),
+        baseVals, baseCum, cap).toAggregateExpression())
 }
 
 /** Pearson chi-squared statistic of a group's CATEGORY mix against a
@@ -320,11 +328,18 @@ case class ChiSquareDriftAgg(
     InternalRow(nL0, k, c6, w6, if (c6 > w6) 1 else 0)
   }
 
+  // length-prefixed UTF-8, NOT writeUTF (ADVICE r12): writeUTF throws
+  // UTFDataFormatException past 65,535 bytes, and the GridGuard cap
+  // bounds distinct COUNT, not string length — a long free-text value
+  // accepted by update() must not kill the task at state serialization
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (v, c) => out.writeUTF(v); out.writeLong(c) }
+    buf.foreach { case (v, c) =>
+      val b = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -333,7 +348,14 @@ case class ChiSquareDriftAgg(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     buf
   }
 
@@ -346,9 +368,12 @@ case class ChiSquareDriftAgg(
 }
 
 object ChiSquareDriftAgg {
-  /** Column-level API: chi2-vs-baseline struct of a string column. */
+  /** Column-level API: chi2-vs-baseline struct of a category column
+    * (child cast to string here — the KsDriftAgg.column note; update()
+    * stringifies values, so the cast makes the contract explicit at
+    * analysis time). */
   def column(v: Column, baseCounts: Map[String, Long], cap: Long): Column =
     ExpressionUtils.column(
-      ChiSquareDriftAgg(ExpressionUtils.expression(v), baseCounts, cap)
-        .toAggregateExpression())
+      ChiSquareDriftAgg(ExpressionUtils.expression(v.cast("string")),
+        baseCounts, cap).toAggregateExpression())
 }

@@ -32,12 +32,15 @@ object Eval {
     * unrounded integer-ratio doubles (exact divisions — bit-identical in
     * any engine). `labelCol` must be 0/1. */
   def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    // same grid discipline as ksTest: the sweep window is single-partition
-    // over the per-score table, so the score grain must be bounded
-    graft.util.GridGuard.check(df, "prCurve", scoreCol)
-    val perScore = df.groupBy(col(scoreCol).as("threshold"))
-      .agg(sum(col(labelCol)).cast("long").as("npos"),
-        count(lit(1)).as("n"))
+    // grid discipline, gated EXACTLY on the per-score table this op
+    // builds anyway (no separate pre-check pass over the caller's
+    // scoring projection — the r12 regression fix); the sweep window is
+    // single-partition over that bounded pinned table
+    val perScore = graft.util.GridGuard.gateTable(
+      df.groupBy(col(scoreCol).as("threshold"))
+        .agg(sum(col(labelCol)).cast("long").as("npos"),
+          count(lit(1)).as("n")),
+      "prCurve", scoreCol)
     val totPos = sum(col("npos")).over(Window.partitionBy())
     val w = Window.orderBy(col("threshold").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -82,15 +85,30 @@ object Eval {
     * ORIGINAL frame and joining them in one chain keeps it at one full
     * evaluation plus k column-pruned ones. */
   def ecdfTable(df: DataFrame, scoreCol: String,
-      outCol: String = "pct"): DataFrame = {
-    // grid discipline (covers ecdf/blend/discretize/mutualInfo callers):
-    // one pruned pre-check pass; pinned callers pay a trivial scan
-    graft.util.GridGuard.check(df, "ecdfTable", scoreCol)
+      outCol: String = "pct"): DataFrame =
+    ecdfTableImpl(df, scoreCol, outCol, guard = true)
+
+  /** [[ecdfTable]] for composed internal callers that ALREADY guarded
+    * the column ([[mutualInfo]] checks both its columns once on the
+    * pinned pair projection) — skips the redundant per-call gate
+    * (ADVICE r12: mutualInfo paid three guard passes where one
+    * suffices). */
+  private[ext] def ecdfTableNoGuard(df: DataFrame, scoreCol: String,
+      outCol: String): DataFrame =
+    ecdfTableImpl(df, scoreCol, outCol, guard = false)
+
+  private def ecdfTableImpl(df: DataFrame, scoreCol: String,
+      outCol: String, guard: Boolean): DataFrame = {
     // NULL scores are excluded from the ranking AND the total — they
     // can't equi-join back anyway, and counting them in N would skew
     // every surviving row's percentile
-    val per = df.filter(col(scoreCol).isNotNull)
+    val perRaw = df.filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol)).agg(count(lit(1)).as("_n"))
+    // grid discipline (covers ecdf/blend/discretize callers), gated
+    // exactly on the per-score table built above — no extra input pass
+    val per =
+      if (guard) graft.util.GridGuard.gateTable(perRaw, "ecdfTable", scoreCol)
+      else perRaw
     val w = Window.orderBy(col(scoreCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     per
@@ -279,14 +297,30 @@ object Eval {
       weights: Seq[(String, Double)],
       outCol: String = "blended"): DataFrame = {
     require(weights.nonEmpty, "need at least one (scoreCol, weight)")
-    // one multi-column pre-check for every signal's grain (blend note)
-    graft.util.GridGuard.check(df, "blendKeyed", weights.map(_._1): _*)
     val sigs = weights.map(_._1)
     val exploded = df.select(col(idCol).as("_id"),
       posexplode(array(sigs.map(c => col(c).cast("double")): _*))
         .as(Seq("_sig", "_v")))
-    val per = exploded.filter(col("_v").isNotNull)
+    val perRaw = exploded.filter(col("_v").isNotNull)
       .groupBy(col("_sig"), col("_v")).agg(count(lit(1)).as("_n"))
+    // grid discipline for every signal's grain, gated EXACTLY on the
+    // (signal, value) table built above (no separate multi-column HLL
+    // pass over the caller's scoring projection — the r12 regression
+    // fix): pin it, then one k-row collapse yields each signal's exact
+    // distinct-value count
+    val per = graft.util.GridGuard.ceiling(df.sparkSession) match {
+      case Some(cap) =>
+        val p = perRaw.pin()
+        p.groupBy(col("_sig")).agg(count(lit(1)).as("_nv")).collect()
+          .foreach { r =>
+            val nv = r.getLong(1)
+            if (nv > cap)
+              graft.util.GridGuard.fail("blendKeyed", sigs(r.getInt(0)),
+                nv.toString, cap)
+          }
+        p
+      case None => perRaw
+    }
     val w = Window.partitionBy(col("_sig")).orderBy(col("_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val table = per
@@ -321,12 +355,14 @@ object Eval {
     * unrounded result bit-identical across engines.
     * Returns one row: (auc, n_pos, n_neg). */
   def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    // grid discipline: the rank window is single-partition over the
-    // per-score table (aucRocBy instead partitions by slice)
-    graft.util.GridGuard.check(df, "aucRoc", scoreCol)
-    val perScore = df.groupBy(col(scoreCol).as("s"))
+    // grid discipline, gated exactly on the per-score table this op
+    // builds anyway (the prCurve note); the rank window is
+    // single-partition over that bounded pinned table (aucRocBy instead
+    // partitions by slice)
+    val perRaw = df.groupBy(col(scoreCol).as("s"))
       .agg(sum(col(labelCol)).cast("long").as("npos"),
         count(lit(1)).as("n"))
+    val perScore = graft.util.GridGuard.gateTable(perRaw, "aucRoc", scoreCol)
     val w = Window.orderBy(col("s").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = perScore
@@ -334,7 +370,7 @@ object Eval {
       .withColumn("avg_rank",
         (col("cum") - col("n")).cast("double") +
           (col("n") + lit(1L)).cast("double") / lit(2.0))
-    ranked.agg(
+    val out = ranked.agg(
         sum(col("npos").cast("double") * col("avg_rank")).as("pos_rank_sum"),
         sum(col("npos")).cast("long").as("n_pos"),
         sum(col("n") - col("npos")).cast("long").as("n_neg"))
@@ -348,6 +384,13 @@ object Eval {
             (col("n_pos").cast("double") * col("n_neg").cast("double")))
           .as("auc"),
         col("n_pos"), col("n_neg"))
+    // one-row result: materialize it and release the gate pin (the
+    // ksTest pin-ownership convention)
+    if (perScore ne perRaw) {
+      val pinned = out.pin()
+      graft.util.Checkpoints.release(perScore)
+      pinned
+    } else out
   }
 
   /** ln 2 as one shared double so the nDCG discount `ln(r+1)/ln 2`
@@ -610,8 +653,9 @@ object Eval {
   def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
       outCol: String = "norm"): DataFrame = {
     // grid discipline: the broadcast global table and the per-group
-    // cumulative are bounded by VALUE granularity only
-    graft.util.GridGuard.check(df, "quantileNormalize", valCol)
+    // cumulative are bounded by VALUE granularity only — gated exactly
+    // on the global per-value table built below (no separate pre-check
+    // pass over the caller's scoring projection, the prCurve note)
     val perG = df.filter(col(valCol).isNotNull)
       .groupBy(col(groupCol), col(valCol)).agg(count(lit(1)).as("_n"))
     val wg = Window.partitionBy(col(groupCol)).orderBy(col(valCol).asc)
@@ -624,8 +668,10 @@ object Eval {
         ((col("_cum") - col("_n")).cast("double") +
           col("_n").cast("double") / lit(2.0)) / col("_tot").cast("double"))
       .select(col(groupCol), col(valCol), col("_pct"))
-    val glob = df.filter(col(valCol).isNotNull)
-      .groupBy(col(valCol).as("_gv")).agg(count(lit(1)).as("_gn"))
+    val glob = graft.util.GridGuard.gateTable(
+      df.filter(col(valCol).isNotNull)
+        .groupBy(col(valCol).as("_gv")).agg(count(lit(1)).as("_gn")),
+      "quantileNormalize", valCol)
     val wAll = Window.orderBy(col("_gv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gCf = glob
@@ -819,11 +865,13 @@ object Eval {
       .unionAll(b.select(col(valCol).as("_v"),
         lit(0L).as("_ia"), lit(1L).as("_ib")))
       .filter(col("_v").isNotNull)
-    // runtime grid discipline (ON by default): fail before building a
-    // corpus-sized per-value table out of unrounded scores
-    graft.util.GridGuard.check(tagged, "ksTest", "_v")
-    val per = tagged.groupBy(col("_v"))
+    // runtime grid discipline (ON by default), gated exactly on the
+    // per-value table built here (the distributed groupBy is safe at any
+    // cardinality; only the downstream one-task window is not): fail
+    // before the single-partition cumulative sorts a corpus-sized table
+    val perRaw = tagged.groupBy(col("_v"))
       .agg(sum(col("_ia")).as("ca"), sum(col("_ib")).as("cb"))
+    val per = graft.util.GridGuard.gateTable(perRaw, "ksTest", valCol)
     val w = Window.orderBy(col("_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = per
@@ -847,6 +895,7 @@ object Eval {
       d.as("d"), dCrit.as("d_crit"),
       when(d > dCrit, 1).otherwise(0).as("drifted")).pin()
     graft.util.Checkpoints.release(cum)
+    if (per ne perRaw) graft.util.Checkpoints.release(per)
     out
   }
 
@@ -869,11 +918,15 @@ object Eval {
       valCol: String): DataFrame = {
     val base = df.select(col(groupCol).as("_g"), col(valCol).as("_v"))
       .filter(col("_v").isNotNull && col("_g").isNotNull)
-    // grid discipline: the dense grid is |groups| × |values| — both sides
-    // must be bounded (rounded scores; slice keys, not row ids)
-    graft.util.GridGuard.check(base, "ksTestBy", "_v", "_g")
     val pg = base.groupBy(col("_g"), col("_v"))
       .agg(count(lit(1)).as("c")).pin()
+    // grid discipline: the dense grid is |groups| × |values| — both axes
+    // must be bounded (rounded scores; slice keys, not row ids). Gated
+    // EXACTLY on the pinned (group, value) table built above: one k-row
+    // collapse, no separate pre-check pass over the caller's projection
+    // (the r12 regression fix — q185 paid the scoring chain twice).
+    graft.util.GridGuard.gateAxes(pg, "ksTestBy",
+      valCol -> "_v", groupCol -> "_g")
     val wv = Window.orderBy(col("_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gv = pg.groupBy(col("_v")).agg(sum(col("c")).as("cv"))
@@ -958,6 +1011,68 @@ object Eval {
       col("_ks").getField("drifted").as("drifted"))
   }
 
+  /** [[ksDriftWindowed]] BY SLICE — the drift matrix's two lenses
+    * composed: "WHICH source drifted, PER day", the question the nightly
+    * gate ([[Outliers.driftReport]]'s audience) actually asks. Same ONE
+    * stateful aggregation ([[graft.agg.KsDriftAgg]]) with the slice key
+    * added to the grouping: per-(window, slice) state is the slice's
+    * per-distinct-value counts, each buffer hard-capped at the
+    * [[graft.util.GridGuard]] ceiling; the watermark expires whole
+    * windows. Every slice compares against the SAME driver-held global
+    * baseline (from [[ksBaseline]] on the reference snapshot) — the
+    * serving analogue of [[ksTestBy]]'s rest-side would require
+    * cross-slice state; a deployed monitor alarms each source against
+    * the trained corpus instead. Per-(window, slice) batch ≡
+    * `ksTest(baseline, slice-of-window)` bit-for-bit (same aggregate
+    * kernel), stream ≡ batch — suite-pinned like the unsliced twin.
+    * Returns (ws, sliceCol, n_live, d, d_crit, drifted). */
+  def ksDriftWindowedBy(df: DataFrame, tsCol: String, sliceCol: String,
+      valCol: String, baseVals: Array[Double], baseCum: Array[Long],
+      windowDur: String = "1 day"): DataFrame = {
+    require(baseVals.length == baseCum.length && baseVals.nonEmpty,
+      "ksDriftWindowedBy: empty or misaligned baseline")
+    val agged = df
+      .select(window(col(tsCol), windowDur).as("_w"),
+        col(sliceCol).as("_slice"),
+        col(valCol).cast("double").as("_v"))
+      .groupBy(col("_w"), col("_slice"))
+      .agg(graft.agg.KsDriftAgg.column(col("_v"), baseVals, baseCum,
+        graft.util.GridGuard.streamStateCap(df.sparkSession)).as("_ks"))
+    agged.select(col("_w").getField("start").as("ws"),
+      col("_slice").as(sliceCol),
+      col("_ks").getField("n_live").as("n_live"),
+      col("_ks").getField("d").as("d"),
+      col("_ks").getField("d_crit").as("d_crit"),
+      col("_ks").getField("drifted").as("drifted"))
+  }
+
+  /** [[rankSumDriftWindowed]] BY SLICE — each (window, slice)'s value
+    * LOCATION against the same driver-held global baseline (the
+    * [[ksDriftWindowedBy]] composition for the rank-sum member; one
+    * [[ksBaseline]] artifact serves both). Per-(window, slice) state is
+    * GridGuard-capped; per-cell batch ≡ `rankSumTest(baseline, slice)`
+    * bit-for-bit, stream ≡ batch. Returns
+    * (ws, sliceCol, n_live, u, z, drifted). */
+  def rankSumDriftWindowedBy(df: DataFrame, tsCol: String, sliceCol: String,
+      valCol: String, baseVals: Array[Double], baseCum: Array[Long],
+      windowDur: String = "1 day"): DataFrame = {
+    require(baseVals.length == baseCum.length && baseVals.nonEmpty,
+      "rankSumDriftWindowedBy: empty or misaligned baseline")
+    val agged = df
+      .select(window(col(tsCol), windowDur).as("_w"),
+        col(sliceCol).as("_slice"),
+        col(valCol).cast("double").as("_v"))
+      .groupBy(col("_w"), col("_slice"))
+      .agg(graft.agg.RankSumDriftAgg.column(col("_v"), baseVals, baseCum,
+        graft.util.GridGuard.streamStateCap(df.sparkSession)).as("_rs"))
+    agged.select(col("_w").getField("start").as("ws"),
+      col("_slice").as(sliceCol),
+      col("_rs").getField("n_live").as("n_live"),
+      col("_rs").getField("u").as("u"),
+      col("_rs").getField("z").as("z"),
+      col("_rs").getField("drifted").as("drifted"))
+  }
+
   /** STREAMING-SHAPED [[rankSumTest]]: the location-drift statistic per
     * EVENT-TIME window against the SAME driver-held [[ksBaseline]]
     * artifact the KS twin takes (one snapshot pass serves both monitors).
@@ -997,10 +1112,12 @@ object Eval {
     * z > 0 means side b's values rank HIGHER than side a's.
     *
     * Engine-stable: every rank is an exact 0.5-multiple so U is exact in
-    * doubles (order-independent below 2⁵³); the tie term Σ(t³−t) is an
-    * exact integer sum (overflow posture as [[cohenKappa]]: t³ exceeds
-    * int64 past ~2·10⁶ rows tied on ONE value — switch the term to
-    * doubles at that scale); z and the flag are one fixed expression
+    * doubles (order-independent below 2⁵³); the tie term Σ(t³−t) is
+    * computed in DOUBLES from the first multiply (ADVICE r12) — exact
+    * while t³ < 2⁵³ (t ≲ 2·10⁶ rows tied on one value, i.e. everywhere
+    * int64 was exact) and degrading to ulp rounding, never a silent
+    * int64 wrap, beyond; the DuckDB oracles mirror the double form so
+    * parity holds at any scale. z and the flag are one fixed expression
     * shape. All-tied input gives σ = 0 → NULL z (undefined, the
     * [[cohenKappa]] convention).
     *
@@ -1015,9 +1132,11 @@ object Eval {
       .unionAll(b.select(col(valCol).as("_v"),
         lit(0L).as("_ia"), lit(1L).as("_ib")))
       .filter(col("_v").isNotNull)
-    graft.util.GridGuard.check(tagged, "rankSumTest", "_v")
-    val per = tagged.groupBy(col("_v"))
+    // grid discipline, gated exactly on the per-value table built here
+    // (the ksTest note)
+    val perRaw = tagged.groupBy(col("_v"))
       .agg(sum(col("_ia")).as("ca"), sum(col("_ib")).as("cb"))
+    val per = graft.util.GridGuard.gateTable(perRaw, "rankSumTest", valCol)
     val w = Window.orderBy(col("_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nv = col("ca") + col("cb")
@@ -1031,7 +1150,13 @@ object Eval {
     val agg = ranked.agg(
       sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
       sum(col("cb").cast("double") * col("_avgrank")).as("_rb"),
-      sum(col("_nv") * col("_nv") * col("_nv") - col("_nv")).as("_ties"))
+      // tie term in DOUBLES from the first multiply (ADVICE r12): t³ in
+      // int64 silently wraps past ~2·10⁶ rows tied on ONE value under
+      // non-ANSI mode; the double form is exact below 2⁵³ and degrades
+      // to a rounded (never wrapped) σ beyond — mirrored in the DuckDB
+      // oracles so parity holds at any scale
+      sum(col("_nv").cast("double") * col("_nv") * col("_nv") - col("_nv"))
+        .as("_ties"))
     val nA = col("n_a").cast("double")
     val nB = col("n_b").cast("double")
     val nT = nA + nB
@@ -1045,6 +1170,7 @@ object Eval {
       when(sigma2 > 0 && abs(z) > 1.96, 1).otherwise(0).as("drifted"))
       .pin()
     graft.util.Checkpoints.release(ranked)
+    if (per ne perRaw) graft.util.Checkpoints.release(per)
     out
   }
 
@@ -1070,9 +1196,12 @@ object Eval {
       valCol: String): DataFrame = {
     val base = df.select(col(groupCol).as("_g"), col(valCol).as("_v"))
       .filter(col("_v").isNotNull && col("_g").isNotNull)
-    graft.util.GridGuard.check(base, "rankSumTestBy", "_v", "_g")
     val pg = base.groupBy(col("_g"), col("_v"))
       .agg(count(lit(1)).as("c")).pin()
+    // grid discipline gated exactly on the pinned (group, value) table
+    // (the ksTestBy note — no separate pass over the caller's projection)
+    graft.util.GridGuard.gateAxes(pg, "rankSumTestBy",
+      valCol -> "_v", groupCol -> "_g")
     val gv = pg.groupBy(col("_v")).agg(sum(col("c")).as("nv"))
     val w = Window.orderBy(col("_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1082,7 +1211,9 @@ object Eval {
         (col("_cum") - col("nv")).cast("double") +
           (col("nv") + lit(1L)).cast("double") / lit(2.0))
     val glob = ranked.agg(sum(col("nv")).as("n"),
-      sum(col("nv") * col("nv") * col("nv") - col("nv")).as("_ties"))
+      // double tie term from the first multiply (the rankSumTest note)
+      sum(col("nv").cast("double") * col("nv") * col("nv") - col("nv"))
+        .as("_ties"))
     val perG = pg.join(ranked.select(col("_v"), col("_avgrank")), Seq("_v"))
       .groupBy(col("_g"))
       .agg(sum(col("c")).as("n_g"),
@@ -1129,11 +1260,13 @@ object Eval {
     val base = df.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
       .pin()
-    // grid discipline — checked on the PINNED pair projection, so the
-    // pre-check scans 16 bytes/row, never the caller's scoring kernels
+    // grid discipline — checked ONCE on the PINNED pair projection (the
+    // pre-check scans 16 bytes/row, never the caller's scoring kernels);
+    // the two internal ecdfTable calls skip their per-call gate (ADVICE
+    // r12: three guard passes where one suffices)
     graft.util.GridGuard.check(base, "mutualInfo", "a", "b")
     def binned(c: String, out: String) =
-      ecdfTable(base, c, "_p" + c)
+      ecdfTableNoGuard(base, c, "_p" + c)
         .withColumn(out,
           least(floor(col("_p" + c) * nBins).cast("int"), lit(nBins - 1)))
         .select(col(c), col(out))

@@ -172,9 +172,12 @@ object Outliers {
       .unionAll(live.select(col(catCol).as("_c"),
         lit(0L).as("_ib"), lit(1L).as("_il")))
       .filter(col("_c").isNotNull)
-    graft.util.GridGuard.check(tagged, "chiSquareDrift", "_c")
-    val per = tagged.groupBy(col("_c"))
+    // grid discipline gated exactly on the category table built here
+    // (the Eval.ksTest note — no separate pre-check pass; a free-text
+    // column still fails loudly, now with the exact count)
+    val perRaw = tagged.groupBy(col("_c"))
       .agg(sum(col("_ib")).as("cb"), sum(col("_il")).as("cl"))
+    val per = graft.util.GridGuard.gateTable(perRaw, "chiSquareDrift", catCol)
     val agg = per.agg(
       sum(col("cb")).as("n_base"), sum(col("cl")).as("n_live"),
       count(lit(1)).as("k"))
@@ -201,12 +204,19 @@ object Outliers {
     // ROUNDED values so it is a pure function of the emitted columns
     val chi2R = round(col("_chi2"), 6)
     val whR = round(wh, 6)
-    agg.crossJoin(chi2).select(
+    val out = agg.crossJoin(chi2).select(
       col("n_base"), col("n_live"), col("k"),
       when(col("k") > 1, chi2R).as("chi2"),
       when(col("k") > 1, whR).as("chi2_crit"),
       when(col("k") > 1 && chi2R > whR, 1).otherwise(0)
         .as("drifted"))
+    // one-row result: materialize and release the gate pin (the
+    // Eval.ksTest pin-ownership convention)
+    if (per ne perRaw) {
+      val pinned = graft.util.Checkpoints.pin(out)
+      graft.util.Checkpoints.release(per)
+      pinned
+    } else out
   }
 
   /** [[chiSquareDrift]] PER SLICE — each slice's category mix against the
@@ -228,9 +238,12 @@ object Outliers {
     val base = df.select(col(groupCol).as("_g"),
         col(catCol).cast("string").as("_c"))
       .filter(col("_g").isNotNull && col("_c").isNotNull)
-    graft.util.GridGuard.check(base, "chiSquareDriftBy", "_c", "_g")
     val pg = base.groupBy(col("_g"), col("_c"))
       .agg(count(lit(1)).as("cnt")).pin()
+    // grid discipline gated exactly on the pinned (slice, category)
+    // table (the Eval.ksTestBy note)
+    graft.util.GridGuard.gateAxes(pg, "chiSquareDriftBy",
+      catCol -> "_c", groupCol -> "_g")
     val gc = pg.groupBy(col("_c")).agg(sum(col("cnt")).as("nc"))
     val groups = pg.groupBy(col("_g")).agg(sum(col("cnt")).as("n_g"))
     val kn = gc.agg(count(lit(1)).as("k"), sum(col("nc")).as("n"))
@@ -266,6 +279,67 @@ object Outliers {
     out
   }
 
+  /** [[psiDrift]] PER SLICE — each slice's binned value distribution vs
+    * the REST of the corpus ("which source's score distribution
+    * shifted?"), the binned member of the by-slice drift views
+    * ([[Eval.ksTestBy]] / [[Eval.rankSumTestBy]] / [[chiSquareDriftBy]]).
+    * Rest-side bucket counts derive as global − own, so the corpus pays
+    * ONE (slice, bucket) aggregation; the dense slice × nBuckets grid is
+    * bounded on both axes (buckets by construction, slices by the
+    * [[graft.util.GridGuard]] gate on the pinned count table). Side
+    * convention matches [[driftReport]]'s psi row: base = rest,
+    * live = the slice; each per-bucket term is the EXACT expression
+    * [[psiDrift]] emits (same +0.5 smoothing, same 6 dp per-term round),
+    * so a slice's psi is bit-identical to
+    * `round(psiDrift(rest, own).agg(sum(psi)), 6)` — property-pinned.
+    * `drifted` flags the classic 0.25 "significant shift" cut (the
+    * [[driftReport]] threshold). A single-slice input has an empty rest
+    * side: its proportions still smooth to finite values, but the psi is
+    * meaningless (n_rest = 0) — slice before calling. Returns one row
+    * per slice: (groupCol, n_g, n_rest, psi, drifted). */
+  def psiDriftBy(df: DataFrame, groupCol: String, valCol: String,
+      nBuckets: Int = 10, lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
+    require(nBuckets > 0 && hi > lo)
+    val b = least(greatest(
+      floor((col(valCol) - lit(lo)) / lit(hi - lo) * lit(nBuckets)),
+      lit(0.0)), lit((nBuckets - 1).toDouble)).cast("int")
+    val pg = df.select(col(groupCol).as("_g"), b.as("bucket"))
+      .filter(col("_g").isNotNull)
+      .groupBy(col("_g"), col("bucket")).agg(count(lit(1)).as("cnt")).pin()
+    // slice-axis guard on the pinned table (the bucket axis is
+    // nBuckets-bounded by construction)
+    graft.util.GridGuard.gateAxes(pg, "psiDriftBy", groupCol -> "_g")
+    val gb = pg.groupBy(col("bucket")).agg(sum(col("cnt")).as("nb"))
+    val groups = pg.groupBy(col("_g")).agg(sum(col("cnt")).as("n_g"))
+    val tot = groups.agg(sum(col("n_g")).as("n"))
+    val buckets = df.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as("bucket"))
+    // dense grid: EVERY bucket × every slice — a bucket empty on both
+    // sides still contributes a (small, nonzero) smoothed term exactly
+    // as it does in psiDrift's all-buckets output
+    val dense = groups.crossJoin(broadcast(buckets))
+      .join(broadcast(gb), Seq("bucket"), "left")
+      .join(pg, Seq("_g", "bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("own", coalesce(col("cnt"), lit(0L)))
+      .withColumn("restc", coalesce(col("nb"), lit(0L)) - col("own"))
+    // the member's exact smoothing shapes: (count + 0.5) / (total + k/2)
+    val p = (col("restc") + lit(0.5)) /
+      ((col("n") - col("n_g")).cast("double") + lit(0.5 * nBuckets))
+    val q = (col("own") + lit(0.5)) /
+      (col("n_g").cast("double") + lit(0.5 * nBuckets))
+    val perG = dense
+      .select(col("_g"), col("n_g"), col("n"),
+        round((q - p) * log(q / p), 6).as("_term"))
+      .groupBy(col("_g"), col("n_g"), col("n"))
+      .agg(round(sum(col("_term")), 6).as("psi"))
+    val out = perG.select(col("_g").as(groupCol), col("n_g"),
+      (col("n") - col("n_g")).as("n_rest"), col("psi"),
+      when(col("psi") > 0.25, 1).otherwise(0).as("drifted")).pin()
+    graft.util.Checkpoints.release(pg)
+    out
+  }
+
   /** ONE-CALL DRIFT REPORT: every corpus-level drift statistic between a
     * baseline and a live slice in one labeled frame — the summary a
     * nightly ingest gate actually reads ("did src9 drift, by every
@@ -278,26 +352,41 @@ object Outliers {
     * one-row outputs into (stat, statistic, threshold, drifted) — so a
     * report row is bit-identical to calling the member directly.
     * Feed ROUNDED `valCol` scores in [lo, hi] (every member's grid
-    * discipline applies; the guards run per member). Returns 4 rows
-    * ordered by stat: chi2, ks, psi, rank_sum. */
+    * discipline applies; the guards run per member — each gates the
+    * bounded per-value table it builds, not the input). Returns 4 rows
+    * ordered by stat: chi2, ks, psi, rank_sum.
+    *
+    * Scale shape: each side's (valCol, catCol) projection is PINNED once
+    * and every member reads the pin — without this, the four members
+    * (plus psiDrift's row-count pulls) re-evaluated the caller's scoring
+    * projection ~6× per report (VERDICT r12 #4: q193 was the
+    * third-most-expensive query on exactly those re-scans). The 4-row
+    * result materializes before both pins release. */
   def driftReport(base: DataFrame, live: DataFrame, valCol: String,
       catCol: String, nBuckets: Int = 10, lo: Double = 0.0,
       hi: Double = 1.0): DataFrame = {
-    val psi = psiDrift(base, live, valCol, nBuckets, lo, hi)
+    val bp = base.select(col(valCol), col(catCol)).pin()
+    val lp = live.select(col(valCol), col(catCol)).pin()
+    val psi = psiDrift(bp, lp, valCol, nBuckets, lo, hi)
       .agg(round(sum(col("psi")), 6).as("statistic"))
       .select(lit("psi").as("stat"), col("statistic"),
         lit(0.25).as("threshold"),
         when(col("statistic") > 0.25, 1).otherwise(0).as("drifted"))
-    val ks = Eval.ksTest(base, live, valCol)
+    val ks = Eval.ksTest(bp, lp, valCol)
       .select(lit("ks").as("stat"), col("d").as("statistic"),
         col("d_crit").as("threshold"), col("drifted"))
-    val rs = Eval.rankSumTest(base, live, valCol)
+    val rs = Eval.rankSumTest(bp, lp, valCol)
       .select(lit("rank_sum").as("stat"), abs(col("z")).as("statistic"),
         lit(1.96).as("threshold"), col("drifted"))
-    val chi = chiSquareDrift(base, live, catCol)
+    val chi = chiSquareDrift(bp, lp, catCol)
       .select(lit("chi2").as("stat"), col("chi2").as("statistic"),
         col("chi2_crit").as("threshold"), col("drifted"))
-    psi.unionAll(ks).unionAll(rs).unionAll(chi).orderBy("stat")
+    val out = graft.util.Checkpoints.pin(
+      psi.unionAll(ks).unionAll(rs).unionAll(chi).orderBy("stat"))
+    // the members hand back their own one-row pins (the ksTest
+    // convention) — reclaim those too once the report materializes
+    Seq(bp, lp, ks, rs, chi).foreach(graft.util.Checkpoints.release)
+    out
   }
 
   /** [[chiSquareDriftWindowed]]'s baseline inputs from the reference
@@ -343,6 +432,75 @@ object Outliers {
       col("_x").getField("chi2").as("chi2"),
       col("_x").getField("chi2_crit").as("chi2_crit"),
       col("_x").getField("drifted").as("drifted"))
+  }
+
+  /** [[chiSquareDriftWindowed]] BY SLICE — each (window, slice)'s
+    * category mix against the same driver-held global baseline count
+    * table (the [[Eval.ksDriftWindowedBy]] composition for the
+    * categorical member: "which source's language mix shifted, per
+    * day"). Slice key added to the grouping; per-(window, slice) state
+    * is the cell's per-category counts, GridGuard-capped; per-cell
+    * batch ≡ [[chiSquareDrift]] on that cell's slice at the 6 dp grain
+    * (the [[chiSquareDriftWindowed]] convention), stream ≡ batch.
+    * Returns (ws, sliceCol, n_live, k, chi2, chi2_crit, drifted). */
+  def chiSquareDriftWindowedBy(df: DataFrame, tsCol: String,
+      sliceCol: String, catCol: String, baseCounts: Map[String, Long],
+      windowDur: String = "1 day"): DataFrame = {
+    require(baseCounts.nonEmpty, "chiSquareDriftWindowedBy: empty baseline")
+    val agged = df
+      .select(window(col(tsCol), windowDur).as("_w"),
+        col(sliceCol).as("_slice"),
+        col(catCol).cast("string").as("_c"))
+      .groupBy(col("_w"), col("_slice"))
+      .agg(graft.agg.ChiSquareDriftAgg.column(col("_c"), baseCounts,
+        graft.util.GridGuard.streamStateCap(df.sparkSession)).as("_x"))
+    agged.select(col("_w").getField("start").as("ws"),
+      col("_slice").as(sliceCol),
+      col("_x").getField("n_live").as("n_live"),
+      col("_x").getField("k").as("k"),
+      col("_x").getField("chi2").as("chi2"),
+      col("_x").getField("chi2_crit").as("chi2_crit"),
+      col("_x").getField("drifted").as("drifted"))
+  }
+
+  /** [[psiWindowed]] BY SLICE — PSI per (event-time window, slice)
+    * against the same driver-held baseline histogram ("which source's
+    * score distribution shifted, per day" — the binned member of the
+    * windowed-by-slice composition, [[Eval.ksDriftWindowedBy]]'s shape
+    * for PSI). Still ONE stateful windowed aggregation carrying nBuckets
+    * conditional counters per (window, slice) — state stays
+    * nBuckets longs per cell regardless of event rate; the watermark
+    * expires whole windows. Per-cell output ≡ [[psiWindowed]] on the
+    * slice's substream (identical fixed left-fold term shapes).
+    * Returns (ws, sliceCol, n, psi) per (window, slice). */
+  def psiWindowedBy(df: DataFrame, tsCol: String, sliceCol: String,
+      valCol: String, baseCounts: Map[Int, Long], baseTotal: Long,
+      nBuckets: Int = 10, lo: Double = 0.0, hi: Double = 1.0,
+      windowDur: String = "1 day"): DataFrame = {
+    require(nBuckets > 0 && hi > lo && baseTotal > 0)
+    val b = least(greatest(
+      floor((col(valCol) - lit(lo)) / lit(hi - lo) * lit(nBuckets)),
+      lit(0.0)), lit((nBuckets - 1).toDouble)).cast("int")
+    val aggs = (0 until nBuckets).map(k =>
+      sum(when(col("_b") === k, 1L).otherwise(0L)).as(s"_c$k"))
+    val agged = df
+      .select(window(col(tsCol), windowDur).as("_w"),
+        col(sliceCol).as("_slice"), b.as("_b"))
+      .groupBy(col("_w"), col("_slice"))
+      .agg(aggs.head, aggs.tail: _*)
+    val twRaw = (0 until nBuckets).map(k => col(s"_c$k")).reduce(_ + _)
+    val denomL = lit(0.5 * nBuckets)
+    val pDen = lit(baseTotal + 0.5 * nBuckets)
+    val terms = (0 until nBuckets).map { k =>
+      val p = (lit(baseCounts.getOrElse(k, 0L)) + lit(0.5)) / pDen
+      val q = (col(s"_c$k") + lit(0.5)) /
+        (twRaw.cast("double") + denomL)
+      (q - p) * log(q / p)
+    }
+    agged.select(col("_w").getField("start").as("ws"),
+      col("_slice").as(sliceCol),
+      twRaw.as("n"),
+      round(terms.reduce(_ + _), 6).as("psi"))
   }
 
   /** WINSORIZE: clamp `valCol` into its per-key exact-percentile

@@ -713,6 +713,67 @@ object Similarity {
         round(col("_c"), 6).as("mean_cos"), round(col("_l"), 6).as("mean_l2"))
   }
 
+  /** [[embeddingDrift]] PER SLICE — each slice's mean embedding vs the
+    * REST of the corpus's ("which source's embedding space moved?"), the
+    * embedding member of the by-slice drift views
+    * ([[graft.ext.Eval.ksTestBy]] / [[graft.ext.Outliers.psiDriftBy]]).
+    * Fully distributed, one corpus pass: per-slice (mean, count) via ONE
+    * [[graft.agg.VectorMeanAgg]] aggregation (slice count gated by
+    * [[graft.util.GridGuard]] on the pinned slice table — a slice key,
+    * not a row id), then the rest-side mean derives per dimension as
+    * `(Σ_g n_g·m_g − n_g·m_g) / (n − n_g)` over the exploded
+    * |slices| × d dim table — global-minus-own, the house by-slice
+    * derivation, so slicing costs no second corpus pass. Cosine uses the
+    * single-sqrt form `dot / sqrt(‖a‖²·‖b‖²)` (exact ±1 on perfect
+    * alignment, the spearman lesson).
+    *
+    * Each row ≈ `embeddingDrift(rest, own)` for that slice —
+    * property-pinned at 1e-6: the member averages the rest's ROWS
+    * directly while this derives the rest mean from slice means, so the
+    * two differ by float summation order, inside the 6 dp emission
+    * grain. A single-slice input has an empty rest side → NULL cos/l2
+    * (guarded divisions, the ANSI discipline). Returns one row per
+    * slice: (groupCol, n_g, n_rest, mean_cos, mean_l2), 6 dp-rounded. */
+  def embeddingDriftBy(df: DataFrame, groupCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val base = df.select(col(groupCol).as("_g"),
+        col(vecCol).cast("array<double>").as("_x"))
+      .filter(col("_g").isNotNull && col("_x").isNotNull)
+    val pm = graft.util.GridGuard.gateTable(
+      base.groupBy(col("_g"))
+        .agg(count(lit(1)).as("n_g"),
+          graft.agg.VectorMeanAgg.column(col("_x")).as("_m")),
+      "embeddingDriftBy", groupCol)
+    val dims = pm.select(col("_g"), col("n_g"),
+      posexplode(col("_m")).as(Seq("_j", "_mj")))
+    val glob = dims.groupBy(col("_j"))
+      .agg(sum(col("_mj") * col("n_g").cast("double")).as("_sj"))
+    val tot = pm.agg(sum(col("n_g")).as("n"))
+    val rest = dims.join(broadcast(glob), Seq("_j"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_rj",
+        when(col("n") > col("n_g"),
+          (col("_sj") - col("_mj") * col("n_g").cast("double")) /
+            (col("n") - col("n_g")).cast("double")))
+    val per = rest.groupBy(col("_g"), col("n_g"), col("n"))
+      .agg(sum(col("_mj") * col("_rj")).as("_dot"),
+        sum(col("_mj") * col("_mj")).as("_na2"),
+        sum(col("_rj") * col("_rj")).as("_nb2"),
+        sum((col("_mj") - col("_rj")) * (col("_mj") - col("_rj")))
+          .as("_l22"))
+    val out = per.select(col("_g").as(groupCol), col("n_g"),
+      (col("n") - col("n_g")).as("n_rest"),
+      round(when(col("_na2") > 0 && col("_nb2") > 0,
+        col("_dot") / sqrt(col("_na2") * col("_nb2"))), 6).as("mean_cos"),
+      round(when(col("n") > col("n_g"), sqrt(col("_l22"))), 6)
+        .as("mean_l2"))
+    // |slices|-row result: materialize and release the gate pin when the
+    // guard pinned it (the Eval.ksTest convention)
+    val pinned = graft.util.Checkpoints.pin(out)
+    graft.util.Checkpoints.release(pm)
+    pinned
+  }
+
   /** [[embeddingDriftWindowed]]'s baseline inputs from the reference
     * slice (the store's training corpus): (mean vector, row count) — run
     * once against the snapshot, hold on the driver / in the job config,

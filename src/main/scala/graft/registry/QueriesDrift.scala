@@ -309,7 +309,7 @@ object QueriesDrift {
                     CAST(sum(cb) AS BIGINT) AS n_b,
                     sum(CAST(cb AS DOUBLE) * (CAST(cum - nv AS DOUBLE) +
                       CAST(nv + 1 AS DOUBLE) / 2.0)) AS rb,
-                    CAST(sum(nv * nv * nv - nv) AS BIGINT) AS ties
+                    sum(CAST(nv AS DOUBLE) * nv * nv - nv) AS ties
                   FROM rk)
            SELECT n_a, n_b,
              rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0) / 2.0
@@ -616,7 +616,7 @@ object QueriesDrift {
              CAST(sum(cb) AS BIGINT) AS n_b,
              sum(CAST(cb AS DOUBLE) * (CAST(cum - nv AS DOUBLE) +
                CAST(nv + 1 AS DOUBLE) / 2.0)) AS rb,
-             CAST(sum(nv * nv * nv - nv) AS BIGINT) AS ties
+             sum(CAST(nv AS DOUBLE) * nv * nv - nv) AS ties
            FROM rk GROUP BY ws)
          SELECT ws, n_b AS n_live,
            rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0) / 2.0
@@ -662,7 +662,7 @@ object QueriesDrift {
                     AS BIGINT) AS cum
                 FROM gv),
          gstat AS (SELECT CAST(sum(nv) AS BIGINT) AS n,
-                  CAST(sum(nv * nv * nv - nv) AS BIGINT) AS ties
+                  sum(CAST(nv AS DOUBLE) * nv * nv - nv) AS ties
                  FROM rk),
          per AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_g,
                   sum(CAST(c AS DOUBLE) * (CAST(cum - nv AS DOUBLE) +
