@@ -495,6 +495,44 @@ object Bench {
         System.err.println(s"keepbest_kernel_probe failed: ${e.getMessage}")
     }
 
+    // vocab-divergence kernel probe: q129 drifted 0.54→0.79 s r11→r12
+    // with no commits touching its code path (VERDICT r12 "What's wrong"
+    // #4 — a one-round watch item; it is NOT in the GridGuard family the
+    // round's attributed cluster belongs to). This cell times
+    // vocabDivergence ALONE: the en/non-en projections are pre-built and
+    // checkpointed OUTSIDE the timed window at 1×/16×, so the number is
+    // the token-histogram + KL/JS kernel, attributable separately from
+    // the parquet scan and lang filter the in-suite q129 also pays.
+    // Kernel flat here while the in-suite number drifts ⇒
+    // suite-JVM/calibration noise; slow here too ⇒ a real regression.
+    if (probeOn("vocabdiv")) try {
+      dropCaches()
+      import org.apache.spark.sql.functions.col
+      val built = Seq(1, 16).map { f =>
+        val (docs, _) = SparkEntry.probeCorpus(spark, sfDir, f)
+        val en = docs.filter(col("lang") === "en").localCheckpoint(true)
+        val non = docs.filter(col("lang") =!= "en").localCheckpoint(true)
+        f -> ((en, non))
+      }
+      // discard first use: the HOF-chain codegen/classload
+      locally { val (en, non) = built.head._2
+        ext.TextAnalysis.vocabDivergence(en, non, "text").count() }
+      val cells = for ((f, (en, non)) <- built) yield
+        ((f, "vocab_divergence"),
+          () => { ext.TextAnalysis.vocabDivergence(en, non, "text")
+            .count(); 0L })
+      val (times, _) = interleavedTimes(cells)
+      val (t1, t16) =
+        (times((1, "vocab_divergence")), times((16, "vocab_divergence")))
+      val l = s"""{"metric":"vocabdiv_kernel_probe","probes_isolated":true,"factor":16,"warmup":true,"interleaved_passes":2,""" +
+        s""""sec_1x":$t1,"sec_16x":$t16,"ratio_16x":${t16 / math.max(t1, 1e-9)},""" +
+        s""""note":"vocabDivergence alone on pre-checkpointed en/non-en projections; the q129 watch item's attribution cell"}"""
+      println(l); extraLines += l
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"vocabdiv_kernel_probe failed: ${e.getMessage}")
+    }
+
     // Graph DEPTH probe (full runs only): the text9 cell certifies node
     // scaling at 3 rounds; this one certifies ROUND scaling — sec/round at
     // iters=20 vs iters=5 on the same synthetic graph must stay ~flat
@@ -629,17 +667,11 @@ object Bench {
           else math.round(1e4 * (got intersect exact).size / exact.size) / 1e4
         val coarse = ext.Ivf.train(emb, k = 8, iters = 2)
         // fraction of squared norm the coarse quantizer does NOT explain
-        val unexplained = {
-          val cl = typedLit(coarse.map(_.toSeq).toSeq)
-          val v = col("embedding").cast("array<double>")
-          val sq = (x: org.apache.spark.sql.Column, acc: org.apache.spark.sql.Column) => acc + x * x
-          math.round(1e4 * ext.Ivf.assign(emb, coarse)
-            .select(
-              aggregate(zip_with(v, element_at(cl, col("ivf_bkt") + 1),
-                (a, b) => a - b), lit(0.0), sq).as("r2"),
-              aggregate(v, lit(0.0), sq).as("n2"))
-            .agg(sum(col("r2")) / sum(col("n2"))).first().getDouble(0)) / 1e4
-        }
+        // (the Ivf.recommendNprobe decision variable — r13 moved the
+        // measurement into the library; the probe now just reads it)
+        val unexplained =
+          math.round(1e4 * ext.Ivf.unexplainedVar(emb, coarse)) / 1e4
+        val recNp = ext.Ivf.nprobeFor(unexplained, 8)
         val rIvf = recall(pairs(ext.Ivf.topK(emb, queries, 10, coarse, nprobe = 2)))
         val cb = ext.Pq.train(emb, m = 8, ksub = 16, iters = 2)
         val rPq = recall(pairs(ext.Pq.topK(emb, queries, 10, cb, rerank = 100)))
@@ -661,7 +693,8 @@ object Bench {
           s""""$np":{"ivf":$ri,"ivfpq_residual":$rr}"""
         }.mkString("{", ",", "}")
         emb.unpersist()
-        s"""{"unexplained_var":$unexplained,"recall_at_10":""" +
+        s"""{"unexplained_var":$unexplained,""" +
+          s""""recommended_nprobe":$recNp,"recall_at_10":""" +
           s"""{"ivf":$rIvf,"pq":$rPq,"ivfpq_residual":$rRes,""" +
           s""""ivfpq_residual_fullprobe":$rResFull},""" +
           s""""recall_vs_nprobe":$curve}"""

@@ -57,6 +57,53 @@ object Ivf {
     df.withColumn(bucketCol,
       NearestCentroid.column(col(vecCol).cast("array<double>"), centroids))
 
+  /** Fraction of the corpus's squared norm the coarse quantizer does NOT
+    * explain: `Σ‖v − c(v)‖² / Σ‖v‖²` — ≈ 0 on a clustered space (cells
+    * carry the structure), ≈ 1 on an isotropic one (cells are arbitrary
+    * slices and IVF pruning discards true neighbors in proportion to
+    * what it prunes). ONE corpus pass: the shuffle-free [[assign]] map
+    * plus a two-sum aggregate — measurable at TRAIN time, before any
+    * query arrives, which is exactly why it (and not a recall curve that
+    * needs held-out queries) is the serving decision variable. */
+  def unexplainedVar(df: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String = "embedding"): Double = {
+    val cl = typedLit(centroids.map(_.toSeq).toSeq)
+    val v = col(vecCol).cast("array<double>")
+    val sq = (acc: org.apache.spark.sql.Column,
+        x: org.apache.spark.sql.Column) => acc + x * x
+    assign(df, centroids, vecCol)
+      .select(
+        aggregate(zip_with(v, element_at(cl, col("ivf_bkt") + 1),
+          (a, b) => a - b), lit(0.0), sq).as("r2"),
+        aggregate(v, lit(0.0), sq).as("n2"))
+      .agg(sum(col("r2")) / sum(col("n2"))).first().getDouble(0)
+  }
+
+  /** Evidence-based probe-budget default (the ARCHITECTURE.md serving
+    * rule, now callable from the serving path): measure
+    * [[unexplainedVar]] on the trained quantizer and return
+    * `(unexplained_var, nprobe)` from the recall-vs-nprobe curve's knee
+    * logic. Clustered space (`unexplained_var` ≈ 0): recall sits at its
+    * ceiling from one cell, so serve `nprobe = 2` — the one-cell optimum
+    * plus a safety cell. Isotropic (≈ 1): IVF recall climbs ~linearly
+    * with the probed FRACTION (bench curve: 0.325/0.495/0.75/1.0 at
+    * 1/2/4/8 of 8), so no `nprobe < k` is safe — the recommendation
+    * saturates at `k` (scan every cell = exact), which a caller should
+    * read as "don't deploy IVF pruning here; use brute/PQ or re-embed
+    * until the space clusters". In between, the same linearity gives the
+    * interpolation `ceil(unexplained_var · k)`, clamped to [2, k]. */
+  def recommendNprobe(df: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String = "embedding"): (Double, Int) = {
+    val uv = unexplainedVar(df, centroids, vecCol)
+    (uv, nprobeFor(uv, centroids.length))
+  }
+
+  /** [[recommendNprobe]]'s knee logic on an already-measured
+    * `unexplained_var` (callers holding the measurement — the bench
+    * probe — need not pay a second corpus pass). */
+  def nprobeFor(unexplainedVar: Double, k: Int): Int =
+    math.max(2, math.min(k, math.ceil(unexplainedVar * k).toInt))
+
   /** Top-k cosine search probing the `nprobe` nearest cells per query.
     * `nprobe == centroids.length` scans everything → exact brute force. */
   def topK(corpus: DataFrame, queries: DataFrame, kNN: Int,

@@ -9,15 +9,22 @@ import graft.operators.{Elevation, Factorize, FlagRegions, GridOps, MineDepletio
 import graft.sources.Ingest
 import graft.QueryShared._
 
-/** Query registry — LLM pipeline: the drift matrix, complete on both axes:
-  * {PSI, KS, rank-sum, chi², embedding} × {pairwise, by-slice, windowed
-  * streaming twin}, plus Theil–Sen trends and the one-call q193 report.
+/** Query registry — LLM pipeline: the drift matrix. As of r13 every one
+  * of {PSI, KS, rank-sum, chi², embedding} has all three single-lens
+  * forms — pairwise, by-slice ("which source drifted?"), and a windowed
+  * streaming twin — and the two lenses COMPOSE for the four
+  * statistic-vs-driver-held-baseline members: windowed-BY-slice
+  * ("which source drifted, per day") for PSI / KS / rank-sum / chi²
+  * (q196–q199; the embedding member's by-slice form is rest-relative,
+  * which needs cross-slice state a streaming monitor doesn't carry —
+  * its serving twin stays the unsliced [[graft.ext.Similarity.embeddingDriftWindowed]]).
+  * Plus Theil–Sen trends and the one-call q193 report.
   *
   * Pre-r12 entries (and their DuckDB oracle SQL beside them) moved
   * verbatim from SparkEntry in the r12 per-family split; q186–q193 were
-  * born here. [[SparkEntry.queries]] is the dispatcher that concatenates
-  * the families; shared fixtures/helpers and oracle SQL fragments live in
-  * [[QueryShared]]. */
+  * born here, q194–q199 in r13. [[SparkEntry.queries]] is the dispatcher
+  * that concatenates the families; shared fixtures/helpers and oracle SQL
+  * fragments live in [[QueryShared]]. */
 object QueriesDrift {
 
   private[graft] val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -190,6 +197,81 @@ object QueriesDrift {
         ext.Outliers.driftReport(
           docs.filter(col("source") =!= "src9"),
           docs.filter(col("source") === "src9"), "q", "lang"), docs)
+    }),
+
+    // ext: per-source PSI drift — every source's binned quality
+    // distribution vs the rest (q103's sliced view, the binned member of
+    // the by-slice family beside q185/q191/q192; rest-side bucket counts
+    // derive as global − own, one (source, bucket) aggregation)
+    "q194_psi_by_source" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("source"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Outliers.psiDriftBy(docs, "source", "q", 10, 0.0, 1.0)
+          .orderBy("source"), docs)
+    }),
+
+    // ext: per-label embedding drift — each label cluster's mean
+    // embedding vs the rest of the corpus's (the embedding member of the
+    // by-slice family: "which source's embedding space moved?"); rest
+    // means derive from the per-slice (mean, count) table, one corpus pass
+    "q195_embedding_drift_by" -> ((s, dir) =>
+      ext.Similarity.embeddingDriftBy(
+        Tables.load(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label")),
+
+    // ext: WINDOWED KS drift BY SLICE — q186's per-day monitor with the
+    // event type in the grouping ("which event type's value distribution
+    // drifted, per day"); same stateful aggregate, per-(window, slice)
+    // capped state, every cell vs the same first-week baseline
+    "q196_ks_windowed_by" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("ts"), col("event_type"), round(col("value"), 2).as("v"))
+      val (bv, bc) = ext.Eval.ksBaseline(
+        ev.filter(col("ts") < lit("2024-01-08").cast("timestamp")), "v")
+      ext.Eval.ksDriftWindowedBy(ev, "ts", "event_type", "v", bv, bc)
+        .orderBy("ws", "event_type")
+    }),
+
+    // ext: WINDOWED rank-sum drift BY SLICE — q190's location monitor per
+    // (day, event type), sharing the same ksBaseline artifact (one
+    // snapshot pass serves both unbinned windowed-by monitors)
+    "q197_rank_sum_windowed_by" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("ts"), col("event_type"), round(col("value"), 2).as("v"))
+      val (bv, bc) = ext.Eval.ksBaseline(
+        ev.filter(col("ts") < lit("2024-01-08").cast("timestamp")), "v")
+      ext.Eval.rankSumDriftWindowedBy(ev, "ts", "event_type", "v", bv, bc)
+        .orderBy("ws", "event_type")
+    }),
+
+    // ext: WINDOWED chi-squared drift BY SLICE — each (day, user cohort)'s
+    // event-type mix vs the first-week global baseline ("which cohort's
+    // behavior mix shifted, per day"); cohort = user_id % 4, the
+    // categorical slice the events table affords
+    "q198_chi2_windowed_by" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("cohort", (col("user_id") % 4).cast("string"))
+      val (bcnt, _) = ext.Outliers.chiSquareBaseline(
+        ev.filter(col("ts") < lit("2024-01-08").cast("timestamp")),
+        "event_type")
+      ext.Outliers.chiSquareDriftWindowedBy(ev, "ts", "cohort",
+          "event_type", bcnt)
+        .orderBy("ws", "cohort")
+    }),
+
+    // ext: WINDOWED PSI drift BY SLICE — the binned member of the
+    // windowed-by composition: each (day, event type)'s value histogram
+    // vs the first-week baseline, nBuckets counters per cell
+    "q199_psi_windowed_by" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val (bcm, bt) = ext.Outliers.psiBaseline(
+        ev.filter(col("ts") < lit("2024-01-08").cast("timestamp")),
+        "value", 10, 0.0, 500.0)
+      ext.Outliers.psiWindowedBy(ev, "ts", "event_type", "value", bcm, bt,
+          10, 0.0, 500.0)
+        .orderBy("ws", "event_type")
     }),
   )
 
@@ -755,5 +837,268 @@ object QueriesDrift {
          UNION ALL
          SELECT 'chi2', chi2, chi2_crit, drifted FROM ($Chi2DriftSql)
          ORDER BY stat""",
+
+    // q103's psi machinery per slice on the dense (source x bucket) grid:
+    // rest-side counts = global - own; per-term round 6 dp then the sum
+    // rounds 6 dp, the exact shapes psiDriftBy emits
+    "q194_psi_by_source" ->
+      s"""$QualityCtesSql,
+         sc AS (SELECT source, $QualityValSql AS q FROM s),
+         pb AS (SELECT source AS g,
+                  CAST(least(greatest(floor((q - 0.0) / 1.0 * 10),
+                    0.0), 9.0) AS INT) AS bucket,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM sc WHERE source IS NOT NULL GROUP BY g, bucket),
+         gb AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS nb
+                FROM pb GROUP BY bucket),
+         grp AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g
+                 FROM pb GROUP BY g),
+         tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM grp),
+         r AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
+         dense AS (SELECT grp.g, grp.n_g, r.bucket,
+                     coalesce(pb.cnt, 0) AS own,
+                     coalesce(gb.nb, 0) - coalesce(pb.cnt, 0) AS restc
+                   FROM grp CROSS JOIN r
+                     LEFT JOIN gb ON gb.bucket = r.bucket
+                     LEFT JOIN pb ON pb.g = grp.g AND pb.bucket = r.bucket),
+         terms AS (SELECT g, n_g, n,
+             round(((own + 0.5) / (CAST(n_g AS DOUBLE) + 5.0)
+                  - (restc + 0.5) / (CAST(n - n_g AS DOUBLE) + 5.0)) *
+               ln(((own + 0.5) / (CAST(n_g AS DOUBLE) + 5.0))
+                / ((restc + 0.5) / (CAST(n - n_g AS DOUBLE) + 5.0))), 6)
+               AS term
+           FROM dense, tot),
+         perg AS (SELECT g, n_g, n, round(sum(term), 6) AS psi
+                  FROM terms GROUP BY g, n_g, n)
+         SELECT g AS source, n_g, CAST(n - n_g AS BIGINT) AS n_rest, psi,
+           CASE WHEN psi > 0.25 THEN 1 ELSE 0 END AS drifted
+         FROM perg ORDER BY source""",
+
+    // the q164 mean-vector machinery per slice: per-label per-dim means,
+    // rest mean derived per dim as (sum_g n_g*m_g - n_g*m_g) / (n - n_g)
+    // — the same global-minus-own arithmetic embeddingDriftBy runs
+    "q195_embedding_drift_by" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS x
+             FROM embeddings
+             WHERE label IS NOT NULL AND embedding IS NOT NULL),
+         dims AS (SELECT label, g.j AS j, avg(x[g.j]) AS mj,
+                    CAST(count(*) AS BIGINT) AS n_g
+                  FROM e, generate_series(1, 64) AS g(j)
+                  GROUP BY label, g.j),
+         gsum AS (SELECT j, sum(mj * CAST(n_g AS DOUBLE)) AS sj
+                  FROM dims GROUP BY j),
+         tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n
+                 FROM (SELECT label, any_value(n_g) AS n_g
+                       FROM dims GROUP BY label)),
+         rest AS (SELECT d.label, d.n_g, n, d.mj,
+                    CASE WHEN n > d.n_g
+                      THEN (gl.sj - d.mj * CAST(d.n_g AS DOUBLE)) /
+                        CAST(n - d.n_g AS DOUBLE) END AS rj
+                  FROM dims d JOIN gsum gl ON gl.j = d.j, tot),
+         per AS (SELECT label, n_g, n,
+                   sum(mj * rj) AS dot, sum(mj * mj) AS na2,
+                   sum(rj * rj) AS nb2,
+                   sum((mj - rj) * (mj - rj)) AS l22
+                 FROM rest GROUP BY label, n_g, n)
+         SELECT label, n_g, CAST(n - n_g AS BIGINT) AS n_rest,
+           round(CASE WHEN na2 > 0 AND nb2 > 0
+             THEN dot / sqrt(na2 * nb2) END, 6) AS mean_cos,
+           round(CASE WHEN n > n_g THEN sqrt(l22) END, 6) AS mean_l2
+         FROM per ORDER BY label""",
+
+    // q186's dense-grid machinery with the slice in the window key: each
+    // (day, event type) cell's ECDF vs the shared first-week baseline
+    "q196_ks_windowed_by" ->
+      """WITH e AS (SELECT date_trunc('day', ts) AS ws, event_type AS g,
+                  round(value, 2) AS v FROM events),
+         b AS (SELECT round(value, 2) AS v FROM events
+               WHERE ts < TIMESTAMP '2024-01-08'),
+         bc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM b),
+         lc AS (SELECT ws, g, v, CAST(count(*) AS BIGINT) AS c
+                FROM e GROUP BY ws, g, v),
+         nl AS (SELECT ws, g, CAST(count(*) AS BIGINT) AS n_live
+                FROM e GROUP BY ws, g),
+         vals AS (SELECT DISTINCT v FROM
+                  (SELECT v FROM bc UNION ALL SELECT v FROM lc) u),
+         grid AS (SELECT w.ws, w.g, x.v
+                  FROM (SELECT DISTINCT ws, g FROM e) w CROSS JOIN vals x),
+         cums AS (SELECT gr.ws, gr.g, gr.v,
+             CAST(sum(coalesce(bc.c, 0)) OVER (PARTITION BY gr.ws, gr.g
+               ORDER BY gr.v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cna,
+             CAST(sum(coalesce(lc.c, 0)) OVER (PARTITION BY gr.ws, gr.g
+               ORDER BY gr.v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cnb
+           FROM grid gr LEFT JOIN bc ON bc.v = gr.v
+             LEFT JOIN lc ON lc.ws = gr.ws AND lc.g = gr.g AND lc.v = gr.v),
+         per AS (SELECT c.ws, c.g, nl.n_live,
+             max(abs(CAST(c.cna * nl.n_live AS BIGINT) -
+               CAST(c.cnb * nb.n_a AS BIGINT))) AS dnum
+           FROM cums c JOIN nl ON nl.ws = c.ws AND nl.g = c.g, nb
+           GROUP BY c.ws, c.g, nl.n_live)
+         SELECT per.ws, per.g AS event_type, per.n_live,
+           CAST(dnum AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)) AS d,
+           1.358 * sqrt(CAST(n_a + n_live AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE))) AS d_crit,
+           CASE WHEN CAST(dnum AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)) >
+             1.358 * sqrt(CAST(n_a + n_live AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)))
+             THEN 1 ELSE 0 END AS drifted
+         FROM per, nb ORDER BY ws, event_type""",
+
+    // q190's rank machinery per (day, event type) against the first-week
+    // baseline on the dense (window x slice x value) grid
+    "q197_rank_sum_windowed_by" ->
+      """WITH e AS (SELECT date_trunc('day', ts) AS ws, event_type AS g,
+                  round(value, 2) AS v FROM events),
+         b AS (SELECT round(value, 2) AS v FROM events
+               WHERE ts < TIMESTAMP '2024-01-08'),
+         bc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
+         lc AS (SELECT ws, g, v, CAST(count(*) AS BIGINT) AS c
+                FROM e GROUP BY ws, g, v),
+         vals AS (SELECT DISTINCT v FROM
+                  (SELECT v FROM bc UNION ALL SELECT v FROM lc) u),
+         rk AS (SELECT gr.ws, gr.g, gr.v,
+             coalesce(bc.c, 0) + coalesce(lc.c, 0) AS nv,
+             coalesce(lc.c, 0) AS cb,
+             CAST(sum(coalesce(bc.c, 0) + coalesce(lc.c, 0))
+               OVER (PARTITION BY gr.ws, gr.g ORDER BY gr.v ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM (SELECT w.ws, w.g, x.v
+                 FROM (SELECT DISTINCT ws, g FROM e) w CROSS JOIN vals x)
+             gr
+             LEFT JOIN bc ON bc.v = gr.v
+             LEFT JOIN lc ON lc.ws = gr.ws AND lc.g = gr.g AND lc.v = gr.v),
+         ag AS (SELECT ws, g,
+             CAST(sum(nv) - sum(cb) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             sum(CAST(cb AS DOUBLE) * (CAST(cum - nv AS DOUBLE) +
+               CAST(nv + 1 AS DOUBLE) / 2.0)) AS rb,
+             sum(CAST(nv AS DOUBLE) * CAST(nv AS DOUBLE) *
+               CAST(nv AS DOUBLE) - CAST(nv AS DOUBLE)) AS ties
+           FROM rk GROUP BY ws, g)
+         SELECT ws, g AS event_type, n_b AS n_live,
+           rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0) / 2.0
+             AS u,
+           CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+               ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                CAST(ties AS DOUBLE) /
+                  ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                   (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))) > 0
+             THEN (rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0)
+                     / 2.0
+                   - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                 ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                  CAST(ties AS DOUBLE) /
+                    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
+           END AS z,
+           CASE WHEN abs((rb - CAST(n_b AS DOUBLE) *
+                 (CAST(n_b AS DOUBLE) + 1.0) / 2.0
+               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                 ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                  CAST(ties AS DOUBLE) /
+                    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))))
+               > 1.96
+             THEN 1 ELSE 0 END AS drifted
+         FROM ag ORDER BY ws, event_type""",
+
+    // q189's chi2 machinery per (day, user cohort) vs the first-week
+    // baseline; cells with a count on either side only, chi2/crit 6 dp
+    "q198_chi2_windowed_by" ->
+      """WITH e AS (SELECT date_trunc('day', ts) AS ws,
+                  CAST(user_id % 4 AS VARCHAR) AS coh, event_type AS c
+                    FROM events),
+         b AS (SELECT event_type AS c FROM events
+               WHERE ts < TIMESTAMP '2024-01-08'),
+         bc AS (SELECT c, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY c),
+         lc AS (SELECT ws, coh, c, CAST(count(*) AS BIGINT) AS cl
+                FROM e GROUP BY ws, coh, c),
+         cats AS (SELECT DISTINCT c FROM
+                  (SELECT c FROM bc UNION ALL SELECT c FROM lc) u),
+         cell AS (SELECT g.ws, g.coh, g.c,
+                    coalesce(bc.cb, 0) AS cb, coalesce(lc.cl, 0) AS cl
+                  FROM (SELECT w.ws, w.coh, x.c
+                        FROM (SELECT DISTINCT ws, coh FROM e) w
+                        CROSS JOIN cats x) g
+                    LEFT JOIN bc ON bc.c = g.c
+                    LEFT JOIN lc ON lc.ws = g.ws AND lc.coh = g.coh
+                      AND lc.c = g.c
+                  WHERE coalesce(bc.cb, 0) > 0 OR coalesce(lc.cl, 0) > 0),
+         ag AS (SELECT ws, coh, CAST(sum(cb) AS BIGINT) AS n_base,
+                  CAST(sum(cl) AS BIGINT) AS n_live,
+                  CAST(count(*) AS BIGINT) AS k
+                FROM cell GROUP BY ws, coh),
+         terms AS (SELECT t.ws, t.coh,
+             (CAST(cb AS DOUBLE) - eb) * (CAST(cb AS DOUBLE) - eb) / eb +
+             (CAST(cl AS DOUBLE) - el) * (CAST(cl AS DOUBLE) - el) / el
+               AS term
+           FROM (SELECT cell.ws, cell.coh, cb, cl,
+                   CAST(n_base AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
+                     (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS eb,
+                   CAST(n_live AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
+                     (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS el
+                 FROM cell JOIN ag ON ag.ws = cell.ws
+                   AND ag.coh = cell.coh) t),
+         x AS (SELECT ws, coh, round(sum(term), 6) AS chi2
+               FROM terms GROUP BY ws, coh),
+         crit AS (SELECT ws, coh, round(CAST(k - 1 AS DOUBLE) *
+             power(1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE)) +
+               1.6449 * sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))), 3), 6)
+             AS chi2_crit FROM ag WHERE k > 1)
+         SELECT ag.ws, ag.coh AS cohort, n_live, k,
+           CASE WHEN k > 1 THEN chi2 END AS chi2,
+           CASE WHEN k > 1 THEN crit.chi2_crit END AS chi2_crit,
+           CASE WHEN k > 1 AND chi2 > crit.chi2_crit THEN 1 ELSE 0 END
+             AS drifted
+         FROM ag JOIN x ON x.ws = ag.ws AND x.coh = ag.coh
+           LEFT JOIN crit ON crit.ws = ag.ws AND crit.coh = ag.coh
+         ORDER BY ag.ws, ag.coh""",
+
+    // q168's smoothing arithmetic per (day, event type) cell against the
+    // shared first-week baseline histogram; psi rounds 6 dp over the sum
+    "q199_psi_windowed_by" ->
+      """WITH bb AS (SELECT ts, event_type,
+             CAST(least(greatest(
+               floor((value - 0.0) / 500.0 * 10), 0.0), 9.0) AS INT)
+               AS bucket
+           FROM events),
+         base AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
+                  FROM bb WHERE ts < TIMESTAMP '2024-01-08'
+                  GROUP BY bucket),
+         tbl AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM bb
+                 WHERE ts < TIMESTAMP '2024-01-08'),
+         live AS (SELECT date_trunc('day', ts) AS ws, event_type AS g,
+                    bucket, CAST(count(*) AS BIGINT) AS n_live
+                  FROM bb GROUP BY ws, g, bucket),
+         tw AS (SELECT ws, g, CAST(sum(n_live) AS BIGINT) AS tw
+                FROM live GROUP BY ws, g),
+         grid AS (SELECT tw.ws, tw.g, tw.tw, b.b AS bucket
+                  FROM tw, generate_series(0, 9) AS b(b)),
+         terms AS (SELECT grid.ws, grid.g, grid.tw,
+             ((coalesce(l.n_live, 0) + 0.5)
+                / (CAST(grid.tw AS DOUBLE) + 5.0)
+              - (coalesce(base.n_base, 0) + 0.5)
+                / (CAST(tbl.tb AS DOUBLE) + 5.0))
+             * ln(((coalesce(l.n_live, 0) + 0.5)
+                  / (CAST(grid.tw AS DOUBLE) + 5.0))
+                / ((coalesce(base.n_base, 0) + 0.5)
+                  / (CAST(tbl.tb AS DOUBLE) + 5.0))) AS term
+           FROM grid
+           LEFT JOIN base ON base.bucket = grid.bucket
+           LEFT JOIN live l ON l.ws = grid.ws AND l.g = grid.g
+             AND l.bucket = grid.bucket,
+             tbl)
+         SELECT ws, g AS event_type, tw AS n, round(sum(term), 6) AS psi
+         FROM terms GROUP BY ws, g, tw ORDER BY ws, event_type""",
   )
 }

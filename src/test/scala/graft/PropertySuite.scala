@@ -673,4 +673,77 @@ class PropertySuite extends AnyFunSuite {
       assert(got == clean)
     }
   }
+
+  test("windowed drift aggregates equal their pairwise members on random streams (VERDICT r12 task 8)") {
+    // the fixed fixtures in EventStreamSuite pin one dataset; randomized
+    // baselines exercise the two-pointer merge walk's edge cases (equal
+    // values at array boundaries, live values outside the baseline
+    // support on either end, windows with a single distinct value)
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.col
+    import graft.ext.{Eval, Outliers}
+    val rnd = new Random(71)
+    for (trial <- 1 to 3) {
+      // half-integer values force ties and off-support probes; shift some
+      // trials so the live support extends past the baseline's max
+      val bVals = (0 until 30 + rnd.nextInt(50))
+        .map(_ => rnd.nextInt(14) / 2.0)
+      val nDays = 2 + rnd.nextInt(2)
+      val live = (0 until nDays * 40).map { i =>
+        val day = i / 40 + 1
+        val shift = if (day == 2 && trial % 2 == 0) 3.5 else 0.0
+        (i.toLong, new Timestamp(
+          Timestamp.valueOf(f"2024-01-0$day 00:00:00").getTime +
+            (i % 40) * 60000L),
+          rnd.nextInt(16) / 2.0 + shift)
+      }.toDF("id", "ts", "v")
+      val base = bVals.toDF("v")
+      val (bv, bc) = Eval.ksBaseline(base, "v")
+      def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getTimestamp(0) -> r.toSeq.drop(1)).toMap
+      val ks = cells(Eval.ksDriftWindowed(live, "ts", "v", bv, bc))
+      val rs = cells(Eval.rankSumDriftWindowed(live, "ts", "v", bv, bc))
+      assert(ks.size == nDays && rs.size == nDays)
+      for (ws <- ks.keys) {
+        val dayEnd = new Timestamp(ws.getTime + 86400000L)
+        val slice = live.filter(col("ts") >= ws && col("ts") < dayEnd)
+        val ksRef = Eval.ksTest(base, slice, "v").collect().head
+        assert(ks(ws) == ksRef.toSeq.drop(1),
+          s"trial $trial $ws: ks ${ks(ws)} != ${ksRef.toSeq.drop(1)}")
+        val rsRef = Eval.rankSumTest(base, slice, "v").collect().head
+        assert(rs(ws) == rsRef.toSeq.drop(1),
+          s"trial $trial $ws: rankSum ${rs(ws)} != ${rsRef.toSeq.drop(1)}")
+      }
+      // chi2 member on a random category stream against a random baseline
+      val cats = Seq("x", "y", "z", "w")
+      val baseCat = (0 until 40 + rnd.nextInt(40))
+        .map(_ => cats(rnd.nextInt(3))).toDF("c")
+      val liveCat = (0 until nDays * 40).map { i =>
+        val day = i / 40 + 1
+        // day-dependent skew, and category w only appears live
+        val c = cats(rnd.nextInt(if (day == 2) 4 else 3))
+        (i.toLong, new Timestamp(
+          Timestamp.valueOf(f"2024-01-0$day 00:00:00").getTime +
+            (i % 40) * 60000L), c)
+      }.toDF("id", "ts", "c")
+      val (bcnt, _) = Outliers.chiSquareBaseline(baseCat, "c")
+      val chi = cells(Outliers
+        .chiSquareDriftWindowed(liveCat, "ts", "c", bcnt))
+      assert(chi.size == nDays)
+      for (ws <- chi.keys) {
+        val dayEnd = new Timestamp(ws.getTime + 86400000L)
+        val slice = liveCat.filter(col("ts") >= ws && col("ts") < dayEnd)
+        val ref = Outliers.chiSquareDrift(baseCat, slice, "c")
+          .collect().head
+        val got = chi(ws)
+        assert(got(0) == ref.getLong(1) && got(1) == ref.getLong(2),
+          s"trial $trial $ws: chi2 counts $got vs ${ref.toSeq}")
+        // sorted-category vs partition-order term sums: 6 dp grain
+        assert(math.abs(got(2).asInstanceOf[Double] - ref.getDouble(3))
+          <= 1.1e-6, s"trial $trial $ws: chi2 stat")
+        assert(got(3).asInstanceOf[Double] == ref.getDouble(4))
+        assert(got(4) == ref.getInt(5))
+      }
+    }
+  }
 }

@@ -730,4 +730,63 @@ class EventStreamSuite extends AnyFunSuite {
       .toMap
     assert(streamed == batch, "stream must equal the batch run exactly")
   }
+
+  test("windowed-BY-slice drift: stream equals batch for the ks and psi members") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // two slices x two days; slice b shifts up on day 2 — the r13
+    // composition's serving form ("which source drifted, per day") must
+    // run the same plan under Structured Streaming (the ksDriftWindowed
+    // convention; the slice key just joins the window in the grouping)
+    val base = (0 until 50).map(i => (i % 10).toDouble).toDF("v")
+    val live = (0 until 120).map { i =>
+      val day = i / 60 + 1
+      val g = if (i % 2 == 0) "a" else "b"
+      val v = (i % 10).toDouble + (if (g == "b" && day == 2) 5.0 else 0.0)
+      (i.toLong, new Timestamp(
+        Timestamp.valueOf(f"2024-01-0$day 00:00:00").getTime + i * 60000L),
+        g, v)
+    }.toDF("id", "ts", "g", "v")
+    val (bv, bc) = graft.ext.Eval.ksBaseline(base, "v")
+    val batch = graft.ext.Eval
+      .ksDriftWindowedBy(live, "ts", "g", "v", bv, bc)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.toSeq.drop(2))
+      .toMap
+    assert(batch.size == 4)
+    val dir = Files.createTempDirectory("graft_ksby_stream").toString
+    live.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(live.schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+    val q = graft.ext.Eval
+      .ksDriftWindowedBy(stream, "ts", "g", "v", bv, bc)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ksby_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("ksby_out")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.toSeq.drop(2))
+      .toMap
+    assert(streamed == batch, "ks stream must equal the batch run exactly")
+    // psi member: nBuckets conditional counters per (window, slice)
+    val (bcm, bt) = graft.ext.Outliers.psiBaseline(
+      live.filter(col("ts") < lit("2024-01-02").cast("timestamp")),
+      "v", 10, 0.0, 15.0)
+    val pBatch = graft.ext.Outliers
+      .psiWindowedBy(live, "ts", "g", "v", bcm, bt, 10, 0.0, 15.0)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.toSeq.drop(2))
+      .toMap
+    val q2 = graft.ext.Outliers
+      .psiWindowedBy(stream, "ts", "g", "v", bcm, bt, 10, 0.0, 15.0)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("psiby_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val pStreamed = spark.table("psiby_out")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.toSeq.drop(2))
+      .toMap
+    assert(pStreamed == pBatch, "psi stream must equal the batch run exactly")
+  }
 }
