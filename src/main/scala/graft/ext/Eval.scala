@@ -860,18 +860,38 @@ object Eval {
     * (pinned — two consumers), everything after is scalar. Returns one
     * row: (n_a, n_b, d, d_crit, drifted). */
   def ksTest(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
-    val tagged = a.select(col(valCol).as("_v"),
-        lit(1L).as("_ia"), lit(0L).as("_ib"))
-      .unionAll(b.select(col(valCol).as("_v"),
-        lit(0L).as("_ia"), lit(1L).as("_ib")))
-      .filter(col("_v").isNotNull)
     // runtime grid discipline (ON by default), gated exactly on the
     // per-value table built here (the distributed groupBy is safe at any
     // cardinality; only the downstream one-task window is not): fail
     // before the single-partition cumulative sorts a corpus-sized table
-    val perRaw = tagged.groupBy(col("_v"))
-      .agg(sum(col("_ia")).as("ca"), sum(col("_ib")).as("cb"))
+    val perRaw = pairPerValueRaw(a, b, valCol)
     val per = graft.util.GridGuard.gateTable(perRaw, "ksTest", valCol)
+    val out = ksTestOnPer(per)
+    if (per ne perRaw) graft.util.Checkpoints.release(per)
+    out
+  }
+
+  /** The two-sided per-distinct-value count table `(_v, ca, cb)` that
+    * [[ksTest]], [[rankSumTest]] and (bucketed) [[Outliers.psiDrift]]
+    * all collapse their inputs to — ONE tagged-union aggregation.
+    * [[Outliers.driftReport]] builds it once, gates it once, and feeds
+    * every value-side member (r13: the report previously paid this
+    * corpus collapse once per member). Ungated and lazy — callers gate
+    * via [[graft.util.GridGuard.gateTable]]. */
+  private[ext] def pairPerValueRaw(a: DataFrame, b: DataFrame,
+      valCol: String): DataFrame =
+    a.select(col(valCol).as("_v"),
+        lit(1L).as("_ia"), lit(0L).as("_ib"))
+      .unionAll(b.select(col(valCol).as("_v"),
+        lit(0L).as("_ia"), lit(1L).as("_ib")))
+      .filter(col("_v").isNotNull)
+      .groupBy(col("_v"))
+      .agg(sum(col("_ia")).as("ca"), sum(col("_ib")).as("cb"))
+
+  /** [[ksTest]]'s statistic from an already-gated per-value table (the
+    * [[pairPerValueRaw]] shape) — identical downstream arithmetic, does
+    * NOT release the caller's table. */
+  private[ext] def ksTestOnPer(per: DataFrame): DataFrame = {
     val w = Window.orderBy(col("_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = per
@@ -895,7 +915,6 @@ object Eval {
       d.as("d"), dCrit.as("d_crit"),
       when(d > dCrit, 1).otherwise(0).as("drifted")).pin()
     graft.util.Checkpoints.release(cum)
-    if (per ne perRaw) graft.util.Checkpoints.release(per)
     out
   }
 
@@ -1127,16 +1146,19 @@ object Eval {
     * consumers), everything after is scalar.
     * Returns one row: (n_a, n_b, u, z, drifted). */
   def rankSumTest(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
-    val tagged = a.select(col(valCol).as("_v"),
-        lit(1L).as("_ia"), lit(0L).as("_ib"))
-      .unionAll(b.select(col(valCol).as("_v"),
-        lit(0L).as("_ia"), lit(1L).as("_ib")))
-      .filter(col("_v").isNotNull)
     // grid discipline, gated exactly on the per-value table built here
     // (the ksTest note)
-    val perRaw = tagged.groupBy(col("_v"))
-      .agg(sum(col("_ia")).as("ca"), sum(col("_ib")).as("cb"))
+    val perRaw = pairPerValueRaw(a, b, valCol)
     val per = graft.util.GridGuard.gateTable(perRaw, "rankSumTest", valCol)
+    val out = rankSumOnPer(per)
+    if (per ne perRaw) graft.util.Checkpoints.release(per)
+    out
+  }
+
+  /** [[rankSumTest]]'s statistic from an already-gated per-value table
+    * (the [[pairPerValueRaw]] shape) — identical downstream arithmetic,
+    * does NOT release the caller's table. */
+  private[ext] def rankSumOnPer(per: DataFrame): DataFrame = {
     val w = Window.orderBy(col("_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nv = col("ca") + col("cb")
@@ -1170,7 +1192,6 @@ object Eval {
       when(sigma2 > 0 && abs(z) > 1.96, 1).otherwise(0).as("drifted"))
       .pin()
     graft.util.Checkpoints.release(ranked)
-    if (per ne perRaw) graft.util.Checkpoints.release(per)
     out
   }
 

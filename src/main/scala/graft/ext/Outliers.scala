@@ -367,15 +367,23 @@ object Outliers {
       hi: Double = 1.0): DataFrame = {
     val bp = base.select(col(valCol), col(catCol)).pin()
     val lp = live.select(col(valCol), col(catCol)).pin()
-    val psi = psiDrift(bp, lp, valCol, nBuckets, lo, hi)
-      .agg(round(sum(col("psi")), 6).as("statistic"))
-      .select(lit("psi").as("stat"), col("statistic"),
-        lit(0.25).as("threshold"),
-        when(col("statistic") > 0.25, 1).otherwise(0).as("drifted"))
-    val ks = Eval.ksTest(bp, lp, valCol)
+    // ONE value-side corpus collapse (r13): PSI, KS and rank-sum all
+    // derive from the same per-distinct-value (ca, cb) table — build it
+    // once, gate it once, and run each member's (unchanged, bit-identical)
+    // downstream arithmetic on the bounded pin. Before this the report
+    // paid the two-side aggregation once per value member plus two
+    // psiDrift row-count pulls (three corpus-side passes + three guard
+    // gates for statistics that share their first aggregation).
+    val perRaw = Eval.pairPerValueRaw(bp, lp, valCol)
+    val per = graft.util.GridGuard.gateTable(perRaw, "driftReport", valCol)
+    // psiDrift's side totals count ALL rows (a NULL value lands in no
+    // bucket but still dilutes the proportions) — two count jobs on the
+    // tiny pins, exactly the member's base.count()/live.count() pulls
+    val psi = psiRowFromPer(per, bp.count(), lp.count(), nBuckets, lo, hi)
+    val ks = Eval.ksTestOnPer(per)
       .select(lit("ks").as("stat"), col("d").as("statistic"),
         col("d_crit").as("threshold"), col("drifted"))
-    val rs = Eval.rankSumTest(bp, lp, valCol)
+    val rs = Eval.rankSumOnPer(per)
       .select(lit("rank_sum").as("stat"), abs(col("z")).as("statistic"),
         lit(1.96).as("threshold"), col("drifted"))
     val chi = chiSquareDrift(bp, lp, catCol)
@@ -386,7 +394,38 @@ object Outliers {
     // the members hand back their own one-row pins (the ksTest
     // convention) — reclaim those too once the report materializes
     Seq(bp, lp, ks, rs, chi).foreach(graft.util.Checkpoints.release)
+    if (per ne perRaw) graft.util.Checkpoints.release(per)
     out
+  }
+
+  /** [[driftReport]]'s psi row from the shared per-value table: bucket
+    * counts are sums of the table's integer counts (identical to
+    * [[psiDrift]]'s own bucket aggregation on the raw rows), and every
+    * downstream expression — the +0.5 smoothing, the 6 dp per-term
+    * round, the 6 dp total — is the member's own shape verbatim, so the
+    * row equals `round(psiDrift(base, live).agg(sum(psi)), 6)`
+    * bit-for-bit (Round12OpsSuite pins it). */
+  private def psiRowFromPer(per: DataFrame, tb: Long, tl: Long,
+      nBuckets: Int, lo: Double, hi: Double): DataFrame = {
+    require(nBuckets > 0 && hi > lo)
+    val b = least(greatest(
+      floor((col("_v") - lit(lo)) / lit(hi - lo) * lit(nBuckets)),
+      lit(0.0)), lit((nBuckets - 1).toDouble)).cast("int")
+    val counts = per.groupBy(b.as("bucket"))
+      .agg(sum(col("ca")).as("n_base"), sum(col("cb")).as("n_live"))
+    val all = per.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as("bucket"))
+    val p = (col("n_base") + lit(0.5)) / lit(tb + 0.5 * nBuckets)
+    val q = (col("n_live") + lit(0.5)) / lit(tl + 0.5 * nBuckets)
+    all.join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_base", "n_live"))
+      .withColumn("p_base", p).withColumn("p_live", q)
+      .withColumn("psi", round((col("p_live") - col("p_base")) *
+        log(col("p_live") / col("p_base")), 6))
+      .agg(round(sum(col("psi")), 6).as("statistic"))
+      .select(lit("psi").as("stat"), col("statistic"),
+        lit(0.25).as("threshold"),
+        when(col("statistic") > 0.25, 1).otherwise(0).as("drifted"))
   }
 
   /** [[chiSquareDriftWindowed]]'s baseline inputs from the reference

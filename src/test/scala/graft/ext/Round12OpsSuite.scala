@@ -72,6 +72,13 @@ class Round12OpsSuite extends AnyFunSuite {
       .collect().head
     assert(rep("chi2") ==
       Seq(chi.getDouble(3), chi.getDouble(4), chi.getInt(5)))
+    // psi row ≡ the member's own 6 dp total (r13: the report derives its
+    // bucket counts from the shared per-value table — must stay
+    // bit-identical to psiDrift's raw-row bucketing)
+    val psiM = Outliers.psiDrift(base, live, "v")
+      .agg(round(sum($"psi"), 6)).first().getDouble(0)
+    assert(rep("psi") ==
+      Seq(psiM, 0.25, if (psiM > 0.25) 1 else 0))
     // the shifted value distribution must register on the value lenses
     assert(rep("ks")(2) == 1 && rep("rank_sum")(2) == 1)
   }
