@@ -946,6 +946,20 @@ object Eval {
     // (the r12 regression fix — q185 paid the scoring chain twice).
     graft.util.GridGuard.gateAxes(pg, "ksTestBy",
       valCol -> "_v", groupCol -> "_g")
+    val out = ksTestByOnPg(pg, groupCol)
+    graft.util.Checkpoints.release(pg)
+    out
+  }
+
+  /** [[ksTestBy]]'s statistics from an already-gated (group, value)
+    * count table `(_g, _v, c)` — identical downstream arithmetic; rows
+    * with a NULL `_v` are dropped here (the standalone path filters them
+    * before aggregating; [[Outliers.driftReportBy]]'s shared table
+    * retains them for the psi lens's slice totals). Does NOT release the
+    * caller's table. */
+  private[ext] def ksTestByOnPg(pg0: DataFrame,
+      groupCol: String): DataFrame = {
+    val pg = pg0.filter(col("_v").isNotNull)
     val wv = Window.orderBy(col("_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gv = pg.groupBy(col("_v")).agg(sum(col("c")).as("cv"))
@@ -972,11 +986,9 @@ object Eval {
       sqrt((col("n_a") + nbCol).cast("double") / nProd)
     // |groups|-row result pinned, internal pin released (the ksTest
     // reliable-checkpoint-leak fix applied per-slice)
-    val out = perG.select(col("_g").as(groupCol), col("n_a"),
+    perG.select(col("_g").as(groupCol), col("n_a"),
       nbCol.as("n_b"), d.as("d"), dCrit.as("d_crit"),
       when(d > dCrit, 1).otherwise(0).as("drifted")).pin()
-    graft.util.Checkpoints.release(pg)
-    out
   }
 
   /** [[ksDriftWindowed]]'s baseline inputs from the reference slice:
@@ -1223,6 +1235,17 @@ object Eval {
     // (the ksTestBy note — no separate pass over the caller's projection)
     graft.util.GridGuard.gateAxes(pg, "rankSumTestBy",
       valCol -> "_v", groupCol -> "_g")
+    val out = rankSumByOnPg(pg, groupCol)
+    graft.util.Checkpoints.release(pg)
+    out
+  }
+
+  /** [[rankSumTestBy]]'s statistics from an already-gated (group, value)
+    * count table (the [[ksTestByOnPg]] contract: NULL `_v` rows dropped
+    * here, caller's table not released). */
+  private[ext] def rankSumByOnPg(pg0: DataFrame,
+      groupCol: String): DataFrame = {
+    val pg = pg0.filter(col("_v").isNotNull)
     val gv = pg.groupBy(col("_v")).agg(sum(col("c")).as("nv"))
     val w = Window.orderBy(col("_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1247,14 +1270,12 @@ object Eval {
       ((nT + lit(1.0)) - col("_ties").cast("double") /
         (nT * (nT - lit(1.0))))
     val z = (u - nA * nB / lit(2.0)) / sqrt(sigma2)
-    val out = perG.crossJoin(broadcast(glob)).select(
+    perG.crossJoin(broadcast(glob)).select(
       col("_g").as(groupCol), col("n_g"),
       (col("n") - col("n_g")).as("n_rest"), u.as("u"),
       when(sigma2 > 0, z).as("z"),
       when(sigma2 > 0 && abs(z) > 1.96, 1).otherwise(0).as("drifted"))
       .pin()
-    graft.util.Checkpoints.release(pg)
-    out
   }
 
   /** MUTUAL INFORMATION between two score columns over ECDF-decile bins

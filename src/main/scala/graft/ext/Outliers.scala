@@ -309,10 +309,22 @@ object Outliers {
     // slice-axis guard on the pinned table (the bucket axis is
     // nBuckets-bounded by construction)
     graft.util.GridGuard.gateAxes(pg, "psiDriftBy", groupCol -> "_g")
+    val out = psiByOnPb(pg, groupCol, nBuckets)
+    graft.util.Checkpoints.release(pg)
+    out
+  }
+
+  /** [[psiDriftBy]]'s statistics from an already-built (slice, bucket)
+    * count table `(_g, bucket, cnt)` — [[driftReportBy]] derives that
+    * table from its shared (slice, value) pin (integer-identical counts),
+    * so the per-slice psi stays bit-identical to the standalone member.
+    * Does NOT release the caller's table. */
+  private[ext] def psiByOnPb(pg: DataFrame, groupCol: String,
+      nBuckets: Int): DataFrame = {
     val gb = pg.groupBy(col("bucket")).agg(sum(col("cnt")).as("nb"))
     val groups = pg.groupBy(col("_g")).agg(sum(col("cnt")).as("n_g"))
     val tot = groups.agg(sum(col("n_g")).as("n"))
-    val buckets = df.sparkSession.range(nBuckets)
+    val buckets = pg.sparkSession.range(nBuckets)
       .select(col("id").cast("int").as("bucket"))
     // dense grid: EVERY bucket × every slice — a bucket empty on both
     // sides still contributes a (small, nonzero) smoothed term exactly
@@ -333,11 +345,9 @@ object Outliers {
         round((q - p) * log(q / p), 6).as("_term"))
       .groupBy(col("_g"), col("n_g"), col("n"))
       .agg(round(sum(col("_term")), 6).as("psi"))
-    val out = perG.select(col("_g").as(groupCol), col("n_g"),
+    perG.select(col("_g").as(groupCol), col("n_g"),
       (col("n") - col("n_g")).as("n_rest"), col("psi"),
       when(col("psi") > 0.25, 1).otherwise(0).as("drifted")).pin()
-    graft.util.Checkpoints.release(pg)
-    out
   }
 
   /** ONE-CALL DRIFT REPORT: every corpus-level drift statistic between a
@@ -426,6 +436,75 @@ object Outliers {
       .select(lit("psi").as("stat"), col("statistic"),
         lit(0.25).as("threshold"),
         when(col("statistic") > 0.25, 1).otherwise(0).as("drifted"))
+  }
+
+  /** [[driftReport]] PER SLICE — "WHICH source drifted, by every lens":
+    * every by-slice drift statistic for every slice in one labeled
+    * frame, composed from the family's verified members —
+    * [[psiDriftBy]] (binned shape vs rest; 0.25 cut), [[Eval.ksTestBy]]
+    * (any-shape), [[Eval.rankSumTestBy]] (location; |z| vs 1.96),
+    * [[chiSquareDriftBy]] (category mix on `catCol`). Each row is
+    * bit-identical to the member's own output reshaped to
+    * (groupCol, stat, statistic, threshold, drifted) — suite-pinned.
+    * Feed ROUNDED `valCol` scores in [lo, hi]: unlike standalone
+    * [[psiDriftBy]] (buckets immediately, any grain), the shared table
+    * here carries distinct VALUES for the KS/rank-sum lenses, so the
+    * rank-op grid discipline applies to the whole report
+    * ([[graft.util.GridGuard]]-gated on both axes).
+    *
+    * Scale shape: ONE (slice, value) corpus aggregation (pinned, gated
+    * once) feeds the three value lenses — psi's bucket counts derive
+    * from it by summation (integer-identical to the member's raw-row
+    * bucketing), KS/rank-sum run their unchanged downstream arithmetic
+    * on it — plus ONE (slice, category) aggregation for chi²; the
+    * (groupCol, valCol, catCol) projection is pinned so an expensive
+    * scoring chain evaluates once. NULL `_v` rows stay in the shared
+    * table (psi's slice totals count them, the member's contract) and
+    * drop inside the KS/rank-sum halves (theirs). Returns 4 rows per
+    * slice ordered by (groupCol, stat). */
+  def driftReportBy(df: DataFrame, groupCol: String, valCol: String,
+      catCol: String, nBuckets: Int = 10, lo: Double = 0.0,
+      hi: Double = 1.0): DataFrame = {
+    require(nBuckets > 0 && hi > lo)
+    val proj = df.select(col(groupCol), col(valCol), col(catCol))
+      .filter(col(groupCol).isNotNull).pin()
+    val pg = proj.select(col(groupCol).as("_g"), col(valCol).as("_v"))
+      .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("c")).pin()
+    graft.util.GridGuard.gateAxes(pg, "driftReportBy",
+      valCol -> "_v", groupCol -> "_g")
+    // psi lens: (slice, bucket) counts by summing the shared table's
+    // integer counts — a NULL value gets a NULL bucket row, exactly as
+    // the member's raw-row bucketing produces
+    val b = least(greatest(
+      floor((col("_v") - lit(lo)) / lit(hi - lo) * lit(nBuckets)),
+      lit(0.0)), lit((nBuckets - 1).toDouble)).cast("int")
+    val pb = pg.select(col("_g"), b.as("bucket"), col("c"))
+      .groupBy(col("_g"), col("bucket")).agg(sum(col("c")).as("cnt"))
+    val psiB = psiByOnPb(pb, groupCol, nBuckets)
+    val psi = psiB.select(col(groupCol), lit("psi").as("stat"),
+      col("psi").as("statistic"), lit(0.25).as("threshold"),
+      col("drifted"))
+    val ksB = Eval.ksTestByOnPg(pg, groupCol)
+    val ks = ksB.select(col(groupCol), lit("ks").as("stat"),
+      col("d").as("statistic"), col("d_crit").as("threshold"),
+      col("drifted"))
+    val rsB = Eval.rankSumByOnPg(pg, groupCol)
+    val rs = rsB.select(col(groupCol), lit("rank_sum").as("stat"),
+      abs(col("z")).as("statistic"), lit(1.96).as("threshold"),
+      col("drifted"))
+    val chiB = chiSquareDriftBy(
+      proj.select(col(groupCol), col(catCol)), groupCol, catCol)
+    val chi = chiB.select(col(groupCol), lit("chi2").as("stat"),
+      col("chi2").as("statistic"), col("chi2_crit").as("threshold"),
+      col("drifted"))
+    val out = graft.util.Checkpoints.pin(
+      psi.unionAll(ks).unionAll(rs).unionAll(chi)
+        .orderBy(groupCol, "stat"))
+    // members hand back their own |slices|-row pins — reclaim everything
+    // once the report materializes
+    Seq(psiB, ksB, rsB, chiB, pg, proj)
+      .foreach(graft.util.Checkpoints.release)
+    out
   }
 
   /** [[chiSquareDriftWindowed]]'s baseline inputs from the reference

@@ -18,11 +18,13 @@ import graft.QueryShared._
   * (q196–q199; the embedding member's by-slice form is rest-relative,
   * which needs cross-slice state a streaming monitor doesn't carry —
   * its serving twin stays the unsliced [[graft.ext.Similarity.embeddingDriftWindowed]]).
-  * Plus Theil–Sen trends and the one-call q193 report.
+  * Plus Theil–Sen trends and the one-call reports: q193 (one slice,
+  * every lens) and its r13 sibling q200 (every slice, every lens, one
+  * shared (slice, value) aggregation).
   *
   * Pre-r12 entries (and their DuckDB oracle SQL beside them) moved
   * verbatim from SparkEntry in the r12 per-family split; q186–q193 were
-  * born here, q194–q199 in r13. [[SparkEntry.queries]] is the dispatcher
+  * born here, q194–q200 in r13. [[SparkEntry.queries]] is the dispatcher
   * that concatenates the families; shared fixtures/helpers and oracle SQL
   * fragments live in [[QueryShared]]. */
 object QueriesDrift {
@@ -273,6 +275,19 @@ object QueriesDrift {
           10, 0.0, 500.0)
         .orderBy("ws", "event_type")
     }),
+
+    // ext: ONE-CALL BY-SLICE drift report — every source through every
+    // lens (PSI / KS / rank-sum / chi2 vs the rest of the corpus), the
+    // per-slice sibling of q193; ONE (source, value) aggregation feeds
+    // the three value lenses, each row ≡ the by-slice member it reshapes
+    "q200_drift_report_by" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("source"),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("q"),
+          col("lang"))
+        .localCheckpoint(true)
+      materializedWithout(
+        ext.Outliers.driftReportBy(docs, "source", "q", "lang"), docs)
+    }),
   )
 
   // single source of truth: the q103_psi_drift map entry AND the q193 drift-
@@ -422,6 +437,170 @@ object QueriesDrift {
                THEN 1 ELSE 0 END AS drifted
            FROM ag"""
 
+
+
+  // single sources of truth: each by-slice map entry AND the q200
+  // drift-report-by oracle (which composes them as subqueries) share
+  // these texts - the q193 pattern applied per slice
+  private val KsBySql: String =
+    s"""$QualityCtesSql,
+         sc AS (SELECT source, $QualityValSql AS q FROM s),
+         pg AS MATERIALIZED (SELECT source, q,
+                  CAST(count(*) AS BIGINT) AS c
+                 FROM sc GROUP BY source, q),
+         gcum AS (SELECT q, CAST(sum(cv) OVER (ORDER BY q ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumg
+                  FROM (SELECT q, CAST(sum(c) AS BIGINT) AS cv
+                        FROM pg GROUP BY q) gv),
+         grp AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_a
+                 FROM pg GROUP BY source),
+         tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS n FROM grp),
+         dense AS (SELECT g.source, g.n_a, v.cumg,
+                  CAST(sum(coalesce(pg.c, 0)) OVER (PARTITION BY g.source
+                    ORDER BY v.q ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cuma
+                 FROM gcum v CROSS JOIN grp g
+                   LEFT JOIN pg ON pg.source = g.source AND pg.q = v.q),
+         perg AS (SELECT source, n_a, n,
+                  max(abs(CAST(cuma * (n - n_a) AS BIGINT) -
+                    CAST((cumg - cuma) * n_a AS BIGINT))) AS dnum
+                 FROM dense, tot GROUP BY source, n_a, n)
+         SELECT source, n_a, CAST(n - n_a AS BIGINT) AS n_b,
+           CAST(dnum AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)) AS d,
+           1.358 * sqrt(CAST(n_a + (n - n_a) AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE))) AS d_crit,
+           CASE WHEN CAST(dnum AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)) >
+             1.358 * sqrt(CAST(n_a + (n - n_a) AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)))
+             THEN 1 ELSE 0 END AS drifted
+         FROM perg ORDER BY source"""
+
+  private val RankSumBySql: String =
+    s"""$QualityCtesSql,
+         sc AS (SELECT source, $QualityValSql AS q FROM s),
+         pg AS MATERIALIZED (SELECT source, q,
+                  CAST(count(*) AS BIGINT) AS c
+                 FROM sc GROUP BY source, q),
+         gv AS (SELECT q, CAST(sum(c) AS BIGINT) AS nv FROM pg GROUP BY q),
+         rk AS (SELECT q, nv,
+                  CAST(sum(nv) OVER (ORDER BY q ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+                FROM gv),
+         gstat AS (SELECT CAST(sum(nv) AS BIGINT) AS n,
+                  sum(CAST(nv AS DOUBLE) * nv * nv - nv) AS ties
+                 FROM rk),
+         per AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_g,
+                  sum(CAST(c AS DOUBLE) * (CAST(cum - nv AS DOUBLE) +
+                    CAST(nv + 1 AS DOUBLE) / 2.0)) AS rg
+                 FROM pg JOIN rk USING (q) GROUP BY source)
+         SELECT source, n_g, CAST(n - n_g AS BIGINT) AS n_rest,
+           rg - CAST(n_g AS DOUBLE) * (CAST(n_g AS DOUBLE) + 1.0) / 2.0
+             AS u,
+           CASE WHEN CAST(n - n_g AS DOUBLE) * CAST(n_g AS DOUBLE) / 12.0 *
+               ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) + 1.0) -
+                CAST(ties AS DOUBLE) /
+                  ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE)) *
+                   (CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) - 1.0)))
+               > 0
+             THEN (rg - CAST(n_g AS DOUBLE) * (CAST(n_g AS DOUBLE) + 1.0)
+                     / 2.0
+                   - CAST(n - n_g AS DOUBLE) * CAST(n_g AS DOUBLE) / 2.0) /
+               sqrt(CAST(n - n_g AS DOUBLE) * CAST(n_g AS DOUBLE) / 12.0 *
+                 ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) + 1.0) -
+                  CAST(ties AS DOUBLE) /
+                    ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE)) *
+                     (CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) - 1.0))))
+           END AS z,
+           CASE WHEN abs((rg - CAST(n_g AS DOUBLE) *
+                 (CAST(n_g AS DOUBLE) + 1.0) / 2.0
+               - CAST(n - n_g AS DOUBLE) * CAST(n_g AS DOUBLE) / 2.0) /
+               sqrt(CAST(n - n_g AS DOUBLE) * CAST(n_g AS DOUBLE) / 12.0 *
+                 ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) + 1.0) -
+                  CAST(ties AS DOUBLE) /
+                    ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE)) *
+                     (CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) - 1.0)))))
+               > 1.96
+             THEN 1 ELSE 0 END AS drifted
+         FROM per, gstat ORDER BY source"""
+
+  private val Chi2BySql: String =
+    """WITH base AS (SELECT source AS g, lang AS c FROM documents
+                       WHERE source IS NOT NULL AND lang IS NOT NULL),
+         pg AS (SELECT g, c, CAST(count(*) AS BIGINT) AS cnt
+                FROM base GROUP BY g, c),
+         gc AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS nc FROM pg GROUP BY c),
+         grp AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g
+                 FROM pg GROUP BY g),
+         kn AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(nc) AS BIGINT) AS n FROM gc),
+         dense AS (SELECT grp.g, grp.n_g, gc.nc,
+                     coalesce(pg.cnt, 0) AS ol,
+                     gc.nc - coalesce(pg.cnt, 0) AS ob
+                   FROM gc CROSS JOIN grp
+                     LEFT JOIN pg ON pg.g = grp.g AND pg.c = gc.c),
+         terms AS (SELECT g, n_g,
+             (CAST(ob AS DOUBLE) - eb) * (CAST(ob AS DOUBLE) - eb) / eb +
+             (CAST(ol AS DOUBLE) - el) * (CAST(ol AS DOUBLE) - el) / el
+               AS term
+           FROM (SELECT d.g, d.n_g, d.ob, d.ol,
+                   (CAST(n - n_g AS DOUBLE)) * CAST(nc AS DOUBLE) /
+                     CAST(n AS DOUBLE) AS eb,
+                   CAST(n_g AS DOUBLE) * CAST(nc AS DOUBLE) /
+                     CAST(n AS DOUBLE) AS el
+                 FROM dense d, kn) t),
+         x AS (SELECT g, n_g, round(sum(term), 6) AS chi2
+               FROM terms GROUP BY g, n_g),
+         crit AS (SELECT round(CAST(k - 1 AS DOUBLE) *
+             power(1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE)) +
+               1.6449 * sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))), 3), 6)
+             AS chi2_crit, k, n FROM kn)
+         SELECT x.g AS source, x.n_g, CAST(n - x.n_g AS BIGINT) AS n_rest,
+           k,
+           CASE WHEN k > 1 THEN chi2 END AS chi2,
+           CASE WHEN k > 1 THEN chi2_crit END AS chi2_crit,
+           CASE WHEN k > 1 AND chi2 > chi2_crit THEN 1 ELSE 0 END
+             AS drifted
+         FROM x, crit ORDER BY source"""
+
+  private val PsiBySql: String =
+    s"""$QualityCtesSql,
+         sc AS (SELECT source, $QualityValSql AS q FROM s),
+         pb AS (SELECT source AS g,
+                  CAST(least(greatest(floor((q - 0.0) / 1.0 * 10),
+                    0.0), 9.0) AS INT) AS bucket,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM sc WHERE source IS NOT NULL GROUP BY g, bucket),
+         gb AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS nb
+                FROM pb GROUP BY bucket),
+         grp AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g
+                 FROM pb GROUP BY g),
+         tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM grp),
+         r AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
+         dense AS (SELECT grp.g, grp.n_g, r.bucket,
+                     coalesce(pb.cnt, 0) AS own,
+                     coalesce(gb.nb, 0) - coalesce(pb.cnt, 0) AS restc
+                   FROM grp CROSS JOIN r
+                     LEFT JOIN gb ON gb.bucket = r.bucket
+                     LEFT JOIN pb ON pb.g = grp.g AND pb.bucket = r.bucket),
+         terms AS (SELECT g, n_g, n,
+             round(((own + 0.5) / (CAST(n_g AS DOUBLE) + 5.0)
+                  - (restc + 0.5) / (CAST(n - n_g AS DOUBLE) + 5.0)) *
+               ln(((own + 0.5) / (CAST(n_g AS DOUBLE) + 5.0))
+                / ((restc + 0.5) / (CAST(n - n_g AS DOUBLE) + 5.0))), 6)
+               AS term
+           FROM dense, tot),
+         perg AS (SELECT g, n_g, n, round(sum(term), 6) AS psi
+                  FROM terms GROUP BY g, n_g, n)
+         SELECT g AS source, n_g, CAST(n - n_g AS BIGINT) AS n_rest, psi,
+           CASE WHEN psi > 0.25 THEN 1 ELSE 0 END AS drifted
+         FROM perg ORDER BY source"""
+
+
   private[graft] val oracleSql: Map[String, String] = Map(
 
     "q103_psi_drift" -> PsiDriftSql,
@@ -526,41 +705,7 @@ object QueriesDrift {
     // (source × value) grid evaluates every group's ECDF at every global
     // jump point; rest-side cumulatives derive as (global − own)
     "q185_ks_by_source" ->
-      s"""$QualityCtesSql,
-         sc AS (SELECT source, $QualityValSql AS q FROM s),
-         pg AS MATERIALIZED (SELECT source, q,
-                  CAST(count(*) AS BIGINT) AS c
-                 FROM sc GROUP BY source, q),
-         gcum AS (SELECT q, CAST(sum(cv) OVER (ORDER BY q ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cumg
-                  FROM (SELECT q, CAST(sum(c) AS BIGINT) AS cv
-                        FROM pg GROUP BY q) gv),
-         grp AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_a
-                 FROM pg GROUP BY source),
-         tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS n FROM grp),
-         dense AS (SELECT g.source, g.n_a, v.cumg,
-                  CAST(sum(coalesce(pg.c, 0)) OVER (PARTITION BY g.source
-                    ORDER BY v.q ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cuma
-                 FROM gcum v CROSS JOIN grp g
-                   LEFT JOIN pg ON pg.source = g.source AND pg.q = v.q),
-         perg AS (SELECT source, n_a, n,
-                  max(abs(CAST(cuma * (n - n_a) AS BIGINT) -
-                    CAST((cumg - cuma) * n_a AS BIGINT))) AS dnum
-                 FROM dense, tot GROUP BY source, n_a, n)
-         SELECT source, n_a, CAST(n - n_a AS BIGINT) AS n_b,
-           CAST(dnum AS DOUBLE) /
-             (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)) AS d,
-           1.358 * sqrt(CAST(n_a + (n - n_a) AS DOUBLE) /
-             (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE))) AS d_crit,
-           CASE WHEN CAST(dnum AS DOUBLE) /
-               (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)) >
-             1.358 * sqrt(CAST(n_a + (n - n_a) AS DOUBLE) /
-               (CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)))
-             THEN 1 ELSE 0 END AS drifted
-         FROM perg ORDER BY source""",
+      KsBySql,
 
 
     // the q184 integer-gap machinery per day against the first-week
@@ -732,94 +877,12 @@ object QueriesDrift {
     // one global mid-rank table (the q188 machinery), per-source weighted
     // sums; rest side = global minus own, same fixed u/z shapes
     "q191_rank_sum_by_source" ->
-      s"""$QualityCtesSql,
-         sc AS (SELECT source, $QualityValSql AS q FROM s),
-         pg AS MATERIALIZED (SELECT source, q,
-                  CAST(count(*) AS BIGINT) AS c
-                 FROM sc GROUP BY source, q),
-         gv AS (SELECT q, CAST(sum(c) AS BIGINT) AS nv FROM pg GROUP BY q),
-         rk AS (SELECT q, nv,
-                  CAST(sum(nv) OVER (ORDER BY q ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cum
-                FROM gv),
-         gstat AS (SELECT CAST(sum(nv) AS BIGINT) AS n,
-                  sum(CAST(nv AS DOUBLE) * nv * nv - nv) AS ties
-                 FROM rk),
-         per AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_g,
-                  sum(CAST(c AS DOUBLE) * (CAST(cum - nv AS DOUBLE) +
-                    CAST(nv + 1 AS DOUBLE) / 2.0)) AS rg
-                 FROM pg JOIN rk USING (q) GROUP BY source)
-         SELECT source, n_g, CAST(n - n_g AS BIGINT) AS n_rest,
-           rg - CAST(n_g AS DOUBLE) * (CAST(n_g AS DOUBLE) + 1.0) / 2.0
-             AS u,
-           CASE WHEN CAST(n - n_g AS DOUBLE) * CAST(n_g AS DOUBLE) / 12.0 *
-               ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) + 1.0) -
-                CAST(ties AS DOUBLE) /
-                  ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE)) *
-                   (CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) - 1.0)))
-               > 0
-             THEN (rg - CAST(n_g AS DOUBLE) * (CAST(n_g AS DOUBLE) + 1.0)
-                     / 2.0
-                   - CAST(n - n_g AS DOUBLE) * CAST(n_g AS DOUBLE) / 2.0) /
-               sqrt(CAST(n - n_g AS DOUBLE) * CAST(n_g AS DOUBLE) / 12.0 *
-                 ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) + 1.0) -
-                  CAST(ties AS DOUBLE) /
-                    ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE)) *
-                     (CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) - 1.0))))
-           END AS z,
-           CASE WHEN abs((rg - CAST(n_g AS DOUBLE) *
-                 (CAST(n_g AS DOUBLE) + 1.0) / 2.0
-               - CAST(n - n_g AS DOUBLE) * CAST(n_g AS DOUBLE) / 2.0) /
-               sqrt(CAST(n - n_g AS DOUBLE) * CAST(n_g AS DOUBLE) / 12.0 *
-                 ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) + 1.0) -
-                  CAST(ties AS DOUBLE) /
-                    ((CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE)) *
-                     (CAST(n - n_g AS DOUBLE) + CAST(n_g AS DOUBLE) - 1.0)))))
-               > 1.96
-             THEN 1 ELSE 0 END AS drifted
-         FROM per, gstat ORDER BY source""",
+      RankSumBySql,
 
     // the q187 2xk machinery per slice: rest-side counts = global - own
     // on the dense (source x lang) grid; chi2/crit rounded 6 dp
     "q192_chi2_by_source" ->
-      """WITH base AS (SELECT source AS g, lang AS c FROM documents
-                       WHERE source IS NOT NULL AND lang IS NOT NULL),
-         pg AS (SELECT g, c, CAST(count(*) AS BIGINT) AS cnt
-                FROM base GROUP BY g, c),
-         gc AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS nc FROM pg GROUP BY c),
-         grp AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g
-                 FROM pg GROUP BY g),
-         kn AS (SELECT CAST(count(*) AS BIGINT) AS k,
-                  CAST(sum(nc) AS BIGINT) AS n FROM gc),
-         dense AS (SELECT grp.g, grp.n_g, gc.nc,
-                     coalesce(pg.cnt, 0) AS ol,
-                     gc.nc - coalesce(pg.cnt, 0) AS ob
-                   FROM gc CROSS JOIN grp
-                     LEFT JOIN pg ON pg.g = grp.g AND pg.c = gc.c),
-         terms AS (SELECT g, n_g,
-             (CAST(ob AS DOUBLE) - eb) * (CAST(ob AS DOUBLE) - eb) / eb +
-             (CAST(ol AS DOUBLE) - el) * (CAST(ol AS DOUBLE) - el) / el
-               AS term
-           FROM (SELECT d.g, d.n_g, d.ob, d.ol,
-                   (CAST(n - n_g AS DOUBLE)) * CAST(nc AS DOUBLE) /
-                     CAST(n AS DOUBLE) AS eb,
-                   CAST(n_g AS DOUBLE) * CAST(nc AS DOUBLE) /
-                     CAST(n AS DOUBLE) AS el
-                 FROM dense d, kn) t),
-         x AS (SELECT g, n_g, round(sum(term), 6) AS chi2
-               FROM terms GROUP BY g, n_g),
-         crit AS (SELECT round(CAST(k - 1 AS DOUBLE) *
-             power(1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE)) +
-               1.6449 * sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))), 3), 6)
-             AS chi2_crit, k, n FROM kn)
-         SELECT x.g AS source, x.n_g, CAST(n - x.n_g AS BIGINT) AS n_rest,
-           k,
-           CASE WHEN k > 1 THEN chi2 END AS chi2,
-           CASE WHEN k > 1 THEN chi2_crit END AS chi2_crit,
-           CASE WHEN k > 1 AND chi2 > chi2_crit THEN 1 ELSE 0 END
-             AS drifted
-         FROM x, crit ORDER BY source""",
+      Chi2BySql,
 
     // composes the four VERIFIED member oracles as subqueries — a report
     // row is definitionally the member's own number reshaped
@@ -842,37 +905,7 @@ object QueriesDrift {
     // rest-side counts = global - own; per-term round 6 dp then the sum
     // rounds 6 dp, the exact shapes psiDriftBy emits
     "q194_psi_by_source" ->
-      s"""$QualityCtesSql,
-         sc AS (SELECT source, $QualityValSql AS q FROM s),
-         pb AS (SELECT source AS g,
-                  CAST(least(greatest(floor((q - 0.0) / 1.0 * 10),
-                    0.0), 9.0) AS INT) AS bucket,
-                  CAST(count(*) AS BIGINT) AS cnt
-                FROM sc WHERE source IS NOT NULL GROUP BY g, bucket),
-         gb AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS nb
-                FROM pb GROUP BY bucket),
-         grp AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g
-                 FROM pb GROUP BY g),
-         tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM grp),
-         r AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
-         dense AS (SELECT grp.g, grp.n_g, r.bucket,
-                     coalesce(pb.cnt, 0) AS own,
-                     coalesce(gb.nb, 0) - coalesce(pb.cnt, 0) AS restc
-                   FROM grp CROSS JOIN r
-                     LEFT JOIN gb ON gb.bucket = r.bucket
-                     LEFT JOIN pb ON pb.g = grp.g AND pb.bucket = r.bucket),
-         terms AS (SELECT g, n_g, n,
-             round(((own + 0.5) / (CAST(n_g AS DOUBLE) + 5.0)
-                  - (restc + 0.5) / (CAST(n - n_g AS DOUBLE) + 5.0)) *
-               ln(((own + 0.5) / (CAST(n_g AS DOUBLE) + 5.0))
-                / ((restc + 0.5) / (CAST(n - n_g AS DOUBLE) + 5.0))), 6)
-               AS term
-           FROM dense, tot),
-         perg AS (SELECT g, n_g, n, round(sum(term), 6) AS psi
-                  FROM terms GROUP BY g, n_g, n)
-         SELECT g AS source, n_g, CAST(n - n_g AS BIGINT) AS n_rest, psi,
-           CASE WHEN psi > 0.25 THEN 1 ELSE 0 END AS drifted
-         FROM perg ORDER BY source""",
+      PsiBySql,
 
     // the q164 mean-vector machinery per slice: per-label per-dim means,
     // rest mean derived per dim as (sum_g n_g*m_g - n_g*m_g) / (n - n_g)
@@ -1100,5 +1133,22 @@ object QueriesDrift {
              tbl)
          SELECT ws, g AS event_type, tw AS n, round(sum(term), 6) AS psi
          FROM terms GROUP BY ws, g, tw ORDER BY ws, event_type""",
+
+    // composes the four VERIFIED by-slice member oracles as subqueries —
+    // a report row is definitionally the member's own number reshaped
+    // (the q193 pattern per slice)
+    "q200_drift_report_by" ->
+      s"""SELECT source, 'psi' AS stat, CAST(psi AS DOUBLE) AS statistic,
+           CAST(0.25 AS DOUBLE) AS threshold, drifted
+         FROM ($PsiBySql)
+         UNION ALL
+         SELECT source, 'ks', d, d_crit, drifted FROM ($KsBySql)
+         UNION ALL
+         SELECT source, 'rank_sum', abs(z), CAST(1.96 AS DOUBLE), drifted
+         FROM ($RankSumBySql)
+         UNION ALL
+         SELECT source, 'chi2', chi2, chi2_crit, drifted
+         FROM ($Chi2BySql)
+         ORDER BY source, stat""",
   )
 }

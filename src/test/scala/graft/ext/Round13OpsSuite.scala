@@ -204,6 +204,44 @@ class Round13OpsSuite extends AnyFunSuite {
     }
   }
 
+  test("driftReportBy rows equal the by-slice member statistics they reshape") {
+    // three sources with distinct value shapes AND category mixes so
+    // every lens has signal; values 6dp-rounded (the report's shared
+    // (slice, value) table carries the rank-op grid discipline)
+    val df = (0 until 300).map { i =>
+      val g = "g" + (i % 3)
+      val v = if (g == "g2") 0.8 + (i % 4) * 0.05 else (i % 10) / 10.0
+      val c = if (g == "g1") (if (i % 5 == 0) "x" else "y")
+        else (if (i % 2 == 0) "x" else "y")
+      (g, math.round(v * 1e6) / 1e6, c)
+    }.toDF("g", "v", "c")
+    val rep = Outliers.driftReportBy(df, "g", "v", "c")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+    assert(rep.size == 12, s"4 stats x 3 slices, got ${rep.size}")
+    val psiM = Outliers.psiDriftBy(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ksM = Eval.ksTestBy(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rsM = Eval.rankSumTestBy(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val chiM = Outliers.chiSquareDriftBy(df.select("g", "c"), "g", "c")
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      assert(rep((g, "psi")) == Seq(psiM(g).getDouble(3), 0.25,
+        psiM(g).getInt(4)), s"$g psi")
+      assert(rep((g, "ks")) == Seq(ksM(g).getDouble(3),
+        ksM(g).getDouble(4), ksM(g).getInt(5)), s"$g ks")
+      assert(rep((g, "rank_sum")) == Seq(math.abs(rsM(g).getDouble(4)),
+        1.96, rsM(g).getInt(5)), s"$g rank_sum")
+      assert(rep((g, "chi2")) == Seq(chiM(g).getDouble(4),
+        chiM(g).getDouble(5), chiM(g).getInt(6)), s"$g chi2")
+    }
+    // the lenses disagree by design: g2's value shift registers on the
+    // value lenses, g1's category skew on the chi2 lens
+    assert(rep(("g2", "ks"))(2) == 1 && rep(("g1", "chi2"))(2) == 1)
+  }
+
   test("recommendNprobe: clustered corpus -> 2, isotropic -> k; knee logic edges") {
     val rnd = new scala.util.Random(131)
     def unit(dim: Int): Seq[Double] = {
