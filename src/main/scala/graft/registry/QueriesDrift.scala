@@ -19,12 +19,14 @@ import graft.QueryShared._
   * which needs cross-slice state a streaming monitor doesn't carry —
   * its serving twin stays the unsliced [[graft.ext.Similarity.embeddingDriftWindowed]]).
   * Plus Theil–Sen trends and the one-call reports: q193 (one slice,
-  * every lens) and its r13 sibling q200 (every slice, every lens, one
-  * shared (slice, value) aggregation).
+  * every lens), its r13 sibling q200 (every slice, every lens, one
+  * shared (slice, value) aggregation), and q201 (the windowed gate —
+  * all four serving monitors in ONE stateful aggregation, one wide
+  * alert row per day).
   *
   * Pre-r12 entries (and their DuckDB oracle SQL beside them) moved
   * verbatim from SparkEntry in the r12 per-family split; q186–q193 were
-  * born here, q194–q200 in r13. [[SparkEntry.queries]] is the dispatcher
+  * born here, q194–q201 in r13. [[SparkEntry.queries]] is the dispatcher
   * that concatenates the families; shared fixtures/helpers and oracle SQL
   * fragments live in [[QueryShared]]. */
 object QueriesDrift {
@@ -287,6 +289,23 @@ object QueriesDrift {
         .localCheckpoint(true)
       materializedWithout(
         ext.Outliers.driftReportBy(docs, "source", "q", "lang"), docs)
+    }),
+
+    // ext: THE NIGHTLY DRIFT GATE AS ONE STATEFUL PASS — q186 + q189 +
+    // q190 + windowed PSI evaluated in a single windowed aggregation
+    // (one state store / shuffle / watermark instead of four monitors
+    // over the same stream); one wide alert row per day, every field
+    // bit-identical to the standalone windowed member
+    "q201_drift_gate_windowed" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("ts"), round(col("value"), 2).as("v"),
+          col("event_type"))
+      val week = ev.filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+      val (bv, bc) = ext.Eval.ksBaseline(week, "v")
+      val (bcats, _) = ext.Outliers.chiSquareBaseline(week, "event_type")
+      val (bb, bt) = ext.Outliers.psiBaseline(week, "v", 10, 0.0, 500.0)
+      ext.Outliers.driftReportWindowed(ev, "ts", "v", "event_type",
+        bv, bc, bcats, bb, bt, 10, 0.0, 500.0).orderBy("ws")
     }),
   )
 
@@ -601,6 +620,158 @@ object QueriesDrift {
          FROM perg ORDER BY source"""
 
 
+
+  // single sources of truth: each windowed-member map entry AND the
+  // q201 one-pass windowed gate oracle (which joins them on ws) share
+  // these texts
+  private val KsWinSql: String =
+    """WITH e AS (SELECT date_trunc('day', ts) AS ws,
+                  round(value, 2) AS v FROM events),
+         b AS (SELECT round(value, 2) AS v FROM events
+               WHERE ts < TIMESTAMP '2024-01-08'),
+         bc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM b),
+         lc AS (SELECT ws, v, CAST(count(*) AS BIGINT) AS c
+                FROM e GROUP BY ws, v),
+         nl AS (SELECT ws, CAST(count(*) AS BIGINT) AS n_live
+                FROM e GROUP BY ws),
+         vals AS (SELECT DISTINCT v FROM
+                  (SELECT v FROM bc UNION ALL SELECT v FROM lc) u),
+         grid AS (SELECT w.ws, x.v
+                  FROM (SELECT DISTINCT ws FROM e) w CROSS JOIN vals x),
+         cums AS (SELECT g.ws, g.v,
+             CAST(sum(coalesce(bc.c, 0)) OVER (PARTITION BY g.ws
+               ORDER BY g.v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cna,
+             CAST(sum(coalesce(lc.c, 0)) OVER (PARTITION BY g.ws
+               ORDER BY g.v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cnb
+           FROM grid g LEFT JOIN bc ON bc.v = g.v
+             LEFT JOIN lc ON lc.ws = g.ws AND lc.v = g.v),
+         per AS (SELECT c.ws, nl.n_live,
+             max(abs(CAST(c.cna * nl.n_live AS BIGINT) -
+               CAST(c.cnb * nb.n_a AS BIGINT))) AS dnum
+           FROM cums c JOIN nl ON nl.ws = c.ws, nb
+           GROUP BY c.ws, nl.n_live)
+         SELECT per.ws, per.n_live,
+           CAST(dnum AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)) AS d,
+           1.358 * sqrt(CAST(n_a + n_live AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE))) AS d_crit,
+           CASE WHEN CAST(dnum AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)) >
+             1.358 * sqrt(CAST(n_a + n_live AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)))
+             THEN 1 ELSE 0 END AS drifted
+         FROM per, nb ORDER BY ws"""
+
+  private val Chi2WinSql: String =
+    """WITH e AS (SELECT date_trunc('day', ts) AS ws, event_type AS c
+                    FROM events),
+         b AS (SELECT event_type AS c FROM events
+               WHERE ts < TIMESTAMP '2024-01-08'),
+         bc AS (SELECT c, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY c),
+         lc AS (SELECT ws, c, CAST(count(*) AS BIGINT) AS cl
+                FROM e GROUP BY ws, c),
+         cats AS (SELECT DISTINCT c FROM
+                  (SELECT c FROM bc UNION ALL SELECT c FROM lc) u),
+         cell AS (SELECT g.ws, g.c,
+                    coalesce(bc.cb, 0) AS cb, coalesce(lc.cl, 0) AS cl
+                  FROM (SELECT w.ws, x.c
+                        FROM (SELECT DISTINCT ws FROM e) w
+                        CROSS JOIN cats x) g
+                    LEFT JOIN bc ON bc.c = g.c
+                    LEFT JOIN lc ON lc.ws = g.ws AND lc.c = g.c
+                  WHERE coalesce(bc.cb, 0) > 0 OR coalesce(lc.cl, 0) > 0),
+         ag AS (SELECT ws, CAST(sum(cb) AS BIGINT) AS n_base,
+                  CAST(sum(cl) AS BIGINT) AS n_live,
+                  CAST(count(*) AS BIGINT) AS k
+                FROM cell GROUP BY ws),
+         terms AS (SELECT t.ws,
+             (CAST(cb AS DOUBLE) - eb) * (CAST(cb AS DOUBLE) - eb) / eb +
+             (CAST(cl AS DOUBLE) - el) * (CAST(cl AS DOUBLE) - el) / el
+               AS term
+           FROM (SELECT cell.ws, cb, cl,
+                   CAST(n_base AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
+                     (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS eb,
+                   CAST(n_live AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
+                     (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS el
+                 FROM cell JOIN ag ON ag.ws = cell.ws) t),
+         x AS (SELECT ws, round(sum(term), 6) AS chi2
+               FROM terms GROUP BY ws),
+         crit AS (SELECT ws, round(CAST(k - 1 AS DOUBLE) *
+             power(1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE)) +
+               1.6449 * sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))), 3), 6)
+             AS chi2_crit FROM ag WHERE k > 1)
+         SELECT ag.ws, n_live, k,
+           CASE WHEN k > 1 THEN chi2 END AS chi2,
+           CASE WHEN k > 1 THEN crit.chi2_crit END AS chi2_crit,
+           CASE WHEN k > 1 AND chi2 > crit.chi2_crit THEN 1 ELSE 0 END
+             AS drifted
+         FROM ag JOIN x ON x.ws = ag.ws
+           LEFT JOIN crit ON crit.ws = ag.ws
+         ORDER BY ag.ws"""
+
+  private val RsWinSql: String =
+    """WITH e AS (SELECT date_trunc('day', ts) AS ws,
+                  round(value, 2) AS v FROM events),
+         b AS (SELECT round(value, 2) AS v FROM events
+               WHERE ts < TIMESTAMP '2024-01-08'),
+         bc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
+         lc AS (SELECT ws, v, CAST(count(*) AS BIGINT) AS c
+                FROM e GROUP BY ws, v),
+         vals AS (SELECT DISTINCT v FROM
+                  (SELECT v FROM bc UNION ALL SELECT v FROM lc) u),
+         rk AS (SELECT g.ws, g.v,
+             coalesce(bc.c, 0) + coalesce(lc.c, 0) AS nv,
+             coalesce(lc.c, 0) AS cb,
+             CAST(sum(coalesce(bc.c, 0) + coalesce(lc.c, 0))
+               OVER (PARTITION BY g.ws ORDER BY g.v ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM (SELECT w.ws, x.v
+                 FROM (SELECT DISTINCT ws FROM e) w CROSS JOIN vals x) g
+             LEFT JOIN bc ON bc.v = g.v
+             LEFT JOIN lc ON lc.ws = g.ws AND lc.v = g.v),
+         ag AS (SELECT ws,
+             CAST(sum(nv) - sum(cb) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             sum(CAST(cb AS DOUBLE) * (CAST(cum - nv AS DOUBLE) +
+               CAST(nv + 1 AS DOUBLE) / 2.0)) AS rb,
+             sum(CAST(nv AS DOUBLE) * nv * nv - nv) AS ties
+           FROM rk GROUP BY ws)
+         SELECT ws, n_b AS n_live,
+           rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0) / 2.0
+             AS u,
+           CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+               ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                CAST(ties AS DOUBLE) /
+                  ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                   (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))) > 0
+             THEN (rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0)
+                     / 2.0
+                   - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                 ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                  CAST(ties AS DOUBLE) /
+                    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
+           END AS z,
+           CASE WHEN abs((rb - CAST(n_b AS DOUBLE) *
+                 (CAST(n_b AS DOUBLE) + 1.0) / 2.0
+               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                 ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                  CAST(ties AS DOUBLE) /
+                    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))))
+               > 1.96
+             THEN 1 ELSE 0 END AS drifted
+         FROM ag ORDER BY ws"""
+
+
   private[graft] val oracleSql: Map[String, String] = Map(
 
     "q103_psi_drift" -> PsiDriftSql,
@@ -712,47 +883,7 @@ object QueriesDrift {
     // baseline: the dense (window × value) grid evaluates each window's
     // ECDF at every jump point of either side
     "q186_ks_drift_windowed" ->
-      """WITH e AS (SELECT date_trunc('day', ts) AS ws,
-                  round(value, 2) AS v FROM events),
-         b AS (SELECT round(value, 2) AS v FROM events
-               WHERE ts < TIMESTAMP '2024-01-08'),
-         bc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
-         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM b),
-         lc AS (SELECT ws, v, CAST(count(*) AS BIGINT) AS c
-                FROM e GROUP BY ws, v),
-         nl AS (SELECT ws, CAST(count(*) AS BIGINT) AS n_live
-                FROM e GROUP BY ws),
-         vals AS (SELECT DISTINCT v FROM
-                  (SELECT v FROM bc UNION ALL SELECT v FROM lc) u),
-         grid AS (SELECT w.ws, x.v
-                  FROM (SELECT DISTINCT ws FROM e) w CROSS JOIN vals x),
-         cums AS (SELECT g.ws, g.v,
-             CAST(sum(coalesce(bc.c, 0)) OVER (PARTITION BY g.ws
-               ORDER BY g.v ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cna,
-             CAST(sum(coalesce(lc.c, 0)) OVER (PARTITION BY g.ws
-               ORDER BY g.v ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cnb
-           FROM grid g LEFT JOIN bc ON bc.v = g.v
-             LEFT JOIN lc ON lc.ws = g.ws AND lc.v = g.v),
-         per AS (SELECT c.ws, nl.n_live,
-             max(abs(CAST(c.cna * nl.n_live AS BIGINT) -
-               CAST(c.cnb * nb.n_a AS BIGINT))) AS dnum
-           FROM cums c JOIN nl ON nl.ws = c.ws, nb
-           GROUP BY c.ws, nl.n_live)
-         SELECT per.ws, per.n_live,
-           CAST(dnum AS DOUBLE) /
-             (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)) AS d,
-           1.358 * sqrt(CAST(n_a + n_live AS DOUBLE) /
-             (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE))) AS d_crit,
-           CASE WHEN CAST(dnum AS DOUBLE) /
-               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)) >
-             1.358 * sqrt(CAST(n_a + n_live AS DOUBLE) /
-               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)))
-             THEN 1 ELSE 0 END AS drifted
-         FROM per, nb ORDER BY ws""",
+      KsWinSql,
 
     // Pearson chi2 over the 2×k (slice, lang) table; expected counts in
     // doubles with the exact same multiply-then-divide shape; chi2/crit
@@ -768,111 +899,13 @@ object QueriesDrift {
     // on either side only (an absent category is not part of that
     // window's 2xk table); chi2/crit rounded 6 dp like the batch op
     "q189_chi2_windowed" ->
-      """WITH e AS (SELECT date_trunc('day', ts) AS ws, event_type AS c
-                    FROM events),
-         b AS (SELECT event_type AS c FROM events
-               WHERE ts < TIMESTAMP '2024-01-08'),
-         bc AS (SELECT c, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY c),
-         lc AS (SELECT ws, c, CAST(count(*) AS BIGINT) AS cl
-                FROM e GROUP BY ws, c),
-         cats AS (SELECT DISTINCT c FROM
-                  (SELECT c FROM bc UNION ALL SELECT c FROM lc) u),
-         cell AS (SELECT g.ws, g.c,
-                    coalesce(bc.cb, 0) AS cb, coalesce(lc.cl, 0) AS cl
-                  FROM (SELECT w.ws, x.c
-                        FROM (SELECT DISTINCT ws FROM e) w
-                        CROSS JOIN cats x) g
-                    LEFT JOIN bc ON bc.c = g.c
-                    LEFT JOIN lc ON lc.ws = g.ws AND lc.c = g.c
-                  WHERE coalesce(bc.cb, 0) > 0 OR coalesce(lc.cl, 0) > 0),
-         ag AS (SELECT ws, CAST(sum(cb) AS BIGINT) AS n_base,
-                  CAST(sum(cl) AS BIGINT) AS n_live,
-                  CAST(count(*) AS BIGINT) AS k
-                FROM cell GROUP BY ws),
-         terms AS (SELECT t.ws,
-             (CAST(cb AS DOUBLE) - eb) * (CAST(cb AS DOUBLE) - eb) / eb +
-             (CAST(cl AS DOUBLE) - el) * (CAST(cl AS DOUBLE) - el) / el
-               AS term
-           FROM (SELECT cell.ws, cb, cl,
-                   CAST(n_base AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
-                     (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS eb,
-                   CAST(n_live AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
-                     (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS el
-                 FROM cell JOIN ag ON ag.ws = cell.ws) t),
-         x AS (SELECT ws, round(sum(term), 6) AS chi2
-               FROM terms GROUP BY ws),
-         crit AS (SELECT ws, round(CAST(k - 1 AS DOUBLE) *
-             power(1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE)) +
-               1.6449 * sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))), 3), 6)
-             AS chi2_crit FROM ag WHERE k > 1)
-         SELECT ag.ws, n_live, k,
-           CASE WHEN k > 1 THEN chi2 END AS chi2,
-           CASE WHEN k > 1 THEN crit.chi2_crit END AS chi2_crit,
-           CASE WHEN k > 1 AND chi2 > crit.chi2_crit THEN 1 ELSE 0 END
-             AS drifted
-         FROM ag JOIN x ON x.ws = ag.ws
-           LEFT JOIN crit ON crit.ws = ag.ws
-         ORDER BY ag.ws""",
+      Chi2WinSql,
 
     // q188's rank machinery per day against the first-week baseline on
     // the dense (window x value) grid; zero-count grid cells contribute
     // nothing to rb/ties so the per-window sums equal the merged walk
     "q190_rank_sum_windowed" ->
-      """WITH e AS (SELECT date_trunc('day', ts) AS ws,
-                  round(value, 2) AS v FROM events),
-         b AS (SELECT round(value, 2) AS v FROM events
-               WHERE ts < TIMESTAMP '2024-01-08'),
-         bc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
-         lc AS (SELECT ws, v, CAST(count(*) AS BIGINT) AS c
-                FROM e GROUP BY ws, v),
-         vals AS (SELECT DISTINCT v FROM
-                  (SELECT v FROM bc UNION ALL SELECT v FROM lc) u),
-         rk AS (SELECT g.ws, g.v,
-             coalesce(bc.c, 0) + coalesce(lc.c, 0) AS nv,
-             coalesce(lc.c, 0) AS cb,
-             CAST(sum(coalesce(bc.c, 0) + coalesce(lc.c, 0))
-               OVER (PARTITION BY g.ws ORDER BY g.v ASC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cum
-           FROM (SELECT w.ws, x.v
-                 FROM (SELECT DISTINCT ws FROM e) w CROSS JOIN vals x) g
-             LEFT JOIN bc ON bc.v = g.v
-             LEFT JOIN lc ON lc.ws = g.ws AND lc.v = g.v),
-         ag AS (SELECT ws,
-             CAST(sum(nv) - sum(cb) AS BIGINT) AS n_a,
-             CAST(sum(cb) AS BIGINT) AS n_b,
-             sum(CAST(cb AS DOUBLE) * (CAST(cum - nv AS DOUBLE) +
-               CAST(nv + 1 AS DOUBLE) / 2.0)) AS rb,
-             sum(CAST(nv AS DOUBLE) * nv * nv - nv) AS ties
-           FROM rk GROUP BY ws)
-         SELECT ws, n_b AS n_live,
-           rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0) / 2.0
-             AS u,
-           CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
-               ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
-                CAST(ties AS DOUBLE) /
-                  ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
-                   (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))) > 0
-             THEN (rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0)
-                     / 2.0
-                   - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
-               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
-                 ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
-                  CAST(ties AS DOUBLE) /
-                    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
-                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
-           END AS z,
-           CASE WHEN abs((rb - CAST(n_b AS DOUBLE) *
-                 (CAST(n_b AS DOUBLE) + 1.0) / 2.0
-               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
-               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
-                 ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
-                  CAST(ties AS DOUBLE) /
-                    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
-                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))))
-               > 1.96
-             THEN 1 ELSE 0 END AS drifted
-         FROM ag ORDER BY ws""",
+      RsWinSql,
 
     // one global mid-rank table (the q188 machinery), per-source weighted
     // sums; rest side = global minus own, same fixed u/z shapes
@@ -1150,5 +1183,58 @@ object QueriesDrift {
          SELECT source, 'chi2', chi2, chi2_crit, drifted
          FROM ($Chi2BySql)
          ORDER BY source, stat""",
+
+    // joins the three VERIFIED windowed-member oracles on ws plus the
+    // windowed-psi arithmetic (the q168/q199 smoothing shapes on the
+    // rounded value) — a gate row is definitionally the members' own
+    // numbers side by side
+    "q201_drift_gate_windowed" ->
+      s"""WITH psibb AS (SELECT ts,
+             CAST(least(greatest(
+               floor((round(value, 2) - 0.0) / 500.0 * 10), 0.0), 9.0)
+               AS INT) AS bucket
+           FROM events),
+         psibase AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
+                     FROM psibb WHERE ts < TIMESTAMP '2024-01-08'
+                     GROUP BY bucket),
+         psitbl AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM psibb
+                    WHERE ts < TIMESTAMP '2024-01-08'),
+         psilive AS (SELECT date_trunc('day', ts) AS ws, bucket,
+                       CAST(count(*) AS BIGINT) AS n_live
+                     FROM psibb GROUP BY ws, bucket),
+         psitw AS (SELECT ws, CAST(sum(n_live) AS BIGINT) AS tw
+                   FROM psilive GROUP BY ws),
+         psigrid AS (SELECT psitw.ws, psitw.tw, g.b AS bucket
+                     FROM psitw, generate_series(0, 9) AS g(b)),
+         psiterms AS (SELECT psigrid.ws,
+             ((coalesce(l.n_live, 0) + 0.5)
+                / (CAST(psigrid.tw AS DOUBLE) + 5.0)
+              - (coalesce(psibase.n_base, 0) + 0.5)
+                / (CAST(psitbl.tb AS DOUBLE) + 5.0))
+             * ln(((coalesce(l.n_live, 0) + 0.5)
+                  / (CAST(psigrid.tw AS DOUBLE) + 5.0))
+                / ((coalesce(psibase.n_base, 0) + 0.5)
+                  / (CAST(psitbl.tb AS DOUBLE) + 5.0))) AS term
+           FROM psigrid
+           LEFT JOIN psibase ON psibase.bucket = psigrid.bucket
+           LEFT JOIN psilive l ON l.ws = psigrid.ws
+             AND l.bucket = psigrid.bucket,
+             psitbl),
+         psiw AS (SELECT ws, round(sum(term), 6) AS psi
+                  FROM psiterms GROUP BY ws)
+         SELECT k.ws, k.n_live,
+           k.d AS ks_d, k.d_crit AS ks_d_crit, k.drifted AS ks_drifted,
+           r.u AS rs_u, r.z AS rs_z, r.drifted AS rs_drifted,
+           c.k AS chi2_k, c.chi2, c.chi2_crit,
+           c.drifted AS chi2_drifted,
+           p.psi,
+           CASE WHEN p.psi > 0.25 THEN 1 ELSE 0 END AS psi_drifted,
+           greatest(k.drifted, r.drifted, c.drifted,
+             CASE WHEN p.psi > 0.25 THEN 1 ELSE 0 END) AS any_drifted
+         FROM ($KsWinSql) k
+           JOIN ($RsWinSql) r ON r.ws = k.ws
+           JOIN ($Chi2WinSql) c ON c.ws = k.ws
+           JOIN psiw p ON p.ws = k.ws
+         ORDER BY k.ws""",
   )
 }

@@ -789,4 +789,74 @@ class EventStreamSuite extends AnyFunSuite {
       .toMap
     assert(pStreamed == pBatch, "psi stream must equal the batch run exactly")
   }
+
+  test("driftReportWindowed: one pass equals the four windowed members field-for-field, stream equals batch") {
+    import org.apache.spark.sql.functions.col
+    // values 0..9 day 1, shifted +5 day 2; categories invert on day 2 —
+    // every lens has signal in exactly one window
+    val live = (0 until 120).map { i =>
+      val day = i / 60 + 1
+      val v = (i % 10).toDouble + (if (day == 2) 5.0 else 0.0)
+      val c = if (day == 2) (if (i % 10 == 0) "x" else "y")
+        else (if (i % 5 < 3) "x" else "y")
+      (i.toLong, new Timestamp(
+        Timestamp.valueOf(f"2024-01-0$day 00:00:00").getTime + i * 60000L),
+        v, c)
+    }.toDF("id", "ts", "v", "c")
+    val baseV = (0 until 50).map(i => (i % 10).toDouble).toDF("v")
+    val baseC = (Seq.fill(30)("x") ++ Seq.fill(20)("y")).toDF("c")
+    val (bv, bc) = graft.ext.Eval.ksBaseline(baseV, "v")
+    val (bcats, _) = graft.ext.Outliers.chiSquareBaseline(baseC, "c")
+    val (bb, bt) = graft.ext.Outliers.psiBaseline(baseV, "v", 10, 0.0, 15.0)
+    val gate = graft.ext.Outliers.driftReportWindowed(live, "ts", "v", "c",
+      bv, bc, bcats, bb, bt, 10, 0.0, 15.0)
+    val wide = gate.collect()
+      .map(r => r.getTimestamp(0) -> r).toMap
+    assert(wide.size == 2)
+    val ks = graft.ext.Eval.ksDriftWindowed(live, "ts", "v", bv, bc)
+      .collect().map(r => r.getTimestamp(0) -> r).toMap
+    val rs = graft.ext.Eval.rankSumDriftWindowed(live, "ts", "v", bv, bc)
+      .collect().map(r => r.getTimestamp(0) -> r).toMap
+    val chi = graft.ext.Outliers.chiSquareDriftWindowed(live, "ts", "c", bcats)
+      .collect().map(r => r.getTimestamp(0) -> r).toMap
+    val psi = graft.ext.Outliers
+      .psiWindowed(live, "ts", "v", bb, bt, 10, 0.0, 15.0)
+      .collect().map(r => r.getTimestamp(0) -> r).toMap
+    for ((ws, g) <- wide) {
+      assert(g.getLong(1) == ks(ws).getLong(1))          // n_live
+      assert(g.getDouble(2) == ks(ws).getDouble(2))      // ks_d
+      assert(g.getDouble(3) == ks(ws).getDouble(3))      // ks_d_crit
+      assert(g.getInt(4) == ks(ws).getInt(4))            // ks_drifted
+      assert(g.getDouble(5) == rs(ws).getDouble(2))      // rs_u
+      assert(g.getDouble(6) == rs(ws).getDouble(3))      // rs_z
+      assert(g.getInt(7) == rs(ws).getInt(4))            // rs_drifted
+      assert(g.getLong(8) == chi(ws).getLong(2))         // chi2_k
+      assert(g.getDouble(9) == chi(ws).getDouble(3))     // chi2
+      assert(g.getDouble(10) == chi(ws).getDouble(4))    // chi2_crit
+      assert(g.getInt(11) == chi(ws).getInt(5))          // chi2_drifted
+      assert(g.getDouble(12) == psi(ws).getDouble(2))    // psi
+      assert(g.getInt(13) == (if (psi(ws).getDouble(2) > 0.25) 1 else 0))
+      assert(g.getInt(14) == Seq(g.getInt(4), g.getInt(7), g.getInt(11),
+        g.getInt(13)).max)                               // any_drifted
+    }
+    // day 2 must alarm on every lens, day 1 on none
+    val byTime = wide.toSeq.sortBy(_._1.getTime).map(_._2)
+    assert(byTime.head.getInt(14) == 0 && byTime.last.getInt(14) == 1)
+    assert(byTime.last.getInt(4) == 1 && byTime.last.getInt(11) == 1)
+    // streaming twin: the SAME single stateful aggregation
+    val dir = Files.createTempDirectory("graft_gate_stream").toString
+    live.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(live.schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+    val q = graft.ext.Outliers.driftReportWindowed(stream, "ts", "v", "c",
+        bv, bc, bcats, bb, bt, 10, 0.0, 15.0)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("gate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("gate_out")
+      .collect().map(r => r.getTimestamp(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed == wide.map { case (k, r) => k -> r.toSeq.drop(1) },
+      "gate stream must equal the batch run exactly")
+  }
 }
