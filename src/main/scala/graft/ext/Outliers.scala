@@ -665,6 +665,80 @@ object Outliers {
         .as("any_drifted"))
   }
 
+  /** [[driftReportWindowed]] BY SLICE — the one-pass gate per
+    * (event-time window, slice): "WHICH source drifted TODAY, by every
+    * lens", still ONE stateful windowed aggregation (the slice key just
+    * joins the window in the grouping, the [[Eval.ksDriftWindowedBy]]
+    * composition applied to the whole gate). Per-(window, slice) state
+    * is the union of the members' capped states; every cell compares to
+    * the same driver-held baseline artifacts. Each cell's wide row ≡
+    * [[driftReportWindowed]] on that slice's substream bit-for-bit
+    * (identical aggregate kernels — suite-pinned), stream ≡ batch.
+    * Returns (ws, sliceCol, n_live, ks_d, ks_d_crit, ks_drifted, rs_u,
+    * rs_z, rs_drifted, chi2_k, chi2, chi2_crit, chi2_drifted, psi,
+    * psi_drifted, any_drifted). */
+  def driftReportWindowedBy(df: DataFrame, tsCol: String,
+      sliceCol: String, valCol: String, catCol: String,
+      baseVals: Array[Double], baseCum: Array[Long],
+      baseCats: Map[String, Long], baseBuckets: Map[Int, Long],
+      baseTotal: Long, nBuckets: Int = 10, lo: Double = 0.0,
+      hi: Double = 1.0, windowDur: String = "1 day"): DataFrame = {
+    require(baseVals.length == baseCum.length && baseVals.nonEmpty,
+      "driftReportWindowedBy: empty or misaligned ks baseline")
+    require(baseCats.nonEmpty, "driftReportWindowedBy: empty cat baseline")
+    require(nBuckets > 0 && hi > lo && baseTotal > 0)
+    val cap = graft.util.GridGuard.streamStateCap(df.sparkSession)
+    val b = least(greatest(
+      floor((col(valCol) - lit(lo)) / lit(hi - lo) * lit(nBuckets)),
+      lit(0.0)), lit((nBuckets - 1).toDouble)).cast("int")
+    val psiAggs = (0 until nBuckets).map(k =>
+      sum(when(col("_b") === k, 1L).otherwise(0L)).as(s"_c$k"))
+    val aggs = Seq(
+      graft.agg.KsDriftAgg.column(col("_v"), baseVals, baseCum, cap)
+        .as("_ks"),
+      graft.agg.RankSumDriftAgg.column(col("_v"), baseVals, baseCum, cap)
+        .as("_rs"),
+      graft.agg.ChiSquareDriftAgg.column(col("_c"), baseCats, cap)
+        .as("_x")) ++ psiAggs
+    val agged = df
+      .select(window(col(tsCol), windowDur).as("_w"),
+        col(sliceCol).as("_slice"),
+        col(valCol).cast("double").as("_v"), b.as("_b"),
+        col(catCol).cast("string").as("_c"))
+      .groupBy(col("_w"), col("_slice"))
+      .agg(aggs.head, aggs.tail: _*)
+    val twRaw = (0 until nBuckets).map(k => col(s"_c$k")).reduce(_ + _)
+    val denomL = lit(0.5 * nBuckets)
+    val pDen = lit(baseTotal + 0.5 * nBuckets)
+    val terms = (0 until nBuckets).map { k =>
+      val p = (lit(baseBuckets.getOrElse(k, 0L)) + lit(0.5)) / pDen
+      val q = (col(s"_c$k") + lit(0.5)) /
+        (twRaw.cast("double") + denomL)
+      (q - p) * log(q / p)
+    }
+    val psi = round(terms.reduce(_ + _), 6)
+    val ksDrifted = col("_ks").getField("drifted")
+    val rsDrifted = col("_rs").getField("drifted")
+    val chiDrifted = col("_x").getField("drifted")
+    val psiDrifted = when(psi > 0.25, 1).otherwise(0)
+    agged.select(col("_w").getField("start").as("ws"),
+      col("_slice").as(sliceCol),
+      col("_ks").getField("n_live").as("n_live"),
+      col("_ks").getField("d").as("ks_d"),
+      col("_ks").getField("d_crit").as("ks_d_crit"),
+      ksDrifted.as("ks_drifted"),
+      col("_rs").getField("u").as("rs_u"),
+      col("_rs").getField("z").as("rs_z"),
+      rsDrifted.as("rs_drifted"),
+      col("_x").getField("k").as("chi2_k"),
+      col("_x").getField("chi2").as("chi2"),
+      col("_x").getField("chi2_crit").as("chi2_crit"),
+      chiDrifted.as("chi2_drifted"),
+      psi.as("psi"), psiDrifted.as("psi_drifted"),
+      greatest(ksDrifted, rsDrifted, chiDrifted, psiDrifted)
+        .as("any_drifted"))
+  }
+
   /** [[psiWindowed]] BY SLICE — PSI per (event-time window, slice)
     * against the same driver-held baseline histogram ("which source's
     * score distribution shifted, per day" — the binned member of the

@@ -20,13 +20,14 @@ import graft.QueryShared._
   * its serving twin stays the unsliced [[graft.ext.Similarity.embeddingDriftWindowed]]).
   * Plus Theil–Sen trends and the one-call reports: q193 (one slice,
   * every lens), its r13 sibling q200 (every slice, every lens, one
-  * shared (slice, value) aggregation), and q201 (the windowed gate —
-  * all four serving monitors in ONE stateful aggregation, one wide
-  * alert row per day).
+  * shared (slice, value) aggregation), and the windowed gates — all
+  * four serving monitors in ONE stateful aggregation: q201 (one wide
+  * alert row per day) and q202 (per (day, slice) — "which cohort
+  * drifted today, by every lens").
   *
   * Pre-r12 entries (and their DuckDB oracle SQL beside them) moved
   * verbatim from SparkEntry in the r12 per-family split; q186–q193 were
-  * born here, q194–q201 in r13. [[SparkEntry.queries]] is the dispatcher
+  * born here, q194–q202 in r13. [[SparkEntry.queries]] is the dispatcher
   * that concatenates the families; shared fixtures/helpers and oracle SQL
   * fragments live in [[QueryShared]]. */
 object QueriesDrift {
@@ -306,6 +307,22 @@ object QueriesDrift {
       val (bb, bt) = ext.Outliers.psiBaseline(week, "v", 10, 0.0, 500.0)
       ext.Outliers.driftReportWindowed(ev, "ts", "v", "event_type",
         bv, bc, bcats, bb, bt, 10, 0.0, 500.0).orderBy("ws")
+    }),
+
+    // ext: the q201 gate PER SLICE — "which user cohort drifted today,
+    // by every lens": still ONE stateful aggregation, the slice key
+    // joined into the grouping; one wide alert row per (day, cohort)
+    "q202_drift_gate_windowed_by" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("ts"), (col("user_id") % 4).cast("string").as("cohort"),
+          round(col("value"), 2).as("v"), col("event_type"))
+      val week = ev.filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+      val (bv, bc) = ext.Eval.ksBaseline(week, "v")
+      val (bcats, _) = ext.Outliers.chiSquareBaseline(week, "event_type")
+      val (bb, bt) = ext.Outliers.psiBaseline(week, "v", 10, 0.0, 500.0)
+      ext.Outliers.driftReportWindowedBy(ev, "ts", "cohort", "v",
+          "event_type", bv, bc, bcats, bb, bt, 10, 0.0, 500.0)
+        .orderBy("ws", "cohort")
     }),
   )
 
@@ -772,6 +789,198 @@ object QueriesDrift {
          FROM ag ORDER BY ws"""
 
 
+
+  // slice-parameterized windowed-BY oracle builders: single source of
+  // truth between q196-q199 (slice = event_type / cohort) and the q202
+  // composed per-slice gate (every lens sliced by the same cohort)
+  private def ksWinBySqlF(slice: String, name: String): String =
+    s"""WITH e AS (SELECT date_trunc('day', ts) AS ws, $slice AS g,
+                  round(value, 2) AS v FROM events),
+         b AS (SELECT round(value, 2) AS v FROM events
+               WHERE ts < TIMESTAMP '2024-01-08'),
+         bc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM b),
+         lc AS (SELECT ws, g, v, CAST(count(*) AS BIGINT) AS c
+                FROM e GROUP BY ws, g, v),
+         nl AS (SELECT ws, g, CAST(count(*) AS BIGINT) AS n_live
+                FROM e GROUP BY ws, g),
+         vals AS (SELECT DISTINCT v FROM
+                  (SELECT v FROM bc UNION ALL SELECT v FROM lc) u),
+         grid AS (SELECT w.ws, w.g, x.v
+                  FROM (SELECT DISTINCT ws, g FROM e) w CROSS JOIN vals x),
+         cums AS (SELECT gr.ws, gr.g, gr.v,
+             CAST(sum(coalesce(bc.c, 0)) OVER (PARTITION BY gr.ws, gr.g
+               ORDER BY gr.v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cna,
+             CAST(sum(coalesce(lc.c, 0)) OVER (PARTITION BY gr.ws, gr.g
+               ORDER BY gr.v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cnb
+           FROM grid gr LEFT JOIN bc ON bc.v = gr.v
+             LEFT JOIN lc ON lc.ws = gr.ws AND lc.g = gr.g AND lc.v = gr.v),
+         per AS (SELECT c.ws, c.g, nl.n_live,
+             max(abs(CAST(c.cna * nl.n_live AS BIGINT) -
+               CAST(c.cnb * nb.n_a AS BIGINT))) AS dnum
+           FROM cums c JOIN nl ON nl.ws = c.ws AND nl.g = c.g, nb
+           GROUP BY c.ws, c.g, nl.n_live)
+         SELECT per.ws, per.g AS $name, per.n_live,
+           CAST(dnum AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)) AS d,
+           1.358 * sqrt(CAST(n_a + n_live AS DOUBLE) /
+             (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE))) AS d_crit,
+           CASE WHEN CAST(dnum AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)) >
+             1.358 * sqrt(CAST(n_a + n_live AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)))
+             THEN 1 ELSE 0 END AS drifted
+         FROM per, nb ORDER BY ws, $name"""
+
+  private def rsWinBySqlF(slice: String, name: String): String =
+    s"""WITH e AS (SELECT date_trunc('day', ts) AS ws, $slice AS g,
+                  round(value, 2) AS v FROM events),
+         b AS (SELECT round(value, 2) AS v FROM events
+               WHERE ts < TIMESTAMP '2024-01-08'),
+         bc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
+         lc AS (SELECT ws, g, v, CAST(count(*) AS BIGINT) AS c
+                FROM e GROUP BY ws, g, v),
+         vals AS (SELECT DISTINCT v FROM
+                  (SELECT v FROM bc UNION ALL SELECT v FROM lc) u),
+         rk AS (SELECT gr.ws, gr.g, gr.v,
+             coalesce(bc.c, 0) + coalesce(lc.c, 0) AS nv,
+             coalesce(lc.c, 0) AS cb,
+             CAST(sum(coalesce(bc.c, 0) + coalesce(lc.c, 0))
+               OVER (PARTITION BY gr.ws, gr.g ORDER BY gr.v ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM (SELECT w.ws, w.g, x.v
+                 FROM (SELECT DISTINCT ws, g FROM e) w CROSS JOIN vals x)
+             gr
+             LEFT JOIN bc ON bc.v = gr.v
+             LEFT JOIN lc ON lc.ws = gr.ws AND lc.g = gr.g AND lc.v = gr.v),
+         ag AS (SELECT ws, g,
+             CAST(sum(nv) - sum(cb) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             sum(CAST(cb AS DOUBLE) * (CAST(cum - nv AS DOUBLE) +
+               CAST(nv + 1 AS DOUBLE) / 2.0)) AS rb,
+             sum(CAST(nv AS DOUBLE) * CAST(nv AS DOUBLE) *
+               CAST(nv AS DOUBLE) - CAST(nv AS DOUBLE)) AS ties
+           FROM rk GROUP BY ws, g)
+         SELECT ws, g AS $name, n_b AS n_live,
+           rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0) / 2.0
+             AS u,
+           CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+               ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                CAST(ties AS DOUBLE) /
+                  ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                   (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))) > 0
+             THEN (rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0)
+                     / 2.0
+                   - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                 ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                  CAST(ties AS DOUBLE) /
+                    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
+           END AS z,
+           CASE WHEN abs((rb - CAST(n_b AS DOUBLE) *
+                 (CAST(n_b AS DOUBLE) + 1.0) / 2.0
+               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                 ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                  CAST(ties AS DOUBLE) /
+                    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))))
+               > 1.96
+             THEN 1 ELSE 0 END AS drifted
+         FROM ag ORDER BY ws, $name"""
+
+  private def chi2WinBySqlF(slice: String, name: String): String =
+    s"""WITH e AS (SELECT date_trunc('day', ts) AS ws,
+                  $slice AS coh, event_type AS c
+                    FROM events),
+         b AS (SELECT event_type AS c FROM events
+               WHERE ts < TIMESTAMP '2024-01-08'),
+         bc AS (SELECT c, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY c),
+         lc AS (SELECT ws, coh, c, CAST(count(*) AS BIGINT) AS cl
+                FROM e GROUP BY ws, coh, c),
+         cats AS (SELECT DISTINCT c FROM
+                  (SELECT c FROM bc UNION ALL SELECT c FROM lc) u),
+         cell AS (SELECT g.ws, g.coh, g.c,
+                    coalesce(bc.cb, 0) AS cb, coalesce(lc.cl, 0) AS cl
+                  FROM (SELECT w.ws, w.coh, x.c
+                        FROM (SELECT DISTINCT ws, coh FROM e) w
+                        CROSS JOIN cats x) g
+                    LEFT JOIN bc ON bc.c = g.c
+                    LEFT JOIN lc ON lc.ws = g.ws AND lc.coh = g.coh
+                      AND lc.c = g.c
+                  WHERE coalesce(bc.cb, 0) > 0 OR coalesce(lc.cl, 0) > 0),
+         ag AS (SELECT ws, coh, CAST(sum(cb) AS BIGINT) AS n_base,
+                  CAST(sum(cl) AS BIGINT) AS n_live,
+                  CAST(count(*) AS BIGINT) AS k
+                FROM cell GROUP BY ws, coh),
+         terms AS (SELECT t.ws, t.coh,
+             (CAST(cb AS DOUBLE) - eb) * (CAST(cb AS DOUBLE) - eb) / eb +
+             (CAST(cl AS DOUBLE) - el) * (CAST(cl AS DOUBLE) - el) / el
+               AS term
+           FROM (SELECT cell.ws, cell.coh, cb, cl,
+                   CAST(n_base AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
+                     (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS eb,
+                   CAST(n_live AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
+                     (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS el
+                 FROM cell JOIN ag ON ag.ws = cell.ws
+                   AND ag.coh = cell.coh) t),
+         x AS (SELECT ws, coh, round(sum(term), 6) AS chi2
+               FROM terms GROUP BY ws, coh),
+         crit AS (SELECT ws, coh, round(CAST(k - 1 AS DOUBLE) *
+             power(1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE)) +
+               1.6449 * sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))), 3), 6)
+             AS chi2_crit FROM ag WHERE k > 1)
+         SELECT ag.ws, ag.coh AS $name, n_live, k,
+           CASE WHEN k > 1 THEN chi2 END AS chi2,
+           CASE WHEN k > 1 THEN crit.chi2_crit END AS chi2_crit,
+           CASE WHEN k > 1 AND chi2 > crit.chi2_crit THEN 1 ELSE 0 END
+             AS drifted
+         FROM ag JOIN x ON x.ws = ag.ws AND x.coh = ag.coh
+           LEFT JOIN crit ON crit.ws = ag.ws AND crit.coh = ag.coh
+         ORDER BY ag.ws, ag.coh"""
+
+  private def psiWinBySqlF(slice: String, name: String,
+      valExpr: String): String =
+    s"""WITH bb AS (SELECT ts, $slice AS sl,
+             CAST(least(greatest(
+               floor(($valExpr - 0.0) / 500.0 * 10), 0.0), 9.0) AS INT)
+               AS bucket
+           FROM events),
+         base AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
+                  FROM bb WHERE ts < TIMESTAMP '2024-01-08'
+                  GROUP BY bucket),
+         tbl AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM bb
+                 WHERE ts < TIMESTAMP '2024-01-08'),
+         live AS (SELECT date_trunc('day', ts) AS ws, sl AS g,
+                    bucket, CAST(count(*) AS BIGINT) AS n_live
+                  FROM bb GROUP BY ws, g, bucket),
+         tw AS (SELECT ws, g, CAST(sum(n_live) AS BIGINT) AS tw
+                FROM live GROUP BY ws, g),
+         grid AS (SELECT tw.ws, tw.g, tw.tw, b.b AS bucket
+                  FROM tw, generate_series(0, 9) AS b(b)),
+         terms AS (SELECT grid.ws, grid.g, grid.tw,
+             ((coalesce(l.n_live, 0) + 0.5)
+                / (CAST(grid.tw AS DOUBLE) + 5.0)
+              - (coalesce(base.n_base, 0) + 0.5)
+                / (CAST(tbl.tb AS DOUBLE) + 5.0))
+             * ln(((coalesce(l.n_live, 0) + 0.5)
+                  / (CAST(grid.tw AS DOUBLE) + 5.0))
+                / ((coalesce(base.n_base, 0) + 0.5)
+                  / (CAST(tbl.tb AS DOUBLE) + 5.0))) AS term
+           FROM grid
+           LEFT JOIN base ON base.bucket = grid.bucket
+           LEFT JOIN live l ON l.ws = grid.ws AND l.g = grid.g
+             AND l.bucket = grid.bucket,
+             tbl)
+         SELECT ws, g AS $name, tw AS n, round(sum(term), 6) AS psi
+         FROM terms GROUP BY ws, g, tw ORDER BY ws, $name"""
+
   private[graft] val oracleSql: Map[String, String] = Map(
 
     "q103_psi_drift" -> PsiDriftSql,
@@ -975,197 +1184,22 @@ object QueriesDrift {
     // q186's dense-grid machinery with the slice in the window key: each
     // (day, event type) cell's ECDF vs the shared first-week baseline
     "q196_ks_windowed_by" ->
-      """WITH e AS (SELECT date_trunc('day', ts) AS ws, event_type AS g,
-                  round(value, 2) AS v FROM events),
-         b AS (SELECT round(value, 2) AS v FROM events
-               WHERE ts < TIMESTAMP '2024-01-08'),
-         bc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
-         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM b),
-         lc AS (SELECT ws, g, v, CAST(count(*) AS BIGINT) AS c
-                FROM e GROUP BY ws, g, v),
-         nl AS (SELECT ws, g, CAST(count(*) AS BIGINT) AS n_live
-                FROM e GROUP BY ws, g),
-         vals AS (SELECT DISTINCT v FROM
-                  (SELECT v FROM bc UNION ALL SELECT v FROM lc) u),
-         grid AS (SELECT w.ws, w.g, x.v
-                  FROM (SELECT DISTINCT ws, g FROM e) w CROSS JOIN vals x),
-         cums AS (SELECT gr.ws, gr.g, gr.v,
-             CAST(sum(coalesce(bc.c, 0)) OVER (PARTITION BY gr.ws, gr.g
-               ORDER BY gr.v ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cna,
-             CAST(sum(coalesce(lc.c, 0)) OVER (PARTITION BY gr.ws, gr.g
-               ORDER BY gr.v ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cnb
-           FROM grid gr LEFT JOIN bc ON bc.v = gr.v
-             LEFT JOIN lc ON lc.ws = gr.ws AND lc.g = gr.g AND lc.v = gr.v),
-         per AS (SELECT c.ws, c.g, nl.n_live,
-             max(abs(CAST(c.cna * nl.n_live AS BIGINT) -
-               CAST(c.cnb * nb.n_a AS BIGINT))) AS dnum
-           FROM cums c JOIN nl ON nl.ws = c.ws AND nl.g = c.g, nb
-           GROUP BY c.ws, c.g, nl.n_live)
-         SELECT per.ws, per.g AS event_type, per.n_live,
-           CAST(dnum AS DOUBLE) /
-             (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)) AS d,
-           1.358 * sqrt(CAST(n_a + n_live AS DOUBLE) /
-             (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE))) AS d_crit,
-           CASE WHEN CAST(dnum AS DOUBLE) /
-               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)) >
-             1.358 * sqrt(CAST(n_a + n_live AS DOUBLE) /
-               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)))
-             THEN 1 ELSE 0 END AS drifted
-         FROM per, nb ORDER BY ws, event_type""",
+      ksWinBySqlF("event_type", "event_type"),
 
     // q190's rank machinery per (day, event type) against the first-week
     // baseline on the dense (window x slice x value) grid
     "q197_rank_sum_windowed_by" ->
-      """WITH e AS (SELECT date_trunc('day', ts) AS ws, event_type AS g,
-                  round(value, 2) AS v FROM events),
-         b AS (SELECT round(value, 2) AS v FROM events
-               WHERE ts < TIMESTAMP '2024-01-08'),
-         bc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
-         lc AS (SELECT ws, g, v, CAST(count(*) AS BIGINT) AS c
-                FROM e GROUP BY ws, g, v),
-         vals AS (SELECT DISTINCT v FROM
-                  (SELECT v FROM bc UNION ALL SELECT v FROM lc) u),
-         rk AS (SELECT gr.ws, gr.g, gr.v,
-             coalesce(bc.c, 0) + coalesce(lc.c, 0) AS nv,
-             coalesce(lc.c, 0) AS cb,
-             CAST(sum(coalesce(bc.c, 0) + coalesce(lc.c, 0))
-               OVER (PARTITION BY gr.ws, gr.g ORDER BY gr.v ASC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cum
-           FROM (SELECT w.ws, w.g, x.v
-                 FROM (SELECT DISTINCT ws, g FROM e) w CROSS JOIN vals x)
-             gr
-             LEFT JOIN bc ON bc.v = gr.v
-             LEFT JOIN lc ON lc.ws = gr.ws AND lc.g = gr.g AND lc.v = gr.v),
-         ag AS (SELECT ws, g,
-             CAST(sum(nv) - sum(cb) AS BIGINT) AS n_a,
-             CAST(sum(cb) AS BIGINT) AS n_b,
-             sum(CAST(cb AS DOUBLE) * (CAST(cum - nv AS DOUBLE) +
-               CAST(nv + 1 AS DOUBLE) / 2.0)) AS rb,
-             sum(CAST(nv AS DOUBLE) * CAST(nv AS DOUBLE) *
-               CAST(nv AS DOUBLE) - CAST(nv AS DOUBLE)) AS ties
-           FROM rk GROUP BY ws, g)
-         SELECT ws, g AS event_type, n_b AS n_live,
-           rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0) / 2.0
-             AS u,
-           CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
-               ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
-                CAST(ties AS DOUBLE) /
-                  ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
-                   (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))) > 0
-             THEN (rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0)
-                     / 2.0
-                   - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
-               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
-                 ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
-                  CAST(ties AS DOUBLE) /
-                    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
-                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
-           END AS z,
-           CASE WHEN abs((rb - CAST(n_b AS DOUBLE) *
-                 (CAST(n_b AS DOUBLE) + 1.0) / 2.0
-               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
-               sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
-                 ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
-                  CAST(ties AS DOUBLE) /
-                    ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) *
-                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))))
-               > 1.96
-             THEN 1 ELSE 0 END AS drifted
-         FROM ag ORDER BY ws, event_type""",
+      rsWinBySqlF("event_type", "event_type"),
 
     // q189's chi2 machinery per (day, user cohort) vs the first-week
     // baseline; cells with a count on either side only, chi2/crit 6 dp
     "q198_chi2_windowed_by" ->
-      """WITH e AS (SELECT date_trunc('day', ts) AS ws,
-                  CAST(user_id % 4 AS VARCHAR) AS coh, event_type AS c
-                    FROM events),
-         b AS (SELECT event_type AS c FROM events
-               WHERE ts < TIMESTAMP '2024-01-08'),
-         bc AS (SELECT c, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY c),
-         lc AS (SELECT ws, coh, c, CAST(count(*) AS BIGINT) AS cl
-                FROM e GROUP BY ws, coh, c),
-         cats AS (SELECT DISTINCT c FROM
-                  (SELECT c FROM bc UNION ALL SELECT c FROM lc) u),
-         cell AS (SELECT g.ws, g.coh, g.c,
-                    coalesce(bc.cb, 0) AS cb, coalesce(lc.cl, 0) AS cl
-                  FROM (SELECT w.ws, w.coh, x.c
-                        FROM (SELECT DISTINCT ws, coh FROM e) w
-                        CROSS JOIN cats x) g
-                    LEFT JOIN bc ON bc.c = g.c
-                    LEFT JOIN lc ON lc.ws = g.ws AND lc.coh = g.coh
-                      AND lc.c = g.c
-                  WHERE coalesce(bc.cb, 0) > 0 OR coalesce(lc.cl, 0) > 0),
-         ag AS (SELECT ws, coh, CAST(sum(cb) AS BIGINT) AS n_base,
-                  CAST(sum(cl) AS BIGINT) AS n_live,
-                  CAST(count(*) AS BIGINT) AS k
-                FROM cell GROUP BY ws, coh),
-         terms AS (SELECT t.ws, t.coh,
-             (CAST(cb AS DOUBLE) - eb) * (CAST(cb AS DOUBLE) - eb) / eb +
-             (CAST(cl AS DOUBLE) - el) * (CAST(cl AS DOUBLE) - el) / el
-               AS term
-           FROM (SELECT cell.ws, cell.coh, cb, cl,
-                   CAST(n_base AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
-                     (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS eb,
-                   CAST(n_live AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
-                     (CAST(n_base AS DOUBLE) + CAST(n_live AS DOUBLE)) AS el
-                 FROM cell JOIN ag ON ag.ws = cell.ws
-                   AND ag.coh = cell.coh) t),
-         x AS (SELECT ws, coh, round(sum(term), 6) AS chi2
-               FROM terms GROUP BY ws, coh),
-         crit AS (SELECT ws, coh, round(CAST(k - 1 AS DOUBLE) *
-             power(1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE)) +
-               1.6449 * sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))), 3), 6)
-             AS chi2_crit FROM ag WHERE k > 1)
-         SELECT ag.ws, ag.coh AS cohort, n_live, k,
-           CASE WHEN k > 1 THEN chi2 END AS chi2,
-           CASE WHEN k > 1 THEN crit.chi2_crit END AS chi2_crit,
-           CASE WHEN k > 1 AND chi2 > crit.chi2_crit THEN 1 ELSE 0 END
-             AS drifted
-         FROM ag JOIN x ON x.ws = ag.ws AND x.coh = ag.coh
-           LEFT JOIN crit ON crit.ws = ag.ws AND crit.coh = ag.coh
-         ORDER BY ag.ws, ag.coh""",
+      chi2WinBySqlF("CAST(user_id % 4 AS VARCHAR)", "cohort"),
 
     // q168's smoothing arithmetic per (day, event type) cell against the
     // shared first-week baseline histogram; psi rounds 6 dp over the sum
     "q199_psi_windowed_by" ->
-      """WITH bb AS (SELECT ts, event_type,
-             CAST(least(greatest(
-               floor((value - 0.0) / 500.0 * 10), 0.0), 9.0) AS INT)
-               AS bucket
-           FROM events),
-         base AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
-                  FROM bb WHERE ts < TIMESTAMP '2024-01-08'
-                  GROUP BY bucket),
-         tbl AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM bb
-                 WHERE ts < TIMESTAMP '2024-01-08'),
-         live AS (SELECT date_trunc('day', ts) AS ws, event_type AS g,
-                    bucket, CAST(count(*) AS BIGINT) AS n_live
-                  FROM bb GROUP BY ws, g, bucket),
-         tw AS (SELECT ws, g, CAST(sum(n_live) AS BIGINT) AS tw
-                FROM live GROUP BY ws, g),
-         grid AS (SELECT tw.ws, tw.g, tw.tw, b.b AS bucket
-                  FROM tw, generate_series(0, 9) AS b(b)),
-         terms AS (SELECT grid.ws, grid.g, grid.tw,
-             ((coalesce(l.n_live, 0) + 0.5)
-                / (CAST(grid.tw AS DOUBLE) + 5.0)
-              - (coalesce(base.n_base, 0) + 0.5)
-                / (CAST(tbl.tb AS DOUBLE) + 5.0))
-             * ln(((coalesce(l.n_live, 0) + 0.5)
-                  / (CAST(grid.tw AS DOUBLE) + 5.0))
-                / ((coalesce(base.n_base, 0) + 0.5)
-                  / (CAST(tbl.tb AS DOUBLE) + 5.0))) AS term
-           FROM grid
-           LEFT JOIN base ON base.bucket = grid.bucket
-           LEFT JOIN live l ON l.ws = grid.ws AND l.g = grid.g
-             AND l.bucket = grid.bucket,
-             tbl)
-         SELECT ws, g AS event_type, tw AS n, round(sum(term), 6) AS psi
-         FROM terms GROUP BY ws, g, tw ORDER BY ws, event_type""",
+      psiWinBySqlF("event_type", "event_type", "value"),
 
     // composes the four VERIFIED by-slice member oracles as subqueries —
     // a report row is definitionally the member's own number reshaped
@@ -1236,5 +1270,28 @@ object QueriesDrift {
            JOIN ($Chi2WinSql) c ON c.ws = k.ws
            JOIN psiw p ON p.ws = k.ws
          ORDER BY k.ws""",
+
+    // joins the slice-parameterized windowed-BY member builders on
+    // (ws, cohort) — every lens sliced by the same user cohort, each
+    // cell's fields the members' own numbers side by side
+    "q202_drift_gate_windowed_by" ->
+      s"""SELECT k.ws, k.cohort, k.n_live,
+           k.d AS ks_d, k.d_crit AS ks_d_crit, k.drifted AS ks_drifted,
+           r.u AS rs_u, r.z AS rs_z, r.drifted AS rs_drifted,
+           c.k AS chi2_k, c.chi2, c.chi2_crit,
+           c.drifted AS chi2_drifted,
+           p.psi,
+           CASE WHEN p.psi > 0.25 THEN 1 ELSE 0 END AS psi_drifted,
+           greatest(k.drifted, r.drifted, c.drifted,
+             CASE WHEN p.psi > 0.25 THEN 1 ELSE 0 END) AS any_drifted
+         FROM (${ksWinBySqlF("CAST(user_id % 4 AS VARCHAR)", "cohort")}) k
+           JOIN (${rsWinBySqlF("CAST(user_id % 4 AS VARCHAR)", "cohort")})
+             r ON r.ws = k.ws AND r.cohort = k.cohort
+           JOIN (${chi2WinBySqlF("CAST(user_id % 4 AS VARCHAR)", "cohort")})
+             c ON c.ws = k.ws AND c.cohort = k.cohort
+           JOIN (${psiWinBySqlF("CAST(user_id % 4 AS VARCHAR)", "cohort",
+             "round(value, 2)")})
+             p ON p.ws = k.ws AND p.cohort = k.cohort
+         ORDER BY k.ws, k.cohort""",
   )
 }

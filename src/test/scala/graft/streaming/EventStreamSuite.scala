@@ -859,4 +859,67 @@ class EventStreamSuite extends AnyFunSuite {
     assert(streamed == wide.map { case (k, r) => k -> r.toSeq.drop(1) },
       "gate stream must equal the batch run exactly")
   }
+
+  test("driftReportWindowedBy cells equal driftReportWindowed on the slice substream, stream equals batch") {
+    import org.apache.spark.sql.functions.col
+    // slice b shifts values AND inverts categories on day 2; slice a
+    // stays on baseline — exactly one (window, slice) cell alarms
+    // v/c derive from i/2 so BOTH parity slices carry the full value
+    // support and the baseline category mix — parity-on-i would give
+    // each slice only even/odd values, a real PSI drift in every cell
+    val live = (0 until 240).map { i =>
+      val day = i / 120 + 1
+      val g = if (i % 2 == 0) "a" else "b"
+      val shifted = g == "b" && day == 2
+      val j = i / 2
+      val v = (j % 10).toDouble + (if (shifted) 5.0 else 0.0)
+      val c = if (shifted) (if (j % 10 == 1) "x" else "y")
+        else (if (j % 5 < 3) "x" else "y")
+      (i.toLong, new Timestamp(
+        Timestamp.valueOf(f"2024-01-0$day 00:00:00").getTime + i * 60000L),
+        g, v, c)
+    }.toDF("id", "ts", "g", "v", "c")
+    val baseV = (0 until 50).map(i => (i % 10).toDouble).toDF("v")
+    val baseC = (Seq.fill(30)("x") ++ Seq.fill(20)("y")).toDF("c")
+    val (bv, bc) = graft.ext.Eval.ksBaseline(baseV, "v")
+    val (bcats, _) = graft.ext.Outliers.chiSquareBaseline(baseC, "c")
+    val (bb, bt) = graft.ext.Outliers.psiBaseline(baseV, "v", 10, 0.0, 15.0)
+    val cells = graft.ext.Outliers.driftReportWindowedBy(live, "ts", "g",
+        "v", "c", bv, bc, bcats, bb, bt, 10, 0.0, 15.0)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.toSeq.drop(2))
+      .toMap
+    assert(cells.size == 4)
+    // per-cell ≡ the unsliced gate on the slice's substream (identical
+    // aggregate kernels, identical fixed psi fold)
+    for (g <- Seq("a", "b")) {
+      val sub = graft.ext.Outliers.driftReportWindowed(
+          live.filter(col("g") === g), "ts", "v", "c",
+          bv, bc, bcats, bb, bt, 10, 0.0, 15.0)
+        .collect().map(r => r.getTimestamp(0) -> r.toSeq.drop(1)).toMap
+      for ((ws, ref) <- sub)
+        assert(cells((ws, g)) == ref,
+          s"cell ($ws, $g): ${cells((ws, g))} != substream gate $ref")
+    }
+    // exactly day-2 slice b alarms (any_drifted is the last field)
+    val alarms = cells.filter(_._2.last == 1).keys.toSeq
+    assert(alarms.map(_._2) == Seq("b") &&
+      alarms.head._1.toString.startsWith("2024-01-02"), s"got $alarms")
+    // streaming twin
+    val dir = Files.createTempDirectory("graft_gateby_stream").toString
+    live.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(live.schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+    val q = graft.ext.Outliers.driftReportWindowedBy(stream, "ts", "g",
+        "v", "c", bv, bc, bcats, bb, bt, 10, 0.0, 15.0)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("gateby_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("gateby_out")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.toSeq.drop(2))
+      .toMap
+    assert(streamed == cells, "sliced gate stream must equal batch")
+  }
 }
