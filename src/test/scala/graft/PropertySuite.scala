@@ -674,6 +674,64 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("psiDriftBy and embeddingDriftBy rows equal their pairwise members on random grouped samples") {
+    // the r13 by-slice cells join the family standard: every by-slice
+    // view is property-pinned against the independent pairwise member
+    // (the ksTestBy/rankSumTestBy/chiSquareDriftBy precedent)
+    import org.apache.spark.sql.functions.{col, round => sround, sum => ssum}
+    import graft.ext.{Outliers, Similarity}
+    val rnd = new Random(83)
+    for (trial <- 1 to 3) {
+      val nGroups = 2 + rnd.nextInt(3)
+      val rows = (0 until 150 + rnd.nextInt(150)).map { _ =>
+        val g = "g" + rnd.nextInt(nGroups)
+        // per-group shifted support in [0, 1], 2dp-rounded (bounded grid)
+        val v = math.min(0.99,
+          (rnd.nextInt(60) + 8 * (g.last - '0')).toDouble / 100.0)
+        (g, v)
+      }
+      val df = rows.toDF("g", "v")
+      val by = Outliers.psiDriftBy(df, "g", "v").collect()
+        .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(by.keySet == rows.map(_._1).toSet)
+      by.keySet.foreach { g =>
+        val own = df.filter($"g" === g)
+        val rest = df.filter($"g" =!= g)
+        val psi = Outliers.psiDrift(rest, own, "v")
+          .agg(sround(ssum(col("psi")), 6)).first().getDouble(0)
+        assert(by(g) == Seq(own.count(), rest.count(), psi,
+          if (psi > 0.25) 1 else 0),
+          s"trial $trial group $g: ${by(g)} != member psi $psi")
+      }
+      // embedding member: random 6-dim vectors with per-group offsets
+      val dim = 6
+      val erows = (0 until 60 + rnd.nextInt(60)).map { i =>
+        val g = "g" + rnd.nextInt(nGroups)
+        (i.toLong, g,
+          Seq.tabulate(dim)(d => rnd.nextGaussian() + (g.last - '0') *
+            (if (d == 0) 1.5 else 0.0)))
+      }
+      val edf = erows.toDF("vec_id", "g", "embedding")
+      val eby = Similarity.embeddingDriftBy(edf, "g", "embedding")
+        .collect().map(r => r.getString(0) -> r).toMap
+      eby.keySet.foreach { g =>
+        val own = edf.filter($"g" === g)
+        val rest = edf.filter($"g" =!= g)
+        val m = Similarity.embeddingDrift(rest, own).collect().head
+        val r = eby(g)
+        assert(r.getLong(1) == m.getLong(1) && r.getLong(2) == m.getLong(0))
+        // rest mean derived from slice means vs averaged rows: equal up
+        // to float summation order, inside the 6 dp emission grain
+        if (!m.isNullAt(2))
+          assert(math.abs(r.getDouble(3) - m.getDouble(2)) <= 1.1e-6,
+            s"trial $trial group $g cos")
+        if (!m.isNullAt(3))
+          assert(math.abs(r.getDouble(4) - m.getDouble(3)) <= 1.1e-6,
+            s"trial $trial group $g l2")
+      }
+    }
+  }
+
   test("windowed drift aggregates equal their pairwise members on random streams (VERDICT r12 task 8)") {
     // the fixed fixtures in EventStreamSuite pin one dataset; randomized
     // baselines exercise the two-pointer merge walk's edge cases (equal
