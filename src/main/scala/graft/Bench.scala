@@ -533,6 +533,51 @@ object Bench {
         System.err.println(s"vocabdiv_kernel_probe failed: ${e.getMessage}")
     }
 
+    // drift-gate fusion probe: driftReportWindowed's one-pass claim,
+    // measured — the q201 gate (all four windowed drift monitors in ONE
+    // stateful aggregation) vs the four members run separately over the
+    // same pinned stream. Batch understates the win (streaming adds one
+    // checkpointed state store per member); this cell grounds the batch
+    // share of it.
+    if (probeOn("gate")) try {
+      dropCaches()
+      import org.apache.spark.sql.functions.{col, lit, round => sround}
+      val ev = Tables.load(spark, sfDir, "events")
+        .select(col("ts"), sround(col("value"), 2).as("v"),
+          col("event_type"))
+        .localCheckpoint(true)
+      val week = ev.filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+      val (bv, bc) = ext.Eval.ksBaseline(week, "v")
+      val (bcats, _) = ext.Outliers.chiSquareBaseline(week, "event_type")
+      val (bb, bt) = ext.Outliers.psiBaseline(week, "v", 10, 0.0, 500.0)
+      def drain(df: org.apache.spark.sql.DataFrame): Unit =
+        df.foreach((_: org.apache.spark.sql.Row) => ())
+      def gate(): Long = {
+        drain(ext.Outliers.driftReportWindowed(ev, "ts", "v",
+          "event_type", bv, bc, bcats, bb, bt, 10, 0.0, 500.0)); 0L }
+      def members(): Long = {
+        drain(ext.Eval.ksDriftWindowed(ev, "ts", "v", bv, bc))
+        drain(ext.Eval.rankSumDriftWindowed(ev, "ts", "v", bv, bc))
+        drain(ext.Outliers.chiSquareDriftWindowed(ev, "ts", "event_type",
+          bcats))
+        drain(ext.Outliers.psiWindowed(ev, "ts", "v", bb, bt, 10, 0.0,
+          500.0)); 0L }
+      gate(); members() // discard first-use codegen/classload
+      val cells = Seq[(String, () => Long)](
+        "gate_one_pass" -> (() => gate()),
+        "members_four_passes" -> (() => members()))
+      val (times, _) = interleavedTimes(cells)
+      val (tg, tm) = (times("gate_one_pass"), times("members_four_passes"))
+      val l = s"""{"metric":"gate_fusion_probe","probes_isolated":true,"warmup":true,"interleaved_passes":2,""" +
+        s""""gate_one_pass_sec":$tg,"members_four_passes_sec":$tm,""" +
+        s""""speedup":${tm / math.max(tg, 1e-9)},""" +
+        s""""note":"q201's one stateful aggregation vs the four windowed monitors separately (batch share of the win; streaming adds one checkpointed state store per member)"}"""
+      println(l); extraLines += l
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"gate_fusion_probe failed: ${e.getMessage}")
+    }
+
     // Graph DEPTH probe (full runs only): the text9 cell certifies node
     // scaling at 3 rounds; this one certifies ROUND scaling — sec/round at
     // iters=20 vs iters=5 on the same synthetic graph must stay ~flat
