@@ -240,6 +240,17 @@ class Round13OpsSuite extends AnyFunSuite {
     // the lenses disagree by design: g2's value shift registers on the
     // value lenses, g1's category skew on the chi2 lens
     assert(rep(("g2", "ks"))(2) == 1 && rep(("g1", "chi2"))(2) == 1)
+    // the shared (slice, value) table carries the rank-op grid
+    // discipline for the WHOLE report — an unrounded score column must
+    // fail loudly at the gate, naming the composed operator
+    spark.conf.set(graft.util.GridGuard.MaxDistinctConf, "50")
+    val raw = (0 until 200).map(i =>
+      ("g" + (i % 2), i * math.Pi % 1.0, "x")).toDF("g", "v", "c")
+    val e = intercept[IllegalArgumentException] {
+      Outliers.driftReportBy(raw, "g", "v", "c").collect()
+    }
+    assert(e.getMessage.contains("driftReportBy"))
+    spark.conf.unset(graft.util.GridGuard.MaxDistinctConf)
   }
 
   test("recommendNprobe: clustered corpus -> 2, isotropic -> k; knee logic edges") {
