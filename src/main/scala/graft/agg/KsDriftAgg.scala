@@ -377,3 +377,137 @@ object ChiSquareDriftAgg {
       ChiSquareDriftAgg(ExpressionUtils.expression(v.cast("string")),
         baseCounts, cap).toAggregateExpression())
 }
+
+/** Stateful kernel of [[graft.ext.TextAnalysis.vocabDivergenceWindowed]]
+  * — the text member's serving twin. The token space is the cap risk
+  * (unlike a category column, a vocabulary grows with the corpus), so
+  * the state is NOT the raw token counts: `update` PROJECTS each token
+  * onto the driver-held serving vocabulary — the baseline's top-K
+  * tokens, everything else folded into one out-of-vocabulary cell — and
+  * the buffer is hard-bounded at K+1 counters per group by
+  * construction, no guard needed. `eval` replays
+  * [[graft.ext.TextAnalysis.vocabDivergence]]'s alpha-smoothed KL/JS
+  * arithmetic over the FIXED K+1 categories (vocab = K+1 in the
+  * smoothing denominators — the projected statistic, not the full-vocab
+  * batch one; the serving monitor trades the unbounded tail for bounded
+  * state, exactly the Misra–Gries posture). Null tokens are skipped; an
+  * all-null group returns a null struct. */
+case class VocabDriftAgg(
+    child: Expression,
+    baseCounts: Map[String, Long],
+    baseTotal: Long,
+    alpha: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+  with UnaryLike[Expression] {
+
+  require(baseCounts.nonEmpty, "vocab_drift: empty baseline vocabulary")
+  require(baseTotal >= baseCounts.valuesIterator.sum,
+    "vocab_drift: baseTotal smaller than the top-K mass it must contain")
+
+  /** The OOV cell's key — a single space cannot be produced by the word
+    * tokenizer ([a-z0-9]+), so it never collides with a real token. */
+  private val Oov = " "
+
+  override def prettyName: String = "vocab_drift"
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_live", LongType, nullable = false),
+    StructField("kl_ab", DoubleType, nullable = false),
+    StructField("kl_ba", DoubleType, nullable = false),
+    StructField("js", DoubleType, nullable = false)))
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[String, Long],
+      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val tok0 = v.toString
+      val tok = if (baseCounts.contains(tok0)) tok0 else Oov
+      buf.update(tok, buf.getOrElse(tok, 0L) + 1L)
+    }
+    buf
+  }
+
+  override def merge(a: mutable.HashMap[String, Long],
+      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (v, c) => a.update(v, a.getOrElse(v, 0L) + c) }
+    a
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    if (buf.isEmpty) return null
+    var nL = 0L
+    buf.valuesIterator.foreach(nL += _)
+    // fixed category order: sorted top-K tokens, then the OOV cell —
+    // deterministic term order so the 6 dp-rounded sums are replayable
+    val cats = baseCounts.keysIterator.toArray.sorted :+ Oov
+    val vocab = cats.length.toDouble
+    val oovBase = baseTotal - baseCounts.valuesIterator.sum
+    val denA = baseTotal.toDouble + alpha * vocab
+    val denB = nL.toDouble + alpha * vocab
+    var klAb = 0.0; var klBa = 0.0; var js = 0.0
+    cats.foreach { c =>
+      val cb = if (c == Oov) oovBase else baseCounts(c)
+      val cl = buf.getOrElse(c, 0L)
+      val pa = (cb.toDouble + alpha) / denA
+      val pb = (cl.toDouble + alpha) / denB
+      klAb += pa * math.log(pa / pb)
+      klBa += pb * math.log(pb / pa)
+      js += pa * math.log(pa * 2.0 / (pa + pb)) / 2.0 +
+        pb * math.log(pb * 2.0 / (pa + pb)) / 2.0
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    InternalRow(nL, r6(klAb), r6(klBa), r6(js))
+  }
+
+  // the ChiSquareDriftAgg length-prefixed form: tokens are free text
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (v, c) =>
+      val b = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VocabDriftAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VocabDriftAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): VocabDriftAgg =
+    copy(child = c)
+}
+
+object VocabDriftAgg {
+  /** Column-level API: alpha-smoothed KL/JS-vs-baseline struct of a
+    * token column projected onto the baseline's top-K vocabulary (+1
+    * OOV cell). */
+  def column(tok: Column, baseCounts: Map[String, Long], baseTotal: Long,
+      alpha: Double): Column =
+    ExpressionUtils.column(
+      VocabDriftAgg(ExpressionUtils.expression(tok.cast("string")),
+        baseCounts, baseTotal, alpha).toAggregateExpression())
+}

@@ -67,16 +67,31 @@ object Ivf {
     * needs held-out queries) is the serving decision variable. */
   def unexplainedVar(df: DataFrame, centroids: Array[Array[Double]],
       vecCol: String = "embedding"): Double = {
+    val (r2, n2, _) = residNormSums(df, centroids, vecCol)
+    if (n2 <= 0) sys.error(
+      "unexplainedVar: empty corpus or zero-norm vectors (sum of squared norms is 0)")
+    r2 / n2
+  }
+
+  /** [[unexplainedVar]]'s raw accumulators `(Σ‖v − c(v)‖², Σ‖v‖², n)` —
+    * the decomposition that makes the measurement INCREMENTAL: an
+    * append adds its batch sums to the store's persisted sums and the
+    * combined ratio is exact, no re-scan of the standing store
+    * ([[appendToStore]]'s metadata update). One corpus pass. */
+  private def residNormSums(df: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String): (Double, Double, Long) = {
     val cl = typedLit(centroids.map(_.toSeq).toSeq)
     val v = col(vecCol).cast("array<double>")
     val sq = (acc: org.apache.spark.sql.Column,
         x: org.apache.spark.sql.Column) => acc + x * x
-    assign(df, centroids, vecCol)
+    val row = assign(df, centroids, vecCol)
       .select(
         aggregate(zip_with(v, element_at(cl, col("ivf_bkt") + 1),
           (a, b) => a - b), lit(0.0), sq).as("r2"),
         aggregate(v, lit(0.0), sq).as("n2"))
-      .agg(sum(col("r2")) / sum(col("n2"))).first().getDouble(0)
+      .agg(sum(col("r2")), sum(col("n2")), count(lit(1))).first()
+    if (row.isNullAt(0)) (0.0, 0.0, 0L)
+    else (row.getDouble(0), row.getDouble(1), row.getLong(2))
   }
 
   /** Evidence-based probe-budget default (the ARCHITECTURE.md serving
@@ -102,7 +117,7 @@ object Ivf {
     * `unexplained_var` (callers holding the measurement — the bench
     * probe — need not pay a second corpus pass). */
   def nprobeFor(unexplainedVar: Double, k: Int): Int =
-    math.max(2, math.min(k, math.ceil(unexplainedVar * k).toInt))
+    math.min(k, math.max(2, math.ceil(unexplainedVar * k).toInt))
 
   /** Top-k cosine search probing the `nprobe` nearest cells per query.
     * `nprobe == centroids.length` scans everything → exact brute force. */
@@ -116,15 +131,66 @@ object Ivf {
     Similarity.bucketTopK(c, q, kNN, "ivf_bkt", vecCol, idCol)
   }
 
+  /** The store's serving metadata, persisted beside the cells (VERDICT
+    * r13 task 6 — the serving rule as STORE STATE, not a re-measurement):
+    * the [[unexplainedVar]] accumulators plus the derived
+    * `(unexplained_var, recommended_nprobe)`, so a serving caller reads
+    * the probe-budget default from the store instead of paying a corpus
+    * pass, and an append can re-derive it incrementally (exact — the
+    * accumulators are sums). */
+  final case class StoreMeta(sumResid2: Double, sumNorm2: Double,
+      nRows: Long, k: Int, unexplainedVar: Double,
+      recommendedNprobe: Int)
+
+  /** The sidecar's directory under the store path — the leading
+    * underscore keeps it invisible to `spark.read.parquet(store)` (the
+    * `_SUCCESS` convention), so the data scan's schema is untouched. */
+  private val MetaDir = "_graft_meta"
+
+  private def metaOf(r2: Double, n2: Double, n: Long, k: Int): StoreMeta = {
+    val uv = if (n2 > 0) r2 / n2 else 1.0
+    StoreMeta(r2, n2, n, k, uv, nprobeFor(uv, k))
+  }
+
+  private def writeStoreMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, m: StoreMeta): Unit = {
+    import spark.implicits._
+    Seq((m.sumResid2, m.sumNorm2, m.nRows, m.k, m.unexplainedVar,
+        m.recommendedNprobe))
+      .toDF("sum_resid2", "sum_norm2", "n_rows", "k", "unexplained_var",
+        "recommended_nprobe")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/$MetaDir")
+  }
+
+  /** Read a store's serving metadata — None for a store written before
+    * the sidecar existed (serve it with a measured [[recommendNprobe]]
+    * or rebuild). */
+  def readStoreMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[StoreMeta] =
+    try {
+      val r = spark.read.parquet(s"$path/$MetaDir").first()
+      Some(StoreMeta(r.getDouble(0), r.getDouble(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4), r.getInt(5)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Persist the corpus partitioned by IVF cell: a probe becomes Parquet
     * PARTITION PRUNING (`PartitionFilters` in the plan) — at 100 TB only
     * `nprobe/k` of the files are even opened, the scan-level version of
-    * the inverted file. */
+    * the inverted file. Also persists the serving metadata sidecar
+    * (`_graft_meta`: unexplained-var accumulators +
+    * `recommended_nprobe`) — one extra corpus pass at BUILD time, the
+    * phase that already pays k-means; callers with an expensive upstream
+    * should hand in a pinned frame. */
   def writeStore(corpus: DataFrame, path: String,
-      centroids: Array[Array[Double]], vecCol: String = "embedding"): Unit =
+      centroids: Array[Array[Double]], vecCol: String = "embedding"): Unit = {
     assign(corpus, centroids, vecCol)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("ivf_bkt").parquet(path)
+    val (r2, n2, n) = residNormSums(corpus, centroids, vecCol)
+    writeStoreMeta(corpus.sparkSession, path,
+      metaOf(r2, n2, n, centroids.length))
+  }
 
   /** INCREMENTAL STORE APPEND: assign a new batch to the EXISTING
     * centroids and append into the cell partitions — the nightly
@@ -135,12 +201,24 @@ object Ivf {
     * trained on the old corpus quantize new data less tightly, degrading
     * recall at small nprobe — watch [[Similarity.embeddingDrift]] between
     * the trained snapshot and the live batch and re-train (one full
-    * rewrite) when it alarms. */
+    * rewrite) when it alarms. The serving-metadata sidecar re-derives
+    * INCREMENTALLY: the batch's unexplained-var accumulators add to the
+    * store's persisted sums (exact — they are sums; no standing-store
+    * re-scan), so `recommended_nprobe` tracks the drifting union and a
+    * batch from a new region of the space pushes it up — the staleness
+    * signal in the same artifact the serving path reads. A pre-sidecar
+    * store keeps no metadata (rebuild to adopt it). */
   def appendToStore(batch: DataFrame, path: String,
-      centroids: Array[Array[Double]], vecCol: String = "embedding"): Unit =
+      centroids: Array[Array[Double]], vecCol: String = "embedding"): Unit = {
     assign(batch, centroids, vecCol)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("ivf_bkt").parquet(path)
+    readStoreMeta(batch.sparkSession, path).foreach { m =>
+      val (r2, n2, n) = residNormSums(batch, centroids, vecCol)
+      writeStoreMeta(batch.sparkSession, path,
+        metaOf(m.sumResid2 + r2, m.sumNorm2 + n2, m.nRows + n, m.k))
+    }
+  }
 
   /** Search a [[writeStore]] store: the probe filter prunes partitions at
     * planning time, then the exact re-rank runs on the surviving cells. */

@@ -384,8 +384,13 @@ object Outliers {
     // paid the two-side aggregation once per value member plus two
     // psiDrift row-count pulls (three corpus-side passes + three guard
     // gates for statistics that share their first aggregation).
-    val perRaw = Eval.pairPerValueRaw(bp, lp, valCol)
-    val per = graft.util.GridGuard.gateTable(perRaw, "driftReport", valCol)
+    // pinned UNCONDITIONALLY (ADVICE r13): three lenses read this table,
+    // so the pin is the sharing mechanism, not a guard side-effect —
+    // with gateTable a guard-off session would hand each lens the lazy
+    // frame and pay the corpus aggregation three times
+    val per = graft.util.Checkpoints.pin(
+      Eval.pairPerValueRaw(bp, lp, valCol))
+    graft.util.GridGuard.gateCount(per, "driftReport", valCol)
     // psiDrift's side totals count ALL rows (a NULL value lands in no
     // bucket but still dilutes the proportions) — two count jobs on the
     // tiny pins, exactly the member's base.count()/live.count() pulls
@@ -403,8 +408,7 @@ object Outliers {
       psi.unionAll(ks).unionAll(rs).unionAll(chi).orderBy("stat"))
     // the members hand back their own one-row pins (the ksTest
     // convention) — reclaim those too once the report materializes
-    Seq(bp, lp, ks, rs, chi).foreach(graft.util.Checkpoints.release)
-    if (per ne perRaw) graft.util.Checkpoints.release(per)
+    Seq(bp, lp, ks, rs, chi, per).foreach(graft.util.Checkpoints.release)
     out
   }
 

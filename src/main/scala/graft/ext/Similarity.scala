@@ -807,6 +807,18 @@ object Similarity {
       .groupBy(col("_w"))
       .agg(count(lit(1)).as("n_live"),
         graft.agg.VectorMeanAgg.column(col("_x")).as("_m"))
+    baselineDriftCols(agged, baseMean, "embeddingDriftWindowed")
+      .select(col("_w").getField("start").as("ws"), col("n_live"),
+        col("mean_cos"), col("mean_l2"))
+  }
+
+  /** The windowed embedding-drift family's shared downstream: cosine/L2
+    * of each cell's mean `_m` against the driver-held baseline — a
+    * narrow per-cell projection after the stateful aggregation, the
+    * same expressions for the unsliced and BY-slice forms so the pinned
+    * "per-cell ≡ unsliced twin" property is structural. */
+  private def baselineDriftCols(agged: DataFrame, baseMean: Array[Double],
+      op: String): DataFrame = {
     val mb = array(baseMean.map(lit(_)).toIndexedSeq: _*)
     val nb = math.sqrt(baseMean.map(z => z * z).sum)
     // a live dim that disagrees with the baseline fails LOUDLY (the
@@ -815,17 +827,52 @@ object Similarity {
     val m = when(col("_m").isNull || size(col("_m")) === baseMean.length,
         col("_m"))
       .otherwise(raise_error(concat(
-        lit("embeddingDriftWindowed: live dim "),
+        lit(s"$op: live dim "),
         size(col("_m")).cast("string"),
         lit(s" != baseline dim ${baseMean.length}"))))
     def fold(c: Column) = aggregate(c, lit(0.0), (acc, x) => acc + x)
     val dotAb = fold(zip_with(m, mb, (a, b) => a * b))
     val nl = sqrt(fold(transform(m, a => a * a)))
     val l2 = sqrt(fold(zip_with(m, mb, (a, b) => (a - b) * (a - b))))
-    agged.select(col("_w").getField("start").as("ws"), col("n_live"),
-      round(when(nl > 0 && lit(nb) > 0, dotAb / (nl * lit(nb))), 6)
-        .as("mean_cos"),
-      round(l2, 6).as("mean_l2"))
+    agged
+      .withColumn("mean_cos",
+        round(when(nl > 0 && lit(nb) > 0, dotAb / (nl * lit(nb))), 6))
+      .withColumn("mean_l2", round(l2, 6))
+  }
+
+  /** [[embeddingDriftWindowed]] BY SLICE — the drift matrix's last cell
+    * (VERDICT r13 task 2): "WHICH source's embedding space moved, PER
+    * day". The same ONE stateful aggregation with the slice key joined
+    * into the grouping (the [[graft.ext.Eval.ksDriftWindowedBy]]
+    * composition); per-(window, slice) state is
+    * [[graft.agg.VectorMeanAgg]]'s d+1 doubles — bounded regardless of
+    * event rate, CHEAPER than the KS member's capped value table — and
+    * the watermark expires whole windows. Every cell compares against
+    * the SAME driver-held baseline mean (from
+    * [[embeddingDriftBaseline]] on the store's training corpus), the
+    * q196–q199 convention: a serving monitor alarms each slice against
+    * the trained corpus, not against the other slices (r12/r13's
+    * exclusion of this cell wrongly carried [[embeddingDriftBy]]'s
+    * rest-relative BATCH semantics over to the serving twin, which none
+    * of the windowed-BY members use). Per-(window, slice) cell ≡
+    * [[embeddingDriftWindowed]] on the slice substream and stream ≡
+    * batch are suite-pinned. Returns
+    * (ws, sliceCol, n_live, mean_cos, mean_l2), 6 dp-rounded. */
+  def embeddingDriftWindowedBy(df: DataFrame, tsCol: String,
+      sliceCol: String, vecCol: String, baseMean: Array[Double],
+      windowDur: String = "1 day"): DataFrame = {
+    require(baseMean.nonEmpty, "embeddingDriftWindowedBy: empty baseline")
+    val agged = df
+      .select(window(col(tsCol), windowDur).as("_w"),
+        col(sliceCol).as("_slice"),
+        col(vecCol).cast("array<double>").as("_x"))
+      .groupBy(col("_w"), col("_slice"))
+      .agg(count(lit(1)).as("n_live"),
+        graft.agg.VectorMeanAgg.column(col("_x")).as("_m"))
+    baselineDriftCols(agged, baseMean, "embeddingDriftWindowedBy")
+      .select(col("_w").getField("start").as("ws"),
+        col("_slice").as(sliceCol), col("n_live"),
+        col("mean_cos"), col("mean_l2"))
   }
 
   /** TOP PRINCIPAL COMPONENT of the embedding corpus by POWER ITERATION

@@ -1329,6 +1329,133 @@ object TextAnalysis {
         round(sum(col("t_js")), 6).as("js"))
   }
 
+  /** [[vocabDivergence]] PER SLICE — "WHICH source's vocabulary moved vs
+    * the rest": the text member of the by-slice drift views
+    * ([[Outliers.psiDriftBy]] / [[graft.ext.Eval.ksTestBy]]), completing
+    * the matrix pattern for the statistic COVERAGE sells as "PSI's text
+    * analogue for crawl-drift auditing". ONE corpus pass: the token
+    * explode collapses map-side to the (slice, token) count table
+    * (pinned, [[graft.util.GridGuard]]-gated on BOTH axes — a vocabulary
+    * is the cap risk a category column isn't); global per-token counts,
+    * per-slice totals and the (N, |V|) totals all re-aggregate that
+    * bounded pin, and the rest side derives as global − own (the house
+    * by-slice derivation — slicing costs no second corpus pass). The
+    * dense slice × global-token grid exists because own ∪ rest = corpus:
+    * the pairwise member's union vocabulary is the GLOBAL vocabulary for
+    * every slice, so each row is `vocabDivergence(own, rest)` with
+    * identical smoothing — suite-pinned ≡ the member per slice at the
+    * 6 dp grain. |slices| × |V| grid rows, fully distributed (counts,
+    * not corpus rows; no single-partition stage anywhere).
+    *
+    * Returns one row per slice:
+    * (groupCol, n_g, n_rest, vocab, kl_ab, kl_ba, js) — kl_ab =
+    * KL(own‖rest); a single-slice corpus degrades to the member's
+    * empty-rest smoothing (finite, no NULLs). */
+  def vocabDivergenceBy(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, textCol: String,
+      alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val pg = df.select(col(groupCol).as("_g"),
+        explode(wordTokens(textCol)).as("tok"))
+      .filter(col("_g").isNotNull)
+      .groupBy(col("_g"), col("tok")).agg(count(lit(1)).as("c"))
+      .pin()
+    graft.util.GridGuard.gateAxes(pg, "vocabDivergenceBy",
+      s"$textCol tokens" -> "tok", groupCol -> "_g")
+    val glob = pg.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+    val slices = pg.groupBy(col("_g")).agg(sum(col("c")).as("n_g"))
+    val tot = pg.agg(sum(col("c")).as("n"),
+      count_distinct(col("tok")).as("vocab"))
+    val grid = glob.crossJoin(broadcast(slices))
+      .join(pg, Seq("_g", "tok"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(tot))
+    val av = lit(alpha) * col("vocab").cast("double")
+    val pa = (col("c").cast("double") + lit(alpha)) /
+      (col("n_g").cast("double") + av)
+    val pb = ((col("ct") - col("c")).cast("double") + lit(alpha)) /
+      ((col("n") - col("n_g")).cast("double") + av)
+    val out = grid
+      .select(col("_g"), col("n_g"), col("n"), col("vocab"),
+        (pa * log(pa / pb)).as("t_ab"), (pb * log(pb / pa)).as("t_ba"),
+        (pa * log(pa * 2.0 / (pa + pb)) / 2.0 +
+          pb * log(pb * 2.0 / (pa + pb)) / 2.0).as("t_js"))
+      .groupBy(col("_g"), col("n_g"), col("n"), col("vocab"))
+      .agg(round(sum(col("t_ab")), 6).as("kl_ab"),
+        round(sum(col("t_ba")), 6).as("kl_ba"),
+        round(sum(col("t_js")), 6).as("js"))
+      .select(col("_g").as(groupCol), col("n_g"),
+        (col("n") - col("n_g")).as("n_rest"), col("vocab"),
+        col("kl_ab"), col("kl_ba"), col("js"))
+    // |slices|-row result: materialize, then reclaim the gate pin (the
+    // ksTest convention)
+    val pinned = graft.util.Checkpoints.pin(out)
+    graft.util.Checkpoints.release(pg)
+    pinned
+  }
+
+  /** [[vocabDivergenceWindowed]]'s driver-held baseline from the
+    * reference snapshot: the top-K tokens by count (count desc, token
+    * asc — deterministic tiebreak, both engines replay it) with their
+    * counts, plus the snapshot's TOTAL token count (so the serving
+    * vocabulary's OOV cell carries the tail mass `total − Σ topK`). Run
+    * once against the snapshot, hold on the driver / in the job config
+    * — the [[Outliers.psiBaseline]] convention. */
+  def vocabBaseline(df: org.apache.spark.sql.DataFrame, textCol: String,
+      topK: Int = 200): (Map[String, Long], Long) = {
+    require(topK > 0, "vocabBaseline: topK must be positive")
+    val cnts = df.select(explode(wordTokens(textCol)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .pin()
+    val top = cnts.orderBy(col("c").desc, col("tok"))
+      .limit(topK).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = cnts.agg(sum(col("c"))).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    graft.util.Checkpoints.release(cnts)
+    (top, total)
+  }
+
+  /** STREAMING-SHAPED [[vocabDivergence]]: each event-time window's
+    * token distribution vs a DRIVER-HELD baseline vocabulary (from
+    * [[vocabBaseline]] on the reference snapshot) — the crawl-drift
+    * monitor as a standing alarm ("when did this feed's vocabulary
+    * move") instead of a batch audit, completing the text member's
+    * windowed form in the drift matrix. ONE stateful windowed
+    * aggregation ([[graft.agg.VocabDriftAgg]]): `update` projects each
+    * token onto the baseline's top-K vocabulary (everything else folds
+    * into one OOV cell), so per-window state is hard-bounded at K+1
+    * counters BY CONSTRUCTION regardless of event rate or vocabulary
+    * growth — the Misra–Gries posture applied to drift state; the
+    * watermark expires whole windows. The statistic is the member's
+    * α-smoothed KL/JS arithmetic over the FIXED K+1 serving categories
+    * (vocab = K+1 in the smoothing denominators) — the projected
+    * statistic a bounded monitor can carry, NOT the full-vocab batch
+    * number; for "which tokens moved" run the batch member on the
+    * flagged window. Same plan batch or streaming (add `withWatermark`
+    * upstream); stream ≡ batch and the arithmetic ≡ a local replay are
+    * suite-pinned.
+    *
+    * Returns (ws, n_live, kl_ab, kl_ba, js) per window — kl_ab =
+    * KL(baseline‖window), 6 dp. */
+  def vocabDivergenceWindowed(df: org.apache.spark.sql.DataFrame,
+      tsCol: String, textCol: String, baseCounts: Map[String, Long],
+      baseTotal: Long, alpha: Double = 0.5,
+      windowDur: String = "1 day"): org.apache.spark.sql.DataFrame = {
+    val agged = df
+      .select(window(col(tsCol), windowDur).as("_w"),
+        explode(wordTokens(textCol)).as("_tok"))
+      .groupBy(col("_w"))
+      .agg(graft.agg.VocabDriftAgg.column(col("_tok"), baseCounts,
+        baseTotal, alpha).as("_v"))
+    agged.select(col("_w").getField("start").as("ws"),
+      col("_v").getField("n_live").as("n_live"),
+      col("_v").getField("kl_ab").as("kl_ab"),
+      col("_v").getField("kl_ba").as("kl_ba"),
+      col("_v").getField("js").as("js"))
+  }
+
   /** PER-DOCUMENT TOKEN ENTROPY: Shannon entropy (nats) of the document's
     * own word-token distribution, plus the ln(distinct)-normalized form —
     * a repetition/diversity signal orthogonal to [[dupShingleFraction]]

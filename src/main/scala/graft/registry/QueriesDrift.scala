@@ -9,21 +9,22 @@ import graft.operators.{Elevation, Factorize, FlagRegions, GridOps, MineDepletio
 import graft.sources.Ingest
 import graft.QueryShared._
 
-/** Query registry — LLM pipeline: the drift matrix. As of r13 every one
-  * of {PSI, KS, rank-sum, chi², embedding} has all three single-lens
-  * forms — pairwise, by-slice ("which source drifted?"), and a windowed
-  * streaming twin — and the two lenses COMPOSE for the four
-  * statistic-vs-driver-held-baseline members: windowed-BY-slice
-  * ("which source drifted, per day") for PSI / KS / rank-sum / chi²
-  * (q196–q199; the embedding member's by-slice form is rest-relative,
-  * which needs cross-slice state a streaming monitor doesn't carry —
-  * its serving twin stays the unsliced [[graft.ext.Similarity.embeddingDriftWindowed]]).
-  * Plus Theil–Sen trends and the one-call reports: q193 (one slice,
-  * every lens), its r13 sibling q200 (every slice, every lens, one
-  * shared (slice, value) aggregation), and the windowed gates — all
-  * four serving monitors in ONE stateful aggregation: q201 (one wide
-  * alert row per day) and q202 (per (day, slice) — "which cohort
-  * drifted today, by every lens").
+/** Query registry — LLM pipeline: the drift matrix, COMPLETE as of r14:
+  * every one of {PSI, KS, rank-sum, chi², embedding} has all three
+  * single-lens forms — pairwise, by-slice ("which source drifted?"),
+  * and a windowed streaming twin — AND the windowed-BY-slice
+  * composition ("which source drifted, per day"): q196–q199 for
+  * PSI / KS / rank-sum / chi², q203 for the embedding member. Every
+  * windowed-BY cell compares against the same DRIVER-HELD global
+  * baseline (the serving convention — a deployed monitor alarms each
+  * slice against the trained corpus; the batch by-slice forms' rest-
+  * relative semantics stay batch-only, where cross-slice state is one
+  * aggregation away). Plus Theil–Sen trends and the one-call reports:
+  * q193 (one slice, every lens), its r13 sibling q200 (every slice,
+  * every lens, one shared (slice, value) aggregation), and the windowed
+  * gates — all four serving monitors in ONE stateful aggregation: q201
+  * (one wide alert row per day) and q202 (per (day, slice) — "which
+  * cohort drifted today, by every lens").
   *
   * Pre-r12 entries (and their DuckDB oracle SQL beside them) moved
   * verbatim from SparkEntry in the r12 per-family split; q186–q193 were
@@ -323,6 +324,26 @@ object QueriesDrift {
       ext.Outliers.driftReportWindowedBy(ev, "ts", "cohort", "v",
           "event_type", bv, bc, bcats, bb, bt, 10, 0.0, 500.0)
         .orderBy("ws", "cohort")
+    }),
+
+    // ext: WINDOWED embedding drift BY SLICE — the drift matrix's last
+    // cell (r14): each (day, label cluster)'s mean embedding vs the
+    // driver-held training-corpus baseline ("which cluster's embedding
+    // space moved, per day" — the staleness alarm the ANN store docs
+    // point at, sliced). d+1 doubles of state per (window, slice) cell;
+    // day = vec_id % 3 synthesizes the event time the embeddings table
+    // doesn't carry, baseline = the even half (the q164 split)
+    "q203_embedding_windowed_by" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (bm, _) = ext.Similarity.embeddingDriftBaseline(
+        emb.filter(col("vec_id") % 2 === 0))
+      val live = emb.select(
+        timestamp_seconds(lit(1704067200L) + (col("vec_id") % 3) * 86400L)
+          .as("ts"),
+        col("label"), col("embedding"))
+      ext.Similarity.embeddingDriftWindowedBy(live, "ts", "label",
+          "embedding", bm)
+        .orderBy("ws", "label")
     }),
   )
 
@@ -1293,5 +1314,37 @@ object QueriesDrift {
              "round(value, 2)")})
              p ON p.ws = k.ws AND p.cohort = k.cohort
          ORDER BY k.ws, k.cohort""",
+
+    // q164's mean-vector machinery per (day, label) cell against the
+    // even-half baseline mean: per-dim avgs, then cos/L2 of the cell
+    // mean vs the baseline mean, 6 dp — the q195 arithmetic with the
+    // driver-held-baseline convention instead of rest-relative
+    "q203_embedding_windowed_by" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x
+             FROM embeddings),
+         bm AS (SELECT g.j AS j, avg(x[g.j]) AS bj
+                FROM e, generate_series(1, 64) AS g(j)
+                WHERE vec_id % 2 = 0 GROUP BY g.j),
+         bn AS (SELECT sqrt(sum(bj * bj)) AS nb FROM bm),
+         live AS (SELECT TIMESTAMP '2024-01-01'
+                    + (vec_id % 3) * INTERVAL 1 DAY AS ws, label, x
+                  FROM e),
+         dims AS (SELECT ws, label, g.j AS j, avg(x[g.j]) AS mj
+                  FROM live, generate_series(1, 64) AS g(j)
+                  GROUP BY ws, label, g.j),
+         cnt AS (SELECT ws, label, CAST(count(*) AS BIGINT) AS n_live
+                 FROM live GROUP BY ws, label),
+         per AS (SELECT d.ws, d.label,
+                   sum(d.mj * bm.bj) AS dot, sum(d.mj * d.mj) AS na2,
+                   sum((d.mj - bm.bj) * (d.mj - bm.bj)) AS l22
+                 FROM dims d JOIN bm ON bm.j = d.j
+                 GROUP BY d.ws, d.label)
+         SELECT per.ws, per.label, cnt.n_live,
+           round(CASE WHEN sqrt(na2) > 0 AND nb > 0
+             THEN dot / (sqrt(na2) * nb) END, 6) AS mean_cos,
+           round(sqrt(l22), 6) AS mean_l2
+         FROM per JOIN cnt ON cnt.ws = per.ws AND cnt.label = per.label,
+           bn
+         ORDER BY per.ws, per.label""",
   )
 }

@@ -348,6 +348,32 @@ object QueriesText {
       materializedWithout(
         ext.TextAnalysis.nbLabelIssuesTokens(base, "doc_id"), base)
     }),
+
+    // ext: per-source vocabulary drift — each source's token
+    // distribution vs the rest of the corpus (q129's by-slice view,
+    // "which source's vocabulary moved?"); one (source, token)
+    // aggregation, rest = global − own, each row ≡ the pairwise member
+    "q204_vocab_div_by_source" -> ((s, dir) =>
+      ext.TextAnalysis.vocabDivergenceBy(
+        Tables.load(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+
+    // ext: WINDOWED vocabulary drift — each day's token mix vs a
+    // driver-held top-50 baseline vocabulary from the even half
+    // (q129's serving twin: K+1 bounded counters per window, the OOV
+    // cell carries the tail); day = doc_id % 3 synthesizes the event
+    // time the documents table doesn't carry
+    "q205_vocab_windowed" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val (bc, bt) = ext.TextAnalysis.vocabBaseline(
+        docs.filter(col("doc_id") % 2 === 0), "text", 50)
+      val live = docs.select(
+        timestamp_seconds(lit(1704067200L) + (col("doc_id") % 3) * 86400L)
+          .as("ts"),
+        col("text"))
+      ext.TextAnalysis.vocabDivergenceWindowed(live, "ts", "text", bc, bt)
+        .orderBy("ws")
+    }),
   )
 
   private[graft] val oracleSql: Map[String, String] = Map(
@@ -896,5 +922,82 @@ object QueriesText {
          FROM top JOIN own ON own.doc_id = top.doc_id
          WHERE top.pred <> own.label
          ORDER BY margin DESC, top.doc_id LIMIT 20""",
+
+    // q129's smoothing arithmetic per slice on the dense
+    // (source x global token) grid: rest counts = global − own, the
+    // union vocabulary IS the global one (own ∪ rest = corpus)
+    "q204_vocab_div_by_source" ->
+      s"""WITH h AS (SELECT source AS g, unnest($ToksSql) AS tok
+             FROM documents WHERE source IS NOT NULL),
+         pg AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+                FROM h GROUP BY g, tok),
+         gt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct
+                FROM pg GROUP BY tok),
+         sl AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g
+                FROM pg GROUP BY g),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(DISTINCT tok) AS BIGINT) AS vocab FROM pg),
+         grid AS (SELECT sl.g, sl.n_g, gt.ct, coalesce(pg.c, 0) AS c,
+                    n, vocab
+                  FROM gt CROSS JOIN sl
+                  LEFT JOIN pg ON pg.g = sl.g AND pg.tok = gt.tok, t),
+         p AS (SELECT g, n_g, n, vocab,
+                 (CAST(c AS DOUBLE) + 0.5)
+                   / (CAST(n_g AS DOUBLE)
+                      + 0.5 * CAST(vocab AS DOUBLE)) AS pa,
+                 (CAST(ct - c AS DOUBLE) + 0.5)
+                   / (CAST(n - n_g AS DOUBLE)
+                      + 0.5 * CAST(vocab AS DOUBLE)) AS pb
+               FROM grid)
+         SELECT g AS source, n_g, n - n_g AS n_rest, vocab,
+           round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
+           round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
+           round(sum(pa * ln(pa * 2.0 / (pa + pb)) / 2.0 +
+                     pb * ln(pb * 2.0 / (pa + pb)) / 2.0), 6) AS js
+         FROM p GROUP BY g, n_g, n, vocab ORDER BY source""",
+
+    // the VocabDriftAgg replay: top-50 baseline vocabulary (count desc,
+    // token asc) from the even half, live tokens projected onto it with
+    // the tail in the ' ' OOV cell, q129's smoothing over the FIXED
+    // K+1 serving categories
+    "q205_vocab_windowed" ->
+      s"""WITH h0 AS (SELECT doc_id, unnest($ToksSql) AS tok
+             FROM documents),
+         base AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM h0
+                  WHERE doc_id % 2 = 0 GROUP BY tok),
+         top AS (SELECT tok, c FROM base ORDER BY c DESC, tok LIMIT 50),
+         bt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS total
+                FROM base),
+         kk AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS v,
+                  CAST(sum(c) AS BIGINT) AS topmass FROM top),
+         live AS (SELECT TIMESTAMP '2024-01-01'
+                    + (doc_id % 3) * INTERVAL 1 DAY AS ws,
+                    CASE WHEN tok IN (SELECT tok FROM top)
+                      THEN tok ELSE ' ' END AS cat
+                  FROM h0),
+         lc AS (SELECT ws, cat, CAST(count(*) AS BIGINT) AS cl
+                FROM live GROUP BY ws, cat),
+         nl AS (SELECT ws, CAST(sum(cl) AS BIGINT) AS n_live
+                FROM lc GROUP BY ws),
+         cats AS (SELECT tok AS cat, c AS cb FROM top
+                  UNION ALL
+                  SELECT ' ', bt.total - kk.topmass FROM bt, kk),
+         grid AS (SELECT nl.ws, nl.n_live, cats.cat, cats.cb,
+                    coalesce(lc.cl, 0) AS cl, kk.v, bt.total
+                  FROM nl CROSS JOIN cats
+                  LEFT JOIN lc ON lc.ws = nl.ws AND lc.cat = cats.cat,
+                  kk, bt),
+         p AS (SELECT ws, n_live,
+                 (CAST(cb AS DOUBLE) + 0.5)
+                   / (CAST(total AS DOUBLE) + 0.5 * v) AS pa,
+                 (CAST(cl AS DOUBLE) + 0.5)
+                   / (CAST(n_live AS DOUBLE) + 0.5 * v) AS pb
+               FROM grid)
+         SELECT ws, n_live,
+           round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
+           round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
+           round(sum(pa * ln(pa * 2.0 / (pa + pb)) / 2.0 +
+                     pb * ln(pb * 2.0 / (pa + pb)) / 2.0), 6) AS js
+         FROM p GROUP BY ws, n_live ORDER BY ws""",
   )
 }

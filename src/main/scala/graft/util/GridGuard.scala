@@ -114,6 +114,18 @@ object GridGuard {
       case None => per
     }
 
+  /** [[gateTable]]'s form for an ALREADY-PINNED per-distinct-value table:
+    * exact row-count gate, no re-pin. For callers that pin the table
+    * UNCONDITIONALLY because several lenses share it (e.g.
+    * [[graft.ext.Outliers.driftReport]]) — with [[gateTable]] those
+    * callers would lose the pin when the guard is conf'd off and each
+    * lens would silently recompute the corpus aggregation. */
+  def gateCount(pinned: DataFrame, op: String, colName: String): Unit =
+    ceiling(pinned.sparkSession).foreach { cap =>
+      val n = pinned.count()
+      if (n > cap) fail(op, colName, n.toString, cap)
+    }
+
   /** [[gateTable]]'s form for the by-slice ops whose first aggregation
     * is an ALREADY-PINNED (slice, value) table: exact distinct counts of
     * each axis in one aggregation pass over the bounded pin. `axes` maps

@@ -790,6 +790,109 @@ class EventStreamSuite extends AnyFunSuite {
     assert(pStreamed == pBatch, "psi stream must equal the batch run exactly")
   }
 
+  test("embeddingDriftWindowedBy: per-cell equals the unsliced twin on the slice substream, stream equals batch, drift registers per slice") {
+    import org.apache.spark.sql.functions.col
+    // two slices x two days; slice b rotates away from the baseline on
+    // day 2 while slice a stays aligned — the last drift-matrix cell's
+    // serving question ("WHICH slice's embedding space moved, per day")
+    // must localize the alarm to (day2, b) only
+    def vec(axis: Int, i: Int): Array[Float] = {
+      val v = new Array[Float](4)
+      v(axis) = 1.0f
+      v((axis + 1) % 4) = 0.1f * (i % 3)
+      v
+    }
+    val base = (0 until 30).map(i => (i.toLong, vec(0, i)))
+      .toDF("vec_id", "embedding")
+    val live = (0 until 80).map { i =>
+      val day = i / 40 + 1
+      val g = if (i % 2 == 0) "a" else "b"
+      (i.toLong, new Timestamp(
+        Timestamp.valueOf(f"2024-01-0$day 00:00:00").getTime + i * 60000L),
+        g, vec(if (g == "b" && day == 2) 1 else 0, i))
+    }.toDF("vec_id", "ts", "g", "embedding")
+    val (bm, bn) = graft.ext.Similarity.embeddingDriftBaseline(base)
+    assert(bn == 30L)
+    val batch = graft.ext.Similarity
+      .embeddingDriftWindowedBy(live, "ts", "g", "embedding", bm)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.toSeq.drop(2))
+      .toMap
+    assert(batch.size == 4)
+    // per-cell ≡ the UNSLICED twin on the slice substream (the windowed-
+    // BY convention: the slice key joins the grouping, nothing else
+    // changes — same aggregate, same driver-held baseline)
+    for (g <- Seq("a", "b")) {
+      val sub = graft.ext.Similarity
+        .embeddingDriftWindowed(live.filter(col("g") === g), "ts",
+          "embedding", bm)
+        .collect()
+        .map(r => (r.getTimestamp(0), g) -> r.toSeq.drop(1))
+        .toMap
+      sub.foreach { case (k, v) =>
+        assert(batch(k) == v, s"cell $k must equal the unsliced twin")
+      }
+    }
+    // the alarm localizes: a stays aligned both days, b drops on day 2
+    val day2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    val cosOf = (k: (Timestamp, String)) =>
+      batch(k)(1).asInstanceOf[Double] // (n_live, mean_cos, mean_l2)
+    assert(cosOf((day2, "a")) > 0.9, "aligned slice must stay cos~1")
+    assert(cosOf((day2, "b")) < 0.5, "rotated slice must drop the cosine")
+    // streaming twin: same plan under Structured Streaming
+    val dir = Files.createTempDirectory("graft_embby_stream").toString
+    live.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(live.schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+    val q = graft.ext.Similarity
+      .embeddingDriftWindowedBy(stream, "ts", "g", "embedding", bm)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("embby_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("embby_out")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.toSeq.drop(2))
+      .toMap
+    assert(streamed == batch, "stream must equal the batch run exactly")
+  }
+
+  test("vocabDivergenceWindowed: stream equals batch under a watermark") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // day 1 speaks the baseline vocabulary, day 2 a disjoint one — the
+    // text member's serving twin must run the same single stateful
+    // aggregation (K+1 bounded counters per window) under Structured
+    // Streaming and produce the identical projected statistic
+    val docs = (0 until 60).map { i =>
+      val day = i / 30 + 1
+      val text = if (day == 1) s"alpha beta gamma d${i % 5}"
+        else s"zeta yotta xenon w${i % 4}"
+      (i.toLong, new Timestamp(
+        Timestamp.valueOf(f"2024-01-0$day 00:00:00").getTime + i * 60000L),
+        text)
+    }.toDF("doc_id", "ts", "text")
+    val (bc, bt) = graft.ext.TextAnalysis.vocabBaseline(
+      docs.filter(col("ts") < lit("2024-01-02").cast("timestamp")),
+      "text", topK = 5)
+    val batch = graft.ext.TextAnalysis
+      .vocabDivergenceWindowed(docs, "ts", "text", bc, bt)
+      .collect().map(r => r.getTimestamp(0) -> r.toSeq.drop(1)).toMap
+    assert(batch.size == 2)
+    val dir = Files.createTempDirectory("graft_vocab_stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+    val q = graft.ext.TextAnalysis
+      .vocabDivergenceWindowed(stream, "ts", "text", bc, bt)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("vocab_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("vocab_out")
+      .collect().map(r => r.getTimestamp(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed == batch, "stream must equal the batch run exactly")
+  }
+
   test("driftReportWindowed: one pass equals the four windowed members field-for-field, stream equals batch") {
     import org.apache.spark.sql.functions.col
     // values 0..9 day 1, shifted +5 day 2; categories invert on day 2 —
