@@ -924,7 +924,9 @@ object Bench {
     // Totals are therefore NOT comparable with BENCH_r07 and earlier.
     val mainLine =
       s"""{"metric":"total_full","value":$total,"unit":"sec",""" +
+        s""""n_queries":${results.size},"min_of":"2+1(>1s)",""" +
         s""""timed_action":"foreach-materialize-all-columns (r7 and earlier timed count(), which pruned unused plan branches)",""" +
+        s""""compact_line_key":"in the metric=total line: q_unit=cs means query values and cal/scal arrays are integer centiseconds, queries keyed by qNN digits, cal_cs=CPU-bound calibration, scal_cs=shuffle-shaped calibration",""" +
         s""""queries":$qs,"passes":$passesJson,""" +
         s""""calibration_sec":$calJson,"shuffle_calibration_sec":$shufJson,""" +
         s""""sf":"$sfDir"}"""
@@ -962,14 +964,20 @@ object Bench {
     // CPU cell is blind to, so the cross-round normalizer must be here
     val shufCs = shuffleCals.map(c => math.round(c * 100))
       .mkString("[", ",", "]")
+    // The tail window is 2000 chars and r13's line measured 1995 — five
+    // to spare. Everything descriptive therefore moved to total_full
+    // (n_queries, min_of, the unit/key legend as compact_line_key) and
+    // the field names here are terse: q_unit=cs declares integer
+    // centiseconds for queries AND both calibration arrays; scal_cs is
+    // the shuffle-shaped calibration twin (VERDICT r13 #1 — the
+    // cross-round normalizer must ride the parsed line). Budget at 205
+    // queries: ~125 overhead + ~9/query ≈ 1960.
     val compactLine =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},""" +
-        s""""unit":"sec","n_queries":${results.size},""" +
-        s""""queries_unit":"centisec","queries_key":"qNN sans q",""" +
-        s""""cal_cs":$calCs,"shufcal_cs":$shufCs,"min_of":"2+1(>1s)",""" +
+      s"""{"metric":"total","value":${math.round(total * 10) / 10.0},""" +
+        s""""q_unit":"cs","cal_cs":$calCs,"scal_cs":$shufCs,""" +
         s""""queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}"}"""
-    if (compactLine.length > 1900)
-      System.err.println(s"[bench] compact line ${compactLine.length} chars — tail window may clip it")
+    if (compactLine.length > 1990)
+      System.err.println(s"[bench] compact line ${compactLine.length} chars — tail window WILL clip it")
     println(compactLine)
     if (args.isEmpty) try {
       val out = java.nio.file.Paths.get("bench_out.json")

@@ -371,7 +371,18 @@ object Outliers {
     * (plus psiDrift's row-count pulls) re-evaluated the caller's scoring
     * projection ~6× per report (VERDICT r12 #4: q193 was the
     * third-most-expensive query on exactly those re-scans). The 4-row
-    * result materializes before both pins release. */
+    * result materializes before both pins release.
+    *
+    * Cost, measured (`driftreport_fusion_probe`, sf0.1 at 1× and 16×):
+    * sharing one per-value table across PSI/KS/rank-sum is wall-clock
+    * PARITY with calling the members separately (speedup 0.97–1.00) —
+    * on the already-pinned projection the members' own aggregations are
+    * memory scans cheap enough that fixed per-job cost dominates, so
+    * the collapse is a PASS-COUNT reduction (three value-side
+    * aggregations → one), not a measured batch speedup at these sizes.
+    * The projection pin above is where q193's real cost lives; the
+    * by-slice sibling [[driftReportBy]] is the one whose shared table
+    * measures an actual win (1.05×→1.22×, growing with corpus). */
   def driftReport(base: DataFrame, live: DataFrame, valCol: String,
       catCol: String, nBuckets: Int = 10, lo: Double = 0.0,
       hi: Double = 1.0): DataFrame = {
@@ -380,10 +391,9 @@ object Outliers {
     // ONE value-side corpus collapse (r13): PSI, KS and rank-sum all
     // derive from the same per-distinct-value (ca, cb) table — build it
     // once, gate it once, and run each member's (unchanged, bit-identical)
-    // downstream arithmetic on the bounded pin. Before this the report
-    // paid the two-side aggregation once per value member plus two
-    // psiDrift row-count pulls (three corpus-side passes + three guard
-    // gates for statistics that share their first aggregation).
+    // downstream arithmetic on the bounded pin. Measured wall-clock
+    // parity with separate member calls at sf0.1 (see scaladoc): this
+    // buys fewer jobs over the pin, not batch seconds.
     // pinned UNCONDITIONALLY (ADVICE r13): three lenses read this table,
     // so the pin is the sharing mechanism, not a guard side-effect —
     // with gateTable a guard-off session would hand each lens the lazy
@@ -462,7 +472,11 @@ object Outliers {
     * bucketing), KS/rank-sum run their unchanged downstream arithmetic
     * on it — plus ONE (slice, category) aggregation for chi²; the
     * (groupCol, valCol, catCol) projection is pinned so an expensive
-    * scoring chain evaluates once. NULL `_v` rows stay in the shared
+    * scoring chain evaluates once. Measured (`driftreport_fusion_probe`,
+    * sf0.1): 1.05× over separate member calls at 1×, 1.22× at 16× —
+    * the shared-aggregation saving grows with corpus size, unlike the
+    * unsliced [[driftReport]]'s (parity; see its scaladoc).
+    * NULL `_v` rows stay in the shared
     * table (psi's slice totals count them, the member's contract) and
     * drop inside the KS/rank-sum halves (theirs). Returns 4 rows per
     * slice ordered by (groupCol, stat). */
