@@ -220,6 +220,26 @@ object Ivf {
     }
   }
 
+  /** [[topKFromStore]] with the probe budget read FROM THE STORE: the
+    * `_graft_meta` sidecar's `recommended_nprobe` — kept current by
+    * [[writeStore]] and incrementally by [[appendToStore]] — so the
+    * serving rule is closed end-to-end: the caller holds neither a
+    * measurement nor a tuning knob, and a store whose appended corpus
+    * drifted automatically serves with the wider budget its own
+    * metadata derived. Fails loudly on a pre-sidecar store (pass
+    * `nprobe` explicitly via [[topKFromStore]] or rebuild). */
+  def topKFromStoreAuto(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, kNN: Int,
+      centroids: Array[Array[Double]], vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val m = readStoreMeta(spark, path).getOrElse(sys.error(
+      s"topKFromStoreAuto: no $MetaDir sidecar under $path (a store " +
+        "written before the serving metadata existed) — pass nprobe " +
+        "explicitly via topKFromStore, or rebuild with writeStore"))
+    topKFromStore(spark, path, queries, kNN, centroids,
+      m.recommendedNprobe, vecCol, idCol)
+  }
+
   /** Search a [[writeStore]] store: the probe filter prunes partitions at
     * planning time, then the exact re-rank runs on the surviving cells. */
   def topKFromStore(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -1456,6 +1456,36 @@ object TextAnalysis {
       col("_v").getField("js").as("js"))
   }
 
+  /** [[vocabDivergenceWindowed]] BY SLICE — "WHICH feed's vocabulary
+    * moved, PER day", the text member's windowed-BY-slice cell (the
+    * [[graft.ext.Eval.ksDriftWindowedBy]] composition): the slice key
+    * joins the window in the grouping of the SAME stateful aggregation,
+    * so per-(window, slice) state stays K+1 counters by construction
+    * and every cell compares against the same driver-held top-K
+    * baseline vocabulary (the serving convention — not the batch
+    * [[vocabDivergenceBy]]'s rest-relative lens). Per-cell ≡
+    * [[vocabDivergenceWindowed]] on the slice substream (structural —
+    * same aggregate, same baseline) and stream ≡ batch are
+    * suite-pinned. Returns (ws, sliceCol, n_live, kl_ab, kl_ba, js). */
+  def vocabDivergenceWindowedBy(df: org.apache.spark.sql.DataFrame,
+      tsCol: String, sliceCol: String, textCol: String,
+      baseCounts: Map[String, Long], baseTotal: Long, alpha: Double = 0.5,
+      windowDur: String = "1 day"): org.apache.spark.sql.DataFrame = {
+    val agged = df
+      .select(window(col(tsCol), windowDur).as("_w"),
+        col(sliceCol).as("_slice"),
+        explode(wordTokens(textCol)).as("_tok"))
+      .groupBy(col("_w"), col("_slice"))
+      .agg(graft.agg.VocabDriftAgg.column(col("_tok"), baseCounts,
+        baseTotal, alpha).as("_v"))
+    agged.select(col("_w").getField("start").as("ws"),
+      col("_slice").as(sliceCol),
+      col("_v").getField("n_live").as("n_live"),
+      col("_v").getField("kl_ab").as("kl_ab"),
+      col("_v").getField("kl_ba").as("kl_ba"),
+      col("_v").getField("js").as("js"))
+  }
+
   /** PER-DOCUMENT TOKEN ENTROPY: Shannon entropy (nats) of the document's
     * own word-token distribution, plus the ln(distinct)-normalized form —
     * a repetition/diversity signal orthogonal to [[dupShingleFraction]]

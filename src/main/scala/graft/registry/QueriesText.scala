@@ -374,6 +374,23 @@ object QueriesText {
       ext.TextAnalysis.vocabDivergenceWindowed(live, "ts", "text", bc, bt)
         .orderBy("ws")
     }),
+
+    // ext: WINDOWED vocabulary drift BY SLICE — "which feed's
+    // vocabulary moved, per day": q205's monitor with the source in the
+    // grouping, every (day, source) cell vs the same driver-held top-50
+    // baseline vocabulary, K+1 counters per cell by construction
+    "q206_vocab_windowed_by" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val (bc, bt) = ext.TextAnalysis.vocabBaseline(
+        docs.filter(col("doc_id") % 2 === 0), "text", 50)
+      val live = docs.select(
+        timestamp_seconds(lit(1704067200L) + (col("doc_id") % 3) * 86400L)
+          .as("ts"),
+        col("source"), col("text"))
+      ext.TextAnalysis.vocabDivergenceWindowedBy(live, "ts", "source",
+          "text", bc, bt)
+        .orderBy("ws", "source")
+    }),
   )
 
   private[graft] val oracleSql: Map[String, String] = Map(
@@ -999,5 +1016,48 @@ object QueriesText {
            round(sum(pa * ln(pa * 2.0 / (pa + pb)) / 2.0 +
                      pb * ln(pb * 2.0 / (pa + pb)) / 2.0), 6) AS js
          FROM p GROUP BY ws, n_live ORDER BY ws""",
+
+    // the q205 replay with source joined into the live groupings —
+    // same top-50 baseline, same K+1 smoothing, per (day, source) cell
+    "q206_vocab_windowed_by" ->
+      s"""WITH h0 AS (SELECT doc_id, source, unnest($ToksSql) AS tok
+             FROM documents),
+         base AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM h0
+                  WHERE doc_id % 2 = 0 GROUP BY tok),
+         top AS (SELECT tok, c FROM base ORDER BY c DESC, tok LIMIT 50),
+         bt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS total
+                FROM base),
+         kk AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS v,
+                  CAST(sum(c) AS BIGINT) AS topmass FROM top),
+         live AS (SELECT TIMESTAMP '2024-01-01'
+                    + (doc_id % 3) * INTERVAL 1 DAY AS ws, source,
+                    CASE WHEN tok IN (SELECT tok FROM top)
+                      THEN tok ELSE ' ' END AS cat
+                  FROM h0),
+         lc AS (SELECT ws, source, cat, CAST(count(*) AS BIGINT) AS cl
+                FROM live GROUP BY ws, source, cat),
+         nl AS (SELECT ws, source, CAST(sum(cl) AS BIGINT) AS n_live
+                FROM lc GROUP BY ws, source),
+         cats AS (SELECT tok AS cat, c AS cb FROM top
+                  UNION ALL
+                  SELECT ' ', bt.total - kk.topmass FROM bt, kk),
+         grid AS (SELECT nl.ws, nl.source, nl.n_live, cats.cat, cats.cb,
+                    coalesce(lc.cl, 0) AS cl, kk.v, bt.total
+                  FROM nl CROSS JOIN cats
+                  LEFT JOIN lc ON lc.ws = nl.ws AND lc.source = nl.source
+                    AND lc.cat = cats.cat,
+                  kk, bt),
+         p AS (SELECT ws, source, n_live,
+                 (CAST(cb AS DOUBLE) + 0.5)
+                   / (CAST(total AS DOUBLE) + 0.5 * v) AS pa,
+                 (CAST(cl AS DOUBLE) + 0.5)
+                   / (CAST(n_live AS DOUBLE) + 0.5 * v) AS pb
+               FROM grid)
+         SELECT ws, source, n_live,
+           round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
+           round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
+           round(sum(pa * ln(pa * 2.0 / (pa + pb)) / 2.0 +
+                     pb * ln(pb * 2.0 / (pa + pb)) / 2.0), 6) AS js
+         FROM p GROUP BY ws, source, n_live ORDER BY ws, source""",
   )
 }

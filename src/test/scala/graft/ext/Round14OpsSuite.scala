@@ -115,6 +115,78 @@ class Round14OpsSuite extends AnyFunSuite {
       "disjoint-vocabulary window must dominate the JS divergence")
   }
 
+  test("vocabDivergenceWindowedBy: per-cell equals the unsliced twin on the slice substream, alarm localizes") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.col
+    // slice a speaks the baseline vocabulary both days; slice b switches
+    // to a disjoint one on day 2 — exactly one (day, slice) cell drifts
+    val docs = (0 until 80).map { i =>
+      val day = i / 40 + 1
+      val g = if (i % 2 == 0) "a" else "b"
+      val text = if (g == "b" && day == 2) s"zeta yotta xenon w${i % 4}"
+        else s"alpha beta gamma d${i % 5}"
+      (i.toLong, new Timestamp(
+        Timestamp.valueOf(f"2024-01-0$day 00:00:00").getTime + i * 60000L),
+        g, text)
+    }.toDF("doc_id", "ts", "g", "text")
+    val (bc, bt) = TextAnalysis.vocabBaseline(
+      docs.filter(col("ts") < lit("2024-01-02").cast("timestamp")),
+      "text", topK = 5)
+    val by = TextAnalysis
+      .vocabDivergenceWindowedBy(docs, "ts", "g", "text", bc, bt)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.toSeq.drop(2))
+      .toMap
+    assert(by.size == 4)
+    for (g <- Seq("a", "b")) {
+      val sub = TextAnalysis
+        .vocabDivergenceWindowed(docs.filter(col("g") === g), "ts",
+          "text", bc, bt)
+        .collect()
+        .map(r => (r.getTimestamp(0), g) -> r.toSeq.drop(1)).toMap
+      sub.foreach { case (k, v) =>
+        assert(by(k) == v, s"cell $k must equal the unsliced twin")
+      }
+    }
+    val day2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    def js(k: (Timestamp, String)) = by(k)(3).asInstanceOf[Double]
+    assert(js((day2, "b")) > 10 * js((day2, "a")),
+      "the alarm must localize to the slice that switched vocabulary")
+  }
+
+  test("topKFromStoreAuto serves with the store's persisted recommendation") {
+    val rnd = new java.util.Random(11)
+    val centers = Array.fill(4, 8)(rnd.nextGaussian())
+    val train = (0 until 160).map(i => (i.toLong,
+        centers(i % 4).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Ivf.train(train, k = 4, iters = 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_auto").toString
+    Ivf.writeStore(train, path, cents)
+    val m = Ivf.readStoreMeta(spark, path).get
+    val queries = train.filter(col("vec_id") < 3)
+    val auto = Ivf.topKFromStoreAuto(spark, path, queries, 5, cents)
+      .select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val manual = Ivf.topKFromStore(spark, path, queries, 5, cents,
+        m.recommendedNprobe)
+      .select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == manual,
+      "auto must serve exactly the persisted recommendation's result")
+    // a pre-sidecar store fails loudly with the remedy
+    val legacy = java.nio.file.Files
+      .createTempDirectory("graft_ivf_legacy").toString
+    Ivf.assign(train, cents).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ivf_bkt").parquet(legacy)
+    val e = intercept[RuntimeException] {
+      Ivf.topKFromStoreAuto(spark, legacy, queries, 5, cents)
+    }
+    assert(e.getMessage.contains("topKFromStore"))
+  }
+
   test("nprobeFor clamps into [min(2,k), k] — k=1 returns 1, not 2 (ADVICE r13)") {
     assert(Ivf.nprobeFor(1.0, 1) == 1)
     assert(Ivf.nprobeFor(0.0, 8) == 2)

@@ -891,6 +891,32 @@ class EventStreamSuite extends AnyFunSuite {
     val streamed = spark.table("vocab_out")
       .collect().map(r => r.getTimestamp(0) -> r.toSeq.drop(1)).toMap
     assert(streamed == batch, "stream must equal the batch run exactly")
+    // the BY-slice form (doc_id % 2 as the slice) runs the same single
+    // stateful aggregation with the slice key in the grouping
+    val docsBy = docs.withColumn("g",
+      (col("doc_id") % 2).cast("string"))
+    val batchBy = graft.ext.TextAnalysis
+      .vocabDivergenceWindowedBy(docsBy, "ts", "g", "text", bc, bt)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.toSeq.drop(2))
+      .toMap
+    assert(batchBy.size == 4)
+    val q2 = graft.ext.TextAnalysis
+      .vocabDivergenceWindowedBy(
+        spark.readStream.schema(docs.schema).parquet(dir)
+          .withWatermark("ts", "1 hour")
+          .withColumn("g", (col("doc_id") % 2).cast("string")),
+        "ts", "g", "text", bc, bt)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("vocabby_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val streamedBy = spark.table("vocabby_out")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.toSeq.drop(2))
+      .toMap
+    assert(streamedBy == batchBy,
+      "by-slice stream must equal the batch run exactly")
   }
 
   test("driftReportWindowed: one pass equals the four windowed members field-for-field, stream equals batch") {
