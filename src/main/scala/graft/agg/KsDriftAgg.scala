@@ -421,13 +421,25 @@ case class VocabDriftAgg(
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
+  private def add(buf: mutable.HashMap[String, Long], tok0: String): Unit = {
+    val tok = if (baseCounts.contains(tok0)) tok0 else Oov
+    buf.update(tok, buf.getOrElse(tok, 0L) + 1L)
+  }
+
+  // accepts a single token (the exploded form) OR a whole token array
+  // (the fused-gate form, where the row grain must stay one-per-document
+  // so the sibling aggregates in the same grouping see each doc once)
   override def update(buf: mutable.HashMap[String, Long],
       input: InternalRow): mutable.HashMap[String, Long] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val tok0 = v.toString
-      val tok = if (baseCounts.contains(tok0)) tok0 else Oov
-      buf.update(tok, buf.getOrElse(tok, 0L) + 1L)
+    child.eval(input) match {
+      case null => ()
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        var i = 0
+        while (i < a.numElements()) {
+          if (!a.isNullAt(i)) add(buf, a.getUTF8String(i).toString)
+          i += 1
+        }
+      case v => add(buf, v.toString)
     }
     buf
   }
@@ -509,5 +521,14 @@ object VocabDriftAgg {
       alpha: Double): Column =
     ExpressionUtils.column(
       VocabDriftAgg(ExpressionUtils.expression(tok.cast("string")),
+        baseCounts, baseTotal, alpha).toAggregateExpression())
+
+  /** The token-ARRAY form for fused gates: one update per document row
+    * (the row grain the sibling aggregates need), iterating the array
+    * inside the buffer update — no explode, identical statistic. */
+  def columnTokens(toks: Column, baseCounts: Map[String, Long],
+      baseTotal: Long, alpha: Double): Column =
+    ExpressionUtils.column(
+      VocabDriftAgg(ExpressionUtils.expression(toks.cast("array<string>")),
         baseCounts, baseTotal, alpha).toAggregateExpression())
 }

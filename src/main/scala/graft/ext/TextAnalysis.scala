@@ -1486,6 +1486,77 @@ object TextAnalysis {
       col("_v").getField("js").as("js"))
   }
 
+  /** THE TEXT-FEED GATE AS ONE STATEFUL PASS — the
+    * [[graft.ext.Outliers.driftReportWindowed]] fusion applied to a
+    * DOCUMENT stream: per event-time window, quality-score KS drift
+    * (any-shape) + rank-sum (location) + language-mix chi² + vocabulary
+    * KL/JS, all four in a SINGLE windowed aggregation — one state store
+    * / shuffle / watermark where four standing monitors over the same
+    * crawl feed would cost four stateful operators. The quality score
+    * ([[qualityScore]], 6 dp) and the token array are computed in the
+    * stateless pre-projection, so the row grain stays one-per-document
+    * for every member ([[graft.agg.VocabDriftAgg]] iterates the token
+    * array inside its buffer update — no explode). Per-window state =
+    * two GridGuard-capped per-value tables + one capped category table
+    * + K+1 vocabulary counters. Each field ≡ the standalone windowed
+    * member bit-for-bit (identical aggregate kernels — suite-pinned);
+    * stream ≡ batch.
+    *
+    * `any_drifted` fires on the three members with critical values
+    * (KS / rank-sum / chi²); the vocabulary divergence has no
+    * distribution-free cut at this smoothing, so its columns are
+    * reported for trending/alerting against a caller-chosen bar, not
+    * folded into the flag. Returns one wide row per window:
+    * (ws, n_live, ks_d, ks_d_crit, ks_drifted, rs_u, rs_z, rs_drifted,
+    * chi2_k, chi2, chi2_crit, chi2_drifted, vocab_n_tokens, vocab_kl_ab,
+    * vocab_kl_ba, vocab_js, any_drifted). */
+  def textGateWindowed(df: org.apache.spark.sql.DataFrame, tsCol: String,
+      textCol: String, catCol: String, baseVals: Array[Double],
+      baseCum: Array[Long], baseCats: Map[String, Long],
+      vocabCounts: Map[String, Long], vocabTotal: Long,
+      alpha: Double = 0.5,
+      windowDur: String = "1 day"): org.apache.spark.sql.DataFrame = {
+    require(baseVals.length == baseCum.length && baseVals.nonEmpty,
+      "textGateWindowed: empty or misaligned ks baseline")
+    require(baseCats.nonEmpty, "textGateWindowed: empty cat baseline")
+    val cap = graft.util.GridGuard.streamStateCap(df.sparkSession)
+    val agged = df
+      .select(window(col(tsCol), windowDur).as("_w"),
+        round(qualityScore(textCol), 6).as("_v"),
+        col(catCol).cast("string").as("_c"),
+        wordTokens(textCol).as("_toks"))
+      .groupBy(col("_w"))
+      .agg(
+        graft.agg.KsDriftAgg.column(col("_v"), baseVals, baseCum, cap)
+          .as("_ks"),
+        graft.agg.RankSumDriftAgg.column(col("_v"), baseVals, baseCum,
+          cap).as("_rs"),
+        graft.agg.ChiSquareDriftAgg.column(col("_c"), baseCats, cap)
+          .as("_x"),
+        graft.agg.VocabDriftAgg.columnTokens(col("_toks"), vocabCounts,
+          vocabTotal, alpha).as("_vd"))
+    val ksDrifted = col("_ks").getField("drifted")
+    val rsDrifted = col("_rs").getField("drifted")
+    val chiDrifted = col("_x").getField("drifted")
+    agged.select(col("_w").getField("start").as("ws"),
+      col("_ks").getField("n_live").as("n_live"),
+      col("_ks").getField("d").as("ks_d"),
+      col("_ks").getField("d_crit").as("ks_d_crit"),
+      ksDrifted.as("ks_drifted"),
+      col("_rs").getField("u").as("rs_u"),
+      col("_rs").getField("z").as("rs_z"),
+      rsDrifted.as("rs_drifted"),
+      col("_x").getField("k").as("chi2_k"),
+      col("_x").getField("chi2").as("chi2"),
+      col("_x").getField("chi2_crit").as("chi2_crit"),
+      chiDrifted.as("chi2_drifted"),
+      col("_vd").getField("n_live").as("vocab_n_tokens"),
+      col("_vd").getField("kl_ab").as("vocab_kl_ab"),
+      col("_vd").getField("kl_ba").as("vocab_kl_ba"),
+      col("_vd").getField("js").as("vocab_js"),
+      greatest(ksDrifted, rsDrifted, chiDrifted).as("any_drifted"))
+  }
+
   /** PER-DOCUMENT TOKEN ENTROPY: Shannon entropy (nats) of the document's
     * own word-token distribution, plus the ln(distinct)-normalized form —
     * a repetition/diversity signal orthogonal to [[dupShingleFraction]]

@@ -391,6 +391,29 @@ object QueriesText {
           "text", bc, bt)
         .orderBy("ws", "source")
     }),
+
+    // ext: THE TEXT-FEED GATE AS ONE STATEFUL PASS — q201's fusion
+    // applied to a document stream: per day, quality KS + rank-sum +
+    // language-mix chi2 + vocabulary KL/JS in a single windowed
+    // aggregation (one state store where four standing crawl monitors
+    // ran before); every baseline from the day-1 snapshot
+    "q207_text_gate_windowed" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val live = docs.select(
+          timestamp_seconds(
+            lit(1704067200L) + (col("doc_id") % 3) * 86400L).as("ts"),
+          col("lang"), col("text"))
+        .localCheckpoint(true)
+      val week = live.filter(col("ts") < lit("2024-01-02").cast("timestamp"))
+      val (bv, bc) = ext.Eval.ksBaseline(
+        week.select(round(ext.TextAnalysis.qualityScore("text"), 6)
+          .as("q")), "q")
+      val (bcats, _) = ext.Outliers.chiSquareBaseline(week, "lang")
+      val (vc, vt) = ext.TextAnalysis.vocabBaseline(week, "text", 50)
+      materializedWithout(
+        ext.TextAnalysis.textGateWindowed(live, "ts", "text", "lang",
+          bv, bc, bcats, vc, vt).orderBy("ws"), live)
+    }),
   )
 
   private[graft] val oracleSql: Map[String, String] = Map(
@@ -1059,5 +1082,182 @@ object QueriesText {
            round(sum(pa * ln(pa * 2.0 / (pa + pb)) / 2.0 +
                      pb * ln(pb * 2.0 / (pa + pb)) / 2.0), 6) AS js
          FROM p GROUP BY ws, source, n_live ORDER BY ws, source""",
+
+    // composes the windowed-member replays on the scored document
+    // stream, joined on ws: one shared per-value cumulative table feeds
+    // KS and rank-sum (the gate's own shape), chi2 on the lang mix,
+    // the q205 vocabulary replay — every baseline from the day-1 slice
+    "q207_text_gate_windowed" ->
+      s"""$QualityCtesSql,
+         d0 AS (SELECT doc_id,
+             TIMESTAMP '2024-01-01' + (doc_id % 3) * INTERVAL 1 DAY
+               AS ws,
+             $QualityValSql AS v, text
+           FROM s),
+         d AS MATERIALIZED (
+           SELECT d0.doc_id, d0.ws, d0.v, d0.text, doc.lang AS c
+           FROM d0 JOIN documents doc ON doc.doc_id = d0.doc_id),
+         bq AS (SELECT v FROM d WHERE doc_id % 3 = 0),
+         bcv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM bq
+                 GROUP BY v),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM bq),
+         lcv AS (SELECT ws, v, CAST(count(*) AS BIGINT) AS c FROM d
+                 GROUP BY ws, v),
+         nl AS (SELECT ws, CAST(count(*) AS BIGINT) AS n_live FROM d
+                GROUP BY ws),
+         vals AS (SELECT DISTINCT v FROM
+                  (SELECT v FROM bcv UNION ALL SELECT v FROM lcv) u),
+         wss AS (SELECT DISTINCT ws FROM d),
+         cums AS (SELECT g.ws, g.v,
+             coalesce(bcv.c, 0) + coalesce(lcv.c, 0) AS nv,
+             coalesce(lcv.c, 0) AS cb,
+             CAST(sum(coalesce(bcv.c, 0)) OVER (PARTITION BY g.ws
+               ORDER BY g.v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cna,
+             CAST(sum(coalesce(lcv.c, 0)) OVER (PARTITION BY g.ws
+               ORDER BY g.v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cnb,
+             CAST(sum(coalesce(bcv.c, 0) + coalesce(lcv.c, 0))
+               OVER (PARTITION BY g.ws ORDER BY g.v ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM (SELECT w.ws, x.v FROM wss w CROSS JOIN vals x) g
+             LEFT JOIN bcv ON bcv.v = g.v
+             LEFT JOIN lcv ON lcv.ws = g.ws AND lcv.v = g.v),
+         ks AS (SELECT t.ws, t.n_live,
+             CAST(dnum AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE)) AS d,
+             1.358 * sqrt(CAST(n_a + n_live AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_live AS DOUBLE))) AS d_crit
+           FROM (SELECT c.ws, nl.n_live,
+                   max(abs(CAST(c.cna * nl.n_live AS BIGINT) -
+                     CAST(c.cnb * nb.n_a AS BIGINT))) AS dnum
+                 FROM cums c JOIN nl ON nl.ws = c.ws, nb
+                 GROUP BY c.ws, nl.n_live) t, nb),
+         rsagg AS (SELECT ws,
+             CAST(sum(nv) - sum(cb) AS BIGINT) AS na2,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             sum(CAST(cb AS DOUBLE) * (CAST(cum - nv AS DOUBLE) +
+               CAST(nv + 1 AS DOUBLE) / 2.0)) AS rb,
+             sum(CAST(nv AS DOUBLE) * nv * nv - nv) AS ties
+           FROM cums GROUP BY ws),
+         rs AS (SELECT ws,
+             rb - CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) + 1.0) / 2.0
+               AS u,
+             CASE WHEN CAST(na2 AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                 ((CAST(na2 AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                  CAST(ties AS DOUBLE) /
+                    ((CAST(na2 AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                     (CAST(na2 AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))
+                 > 0
+               THEN (rb - CAST(n_b AS DOUBLE) *
+                       (CAST(n_b AS DOUBLE) + 1.0) / 2.0
+                     - CAST(na2 AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+                 sqrt(CAST(na2 AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+                   ((CAST(na2 AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0) -
+                    CAST(ties AS DOUBLE) /
+                      ((CAST(na2 AS DOUBLE) + CAST(n_b AS DOUBLE)) *
+                       (CAST(na2 AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))
+             END AS z
+           FROM rsagg),
+         cb2 AS (SELECT c, CAST(count(*) AS BIGINT) AS cb FROM d
+                 WHERE doc_id % 3 = 0 GROUP BY c),
+         lc2 AS (SELECT ws, c, CAST(count(*) AS BIGINT) AS cl FROM d
+                 GROUP BY ws, c),
+         cats2 AS (SELECT DISTINCT c FROM
+                   (SELECT c FROM cb2 UNION ALL SELECT c FROM lc2) u),
+         cell AS (SELECT g.ws, g.c,
+                    coalesce(cb2.cb, 0) AS cb, coalesce(lc2.cl, 0) AS cl
+                  FROM (SELECT w.ws, x.c FROM wss w CROSS JOIN cats2 x) g
+                    LEFT JOIN cb2 ON cb2.c = g.c
+                    LEFT JOIN lc2 ON lc2.ws = g.ws AND lc2.c = g.c
+                  WHERE coalesce(cb2.cb, 0) > 0
+                    OR coalesce(lc2.cl, 0) > 0),
+         ag AS (SELECT ws, CAST(sum(cb) AS BIGINT) AS n_base,
+                  CAST(sum(cl) AS BIGINT) AS n_liv,
+                  CAST(count(*) AS BIGINT) AS k
+                FROM cell GROUP BY ws),
+         terms2 AS (SELECT t.ws,
+             (CAST(cb AS DOUBLE) - eb) * (CAST(cb AS DOUBLE) - eb) / eb +
+             (CAST(cl AS DOUBLE) - el) * (CAST(cl AS DOUBLE) - el) / el
+               AS term
+           FROM (SELECT cell.ws, cb, cl,
+                   CAST(n_base AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
+                     (CAST(n_base AS DOUBLE) + CAST(n_liv AS DOUBLE))
+                     AS eb,
+                   CAST(n_liv AS DOUBLE) * CAST(cb + cl AS DOUBLE) /
+                     (CAST(n_base AS DOUBLE) + CAST(n_liv AS DOUBLE))
+                     AS el
+                 FROM cell JOIN ag ON ag.ws = cell.ws) t),
+         x2 AS (SELECT ws, round(sum(term), 6) AS chi2
+                FROM terms2 GROUP BY ws),
+         crit2 AS (SELECT ws, round(CAST(k - 1 AS DOUBLE) *
+             power(1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE)) +
+               1.6449 * sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))), 3), 6)
+             AS chi2_crit FROM ag WHERE k > 1),
+         h0 AS (SELECT d.ws, d.doc_id,
+                  unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+'))
+                    AS tok
+                FROM d),
+         vb AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM h0
+                WHERE doc_id % 3 = 0 GROUP BY tok),
+         vtop AS (SELECT tok, c FROM vb ORDER BY c DESC, tok LIMIT 50),
+         vbt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS total
+                 FROM vb),
+         vkk AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS vv,
+                   CAST(sum(c) AS BIGINT) AS topmass FROM vtop),
+         vlive AS (SELECT ws, CASE WHEN tok IN (SELECT tok FROM vtop)
+                     THEN tok ELSE ' ' END AS cat
+                   FROM h0),
+         vlc AS (SELECT ws, cat, CAST(count(*) AS BIGINT) AS cl
+                 FROM vlive GROUP BY ws, cat),
+         vnl AS (SELECT ws, CAST(sum(cl) AS BIGINT) AS n_tok
+                 FROM vlc GROUP BY ws),
+         vcats AS (SELECT tok AS cat, c AS cb FROM vtop
+                   UNION ALL
+                   SELECT ' ', vbt.total - vkk.topmass FROM vbt, vkk),
+         vp AS (SELECT g.ws, g.n_tok,
+                  (CAST(g.cb AS DOUBLE) + 0.5)
+                    / (CAST(g.total AS DOUBLE) + 0.5 * g.vv) AS pa,
+                  (CAST(g.cl AS DOUBLE) + 0.5)
+                    / (CAST(g.n_tok AS DOUBLE) + 0.5 * g.vv) AS pb
+                FROM (SELECT vnl.ws, vnl.n_tok, vcats.cat, vcats.cb,
+                        coalesce(vlc.cl, 0) AS cl, vkk.vv, vbt.total
+                      FROM vnl CROSS JOIN vcats
+                        LEFT JOIN vlc ON vlc.ws = vnl.ws
+                          AND vlc.cat = vcats.cat,
+                        vkk, vbt) g),
+         vagg AS (SELECT ws, n_tok,
+                    round(sum(pa * ln(pa / pb)), 6) AS vocab_kl_ab,
+                    round(sum(pb * ln(pb / pa)), 6) AS vocab_kl_ba,
+                    round(sum(pa * ln(pa * 2.0 / (pa + pb)) / 2.0 +
+                              pb * ln(pb * 2.0 / (pa + pb)) / 2.0), 6)
+                      AS vocab_js
+                  FROM vp GROUP BY ws, n_tok)
+         SELECT ks.ws, ks.n_live,
+           ks.d AS ks_d, ks.d_crit AS ks_d_crit,
+           CASE WHEN ks.d > ks.d_crit THEN 1 ELSE 0 END AS ks_drifted,
+           rs.u AS rs_u, rs.z AS rs_z,
+           CASE WHEN abs(rs.z) > 1.96 THEN 1 ELSE 0 END AS rs_drifted,
+           ag.k AS chi2_k,
+           CASE WHEN ag.k > 1 THEN x2.chi2 END AS chi2,
+           CASE WHEN ag.k > 1 THEN crit2.chi2_crit END AS chi2_crit,
+           CASE WHEN ag.k > 1 AND x2.chi2 > crit2.chi2_crit
+             THEN 1 ELSE 0 END AS chi2_drifted,
+           vagg.n_tok AS vocab_n_tokens,
+           vagg.vocab_kl_ab, vagg.vocab_kl_ba, vagg.vocab_js,
+           greatest(
+             CASE WHEN ks.d > ks.d_crit THEN 1 ELSE 0 END,
+             CASE WHEN abs(rs.z) > 1.96 THEN 1 ELSE 0 END,
+             CASE WHEN ag.k > 1 AND x2.chi2 > crit2.chi2_crit
+               THEN 1 ELSE 0 END) AS any_drifted
+         FROM ks JOIN rs ON rs.ws = ks.ws
+           JOIN ag ON ag.ws = ks.ws
+           JOIN x2 ON x2.ws = ks.ws
+           LEFT JOIN crit2 ON crit2.ws = ks.ws
+           JOIN vagg ON vagg.ws = ks.ws
+         ORDER BY ks.ws""",
   )
 }

@@ -919,6 +919,98 @@ class EventStreamSuite extends AnyFunSuite {
       "by-slice stream must equal the batch run exactly")
   }
 
+  test("textGateWindowed: one pass equals the four members field-for-field, stream equals batch") {
+    import org.apache.spark.sql.functions.{col, lit, round}
+    // day 1 is the baseline; day 2 shifts every lens at once: quality
+    // collapses (short punct-heavy pages), the language mix inverts,
+    // and the vocabulary switches to a disjoint one
+    val docs = (0 until 80).map { i =>
+      val day = i / 40 + 1
+      val text = if (day == 1)
+        s"the of and alpha beta gamma delta d${i % 5} epsilon zeta"
+      else s"zz!!@@ ##$$%% w${i % 4}"
+      val lang = if (day == 1) { if (i % 4 == 0) "de" else "en" }
+        else { if (i % 4 == 0) "en" else "de" }
+      (i.toLong, new Timestamp(
+        Timestamp.valueOf(f"2024-01-0$day 00:00:00").getTime + i * 60000L),
+        lang, text)
+    }.toDF("doc_id", "ts", "lang", "text")
+    val week = docs.filter(col("ts") < lit("2024-01-02").cast("timestamp"))
+    val (bv, bc) = graft.ext.Eval.ksBaseline(
+      week.select(round(graft.ext.TextAnalysis.qualityScore("text"), 6)
+        .as("q")), "q")
+    val (bcats, _) = graft.ext.Outliers.chiSquareBaseline(week, "lang")
+    val (vc, vt) = graft.ext.TextAnalysis.vocabBaseline(week, "text", 5)
+    val gate = graft.ext.TextAnalysis
+      .textGateWindowed(docs, "ts", "text", "lang", bv, bc, bcats, vc, vt)
+      .collect().map(r => r.getTimestamp(0) -> r).toMap
+    assert(gate.size == 2)
+    // field-for-field against the standalone members on the same frame
+    val scored = docs.select(col("ts"),
+      round(graft.ext.TextAnalysis.qualityScore("text"), 6).as("q"),
+      col("lang"), col("text"))
+    val ksm = graft.ext.Eval.ksDriftWindowed(scored, "ts", "q", bv, bc)
+      .collect().map(r => r.getTimestamp(0) -> r).toMap
+    val rsm = graft.ext.Eval.rankSumDriftWindowed(scored, "ts", "q",
+        bv, bc)
+      .collect().map(r => r.getTimestamp(0) -> r).toMap
+    val chim = graft.ext.Outliers.chiSquareDriftWindowed(scored, "ts",
+        "lang", bcats)
+      .collect().map(r => r.getTimestamp(0) -> r).toMap
+    val vocm = graft.ext.TextAnalysis.vocabDivergenceWindowed(docs, "ts",
+        "text", vc, vt)
+      .collect().map(r => r.getTimestamp(0) -> r).toMap
+    for ((ws, g) <- gate) {
+      assert(g.getAs[Long]("n_live") == ksm(ws).getAs[Long]("n_live"))
+      assert(g.getAs[Double]("ks_d") == ksm(ws).getAs[Double]("d"))
+      assert(g.getAs[Double]("ks_d_crit") ==
+        ksm(ws).getAs[Double]("d_crit"))
+      assert(g.getAs[Int]("ks_drifted") ==
+        ksm(ws).getAs[Int]("drifted"))
+      assert(g.getAs[Double]("rs_u") == rsm(ws).getAs[Double]("u"))
+      assert(g.getAs[Double]("rs_z") == rsm(ws).getAs[Double]("z"))
+      assert(g.getAs[Int]("rs_drifted") ==
+        rsm(ws).getAs[Int]("drifted"))
+      assert(g.getAs[Long]("chi2_k") == chim(ws).getAs[Long]("k"))
+      assert(g.getAs[Double]("chi2") == chim(ws).getAs[Double]("chi2"))
+      assert(g.getAs[Int]("chi2_drifted") ==
+        chim(ws).getAs[Int]("drifted"))
+      assert(g.getAs[Long]("vocab_n_tokens") ==
+        vocm(ws).getAs[Long]("n_live"))
+      assert(g.getAs[Double]("vocab_kl_ab") ==
+        vocm(ws).getAs[Double]("kl_ab"))
+      assert(g.getAs[Double]("vocab_kl_ba") ==
+        vocm(ws).getAs[Double]("kl_ba"))
+      assert(g.getAs[Double]("vocab_js") ==
+        vocm(ws).getAs[Double]("js"))
+    }
+    // the alarm lands exactly where planted
+    val day1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val day2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    assert(gate(day1).getAs[Int]("any_drifted") == 0,
+      "the baseline day must not alarm")
+    assert(gate(day2).getAs[Int]("any_drifted") == 1)
+    assert(gate(day2).getAs[Double]("vocab_js") >
+      10 * gate(day1).getAs[Double]("vocab_js"),
+      "the vocabulary lens must separate the switched day")
+    // streaming twin: same plan under Structured Streaming
+    val dir = Files.createTempDirectory("graft_textgate_stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+    val q = graft.ext.TextAnalysis
+      .textGateWindowed(stream, "ts", "text", "lang", bv, bc, bcats,
+        vc, vt)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("textgate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("textgate_out")
+      .collect().map(r => r.getTimestamp(0) -> r.toSeq.drop(1)).toMap
+    val batchSeq = gate.map { case (k, r) => k -> r.toSeq.drop(1) }
+    assert(streamed == batchSeq, "stream must equal the batch run exactly")
+  }
+
   test("driftReportWindowed: one pass equals the four windowed members field-for-field, stream equals batch") {
     import org.apache.spark.sql.functions.col
     // values 0..9 day 1, shifted +5 day 2; categories invert on day 2 —
