@@ -604,6 +604,80 @@ object Bench {
         System.err.println(s"gate_fusion_probe failed: ${e.getMessage}")
     }
 
+    // text-gate fusion probe: q207's one-pass claim — the four document
+    // monitors (quality KS, rank-sum, lang chi², vocabulary KL/JS) as
+    // ONE stateful aggregation vs called separately, at 1× and 16×
+    // corpus, from the same pre-checkpointed RAW (ts, lang, text) pin.
+    // Both sides pay their own scoring the way a user deploys them: the
+    // gate scores and tokenizes ONCE inside its single pre-projection;
+    // the members each project what they need (KS and rank-sum each run
+    // the quality-regex chain, the vocabulary monitor re-tokenizes and
+    // explodes) — the fusion's claim is exactly that shared scan +
+    // shared scoring + one state store, so the members side must not be
+    // handed a precomputed score the standalone deployment wouldn't have.
+    if (probeOn("textgate")) try {
+      dropCaches()
+      import org.apache.spark.sql.functions.{col, lit, round => sround,
+        timestamp_seconds}
+      val built = Seq(1, 16).map { f =>
+        val (docs0, _) = SparkEntry.probeCorpus(spark, sfDir, f)
+        val docs = docs0.select(
+            timestamp_seconds(lit(1704067200L) +
+              (col("doc_id") % 3) * 86400L).as("ts"),
+            col("lang"), col("text"))
+          .localCheckpoint(true)
+        val week = docs.filter(
+          col("ts") < lit("2024-01-02").cast("timestamp"))
+        val (bv, bc) = ext.Eval.ksBaseline(
+          week.select(sround(ext.TextAnalysis.qualityScore("text"), 6)
+            .as("q")), "q")
+        val (bcats, _) = ext.Outliers.chiSquareBaseline(week, "lang")
+        val (vc, vt) = ext.TextAnalysis.vocabBaseline(week, "text", 50)
+        f -> ((docs, bv, bc, bcats, vc, vt))
+      }
+      def drain(df: org.apache.spark.sql.DataFrame): Unit =
+        df.foreach((_: org.apache.spark.sql.Row) => ())
+      def scoredOf(docs: org.apache.spark.sql.DataFrame) =
+        docs.select(col("ts"),
+          sround(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
+      def gate(b: (org.apache.spark.sql.DataFrame, Array[Double],
+          Array[Long], Map[String, Long], Map[String, Long], Long)): Long = {
+        val (docs, bv, bc, bcats, vc, vt) = b
+        drain(ext.TextAnalysis.textGateWindowed(docs, "ts", "text",
+          "lang", bv, bc, bcats, vc, vt)); 0L }
+      def members(b: (org.apache.spark.sql.DataFrame, Array[Double],
+          Array[Long], Map[String, Long], Map[String, Long], Long)): Long = {
+        val (docs, bv, bc, bcats, vc, vt) = b
+        drain(ext.Eval.ksDriftWindowed(scoredOf(docs), "ts", "q", bv, bc))
+        drain(ext.Eval.rankSumDriftWindowed(scoredOf(docs), "ts", "q",
+          bv, bc))
+        drain(ext.Outliers.chiSquareDriftWindowed(docs, "ts", "lang",
+          bcats))
+        drain(ext.TextAnalysis.vocabDivergenceWindowed(docs, "ts",
+          "text", vc, vt)); 0L }
+      gate(built.head._2); members(built.head._2) // discard first use
+      val cells = for {
+        (f, b) <- built
+        (name, run) <- Seq[(String, () => Long)](
+          "gate_one_pass" -> (() => gate(b)),
+          "members_four_passes" -> (() => members(b)))
+      } yield ((f, name), run)
+      val (times, _) = interleavedTimes(cells)
+      def pair(f: Int): String = {
+        val tg = times((f, "gate_one_pass"))
+        val tm = times((f, "members_four_passes"))
+        s""""gate_sec":$tg,"members_sec":$tm,""" +
+          s""""speedup":${tm / math.max(tg, 1e-9)}"""
+      }
+      val l = s"""{"metric":"textgate_fusion_probe","probes_isolated":true,"warmup":true,"interleaved_passes":2,""" +
+        s""""1x":{${pair(1)}},"16x":{${pair(16)}},""" +
+        s""""note":"q207's one stateful aggregation vs the four document monitors deployed separately, each side paying its own scoring from the same raw (ts,lang,text) pin — the gate scores/tokenizes once, the members pay the quality regex twice and re-tokenize (batch share; streaming adds one state store per member)"}"""
+      println(l); extraLines += l
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"textgate_fusion_probe failed: ${e.getMessage}")
+    }
+
     // driftReport fusion probe (VERDICT r13 #2/#3): q193's one-pass claim
     // — ONE shared per-value table feeding PSI/KS/rank-sum vs the four
     // members called separately — measured on the SAME pre-checkpointed

@@ -1500,7 +1500,11 @@ object TextAnalysis {
     * two GridGuard-capped per-value tables + one capped category table
     * + K+1 vocabulary counters. Each field ≡ the standalone windowed
     * member bit-for-bit (identical aggregate kernels — suite-pinned);
-    * stream ≡ batch.
+    * stream ≡ batch. Measured (`textgate_fusion_probe`, sf0.1): 2.3×
+    * over the four monitors deployed separately at 1×, 2.2× at 16× —
+    * the win is the shared scan + ONE quality-regex/tokenize pass
+    * (standalone KS and rank-sum each score, the vocabulary monitor
+    * re-tokenizes and explodes), stable across corpus growth.
     *
     * `any_drifted` fires on the three members with critical values
     * (KS / rank-sum / chi²); the vocabulary divergence has no
