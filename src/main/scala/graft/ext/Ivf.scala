@@ -67,19 +67,22 @@ object Ivf {
     * needs held-out queries) is the serving decision variable. */
   def unexplainedVar(df: DataFrame, centroids: Array[Array[Double]],
       vecCol: String = "embedding"): Double = {
-    val (r2, n2, _) = residNormSums(df, centroids, vecCol)
+    val (r2, n2, _, _) = residNormSums(df, centroids, vecCol)
     if (n2 <= 0) sys.error(
       "unexplainedVar: empty corpus or zero-norm vectors (sum of squared norms is 0)")
     r2 / n2
   }
 
-  /** [[unexplainedVar]]'s raw accumulators `(Σ‖v − c(v)‖², Σ‖v‖², n)` —
-    * the decomposition that makes the measurement INCREMENTAL: an
-    * append adds its batch sums to the store's persisted sums and the
-    * combined ratio is exact, no re-scan of the standing store
-    * ([[appendToStore]]'s metadata update). One corpus pass. */
+  /** [[unexplainedVar]]'s raw accumulators `(Σ‖v − c(v)‖², Σ‖v‖², n)`
+    * plus the slice's MEAN VECTOR — the decomposition that makes the
+    * measurement INCREMENTAL: an append adds its batch sums to the
+    * store's persisted sums and the combined ratio is exact, no re-scan
+    * of the standing store ([[appendToStore]]'s metadata update); the
+    * mean rides the SAME aggregate (one [[graft.agg.VectorMeanAgg]]
+    * buffer beside the two sums), so the staleness cosine costs no
+    * extra pass. ONE corpus pass total. */
   private def residNormSums(df: DataFrame, centroids: Array[Array[Double]],
-      vecCol: String): (Double, Double, Long) = {
+      vecCol: String): (Double, Double, Long, Array[Double]) = {
     val cl = typedLit(centroids.map(_.toSeq).toSeq)
     val v = col(vecCol).cast("array<double>")
     val sq = (acc: org.apache.spark.sql.Column,
@@ -88,10 +91,14 @@ object Ivf {
       .select(
         aggregate(zip_with(v, element_at(cl, col("ivf_bkt") + 1),
           (a, b) => a - b), lit(0.0), sq).as("r2"),
-        aggregate(v, lit(0.0), sq).as("n2"))
-      .agg(sum(col("r2")), sum(col("n2")), count(lit(1))).first()
-    if (row.isNullAt(0)) (0.0, 0.0, 0L)
-    else (row.getDouble(0), row.getDouble(1), row.getLong(2))
+        aggregate(v, lit(0.0), sq).as("n2"),
+        v.as("x"))
+      .agg(sum(col("r2")), sum(col("n2")), count(lit(1)),
+        graft.agg.VectorMeanAgg.column(col("x"))).first()
+    if (row.isNullAt(0)) (0.0, 0.0, 0L, Array.empty[Double])
+    else (row.getDouble(0), row.getDouble(1), row.getLong(2),
+      if (row.isNullAt(3)) Array.empty[Double]
+      else row.getSeq[Double](3).toArray)
   }
 
   /** Evidence-based probe-budget default (the ARCHITECTURE.md serving
@@ -137,28 +144,48 @@ object Ivf {
     * `(unexplained_var, recommended_nprobe)`, so a serving caller reads
     * the probe-budget default from the store instead of paying a corpus
     * pass, and an append can re-derive it incrementally (exact — the
-    * accumulators are sums). */
+    * accumulators are sums). `trainMean` is the TRAINING corpus's mean
+    * vector (fixed at [[writeStore]] time); `lastBatchCos` is
+    * [[Similarity.embeddingDrift]]'s mean-cosine between that and the
+    * most recent appended batch — the staleness alarm re-checked on
+    * every append for free (the batch mean rides the same aggregate as
+    * the accumulators), None until the first append or when either mean
+    * is zero/empty. */
   final case class StoreMeta(sumResid2: Double, sumNorm2: Double,
       nRows: Long, k: Int, unexplainedVar: Double,
-      recommendedNprobe: Int)
+      recommendedNprobe: Int, trainMean: Array[Double],
+      lastBatchCos: Option[Double])
 
   /** The sidecar's directory under the store path — the leading
     * underscore keeps it invisible to `spark.read.parquet(store)` (the
     * `_SUCCESS` convention), so the data scan's schema is untouched. */
   private val MetaDir = "_graft_meta"
 
-  private def metaOf(r2: Double, n2: Double, n: Long, k: Int): StoreMeta = {
+  private def metaOf(r2: Double, n2: Double, n: Long, k: Int,
+      trainMean: Array[Double],
+      lastBatchCos: Option[Double]): StoreMeta = {
     val uv = if (n2 > 0) r2 / n2 else 1.0
-    StoreMeta(r2, n2, n, k, uv, nprobeFor(uv, k))
+    StoreMeta(r2, n2, n, k, uv, nprobeFor(uv, k), trainMean, lastBatchCos)
   }
+
+  /** d driver doubles: the staleness cosine between two mean vectors
+    * (None when either is empty or zero-norm — the
+    * [[Similarity.embeddingDrift]] NULL contract). */
+  private def meanCos(a: Array[Double], b: Array[Double]): Option[Double] =
+    if (a.isEmpty || a.length != b.length) None
+    else {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val n2 = a.map(z => z * z).sum * b.map(z => z * z).sum
+      if (n2 > 0) Some(dot / math.sqrt(n2)) else None
+    }
 
   private def writeStoreMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, m: StoreMeta): Unit = {
     import spark.implicits._
     Seq((m.sumResid2, m.sumNorm2, m.nRows, m.k, m.unexplainedVar,
-        m.recommendedNprobe))
+        m.recommendedNprobe, m.trainMean.toSeq, m.lastBatchCos))
       .toDF("sum_resid2", "sum_norm2", "n_rows", "k", "unexplained_var",
-        "recommended_nprobe")
+        "recommended_nprobe", "train_mean", "last_batch_cos")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/$MetaDir")
   }
@@ -171,7 +198,9 @@ object Ivf {
     try {
       val r = spark.read.parquet(s"$path/$MetaDir").first()
       Some(StoreMeta(r.getDouble(0), r.getDouble(1), r.getLong(2),
-        r.getInt(3), r.getDouble(4), r.getInt(5)))
+        r.getInt(3), r.getDouble(4), r.getInt(5),
+        r.getSeq[Double](6).toArray,
+        if (r.isNullAt(7)) None else Some(r.getDouble(7))))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Persist the corpus partitioned by IVF cell: a probe becomes Parquet
@@ -187,9 +216,9 @@ object Ivf {
     assign(corpus, centroids, vecCol)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("ivf_bkt").parquet(path)
-    val (r2, n2, n) = residNormSums(corpus, centroids, vecCol)
+    val (r2, n2, n, mean) = residNormSums(corpus, centroids, vecCol)
     writeStoreMeta(corpus.sparkSession, path,
-      metaOf(r2, n2, n, centroids.length))
+      metaOf(r2, n2, n, centroids.length, mean, None))
   }
 
   /** INCREMENTAL STORE APPEND: assign a new batch to the EXISTING
@@ -214,9 +243,10 @@ object Ivf {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("ivf_bkt").parquet(path)
     readStoreMeta(batch.sparkSession, path).foreach { m =>
-      val (r2, n2, n) = residNormSums(batch, centroids, vecCol)
+      val (r2, n2, n, bMean) = residNormSums(batch, centroids, vecCol)
       writeStoreMeta(batch.sparkSession, path,
-        metaOf(m.sumResid2 + r2, m.sumNorm2 + n2, m.nRows + n, m.k))
+        metaOf(m.sumResid2 + r2, m.sumNorm2 + n2, m.nRows + n, m.k,
+          m.trainMean, meanCos(m.trainMean, bMean)))
     }
   }
 

@@ -226,10 +226,11 @@ class Round14OpsSuite extends AnyFunSuite {
     // the sidecar must be invisible to the data scan
     val dataCols = spark.read.parquet(path).columns.toSet
     assert(!dataCols.contains("recommended_nprobe"))
-    // append a batch the trained centroids DON'T explain (isotropic,
-    // far from every center): the recommendation must re-derive UP
+    // append a batch the trained centroids DON'T explain (the mirrored
+    // clusters — far from every center, mean ≈ −trainMean): the
+    // recommendation must re-derive UP and the staleness cosine flip
     val batch = (200 until 400).map(i =>
-        (i.toLong, Array.fill(8)((5.0 * rnd.nextGaussian()).toFloat)))
+        (i.toLong, around(centers(i % 4).map(-_), 0.05)))
       .toDF("vec_id", "embedding")
     Ivf.appendToStore(batch, path, cents)
     val m1 = Ivf.readStoreMeta(spark, path).get
@@ -242,6 +243,14 @@ class Round14OpsSuite extends AnyFunSuite {
     assert(math.abs(m1.unexplainedVar -
       m1.sumResid2 / m1.sumNorm2) < 1e-12)
     assert(m1.sumNorm2 > m0.sumNorm2 && m1.sumResid2 > m0.sumResid2)
+    // staleness alarm: the training mean is fixed at build (no batch
+    // cosine yet); the far-isotropic append records a collapsed cosine
+    assert(m0.lastBatchCos.isEmpty)
+    assert(m0.trainMean.length == 8)
+    assert(m1.trainMean.toSeq == m0.trainMean.toSeq,
+      "append must not move the training mean")
+    assert(m1.lastBatchCos.isDefined && m1.lastBatchCos.get < -0.8,
+      "the mirrored batch must flip the staleness cosine")
   }
 
   test("driftReport with the grid guard conf'd OFF still pins the shared table and matches guard-on rows (ADVICE r13)") {
