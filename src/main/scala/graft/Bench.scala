@@ -425,12 +425,29 @@ object Bench {
                   .cast("double").divide(97.0).as("x1"),
                 (col("doc_id") % 7).cast("double").divide(7.0).as("x2"),
                 (col("doc_id") % 2).cast("double").as("y")),
-              Seq("x1", "x2"), "y"); 0L }))
+              Seq("x1", "x2"), "y"); 0L }),
+            // r14 vocab drift forms: by-slice (one (slice, token)
+            // aggregation + dense slice x vocab grid) and windowed
+            // (K+1 bounded counters per window) — ratio_16x ~<= 16
+            // certifies both stay linear in corpus size
+            "vocab_div_by" -> (() => { ext.TextAnalysis
+              .vocabDivergenceBy(docs, "source", "text").count(); 0L }),
+            "vocab_windowed" -> (() => {
+              val live = docs.select(
+                org.apache.spark.sql.functions.timestamp_seconds(
+                  org.apache.spark.sql.functions.lit(1704067200L) +
+                    (col("doc_id") % 3) * 86400L).as("ts"),
+                col("text"))
+              val (vc, vt) = ext.TextAnalysis.vocabBaseline(
+                docs.filter(col("doc_id") % 2 === 0), "text", 50)
+              ext.TextAnalysis.vocabDivergenceWindowed(live, "ts",
+                "text", vc, vt).count(); 0L }))
         } yield ((f, name), run)) ++
         (for ((f, emb) <- embs) yield ((f, "cluster_quality"),
           () => { ext.Similarity.clusterQuality(emb, "label").count(); 0L }))
       val (times, _) = interleavedTimes(cells)
-      val names = Seq("vocab_div", "token_entropy", "zipf_fit",
+      val names = Seq("vocab_div", "vocab_div_by", "vocab_windowed",
+        "token_entropy", "zipf_fit",
         "cms_cells", "quantile_norm", "logistic_train", "cluster_quality",
         "pagerank", "label_prop", "triangles", "bfs_hops")
       val lines = names.map { name =>
