@@ -732,6 +732,49 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("vocabDivergenceBy rows equal the pairwise vocabDivergence(own, rest) on random corpora") {
+    // the r14 text-member by-slice cell joins the family standard: the
+    // fixed fixture in Round14OpsSuite pins one dataset; random corpora
+    // exercise vocabulary overlap degrees (disjoint, partial, identical)
+    // and group-size skew
+    import graft.ext.TextAnalysis
+    val rnd = new Random(97)
+    val lexicon = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    for (trial <- 1 to 3) {
+      val nGroups = 2 + rnd.nextInt(3)
+      val rows = (0 until 80 + rnd.nextInt(80)).map { i =>
+        val g = "g" + rnd.nextInt(nGroups)
+        // per-group lexicon window: overlapping slices of the lexicon,
+        // so some tokens are shared and some are group-private
+        val base = (g.last - '0') * 3
+        val text = Seq.fill(3 + rnd.nextInt(5))(
+          lexicon((base + rnd.nextInt(6)) % lexicon.size)).mkString(" ")
+        (i.toLong, g, text)
+      }
+      val df = rows.toDF("doc_id", "g", "text")
+      val by = TextAnalysis.vocabDivergenceBy(df, "g", "text").collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(by.keySet == rows.map(_._2).toSet)
+      by.keySet.foreach { g =>
+        val own = df.filter($"g" === g)
+        val rest = df.filter($"g" =!= g)
+        val m = TextAnalysis.vocabDivergence(own, rest, "text").head()
+        val r = by(g)
+        // counts and the union vocabulary are integer-exact (own ∪ rest
+        // = corpus, so the member's union vocab IS the global one)
+        assert(r.getLong(1) == m.getLong(0) &&
+          r.getLong(2) == m.getLong(1) && r.getLong(3) == m.getLong(2),
+          s"trial $trial group $g counts")
+        // divergences: same smoothing arithmetic, float summation order
+        // differs across plans — inside the 6 dp emission grain
+        for ((bi, mi) <- Seq(4 -> 3, 5 -> 4, 6 -> 5))
+          assert(math.abs(r.getDouble(bi) - m.getDouble(mi)) <= 1.1e-6,
+            s"trial $trial group $g col $bi")
+      }
+    }
+  }
+
   test("windowed drift aggregates equal their pairwise members on random streams (VERDICT r12 task 8)") {
     // the fixed fixtures in EventStreamSuite pin one dataset; randomized
     // baselines exercise the two-pointer merge walk's edge cases (equal
