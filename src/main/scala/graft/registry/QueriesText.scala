@@ -9,7 +9,10 @@ import graft.operators.{Elevation, Factorize, FlagRegions, GridOps, MineDepletio
 import graft.sources.Ingest
 import graft.QueryShared._
 
-/** Query registry — LLM pipeline: language/quality signals, BPE, LM scoring, DSIR, NB gates.
+/** Query registry — LLM pipeline: language/quality signals, BPE, LM scoring, DSIR, NB gates,
+  * and (r14) the text member's drift family — per-source vocabulary
+  * divergence (q204), its windowed serving twin and by-slice form
+  * (q205/q206), and the one-pass text-feed gate (q207).
   *
   * Entries (and their DuckDB oracle SQL beside them) moved verbatim from
   * SparkEntry in the r12 per-family split; [[SparkEntry.queries]] is the
