@@ -751,6 +751,36 @@ object Eval {
         round(col("_lo"), 6).as("ci_lo"), round(col("_hi"), 6).as("ci_hi"))
   }
 
+  /** PAIRED BOOTSTRAP SIGNIFICANCE TEST on the difference of two
+    * per-unit metrics — "did system B actually beat system A, or is the
+    * delta noise?": the question a pair of point estimates (or even two
+    * independent [[bootstrapCI]]s) cannot answer, because the two
+    * metrics are measured on the SAME units (per-query retrieval scores,
+    * per-user engagement under two rankers) and their per-unit
+    * correlation must cancel, not inflate the variance. Delta = b − a
+    * per unit; each replicate reweights WHOLE units (one Poisson weight
+    * per (rep, unit), shared by both sides by construction — exactly
+    * the pairing), then the [[bootstrapCI]] machinery verbatim over the
+    * delta column: deterministic md5 weights, fixed order-statistic CI,
+    * one scan ×reps. Significant = the 95% CI excludes 0, evaluated on
+    * the 6 dp-rounded endpoints the frame carries (engine-stable).
+    * Feed per-unit metrics ROUNDED (the house grain discipline).
+    * Returns one row: (n, mean_delta, ci_lo, ci_hi, b_better, a_better,
+    * significant). */
+  def pairedBootstrapTest(df: DataFrame, idCol: String, aCol: String,
+      bCol: String, reps: Int = 40,
+      salt: String = "pboot"): DataFrame = {
+    val deltas = df.select(col(idCol).as("_id"),
+      (col(bCol).cast("double") - col(aCol).cast("double")).as("_d"))
+    bootstrapCI(deltas, "_id", "_d", reps, salt)
+      .select(col("n"), col("mean").as("mean_delta"),
+        col("ci_lo"), col("ci_hi"),
+        when(col("ci_lo") > 0, 1).otherwise(0).as("b_better"),
+        when(col("ci_hi") < 0, 1).otherwise(0).as("a_better"),
+        when(col("ci_lo") > 0 || col("ci_hi") < 0, 1).otherwise(0)
+          .as("significant"))
+  }
+
   /** [[bootstrapCI]] PER GROUP — error bars on each slice's mean ("is
     * src3's quality really below src5's, or noise?" — the question a
     * point estimate per source cannot answer). Same deterministic

@@ -295,6 +295,23 @@ object QueriesEval {
     }),
 
 
+    // ext: PAIRED bootstrap significance — per-user click-vs-view mean
+    // value deltas ("do clicks really carry higher value than views for
+    // the same user?"); whole users reweight per replicate, so the
+    // per-user correlation cancels — the A/B readout a pair of
+    // independent CIs gets wrong
+    "q208_paired_bootstrap" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val a = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(round(avg(col("value")), 6).as("a"))
+      val b = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(round(avg(col("value")), 6).as("b"))
+      ext.Eval.pairedBootstrapTest(a.join(b, "user_id"), "user_id",
+        "a", "b")
+    }),
+
     // ext: per-source bootstrap CI on mean quality — q165 sliced by
     // source; "are these two sources' qualities really different?"
     "q174_bootstrap_by_source" -> ((s, dir) => {
@@ -830,6 +847,45 @@ object QueriesEval {
 
     // Poisson(1) weights from the same md5 bucket space + thresholds the
     // Spark side interpolates; fixed order-statistic CI convention
+    // the q165 replicate machinery over per-user deltas: 6dp-rounded
+    // per-side means, delta = b - a, Poisson weights keyed by
+    // ('pboot', rep, user_id) so whole users reweight together
+    "q208_paired_bootstrap" -> {
+      val th = ext.Eval.PoissonThresholds
+      val bucket =
+        """CAST(CAST(concat('0x', substr(md5(concat('pboot:',
+           CAST(rep AS VARCHAR), ':', CAST(user_id AS VARCHAR))), 1, 15))
+           AS UBIGINT) AS BIGINT)"""
+      val caseW = th.zipWithIndex
+        .map { case (t, k) => s"WHEN $bucket < $t THEN $k" }
+        .mkString("CASE ", " ", s" ELSE ${th.size} END")
+      s"""WITH a AS (SELECT user_id, round(avg(value), 6) AS a
+             FROM events WHERE event_type = 'view' GROUP BY user_id),
+         b AS (SELECT user_id, round(avg(value), 6) AS b
+               FROM events WHERE event_type = 'click' GROUP BY user_id),
+         d AS (SELECT a.user_id, b.b - a.a AS x
+               FROM a JOIN b USING (user_id)),
+         ex AS (SELECT user_id, x, unnest(generate_series(0, 39)) AS rep
+                FROM d),
+         wb AS (SELECT rep, x, $caseW AS w FROM ex),
+         pr AS (SELECT rep,
+                  CASE WHEN sum(w) > 0
+                    THEN sum(w * x) / CAST(sum(w) AS DOUBLE) END AS m
+                FROM wb GROUP BY rep),
+         rk AS (SELECT m, row_number() OVER (ORDER BY m ASC) AS rn
+                FROM pr WHERE m IS NOT NULL),
+         ci AS (SELECT round(min(CASE WHEN rn = 1 THEN m END), 6) AS lo,
+                  round(min(CASE WHEN rn = 39 THEN m END), 6) AS hi
+                FROM rk)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n,
+           round((SELECT avg(x) FROM d), 6) AS mean_delta,
+           lo AS ci_lo, hi AS ci_hi,
+           CASE WHEN lo > 0 THEN 1 ELSE 0 END AS b_better,
+           CASE WHEN hi < 0 THEN 1 ELSE 0 END AS a_better,
+           CASE WHEN lo > 0 OR hi < 0 THEN 1 ELSE 0 END AS significant
+         FROM ci"""
+    },
+
     "q165_bootstrap_ci" -> {
       val th = ext.Eval.PoissonThresholds
       val bucket =

@@ -187,6 +187,38 @@ class Round14OpsSuite extends AnyFunSuite {
     assert(e.getMessage.contains("topKFromStore"))
   }
 
+  test("pairedBootstrapTest: constant shift is significant, symmetric noise is not, pairing cancels unit variance") {
+    val rnd = new java.util.Random(29)
+    // per-unit baselines vary WILDLY (0..100) — an unpaired comparison
+    // of the two means would drown a small shift in that variance; the
+    // paired test sees only the per-unit deltas
+    val base = (0 until 300).map(i => i.toLong -> rnd.nextDouble() * 100)
+    // b = a + 0.5 exactly: every delta 0.5, every replicate mean 0.5
+    val shifted = base.map { case (id, a) => (id, a, a + 0.5) }
+      .toDF("id", "a", "b")
+    val r = Eval.pairedBootstrapTest(shifted, "id", "a", "b").head()
+    assert(r.getAs[Long]("n") == 300L)
+    assert(r.getAs[Double]("mean_delta") == 0.5)
+    assert(r.getAs[Double]("ci_lo") == 0.5 &&
+      r.getAs[Double]("ci_hi") == 0.5,
+      "a constant delta collapses every replicate mean to it")
+    assert(r.getAs[Int]("b_better") == 1 &&
+      r.getAs[Int]("significant") == 1 && r.getAs[Int]("a_better") == 0)
+    // small shift against huge unit variance: still significant BECAUSE
+    // paired (delta = 0.1 + small noise; unit scale 100)
+    val small = base.map { case (id, a) =>
+      (id, a, a + 0.1 + 0.02 * rnd.nextGaussian()) }.toDF("id", "a", "b")
+    val rs = Eval.pairedBootstrapTest(small, "id", "a", "b").head()
+    assert(rs.getAs[Int]("b_better") == 1,
+      "pairing must cancel the unit variance and expose the 0.1 shift")
+    // symmetric zero-mean noise: CI straddles 0
+    val noise = base.map { case (id, a) =>
+      (id, a, a + rnd.nextGaussian()) }.toDF("id", "a", "b")
+    val rn = Eval.pairedBootstrapTest(noise, "id", "a", "b").head()
+    assert(rn.getAs[Int]("significant") == 0,
+      s"zero-mean noise must not flag: $rn")
+  }
+
   test("nprobeFor clamps into [min(2,k), k] — k=1 returns 1, not 2 (ADVICE r13)") {
     assert(Ivf.nprobeFor(1.0, 1) == 1)
     assert(Ivf.nprobeFor(0.0, 8) == 2)
