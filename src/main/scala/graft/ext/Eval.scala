@@ -781,6 +781,28 @@ object Eval {
           .as("significant"))
   }
 
+  /** [[pairedBootstrapTest]] PER SLICE — "WHICH cohort's B-vs-A delta
+    * is real": the house by-slice composition applied to the paired
+    * test (one grouped replicate aggregation, parallelism grows with
+    * slice count; same deterministic weights keyed by (salt, rep, unit)
+    * so a unit appearing under one slice reweights exactly as the
+    * unsliced test would weight it). Returns one row per slice:
+    * (groupCol, n, mean_delta, ci_lo, ci_hi, b_better, a_better,
+    * significant). */
+  def pairedBootstrapTestBy(df: DataFrame, groupCol: String,
+      idCol: String, aCol: String, bCol: String, reps: Int = 40,
+      salt: String = "pboot"): DataFrame = {
+    val deltas = df.select(col(groupCol).as("_g"), col(idCol).as("_id"),
+      (col(bCol).cast("double") - col(aCol).cast("double")).as("_d"))
+    bootstrapCIBy(deltas, "_g", "_id", "_d", reps, salt)
+      .select(col("_g").as(groupCol), col("n"),
+        col("mean").as("mean_delta"), col("ci_lo"), col("ci_hi"),
+        when(col("ci_lo") > 0, 1).otherwise(0).as("b_better"),
+        when(col("ci_hi") < 0, 1).otherwise(0).as("a_better"),
+        when(col("ci_lo") > 0 || col("ci_hi") < 0, 1).otherwise(0)
+          .as("significant"))
+  }
+
   /** [[bootstrapCI]] PER GROUP — error bars on each slice's mean ("is
     * src3's quality really below src5's, or noise?" — the question a
     * point estimate per source cannot answer). Same deterministic

@@ -312,6 +312,23 @@ object QueriesEval {
         "a", "b")
     }),
 
+    // ext: the paired test PER COHORT — "which user cohort's
+    // click-vs-view delta is real"; one grouped replicate aggregation,
+    // same deterministic weights per (rep, user)
+    "q209_paired_bootstrap_by" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val a = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(round(avg(col("value")), 6).as("a"))
+      val b = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(round(avg(col("value")), 6).as("b"))
+      ext.Eval.pairedBootstrapTestBy(
+        a.join(b, "user_id")
+          .withColumn("cohort", (col("user_id") % 4).cast("string")),
+        "cohort", "user_id", "a", "b").orderBy("cohort")
+    }),
+
     // ext: per-source bootstrap CI on mean quality — q165 sliced by
     // source; "are these two sources' qualities really different?"
     "q174_bootstrap_by_source" -> ((s, dir) => {
@@ -884,6 +901,53 @@ object QueriesEval {
            CASE WHEN hi < 0 THEN 1 ELSE 0 END AS a_better,
            CASE WHEN lo > 0 OR hi < 0 THEN 1 ELSE 0 END AS significant
          FROM ci"""
+    },
+
+    // q208's machinery with the cohort in every grouping (replicate
+    // means, rank window, order-statistic indices — all per cohort)
+    "q209_paired_bootstrap_by" -> {
+      val th = ext.Eval.PoissonThresholds
+      val bucket =
+        """CAST(CAST(concat('0x', substr(md5(concat('pboot:',
+           CAST(rep AS VARCHAR), ':', CAST(user_id AS VARCHAR))), 1, 15))
+           AS UBIGINT) AS BIGINT)"""
+      val caseW = th.zipWithIndex
+        .map { case (t, k) => s"WHEN $bucket < $t THEN $k" }
+        .mkString("CASE ", " ", s" ELSE ${th.size} END")
+      s"""WITH a AS (SELECT user_id, round(avg(value), 6) AS a
+             FROM events WHERE event_type = 'view' GROUP BY user_id),
+         b AS (SELECT user_id, round(avg(value), 6) AS b
+               FROM events WHERE event_type = 'click' GROUP BY user_id),
+         d AS (SELECT a.user_id,
+                 CAST(a.user_id % 4 AS VARCHAR) AS cohort,
+                 b.b - a.a AS x
+               FROM a JOIN b USING (user_id)),
+         ex AS (SELECT user_id, cohort, x,
+                  unnest(generate_series(0, 39)) AS rep
+                FROM d),
+         wb AS (SELECT cohort, rep, x, $caseW AS w FROM ex),
+         pr AS (SELECT cohort, rep,
+                  CASE WHEN sum(w) > 0
+                    THEN sum(w * x) / CAST(sum(w) AS DOUBLE) END AS m
+                FROM wb GROUP BY cohort, rep),
+         rk AS (SELECT cohort, m,
+                  row_number() OVER (PARTITION BY cohort
+                    ORDER BY m ASC) AS rn
+                FROM pr WHERE m IS NOT NULL),
+         ci AS (SELECT cohort,
+                  round(min(CASE WHEN rn = 1 THEN m END), 6) AS lo,
+                  round(min(CASE WHEN rn = 39 THEN m END), 6) AS hi
+                FROM rk GROUP BY cohort),
+         st AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+                  round(avg(x), 6) AS mean_delta
+                FROM d GROUP BY cohort)
+         SELECT st.cohort, st.n, st.mean_delta,
+           ci.lo AS ci_lo, ci.hi AS ci_hi,
+           CASE WHEN ci.lo > 0 THEN 1 ELSE 0 END AS b_better,
+           CASE WHEN ci.hi < 0 THEN 1 ELSE 0 END AS a_better,
+           CASE WHEN ci.lo > 0 OR ci.hi < 0 THEN 1 ELSE 0 END
+             AS significant
+         FROM st JOIN ci USING (cohort) ORDER BY st.cohort"""
     },
 
     "q165_bootstrap_ci" -> {

@@ -219,6 +219,34 @@ class Round14OpsSuite extends AnyFunSuite {
       s"zero-mean noise must not flag: $rn")
   }
 
+  test("pairedBootstrapTestBy rows equal pairedBootstrapTest on the slice subset, alarm localizes") {
+    val rnd = new java.util.Random(31)
+    // cohort c1 carries a real +0.4 shift; c0 pure noise — the by-slice
+    // readout must flag exactly c1, and each row must equal the
+    // unsliced test run on that cohort alone (same (salt, rep, id)
+    // weights — the house per-slice property)
+    val rows = (0 until 400).map { i =>
+      val g = "c" + (i % 2)
+      val a = rnd.nextDouble() * 50
+      val shift = if (g == "c1") 0.4 else 0.0
+      (i.toLong, g, a, a + shift + 0.05 * rnd.nextGaussian())
+    }
+    val df = rows.toDF("id", "g", "a", "b")
+    val by = Eval.pairedBootstrapTestBy(df, "g", "id", "a", "b")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(by.size == 2)
+    for (g <- Seq("c0", "c1")) {
+      val sub = Eval.pairedBootstrapTest(
+        df.filter(col("g") === g), "id", "a", "b").head().toSeq
+      assert(by(g) == sub, s"cohort $g must equal the unsliced test")
+    }
+    // dropped seq = (n, mean_delta, ci_lo, ci_hi, b_better, a_better,
+    // significant) — b_better at 4, significant at 6
+    assert(by("c1")(4).asInstanceOf[Int] == 1 &&
+      by("c1")(6).asInstanceOf[Int] == 1, "shifted cohort flags b_better")
+    assert(by("c0")(6).asInstanceOf[Int] == 0, "noise cohort stays quiet")
+  }
+
   test("nprobeFor clamps into [min(2,k), k] — k=1 returns 1, not 2 (ADVICE r13)") {
     assert(Ivf.nprobeFor(1.0, 1) == 1)
     assert(Ivf.nprobeFor(0.0, 8) == 2)
