@@ -1017,7 +1017,7 @@ object Bench {
       s"""{"metric":"total_full","value":$total,"unit":"sec",""" +
         s""""n_queries":${results.size},"min_of":"2+1(>1s)",""" +
         s""""timed_action":"foreach-materialize-all-columns (r7 and earlier timed count(), which pruned unused plan branches)",""" +
-        s""""compact_line_key":"in the metric=total line: q_unit=cs means query values and cal/scal arrays are integer centiseconds, queries keyed by qNN digits, cal_cs=CPU-bound calibration, scal_cs=shuffle-shaped calibration",""" +
+        s""""compact_line_key":"in the metric=total line: query values and the cal/scal arrays are integer CENTISECONDS, queries keyed by qNN digits, cal_cs=CPU-bound calibration, scal_cs=shuffle-shaped calibration",""" +
         s""""queries":$qs,"passes":$passesJson,""" +
         s""""calibration_sec":$calJson,"shuffle_calibration_sec":$shufJson,""" +
         s""""sf":"$sfDir"}"""
@@ -1063,9 +1063,12 @@ object Bench {
     // the shuffle-shaped calibration twin (VERDICT r13 #1 — the
     // cross-round normalizer must ride the parsed line). Budget at 205
     // queries: ~125 overhead + ~9/query ≈ 1960.
+    // no unit declaration here — total_full's compact_line_key is the
+    // legend (queries and both cal arrays are integer centiseconds);
+    // every byte counts: at 209 queries this line is ~1977 of the 2000
     val compactLine =
       s"""{"metric":"total","value":${math.round(total * 10) / 10.0},""" +
-        s""""q_unit":"cs","cal_cs":$calCs,"scal_cs":$shufCs,""" +
+        s""""cal_cs":$calCs,"scal_cs":$shufCs,""" +
         s""""queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}"}"""
     if (compactLine.length > 1990)
       System.err.println(s"[bench] compact line ${compactLine.length} chars — tail window WILL clip it")
