@@ -378,18 +378,23 @@ object Bench {
         (for {
           (f, e) <- graphs
           (name, run) <- Seq[(String, () => Long)](
+            // localThreshold = 0: the probe certifies the DISTRIBUTED
+            // round machinery — the small-graph driver fast path (r14)
+            // must never absorb the scale measurement
             "pagerank" -> (() =>
-              { ext.Graph.pageRank(e, "src", "dst", 3).count(); 0L }),
+              { ext.Graph.pageRank(e, "src", "dst", 3,
+                localThreshold = 0).count(); 0L }),
             "label_prop" -> (() => { ext.Graph.labelPropagation(e,
               e.select((col("src") * 20L).as("node"),
                 (col("src") % 5L).cast("string").as("lab")).limit(1000),
-              "src", "dst", "node", "lab", 3).count(); 0L }),
+              "src", "dst", "node", "lab", 3,
+              localThreshold = 0).count(); 0L }),
             "triangles" -> (() =>
               { ext.Graph.triangleCount(e, "src", "dst").count(); 0L }),
             "bfs_hops" -> (() => { ext.Graph.bfsHops(e,
               e.select(col("src").as("node"))
                 .filter(col("node") % 100L === 0L),
-              "src", "dst", "node", 3).count(); 0L }))
+              "src", "dst", "node", 3, localThreshold = 0).count(); 0L }))
         } yield ((f, name), run)) ++
         (for {
           (f, docs) <- corpora
@@ -779,10 +784,16 @@ object Bench {
         .union(ids.select(col("id").as("src"), ((col("id") + n - 1L) % n).as("dst")))
         .union(ids.select(col("id").as("src"), ((col("id") + 7L) % n).as("dst")))
         .localCheckpoint(true)
-      ext.Graph.pageRank(e, "src", "dst", 2).count() // codegen warmup
+      // localThreshold = 0 everywhere: the depth probe certifies the
+      // distributed per-round pin+release discipline, not the r14 local
+      // fast path (which has no per-round distributed state at all)
+      ext.Graph.pageRank(e, "src", "dst", 2,
+        localThreshold = 0).count() // codegen warmup
       val cells = Seq[(Int, () => Long)](
-        5 -> (() => { ext.Graph.pageRank(e, "src", "dst", 5).count(); 0L }),
-        20 -> (() => { ext.Graph.pageRank(e, "src", "dst", 20).count(); 0L }))
+        5 -> (() => { ext.Graph.pageRank(e, "src", "dst", 5,
+          localThreshold = 0).count(); 0L }),
+        20 -> (() => { ext.Graph.pageRank(e, "src", "dst", 20,
+          localThreshold = 0).count(); 0L }))
       val (times, _) = interleavedTimes(cells)
       val (p5, p20) = (times(5) / 5.0, times(20) / 20.0)
       val l = s"""{"metric":"graph_depth_probe","probes_isolated":true,"nodes":$n,"warmup":true,"interleaved_passes":2,""" +

@@ -14,6 +14,28 @@ import graft.util.Checkpoints.PinOps
   * how GraphX/Pregel lower to shuffles anyway, minus the abstraction. */
 object Graph {
 
+  /** Both columns of the 2-column frame are LongType — the type the
+    * small-graph driver fast paths handle; anything else falls through
+    * to the distributed loop unchanged. */
+  private def isLongPair(e: DataFrame): Boolean =
+    e.schema.fields.length == 2 && e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+
+  /** Deterministic UTF-8 byte-wise order — exactly Spark's string sort
+    * order (UTF8String compares unsigned bytes), so the local plurality
+    * tie-break matches the distributed `orderBy(label asc)`. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    var i = 0
+    val m = math.min(x.length, y.length)
+    while (i < m) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** PAGERANK by `iters` damped power-iteration rounds (Page et al. 1999):
     * pr ← (1−d)/N + d·(Σ_in pr/outdeg + dangling/N), dangling = the rank
     * mass of nodes with no out-edges, redistributed uniformly. On the
@@ -38,12 +60,57 @@ object Graph {
     * caller rounds the published ranks (6 dp is far above the residual).
     * Output: (node, pr), Σpr = 1 up to float error. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+      iters: Int = 5, damping: Double = 0.85,
+      localThreshold: Long = 1L << 20): DataFrame = {
     // materialize the edge list ONCE: the caller's edges are often a
-    // mining pipeline (LSH pair extraction) that must not re-run inside
+    // pipeline (LSH pair extraction) that must not re-run inside
     // every round's contribution join
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .pin()
+    // Small-graph fast path (r14) — the [[Dedup.connectedComponents]]
+    // discipline extended to the power iteration: ≤ localThreshold
+    // directed long-id edges (≈16 MB of pairs) solve on the driver in
+    // microseconds per round, where the distributed loop pays
+    // join+aggregate+pin job rounds of fixed overhead for the same
+    // answer. The near-dup edge list is tiny relative to the corpus —
+    // the common case even at 100 TB; past the threshold (or for
+    // non-long ids) the loop below owns it. Update rule is the same
+    // formula; contribution sums accumulate in sorted (dst, src) edge
+    // order — order-dependence is confined to double addition, which
+    // damping contracts every round (the same argument that makes the
+    // 6 dp-rounded ranks engine-reproducible against the DuckDB oracle;
+    // suite-pinned at 1e-12 on both paths). Scale probes pass
+    // localThreshold = 0 so they keep certifying the distributed loop.
+    if (isLongPair(e) && e.count() <= localThreshold) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      graft.util.Checkpoints.release(e)
+      val nodesArr = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      require(nodesArr.nonEmpty, "pageRank: empty edge set")
+      val n = nodesArr.length.toDouble
+      val idx = nodesArr.zipWithIndex.toMap
+      val outdeg = new Array[Long](nodesArr.length)
+      es.foreach { case (s, _) => outdeg(idx(s)) += 1 }
+      val esSorted = es.map { case (s, d) => (idx(d), idx(s)) }.sorted
+      val resid = 1.0 - damping
+      var pr = Array.fill(nodesArr.length)(1.0 / n)
+      for (_ <- 1 to iters) {
+        var dang = 0.0
+        var i = 0
+        while (i < pr.length) { if (outdeg(i) == 0) dang += pr(i); i += 1 }
+        val contrib = new Array[Double](pr.length)
+        esSorted.foreach { case (d, s) => contrib(d) += pr(s) / outdeg(s) }
+        val next = new Array[Double](pr.length)
+        var j = 0
+        while (j < pr.length) {
+          next(j) = resid / n + damping * (contrib(j) + dang / n); j += 1
+        }
+        pr = next
+      }
+      val session = edges.sparkSession
+      import session.implicits._
+      return nodesArr.indices.map(i => (nodesArr(i), pr(i)))
+        .toDF("node", "pr")
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .pin()
@@ -134,11 +201,59 @@ object Graph {
     * operator is exactly replayable cross-engine with no float grain. */
   def labelPropagation(edges: DataFrame, seeds: DataFrame, srcCol: String,
       dstCol: String, nodeCol: String, labelCol: String,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5, localThreshold: Long = 1L << 20): DataFrame = {
     // same edge-list materialization as pageRank — rounds must join a
     // table, not re-run the caller's mining pipeline
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .pin()
+    // Small-graph fast path (r14), pageRank's twin: all-integer
+    // plurality arithmetic with the SAME tie-break (count desc, then
+    // label asc in UTF-8 byte order — Spark's string sort), so the
+    // local result is bit-identical to the distributed loop's
+    // (suite-pinned on both paths). Requires long ids, string labels
+    // and DISTINCT seed nodes (duplicate seed rows replicate through
+    // the distributed path's joins — that shape stays distributed).
+    if (isLongPair(e) &&
+        seeds.schema(nodeCol).dataType == org.apache.spark.sql.types.LongType &&
+        seeds.schema(labelCol).dataType == org.apache.spark.sql.types.StringType &&
+        e.count() <= localThreshold) {
+      val sd = seeds.select(col(nodeCol), col(labelCol)).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      if (sd.map(_._1).distinct.length == sd.length) {
+        val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+        graft.util.Checkpoints.release(e)
+        val nodesArr = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+        // NULL-labeled seed rows behave like no seed (coalesce skips
+        // them in the distributed round) — drop them from the clamp map
+        val seedMap = sd.filter(_._2 != null).toMap
+        var lab: Map[Long, String] =
+          nodesArr.map(nd => nd -> seedMap.getOrElse(nd, null)).toMap
+        for (_ <- 1 to iters) {
+          val votes = scala.collection.mutable.Map.empty[(Long, String), Long]
+          es.foreach { case (s, d) =>
+            val l = lab.getOrElse(s, null)
+            if (l != null) votes((d, l)) = votes.getOrElse((d, l), 0L) + 1L
+          }
+          val top = votes.toSeq.groupBy(_._1._1).map { case (nd, vs) =>
+            nd -> vs.map { case ((_, l), c) => (l, c) }
+              .reduceLeft { (a, b) =>
+                if (b._2 > a._2 || (b._2 == a._2 && utf8Lt(b._1, a._1))) b
+                else a
+              }._1
+          }
+          // the distributed round REPLACES labels: coalesce(seed, vote)
+          // — an unseeded node with no votes this round goes back to
+          // NULL, it does not keep its previous label
+          lab = nodesArr.map { nd =>
+            nd -> seedMap.getOrElse(nd, top.getOrElse(nd, null))
+          }.toMap
+        }
+        val session = edges.sparkSession
+        import session.implicits._
+        return nodesArr.map(nd => (nd, Option(lab(nd)))).toSeq
+          .toDF("node", "label")
+      }
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .pin()
@@ -183,10 +298,38 @@ object Graph {
     * NULL hops = unreached within `maxHops` (distinguishable from
     * hop-maxHops, unlike a sentinel). */
   def bfsHops(edges: DataFrame, seeds: DataFrame, srcCol: String,
-      dstCol: String, nodeCol: String, maxHops: Int = 5): DataFrame = {
+      dstCol: String, nodeCol: String, maxHops: Int = 5,
+      localThreshold: Long = 1L << 20): DataFrame = {
     require(maxHops >= 0, s"maxHops $maxHops")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .pin()
+    // Small-graph fast path (r14), pageRank's twin: BFS is all-integer
+    // and settles each node at its first reach — the local frontier walk
+    // is bit-identical to the distributed rounds (suite-pinned on both
+    // paths). Long-id edges only; probes pass localThreshold = 0.
+    if (isLongPair(e) && e.count() <= localThreshold) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      graft.util.Checkpoints.release(e)
+      val seedArr = seeds.select(col(nodeCol).cast("long")).collect()
+        .map(_.getLong(0)).distinct
+      val nodesArr =
+        (es.map(_._1) ++ es.map(_._2) ++ seedArr).distinct.sorted
+      val adj = es.groupBy(_._1).map { case (s, out) => s -> out.map(_._2) }
+      val dist = scala.collection.mutable.Map.empty[Long, Int]
+      seedArr.foreach(nd => dist(nd) = 0)
+      var frontier: Array[Long] = seedArr
+      var hop = 1
+      while (hop <= maxHops && frontier.nonEmpty) {
+        frontier = frontier.flatMap(nd => adj.getOrElse(nd, Array.empty[Long]))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(nd => dist(nd) = hop)
+        hop += 1
+      }
+      val session = edges.sparkSession
+      import session.implicits._
+      return nodesArr.map(nd => (nd, dist.get(nd))).toSeq
+        .toDF("node", "hops")
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(seeds.select(col(nodeCol).cast("long").as("node")))

@@ -62,8 +62,22 @@ object CorpusCuration {
     val dropIds = Dedup.connectedComponents(pairs)
       .filter(col("canonical_id") =!= col("doc_id"))
       .select(col("doc_id").as(idCol))
-    curationFeatures(df.join(dropIds, Seq(idCol), "left_anti"),
-        textCol, idCol)
+    // PIN the narrow feature table before the gate (r14): the gate is a
+    // filter on a DERIVED column, and Catalyst pushes it below every
+    // row-preserving operator down to the scan — which (a) re-evaluates
+    // the quality regex chain once in the pushed filter and once in the
+    // output projection (guide §4.4's duplication, Column edition), and
+    // (b) nails both evaluations to the scan's own parallelism (ONE task
+    // on single-row-group files). The pin is a materialization barrier:
+    // features evaluate exactly once, at the plan's full parallelism,
+    // and the gate + any caller orderBy (whose range-sampling pass
+    // re-executes its child) read the tiny (id, lang, quality, tok_cnt)
+    // rows — bytes-per-row bounded at any corpus scale (the q160-lesson
+    // pin shape). Blocks are reclaimed by the session's release
+    // discipline once the result is consumed.
+    graft.util.Checkpoints.pin(
+        curationFeatures(df.join(dropIds, Seq(idCol), "left_anti"),
+          textCol, idCol))
       .filter(col("quality") >= minQuality)
   }
 
@@ -84,8 +98,12 @@ object CorpusCuration {
       round(TextAnalysis.qualityScore(textCol), 6).as("_q"))
     val keepIds = Dedup.canonicalByScore(scored, idCol, pairs, "_q")
       .filter(col("keep") === 1).select(col(idCol))
-    curationFeatures(df.join(keepIds, Seq(idCol), "left_semi"),
-        textCol, idCol)
+    // same pinned-features gate as [[curate]] (see curateBody): one
+    // parallel evaluation of the feature chain, no filter pushdown back
+    // into the single-split scan
+    graft.util.Checkpoints.pin(
+        curationFeatures(df.join(keepIds, Seq(idCol), "left_semi"),
+          textCol, idCol))
       .filter(col("quality") >= minQuality)
   }
 

@@ -22,7 +22,7 @@ object QueriesPipeline {
     // pipeline: end-to-end corpus curation (near-dup canonical filter →
     // langid/quality/token features → quality gate)
     "q46_corpus_curate" -> ((s, dir) =>
-      pipeline.CorpusCuration.curate(Tables.load(s, dir, "documents"))
+      pipeline.CorpusCuration.curate(spread(Tables.load(s, dir, "documents")))
         .orderBy("doc_id")),
 
 
@@ -30,7 +30,7 @@ object QueriesPipeline {
     // member per near-dup cluster instead of the min-id one
     "q180_curate_keep_best" -> ((s, dir) =>
       pipeline.CorpusCuration.curateKeepBest(
-        Tables.load(s, dir, "documents"))
+        spread(Tables.load(s, dir, "documents")))
         .orderBy("doc_id")),
   )
 

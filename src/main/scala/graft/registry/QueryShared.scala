@@ -16,6 +16,31 @@ object QueryShared {
   private[graft] def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
   private[graft] def ord(s: SparkSession, dir: String) = Tables.load(s, dir, "orders")
 
+  /** Scale-adaptive parallelism floor for EXPENSIVE per-row chains
+    * (regex scoring, shingle kernels): the single-row-group test parquet
+    * plans as ONE scan split (Spark cannot split below row-group
+    * granularity), so every downstream per-row kernel serializes on one
+    * core — and a final range-partitioned `orderBy` pays that serial
+    * chain TWICE (its sampling pass re-evaluates the child). A
+    * round-robin repartition to the session's parallelism fixes both,
+    * but ONLY when the input is narrower than the cluster: at real
+    * scale the scan already carries ≥ defaultParallelism splits and
+    * this is the identity — the guard keeps the full-payload shuffle
+    * from ever firing on a 100 TB corpus (guide §2.4: no blanket
+    * repartition "for parallelism"). Row-preserving, deterministic
+    * under retry (sort-before-repartition stays on), so results are
+    * bit-identical. Apply at the query/base site feeding an expensive
+    * kernel chain — a blanket form in Tables.load measured net-negative
+    * for cheap consumers (r6). */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    // A/B escape hatch for paired benchmarking (-Dgraft.spread.off=true):
+    // the optimization is measurement-driven and this keeps the control
+    // arm runnable without a code swap. Default: on.
+    if (sys.props.get("graft.spread.off").contains("true")) return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   // ---- fixed spatial fixtures (mirrored analytically in the oracles) -----
   // 30×20×20 grid, 10 m cells, origin (1000, 2000, 100) — the reference
   // sample grid's shape (FIXTURES.md §1) at a shifted origin.
