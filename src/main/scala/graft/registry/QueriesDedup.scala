@@ -48,10 +48,11 @@ object QueriesDedup {
     // (ExtSuite proves output-identical) and the shape that survives
     // blocks of millions of documents; cross-block recall is q21's LSH job
     "q23_ngram_jaccard" -> ((s, dir) =>
-      ext.Dedup.ngramJaccardPairsPrefix(Tables.load(s, dir, "documents"),
-        "text", "doc_id", Seq("lang", "source"), 0.3)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("id_a", "id_b")),
+      pinSorted(
+        ext.Dedup.ngramJaccardPairsPrefix(Tables.load(s, dir, "documents"),
+          "text", "doc_id", Seq("lang", "source"), 0.3)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
+        "id_a", "id_b")),
 
 
     // ext: near-dup clusters → canonical id (min-label propagation over the
@@ -180,8 +181,8 @@ object QueriesDedup {
           "lid")
         .select(col("doc_id"),
           concat_ws("\n", col("text"), col("ltext")).as("text"))
-      ext.Dedup.duplicatedSpans(multi, "doc_id", "text")
-        .orderBy("doc_id", "span_start")
+      pinSorted(ext.Dedup.duplicatedSpans(multi, "doc_id", "text"),
+        "doc_id", "span_start")
     }),
 
 
@@ -195,8 +196,8 @@ object QueriesDedup {
           "lid")
         .select(col("doc_id"),
           concat_ws("\n", col("text"), col("ltext")).as("text"))
-      ext.Dedup.stripDuplicatedSpans(multi, "doc_id", "text")
-        .orderBy("doc_id")
+      pinSorted(ext.Dedup.stripDuplicatedSpans(multi, "doc_id", "text"),
+        "doc_id")
     }),
 
 
@@ -263,10 +264,10 @@ object QueriesDedup {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_q100_store_${s.sparkContext.applicationId}").toString
       ext.Dedup.writeLshStore(docs.filter(!isNew), "text", "doc_id", path)
-      ext.Dedup.minhashLshCrossFromStore(docs.filter(isNew), s, path,
-        "text", "doc_id", minJaccard = 0.3)
-        .withColumn("jaccard", round(col("jaccard"), 6))
-        .orderBy("id_new", "id_ref")
+      pinSorted(ext.Dedup.minhashLshCrossFromStore(docs.filter(isNew),
+        s, path, "text", "doc_id", minJaccard = 0.3)
+        .withColumn("jaccard", round(col("jaccard"), 6)),
+        "id_new", "id_ref")
     }),
 
 
@@ -281,9 +282,8 @@ object QueriesDedup {
           "lid")
         .select(col("doc_id"),
           concat_ws("\n\n", col("text"), col("ltext")).as("text"))
-      ext.Dedup.dedupParagraphs(multi, "text", "doc_id",
-        maxOccurrences = 2)
-        .orderBy("doc_id")
+      pinSorted(ext.Dedup.dedupParagraphs(multi, "text", "doc_id",
+        maxOccurrences = 2), "doc_id")
     }),
 
 
@@ -298,9 +298,12 @@ object QueriesDedup {
           "lid")
         .select(col("doc_id"),
           concat_ws(" ", col("text"), col("ltext")).as("text"))
-      ext.Dedup.containmentPairs(multi, "text", "doc_id",
-        minContainment = 0.5)
-        .orderBy("id_a", "id_b")
+      // pinSorted: the containment plan runs the shingle kernel 4× by
+      // design; without the pin the final orderBy's range-sampling pass
+      // ran ALL of it a second time (r14 job profile: duplicated
+      // equal-cost jobs)
+      pinSorted(ext.Dedup.containmentPairs(multi, "text", "doc_id",
+        minContainment = 0.5), "id_a", "id_b")
     }),
 
 
@@ -317,10 +320,9 @@ object QueriesDedup {
     // dedup policy (threshold form band-limits the DP; length prefilter)
     "q136_edit_verify" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      ext.Dedup.editDistanceVerify(
+      pinSorted(ext.Dedup.editDistanceVerify(
         ext.Dedup.minhashCandidates(docs, "text", "doc_id"),
-        docs, "doc_id", "text", 50)
-        .orderBy("id_a", "id_b")
+        docs, "doc_id", "text", 50), "id_a", "id_b")
     }),
 
 
@@ -330,10 +332,9 @@ object QueriesDedup {
       val docs = Tables.load(s, dir, "documents")
       val pairs = ext.Dedup.minhashLsh(docs, "text", "doc_id",
         numHashes = 16, bands = 4, minJaccard = 0.3)
-      ext.Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+      pinSorted(ext.Sampling.leakageSafeSplit(docs, "doc_id", pairs,
           Seq(0.8, 0.1, 0.1), "lk")
-        .select(col("doc_id"), col("group_id"), col("split"))
-        .orderBy("doc_id")
+        .select(col("doc_id"), col("group_id"), col("split")), "doc_id")
     }),
 
 

@@ -33,8 +33,9 @@ object QueriesEval {
       val scored = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
         .join(base.select(col("doc_id"),
           when(col("pos"), 1).otherwise(0).as("label")), "doc_id")
-      materializedWithout(ext.Eval.prCurve(scored, "score", "label")
-        .orderBy(col("threshold").desc), base)
+      materializedWithout(
+        graft.util.Checkpoints.pin(ext.Eval.prCurve(scored, "score",
+          "label")).orderBy(col("threshold").desc), base)
     }),
 
 
@@ -105,7 +106,8 @@ object QueriesEval {
         .select(col("doc_id"), col("pred"))
         .join(base.select(col("doc_id"), col("cls").as("lang")), "doc_id")
       materializedWithout(
-        ext.Eval.classMetrics(preds, "lang", "pred").orderBy("cls"), base)
+        pinSorted(ext.Eval.classMetrics(preds, "lang", "pred"), "cls"),
+        base)
     }),
 
 
@@ -148,8 +150,9 @@ object QueriesEval {
       val scored = ext.TextAnalysis.nbQualityScoreTokens(base, "doc_id")
         .join(base.select(col("doc_id"),
           when(col("pos"), 1).otherwise(0).as("label")), "doc_id")
-      materializedWithout(ext.Eval.calibrationBins(scored, "score", "label")
-        .orderBy("bin"), base)
+      materializedWithout(
+        pinSorted(ext.Eval.calibrationBins(scored, "score", "label"),
+          "bin"), base)
     }),
 
 
@@ -248,9 +251,9 @@ object QueriesEval {
           round(ext.TextAnalysis.qualityScore("text"), 6).as("q"))
         .localCheckpoint(true)
       materializedWithout(
-        ext.Eval.quantileNormalize(scored, "source", "q")
-          .select(col("doc_id"), col("source"), col("q"), col("norm"))
-          .orderBy("doc_id"), scored)
+        pinSorted(ext.Eval.quantileNormalize(scored, "source", "q")
+          .select(col("doc_id"), col("source"), col("q"), col("norm")),
+          "doc_id"), scored)
     }),
 
 

@@ -21,8 +21,11 @@ object QueriesPipeline {
 
     // pipeline: end-to-end corpus curation (near-dup canonical filter →
     // langid/quality/token features → quality gate)
+    // no spread on the input (r14, paired probe: +0.67 s with it — the
+    // curation win is the feature-table pin in curateBody, not extra
+    // scan parallelism)
     "q46_corpus_curate" -> ((s, dir) =>
-      pipeline.CorpusCuration.curate(spread(Tables.load(s, dir, "documents")))
+      pipeline.CorpusCuration.curate(Tables.load(s, dir, "documents"))
         .orderBy("doc_id")),
 
 
@@ -30,7 +33,7 @@ object QueriesPipeline {
     // member per near-dup cluster instead of the min-id one
     "q180_curate_keep_best" -> ((s, dir) =>
       pipeline.CorpusCuration.curateKeepBest(
-        spread(Tables.load(s, dir, "documents")))
+        Tables.load(s, dir, "documents"))
         .orderBy("doc_id")),
   )
 

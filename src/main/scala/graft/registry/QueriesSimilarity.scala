@@ -21,9 +21,8 @@ object QueriesSimilarity {
 
     // ext: embedding-cosine similar pairs within label buckets
     "q24_embed_pairs" -> ((s, dir) =>
-      ext.Similarity.embeddingNearDups(
-        Tables.load(s, dir, "embeddings"), 0.3, "label")
-        .orderBy("id_a", "id_b")),
+      pinSorted(ext.Similarity.embeddingNearDups(
+        Tables.load(s, dir, "embeddings"), 0.3, "label"), "id_a", "id_b")),
 
 
     // ext: brute-force cosine top-k (ANN baseline) for 3 query vectors
@@ -40,8 +39,8 @@ object QueriesSimilarity {
     "q41_ivf_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val centroids = ext.Ivf.train(emb, k = 8, iters = 2)
-      ext.Ivf.topK(emb, emb.filter(col("vec_id") < 3), 10, centroids, nprobe = 8)
-        .orderBy("query_id", "rank")
+      pinSorted(ext.Ivf.topK(emb, emb.filter(col("vec_id") < 3), 10,
+        centroids, nprobe = 8), "query_id", "rank")
     }),
 
 
@@ -87,9 +86,10 @@ object QueriesSimilarity {
     "q62_ann_store" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val (coarse, cb, path, n) = annStoreSetup(s, dir)
-      ext.Pq.topKFromStore(s, path, emb, emb.filter(col("vec_id") < 3), 10,
-        cb, rerank = n, coarse = Some(coarse), nprobe = 8, residual = true)
-        .orderBy("query_id", "rank")
+      pinSorted(ext.Pq.topKFromStore(s, path, emb,
+        emb.filter(col("vec_id") < 3), 10, cb, rerank = n,
+        coarse = Some(coarse), nprobe = 8, residual = true),
+        "query_id", "rank")
     }),
 
 
@@ -127,9 +127,8 @@ object QueriesSimilarity {
     // before the JL shortlist so the candidate budget is all cross-label
     "q105_hard_negatives" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      ext.Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
-        10, 8, 50)
-        .orderBy("query_id", "rank")
+      pinSorted(ext.Similarity.hardNegatives(emb,
+        emb.filter(col("vec_id") < 5), 10, 8, 50), "query_id", "rank")
     }),
 
 
@@ -254,9 +253,9 @@ object QueriesSimilarity {
       ext.Ivf.writeStore(emb.filter(col("vec_id") % 2 === 0), path, coarse)
       ext.Ivf.appendToStore(emb.filter(col("vec_id") % 2 === 1), path,
         coarse)
-      ext.Ivf.topKFromStore(s, path, emb.filter(col("vec_id") < 3), 10,
-        coarse, nprobe = 8)
-        .orderBy("query_id", "rank")
+      pinSorted(ext.Ivf.topKFromStore(s, path,
+        emb.filter(col("vec_id") < 3), 10, coarse, nprobe = 8),
+        "query_id", "rank")
     }),
 
 

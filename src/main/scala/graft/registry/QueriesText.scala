@@ -32,18 +32,18 @@ object QueriesText {
 
     // ext: language-ID heuristic + quality scoring (pure expressions)
     "q18_langid_quality" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
+      pinSorted(Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           ext.TextAnalysis.langId("text").as("lang_id"),
-          round(ext.TextAnalysis.qualityScore("text"), 6).as("quality"))
-        .orderBy("doc_id")),
+          round(ext.TextAnalysis.qualityScore("text"), 6).as("quality")),
+        "doc_id")),
 
 
     // ext: rolling-hash document fingerprint (min md5 over char 8-grams)
     "q19_fingerprint" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), ext.TextAnalysis.fingerprint("text").as("fp"))
-        .orderBy("doc_id")),
+      pinSorted(Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          ext.TextAnalysis.fingerprint("text").as("fp")), "doc_id")),
 
 
     // ext: characteristic terms per document (rational idf — see
@@ -115,13 +115,13 @@ object QueriesText {
     // alpha-word fraction, duplicate-3-gram repetition) — the mechanical
     // per-document filters production pipelines threshold on
     "q65_quality_signals" -> ((s, dir) =>
-      Tables.load(s, dir, "documents")
+      pinSorted(Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           round(ext.TextAnalysis.meanWordLength(col("text")), 6).as("mean_wlen"),
           round(ext.TextAnalysis.symbolWordRatio(col("text")), 6).as("sym_ratio"),
           round(ext.TextAnalysis.alphaWordFraction(col("text")), 6).as("alpha_frac"),
-          round(ext.TextAnalysis.dupShingleFraction(col("text")), 6).as("dup3_frac"))
-        .orderBy("doc_id")),
+          round(ext.TextAnalysis.dupShingleFraction(col("text")), 6).as("dup3_frac")),
+        "doc_id")),
 
 
     // ext: token-budget corpus selection — per-source quality-ranked
@@ -300,9 +300,8 @@ object QueriesText {
     // ext: per-doc token Shannon entropy — repetition/diversity signal;
     // the whole histogram lives in one per-row HOF chain (no shuffle)
     "q130_token_entropy" -> ((s, dir) =>
-      ext.TextAnalysis.tokenEntropy(
-        Tables.load(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")),
+      pinSorted(ext.TextAnalysis.tokenEntropy(
+        Tables.load(s, dir, "documents"), "doc_id", "text"), "doc_id")),
 
 
     // ext: Zipf rank-frequency OLS over the top-200 tokens — corpus-health
@@ -332,8 +331,8 @@ object QueriesText {
     "q135_logistic_scores" -> ((s, dir) => {
       val f = logitFeatures(Tables.load(s, dir, "documents"))
       val w = ext.TextAnalysis.logisticTrain(f, Seq("x1", "x2"), "y")
-      ext.TextAnalysis.logisticScoreWith(f, "doc_id", Seq("x1", "x2"), w)
-        .orderBy("doc_id")
+      pinSorted(ext.TextAnalysis.logisticScoreWith(f, "doc_id",
+        Seq("x1", "x2"), w), "doc_id")
     }),
 
 

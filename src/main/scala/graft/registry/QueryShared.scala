@@ -16,29 +16,45 @@ object QueryShared {
   private[graft] def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
   private[graft] def ord(s: SparkSession, dir: String) = Tables.load(s, dir, "orders")
 
-  /** Scale-adaptive parallelism floor for EXPENSIVE per-row chains
-    * (regex scoring, shingle kernels): the single-row-group test parquet
-    * plans as ONE scan split (Spark cannot split below row-group
-    * granularity), so every downstream per-row kernel serializes on one
-    * core — and a final range-partitioned `orderBy` pays that serial
-    * chain TWICE (its sampling pass re-evaluates the child). A
-    * round-robin repartition to the session's parallelism fixes both,
-    * but ONLY when the input is narrower than the cluster: at real
-    * scale the scan already carries ≥ defaultParallelism splits and
-    * this is the identity — the guard keeps the full-payload shuffle
-    * from ever firing on a 100 TB corpus (guide §2.4: no blanket
-    * repartition "for parallelism"). Row-preserving, deterministic
-    * under retry (sort-before-repartition stays on), so results are
-    * bit-identical. Apply at the query/base site feeding an expensive
-    * kernel chain — a blanket form in Tables.load measured net-negative
-    * for cheap consumers (r6). */
-  private[graft] def spread(df: DataFrame): DataFrame = {
-    // A/B escape hatch for paired benchmarking (-Dgraft.spread.off=true):
-    // the optimization is measurement-driven and this keeps the control
-    // arm runnable without a code swap. Default: on.
-    if (sys.props.get("graft.spread.off").contains("true")) return df
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  // r14 note: a scale-adaptive "spread()" parallelism floor (repartition
+  // to defaultParallelism when the scan is narrower than the session) was
+  // implemented and PAIRED-A/B-measured at every plausible site this
+  // round. Verdict: net-negative or result-unsafe everywhere —
+  //  - the exchange + multi-block eager pin cost 0.2-0.7 s per query
+  //    where the serial kernel it parallelized costs less than that at
+  //    this corpus size (q99 1.75->2.60 s, q150 1.83->2.51, q157
+  //    1.92->2.54, q173 1.80->2.54, q46 +0.67; the r6 "blanket
+  //    repartition net-negative" lesson, upheld by same-JVM pairing);
+  //  - where it DID win wall-clock (bootstrap CI's x40 replicate
+  //    explode), the changed partitioning changed the ACCUMULATION ORDER
+  //    of the replicate weighted sums and flipped a 6 dp-rounded CI
+  //    endpoint by one ulp at sf0.001 (q174 ci_hi 0.586203->0.586202 vs
+  //    the oracle) - results must be bit-identical, so the change is
+  //    inadmissible even at a measured speedup.
+  // The helper is deliberately NOT kept as dead code; this note is so
+  // the next round doesn't re-try it blind. ProbeAB's graft.spread.off
+  // toggle is retained (it is simply inert with no call sites).
+
+  /** Pin-then-sort for a query's FINAL deterministic `orderBy` (r14): a
+    * global sort is a RANGE exchange whose partitioner SAMPLES its child —
+    * one full execution for the sample pass, another for the exchange
+    * itself. On an unpinned child the entire query DAG (kernel passes,
+    * joins) runs TWICE; q107's job profile showed the duplication as
+    * equal-cost job pairs (0.767 s / 0.766 s). Pinning the result first
+    * bounds both passes to a re-scan of the materialized blocks. Apply
+    * where the child is expensive and its output bounded (pair lists,
+    * per-doc feature rows) — the orderBy exists only to make output
+    * deterministic, so this is exactly the guide §2.4 "orderBy used only
+    * to make output deterministic" exchange, made cheap rather than
+    * removed (the driver hash-compare needs the order). The pin is
+    * released by the bench's per-query delta-unpersist. */
+  private[graft] def pinSorted(df: DataFrame, first: String,
+      rest: String*): DataFrame = {
+    // A/B escape hatch: the control arm for same-JVM paired measurement
+    // (graft.ProbeAB toggles it between interleaved passes)
+    if (sys.props.get("graft.pinsort.off").contains("true"))
+      return df.orderBy(first, rest: _*)
+    graft.util.Checkpoints.pin(df).orderBy(first, rest: _*)
   }
 
   // ---- fixed spatial fixtures (mirrored analytically in the oracles) -----
@@ -109,6 +125,12 @@ object QueryShared {
     * the per-rater-scan shape at 2.2–3.1 s, VERDICT r9 #3). Released per
     * query via [[materializedWithout]]. */
   private[graft] def raterBase(s: SparkSession, dir: String): DataFrame =
+    // NO spread here (r14, measured): paired A/B put the repartitioned
+    // form 0.6-0.8 s SLOWER per consumer query (q99 1.75→2.60, q150
+    // 1.83→2.51, q157 1.92→2.54, q173 1.80→2.54) — the exchange +
+    // 32-block eager checkpoint of the wide token-array projection costs
+    // more than the parallel regex saves at this corpus size. The r6
+    // "blanket repartition net-negative" lesson, re-measured and upheld.
     Tables.load(s, dir, "documents").select(
         col("doc_id"), col("n_chars"),
         col("source").isin("src0", "src1").as("pos"),
@@ -123,6 +145,8 @@ object QueryShared {
     * regex exactly once — the [[raterBase]] lesson. Released via
     * [[materializedWithout]] behind each query's narrow result. */
   private[graft] def nbLangBase(s: SparkSession, dir: String): DataFrame =
+    // no spread — same paired measurement as [[raterBase]] (q112
+    // 2.07→2.69, q173 1.80→2.54 with it)
     Tables.load(s, dir, "documents").select(col("doc_id"),
         col("lang").as("cls"),
         ext.TextAnalysis.wordTokens("text").as("toks"))
