@@ -768,6 +768,62 @@ object Bench {
         System.err.println(s"driftreport_fusion_probe failed: ${e.getMessage}")
     }
 
+    // 16×-scale paired-bootstrap probe (VERDICT r14 #8): q208/q209's
+    // ×reps replicate explode collapses map-side to reps (×slices) rows
+    // by design, so wall time should grow ~linearly with the unit count
+    // while the order-statistic tail stays constant-size. The per-unit
+    // (id, a, b) table is replicated with DISJOINT unit ids (md5 weights
+    // key on (salt, rep, id), so each copy draws fresh weights — the
+    // honest scale shape); ratio_16x ≲ 16 certifies linearity like the
+    // dedup/sketch/eval cells.
+    if (probeOn("pboot")) try {
+      dropCaches()
+      import org.apache.spark.sql.functions.{avg, col, lit, max,
+        round => sround}
+      val ev = Tables.load(spark, sfDir, "events")
+      val a = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(sround(avg(col("value")), 6).as("a"))
+      val b = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(sround(avg(col("value")), 6).as("b"))
+      val pairs0 = a.join(b, "user_id")
+      val stride = pairs0.agg(max(col("user_id"))).first().getLong(0) + 1L
+      val built = Seq(1, 16).map { f =>
+        val rep = (0 until f).map(i => pairs0.select(
+            (col("user_id") + lit(i * stride)).as("user_id"),
+            col("a"), col("b"))).reduce(_ unionAll _)
+          .localCheckpoint(true)
+        f -> rep
+      }
+      def drain(df: org.apache.spark.sql.DataFrame): Unit =
+        df.foreach((_: org.apache.spark.sql.Row) => ())
+      locally { val d = built.head._2 // discard first-use codegen
+        drain(ext.Eval.pairedBootstrapTest(d, "user_id", "a", "b"))
+        drain(ext.Eval.pairedBootstrapTestBy(
+          d.withColumn("cohort", (col("user_id") % 4).cast("string")),
+          "cohort", "user_id", "a", "b")) }
+      val cells = for {
+        (f, d) <- built
+        (name, run) <- Seq[(String, () => Long)](
+          "paired_bootstrap" -> (() =>
+            { drain(ext.Eval.pairedBootstrapTest(d, "user_id", "a", "b")); 0L }),
+          "paired_bootstrap_by" -> (() =>
+            { drain(ext.Eval.pairedBootstrapTestBy(
+              d.withColumn("cohort", (col("user_id") % 4).cast("string")),
+              "cohort", "user_id", "a", "b")); 0L }))
+      } yield ((f, name), run)
+      val (times, _) = interleavedTimes(cells)
+      val lines = Seq("paired_bootstrap", "paired_bootstrap_by").map { name =>
+        val t1 = times((1, name)); val t16 = times((16, name))
+        s"\"$name\":{\"sec_1x\":$t1,\"sec_16x\":$t16," +
+          s"\"ratio_16x\":${t16 / math.max(t1, 1e-9)}}"
+      }.mkString("{", ",", "}")
+      val l = s"""{"metric":"pboot_scale_probe","probes_isolated":true,"factor":16,"warmup":true,"interleaved_passes":2,"ops":$lines}"""
+      println(l); extraLines += l
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"pboot_scale_probe failed: ${e.getMessage}")
+    }
+
     // Graph DEPTH probe (full runs only): the text9 cell certifies node
     // scaling at 3 rounds; this one certifies ROUND scaling — sec/round at
     // iters=20 vs iters=5 on the same synthetic graph must stay ~flat

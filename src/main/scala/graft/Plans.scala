@@ -30,7 +30,11 @@ object Plans {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (only(name))
+      if (only(name)) {
+        // the Verify delta-unpersist discipline (ADVICE r14): building a
+        // plan still executes the query body's eager pins
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
         try {
           val df = fn(spark, sfDir)
           val plan = df.queryExecution.explainString(
@@ -40,6 +44,11 @@ object Plans {
         } catch { case e: Throwable =>
           System.err.println(s"[plans] $name failed: ${e.getMessage}")
         }
+        try (sc.getPersistentRDDs.keySet.toSet -- before)
+          .foreach(id => sc.getPersistentRDDs.get(id)
+            .foreach(_.unpersist(blocking = false)))
+        catch { case _: Throwable => }
+      }
     }
     spark.stop()
   }

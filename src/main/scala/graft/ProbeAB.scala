@@ -2,12 +2,15 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Paired A/B probe for the r14 `spread()` optimization: times the named
-  * queries with `-Dgraft.spread.off` toggled INSIDE one JVM, interleaved
+/** Paired A/B probe for the flag-gated optimizations (r14 `pinSorted`,
+  * extended by r15 sites): times the named queries with
+  * `-Dgraft.pinsort.off` toggled INSIDE one JVM, interleaved
   * (off, on, off, on), min per arm — so both arms share every warmup,
   * codegen cache and contention window. The bench itself cannot pair arms
   * (one flag per JVM), and this sandbox's shuffle-shaped drift (VERDICT
-  * r13) makes cross-JVM arm comparison unreliable.
+  * r13) makes cross-JVM arm comparison unreliable. (The r14
+  * `graft.spread.off` arm was deleted with spread() itself — VERDICT r14
+  * #1: the toggle had become inert with no call sites.)
   *
   * Usage: runMain graft.ProbeAB <sfDir> <nameSubstr...>
   * Output: one JSON line per query {"query":..., "off_sec":..., "on_sec":...}.
@@ -32,13 +35,8 @@ object ProbeAB {
       .filter { case (n, _) => names.exists(n.contains) }
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         off: Boolean): Double = {
-      if (off) {
-        sys.props("graft.spread.off") = "true"
-        sys.props("graft.pinsort.off") = "true"
-      } else {
-        sys.props.remove("graft.spread.off")
-        sys.props.remove("graft.pinsort.off")
-      }
+      if (off) sys.props("graft.pinsort.off") = "true"
+      else sys.props.remove("graft.pinsort.off")
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet.toSet
       val t0 = System.nanoTime()

@@ -20,9 +20,20 @@ object Tables {
   // IS the inferred one, and the driver generates each sf's tables once
   // (read-only test data). Queries still compute from the parquet bytes
   // on every run.
+  // WRITE-ONCE ASSUMPTION (ADVICE r14): the cache is never invalidated,
+  // so a table REGENERATED at the same path with a different schema
+  // within one JVM would silently read through the stale StructType
+  // (wrong columns/nulls, no error). That shape cannot happen on the
+  // bench data (the driver generates each sf once, read-only), and no
+  // code in this repo rewrites a Tables path mid-session; a future
+  // caller that does must clearSchemaCache() after the rewrite.
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String),
       org.apache.spark.sql.types.StructType]()
+
+  /** Drop every cached schema — call after regenerating a table in
+    * place (tests, future rounds reusing a temp dir). */
+  def clearSchemaCache(): Unit = schemaCache.clear()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"

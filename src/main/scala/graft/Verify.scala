@@ -23,12 +23,23 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (only(name))
+      if (only(name)) {
+        // Bench.time's snapshot + delta-unpersist discipline (ADVICE
+        // r14): queries pin whole per-doc tables (pinSorted, curation
+        // features) that would otherwise stay resident in the block
+        // manager for the entire 209-query dump
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        try (sc.getPersistentRDDs.keySet.toSet -- before)
+          .foreach(id => sc.getPersistentRDDs.get(id)
+            .foreach(_.unpersist(blocking = false)))
+        catch { case _: Throwable => }
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -942,15 +942,21 @@ object Eval {
 
   /** [[ksTest]]'s statistic from an already-gated per-value table (the
     * [[pairPerValueRaw]] shape) — identical downstream arithmetic, does
-    * NOT release the caller's table. */
-  private[ext] def ksTestOnPer(per: DataFrame): DataFrame = {
+    * NOT release the caller's table. `pinOut = false` (r15, the
+    * [[Outliers.driftReport]] composition) returns the LAZY plan with no
+    * internal pins: the caller materializes one fused union instead of
+    * paying two eager checkpoint jobs per lens, and the tiny cumulative
+    * recomputes from the caller's pinned table (deterministic — the same
+    * sorted window over the same materialized rows, so bit-identical). */
+  private[ext] def ksTestOnPer(per: DataFrame,
+      pinOut: Boolean = true): DataFrame = {
     val w = Window.orderBy(col("_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = per
+    val cumRaw = per
       .withColumn("cna", sum(col("ca")).over(w))
       .withColumn("cnb", sum(col("cb")).over(w))
       .select(col("cna"), col("cnb"))
-      .pin()
+    val cum = if (pinOut) cumRaw.pin() else cumRaw
     // the final cumulative IS the side total — no second corpus pass
     val tot = cum.agg(max(col("cna")).as("n_a"), max(col("cnb")).as("n_b"))
     val dnum = cum.crossJoin(broadcast(tot))
@@ -960,14 +966,18 @@ object Eval {
     val d = col("_dnum").cast("double") / nProd
     val dCrit = lit(1.358) *
       sqrt((col("n_a") + col("n_b")).cast("double") / nProd)
-    // materialize the one-row result, then release the internal pin —
-    // without this every reliable-mode call leaked one cumulative table
-    // onto graft.checkpoint.dir for the session lifetime (ADVICE r11)
-    val out = tot.crossJoin(dnum).select(col("n_a"), col("n_b"),
+    val outRaw = tot.crossJoin(dnum).select(col("n_a"), col("n_b"),
       d.as("d"), dCrit.as("d_crit"),
-      when(d > dCrit, 1).otherwise(0).as("drifted")).pin()
-    graft.util.Checkpoints.release(cum)
-    out
+      when(d > dCrit, 1).otherwise(0).as("drifted"))
+    if (!pinOut) outRaw
+    else {
+      // materialize the one-row result, then release the internal pin —
+      // without this every reliable-mode call leaked one cumulative table
+      // onto graft.checkpoint.dir for the session lifetime (ADVICE r11)
+      val out = outRaw.pin()
+      graft.util.Checkpoints.release(cum)
+      out
+    }
   }
 
   /** [[ksTest]] PER GROUP — each slice's value distribution against the
@@ -1008,9 +1018,11 @@ object Eval {
     * with a NULL `_v` are dropped here (the standalone path filters them
     * before aggregating; [[Outliers.driftReportBy]]'s shared table
     * retains them for the psi lens's slice totals). Does NOT release the
-    * caller's table. */
-  private[ext] def ksTestByOnPg(pg0: DataFrame,
-      groupCol: String): DataFrame = {
+    * caller's table. `pinOut = false`: the lazy-composition contract of
+    * [[ksTestOnPer]] (r15 — [[Outliers.driftReportBy]] pins one fused
+    * union instead of one checkpoint per lens). */
+  private[ext] def ksTestByOnPg(pg0: DataFrame, groupCol: String,
+      pinOut: Boolean = true): DataFrame = {
     val pg = pg0.filter(col("_v").isNotNull)
     val wv = Window.orderBy(col("_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1038,9 +1050,10 @@ object Eval {
       sqrt((col("n_a") + nbCol).cast("double") / nProd)
     // |groups|-row result pinned, internal pin released (the ksTest
     // reliable-checkpoint-leak fix applied per-slice)
-    perG.select(col("_g").as(groupCol), col("n_a"),
+    val out = perG.select(col("_g").as(groupCol), col("n_a"),
       nbCol.as("n_b"), d.as("d"), dCrit.as("d_crit"),
-      when(d > dCrit, 1).otherwise(0).as("drifted")).pin()
+      when(d > dCrit, 1).otherwise(0).as("drifted"))
+    if (pinOut) out.pin() else out
   }
 
   /** [[ksDriftWindowed]]'s baseline inputs from the reference slice:
@@ -1221,18 +1234,20 @@ object Eval {
 
   /** [[rankSumTest]]'s statistic from an already-gated per-value table
     * (the [[pairPerValueRaw]] shape) — identical downstream arithmetic,
-    * does NOT release the caller's table. */
-  private[ext] def rankSumOnPer(per: DataFrame): DataFrame = {
+    * does NOT release the caller's table. `pinOut = false` = the r15
+    * lazy-composition contract of [[ksTestOnPer]]. */
+  private[ext] def rankSumOnPer(per: DataFrame,
+      pinOut: Boolean = true): DataFrame = {
     val w = Window.orderBy(col("_v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nv = col("ca") + col("cb")
-    val ranked = per
+    val rankedRaw = per
       .withColumn("_nv", nv)
       .withColumn("_cum", sum(nv).over(w))
       .withColumn("_avgrank",
         (col("_cum") - col("_nv")).cast("double") +
           (col("_nv") + lit(1L)).cast("double") / lit(2.0))
-      .pin()
+    val ranked = if (pinOut) rankedRaw.pin() else rankedRaw
     val agg = ranked.agg(
       sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
       sum(col("cb").cast("double") * col("_avgrank")).as("_rb"),
@@ -1251,12 +1266,15 @@ object Eval {
       ((nT + lit(1.0)) - col("_ties").cast("double") /
         (nT * (nT - lit(1.0))))
     val z = (u - nA * nB / lit(2.0)) / sqrt(sigma2)
-    val out = agg.select(col("n_a"), col("n_b"), u.as("u"),
+    val outRaw = agg.select(col("n_a"), col("n_b"), u.as("u"),
       when(sigma2 > 0, z).as("z"),
       when(sigma2 > 0 && abs(z) > 1.96, 1).otherwise(0).as("drifted"))
-      .pin()
-    graft.util.Checkpoints.release(ranked)
-    out
+    if (!pinOut) outRaw
+    else {
+      val out = outRaw.pin()
+      graft.util.Checkpoints.release(ranked)
+      out
+    }
   }
 
   /** [[rankSumTest]] PER GROUP — each slice's value LOCATION against the
@@ -1294,9 +1312,10 @@ object Eval {
 
   /** [[rankSumTestBy]]'s statistics from an already-gated (group, value)
     * count table (the [[ksTestByOnPg]] contract: NULL `_v` rows dropped
-    * here, caller's table not released). */
-  private[ext] def rankSumByOnPg(pg0: DataFrame,
-      groupCol: String): DataFrame = {
+    * here, caller's table not released; `pinOut = false` = the r15
+    * lazy-composition contract). */
+  private[ext] def rankSumByOnPg(pg0: DataFrame, groupCol: String,
+      pinOut: Boolean = true): DataFrame = {
     val pg = pg0.filter(col("_v").isNotNull)
     val gv = pg.groupBy(col("_v")).agg(sum(col("c")).as("nv"))
     val w = Window.orderBy(col("_v").asc)
@@ -1322,12 +1341,12 @@ object Eval {
       ((nT + lit(1.0)) - col("_ties").cast("double") /
         (nT * (nT - lit(1.0))))
     val z = (u - nA * nB / lit(2.0)) / sqrt(sigma2)
-    perG.crossJoin(broadcast(glob)).select(
+    val out = perG.crossJoin(broadcast(glob)).select(
       col("_g").as(groupCol), col("n_g"),
       (col("n") - col("n_g")).as("n_rest"), u.as("u"),
       when(sigma2 > 0, z).as("z"),
       when(sigma2 > 0 && abs(z) > 1.96, 1).otherwise(0).as("drifted"))
-      .pin()
+    if (pinOut) out.pin() else out
   }
 
   /** MUTUAL INFORMATION between two score columns over ECDF-decile bins

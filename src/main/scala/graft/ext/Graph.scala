@@ -21,6 +21,31 @@ object Graph {
     e.schema.fields.length == 2 && e.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
 
+  /** Collect an admitted (≤ localThreshold) 2-long-column edge list, or
+    * None when any value is NULL (ADVICE r14): the distributed joins
+    * silently drop NULL src/dst where `Row.getLong` would NPE — path
+    * selection must not change failure behavior, so a NULL-bearing edge
+    * list stays on the distributed loop. */
+  private def collectNonNullPairs(e: DataFrame): Option[Array[(Long, Long)]] = {
+    val rows = e.collect()
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+    else Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  /** The driver-side seed admission bound (ADVICE r14): seed cardinality
+    * is independent of edge cardinality, so the fast paths must bound
+    * the seed pull too — `limit(threshold + 1)` caps the transfer where
+    * a plain `collect()` of a corpus-scale seed set would OOM the
+    * driver. Returns None (→ distributed loop) when the seed set
+    * exceeds the threshold or any seed node is NULL. */
+  private def collectBoundedSeeds(seeds: DataFrame,
+      localThreshold: Long): Option[Array[org.apache.spark.sql.Row]] = {
+    val lim = (math.min(localThreshold, (Int.MaxValue - 2).toLong) + 1L).toInt
+    val rows = seeds.limit(lim).collect()
+    if (rows.length > localThreshold || rows.exists(_.isNullAt(0))) None
+    else Some(rows)
+  }
+
   /** Deterministic UTF-8 byte-wise order — exactly Spark's string sort
     * order (UTF8String compares unsigned bytes), so the local plurality
     * tie-break matches the distributed `orderBy(label asc)`. */
@@ -81,8 +106,10 @@ object Graph {
     // 6 dp-rounded ranks engine-reproducible against the DuckDB oracle;
     // suite-pinned at 1e-12 on both paths). Scale probes pass
     // localThreshold = 0 so they keep certifying the distributed loop.
-    if (isLongPair(e) && e.count() <= localThreshold) {
-      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val esOpt = if (isLongPair(e) && e.count() <= localThreshold)
+      collectNonNullPairs(e) else None
+    if (esOpt.isDefined) {
+      val es = esOpt.get
       graft.util.Checkpoints.release(e)
       val nodesArr = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
       require(nodesArr.nonEmpty, "pageRank: empty edge set")
@@ -213,14 +240,24 @@ object Graph {
     // (suite-pinned on both paths). Requires long ids, string labels
     // and DISTINCT seed nodes (duplicate seed rows replicate through
     // the distributed path's joins — that shape stays distributed).
-    if (isLongPair(e) &&
+    val sdOpt = if (isLongPair(e) &&
         seeds.schema(nodeCol).dataType == org.apache.spark.sql.types.LongType &&
         seeds.schema(labelCol).dataType == org.apache.spark.sql.types.StringType &&
-        e.count() <= localThreshold) {
-      val sd = seeds.select(col(nodeCol), col(labelCol)).collect()
+        e.count() <= localThreshold)
+      // bounded seed pull AFTER every cheap guard (ADVICE r14): seed
+      // cardinality is independent of the edge count the threshold
+      // admits on, and a NULL seed node falls through to the
+      // distributed joins (which drop it) instead of NPE-ing getLong
+      collectBoundedSeeds(seeds.select(col(nodeCol), col(labelCol)),
+        localThreshold)
+    else None
+    if (sdOpt.isDefined) {
+      val sd = sdOpt.get
         .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
-      if (sd.map(_._1).distinct.length == sd.length) {
-        val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val esOpt = if (sd.map(_._1).distinct.length == sd.length)
+        collectNonNullPairs(e) else None
+      if (esOpt.isDefined) {
+        val es = esOpt.get
         graft.util.Checkpoints.release(e)
         val nodesArr = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
         // NULL-labeled seed rows behave like no seed (coalesce skips
@@ -307,11 +344,18 @@ object Graph {
     // and settles each node at its first reach — the local frontier walk
     // is bit-identical to the distributed rounds (suite-pinned on both
     // paths). Long-id edges only; probes pass localThreshold = 0.
-    if (isLongPair(e) && e.count() <= localThreshold) {
-      val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // bounded seed pull before the edge collect (ADVICE r14): seed
+    // cardinality is independent of the admitted edge count; NULL seeds
+    // or NULL edge endpoints fall through to the distributed loop
+    val seedsOpt = if (isLongPair(e) && e.count() <= localThreshold)
+      collectBoundedSeeds(seeds.select(col(nodeCol).cast("long")),
+        localThreshold)
+    else None
+    val esOpt = if (seedsOpt.isDefined) collectNonNullPairs(e) else None
+    if (esOpt.isDefined) {
+      val es = esOpt.get
       graft.util.Checkpoints.release(e)
-      val seedArr = seeds.select(col(nodeCol).cast("long")).collect()
-        .map(_.getLong(0)).distinct
+      val seedArr = seedsOpt.get.map(_.getLong(0)).distinct
       val nodesArr =
         (es.map(_._1) ++ es.map(_._2) ++ seedArr).distinct.sorted
       val adj = es.groupBy(_._1).map { case (s, out) => s -> out.map(_._2) }

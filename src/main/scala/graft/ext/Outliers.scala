@@ -167,17 +167,39 @@ object Outliers {
     * (n_base, n_live, k, chi2, chi2_crit, drifted). */
   def chiSquareDrift(base: DataFrame, live: DataFrame,
       catCol: String): DataFrame = {
-    val tagged = base.select(col(catCol).as("_c"),
+    // grid discipline gated exactly on the category table built here
+    // (the Eval.ksTest note — no separate pre-check pass; a free-text
+    // column still fails loudly, now with the exact count)
+    val perRaw = chiPerCategory(base, live, catCol)
+    val per = graft.util.GridGuard.gateTable(perRaw, "chiSquareDrift", catCol)
+    val out = chiSquareOnPc(per)
+    // one-row result: materialize and release the gate pin (the
+    // Eval.ksTest pin-ownership convention)
+    if (per ne perRaw) {
+      val pinned = graft.util.Checkpoints.pin(out)
+      graft.util.Checkpoints.release(per)
+      pinned
+    } else out
+  }
+
+  /** [[chiSquareDrift]]'s two-sided per-category count table `(_c, cb,
+    * cl)` — lazy and ungated; callers gate it themselves (the
+    * [[Eval.pairPerValueRaw]] convention, r15 for the [[driftReport]]
+    * composition). */
+  private[ext] def chiPerCategory(base: DataFrame, live: DataFrame,
+      catCol: String): DataFrame =
+    base.select(col(catCol).as("_c"),
         lit(1L).as("_ib"), lit(0L).as("_il"))
       .unionAll(live.select(col(catCol).as("_c"),
         lit(0L).as("_ib"), lit(1L).as("_il")))
       .filter(col("_c").isNotNull)
-    // grid discipline gated exactly on the category table built here
-    // (the Eval.ksTest note — no separate pre-check pass; a free-text
-    // column still fails loudly, now with the exact count)
-    val perRaw = tagged.groupBy(col("_c"))
+      .groupBy(col("_c"))
       .agg(sum(col("_ib")).as("cb"), sum(col("_il")).as("cl"))
-    val per = graft.util.GridGuard.gateTable(perRaw, "chiSquareDrift", catCol)
+
+  /** [[chiSquareDrift]]'s statistic from an already-gated per-category
+    * table — identical downstream arithmetic, lazy, does NOT release the
+    * caller's table (the [[Eval.ksTestOnPer]] contract). */
+  private[ext] def chiSquareOnPc(per: DataFrame): DataFrame = {
     val agg = per.agg(
       sum(col("cb")).as("n_base"), sum(col("cl")).as("n_live"),
       count(lit(1)).as("k"))
@@ -204,19 +226,12 @@ object Outliers {
     // ROUNDED values so it is a pure function of the emitted columns
     val chi2R = round(col("_chi2"), 6)
     val whR = round(wh, 6)
-    val out = agg.crossJoin(chi2).select(
+    agg.crossJoin(chi2).select(
       col("n_base"), col("n_live"), col("k"),
       when(col("k") > 1, chi2R).as("chi2"),
       when(col("k") > 1, whR).as("chi2_crit"),
       when(col("k") > 1 && chi2R > whR, 1).otherwise(0)
         .as("drifted"))
-    // one-row result: materialize and release the gate pin (the
-    // Eval.ksTest pin-ownership convention)
-    if (per ne perRaw) {
-      val pinned = graft.util.Checkpoints.pin(out)
-      graft.util.Checkpoints.release(per)
-      pinned
-    } else out
   }
 
   /** [[chiSquareDrift]] PER SLICE — each slice's category mix against the
@@ -244,6 +259,17 @@ object Outliers {
     // table (the Eval.ksTestBy note)
     graft.util.GridGuard.gateAxes(pg, "chiSquareDriftBy",
       catCol -> "_c", groupCol -> "_g")
+    val out = chiSquareByOnPc(pg, groupCol).pin()
+    graft.util.Checkpoints.release(pg)
+    out
+  }
+
+  /** [[chiSquareDriftBy]]'s statistics from an already-gated (slice,
+    * category) count table `(_g, _c, cnt)` — identical downstream
+    * arithmetic, lazy, caller's table not released (the r15
+    * lazy-composition contract of [[Eval.ksTestByOnPg]]). */
+  private[ext] def chiSquareByOnPc(pg: DataFrame,
+      groupCol: String): DataFrame = {
     val gc = pg.groupBy(col("_c")).agg(sum(col("cnt")).as("nc"))
     val groups = pg.groupBy(col("_g")).agg(sum(col("cnt")).as("n_g"))
     val kn = gc.agg(count(lit(1)).as("k"), sum(col("nc")).as("n"))
@@ -269,14 +295,11 @@ object Outliers {
       lit(1.6449) * sqrt(lit(2.0) / (lit(9.0) * dofSafe)), 3)
     val chi2R = round(col("_chi2"), 6)
     val whR = round(wh, 6)
-    val out = perG.select(col("_g").as(groupCol), col("n_g"),
+    perG.select(col("_g").as(groupCol), col("n_g"),
       (col("n") - col("n_g")).as("n_rest"), col("k"),
       when(col("k") > 1, chi2R).as("chi2"),
       when(col("k") > 1, whR).as("chi2_crit"),
       when(col("k") > 1 && chi2R > whR, 1).otherwise(0).as("drifted"))
-      .pin()
-    graft.util.Checkpoints.release(pg)
-    out
   }
 
   /** [[psiDrift]] PER SLICE — each slice's binned value distribution vs
@@ -320,7 +343,7 @@ object Outliers {
     * so the per-slice psi stays bit-identical to the standalone member.
     * Does NOT release the caller's table. */
   private[ext] def psiByOnPb(pg: DataFrame, groupCol: String,
-      nBuckets: Int): DataFrame = {
+      nBuckets: Int, pinOut: Boolean = true): DataFrame = {
     val gb = pg.groupBy(col("bucket")).agg(sum(col("cnt")).as("nb"))
     val groups = pg.groupBy(col("_g")).agg(sum(col("cnt")).as("n_g"))
     val tot = groups.agg(sum(col("n_g")).as("n"))
@@ -345,9 +368,10 @@ object Outliers {
         round((q - p) * log(q / p), 6).as("_term"))
       .groupBy(col("_g"), col("n_g"), col("n"))
       .agg(round(sum(col("_term")), 6).as("psi"))
-    perG.select(col("_g").as(groupCol), col("n_g"),
+    val out = perG.select(col("_g").as(groupCol), col("n_g"),
       (col("n") - col("n_g")).as("n_rest"), col("psi"),
-      when(col("psi") > 0.25, 1).otherwise(0).as("drifted")).pin()
+      when(col("psi") > 0.25, 1).otherwise(0).as("drifted"))
+    if (pinOut) out.pin() else out
   }
 
   /** ONE-CALL DRIFT REPORT: every corpus-level drift statistic between a
@@ -402,23 +426,34 @@ object Outliers {
       Eval.pairPerValueRaw(bp, lp, valCol))
     graft.util.GridGuard.gateCount(per, "driftReport", valCol)
     // psiDrift's side totals count ALL rows (a NULL value lands in no
-    // bucket but still dilutes the proportions) — two count jobs on the
-    // tiny pins, exactly the member's base.count()/live.count() pulls
-    val psi = psiRowFromPer(per, bp.count(), lp.count(), nBuckets, lo, hi)
-    val ks = Eval.ksTestOnPer(per)
+    // bucket but still dilutes the proportions) — exactly the member's
+    // base.count()/live.count() pulls, fused into ONE job over the tiny
+    // pins (r15: was two count jobs)
+    val cnts = bp.agg(count(lit(1)).as("_tb"))
+      .crossJoin(lp.agg(count(lit(1)).as("_tl"))).head()
+    val psi = psiRowFromPer(per, cnts.getLong(0), cnts.getLong(1),
+      nBuckets, lo, hi)
+    // lenses composed LAZILY (pinOut = false, r15): the one union pin
+    // below materializes all four plans in a single job instead of each
+    // lens paying its own eager checkpoint — the members' arithmetic is
+    // untouched, so every row stays bit-identical to the standalone call
+    val ks = Eval.ksTestOnPer(per, pinOut = false)
       .select(lit("ks").as("stat"), col("d").as("statistic"),
         col("d_crit").as("threshold"), col("drifted"))
-    val rs = Eval.rankSumOnPer(per)
+    val rs = Eval.rankSumOnPer(per, pinOut = false)
       .select(lit("rank_sum").as("stat"), abs(col("z")).as("statistic"),
         lit(1.96).as("threshold"), col("drifted"))
-    val chi = chiSquareDrift(bp, lp, catCol)
+    // the chi lens's category table, gated exactly as the member gates
+    // its own (same exact-count guard, same failure shape)
+    val pcRaw = chiPerCategory(bp, lp, catCol)
+    val pc = graft.util.GridGuard.gateTable(pcRaw, "driftReport", catCol)
+    val chi = chiSquareOnPc(pc)
       .select(lit("chi2").as("stat"), col("chi2").as("statistic"),
         col("chi2_crit").as("threshold"), col("drifted"))
     val out = graft.util.Checkpoints.pin(
       psi.unionAll(ks).unionAll(rs).unionAll(chi).orderBy("stat"))
-    // the members hand back their own one-row pins (the ksTest
-    // convention) — reclaim those too once the report materializes
-    Seq(bp, lp, ks, rs, chi, per).foreach(graft.util.Checkpoints.release)
+    Seq(bp, lp, per).foreach(graft.util.Checkpoints.release)
+    if (pc ne pcRaw) graft.util.Checkpoints.release(pc)
     out
   }
 
@@ -498,30 +533,39 @@ object Outliers {
       lit(0.0)), lit((nBuckets - 1).toDouble)).cast("int")
     val pb = pg.select(col("_g"), b.as("bucket"), col("c"))
       .groupBy(col("_g"), col("bucket")).agg(sum(col("c")).as("cnt"))
-    val psiB = psiByOnPb(pb, groupCol, nBuckets)
-    val psi = psiB.select(col(groupCol), lit("psi").as("stat"),
-      col("psi").as("statistic"), lit(0.25).as("threshold"),
-      col("drifted"))
-    val ksB = Eval.ksTestByOnPg(pg, groupCol)
-    val ks = ksB.select(col(groupCol), lit("ks").as("stat"),
-      col("d").as("statistic"), col("d_crit").as("threshold"),
-      col("drifted"))
-    val rsB = Eval.rankSumByOnPg(pg, groupCol)
-    val rs = rsB.select(col(groupCol), lit("rank_sum").as("stat"),
-      abs(col("z")).as("statistic"), lit(1.96).as("threshold"),
-      col("drifted"))
-    val chiB = chiSquareDriftBy(
-      proj.select(col(groupCol), col(catCol)), groupCol, catCol)
-    val chi = chiB.select(col(groupCol), lit("chi2").as("stat"),
-      col("chi2").as("statistic"), col("chi2_crit").as("threshold"),
-      col("drifted"))
+    // lenses composed LAZILY (pinOut = false, r15): one union pin below
+    // materializes all four plans in a single job instead of four eager
+    // per-lens checkpoints — the members' arithmetic is untouched, so
+    // every row stays bit-identical to the standalone member call
+    val psi = psiByOnPb(pb, groupCol, nBuckets, pinOut = false)
+      .select(col(groupCol), lit("psi").as("stat"),
+        col("psi").as("statistic"), lit(0.25).as("threshold"),
+        col("drifted"))
+    val ks = Eval.ksTestByOnPg(pg, groupCol, pinOut = false)
+      .select(col(groupCol), lit("ks").as("stat"),
+        col("d").as("statistic"), col("d_crit").as("threshold"),
+        col("drifted"))
+    val rs = Eval.rankSumByOnPg(pg, groupCol, pinOut = false)
+      .select(col(groupCol), lit("rank_sum").as("stat"),
+        abs(col("z")).as("statistic"), lit(1.96).as("threshold"),
+        col("drifted"))
+    // the chi lens's (slice, category) table, built and gated exactly as
+    // the standalone member builds its own (same projection, same
+    // axis guard), read lazily by the union
+    val pc = proj.select(col(groupCol).as("_g"),
+        col(catCol).cast("string").as("_c"))
+      .filter(col("_g").isNotNull && col("_c").isNotNull)
+      .groupBy(col("_g"), col("_c")).agg(count(lit(1)).as("cnt")).pin()
+    graft.util.GridGuard.gateAxes(pc, "driftReportBy",
+      catCol -> "_c", groupCol -> "_g")
+    val chi = chiSquareByOnPc(pc, groupCol)
+      .select(col(groupCol), lit("chi2").as("stat"),
+        col("chi2").as("statistic"), col("chi2_crit").as("threshold"),
+        col("drifted"))
     val out = graft.util.Checkpoints.pin(
       psi.unionAll(ks).unionAll(rs).unionAll(chi)
         .orderBy(groupCol, "stat"))
-    // members hand back their own |slices|-row pins — reclaim everything
-    // once the report materializes
-    Seq(psiB, ksB, rsB, chiB, pg, proj)
-      .foreach(graft.util.Checkpoints.release)
+    Seq(pc, pg, proj).foreach(graft.util.Checkpoints.release)
     out
   }
 

@@ -932,15 +932,29 @@ object TextAnalysis {
     * pins the projection pays the regex exactly once; the [[nbTrainTokens]]
     * shape). `cls`/`toks` are positional contract column names. */
   def nbMulticlassTokens(docs: org.apache.spark.sql.DataFrame,
-      idCol: String): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score").desc, col("cls").asc)
-    nbClassScored(docs, idCol)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("n_tokens"), col("cls").as("pred"),
-        col("score"))
-  }
+      idCol: String): org.apache.spark.sql.DataFrame =
+    nbArgmax(nbClassScored(docs, idCol), idCol)
+      .select(col(idCol), col("n_tokens"), col("pred"), col("score"))
+
+  /** The (score desc, cls asc) argmax over the per-(doc, class) score
+    * frame as ONE aggregation: `min(struct(-score, cls, …))` orders by
+    * -score asc ≡ score desc, then cls asc — exactly the row
+    * `row_number() OVER (PARTITION BY id ORDER BY score DESC, cls)` = 1
+    * selects (Spark's double ordering treats -0.0 == 0.0 on both paths,
+    * and a NULL score is per-DOC here — n_tokens is a doc property — so
+    * NULL placement can't differ across a doc's k rows). The window form
+    * shuffled all n·k rows and sorted each partition; the aggregate
+    * collapses k rows per doc map-side before the exchange and sorts
+    * nothing (r15; property-pinned against the window form on random
+    * score grids with forced ties). */
+  private[ext] def nbArgmax(scored: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame =
+    scored
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("score")).as("_ns"), col("cls"),
+        col("n_tokens"))).as("_m"))
+      .select(col(idCol), col("_m.n_tokens").as("n_tokens"),
+        col("_m.cls").as("pred"), (-col("_m._ns")).as("score"))
 
   /** The per-(document, class) score frame [[nbMulticlass]] and
     * [[nbLabelIssues]] share: input is the `(idCol, cls, toks)`
@@ -1002,12 +1016,10 @@ object TextAnalysis {
   def nbLabelIssuesTokens(docs: org.apache.spark.sql.DataFrame,
       idCol: String, topK: Int = 20): org.apache.spark.sql.DataFrame = {
     val scored = nbClassScored(docs, idCol)
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score").desc, col("cls").asc)
-    val top = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("cls").as("pred"),
-        col("score").as("_ps"))
+    // same one-aggregation (score desc, cls asc) argmax as
+    // [[nbMulticlassTokens]] — see [[nbArgmax]]
+    val top = nbArgmax(scored, idCol)
+      .select(col(idCol), col("pred"), col("score").as("_ps"))
     val own = scored
       .join(docs.select(col(idCol), col("cls")), Seq(idCol, "cls"))
       .select(col(idCol), col("cls").as("label"), col("score").as("_ls"))

@@ -199,10 +199,14 @@ object QueriesDrift {
           round(ext.TextAnalysis.qualityScore("text"), 6).as("q"),
           col("lang"))
         .localCheckpoint(true)
-      materializedWithout(
-        ext.Outliers.driftReport(
-          docs.filter(col("source") =!= "src9"),
-          docs.filter(col("source") === "src9"), "q", "lang"), docs)
+      // driftReport hands back an already-pinned 4-row frame, so the
+      // corpus pin releases directly — materializedWithout's re-pin of
+      // a pinned result was one more eager checkpoint job (r15)
+      val out = ext.Outliers.driftReport(
+        docs.filter(col("source") =!= "src9"),
+        docs.filter(col("source") === "src9"), "q", "lang")
+      graft.util.Checkpoints.release(docs)
+      out
     }),
 
     // ext: per-source PSI drift — every source's binned quality
@@ -289,8 +293,10 @@ object QueriesDrift {
           round(ext.TextAnalysis.qualityScore("text"), 6).as("q"),
           col("lang"))
         .localCheckpoint(true)
-      materializedWithout(
-        ext.Outliers.driftReportBy(docs, "source", "q", "lang"), docs)
+      // driftReportBy hands back an already-pinned frame (the q193 note)
+      val out = ext.Outliers.driftReportBy(docs, "source", "q", "lang")
+      graft.util.Checkpoints.release(docs)
+      out
     }),
 
     // ext: THE NIGHTLY DRIFT GATE AS ONE STATEFUL PASS — q186 + q189 +

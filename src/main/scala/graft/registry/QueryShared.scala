@@ -32,8 +32,8 @@ object QueryShared {
   //    the oracle) - results must be bit-identical, so the change is
   //    inadmissible even at a measured speedup.
   // The helper is deliberately NOT kept as dead code; this note is so
-  // the next round doesn't re-try it blind. ProbeAB's graft.spread.off
-  // toggle is retained (it is simply inert with no call sites).
+  // the next round doesn't re-try it blind. (r15: ProbeAB's inert
+  // graft.spread.off arm was deleted too — VERDICT r14 #1.)
 
   /** Pin-then-sort for a query's FINAL deterministic `orderBy` (r14): a
     * global sort is a RANGE exchange whose partitioner SAMPLES its child —
