@@ -196,7 +196,8 @@ object Ivf {
   def readStoreMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[StoreMeta] =
     try {
-      val r = spark.read.parquet(s"$path/$MetaDir").first()
+      // cached sidecar schema (r15) — fixed by writeStoreMeta's toDF
+      val r = graft.util.StoreSchemas.read(spark, s"$path/$MetaDir").first()
       Some(StoreMeta(r.getDouble(0), r.getDouble(1), r.getLong(2),
         r.getInt(3), r.getDouble(4), r.getInt(5),
         r.getSeq[Double](6).toArray,
@@ -276,7 +277,9 @@ object Ivf {
       queries: DataFrame, kNN: Int, centroids: Array[Array[Double]],
       nprobe: Int, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    val c = spark.read.parquet(path)
+    // cached store schema (r15): the serve path paid a footer-inference
+    // job per call for a schema our own writer fixed at build time
+    val c = graft.util.StoreSchemas.read(spark, path)
     val q = queries.withColumn("ivf_bkt",
       explode(ProbeCentroids.column(
         col(vecCol).cast("array<double>"), centroids, nprobe)))

@@ -264,7 +264,8 @@ object Pq {
     require(rerank >= k, s"rerank $rerank < k $k")
     require(!residual || coarse.isDefined,
       "residual search needs a coarse quantizer")
-    val codes = spark.read.parquet(path)
+    // cached store schema (r15, the Ivf.topKFromStore note)
+    val codes = graft.util.StoreSchemas.read(spark, path)
     coarse match {
       case None => searchCodes(codes, corpus, queries, k, cb, rerank, vecCol, idCol)
       case Some(cc) if residual =>

@@ -1229,8 +1229,14 @@ object TextAnalysis {
       topN: Int = 10): org.apache.spark.sql.DataFrame = {
     val qTerms = "[a-z0-9]+".r.findAllIn(query.toLowerCase).toSeq.distinct
     require(qTerms.nonEmpty, s"query '$query' has no terms")
+    // pin the tokenized projection ONCE (r15, the raterBase lesson):
+    // three consumers (the corpus stats pull and the tf/dft branches of
+    // `hits`) re-ran the wordTokens regex three times; the pinned rows
+    // are (id, toks, dl) — the same bytes-per-row the shared-scan bases
+    // hold — and release after the bounded topN result materializes
     val docs = df.select(col(idCol), wordTokens(textCol).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
+      .pin()
     val stats = docs.agg(count(lit(1)).cast("double").as("_n"),
       avg(col("dl")).as("_avgdl"))
     val hits = docs
@@ -1240,7 +1246,7 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("double").as("tf"))
     val dft = hits.select(col(idCol), col("tok")).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("_df"))
-    tf.join(broadcast(dft), "tok")
+    val out = tf.join(broadcast(dft), "tok")
       .crossJoin(broadcast(stats))
       .withColumn("_idf",
         log(lit(1.0) + (col("_n") - col("_df") + lit(0.5)) /
@@ -1252,6 +1258,9 @@ object TextAnalysis {
       .agg(round(sum(col("_s")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(topN)
+      .pin()
+    graft.util.Checkpoints.release(docs)
+    out
   }
 
   /** PMI COLLOCATIONS — corpus phrase mining: every adjacent word bigram

@@ -75,8 +75,8 @@ object QueriesDedup {
         .select(col("doc_id"), ext.Dedup.simhash("text").as("sk"))
         .localCheckpoint(true)
       materializedWithout(
-        ext.Dedup.hammingNearDups(sk, "sk", "doc_id", maxHamming = 2)
-          .orderBy("id_a", "id_b"), sk)
+        pinSorted(ext.Dedup.hammingNearDups(sk, "sk", "doc_id",
+          maxHamming = 2), "id_a", "id_b"), sk)
     }),
 
 

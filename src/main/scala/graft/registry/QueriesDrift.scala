@@ -240,8 +240,8 @@ object QueriesDrift {
         .select(col("ts"), col("event_type"), round(col("value"), 2).as("v"))
       val (bv, bc) = ext.Eval.ksBaseline(
         ev.filter(col("ts") < lit("2024-01-08").cast("timestamp")), "v")
-      ext.Eval.ksDriftWindowedBy(ev, "ts", "event_type", "v", bv, bc)
-        .orderBy("ws", "event_type")
+      pinSorted(ext.Eval.ksDriftWindowedBy(ev, "ts", "event_type", "v",
+        bv, bc), "ws", "event_type")
     }),
 
     // ext: WINDOWED rank-sum drift BY SLICE — q190's location monitor per
@@ -252,8 +252,8 @@ object QueriesDrift {
         .select(col("ts"), col("event_type"), round(col("value"), 2).as("v"))
       val (bv, bc) = ext.Eval.ksBaseline(
         ev.filter(col("ts") < lit("2024-01-08").cast("timestamp")), "v")
-      ext.Eval.rankSumDriftWindowedBy(ev, "ts", "event_type", "v", bv, bc)
-        .orderBy("ws", "event_type")
+      pinSorted(ext.Eval.rankSumDriftWindowedBy(ev, "ts", "event_type",
+        "v", bv, bc), "ws", "event_type")
     }),
 
     // ext: WINDOWED chi-squared drift BY SLICE — each (day, user cohort)'s
@@ -266,9 +266,8 @@ object QueriesDrift {
       val (bcnt, _) = ext.Outliers.chiSquareBaseline(
         ev.filter(col("ts") < lit("2024-01-08").cast("timestamp")),
         "event_type")
-      ext.Outliers.chiSquareDriftWindowedBy(ev, "ts", "cohort",
-          "event_type", bcnt)
-        .orderBy("ws", "cohort")
+      pinSorted(ext.Outliers.chiSquareDriftWindowedBy(ev, "ts", "cohort",
+        "event_type", bcnt), "ws", "cohort")
     }),
 
     // ext: WINDOWED PSI drift BY SLICE — the binned member of the
@@ -279,9 +278,8 @@ object QueriesDrift {
       val (bcm, bt) = ext.Outliers.psiBaseline(
         ev.filter(col("ts") < lit("2024-01-08").cast("timestamp")),
         "value", 10, 0.0, 500.0)
-      ext.Outliers.psiWindowedBy(ev, "ts", "event_type", "value", bcm, bt,
-          10, 0.0, 500.0)
-        .orderBy("ws", "event_type")
+      pinSorted(ext.Outliers.psiWindowedBy(ev, "ts", "event_type",
+        "value", bcm, bt, 10, 0.0, 500.0), "ws", "event_type")
     }),
 
     // ext: ONE-CALL BY-SLICE drift report — every source through every
@@ -312,8 +310,8 @@ object QueriesDrift {
       val (bv, bc) = ext.Eval.ksBaseline(week, "v")
       val (bcats, _) = ext.Outliers.chiSquareBaseline(week, "event_type")
       val (bb, bt) = ext.Outliers.psiBaseline(week, "v", 10, 0.0, 500.0)
-      ext.Outliers.driftReportWindowed(ev, "ts", "v", "event_type",
-        bv, bc, bcats, bb, bt, 10, 0.0, 500.0).orderBy("ws")
+      pinSorted(ext.Outliers.driftReportWindowed(ev, "ts", "v",
+        "event_type", bv, bc, bcats, bb, bt, 10, 0.0, 500.0), "ws")
     }),
 
     // ext: the q201 gate PER SLICE — "which user cohort drifted today,
@@ -327,9 +325,9 @@ object QueriesDrift {
       val (bv, bc) = ext.Eval.ksBaseline(week, "v")
       val (bcats, _) = ext.Outliers.chiSquareBaseline(week, "event_type")
       val (bb, bt) = ext.Outliers.psiBaseline(week, "v", 10, 0.0, 500.0)
-      ext.Outliers.driftReportWindowedBy(ev, "ts", "cohort", "v",
-          "event_type", bv, bc, bcats, bb, bt, 10, 0.0, 500.0)
-        .orderBy("ws", "cohort")
+      pinSorted(ext.Outliers.driftReportWindowedBy(ev, "ts", "cohort",
+        "v", "event_type", bv, bc, bcats, bb, bt, 10, 0.0, 500.0),
+        "ws", "cohort")
     }),
 
     // ext: WINDOWED embedding drift BY SLICE — the drift matrix's last

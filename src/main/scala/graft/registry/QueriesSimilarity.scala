@@ -66,9 +66,8 @@ object QueriesSimilarity {
       val emb = Tables.load(s, dir, "embeddings")
       val coarse = ext.Ivf.train(emb, k = 4, iters = 2)
       val cb = ext.Pq.trainResidual(emb, coarse, m = 8, ksub = 16, iters = 2)
-      ext.Pq.topKResidual(emb, emb.filter(col("vec_id") < 3), 10,
-          coarse, cb, rerank = 1000000, nprobe = 4)
-        .orderBy("query_id", "rank")
+      pinSorted(ext.Pq.topKResidual(emb, emb.filter(col("vec_id") < 3), 10,
+        coarse, cb, rerank = 1000000, nprobe = 4), "query_id", "rank")
     }),
 
 

@@ -269,9 +269,8 @@ object QueriesText {
     // ext: PMI collocations — adjacent-bigram phrase mining over the
     // corpus (c12 >= 5), PMI from exact-integer probability ratios
     "q108_pmi_collocations" -> ((s, dir) =>
-      ext.TextAnalysis.pmiCollocations(
-        Tables.load(s, dir, "documents"), "text", 5L)
-        .orderBy("w1", "w2")),
+      pinSorted(ext.TextAnalysis.pmiCollocations(
+        Tables.load(s, dir, "documents"), "text", 5L), "w1", "w2")),
 
 
     // ext: multiclass NB — the k-way nbQualityScore (supervised language
@@ -413,8 +412,8 @@ object QueriesText {
       val (bcats, _) = ext.Outliers.chiSquareBaseline(week, "lang")
       val (vc, vt) = ext.TextAnalysis.vocabBaseline(week, "text", 50)
       materializedWithout(
-        ext.TextAnalysis.textGateWindowed(live, "ts", "text", "lang",
-          bv, bc, bcats, vc, vt).orderBy("ws"), live)
+        pinSorted(ext.TextAnalysis.textGateWindowed(live, "ts", "text",
+          "lang", bv, bc, bcats, vc, vt), "ws"), live)
     }),
   )
 
